@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.Column
+
+/** Loaders + numeric helpers shared by all graft query modules.
+  *
+  * All money/quantity aggregates are computed in exact decimal arithmetic
+  * (operands cast to DECIMAL before the arithmetic) so results are
+  * bit-identical across engines and partition orders — double summation is
+  * order-dependent and would flake the correctness gate and any 100 TB
+  * re-run. Final columns are cast to fixed DECIMAL(18,s) so the output
+  * schema is stable too.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    * default; read nanos as long and floor-convert to a µs timestamp
+    * (matches DuckDB's epoch_us() flooring of TIMESTAMP_NS). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+  }
+
+  /** exact 2-dp decimal view of a double column (inputs are 2-dp money). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** final-output cast helpers (stable schema both engines). */
+  def out2(c: Column): Column = c.cast(DecimalType(18, 2))
+  def out4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** exact revenue term: extendedprice * (1 - discount), all decimal. */
+  def revenue(price: Column, discount: Column): Column =
+    dec2(price) * (F.lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) - dec2(discount))
+}

@@ -1,0 +1,324 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+import graft.Tables.{dec2, out2, out4, revenue}
+
+/** OLAP / relational query library — the ClickHouse-OLAP side of the
+  * reference's capability surface, declared with the DataFrame API so
+  * Catalyst handles pushdown/pruning/join-planning.
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier/part) get
+  * explicit broadcast hints; fact-side filters are plain column predicates
+  * so they reach the parquet scan (verified via .explain: PushedFilters).
+  * All aggregates run in exact decimal so a 1000-executor re-run returns
+  * the same bits.
+  */
+object OlapQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  // ---- TPC-H-shaped core -------------------------------------------------
+
+  /** Scan + multi-aggregate group-by (TPC-H Q1 shape). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        out2(F.sum(dec2(F.col("l_quantity")))).as("sum_qty"),
+        out2(F.sum(dec2(F.col("l_extendedprice")))).as("sum_base_price"),
+        out4(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).as("sum_disc_price"),
+        F.count(F.lit(1)).as("count_order"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** 3-way join + agg + order + limit (TPC-H Q3 shape). */
+  def q3TopN(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(F.col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp"))
+    li.join(ord, F.col("l_orderkey") === F.col("o_orderkey"))
+      .join(F.broadcast(cust), F.col("o_custkey") === F.col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(out4(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).as("rev"))
+      .orderBy(F.col("rev").desc, F.col("o_orderdate").asc, F.col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS rev
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00' AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY rev DESC, o_orderdate ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** 6-table star join with region filter (TPC-H Q5 shape). */
+  def q5Join5(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(F.col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+      .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+        && F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    li.join(ord, F.col("l_orderkey") === F.col("o_orderkey"))
+      .join(F.broadcast(cust), F.col("o_custkey") === F.col("c_custkey"))
+      .join(F.broadcast(supp),
+        F.col("l_suppkey") === F.col("s_suppkey") && F.col("c_nationkey") === F.col("s_nationkey"))
+      .join(F.broadcast(nation), F.col("s_nationkey") === F.col("n_nationkey"))
+      .join(F.broadcast(region), F.col("n_regionkey") === F.col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(out4(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).as("rev"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS rev
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  /** Selective filter + single aggregate (TPC-H Q6 shape). */
+  def q6Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+          && F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+          && F.col("l_discount") >= 0.05 && F.col("l_discount") <= 0.07
+          && F.col("l_quantity") < 24)
+      .agg(
+        out4(F.sum(dec2(F.col("l_extendedprice")) * dec2(F.col("l_discount")))).as("revenue"),
+        F.count(F.lit(1)).as("n"))
+
+  val q6Sql: String =
+    """SELECT
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---- window / time analytics ------------------------------------------
+
+  /** Window function: top-3 orders per market segment. */
+  def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "orders")
+      .join(F.broadcast(t(s, dir, "customer")), F.col("o_custkey") === F.col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+    joined
+      .withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= 3)
+      .select(F.col("c_mktsegment"), F.col("rnk"), F.col("o_orderkey"),
+        out2(F.col("o_totalprice")).as("price"))
+  }
+
+  val qWindowTopNSql: String =
+    """SELECT c_mktsegment, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) x
+      |WHERE rnk <= 3""".stripMargin
+
+  /** Tumbling-window (1h) aggregation over the events stream table. */
+  def qTumble(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        F.window(F.col("ts"), "1 hour")("start").as("window_start"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), out2(F.sum(dec2(F.col("value")))).as("total"))
+
+  val qTumbleSql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization: 30-min-gap sessions per user + per-session aggregates. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("us", F.unix_micros(F.col("ts")))
+    val byUser = Window.partitionBy("user_id").orderBy(F.col("us").asc, F.col("event_id").asc)
+    val cum = Window.partitionBy("user_id").orderBy(F.col("us").asc, F.col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_us", F.lag("us", 1).over(byUser))
+      .withColumn("new_sess",
+        F.when(F.col("prev_us").isNull || F.col("us") - F.col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_idx", F.sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        F.count(F.lit(1)).as("n_events"),
+        out2(F.sum(dec2(F.col("value")))).as("total_value"),
+        (F.max("us") - F.min("us")).as("dur_us"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) AS prev_us FROM ev) x
+      |), sess AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM flagged)
+      |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+      | MAX(us) - MIN(us) AS dur_us
+      |FROM sess GROUP BY user_id, sess_idx""".stripMargin
+
+  // ---- distinct / percentile / grouping sets ----------------------------
+
+  /** Exact distinct-count per group. */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(F.countDistinct(F.col("user_id")).as("n_users"), F.count(F.lit(1)).as("n_events"))
+
+  val qDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** HLL approximate distinct per group (sketch values are engine-specific:
+    * rows-only check; exactness covered by qDistinct). */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(F.approx_count_distinct(F.col("user_id"), 0.01).as("approx_users"))
+
+  /** Exact percentiles (p50/p90) by deterministic row selection — identical
+    * semantics both engines, no interpolation-formula drift. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(F.col("l_extendedprice").asc, F.col("l_orderkey").asc, F.col("l_linenumber").asc)
+    val cw = Window.partitionBy("l_returnflag")
+    t(s, dir, "lineitem")
+      .select(F.col("l_returnflag"), F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber"))
+      .withColumn("rn", F.row_number().over(w))
+      .withColumn("cnt", F.count(F.lit(1)).over(cw))
+      .groupBy("l_returnflag")
+      .agg(
+        F.max(F.when(F.col("rn") === F.floor((F.col("cnt") + 1) / 2), dec2(F.col("l_extendedprice")))).as("p50"),
+        F.max(F.when(F.col("rn") === F.ceil(F.col("cnt") * 0.9), dec2(F.col("l_extendedprice")))).as("p90"))
+  }
+
+  val qPercentileSql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |   ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+      |   COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      | MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2) AS BIGINT) THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS p50,
+      | MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS p90
+      |FROM ranked GROUP BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping-sets aggregation. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(out2(F.sum(dec2(F.col("l_quantity")))).as("sum_qty"), F.count(F.lit(1)).as("n"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- as-of join / range join ------------------------------------------
+
+  /** As-of join: for each event, the latest order of that customer with
+    * o_orderdate <= event ts (tie-break: max o_orderkey). Implemented the
+    * scalable way — single union + one window pass per key, no per-event
+    * probe join (at 100 TB a per-event subquery would be quadratic).
+    */
+  def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(F.col("user_id").as("k"), F.unix_micros(F.col("ts")).as("tu"),
+        F.col("event_id"), F.lit(1).as("is_event"),
+        F.lit(null).cast("long").as("okey"), F.lit(null).cast("double").as("oprice"))
+    val ord = t(s, dir, "orders")
+      .select(F.col("o_custkey").as("k"), F.unix_micros(F.col("o_orderdate").cast("timestamp")).as("tu"),
+        F.lit(null).cast("long").as("event_id"), F.lit(0).as("is_event"),
+        F.col("o_orderkey").as("okey"), F.col("o_totalprice").as("oprice"))
+    val w = Window.partitionBy("k")
+      .orderBy(F.col("tu").asc, F.col("is_event").asc, F.col("okey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_okey", F.last("okey", ignoreNulls = true).over(w))
+      .withColumn("last_oprice", F.last("oprice", ignoreNulls = true).over(w))
+      .filter(F.col("is_event") === 1 && F.col("last_okey").isNotNull)
+      .select(F.col("event_id"), F.col("k").as("user_id"),
+        F.col("last_okey").as("o_orderkey"), out2(F.col("last_oprice")).as("o_totalprice"))
+  }
+
+  val qAsofSql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, epoch_us(ts) AS tu, event_id, 1 AS is_event,
+      |   CAST(NULL AS BIGINT) AS okey, CAST(NULL AS DOUBLE) AS oprice FROM events
+      |  UNION ALL
+      |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS tu, CAST(NULL AS BIGINT) AS event_id, 0 AS is_event,
+      |   o_orderkey AS okey, o_totalprice AS oprice FROM orders
+      |), lv AS (
+      |  SELECT *,
+      |   LAST_VALUE(okey IGNORE NULLS) OVER (PARTITION BY k ORDER BY tu ASC, is_event ASC, okey ASC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_okey,
+      |   LAST_VALUE(oprice IGNORE NULLS) OVER (PARTITION BY k ORDER BY tu ASC, is_event ASC, okey ASC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_oprice
+      |  FROM u)
+      |SELECT event_id, k AS user_id, last_okey AS o_orderkey,
+      | CAST(last_oprice AS DECIMAL(18,2)) AS o_totalprice
+      |FROM lv WHERE is_event = 1 AND last_okey IS NOT NULL""".stripMargin
+
+  /** Band/range join: orders bucketed into totalprice bands via an interval
+    * join against a generated bands table (broadcast — bands are tiny). */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 51).toDF("band")
+      .withColumn("lo", F.col("band") * 10000.0)
+      .withColumn("hi", (F.col("band") + 1) * 10000.0)
+    t(s, dir, "orders")
+      .join(F.broadcast(bands), F.col("o_totalprice") >= F.col("lo") && F.col("o_totalprice") < F.col("hi"))
+      .groupBy("band")
+      .agg(F.count(F.lit(1)).as("n_orders"), out2(F.sum(dec2(F.col("o_totalprice")))).as("total"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS band,
+      | COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** (name, query, oracle) triples — oracle None = rows-only check. */
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q1_agg", q1Agg _, Some(q1Sql)),
+    ("q3_topn", q3TopN _, Some(q3Sql)),
+    ("q5_join5", q5Join5 _, Some(q5Sql)),
+    ("q6_filter", q6Filter _, Some(q6Sql)),
+    ("q_window_topn", qWindowTopN _, Some(qWindowTopNSql)),
+    ("q_tumble", qTumble _, Some(qTumbleSql)),
+    ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
+    ("q_distinct", qDistinct _, Some(qDistinctSql)),
+    ("q_approx_distinct", qApproxDistinct _, None),
+    ("q_percentile", qPercentile _, Some(qPercentileSql)),
+    ("q_rollup", qRollup _, Some(qRollupSql)),
+    ("q_asof", qAsof _, Some(qAsofSql)),
+    ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)))
+}
