@@ -1,0 +1,123 @@
+package graft.kv
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+import graft.Tables.dec2
+import KVStore._
+
+/** Correctness-gate queries for the KCV store. The store is derived from
+  * `events` with the same byte-ordered layout the reference keeps in
+  * MergeTree ORDER BY (k,c):
+  *   k = user_id  as 8-byte big-endian
+  *   c = (epoch_us(ts), event_id) as 16-byte big-endian composite
+  *   v = value    as DECIMAL(18,2) string bytes
+  * Every query runs genuinely in the binary domain (range predicates and
+  * ordering on BinaryType) and only decodes for the oracle-comparable
+  * output projection.
+  */
+object KVQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Build the binary KCV store from the events table. */
+  def eventStore(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").select(
+      encLong(F.col("user_id")).as("k"),
+      F.concat(encLong(F.unix_micros(F.col("ts"))), encLong(F.col("event_id"))).as("c"),
+      dec2(F.col("value")).cast("string").cast("binary").as("v"))
+
+  private def decoded(df: DataFrame): DataFrame =
+    df.select(
+      decLong(F.col("k"), 1).as("user_id"),
+      decLong(F.col("c"), 1).as("us"),
+      decLong(F.col("c"), 9).as("event_id"),
+      F.col("v").cast("string").as("v_str"))
+
+  private val usLo = "epoch_us(TIMESTAMP '2024-01-10 00:00:00')"
+  private val usHi = "epoch_us(TIMESTAMP '2024-01-20 00:00:00')"
+  private def colBound(us: String): org.apache.spark.sql.Column =
+    F.concat(encLong(F.unix_micros(F.lit(us).cast("timestamp"))), encLong(F.lit(0L)))
+
+  /** kv_slice: getSlice for keys 0..9, columns in [Jan10, Jan20), limit 50. */
+  def kvSlice(s: SparkSession, dir: String): DataFrame = {
+    val keys = s.range(0, 10).select(encLong(F.col("id")).as("k"))
+    decoded(slice(eventStore(s, dir), keys,
+      colBound("2024-01-10 00:00:00"), colBound("2024-01-20 00:00:00"), 50))
+  }
+
+  val kvSliceSql: String =
+    s"""SELECT user_id, us, event_id, CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str
+       |FROM (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+       |  FROM events
+       |  WHERE user_id < 10 AND epoch_us(ts) >= $usLo AND epoch_us(ts) < $usHi) x
+       |WHERE rn <= 50""".stripMargin
+
+  /** kv_multislice: getSlice over a computed key set (every 10th user),
+    * one-day column range, per-key limit 20. */
+  def kvMultiSlice(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(s, dir, "events")
+      .select(F.col("user_id")).distinct()
+      .filter(F.col("user_id") % 10 === 0)
+      .select(encLong(F.col("user_id")).as("k"))
+    decoded(slice(eventStore(s, dir), keys,
+      colBound("2024-01-10 00:00:00"), colBound("2024-01-11 00:00:00"), 20))
+  }
+
+  val kvMultiSliceSql: String =
+    s"""SELECT user_id, us, event_id, CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str
+       |FROM (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+       |  FROM events
+       |  WHERE user_id % 10 = 0
+       |    AND epoch_us(ts) >= $usLo AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-11 00:00:00')) x
+       |WHERE rn <= 20""".stripMargin
+
+  /** kv_getkeys: ordered distinct-key scan over key range [50, 100). */
+  def kvGetKeys(s: SparkSession, dir: String): DataFrame =
+    keyScan(eventStore(s, dir), encLong(F.lit(50L)), encLong(F.lit(100L)))
+      .select(decLong(F.col("k"), 1).as("user_id"))
+
+  val kvGetKeysSql: String =
+    "SELECT DISTINCT user_id FROM events WHERE user_id >= 50 AND user_id < 100"
+
+  /** kv_mutate: batch mutate (delete all 'error' events of users 0..4;
+    * upsert a sentinel entry per such user), then read the keys back —
+    * exercises delete-before-add (ref ClickhouseKeyColumnValueStore.java:133). */
+  def kvMutate(s: SparkSession, dir: String): DataFrame = {
+    val store = eventStore(s, dir)
+    val ev = Tables(s, dir, "events")
+    val deletions = ev
+      .filter(F.col("user_id") < 5 && F.col("event_type") === "error")
+      .select(
+        encLong(F.col("user_id")).as("k"),
+        F.concat(encLong(F.unix_micros(F.col("ts"))), encLong(F.col("event_id"))).as("c"))
+    val additions = ev.select("user_id").distinct().filter(F.col("user_id") < 5)
+      .select(
+        encLong(F.col("user_id")).as("k"),
+        F.concat(encLong(F.lit(0L)), encLong(F.lit(999999L))).as("c"),
+        F.lit("upserted").cast("binary").as("v"))
+    val mutated = mutate(store, additions, deletions)
+    val keys = s.range(0, 5).select(encLong(F.col("id")).as("k"))
+    decoded(slice(mutated, keys, F.lit(Array.emptyByteArray),
+      F.concat(encLong(F.lit(Long.MaxValue)), encLong(F.lit(Long.MaxValue))), Int.MaxValue))
+  }
+
+  val kvMutateSql: String =
+    """SELECT user_id, us, event_id, v_str FROM (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |   CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str
+      |  FROM events WHERE user_id < 5 AND event_type <> 'error'
+      |  UNION ALL
+      |  SELECT DISTINCT user_id, 0 AS us, 999999 AS event_id, 'upserted' AS v_str
+      |  FROM events WHERE user_id < 5) x""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("kv_slice", kvSlice _, Some(kvSliceSql)),
+    ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
+    ("kv_getkeys", kvGetKeys _, Some(kvGetKeysSql)),
+    ("kv_mutate", kvMutate _, Some(kvMutateSql)))
+}

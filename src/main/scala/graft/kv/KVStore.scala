@@ -1,0 +1,72 @@
+package graft.kv
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** Spark-native key-column-value store — the reference's
+  * `KeyColumnValueStore` SPI (ClickhouseKeyColumnValueStore.java:57) as
+  * declarative DataFrame transforms over a `(k, c, v)` BinaryType table.
+  *
+  * Ordering: JanusGraph orders bytes unsigned 0x00..0xFF; the reference
+  * sign-shifts every byte to survive ClickHouse's signed Int8 arrays
+  * (ClickhouseKeyColumnValueStore.java:363). Spark's BinaryType comparison
+  * is already unsigned lexicographic, so no shift is needed here and all
+  * range predicates below are plain column comparisons — which Catalyst
+  * pushes into the parquet scan (min/max row-group pruning on k).
+  *
+  * Scale: every op is a narrow scan + per-key window or join keyed on `k`;
+  * a persisted store would be written bucketed by `k` so multi-key slices
+  * and mutations co-locate without a shuffle. Nothing iterates on the
+  * driver (the reference's RowIterator at
+  * ClickhouseKeyColumnValueStore.java:241 is a driver-side pull loop; at
+  * 100 TB a slice result stays a DataFrame).
+  */
+object KVStore {
+
+  /** getSlice(key ∈ keys, columnStart, columnEnd, limit) — ref
+    * QueryHelper.java:61 (`SELECT c,v FROM t WHERE k=? AND c>=? AND c<?
+    * ORDER BY c LIMIT ?`), vectorized over an arbitrary set of keys
+    * (multi-key form, ref ClickhouseKeyColumnValueStore.java:108).
+    * `keys` is a single-column `k` DataFrame (broadcast when small).
+    */
+  def slice(store: DataFrame, keys: DataFrame, columnStart: Column, columnEnd: Column,
+            limit: Int): DataFrame = {
+    val ranged = store
+      .filter(F.col("c") >= columnStart && F.col("c") < columnEnd)
+      .join(F.broadcast(keys), "k")
+    val w = Window.partitionBy("k").orderBy(F.col("c").asc)
+    ranged
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= limit)
+      .drop("rn")
+  }
+
+  /** getKeys(keyStart, keyEnd) — ref QueryHelper.java:65
+    * (`SELECT DISTINCT k FROM t WHERE k>=? AND k<? ORDER BY k`). */
+  def keyScan(store: DataFrame, keyStart: Column, keyEnd: Column): DataFrame =
+    store.filter(F.col("k") >= keyStart && F.col("k") < keyEnd).select("k").distinct()
+
+  /** mutate(additions, deletions) — ref
+    * ClickhouseKeyColumnValueStore.java:133: deletions apply strictly
+    * before additions, and every addition first deletes its own (k,c)
+    * (upsert). additions: (k,c,v); deletions: (k,c).
+    */
+  def mutate(store: DataFrame, additions: DataFrame, deletions: DataFrame): DataFrame = {
+    val tombstones = deletions.select("k", "c")
+      .unionByName(additions.select("k", "c"))
+      .distinct()
+    store
+      .join(tombstones, Seq("k", "c"), "left_anti")
+      .unionByName(additions.select("k", "c", "v"))
+  }
+
+  // ---- order-preserving codecs (no UDF — hex/unhex are codegen'd) -------
+
+  /** non-negative long → 8-byte big-endian binary (order-preserving). */
+  def encLong(c: Column): Column = F.unhex(F.lpad(F.hex(c), 16, "0"))
+
+  /** inverse of encLong on a binary slice [pos, pos+8) (1-based pos). */
+  def decLong(c: Column, pos: Int): Column =
+    F.conv(F.hex(F.substring(c, pos, 8)), 16, 10).cast("long")
+}
