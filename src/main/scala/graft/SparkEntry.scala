@@ -7,7 +7,8 @@ object SparkEntry {
   /** Every module contributes (name, query, Option[oracleSql]) triples. */
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     graft.olap.OlapQueries.entries ++
-      graft.kv.KVQueries.entries
+      graft.kv.KVQueries.entries ++
+      graft.graph.GraphQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

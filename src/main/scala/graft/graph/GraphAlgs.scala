@@ -1,0 +1,113 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Iterative graph algorithms as DataFrame Pregel loops.
+  *
+  * Shape shared by all three: state(vid, x) joined with the edge list,
+  * messages aggregated by dst, state updated — one shuffle per iteration,
+  * keyed on vid throughout so a vid-bucketed graph never re-partitions.
+  * `localCheckpoint` every iteration truncates lineage (without it the
+  * plan doubles per iteration and Catalyst analysis dominates runtime);
+  * at cluster scale this becomes `checkpoint` to a reliable store every
+  * N iterations. Convergence checks are driver-side counts on the small
+  * changed-set, not collects of state.
+  *
+  * PageRank runs in scaled *integer* arithmetic (units of 1e-12): floor
+  * division is bit-identical across Spark, DuckDB and any partition
+  * order, so a 1000-executor re-run reproduces the oracle exactly —
+  * double-precision PR would drift with summation order.
+  */
+object GraphAlgs {
+
+  /** Connected components by min-vid label propagation over an
+    * (already symmetrized) undirected edge list. Returns (vid, comp). */
+  def connectedComponents(vertices: DataFrame, undirected: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    var labels = vertices.select(F.col("vid"), F.col("vid").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = undirected
+        .join(labels, undirected("src") === labels("vid"))
+        .select(F.col("dst").as("vid"), F.col("comp"))
+      val next = labels.select("vid", "comp").unionByName(msgs)
+        .groupBy("vid").agg(F.min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "vid")
+        .filter(F.col("comp") =!= F.col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** PageRank, `iters` fixed iterations, d = 0.85, dangling mass dropped
+    * (both engines drop it identically). pr is a BIGINT in 1e-12 units:
+    * pr0 = 1e12/N;  pr'(v) = (15*(1e12/N))/100 + (85*Σ_in pr(u)/deg(u))/100
+    * with every division an integer floor division. */
+  def pagerank(vertices: DataFrame, edges: DataFrame, iters: Int = 10): DataFrame = {
+    val n = vertices.count()
+    val init = 1000000000000L / n
+    val base = (15L * init) / 100L
+    val outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+    // (src, dst, deg) — static across iterations, cache it
+    val withDeg = edges.select("src", "dst").join(outdeg, "src").localCheckpoint()
+    var pr = vertices.select(F.col("vid"), F.lit(init).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(pr, withDeg("src") === pr("vid"))
+        .select(F.col("dst"), F.expr("pr div deg").as("m"))
+        .groupBy("dst").agg(F.sum("m").as("m"))
+      pr = vertices.select("vid")
+        .join(contribs, vertices("vid") === contribs("dst"), "left")
+        .select(F.col("vid"),
+          (F.lit(base) + F.expr(s"coalesce(85 * m, 0L) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  /** BFS hop count from `sourceVid` over an undirected edge list;
+    * returns reachable (vid, d). */
+  def sssp(vertices: DataFrame, undirected: DataFrame, sourceVid: Long,
+           maxIter: Int = 10): DataFrame = {
+    val INF = Int.MaxValue.toLong
+    var dist = vertices.select(F.col("vid"),
+      F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("d"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relax = undirected
+        .join(dist, undirected("src") === dist("vid"))
+        .filter(F.col("d") < INF)
+        .select(F.col("dst").as("vid"), (F.col("d") + 1L).as("d"))
+      val next = dist.select("vid", "d").unionByName(relax)
+        .groupBy("vid").agg(F.min("d").as("d"))
+        .localCheckpoint()
+      val changed = next.join(dist.withColumnRenamed("d", "old"), "vid")
+        .filter(F.col("d") =!= F.col("old")).limit(1).count()
+      dist = next
+      converged = changed == 0
+      i += 1
+    }
+    dist.filter(F.col("d") < INF)
+  }
+
+  /** Triangle count over an undirected edge list: orient every edge
+    * low→high (each triangle counted exactly once as a<b<c). */
+  def triangleCount(undirected: DataFrame): DataFrame = {
+    val adj = undirected.filter(F.col("src") < F.col("dst"))
+      .select(F.col("src").as("a"), F.col("dst").as("b"))
+    val e1 = adj
+    val e2 = adj.select(F.col("a").as("b2"), F.col("b").as("c"))
+    val e3 = adj.select(F.col("a").as("a3"), F.col("b").as("c3"))
+    e1.join(e2, F.col("b") === F.col("b2"))
+      .join(e3, F.col("a") === F.col("a3") && F.col("c") === F.col("c3"))
+      .agg(F.count(F.lit(1)).as("n_triangles"))
+  }
+}

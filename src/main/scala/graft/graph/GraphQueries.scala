@@ -1,0 +1,192 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import PropertyGraph.sqlPrelude
+
+/** Property-graph analytics — the query surface JanusGraph exposes over the
+  * reference's KCV store, re-expressed as Spark DataFrame plans (traversals
+  * = joins on the edge list; iterative algos = GraphAlgs Pregel loops).
+  * Every oracle rebuilds the identical graph in SQL via
+  * PropertyGraph.sqlPrelude, so the DuckDB check covers graph construction
+  * AND the algorithm.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** g_degree: per-vertex in/out degree. */
+  def gDegree(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val out = g.edges.groupBy(F.col("src").as("vid")).agg(F.count(F.lit(1)).as("o"))
+    val in = g.edges.groupBy(F.col("dst").as("vid")).agg(F.count(F.lit(1)).as("i"))
+    g.vertices.select("vid", "vlabel")
+      .join(out, Seq("vid"), "left")
+      .join(in, Seq("vid"), "left")
+      .select(F.col("vid"), F.col("vlabel"),
+        F.coalesce(F.col("o"), F.lit(0L)).as("out_deg"),
+        F.coalesce(F.col("i"), F.lit(0L)).as("in_deg"))
+  }
+
+  val gDegreeSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT v.vid, v.vlabel,
+       | CAST(COALESCE(o.n, 0) AS BIGINT) AS out_deg,
+       | CAST(COALESCE(i.n, 0) AS BIGINT) AS in_deg
+       |FROM verts v
+       |LEFT JOIN (SELECT src, count(*) AS n FROM edges GROUP BY 1) o ON o.src = v.vid
+       |LEFT JOIN (SELECT dst, count(*) AS n FROM edges GROUP BY 1) i ON i.dst = v.vid""".stripMargin
+
+  /** g_onehop: g.V().hasLabel('customer').has('mktsegment','BUILDING')
+    * .out('in_nation') — 1-hop with label+property filter. */
+  def gOneHop(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val start = g.vertices
+      .filter(F.col("vlabel") === "customer" && F.col("mktsegment") === "BUILDING")
+      .select(F.col("vid").as("c_vid"))
+    val e = g.edges.filter(F.col("elabel") === "in_nation")
+    start.join(e, F.col("c_vid") === F.col("src"))
+      .join(F.broadcast(g.vertices.select(F.col("vid").as("dst"), F.col("name"))), "dst")
+      .select(F.col("c_vid"), F.col("name").as("n_name"))
+  }
+
+  val gOneHopSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT a.vid AS c_vid, nv.name AS n_name
+       |FROM verts a
+       |JOIN edges e ON e.src = a.vid AND e.elabel = 'in_nation'
+       |JOIN verts nv ON nv.vid = e.dst
+       |WHERE a.vlabel = 'customer' AND a.mktsegment = 'BUILDING'""".stripMargin
+
+  /** g_twohop: out().out() from rich customers, deduped endpoints. */
+  def gTwoHop(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val start = g.vertices
+      .filter(F.col("vlabel") === "customer" && F.col("acctbal") > 1000.0)
+      .select(F.col("vid").as("src_vid"))
+    val e1 = g.edges.select(F.col("src"), F.col("dst").as("mid"))
+    val e2 = g.edges.select(F.col("src").as("mid"), F.col("dst"))
+    start
+      .join(e1, F.col("src_vid") === F.col("src"))
+      .join(e2, "mid")
+      .join(F.broadcast(g.vertices.select(F.col("vid").as("dst"), F.col("name"))), "dst")
+      .select(F.col("src_vid"), F.col("dst").as("dst_vid"), F.col("name").as("dst_name"))
+      .distinct()
+  }
+
+  val gTwoHopSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT DISTINCT a.vid AS src_vid, e2.dst AS dst_vid, dv.name AS dst_name
+       |FROM verts a
+       |JOIN edges e1 ON e1.src = a.vid
+       |JOIN edges e2 ON e2.src = e1.dst
+       |JOIN verts dv ON dv.vid = e2.dst
+       |WHERE a.vlabel = 'customer' AND a.acctbal > 1000.0""".stripMargin
+
+  /** g_motif: (a:supplier)-[peer]->(b:supplier)-[in_nation]->(n) with
+    * predicate a.acctbal > b.acctbal. */
+  def gMotif(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val sup = g.vertices.filter(F.col("vlabel") === "supplier")
+      .select(F.col("vid"), F.col("acctbal"))
+    val peer = g.edges.filter(F.col("elabel") === "peer").select("src", "dst")
+    val inNat = g.edges.filter(F.col("elabel") === "in_nation")
+      .select(F.col("src").as("b2"), F.col("dst").as("nvid"))
+    peer
+      .join(sup.select(F.col("vid").as("src"), F.col("acctbal").as("a_bal")), "src")
+      .join(sup.select(F.col("vid").as("dst"), F.col("acctbal").as("b_bal")), "dst")
+      .filter(F.col("a_bal") > F.col("b_bal"))
+      .join(inNat, F.col("dst") === F.col("b2"))
+      .join(F.broadcast(g.vertices.select(F.col("vid").as("nvid"), F.col("name"))), "nvid")
+      .select(F.col("src").as("a_vid"), F.col("dst").as("b_vid"), F.col("name").as("n_name"))
+  }
+
+  val gMotifSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT e.src AS a_vid, e.dst AS b_vid, nv.name AS n_name
+       |FROM edges e
+       |JOIN verts a ON a.vid = e.src
+       |JOIN verts b ON b.vid = e.dst
+       |JOIN edges e2 ON e2.src = e.dst AND e2.elabel = 'in_nation'
+       |JOIN verts nv ON nv.vid = e2.dst
+       |WHERE e.elabel = 'peer' AND a.acctbal > b.acctbal""".stripMargin
+
+  /** g_triangles: triangle count on the undirected graph. */
+  def gTriangles(s: SparkSession, dir: String): DataFrame =
+    GraphAlgs.triangleCount(PropertyGraph(s, dir).undirected)
+
+  val gTrianglesSql: String =
+    s"""WITH $sqlPrelude,
+       |adj AS (SELECT src AS a, dst AS b FROM uedges WHERE src < dst)
+       |SELECT count(*) AS n_triangles
+       |FROM adj x JOIN adj y ON x.b = y.a JOIN adj z ON z.a = x.a AND z.b = y.b""".stripMargin
+
+  /** g_cc: connected components, min-vid label. */
+  def gCc(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    GraphAlgs.connectedComponents(g.vertices, g.undirected)
+  }
+
+  val gCcSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |reach(v, u) AS (
+       |  SELECT vid, vid FROM verts
+       |  UNION
+       |  SELECT r.v, e.dst FROM reach r JOIN uedges e ON e.src = r.u
+       |)
+       |SELECT v AS vid, MIN(u) AS comp FROM reach GROUP BY v""".stripMargin
+
+  /** g_pagerank: 10 iterations, d=0.85, scaled-integer arithmetic (see
+    * GraphAlgs.pagerank); oracle = the same recurrence unrolled in SQL. */
+  def gPagerank(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    GraphAlgs.pagerank(g.vertices, g.edges, iters = 10)
+  }
+
+  val gPagerankSql: String = {
+    val iter = (k: Int) =>
+      s"""pr$k AS (
+         |  SELECT v.vid,
+         |    ((15 * (1000000000000 // (SELECT n FROM nn))) // 100)
+         |      + COALESCE((85 * s.m) // 100, 0) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS vid, SUM(p.pr // o.deg) AS m
+         |    FROM edges e JOIN pr${k - 1} p ON p.vid = e.src
+         |    JOIN outdeg o ON o.vid = e.src
+         |    GROUP BY e.dst) s ON s.vid = v.vid)""".stripMargin
+    s"""WITH $sqlPrelude,
+       |outdeg AS (SELECT src AS vid, count(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM verts),
+       |pr0 AS (SELECT vid, 1000000000000 // (SELECT n FROM nn) AS pr FROM verts),
+       |${(1 to 10).map(iter).mkString(",\n")}
+       |SELECT vid, CAST(pr AS BIGINT) AS pr FROM pr10""".stripMargin
+  }
+
+  /** g_sssp: BFS hop count from the 'ASIA' region vertex, undirected. */
+  def gSssp(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val src = g.vertices
+      .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
+      .select("vid").head().getLong(0)
+    GraphAlgs.sssp(g.vertices, g.undirected, src)
+  }
+
+  val gSsspSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |bfs(vid, d) AS (
+       |  SELECT CAST(r_regionkey*4+3 AS BIGINT), CAST(0 AS BIGINT) FROM region WHERE r_name = 'ASIA'
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 8
+       |)
+       |SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_degree", gDegree _, Some(gDegreeSql)),
+    ("g_onehop", gOneHop _, Some(gOneHopSql)),
+    ("g_twohop", gTwoHop _, Some(gTwoHopSql)),
+    ("g_motif", gMotif _, Some(gMotifSql)),
+    ("g_triangles", gTriangles _, Some(gTrianglesSql)),
+    ("g_cc", gCc _, Some(gCcSql)),
+    ("g_pagerank", gPagerank _, Some(gPagerankSql)),
+    ("g_sssp", gSssp _, Some(gSsspSql)))
+}

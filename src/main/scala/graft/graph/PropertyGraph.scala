@@ -1,0 +1,97 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Property graph derived from the star schema — the JanusGraph surface the
+  * reference backs (its KCV store holds exactly such a graph; see
+  * /root/reference ClickhouseKeyColumnValueStore.java:57 and SURVEY.md §3).
+  *
+  * Vertex id scheme: vid = key*4 + typecode (customer=0, supplier=1,
+  * nation=2, region=3) — collision-free, pure arithmetic, so the DuckDB
+  * oracles can rebuild the identical graph in SQL.
+  *
+  * Scale notes: vertices/edges are plain DataFrames; every algorithm keys
+  * its joins on vid so a persisted graph bucketed by vid co-locates all
+  * iterations. Dimension-sized vertex sets (nation/region) broadcast.
+  */
+object PropertyGraph {
+
+  final case class G(vertices: DataFrame, edges: DataFrame) {
+    /** Symmetrized distinct edge list for undirected algorithms. */
+    def undirected: DataFrame = {
+      val e = edges.select("src", "dst")
+      e.unionByName(e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
+    }
+  }
+
+  def apply(s: SparkSession, dir: String): G = {
+    val cust = Tables(s, dir, "customer").select(
+      (F.col("c_custkey").cast("long") * 4).as("vid"),
+      F.lit("customer").as("vlabel"),
+      F.col("c_name").as("name"),
+      F.col("c_acctbal").as("acctbal"),
+      F.col("c_mktsegment").as("mktsegment"))
+    val supp = Tables(s, dir, "supplier").select(
+      (F.col("s_suppkey").cast("long") * 4 + 1).as("vid"),
+      F.lit("supplier").as("vlabel"),
+      F.col("s_name").as("name"),
+      F.col("s_acctbal").as("acctbal"),
+      F.lit(null).cast("string").as("mktsegment"))
+    val nat = Tables(s, dir, "nation").select(
+      (F.col("n_nationkey").cast("long") * 4 + 2).as("vid"),
+      F.lit("nation").as("vlabel"),
+      F.col("n_name").as("name"),
+      F.lit(null).cast("double").as("acctbal"),
+      F.lit(null).cast("string").as("mktsegment"))
+    val reg = Tables(s, dir, "region").select(
+      (F.col("r_regionkey").cast("long") * 4 + 3).as("vid"),
+      F.lit("region").as("vlabel"),
+      F.col("r_name").as("name"),
+      F.lit(null).cast("double").as("acctbal"),
+      F.lit(null).cast("string").as("mktsegment"))
+    val vertices = cust.unionByName(supp).unionByName(nat).unionByName(reg)
+
+    val eCust = Tables(s, dir, "customer").select(
+      (F.col("c_custkey").cast("long") * 4).as("src"),
+      (F.col("c_nationkey").cast("long") * 4 + 2).as("dst"),
+      F.lit("in_nation").as("elabel"))
+    val eSupp = Tables(s, dir, "supplier").select(
+      (F.col("s_suppkey").cast("long") * 4 + 1).as("src"),
+      (F.col("s_nationkey").cast("long") * 4 + 2).as("dst"),
+      F.lit("in_nation").as("elabel"))
+    val eNat = Tables(s, dir, "nation").select(
+      (F.col("n_nationkey").cast("long") * 4 + 2).as("src"),
+      (F.col("n_regionkey").cast("long") * 4 + 3).as("dst"),
+      F.lit("in_region").as("elabel"))
+    // supplier peer edges (same nation, both directions => undirected)
+    val sa = Tables(s, dir, "supplier").select(
+      F.col("s_suppkey").cast("long").as("ka"), F.col("s_nationkey").as("na"))
+    val sb = Tables(s, dir, "supplier").select(
+      F.col("s_suppkey").cast("long").as("kb"), F.col("s_nationkey").as("nb"))
+    val ePeer = sa.join(sb, F.col("na") === F.col("nb") && F.col("ka") =!= F.col("kb"))
+      .select((F.col("ka") * 4 + 1).as("src"), (F.col("kb") * 4 + 1).as("dst"),
+        F.lit("peer").as("elabel"))
+    val edges = eCust.unionByName(eSupp).unionByName(eNat).unionByName(ePeer)
+    G(vertices, edges)
+  }
+
+  /** The same graph, as a DuckDB SQL prelude (shared by all graph oracles). */
+  val sqlPrelude: String =
+    """verts(vid, vlabel, name, acctbal, mktsegment) AS (
+      |  SELECT CAST(c_custkey*4 AS BIGINT), 'customer', c_name, c_acctbal, c_mktsegment FROM customer
+      |  UNION ALL SELECT CAST(s_suppkey*4+1 AS BIGINT), 'supplier', s_name, s_acctbal, NULL FROM supplier
+      |  UNION ALL SELECT CAST(n_nationkey*4+2 AS BIGINT), 'nation', n_name, NULL, NULL FROM nation
+      |  UNION ALL SELECT CAST(r_regionkey*4+3 AS BIGINT), 'region', r_name, NULL, NULL FROM region
+      |), edges(src, dst, elabel) AS (
+      |  SELECT CAST(c_custkey*4 AS BIGINT), CAST(c_nationkey*4+2 AS BIGINT), 'in_nation' FROM customer
+      |  UNION ALL SELECT CAST(s_suppkey*4+1 AS BIGINT), CAST(s_nationkey*4+2 AS BIGINT), 'in_nation' FROM supplier
+      |  UNION ALL SELECT CAST(n_nationkey*4+2 AS BIGINT), CAST(n_regionkey*4+3 AS BIGINT), 'in_region' FROM nation
+      |  UNION ALL SELECT CAST(a.s_suppkey*4+1 AS BIGINT), CAST(b.s_suppkey*4+1 AS BIGINT), 'peer'
+      |    FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey
+      |), uedges(src, dst) AS (
+      |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+      |)""".stripMargin
+}
