@@ -8,7 +8,11 @@ object SparkEntry {
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     graft.olap.OlapQueries.entries ++
       graft.kv.KVQueries.entries ++
-      graft.graph.GraphQueries.entries
+      graft.graph.GraphQueries.entries ++
+      graft.pipeline.DedupQueries.entries ++
+      graft.pipeline.AnnQueries.entries ++
+      graft.pipeline.TextQueries.entries ++
+      graft.pipeline.MediaQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

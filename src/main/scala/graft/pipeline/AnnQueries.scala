@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Vector math is pure Catalyst higher-order functions (`zip_with` +
+  * `aggregate`) — an ordered left fold, no UDF, and bit-identical to the
+  * DuckDB oracle's `list_reduce` fold. Brute force broadcasts the (small)
+  * query set so scoring is a map-only pass over the corpus — no shuffle;
+  * the only shuffle is the final per-query top-k. The LSH variant is the
+  * 100 TB path: bucket the corpus by random-hyperplane signature and only
+  * score within matching buckets.
+  */
+object AnnQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ordered-fold dot product of two float vectors, in double. */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+
+  /** The same fold in DuckDB SQL (list_reduce inits with the first
+    * element; 0.0 + p1 == p1 for the finite, non-negative-zero-safe
+    * products we emit, and norms' first product is ≥ 0). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), " +
+      "(acc, x) -> acc + x)"
+
+  /** embeddings + L2 norm column (ordered fold, then sqrt). */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.select(F.col("vec_id"), F.col("embedding"),
+      F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), x => x.cast("double") * x.cast("double")),
+        F.lit(0.0), (acc, x) => acc + x)).as("nrm"))
+
+  val normSql: String =
+    "SELECT vec_id, embedding, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), " +
+      "(acc, x) -> acc + x)) AS nrm FROM embeddings"
+
+  val TopK = 10
+  val NQueries = 8 // query set = vec_id < 8
+
+  /** s_ann_topk: brute-force cosine top-k. Query set broadcast; corpus
+    * scanned once; rank = row_number over (cos desc, vec_id) for a
+    * deterministic tie-break. */
+  def sAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val q = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"), F.col("nrm").as("nq"))
+    val scored = F.broadcast(q).crossJoin(e)
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+    scored
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(F.col("cs").desc, F.col("n_id"))))
+      .filter(F.col("rnk") <= TopK)
+      .select(F.col("q_id"), F.col("n_id"), F.col("rnk"),
+        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+  }
+
+  val sAnnTopkSql: String =
+    s"""WITH n AS ($normSql),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cs
+       |  FROM n q JOIN n d ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT q_id, n_id, rnk, CAST(floor(cs * 1e6) AS BIGINT) AS cs6
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rnk FROM p)
+       |WHERE rnk <= $TopK""".stripMargin
+
+  /** LSH tables × bits per table. A vector is scored only against corpus
+    * rows sharing a bucket in ≥ 1 table. This corpus's neighbors are
+    * near-orthogonal (max cos ≈ 0.5), so capture probability per bit is
+    * only ~0.6 — few wide tables (8×4) beat many narrow ones; denser
+    * embedding spaces would raise bits-per-table to sharpen buckets. */
+  val Tables_ = 8
+  val BitsPerTable = 4
+
+  /** Deterministic ±1 hyperplanes (JVM LCG is specified, so this is
+    * stable across runs/JVMs). */
+  private lazy val planes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(Tables_, BitsPerTable, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def signature(vec: Column, t: Int): Column =
+    (0 until BitsPerTable).map { b =>
+      val plane = F.array(planes(t)(b).map(F.lit): _*)
+      F.when(dot(vec, plane) > 0.0, F.lit(1 << b)).otherwise(F.lit(0))
+    }.reduce(_ + _)
+
+  /** s_ann_lsh: random-hyperplane LSH ANN (rows-only; AnnSpec measures
+    * recall vs the brute-force baseline). Corpus + queries are bucketed
+    * per table; candidates = equality join on (table, bucket); exact
+    * cosine re-rank only on candidates. */
+  def sAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val buckets = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
+      F.posexplode(F.array((0 until Tables_).map(t =>
+        signature(F.col("embedding"), t)): _*)).as(Seq("t", "bucket")))
+    val q = buckets.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"), F.col("t"), F.col("bucket"))
+    val cand = F.broadcast(q).join(buckets, Seq("t", "bucket"))
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select("q_id", "eq", "nq", "vec_id", "embedding", "nrm")
+      .dropDuplicates("q_id", "vec_id")
+    cand
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(F.col("cs").desc, F.col("n_id"))))
+      .filter(F.col("rnk") <= TopK)
+      .select(F.col("q_id"), F.col("n_id"), F.col("rnk"),
+        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_ann_topk", sAnnTopk _, Some(sAnnTopkSql)),
+    ("s_ann_lsh", sAnnLsh _, None))
+}

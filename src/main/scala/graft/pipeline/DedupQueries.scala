@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (builder mandate; SURVEY.md §2D). Exact + near-dup over `documents`.
+  *
+  * Scale design: the only big shuffle is the shingle explode; everything
+  * downstream joins on content-derived keys (hash / band / chunk) so work
+  * stays distributed and candidate sets stay ≪ n². Exact Jaccard is the
+  * oracle-verifiable baseline; MinHash+LSH and SimHash are the 100 TB
+  * paths (candidate generation by equality join on band keys — a shuffle
+  * join on a small key space — then verify only candidates).
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct 3-word shingles per doc. Spark 0-based i in [0, size-3]
+    * ≡ oracle's 1-based i in [1, len-2]. */
+  def wordShingles(docs: DataFrame): DataFrame =
+    docs.select(F.col("doc_id"), F.split(F.col("text"), " ").as("w"))
+      .filter(F.size(F.col("w")) >= 3)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+
+  /** The same shingle set as a DuckDB CTE (1-based arrays). */
+  val shinglesSql: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+      |       UNNEST(range(1, len(w)-1)) AS u(i)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  /** d_exact_dup: exact dedup by content hash; one row per distinct
+    * content with the kept (min) doc_id and copy count. At scale this is
+    * a single hash-keyed groupBy with map-side partial aggregation. */
+  def dExactDup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(F.md5(F.col("text").cast("binary")).as("h"))
+      .agg(F.min("doc_id").as("keep_id"), F.count(F.lit(1)).as("n_copies"))
+
+  val dExactDupSql: String =
+    "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1"
+
+  /** d_jaccard_pairs: exact word-shingle Jaccard near-dup pairs (≥ 0.5).
+    * jac = |A∩B| / (|A|+|B|-|A∩B|) — one double division, bit-identical
+    * across engines. The shingle self-join is the quadratic step LSH
+    * avoids; here it is the exactness oracle. */
+  def dJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(Tables(s, dir, "documents"))
+    val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
+    val a = sh.select(F.col("doc_id").as("a_id"), F.col("s"))
+    val b = sh.select(F.col("doc_id").as("b_id"), F.col("s"))
+    a.join(b, Seq("s")).filter(F.col("a_id") < F.col("b_id"))
+      .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).as("c"))
+      .join(sizes.select(F.col("doc_id").as("a_id"), F.col("n").as("na")), "a_id")
+      .join(sizes.select(F.col("doc_id").as("b_id"), F.col("n").as("nb")), "b_id")
+      .select(F.col("a_id"), F.col("b_id"),
+        (F.col("c").cast("double") /
+          (F.col("na") + F.col("nb") - F.col("c")).cast("double")).as("jac"))
+      .filter(F.col("jac") >= 0.5)
+  }
+
+  val dJaccardPairsSql: String =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jac
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5""".stripMargin
+
+  /** MinHash signature length / LSH banding: 64 hashes in 16 bands of 4
+    * → candidate-capture threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. */
+  val MinHashK = 64
+  val Bands = 16
+  val RowsPerBand = 4
+
+  /** d_minhash_lsh: MinHash+LSH banded near-dup candidate pairs
+    * (rows-only; DedupSpec asserts candidates ⊇ all high-Jaccard pairs).
+    * The k hash functions are xxhash64 seeded by position — independent,
+    * deterministic, codegen'd, and overflow-free under ANSI mode. The
+    * candidate join keys on (band, bandHash): equality shuffle join, no
+    * n² anywhere. */
+  def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(Tables(s, dir, "documents"))
+    val base = sh.select(F.col("doc_id"), F.xxhash64(F.col("s")).as("h"))
+    val mins = (0 until MinHashK).map { i =>
+      F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"m$i")
+    }
+    val sig = base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      F.xxhash64((0 until RowsPerBand).map(r => F.col(s"m${b * RowsPerBand + r}")): _*)
+    }
+    val bands = sig.select(F.col("doc_id"),
+      F.posexplode(F.array(bandCols: _*)).as(Seq("band", "bh")))
+    val x = bands.select(F.col("band"), F.col("bh"), F.col("doc_id").as("a_id"))
+    val y = bands.select(F.col("band"), F.col("bh"), F.col("doc_id").as("b_id"))
+    x.join(y, Seq("band", "bh")).filter(F.col("a_id") < F.col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** d_simhash: 64-bit SimHash near-dup pairs at hamming ≤ 3 (rows-only;
+    * spec-tested). Pair search is blocked by the 4 16-bit chunks of the
+    * fingerprint — pigeonhole: hamming ≤ 3 over 4 chunks ⇒ ≥ 1 chunk
+    * equal — so candidates come from an equality join, never n². */
+  def dSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).as("w"))
+      .select(F.col("doc_id"), F.xxhash64(F.col("w")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = sums.select(F.col("doc_id"),
+      (0 until 64).map(j =>
+        F.when(F.col(s"b$j") > 0, F.lit(1L << j)).otherwise(F.lit(0L)))
+        .reduce(_ bitwiseOR _).as("fp"))
+    val chunks = fp.select(F.col("doc_id"), F.col("fp"),
+      F.posexplode(F.array((0 until 4).map(c =>
+        F.shiftright(F.col("fp"), 16 * c).bitwiseAND(F.lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "cv")))
+    val x = chunks.select(F.col("chunk"), F.col("cv"),
+      F.col("doc_id").as("a_id"), F.col("fp").as("fa"))
+    val y = chunks.select(F.col("chunk"), F.col("cv"),
+      F.col("doc_id").as("b_id"), F.col("fp").as("fb"))
+    x.join(y, Seq("chunk", "cv")).filter(F.col("a_id") < F.col("b_id"))
+      .select(F.col("a_id"), F.col("b_id"),
+        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).as("hamming"))
+      .distinct()
+      .filter(F.col("hamming") <= 3)
+  }
+
+  /** d_embed_dup: exact embedding-cosine near-dup pairs (cos ≥ 0.4).
+    * Dot/norm are ordered left folds over the vector (Spark `aggregate`
+    * ≡ DuckDB `list_reduce` after the same float→double casts) so the
+    * doubles are bit-identical; cosine is emitted floor-scaled to 1e-6
+    * as a belt-and-suspenders integer. Exact all-pairs is the baseline
+    * the LSH path (s_ann_lsh) replaces at scale. */
+  def dEmbedDup(s: SparkSession, dir: String): DataFrame = {
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
+    val a = e.select(F.col("vec_id").as("a_id"), F.col("embedding").as("ea"), F.col("nrm").as("na"))
+    val b = e.select(F.col("vec_id").as("b_id"), F.col("embedding").as("eb"), F.col("nrm").as("nb"))
+    a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+      .select(F.col("a_id"), F.col("b_id"),
+        (AnnQueries.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).as("cs"))
+      .filter(F.col("cs") >= 0.4)
+      .select(F.col("a_id"), F.col("b_id"),
+        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+  }
+
+  val dEmbedDupSql: String =
+    s"""WITH n AS (${AnnQueries.normSql}),
+       |p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${AnnQueries.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cs
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, CAST(floor(cs * 1e6) AS BIGINT) AS cs6
+       |FROM p WHERE cs >= 0.4""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_exact_dup", dExactDup _, Some(dExactDupSql)),
+    ("d_jaccard_pairs", dJaccardPairs _, Some(dJaccardPairsSql)),
+    ("d_minhash_lsh", dMinhashLsh _, None),
+    ("d_simhash", dSimhash _, None),
+    ("d_embed_dup", dEmbedDup _, Some(dEmbedDupSql)))
+}

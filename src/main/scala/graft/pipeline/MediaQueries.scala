@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Multimodal (binary-column) pipeline plumbing (builder mandate).
+  *
+  * Media lives as an opaque `binary` column + typed metadata. Decode /
+  * feature-extract runs as a typed `mapPartitions` over `Dataset[T]` —
+  * the same batched per-partition shape a real decoder (or `mapInPandas`
+  * on the Python side) plugs into. The decode itself is a clearly-marked
+  * DETERMINISTIC STUB (the container has no image/audio libs), computed
+  * from byte length/content only, so a SQL oracle can replicate it and
+  * the whole Spark-side plumbing — schema, encoders, partitioning, batch
+  * shape — is verified end-to-end.
+  */
+object MediaQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  final case class MediaBlob(doc_id: Long, blob: Array[Byte])
+  final case class MediaMeta(doc_id: Long, fmt: String, width: Int, height: Int,
+                             n_bytes: Long, checksum: Long)
+
+  /** DETERMINISTIC DECODE STUB — stands in for an image decoder. Derives
+    * "metadata" purely from the bytes so the oracle can reproduce it:
+    * fmt from n%3, dims from simple modular arithmetic, checksum = sum of
+    * unsigned byte values. A real deployment swaps only this function. */
+  def stubDecode(m: MediaBlob): MediaMeta = {
+    val n = m.blob.length.toLong
+    val fmt = (n % 3) match {
+      case 0 => "jpeg"
+      case 1 => "png"
+      case _ => "webp"
+    }
+    var sum = 0L
+    var i = 0
+    while (i < m.blob.length) { sum += m.blob(i) & 0xFF; i += 1 }
+    MediaMeta(m.doc_id, fmt,
+      width = (64 + (n * 7) % 512).toInt,
+      height = (64 + (n * 13) % 512).toInt,
+      n_bytes = n, checksum = sum)
+  }
+
+  /** m_media_meta: binary column → typed metadata via per-partition
+    * decode. The blob is the UTF-8 bytes of `text` (the synthetic corpus
+    * has no real media); everything downstream treats it as opaque. */
+  def mMediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+    blobs.mapPartitions(_.map(stubDecode)).toDF()
+  }
+
+  /** Oracle: same arithmetic over the UTF-8 byte length and byte sum.
+    * The corpus is pure ASCII (driver-verified: octet_length == length
+    * for every row), so the byte sum equals the codepoint sum DuckDB can
+    * compute with ord(substr(...)). */
+  val mMediaMetaSql: String =
+    """SELECT doc_id,
+      |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 13) % 512 AS INTEGER) AS height,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, x) -> a + x) AS checksum
+      |FROM documents""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)))
+}

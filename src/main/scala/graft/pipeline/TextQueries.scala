@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` (builder mandate, SURVEY §2D):
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All per-document — embarrassingly parallel map-only plans with no
+  * shuffle at any scale; every expression is a Catalyst built-in
+  * (split/filter/translate/regexp), codegen'd, no UDFs. Doubles come from
+  * single divisions of integers, so they are bit-identical to the oracle.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Marker lexicons per language (n-gram-heuristic langid). The corpus
+    * vocabulary is English-ish, so the interesting part is the scoring
+    * machinery; the oracle replicates it exactly. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "es" -> Seq("el", "los", "una", "que"),
+    "fr" -> Seq("le", "les", "une", "est"))
+
+  private def inList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString(", ")
+
+  /** t_langid: count marker-token occurrences per language; predict the
+    * max-score language (priority order breaks ties), 'und' if no marker
+    * hits. */
+  def tLangid(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(s, dir, "documents")
+      .select(F.col("doc_id") +: markers.map { case (l, ws) =>
+        F.expr(s"size(filter(split(text, ' '), x -> x IN (${inList(ws)})))")
+          .cast("long").as(s"s_$l")
+      }: _*)
+    val best = markers.map { case (l, _) => F.col(s"s_$l") }.reduce((a, b) => F.greatest(a, b))
+    scored.select(
+      (F.col("doc_id") +: markers.map { case (l, _) => F.col(s"s_$l") }) :+
+        F.when(best <= 0L, "und")
+          .otherwise(markers.foldRight(F.lit("und"): Column) { case ((l, _), el) =>
+            F.when(F.col(s"s_$l") === best, l).otherwise(el)
+          }).as("pred_lang"): _*)
+  }
+
+  val tLangidSql: String = {
+    val scores = markers.map { case (l, ws) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    val best = "greatest(" + markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pick = markers.reverse.foldLeft("'und'") { case (el, (l, _)) =>
+      s"CASE WHEN s_$l = $best THEN '$l' ELSE $el END"
+    }
+    s"""WITH scored AS (SELECT doc_id,
+       |  $scores
+       |FROM documents)
+       |SELECT doc_id, ${markers.map { case (l, _) => s"s_$l" }.mkString(", ")},
+       |  CASE WHEN $best <= 0 THEN 'und' ELSE $pick END AS pred_lang
+       |FROM scored""".stripMargin
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** t_quality: length/punct/stopword-ratio quality score. Ratios are
+    * single divisions (bit-identical); score is a fixed-order double
+    * expression. */
+  def tQuality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        F.expr("size(split(text, ' '))").cast("long").as("n_words"),
+        F.length(F.col("text")).cast("long").as("n_chars"),
+        (F.length(F.col("text")) - F.length(F.translate(F.col("text"), ".,!?;:", "")))
+          .cast("long").as("n_punct"),
+        F.expr(s"size(filter(split(text, ' '), x -> x IN (${inList(stopwords)})))")
+          .cast("long").as("n_stop"))
+      .select(F.col("doc_id"), F.col("n_words"), F.col("n_chars"), F.col("n_punct"),
+        F.col("n_stop"),
+        (F.col("n_stop").cast("double") / F.col("n_words").cast("double")).as("stop_ratio"),
+        (F.col("n_punct").cast("double") / F.col("n_chars").cast("double")).as("punct_ratio"))
+
+  val tQualitySql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(length(text) - length(translate(text, '.,!?;:', '')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(stopwords)}))) AS BIGINT) AS n_stop
+       |FROM documents)
+       |SELECT doc_id, n_words, n_chars, n_punct, n_stop,
+       |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+       |  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio
+       |FROM m""".stripMargin
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single symbols. */
+  val tokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** t_tokens: whitespace token count + regex token count per doc. */
+  def tTokens(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        F.expr("size(split(text, ' '))").cast("long").as("ws_tokens"),
+        F.expr(s"regexp_count(text, '$tokenRe')").cast("long").as("re_tokens"))
+
+  val tTokensSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS re_tokens
+       |FROM documents""".stripMargin
+
+  /** t_fingerprint: 4-value MinHash sketch over rolling 8-char windows
+    * (rows-only: xxhash64 values are engine-specific; FingerprintSpec
+    * asserts the semantic properties). Map-only at any scale. */
+  def tFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val win = Tables(s, dir, "documents")
+      .filter(F.length(F.col("text")) >= 8)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))")).as("g"))
+      .select(F.col("doc_id"), F.xxhash64(F.col("g")).as("h"))
+    val sketch = (0 until 4).map { i =>
+      F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"fp$i")
+    }
+    win.groupBy("doc_id").agg(sketch.head, sketch.tail: _*)
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_langid", tLangid _, Some(tLangidSql)),
+    ("t_quality", tQuality _, Some(tQualitySql)),
+    ("t_tokens", tTokens _, Some(tTokensSql)),
+    ("t_fingerprint", tFingerprint _, None))
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming versions of the event analytics (SURVEY §2E).
+  *
+  * Same logical shapes as the batch q_tumble / q_sessionize, expressed as
+  * unbounded plans: watermark + tumbling-window aggregation (state store
+  * evicts closed windows), and sessionization as typed state on
+  * `flatMapGroupsWithState` with event-time timeout (state per user is
+  * O(1) — only the open session, never buffered events). At scale both
+  * partition by the grouping key; state store size is bounded by
+  * |active users| + |open windows|, independent of stream length.
+  */
+object EventStream {
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Long, total_value: Double)
+  // not private: the state encoder's generated code must construct it
+  final case class SessState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Streaming tumbling-window counts per event type, 1-hour windows,
+    * 30-minute watermark. Append mode emits a window once the watermark
+    * passes its end — exactly-once per closed window. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("value").as("total_value"))
+      .select(F.col("w.start").as("window_start"), F.col("event_type"),
+        F.col("n_events"), F.col("total_value"))
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Streaming sessionization (30-min inactivity gap). A session closes
+    * either when a later event from the same user arrives past the gap
+    * (emitted immediately) or when the event-time watermark passes
+    * end + gap (timeout). */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(st.start), new Timestamp(st.end), st.n, st.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.end <= SessionGapMs =>
+                  cur = Some(SessState(st.start, math.max(st.end, t), st.n + 1, st.total + e.value))
+                case Some(st) =>
+                  closed += Session(user, new Timestamp(st.start), new Timestamp(st.end), st.n, st.total)
+                  cur = Some(SessState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.end + SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-stream source over a directory of event parquet — the
+    * production entry point (readStream → transforms → writeStream). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS): stream the raw long and
+    // floor-convert, same as the batch path (graft.Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.graph
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** GraphAlgs unit tests on a tiny hand-built graph with known answers
+  * (the sf-corpus answers are covered by the DuckDB oracle gate). */
+class GraphSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  // two components: a triangle {1,2,3} and an edge {10,11}
+  private lazy val verts: DataFrame = {
+    import spark.implicits._
+    Seq(1L, 2L, 3L, 10L, 11L).toDF("vid")
+  }
+  private lazy val undirected: DataFrame = {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+    (e ++ e.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("connected components finds the two components") {
+    val cc = GraphAlgs.connectedComponents(verts, undirected).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("sssp computes hop counts from vertex 1") {
+    val d = GraphAlgs.sssp(verts, undirected, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangle count finds exactly one triangle") {
+    assert(GraphAlgs.triangleCount(undirected).head().getLong(0) == 1L)
+  }
+
+  test("pagerank conserves mass on a regular graph (uniform on the triangle)") {
+    val pr = GraphAlgs.pagerank(verts.filter(F.col("vid") <= 3),
+      undirected.filter(F.col("src") <= 3), iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // symmetric 3-cycle: stationary = uniform = 1e12/3 (up to floor error)
+    pr.values.foreach(v => assert(math.abs(v - 333333333333L) < 100L, pr))
+  }
+}

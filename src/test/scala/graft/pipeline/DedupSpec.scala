@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** Semantic properties of the rows-only dedup operators, checked against
+  * the exact-Jaccard baseline on the sf0.001 corpus (all deterministic:
+  * fixed data, fixed hash functions). */
+class DedupSpec extends SparkSpec {
+
+  private def jacPairs(min: Double): Set[(Long, Long)] =
+    DedupQueries.dJaccardPairs(spark, SF)
+      .filter(F.col("jac") >= min)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup partitions the corpus (copy counts sum to row count)") {
+    val total = graft.Tables(spark, SF, "documents").count()
+    val agg = DedupQueries.dExactDup(spark, SF)
+      .agg(F.sum("n_copies"), F.min("n_copies")).head()
+    assert(agg.getLong(0) == total)
+    assert(agg.getLong(1) >= 1L)
+  }
+
+  test("jaccard pairs respect the 0.5 threshold and ordering a<b") {
+    val rows = DedupQueries.dJaccardPairs(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("minhash-LSH candidates cover every pair with Jaccard >= 0.85") {
+    val cand = DedupQueries.dMinhashLsh(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val high = jacPairs(0.85)
+    assert(high.nonEmpty)
+    val missed = high -- cand
+    assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
+  }
+
+  test("simhash pairs are hamming<=3 and cover near-identical docs") {
+    val rows = DedupQueries.dSimhash(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)))
+    val sim = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nearIdentical = jacPairs(0.95)
+    val missed = nearIdentical -- sim
+    assert(missed.size <= nearIdentical.size / 5,
+      s"simhash missed too many near-identical pairs: $missed")
+  }
+
+  test("embed dup pairs are ordered and above threshold") {
+    val rows = DedupQueries.dEmbedDup(spark, SF).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 400000L) // floor(cs*1e6) with cs >= 0.4
+    }
+  }
+}

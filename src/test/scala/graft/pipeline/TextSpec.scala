@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+
+  test("fingerprint is a pure function of text (one sketch per distinct text)") {
+    val docs = graft.Tables(spark, SF, "documents")
+    val eligible = docs.filter(F.length(F.col("text")) >= 8).count()
+    val fp = TextQueries.tFingerprint(spark, SF)
+    assert(fp.count() == eligible)
+    val perText = fp.join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy("text")
+      .agg(F.countDistinct(F.struct("fp0", "fp1", "fp2", "fp3")).as("n"))
+      .agg(F.max("n")).head().getLong(0)
+    assert(perText == 1L)
+  }
+
+  test("near-identical docs share at least one fingerprint sketch value") {
+    val near = DedupQueries.dJaccardPairs(spark, SF)
+      .filter(F.col("jac") >= 0.95).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty)
+    val fp = TextQueries.tFingerprint(spark, SF).collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val sharing = near.count { case (a, b) => (fp(a).toSet & fp(b).toSet).nonEmpty }
+    assert(sharing.toDouble / near.length >= 0.6,
+      s"only $sharing/${near.length} near-dup pairs share a sketch value")
+  }
+
+  test("langid predictions come from the marker lexicon or 'und'") {
+    val langs = TextQueries.tLangid(spark, SF)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    val allowed = TextQueries.markers.map(_._1).toSet + "und"
+    assert(langs.subsetOf(allowed))
+  }
+
+  test("quality ratios are in [0,1]") {
+    val bad = TextQueries.tQuality(spark, SF)
+      .filter(F.col("stop_ratio") < 0 || F.col("stop_ratio") > 1 ||
+        F.col("punct_ratio") < 0 || F.col("punct_ratio") > 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("regex tokens at least match whitespace tokens on ascii word text") {
+    val bad = TextQueries.tTokens(spark, SF)
+      .filter(F.col("re_tokens") < F.col("ws_tokens")).count()
+    assert(bad == 0)
+  }
+
+  test("media metadata matches its decode stub on a sample") {
+    val row = MediaQueries.mMediaMeta(spark, SF)
+      .filter(F.col("doc_id") === 0).head()
+    val text = graft.Tables(spark, SF, "documents")
+      .filter(F.col("doc_id") === 0).head().getAs[String]("text")
+    val expect = MediaQueries.stubDecode(
+      MediaQueries.MediaBlob(0L, text.getBytes("UTF-8")))
+    assert(row.getAs[String]("fmt") == expect.fmt)
+    assert(row.getAs[Int]("width") == expect.width)
+    assert(row.getAs[Int]("height") == expect.height)
+    assert(row.getAs[Long]("checksum") == expect.checksum)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import EventStream.{Ev, Session}
+
+/** Structured Streaming specs: watermarked tumbling windows + stateful
+  * sessionization, driven through MemoryStream (SURVEY §2E). */
+class StreamingSpec extends SparkSpec {
+
+  // offset from epoch: ts==0 collides with the initial watermark (0) and
+  // is dropped as late data.
+  private val Base = 24 * 60L // one day, in minutes
+  private def ts(minutes: Long): Timestamp = new Timestamp((Base + minutes) * 60 * 1000L)
+  private def mins(t: Timestamp): Long = t.getTime / 60000 - Base
+
+  test("tumbling-window agg emits closed windows once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1, ts(5), "click", 1.0), Ev(1, ts(20), "click", 2.0),
+        Ev(2, ts(61), "view", 5.0))
+      q.processAllAvailable()
+      // watermark after batch1 = 61min - 30min = 31min: hour-0 window not
+      // yet closed. Push watermark past 60min with a later event.
+      in.addData(Ev(2, ts(200), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts(300), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .collect().map(r => (mins(r.getTimestamp(0)), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)), s"got $rows")
+      assert(rows.contains((60L, "view", 1L, 5.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10min apart (one session), then an event 2h
+      // later (gap-close → new session).
+      in.addData(Ev(1, ts(0), "click", 1.0), Ev(1, ts(10), "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(130), "click", 4.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to time out the open session
+      in.addData(Ev(2, ts(600), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts(1200), "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (mins(s.start), mins(s.end), s.n_events, s.total_value))
+        .toSet
+      assert(sessions.contains((0L, 10L, 2L, 3.0)), s"got $sessions")
+      assert(sessions.contains((130L, 130L, 1L, 4.0)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("file readStream plans an unbounded source over events") {
+    val df = EventStream.readEvents(spark, SF)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.contains("ts"))
+  }
+}
