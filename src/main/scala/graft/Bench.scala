@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/shuffle/parquet paths so per-query numbers
+    // measure the query, not first-job setup (steady-state is what a
+    // long-lived cluster sees).
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
+      .foreach(n => Tables(spark, sfDir, n).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

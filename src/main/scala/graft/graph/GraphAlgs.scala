@@ -27,6 +27,12 @@ object GraphAlgs {
                           maxIter: Int = 20): DataFrame = {
     var labels = vertices.select(F.col("vid"), F.col("vid").as("comp"))
       .localCheckpoint()
+    // Convergence via Σcomp: min-label propagation only ever lowers
+    // labels, so the sum is strictly decreasing until fixpoint — an
+    // O(1)-result aggregation on the already-materialized state, instead
+    // of a join against the previous iteration (one shuffle per iter
+    // saved).
+    var prevSum = Long.MaxValue
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -36,10 +42,10 @@ object GraphAlgs {
       val next = labels.select("vid", "comp").unionByName(msgs)
         .groupBy("vid").agg(F.min("comp").as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "vid")
-        .filter(F.col("comp") =!= F.col("old")).limit(1).count()
+      val sum = next.agg(F.sum("comp")).head().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = sum == prevSum
+      prevSum = sum
       i += 1
     }
     labels
@@ -57,7 +63,7 @@ object GraphAlgs {
     // (src, dst, deg) — static across iterations, cache it
     val withDeg = edges.select("src", "dst").join(outdeg, "src").localCheckpoint()
     var pr = vertices.select(F.col("vid"), F.lit(init).as("pr"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = withDeg
         .join(pr, withDeg("src") === pr("vid"))
         .select(F.col("dst"), F.expr("pr div deg").as("m"))
@@ -66,7 +72,9 @@ object GraphAlgs {
         .join(contribs, vertices("vid") === contribs("dst"), "left")
         .select(F.col("vid"),
           (F.lit(base) + F.expr(s"coalesce(85 * m, 0L) div 100")).as("pr"))
-        .localCheckpoint()
+      // truncate lineage every 2nd iteration (and at the end): plans stay
+      // shallow while halving the materialization barriers
+      if (it % 2 == 0 || it == iters) pr = pr.localCheckpoint()
     }
     pr
   }
@@ -79,6 +87,8 @@ object GraphAlgs {
     var dist = vertices.select(F.col("vid"),
       F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("d"))
       .localCheckpoint()
+    // Σd is monotone decreasing under relaxation (see cc above).
+    var prevSum = Long.MaxValue
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -89,10 +99,10 @@ object GraphAlgs {
       val next = dist.select("vid", "d").unionByName(relax)
         .groupBy("vid").agg(F.min("d").as("d"))
         .localCheckpoint()
-      val changed = next.join(dist.withColumnRenamed("d", "old"), "vid")
-        .filter(F.col("d") =!= F.col("old")).limit(1).count()
+      val sum = next.agg(F.sum("d")).head().getLong(0)
       dist = next
-      converged = changed == 0
+      converged = sum == prevSum
+      prevSum = sum
       i += 1
     }
     dist.filter(F.col("d") < INF)

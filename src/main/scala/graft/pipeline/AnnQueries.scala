@@ -18,11 +18,11 @@ import graft.Tables
 object AnnQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Ordered-fold dot product of two float vectors, in double. */
+  /** Ordered-fold dot product of two float vectors, in double — a custom
+    * codegen'd Catalyst expression (graft.functions.FloatVecDot); the
+    * fold order matches the oracle's list_reduce exactly. */
   def dot(a: Column, b: Column): Column =
-    F.aggregate(
-      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      F.lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.floatVecDot(a, b)
 
   /** The same fold in DuckDB SQL (list_reduce inits with the first
     * element; 0.0 + p1 == p1 for the finite, non-negative-zero-safe
@@ -35,9 +35,7 @@ object AnnQueries {
   /** embeddings + L2 norm column (ordered fold, then sqrt). */
   def withNorm(emb: DataFrame): DataFrame =
     emb.select(F.col("vec_id"), F.col("embedding"),
-      F.sqrt(F.aggregate(
-        F.transform(F.col("embedding"), x => x.cast("double") * x.cast("double")),
-        F.lit(0.0), (acc, x) => acc + x)).as("nrm"))
+      F.sqrt(dot(F.col("embedding"), F.col("embedding"))).as("nrm"))
 
   val normSql: String =
     "SELECT vec_id, embedding, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -88,9 +86,9 @@ object AnnQueries {
 
   /** Deterministic ±1 hyperplanes (JVM LCG is specified, so this is
     * stable across runs/JVMs). */
-  private lazy val planes: Array[Array[Array[Double]]] = {
+  private lazy val planes: Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(Tables_, BitsPerTable, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(Tables_, BitsPerTable, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
   }
 
   private def signature(vec: Column, t: Int): Column =

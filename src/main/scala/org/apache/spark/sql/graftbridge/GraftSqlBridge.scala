@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Column↔Expression conversions, so
+  * graft's custom Catalyst expressions can be used as `Column`s without
+  * going through the SQL parser. This is the standard shape for Spark
+  * extension libraries; nothing else in graft lives outside the `graft`
+  * package. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
