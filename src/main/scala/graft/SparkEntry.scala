@@ -7,6 +7,7 @@ object SparkEntry {
   /** Every module contributes (name, query, Option[oracleSql]) triples. */
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     graft.olap.OlapQueries.entries ++
+      graft.olap.OlapExtraQueries.entries ++
       graft.kv.KVQueries.entries ++
       graft.graph.GraphQueries.entries ++
       graft.pipeline.DedupQueries.entries ++

@@ -61,6 +61,21 @@ object KVStore {
       .unionByName(additions.select("k", "c", "v"))
   }
 
+  /** Persist a store bucketed by `k` (hash buckets, sorted by (k, c)
+    * within each bucket — the Spark analogue of the reference's
+    * MergeTree ORDER BY (k, c) layout). Readers of two stores bucketed
+    * the same way join/mutate on `k` with NO shuffle on either side,
+    * which is what keeps multi-key slices and batch mutations viable at
+    * 100 TB. Bucketed tables must go through the catalog (bucket
+    * metadata lives there, not in parquet), hence saveAsTable. */
+  def writeBucketed(store: DataFrame, table: String, numBuckets: Int): Unit =
+    store.write
+      .bucketBy(numBuckets, "k")
+      .sortBy("k", "c")
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
   // ---- order-preserving codecs (no UDF — hex/unhex are codegen'd) -------
 
   /** non-negative long → 8-byte big-endian binary (order-preserving). */

@@ -124,7 +124,69 @@ object AnnQueries {
         F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
   }
 
+  val NCentroids = 16
+  val NProbe = 4
+
+  private def litVec(v: Array[Float]): Column = F.array(v.map(F.lit).toSeq: _*)
+
+  /** argmax over centroids by fused cosine: array_max on (cos, cid)
+    * structs — lexicographic struct order gives a deterministic winner. */
+  private def nearestCid(vec: Column, cents: Array[Array[Float]]): Column =
+    F.array_max(F.array(cents.zipWithIndex.map { case (c, i) =>
+      F.struct(
+        graft.functions.VectorFunctions.floatVecCosine(vec, litVec(c)).as("cs"),
+        F.lit(i).as("cid"))
+    }.toSeq: _*))("cid")
+
+  /** s_ann_ivf: IVF (inverted-file) ANN — the clustered scale path
+    * (rows-only; AnnSpec measures recall). Centroids: deterministic seed
+    * rows + one Lloyd refinement computed distributed (posexplode → mean
+    * per dimension), collected to the driver (NCentroids×64 floats) and
+    * rebroadcast as literals. Every vector lands in one inverted list;
+    * queries probe the NProbe nearest lists and re-rank exactly — scan
+    * fraction ≈ NProbe/NCentroids of the corpus instead of all of it.
+    * At 100 TB the only change is training centroids from a sample
+    * (k-means||) instead of seed rows; the assign/probe plan is the same.
+    */
+  def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val seeds: Array[Array[Float]] = e.orderBy("vec_id").limit(NCentroids)
+      .collect().map(_.getSeq[Float](1).toArray)
+    // one Lloyd step: assign to seeds, mean per (cluster, dimension)
+    val means = e.select(nearestCid(F.col("embedding"), seeds).as("cid"),
+        F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(F.avg("x").as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2).toFloat).toMap
+    val cents = Array.tabulate(NCentroids, 64) { (c, p) =>
+      means.getOrElse((c, p), seeds(c)(p)) // empty cluster keeps its seed
+    }
+    val assigned = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
+      nearestCid(F.col("embedding"), cents).as("cid"))
+    // queries probe their NProbe closest centroids
+    val probeStructs = cents.zipWithIndex.map { case (c, i) =>
+      F.struct(
+        graft.functions.VectorFunctions.floatVecCosine(F.col("eq"), litVec(c)).as("cs"),
+        F.lit(i).as("cid"))
+    }
+    val probes = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"), F.col("nrm").as("nq"))
+      .select(F.col("q_id"), F.col("eq"), F.col("nq"),
+        F.explode(F.slice(F.sort_array(F.array(probeStructs.toSeq: _*), asc = false),
+          1, NProbe)("cid")).as("cid"))
+    F.broadcast(probes).join(assigned, Seq("cid"))
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(F.col("cs").desc, F.col("n_id"))))
+      .filter(F.col("rnk") <= TopK)
+      .select(F.col("q_id"), F.col("n_id"), F.col("rnk"),
+        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s_ann_topk", sAnnTopk _, Some(sAnnTopkSql)),
-    ("s_ann_lsh", sAnnLsh _, None))
+    ("s_ann_lsh", sAnnLsh _, None),
+    ("s_ann_ivf", sAnnIvf _, None))
 }

@@ -124,9 +124,35 @@ object TextQueries {
     win.groupBy("doc_id").agg(sketch.head, sketch.tail: _*)
   }
 
+  /** t_topterms: top-5 terms per source by frequency (explode → count →
+    * per-group top-N window; ties broken alphabetically). The groupBy
+    * pre-aggregates map-side, so the shuffle carries (source, term)
+    * partial counts, not raw tokens. */
+  def tTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "documents")
+      .select(F.col("source"), F.explode(F.split(F.col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(F.count(F.lit(1)).as("n"))
+    counts
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(F.col("n").desc, F.col("term").asc)))
+      .filter(F.col("rnk") <= 5)
+  }
+
+  val tTopTermsSql: String =
+    """WITH counts AS (
+      |  SELECT source, term, COUNT(*) AS n
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+      |  GROUP BY 1, 2)
+      |SELECT source, term, n, rnk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rnk
+      |  FROM counts)
+      |WHERE rnk <= 5""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("t_langid", tLangid _, Some(tLangidSql)),
     ("t_quality", tQuality _, Some(tQualitySql)),
     ("t_tokens", tTokens _, Some(tTokensSql)),
-    ("t_fingerprint", tFingerprint _, None))
+    ("t_fingerprint", tFingerprint _, None),
+    ("t_topterms", tTopTerms _, Some(tTopTermsSql)))
 }

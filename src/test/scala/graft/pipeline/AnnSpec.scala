@@ -28,4 +28,13 @@ class AnnSpec extends SparkSpec {
     // and every LSH hit is a genuine corpus neighbor of the query
     approx.foreach { case (q, n) => assert(q < AnnQueries.NQueries && n != q) }
   }
+
+  test("IVF ANN recall@10 vs brute force beats random scan fraction") {
+    val exact = pairs(AnnQueries.sAnnTopk(spark, SF))
+    val approx = pairs(AnnQueries.sAnnIvf(spark, SF))
+    val recall = (exact & approx).size.toDouble / exact.size
+    // probing 4/16 lists scans ~25% of the corpus; clustered probing must
+    // beat that baseline
+    assert(recall >= 0.3, s"recall@10 = $recall")
+  }
 }
