@@ -76,7 +76,52 @@ object OlapExtraQueries {
       |      AND o.o_totalprice > 300000.0)
       |GROUP BY 1""".stripMargin
 
+  /** q_json: semi-structured extraction (ClickHouse JSONExtract shape) —
+    * pull `props.k` out of the JSON string column and aggregate it.
+    * get_json_object is codegen'd; the path never leaves the scan
+    * projection, so this stays a single map + partial-agg pass. */
+  def qJson(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("k").as("sum_k"),
+        F.min("k").as("min_k"), F.max("k").as("max_k"))
+
+  val qJsonSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      | MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      | MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** q_cube: full CUBE grouping-sets over two dimensions. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(out2(F.sum(dec2(F.col("l_quantity")))).as("sum_qty"),
+        F.count(F.lit(1)).as("n"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** q_approx_pct: sketch-based percentiles (ClickHouse quantileTDigest
+    * shape) — rows-only (sketch internals are engine-specific); the spec
+    * bounds error vs the exact q_percentile. Mergeable sketches keep this
+    * one partial-agg pass at any scale. */
+  def qApproxPct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000)).as("ap50"),
+        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.9), F.lit(10000)).as("ap90"))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_minsub", qMinSub _, Some(qMinSubSql)),
-    ("q_semi_anti", qSemiAnti _, Some(qSemiAntiSql)))
+    ("q_semi_anti", qSemiAnti _, Some(qSemiAntiSql)),
+    ("q_json", qJson _, Some(qJsonSql)),
+    ("q_cube", qCube _, Some(qCubeSql)),
+    ("q_approx_pct", qApproxPct _, None))
 }

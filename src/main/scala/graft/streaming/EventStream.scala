@@ -78,6 +78,14 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup by event_id: state keeps one entry per id and
+    * evicts it once the watermark passes — bounded state, unlike a plain
+    * dropDuplicates on an unbounded stream. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-stream source over a directory of event parquet — the
     * production entry point (readStream → transforms → writeStream). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -72,6 +72,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStream.dedupEvents(
+        in.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts(1), 1.0), (1L, ts(2), 1.0), (2L, ts(3), 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(4), 1.0), (3L, ts(5), 3.0)) // dup of 1 across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("file readStream plans an unbounded source over events") {
     val df = EventStream.readEvents(spark, SF)
     assert(df.isStreaming)
