@@ -23,8 +23,11 @@ object GraphAlgs {
 
   /** Connected components by min-vid label propagation over an
     * (already symmetrized) undirected edge list. Returns (vid, comp). */
-  def connectedComponents(vertices: DataFrame, undirected: DataFrame,
+  def connectedComponents(vertices: DataFrame, undirected0: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    // materialize the (symmetrize+distinct) edge list once — otherwise
+    // its shuffle re-runs inside every iteration's join
+    val undirected = undirected0.localCheckpoint()
     var labels = vertices.select(F.col("vid"), F.col("vid").as("comp"))
       .localCheckpoint()
     // Convergence via Σcomp: min-label propagation only ever lowers
@@ -81,8 +84,9 @@ object GraphAlgs {
 
   /** BFS hop count from `sourceVid` over an undirected edge list;
     * returns reachable (vid, d). */
-  def sssp(vertices: DataFrame, undirected: DataFrame, sourceVid: Long,
+  def sssp(vertices: DataFrame, undirected0: DataFrame, sourceVid: Long,
            maxIter: Int = 10): DataFrame = {
+    val undirected = undirected0.localCheckpoint() // see cc above
     val INF = Int.MaxValue.toLong
     var dist = vertices.select(F.col("vid"),
       F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("d"))
@@ -111,8 +115,10 @@ object GraphAlgs {
   /** Triangle count over an undirected edge list: orient every edge
     * low→high (each triangle counted exactly once as a<b<c). */
   def triangleCount(undirected: DataFrame): DataFrame = {
+    // adj appears three times in the plan; materialize once
     val adj = undirected.filter(F.col("src") < F.col("dst"))
       .select(F.col("src").as("a"), F.col("dst").as("b"))
+      .localCheckpoint()
     val e1 = adj
     val e2 = adj.select(F.col("a").as("b2"), F.col("b").as("c"))
     val e3 = adj.select(F.col("a").as("a3"), F.col("b").as("c3"))
