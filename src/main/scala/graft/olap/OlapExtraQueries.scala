@@ -118,10 +118,97 @@ object OlapExtraQueries {
         F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000)).as("ap50"),
         F.percentile_approx(F.col("l_extendedprice"), F.lit(0.9), F.lit(10000)).as("ap90"))
 
+  /** q_funnel: ClickHouse `windowFunnel` — deepest click→view→purchase
+    * sequence per user completed within 1 hour of the first click, then
+    * user counts per funnel depth. Each step is a grouped conditional min
+    * joined to the previous step: 3 passes over events total, never a
+    * per-user subquery (at scale: 3 shuffles on user_id, all
+    * partial-aggregated map-side; a bucketed events table makes them
+    * shuffle-free). */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val Win = 3600L * 1000000L // 1 hour in µs
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_type"), F.unix_micros(F.col("ts")).as("tu"))
+    val s1 = ev.filter(F.col("event_type") === "click")
+      .groupBy("user_id").agg(F.min("tu").as("t1"))
+    val s2 = ev.filter(F.col("event_type") === "view")
+      .join(s1, "user_id")
+      .filter(F.col("tu") > F.col("t1") && F.col("tu") <= F.col("t1") + Win)
+      .groupBy("user_id").agg(F.min("tu").as("t2"), F.min("t1").as("t1b"))
+    val s3 = ev.filter(F.col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(F.col("tu") > F.col("t2") && F.col("tu") <= F.col("t1b") + Win)
+      .groupBy("user_id").agg(F.min("tu").as("t3"))
+    val levels = s1.select(F.col("user_id"))
+      .join(s2.select(F.col("user_id"), F.lit(1).as("l2")), Seq("user_id"), "left")
+      .join(s3.select(F.col("user_id"), F.lit(1).as("l3")), Seq("user_id"), "left")
+      .select(F.col("user_id"),
+        (F.lit(1L) + F.coalesce(F.col("l2"), F.lit(0)) + F.coalesce(F.col("l3"), F.lit(0)))
+          .as("level"))
+    levels.groupBy("level").agg(F.count(F.lit(1)).as("n_users"))
+  }
+
+  val qFunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      |s1 AS (SELECT user_id, MIN(tu) AS t1 FROM ev WHERE event_type = 'click' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.tu) AS t2, MIN(s1.t1) AS t1b
+      |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.tu > s1.t1 AND e.tu <= s1.t1 + 3600000000
+      |  GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.tu) AS t3
+      |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tu > s2.t2 AND e.tu <= s2.t1b + 3600000000
+      |  GROUP BY 1)
+      |SELECT level, COUNT(*) AS n_users FROM (
+      |  SELECT s1.user_id,
+      |    CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+      |           + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS level
+      |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |          LEFT JOIN s3 ON s1.user_id = s3.user_id)
+      |GROUP BY 1""".stripMargin
+
+  /** q_retention: ClickHouse `retention` — of the users active in the
+    * first observed hour, how many came back in each of the next 3 hours.
+    * One pass: per-user conditional ORs, then column sums. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("tu"))
+    val H = 3600L * 1000000L
+    val base = ev.agg(F.min("tu")).head().getLong(0)
+    val flags = ev.groupBy("user_id").agg(
+      F.max(F.when(F.col("tu") < base + H, 1).otherwise(0)).as("h0"),
+      F.max(F.when(F.col("tu") >= base + H && F.col("tu") < base + 2 * H, 1).otherwise(0)).as("h1"),
+      F.max(F.when(F.col("tu") >= base + 2 * H && F.col("tu") < base + 3 * H, 1).otherwise(0)).as("h2"),
+      F.max(F.when(F.col("tu") >= base + 3 * H && F.col("tu") < base + 4 * H, 1).otherwise(0)).as("h3"))
+    flags.filter(F.col("h0") === 1).agg(
+      F.count(F.lit(1)).as("cohort"),
+      F.sum("h1").cast("long").as("ret_h1"),
+      F.sum("h2").cast("long").as("ret_h2"),
+      F.sum("h3").cast("long").as("ret_h3"))
+  }
+
+  val qRetentionSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+      |b AS (SELECT MIN(tu) AS t0 FROM ev),
+      |flags AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN tu < t0 + 3600000000 THEN 1 ELSE 0 END) AS h0,
+      |    MAX(CASE WHEN tu >= t0 + 3600000000 AND tu < t0 + 7200000000 THEN 1 ELSE 0 END) AS h1,
+      |    MAX(CASE WHEN tu >= t0 + 7200000000 AND tu < t0 + 10800000000 THEN 1 ELSE 0 END) AS h2,
+      |    MAX(CASE WHEN tu >= t0 + 10800000000 AND tu < t0 + 14400000000 THEN 1 ELSE 0 END) AS h3
+      |  FROM ev, b GROUP BY 1)
+      |SELECT COUNT(*) AS cohort,
+      |  CAST(SUM(h1) AS BIGINT) AS ret_h1,
+      |  CAST(SUM(h2) AS BIGINT) AS ret_h2,
+      |  CAST(SUM(h3) AS BIGINT) AS ret_h3
+      |FROM flags WHERE h0 = 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_minsub", qMinSub _, Some(qMinSubSql)),
     ("q_semi_anti", qSemiAnti _, Some(qSemiAntiSql)),
     ("q_json", qJson _, Some(qJsonSql)),
     ("q_cube", qCube _, Some(qCubeSql)),
-    ("q_approx_pct", qApproxPct _, None))
+    ("q_approx_pct", qApproxPct _, None),
+    ("q_funnel", qFunnel _, Some(qFunnelSql)),
+    ("q_retention", qRetention _, Some(qRetentionSql)))
 }

@@ -69,6 +69,49 @@ object MediaQueries {
       |      i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, x) -> a + x) AS checksum
       |FROM documents""".stripMargin
 
+  final case class MediaFrame(doc_id: Long, frame_idx: Long, frame_len: Long, checksum: Long)
+
+  /** DETERMINISTIC FRAME-SAMPLING STUB — stands in for video frame
+    * extraction (one-to-many decode). Splits the blob into 1 + n%4 equal
+    * slices (remainder dropped) and checksums each; a real decoder swaps
+    * only this function, the flatMap plumbing is identical. */
+  def stubFrames(m: MediaBlob): Seq[MediaFrame] = {
+    val n = m.blob.length
+    val nf = 1 + n % 4
+    val flen = n / nf
+    (0 until nf).map { f =>
+      var sum = 0L
+      var i = f * flen
+      while (i < f * flen + flen) { sum += m.blob(i) & 0xFF; i += 1 }
+      MediaFrame(m.doc_id, f.toLong, flen.toLong, sum)
+    }
+  }
+
+  /** m_media_frames: one-to-many media decode (frame sampling) — the
+    * per-partition batched flatMap shape a real video pipeline uses. */
+  def mMediaFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions(_.flatMap(stubFrames))
+      .toDF()
+  }
+
+  /** Oracle: same slicing arithmetic over ASCII codepoints (== bytes). */
+  val mMediaFramesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    1 + length(text) % 4 AS nf,
+      |    length(text) // (1 + length(text) % 4) AS flen
+      |  FROM documents)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(flen AS BIGINT) AS frame_len,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1 + f * flen, 1 + f * flen + flen),
+      |      i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, x) -> a + x) AS checksum
+      |FROM m, UNNEST(range(0, nf)) AS u(f)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)))
+    ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)),
+    ("m_media_frames", mMediaFrames _, Some(mMediaFramesSql)))
 }
