@@ -66,15 +66,17 @@ object GraphAlgs {
     // (src, dst, deg) — static across iterations, cache it
     val withDeg = edges.select("src", "dst").join(outdeg, "src").localCheckpoint()
     var pr = vertices.select(F.col("vid"), F.lit(init).as("pr"))
+    val zeros = vertices.select(F.col("vid"), F.lit(0L).as("m")).localCheckpoint()
     for (it <- 1 to iters) {
-      val contribs = withDeg
+      // messages ∪ a zero row per vertex, then ONE groupBy — replaces the
+      // groupBy(dst) + left-join(vertices) pair (two shuffles → one; the
+      // zero rows also restore dangling vertices' base rank)
+      val msgs = withDeg
         .join(pr, withDeg("src") === pr("vid"))
-        .select(F.col("dst"), F.expr("pr div deg").as("m"))
-        .groupBy("dst").agg(F.sum("m").as("m"))
-      pr = vertices.select("vid")
-        .join(contribs, vertices("vid") === contribs("dst"), "left")
-        .select(F.col("vid"),
-          (F.lit(base) + F.expr(s"coalesce(85 * m, 0L) div 100")).as("pr"))
+        .select(F.col("dst").as("vid"), F.expr("pr div deg").as("m"))
+      pr = zeros.unionByName(msgs)
+        .groupBy("vid").agg(F.sum("m").as("m"))
+        .select(F.col("vid"), (F.lit(base) + F.expr("(85 * m) div 100")).as("pr"))
       // truncate lineage every 2nd iteration (and at the end): plans stay
       // shallow while halving the materialization barriers
       if (it % 2 == 0 || it == iters) pr = pr.localCheckpoint()

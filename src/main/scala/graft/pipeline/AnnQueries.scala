@@ -149,7 +149,9 @@ object AnnQueries {
     * (k-means||) instead of seed rows; the assign/probe plan is the same.
     */
   def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables(s, dir, "embeddings"))
+    // materialized once: seeds collect, Lloyd step, assignment and probe
+    // would otherwise each re-scan + re-fold the corpus
+    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
     val seeds: Array[Array[Float]] = e.orderBy("vec_id").limit(NCentroids)
       .collect().map(_.getSeq[Float](1).toArray)
     // one Lloyd step: assign to seeds, mean per (cluster, dimension)
