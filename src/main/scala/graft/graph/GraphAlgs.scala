@@ -114,6 +114,33 @@ object GraphAlgs {
     dist.filter(F.col("d") < INF)
   }
 
+  /** Community detection by synchronous label propagation, `iters` fixed
+    * rounds (sync + deterministic tie-break = reproducible across
+    * engines/partitionings, unlike classic async LPA). Each round every
+    * vertex adopts its neighbors' most frequent label, ties to the
+    * smallest label; isolated vertices keep their own. */
+  def labelPropagation(vertices: DataFrame, undirected0: DataFrame,
+                       iters: Int = 5): DataFrame = {
+    val undirected = undirected0.localCheckpoint()
+    var labels = vertices.select(F.col("vid"), F.col("vid").as("lbl"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid").orderBy(F.col("c").desc, F.col("lbl").asc)
+    for (_ <- 1 to iters) {
+      val top = undirected
+        .join(labels, undirected("src") === labels("vid"))
+        .groupBy(F.col("dst").as("vid"), F.col("lbl")).agg(F.count(F.lit(1)).as("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .select(F.col("vid"), F.col("lbl").as("new_lbl"))
+      labels = labels
+        .join(top, Seq("vid"), "left")
+        .select(F.col("vid"), F.coalesce(F.col("new_lbl"), F.col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Triangle count over an undirected edge list: orient every edge
     * low→high (each triangle counted exactly once as a<b<c). */
   def triangleCount(undirected: DataFrame): DataFrame = {

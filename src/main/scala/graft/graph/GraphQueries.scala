@@ -180,7 +180,33 @@ object GraphQueries {
        |)
        |SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid""".stripMargin
 
+  /** g_labelprop: community detection, 5 synchronous LPA rounds with
+    * deterministic tie-break; oracle = the same rounds unrolled in SQL. */
+  def gLabelprop(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    GraphAlgs.labelPropagation(g.vertices, g.undirected, iters = 5)
+  }
+
+  val gLabelpropSql: String = {
+    val iter = (k: Int) =>
+      s"""m$k AS (
+         |  SELECT e.dst AS vid, l.lbl, COUNT(*) AS c
+         |  FROM uedges e JOIN lp${k - 1} l ON l.vid = e.src GROUP BY 1, 2),
+         |t$k AS (
+         |  SELECT vid, lbl FROM (
+         |    SELECT vid, lbl, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM m$k) WHERE rn = 1),
+         |lp$k AS (
+         |  SELECT p.vid, COALESCE(t.lbl, p.lbl) AS lbl
+         |  FROM lp${k - 1} p LEFT JOIN t$k t ON t.vid = p.vid)""".stripMargin
+    s"""WITH $sqlPrelude,
+       |lp0 AS (SELECT vid, vid AS lbl FROM verts),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT vid, lbl FROM lp5""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_labelprop", gLabelprop _, Some(gLabelpropSql)),
     ("g_degree", gDegree _, Some(gDegreeSql)),
     ("g_onehop", gOneHop _, Some(gOneHopSql)),
     ("g_twohop", gTwoHop _, Some(gTwoHopSql)),

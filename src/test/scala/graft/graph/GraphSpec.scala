@@ -36,6 +36,12 @@ class GraphSpec extends SparkSpec {
     assert(GraphAlgs.triangleCount(undirected).head().getLong(0) == 1L)
   }
 
+  test("label propagation converges the triangle to one community") {
+    val lp = GraphAlgs.labelPropagation(verts, undirected, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(lp(1L), lp(2L), lp(3L)).size == 1)
+  }
+
   test("pagerank conserves mass on a regular graph (uniform on the triangle)") {
     val pr = GraphAlgs.pagerank(verts.filter(F.col("vid") <= 3),
       undirected.filter(F.col("src") <= 3), iters = 5).collect()
