@@ -203,7 +203,30 @@ object OlapExtraQueries {
       |  CAST(SUM(h3) AS BIGINT) AS ret_h3
       |FROM flags WHERE h0 = 1""".stripMargin
 
+  /** q_topk_heap: the q_window_topn result computed by the bounded-heap
+    * TopKPairs aggregate instead of a window sort — shuffle carries
+    * O(groups × k) entries, not every row (graft.operators.TopK). Same
+    * oracle as the window form: results must be identical. */
+  def qTopkHeap(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables(s, dir, "orders")
+      .join(F.broadcast(Tables(s, dir, "customer")),
+        F.col("o_custkey") === F.col("c_custkey"))
+    graft.operators.TopK.perGroup(joined, Seq("c_mktsegment"),
+        F.col("o_totalprice"), F.col("o_orderkey"), k = 3)
+      .select(F.col("c_mktsegment"), F.col("rnk"),
+        F.col("id").as("o_orderkey"), out2(F.col("score")).as("price"))
+  }
+
+  val qTopkHeapSql: String =
+    """SELECT c_mktsegment, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) x
+      |WHERE rnk <= 3""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_topk_heap", qTopkHeap _, Some(qTopkHeapSql)),
     ("q_minsub", qMinSub _, Some(qMinSubSql)),
     ("q_semi_anti", qSemiAnti _, Some(qSemiAntiSql)),
     ("q_json", qJson _, Some(qJsonSql)),

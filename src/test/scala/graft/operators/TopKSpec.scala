@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+class TopKSpec extends SparkSpec {
+
+  test("heap top-k matches window row_number top-k exactly") {
+    val orders = graft.Tables(spark, SF, "orders")
+    val viaHeap = TopK.perGroup(orders, Seq("o_orderpriority"),
+        F.col("o_totalprice"), F.col("o_orderkey"), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+    val viaWindow = orders
+      .withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= 5)
+      .select(F.col("o_orderpriority"), F.col("rnk"),
+        F.col("o_totalprice"), F.col("o_orderkey"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaHeap == viaWindow)
+  }
+
+  test("result is stable under repartitioning (heaps merge associatively)") {
+    val orders = graft.Tables(spark, SF, "orders")
+    val a = TopK.perGroup(orders.repartition(1), Seq("o_orderpriority"),
+      F.col("o_totalprice"), F.col("o_orderkey"), k = 3).collect().toSet
+    val b = TopK.perGroup(orders.repartition(13), Seq("o_orderpriority"),
+      F.col("o_totalprice"), F.col("o_orderkey"), k = 3).collect().toSet
+    assert(a == b)
+  }
+
+  test("partial aggregation keeps shuffle input bounded (plan has partial_topk)") {
+    val orders = graft.Tables(spark, SF, "orders")
+    val plan = TopK.perGroup(orders, Seq("o_orderpriority"),
+      F.col("o_totalprice"), F.col("o_orderkey"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_pairs"), plan)
+  }
+}
