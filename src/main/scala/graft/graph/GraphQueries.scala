@@ -45,8 +45,13 @@ object GraphQueries {
       .filter(F.col("vlabel") === "customer" && F.col("mktsegment") === "BUILDING")
       .select(F.col("vid").as("c_vid"))
     val e = g.edges.filter(F.col("elabel") === "in_nation")
+    // name-resolution side restricted to the dimension-sized label the
+    // edge targets before broadcasting (all-vertex broadcast would scale
+    // with customers)
+    val nations = g.vertices.filter(F.col("vlabel") === "nation")
+      .select(F.col("vid").as("dst"), F.col("name"))
     start.join(e, F.col("c_vid") === F.col("src"))
-      .join(F.broadcast(g.vertices.select(F.col("vid").as("dst"), F.col("name"))), "dst")
+      .join(F.broadcast(nations), "dst")
       .select(F.col("c_vid"), F.col("name").as("n_name"))
   }
 
@@ -69,7 +74,9 @@ object GraphQueries {
     start
       .join(e1, F.col("src_vid") === F.col("src"))
       .join(e2, "mid")
-      .join(F.broadcast(g.vertices.select(F.col("vid").as("dst"), F.col("name"))), "dst")
+      // endpoints can be any label here — no broadcast hint; Catalyst/AQE
+      // picks broadcast when the name side is actually small
+      .join(g.vertices.select(F.col("vid").as("dst"), F.col("name")), "dst")
       .select(F.col("src_vid"), F.col("dst").as("dst_vid"), F.col("name").as("dst_name"))
       .distinct()
   }
@@ -97,7 +104,8 @@ object GraphQueries {
       .join(sup.select(F.col("vid").as("dst"), F.col("acctbal").as("b_bal")), "dst")
       .filter(F.col("a_bal") > F.col("b_bal"))
       .join(inNat, F.col("dst") === F.col("b2"))
-      .join(F.broadcast(g.vertices.select(F.col("vid").as("nvid"), F.col("name"))), "nvid")
+      .join(F.broadcast(g.vertices.filter(F.col("vlabel") === "nation")
+        .select(F.col("vid").as("nvid"), F.col("name"))), "nvid")
       .select(F.col("src").as("a_vid"), F.col("dst").as("b_vid"), F.col("name").as("n_name"))
   }
 

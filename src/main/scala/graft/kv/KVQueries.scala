@@ -42,7 +42,7 @@ object KVQueries {
   /** kv_slice: getSlice for keys 0..9, columns in [Jan10, Jan20), limit 50. */
   def kvSlice(s: SparkSession, dir: String): DataFrame = {
     val keys = s.range(0, 10).select(encLong(F.col("id")).as("k"))
-    decoded(slice(eventStore(s, dir), keys,
+    decoded(slice(eventStore(s, dir), F.broadcast(keys),
       colBound("2024-01-10 00:00:00"), colBound("2024-01-20 00:00:00"), 50))
   }
 
@@ -62,6 +62,7 @@ object KVQueries {
       .select(F.col("user_id")).distinct()
       .filter(F.col("user_id") % 10 === 0)
       .select(encLong(F.col("user_id")).as("k"))
+    // corpus-derived key set: no broadcast hint — it scales with users
     decoded(slice(eventStore(s, dir), keys,
       colBound("2024-01-10 00:00:00"), colBound("2024-01-11 00:00:00"), 20))
   }
@@ -102,7 +103,7 @@ object KVQueries {
         F.lit("upserted").cast("binary").as("v"))
     val mutated = mutate(store, additions, deletions)
     val keys = s.range(0, 5).select(encLong(F.col("id")).as("k"))
-    decoded(slice(mutated, keys, F.lit(Array.emptyByteArray),
+    decoded(slice(mutated, F.broadcast(keys), F.lit(Array.emptyByteArray),
       F.concat(encLong(F.lit(Long.MaxValue)), encLong(F.lit(Long.MaxValue))), Int.MaxValue))
   }
 

@@ -28,13 +28,16 @@ object KVStore {
     * QueryHelper.java:61 (`SELECT c,v FROM t WHERE k=? AND c>=? AND c<?
     * ORDER BY c LIMIT ?`), vectorized over an arbitrary set of keys
     * (multi-key form, ref ClickhouseKeyColumnValueStore.java:108).
-    * `keys` is a single-column `k` DataFrame (broadcast when small).
+    * `keys` is a single-column `k` DataFrame. The caller decides the join
+    * strategy (wrap keys in `F.broadcast(...)` when the set is known
+    * small); a hardcoded hint here would force corpus-sized key sets
+    * through the driver.
     */
   def slice(store: DataFrame, keys: DataFrame, columnStart: Column, columnEnd: Column,
             limit: Int): DataFrame = {
     val ranged = store
       .filter(F.col("c") >= columnStart && F.col("c") < columnEnd)
-      .join(F.broadcast(keys), "k")
+      .join(keys, "k")
     val w = Window.partitionBy("k").orderBy(F.col("c").asc)
     ranged
       .withColumn("rn", F.row_number().over(w))

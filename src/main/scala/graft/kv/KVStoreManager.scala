@@ -20,20 +20,25 @@ import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
   * (delete-before-add, KVStore.mutate) are identical.
   */
 final class KVStoreManager(spark: SparkSession, warehouseDir: String) {
+  import org.apache.hadoop.fs.{FileSystem, Path}
 
   private val schema = StructType(Seq(
     StructField("k", BinaryType), StructField("c", BinaryType),
     StructField("v", BinaryType)))
 
-  private def path(name: String) = s"$warehouseDir/$name"
+  private def path(name: String) = new Path(warehouseDir, name)
+
+  // metadata ops go through the same Hadoop FileSystem as the parquet
+  // I/O, so hdfs:///s3a:// warehouses behave exactly like local ones
+  private def fs: FileSystem =
+    new Path(warehouseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** openDatabase: returns the named store (empty if never written). */
   def openDatabase(name: String): DataFrame =
-    if (exists(name)) spark.read.schema(schema).parquet(path(name))
+    if (exists(name)) spark.read.schema(schema).parquet(path(name).toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  def exists(name: String): Boolean =
-    new java.io.File(path(name)).exists()
+  def exists(name: String): Boolean = fs.exists(path(name))
 
   /** mutateMany: batch mutation across stores, each store's deletions
     * strictly before its additions (ref ClickhouseStoreManager.java:89).
@@ -42,21 +47,17 @@ final class KVStoreManager(spark: SparkSession, warehouseDir: String) {
     mutations.foreach { case (name, (additions, deletions)) =>
       val mutated = KVStore.mutate(openDatabase(name), additions, deletions)
       // write via temp path: the new snapshot reads the old files
-      val tmp = path(name) + "__tmp"
-      mutated.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val dst = new java.io.File(path(name))
-      deleteRecursively(dst)
-      require(new java.io.File(tmp).renameTo(dst), s"rename failed for $name")
+      val tmp = new Path(warehouseDir, name + "__tmp")
+      mutated.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val dst = path(name)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(tmp, dst), s"rename failed for $name")
     }
 
   /** clearStorage: drop every store under the warehouse. */
   def clearStorage(): Unit = {
-    val dir = new java.io.File(warehouseDir)
-    Option(dir.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
+    val root = new Path(warehouseDir)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach(st => fs.delete(st.getPath, true))
   }
 }

@@ -290,9 +290,14 @@ object OlapQueries {
       |FROM lv WHERE is_event = 1 AND last_okey IS NOT NULL""".stripMargin
 
   /** Band/range join: orders bucketed into totalprice bands via an interval
-    * join against a generated bands table (broadcast — bands are tiny). */
+    * join against a generated bands table (broadcast — bands are tiny).
+    * The band table is sized from the data's own max price so no order can
+    * fall outside it (a hardcoded cap would silently drop rows the
+    * unbounded-floor oracle keeps). */
   def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val bands = s.range(0, 51).toDF("band")
+    val maxBand = t(s, dir, "orders")
+      .agg(F.floor(F.max("o_totalprice") / 10000.0).cast("long")).head().getLong(0)
+    val bands = s.range(0, maxBand + 1).toDF("band")
       .withColumn("lo", F.col("band") * 10000.0)
       .withColumn("hi", (F.col("band") + 1) * 10000.0)
     t(s, dir, "orders")

@@ -60,11 +60,18 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(st) if t - st.end <= SessionGapMs =>
-                  cur = Some(SessState(st.start, math.max(st.end, t), st.n + 1, st.total + e.value))
-                case Some(st) =>
+                case Some(st) if t > st.end + SessionGapMs =>
+                  // later than the open session by more than the gap
                   closed += Session(user, new Timestamp(st.start), new Timestamp(st.end), st.n, st.total)
                   cur = Some(SessState(t, t, 1L, e.value))
+                case Some(st) if t < st.start - SessionGapMs =>
+                  // out-of-order: earlier than the open session by more
+                  // than the gap — a distinct, already-ended session
+                  closed += Session(user, new Timestamp(t), new Timestamp(t), 1L, e.value)
+                case Some(st) =>
+                  // within gap of the open session on either side
+                  cur = Some(SessState(math.min(st.start, t), math.max(st.end, t),
+                    st.n + 1, st.total + e.value))
                 case None =>
                   cur = Some(SessState(t, t, 1L, e.value))
               }
@@ -93,7 +100,7 @@ object EventStream {
     // floor-convert, same as the batch path (graft.Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
       .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
   }
 }

@@ -52,11 +52,12 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sess_out")
       .outputMode(OutputMode.Append).start()
     try {
-      // user 1: two events 10min apart (one session), then an event 2h
-      // later (gap-close → new session).
+      // user 1: two events 10min apart (one session), then a batch with an
+      // out-of-order event 15min BEFORE the open session (within gap →
+      // extends its start) plus an event 2h later (gap-close → new session).
       in.addData(Ev(1, ts(0), "click", 1.0), Ev(1, ts(10), "click", 2.0))
       q.processAllAvailable()
-      in.addData(Ev(1, ts(130), "click", 4.0))
+      in.addData(Ev(1, ts(-15), "click", 9.0), Ev(1, ts(130), "click", 4.0))
       q.processAllAvailable()
       // advance the watermark far enough to time out the open session
       in.addData(Ev(2, ts(600), "click", 1.0))
@@ -67,7 +68,7 @@ class StreamingSpec extends SparkSpec {
         .filter(_.user_id == 1L)
         .map(s => (mins(s.start), mins(s.end), s.n_events, s.total_value))
         .toSet
-      assert(sessions.contains((0L, 10L, 2L, 3.0)), s"got $sessions")
+      assert(sessions.contains((-15L, 10L, 3L, 12.0)), s"got $sessions")
       assert(sessions.contains((130L, 130L, 1L, 4.0)), s"got $sessions")
     } finally q.stop()
   }
