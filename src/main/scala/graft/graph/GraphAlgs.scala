@@ -114,6 +114,41 @@ object GraphAlgs {
     dist.filter(F.col("d") < INF)
   }
 
+  /** Weighted single-source shortest paths (distributed Bellman-Ford):
+    * relax every weighted edge per round until Σd stops falling. The
+    * weighted analogue of `sssp`; `weighted` is (src, dst, w) with
+    * integer weights. Returns reachable (vid, d). */
+  def weightedSssp(vertices: DataFrame, weighted0: DataFrame, sourceVid: Long,
+                   maxIter: Int = 60): DataFrame = {
+    // maxIter is a backstop: the Σd convergence check exits the loop as
+    // soon as no relaxation fires; a min-cost path can legally use far
+    // more hops than the hop diameter, so the cap must cover |V|-ish
+    // worst cases, not the BFS depth.
+    val weighted = weighted0.localCheckpoint()
+    val INF = Int.MaxValue.toLong
+    var dist = vertices.select(F.col("vid"),
+      F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("d"))
+      .localCheckpoint()
+    var prevSum = Long.MaxValue
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relax = weighted
+        .join(dist, weighted("src") === dist("vid"))
+        .filter(F.col("d") < INF)
+        .select(F.col("dst").as("vid"), (F.col("d") + F.col("w")).as("d"))
+      val next = dist.select("vid", "d").unionByName(relax)
+        .groupBy("vid").agg(F.min("d").as("d"))
+        .localCheckpoint()
+      val sum = next.agg(F.sum("d")).head().getLong(0)
+      dist = next
+      converged = sum == prevSum
+      prevSum = sum
+      i += 1
+    }
+    dist.filter(F.col("d") < INF)
+  }
+
   /** Community detection by synchronous label propagation, `iters` fixed
     * rounds (sync + deterministic tie-break = reproducible across
     * engines/partitionings, unlike classic async LPA). Each round every

@@ -188,6 +188,31 @@ object GraphQueries {
        |)
        |SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid""".stripMargin
 
+  /** g_wsssp: weighted shortest paths from the 'ASIA' region vertex over
+    * the undirected graph with deterministic derived weights
+    * w = 1 + (src+dst) mod 5 — same derivation in the oracle's recursive
+    * CTE (path-cost capped there only to bound the recursion; the cap is
+    * far above the true eccentricity×max-weight). */
+  def gWsssp(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val src = g.vertices
+      .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
+      .select("vid").head().getLong(0)
+    val weighted = g.undirected
+      .withColumn("w", (F.col("src") + F.col("dst")) % 5 + 1)
+    GraphAlgs.weightedSssp(g.vertices, weighted, src)
+  }
+
+  val gWsssspSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |we AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM uedges),
+       |walk(vid, d) AS (
+       |  SELECT CAST(r_regionkey*4+3 AS BIGINT), CAST(0 AS BIGINT) FROM region WHERE r_name = 'ASIA'
+       |  UNION
+       |  SELECT e.dst, b.d + e.w FROM walk b JOIN we e ON e.src = b.vid WHERE b.d + e.w <= 60
+       |)
+       |SELECT vid, MIN(d) AS d FROM walk GROUP BY vid""".stripMargin
+
   /** g_labelprop: community detection, 5 synchronous LPA rounds with
     * deterministic tie-break; oracle = the same rounds unrolled in SQL. */
   def gLabelprop(s: SparkSession, dir: String): DataFrame = {
@@ -214,6 +239,7 @@ object GraphQueries {
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_wsssp", gWsssp _, Some(gWsssspSql)),
     ("g_labelprop", gLabelprop _, Some(gLabelpropSql)),
     ("g_degree", gDegree _, Some(gDegreeSql)),
     ("g_onehop", gOneHop _, Some(gOneHopSql)),

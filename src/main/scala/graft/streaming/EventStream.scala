@@ -85,6 +85,13 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment: join the unbounded event stream against a
+    * static dimension table (broadcast — dimensions are small by
+    * definition; Spark re-plans the static side per micro-batch, so a
+    * refreshed dim snapshot is picked up without restarting the query). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, joinCols: Seq[String]): DataFrame =
+    events.join(F.broadcast(dim), joinCols)
+
   /** Streaming exact dedup by event_id: state keeps one entry per id and
     * evicts it once the watermark passes — bounded state, unlike a plain
     * dropDuplicates on an unbounded stream. */
