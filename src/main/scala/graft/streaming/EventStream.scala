@@ -100,6 +100,52 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class FunnelLevel(user_id: Long, level: Int)
+  // not private: encoders (see SessState)
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  val FunnelWindowMs: Long = 60 * 60 * 1000L
+
+  /** Streaming funnel (the streaming form of q_funnel): per user, track
+    * the earliest click → view → purchase progression completed within
+    * 1 hour of the first click, emitting the user's funnel depth every
+    * time it deepens (update-mode output). State is three timestamps per
+    * user — O(1), watermark-evicted via event-time timeout. */
+  def funnel(events: Dataset[Ev]): Dataset[FunnelLevel] = {
+    import events.sparkSession.implicits._
+    val NoT = Long.MaxValue
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelLevel](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(NoT, NoT, NoT))
+            val before = Seq(st.t1, st.t2, st.t3).count(_ != NoT)
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              e.event_type match {
+                case "click" if t < st.t1 => st = FunnelState(t, st.t2, st.t3)
+                case "view" if st.t1 != NoT && t > st.t1 &&
+                  t <= st.t1 + FunnelWindowMs && t < st.t2 =>
+                  st = FunnelState(st.t1, t, st.t3)
+                case "purchase" if st.t2 != NoT && t > st.t2 &&
+                  t <= st.t1 + FunnelWindowMs && t < st.t3 =>
+                  st = FunnelState(st.t1, st.t2, t)
+                case _ => ()
+              }
+            }
+            val after = Seq(st.t1, st.t2, st.t3).count(_ != NoT)
+            state.update(st)
+            if (st.t1 != NoT) state.setTimeoutTimestamp(st.t1 + FunnelWindowMs)
+            if (after > before) Iterator.single(FunnelLevel(user, after))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** File-stream source over a directory of event parquet — the
     * production entry point (readStream → transforms → writeStream). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {

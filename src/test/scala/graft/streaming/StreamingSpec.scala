@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits deepening levels within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(1, ts(0), "click", 0), Ev(1, ts(5), "view", 0))
+      q.processAllAvailable()
+      // purchase within the 1h window deepens user 1 to level 3;
+      // user 2's view without a click emits nothing
+      in.addData(Ev(1, ts(20), "purchase", 0), Ev(2, ts(21), "view", 0))
+      q.processAllAvailable()
+      // user 2 clicks, then a view AFTER the 1h window: stuck at level 1
+      in.addData(Ev(2, ts(30), "click", 0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts(100), "view", 0))
+      q.processAllAvailable()
+      val out = spark.table("funnel_out").as[EventStream.FunnelLevel].collect()
+        .groupBy(_.user_id).view.mapValues(_.map(_.level).toSet).toMap
+      assert(out(1L) == Set(2, 3), s"got $out")
+      assert(out(2L) == Set(1), s"got $out")
+    } finally q.stop()
+  }
+
   test("file readStream plans an unbounded source over events") {
     val df = EventStream.readEvents(spark, SF)
     assert(df.isStreaming)
