@@ -31,9 +31,16 @@ object Tables {
   /** exact 2-dp decimal view of a double column (inputs are 2-dp money). */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** final-output cast helpers (stable schema both engines). */
-  def out2(c: Column): Column = c.cast(DecimalType(18, 2))
-  def out4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Final-output cast helpers: snap to an exact DECIMAL(18,s), then emit
+    * DOUBLE. Internal arithmetic stays exact decimal (deterministic at any
+    * partition count); the terminal decimal→double conversion is
+    * correctly-rounded in both Spark (BigDecimal.doubleValue) and DuckDB
+    * (scaled-int / 10^s), so both engines emit the same float64 bits.
+    * Emitting DECIMAL itself fails the driver's compare: pandas reads Spark
+    * parquet decimals as Decimal('493670.20') (trailing zero kept) while
+    * DuckDB's df() yields float64 '493670.2'. */
+  def out2(c: Column): Column = c.cast(DecimalType(18, 2)).cast("double")
+  def out4(c: Column): Column = c.cast(DecimalType(18, 4)).cast("double")
 
   /** exact revenue term: extendedprice * (1 - discount), all decimal. */
   def revenue(price: Column, discount: Column): Column =

@@ -39,7 +39,7 @@ object OlapExtraQueries {
       |  SELECT p_partkey, p_name, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
       |  FROM lineitem JOIN pp ON l_partkey = p_partkey
       |  GROUP BY 1, 2)
-      |SELECT m.p_partkey, m.p_name, CAST(m.min_price AS DECIMAL(18,2)) AS min_price,
+      |SELECT m.p_partkey, m.p_name, CAST(CAST(m.min_price AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
       |  MIN(l.l_suppkey) AS best_suppkey
       |FROM lineitem l JOIN mins m
       |  ON l.l_partkey = m.p_partkey AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = m.min_price
@@ -104,7 +104,7 @@ object OlapExtraQueries {
 
   val qCubeSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, COUNT(*) AS n
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
   /** q_approx_pct: sketch-based percentiles (ClickHouse quantileTDigest
@@ -218,7 +218,7 @@ object OlapExtraQueries {
   }
 
   val qTopkHeapSql: String =
-    """SELECT c_mktsegment, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    """SELECT c_mktsegment, rnk, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM (
       |  SELECT c_mktsegment, o_orderkey, o_totalprice,
       |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk

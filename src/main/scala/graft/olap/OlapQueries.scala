@@ -38,9 +38,9 @@ object OlapQueries {
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
       | COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,7 +61,7 @@ object OlapQueries {
 
   val q3Sql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS rev
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS rev
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00' AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
@@ -91,7 +91,7 @@ object OlapQueries {
 
   val q5Sql: String =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS rev
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS rev
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -113,7 +113,7 @@ object OlapQueries {
 
   val q6Sql: String =
     """SELECT
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       | COUNT(*) AS n
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -135,7 +135,7 @@ object OlapQueries {
   }
 
   val qWindowTopNSql: String =
-    """SELECT c_mktsegment, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    """SELECT c_mktsegment, rnk, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       |FROM (
       |  SELECT c_mktsegment, o_orderkey, o_totalprice,
       |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
@@ -152,7 +152,7 @@ object OlapQueries {
 
   val qTumbleSql: String =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
-      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      | COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Sessionization: 30-min-gap sessions per user + per-session aggregates. */
@@ -183,7 +183,7 @@ object OlapQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
       |  FROM flagged)
       |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, COUNT(*) AS n_events,
-      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
       | MAX(us) - MIN(us) AS dur_us
       |FROM sess GROUP BY user_id, sess_idx""".stripMargin
 
@@ -218,8 +218,8 @@ object OlapQueries {
       .withColumn("cnt", F.count(F.lit(1)).over(cw))
       .groupBy("l_returnflag")
       .agg(
-        F.max(F.when(F.col("rn") === F.floor((F.col("cnt") + 1) / 2), dec2(F.col("l_extendedprice")))).as("p50"),
-        F.max(F.when(F.col("rn") === F.ceil(F.col("cnt") * 0.9), dec2(F.col("l_extendedprice")))).as("p90"))
+        out2(F.max(F.when(F.col("rn") === F.floor((F.col("cnt") + 1) / 2), dec2(F.col("l_extendedprice"))))).as("p50"),
+        out2(F.max(F.when(F.col("rn") === F.ceil(F.col("cnt") * 0.9), dec2(F.col("l_extendedprice"))))).as("p90"))
   }
 
   val qPercentileSql: String =
@@ -229,8 +229,8 @@ object OlapQueries {
       |   COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
       |  FROM lineitem)
       |SELECT l_returnflag,
-      | MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2) AS BIGINT) THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS p50,
-      | MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS p90
+      | CAST(MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2) AS BIGINT) THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p50,
+      | CAST(MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p90
       |FROM ranked GROUP BY l_returnflag""".stripMargin
 
   /** ROLLUP grouping-sets aggregation. */
@@ -241,7 +241,7 @@ object OlapQueries {
 
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   // ---- as-of join / range join ------------------------------------------
@@ -286,7 +286,7 @@ object OlapQueries {
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_oprice
       |  FROM u)
       |SELECT event_id, k AS user_id, last_okey AS o_orderkey,
-      | CAST(last_oprice AS DECIMAL(18,2)) AS o_totalprice
+      | CAST(CAST(last_oprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
       |FROM lv WHERE is_event = 1 AND last_okey IS NOT NULL""".stripMargin
 
   /** Band/range join: orders bucketed into totalprice bands via an interval
@@ -308,7 +308,7 @@ object OlapQueries {
 
   val qRangeJoinSql: String =
     """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS band,
-      | COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      | COUNT(*) AS n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM orders GROUP BY 1""".stripMargin
 
   /** (name, query, oracle) triples — oracle None = rows-only check. */

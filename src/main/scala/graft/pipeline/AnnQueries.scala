@@ -154,11 +154,17 @@ object AnnQueries {
     val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
     val seeds: Array[Array[Float]] = e.orderBy("vec_id").limit(NCentroids)
       .collect().map(_.getSeq[Float](1).toArray)
-    // one Lloyd step: assign to seeds, mean per (cluster, dimension)
+    // one Lloyd step: assign to seeds, mean per (cluster, dimension).
+    // Sum in exact DECIMAL (order-independent), divide once on the driver:
+    // F.avg over doubles would make the centroids — and hence the output —
+    // vary with partition order.
     val means = e.select(nearestCid(F.col("embedding"), seeds).as("cid"),
         F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos").agg(F.avg("x").as("m"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2).toFloat).toMap
+      .groupBy("cid", "pos")
+      .agg(F.sum(F.col("x").cast(org.apache.spark.sql.types.DecimalType(30, 12))).as("sx"),
+        F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat).toMap
     val cents = Array.tabulate(NCentroids, 64) { (c, p) =>
       means.getOrElse((c, p), seeds(c)(p)) // empty cluster keeps its seed
     }

@@ -138,8 +138,13 @@ object EventStream {
               }
             }
             val after = Seq(st.t1, st.t2, st.t3).count(_ != NoT)
-            state.update(st)
-            if (st.t1 != NoT) state.setTimeoutTimestamp(st.t1 + FunnelWindowMs)
+            // Only store state once a click anchors the funnel: an all-NoT
+            // state has no timeout to evict it, so storing it would grow
+            // the state store by one entry per clickless user, forever.
+            if (st.t1 != NoT) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.t1 + FunnelWindowMs)
+            } else if (state.exists) state.remove()
             if (after > before) Iterator.single(FunnelLevel(user, after))
             else Iterator.empty
           }

@@ -8,7 +8,7 @@ class OlapExtraSpec extends SparkSpec {
 
   test("approx percentiles land within 2% of the exact ones") {
     val exact = OlapQueries.qPercentile(spark, SF).collect()
-      .map(r => r.getString(0) -> (r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue()))
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
     val approx = OlapExtraQueries.qApproxPct(spark, SF).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

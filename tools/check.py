@@ -8,6 +8,7 @@ sorts columns by name + rows, and compares values.
 """
 import sys, json, glob, os
 import duckdb
+import pandas as pd
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -24,8 +25,14 @@ def main(sf_dir, out_dir):
              if os.path.isdir(os.path.join(out_dir, d))]
     failed = []
     for name in names:
-        got = con.execute(
-            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'").df()
+        # Read the Spark side with pandas (as the driver does): decimal
+        # columns surface as Decimal objects ('493670.20'), NOT float64 —
+        # reading via DuckDB would coerce both sides to float64 and mask
+        # Decimal-vs-float mismatches the driver detects.
+        got = pd.concat(
+            [pd.read_parquet(p) for p in
+             sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))],
+            ignore_index=True)
         if name not in oracle:
             status = f"rows-only rows={len(got)}"
             if len(got) == 0:
