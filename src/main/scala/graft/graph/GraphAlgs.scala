@@ -159,15 +159,17 @@ object GraphAlgs {
     val undirected = undirected0.localCheckpoint()
     var labels = vertices.select(F.col("vid"), F.col("vid").as("lbl"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vid").orderBy(F.col("c").desc, F.col("lbl").asc)
     for (_ <- 1 to iters) {
+      // most-frequent neighbor label, ties to smallest: max on the
+      // (count, -lbl) struct — a second partial-aggregatable groupBy
+      // instead of a window (drops the per-iteration window SORT; vids
+      // are ≥ 0 so -lbl is ANSI-safe)
       val top = undirected
         .join(labels, undirected("src") === labels("vid"))
         .groupBy(F.col("dst").as("vid"), F.col("lbl")).agg(F.count(F.lit(1)).as("c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") === 1)
-        .select(F.col("vid"), F.col("lbl").as("new_lbl"))
+        .groupBy("vid")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).as("nl"))).as("t"))
+        .select(F.col("vid"), (-F.col("t.nl")).as("new_lbl"))
       labels = labels
         .join(top, Seq("vid"), "left")
         .select(F.col("vid"), F.coalesce(F.col("new_lbl"), F.col("lbl")).as("lbl"))
