@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDot}
+import graft.functions.{FloatMatTopCentroids, FloatVecCosine, FloatVecDot}
 
 /** Spark session extension registering graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... float_vec_dot(a, b)")`
@@ -27,7 +27,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
     (new FunctionIdentifier("float_vec_cosine"),
       new ExpressionInfo(classOf[FloatVecCosine].getName, "float_vec_cosine"),
-      (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))))
+      (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))),
+    (new FunctionIdentifier("float_mat_top_centroids"),
+      new ExpressionInfo(classOf[FloatMatTopCentroids].getName, "float_mat_top_centroids"),
+      (args: Seq[Expression]) => FloatMatTopCentroids(args(0), args(1), args(2))))
 
   /** Register on an already-built session (e.g. a REPL). */
   def register(spark: SparkSession): Unit =

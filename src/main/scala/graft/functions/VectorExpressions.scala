@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst vector expressions for the similarity-search hot path.
   *
@@ -125,6 +125,115 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Runtime helper shared by interpreted eval and generated code: scores a
+  * vector against every row of a flattened centroid matrix and returns the
+  * top-k row indices by cosine, descending (ties → smaller index; the
+  * query vector's own norm is a positive per-row constant, so ranking by
+  * dot·invNorm equals ranking by cosine). Kept as one static call so the
+  * generated code stays a few bytes per row regardless of matrix size. */
+object MatOps {
+  def topCentroids(v: ArrayData, flat: Array[Float], invNorms: Array[Double],
+                   dim: Int, k: Int): ArrayData = {
+    val nc = invNorms.length
+    val scores = new Array[Double](nc)
+    val n = math.min(v.numElements(), dim)
+    var c = 0
+    while (c < nc) {
+      var s = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { s += v.getFloat(i).toDouble * flat(off + i); i += 1 }
+      scores(c) = s * invNorms(c)
+      c += 1
+    }
+    val kk = math.min(k, nc)
+    val out = new Array[Int](kk)
+    val used = new Array[Boolean](nc)
+    var j = 0
+    while (j < kk) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < nc) {
+        if (!used(i) && scores(i) > bestS) { best = i; bestS = scores(i) }
+        i += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Top-k nearest centroid *indices* for a float vector against a constant
+  * centroid matrix (array<array<float>> literal), by cosine descending.
+  *
+  * The IVF assign/probe path previously unrolled one literal-array cosine
+  * struct per centroid — 16 64-float literals per row made the generated
+  * source huge (slow Janino compiles, one distinct class per trained
+  * matrix, never warm). Here the matrix is ONE reference object attached
+  * to the generated class; per-row code is a single static call into
+  * [[MatOps]], so plan size is independent of centroid count and the
+  * compiled class is reused across any matrix of the same shape. */
+case class FloatMatTopCentroids(vec: Expression, mat: Expression, k: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = mat
+  override def third: Expression = k
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val matOk = mat.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    if (!vecOk || !matOk || k.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"float_mat_top_centroids needs (array<float>, array<array<float>>, int), " +
+          s"got (${vec.dataType}, ${mat.dataType}, ${k.dataType})")
+    else if (!mat.foldable || !k.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "float_mat_top_centroids needs constant (foldable) matrix and k")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "float_mat_top_centroids"
+
+  @transient private lazy val (flat: Array[Float], invNorms: Array[Double], dim: Int) = {
+    val m = mat.eval(null).asInstanceOf[ArrayData]
+    val rows = Array.tabulate(m.numElements())(i => m.getArray(i).toFloatArray())
+    val d = if (rows.isEmpty) 0 else rows.map(_.length).max
+    val f = new Array[Float](rows.length * d)
+    rows.zipWithIndex.foreach { case (r, i) => System.arraycopy(r, 0, f, i * d, r.length) }
+    val inv = rows.map { r =>
+      val nrm = math.sqrt(r.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      if (nrm == 0.0) 0.0 else 1.0 / nrm
+    }
+    (f, inv, d)
+  }
+  @transient private lazy val topK: Int = k.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(v: Any, m: Any, kk: Any): Any =
+    MatOps.topCentroids(v.asInstanceOf[ArrayData], flat, invNorms, dim, topK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("matFlat", flat, "float[]")
+    val invRef = ctx.addReferenceObj("matInvNorms", invNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"${ev.value} = graft.functions.MatOps.topCentroids($v, $flatRef, $invRef, $dim, $topK);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, mat = newSecond, k = newThird)
+}
+
 object VectorFunctions {
   /** Ordered-fold dot product of two float vectors, in double (codegen'd). */
   def floatVecDot(a: Column, b: Column): Column =
@@ -135,4 +244,10 @@ object VectorFunctions {
   def floatVecCosine(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       FloatVecCosine(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Top-k nearest rows of a constant centroid matrix, by cosine desc. */
+  def floatMatTopCentroids(vec: Column, mat: Column, k: Column): Column =
+    GraftSqlBridge.column(
+      FloatMatTopCentroids(GraftSqlBridge.expression(vec),
+        GraftSqlBridge.expression(mat), GraftSqlBridge.expression(k)))
 }

@@ -127,16 +127,19 @@ object AnnQueries {
   val NCentroids = 16
   val NProbe = 4
 
-  private def litVec(v: Array[Float]): Column = F.array(v.map(F.lit).toSeq: _*)
+  /** The centroid matrix as ONE typed literal (a single constant object in
+    * the plan — unrolling per-centroid literal arrays made generated code
+    * size proportional to the matrix and recompiled per trained matrix). */
+  private def matLit(cents: Array[Array[Float]]): Column =
+    F.typedlit(cents.map(_.toSeq).toSeq)
 
-  /** argmax over centroids by fused cosine: array_max on (cos, cid)
-    * structs — lexicographic struct order gives a deterministic winner. */
+  /** Top-k nearest centroid ids by cosine desc (ties → smaller cid),
+    * via the codegen'd FloatMatTopCentroids expression. */
+  private def topCids(vec: Column, cents: Array[Array[Float]], k: Int): Column =
+    graft.functions.VectorFunctions.floatMatTopCentroids(vec, matLit(cents), F.lit(k))
+
   private def nearestCid(vec: Column, cents: Array[Array[Float]]): Column =
-    F.array_max(F.array(cents.zipWithIndex.map { case (c, i) =>
-      F.struct(
-        graft.functions.VectorFunctions.floatVecCosine(vec, litVec(c)).as("cs"),
-        F.lit(i).as("cid"))
-    }.toSeq: _*))("cid")
+    F.element_at(topCids(vec, cents, 1), 1)
 
   /** s_ann_ivf: IVF (inverted-file) ANN — the clustered scale path
     * (rows-only; AnnSpec measures recall). Centroids: deterministic seed
@@ -171,16 +174,10 @@ object AnnQueries {
     val assigned = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
       nearestCid(F.col("embedding"), cents).as("cid"))
     // queries probe their NProbe closest centroids
-    val probeStructs = cents.zipWithIndex.map { case (c, i) =>
-      F.struct(
-        graft.functions.VectorFunctions.floatVecCosine(F.col("eq"), litVec(c)).as("cs"),
-        F.lit(i).as("cid"))
-    }
     val probes = e.filter(F.col("vec_id") < NQueries)
       .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"), F.col("nrm").as("nq"))
       .select(F.col("q_id"), F.col("eq"), F.col("nq"),
-        F.explode(F.slice(F.sort_array(F.array(probeStructs.toSeq: _*), asc = false),
-          1, NProbe)("cid")).as("cid"))
+        F.explode(topCids(F.col("eq"), cents, NProbe)).as("cid"))
     F.broadcast(probes).join(assigned, Seq("cid"))
       .filter(F.col("vec_id") =!= F.col("q_id"))
       .select(F.col("q_id"), F.col("vec_id").as("n_id"),
