@@ -225,8 +225,97 @@ object OlapExtraQueries {
       |  FROM orders JOIN customer ON o_custkey = c_custkey) x
       |WHERE rnk <= 3""".stripMargin
 
+  /** q_argmax: ClickHouse `argMax`/`argMin` — the order achieving the
+    * extreme price per market segment. One aggregation pass: max/min over
+    * (price, key) structs gives the extreme AND its witness with a
+    * deterministic tie-break (max key for argMax, min key for argMin) —
+    * no second join back, partial-aggregatable at any scale. */
+  def qArgMax(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables(s, dir, "orders")
+      .join(F.broadcast(Tables(s, dir, "customer")), F.col("o_custkey") === F.col("c_custkey"))
+      .select(F.col("c_mktsegment"), F.col("o_orderkey"), dec2(F.col("o_totalprice")).as("p"))
+    j.groupBy("c_mktsegment")
+      .agg(
+        F.max(F.struct(F.col("p"), F.col("o_orderkey").as("k"))).as("mx"),
+        F.min(F.struct(F.col("p"), F.col("o_orderkey").as("k"))).as("mn"))
+      .select(F.col("c_mktsegment"),
+        out2(F.col("mx.p")).as("max_price"), F.col("mx.k").as("argmax_key"),
+        out2(F.col("mn.p")).as("min_price"), F.col("mn.k").as("argmin_key"))
+  }
+
+  val qArgMaxSql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT *,
+      |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY p DESC, o_orderkey DESC) AS rx,
+      |   ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY p ASC, o_orderkey ASC) AS rn
+      |  FROM j)
+      |SELECT c_mktsegment,
+      | CAST(MAX(CASE WHEN rx = 1 THEN p END) AS DOUBLE) AS max_price,
+      | MAX(CASE WHEN rx = 1 THEN o_orderkey END) AS argmax_key,
+      | CAST(MAX(CASE WHEN rn = 1 THEN p END) AS DOUBLE) AS min_price,
+      | MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS argmin_key
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** q_seqmatch: ClickHouse `sequenceMatch('(?1).*(?2)')` — per user,
+    * does a click occur strictly before a purchase? For a 2-step pattern
+    * this is exactly min(click ts) < max(purchase ts), so it's ONE
+    * grouped pass over events (deeper patterns are q_funnel's staged
+    * form). Emits cohort size + matched count. */
+  def qSeqMatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_type"), F.unix_micros(F.col("ts")).as("tu"))
+    ev.groupBy("user_id")
+      .agg(
+        F.min(F.when(F.col("event_type") === "click", F.col("tu"))).as("tc"),
+        F.max(F.when(F.col("event_type") === "purchase", F.col("tu"))).as("tp"))
+      .agg(
+        F.count(F.lit(1)).as("n_users"),
+        F.sum(F.when(F.col("tc").isNotNull && F.col("tp").isNotNull
+          && F.col("tc") < F.col("tp"), 1L).otherwise(0L)).as("n_matched"))
+  }
+
+  val qSeqMatchSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |   MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+      |   MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |  FROM events GROUP BY 1)
+      |SELECT COUNT(*) AS n_users,
+      | CAST(SUM(CASE WHEN tc IS NOT NULL AND tp IS NOT NULL AND tc < tp
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |FROM g""".stripMargin
+
+  /** q_movsum: window-frame aggregation (moving 3-event sum of value per
+    * user, ordered by time) — the ROWS BETWEEN frame shape. Sums run in
+    * exact decimal inside the frame so the emitted doubles are
+    * partition-order-independent. */
+  def qMovSum(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(F.col("tu").asc, F.col("event_id").asc)
+      .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("tu"), F.col("value"))
+      .select(F.col("user_id"), F.col("event_id"),
+        out2(F.sum(dec2(F.col("value"))).over(w)).as("mov3"))
+  }
+
+  val qMovSumSql: String =
+    """SELECT user_id, event_id,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+      |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS mov3
+      |FROM events""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_topk_heap", qTopkHeap _, Some(qTopkHeapSql)),
+    ("q_argmax", qArgMax _, Some(qArgMaxSql)),
+    ("q_seqmatch", qSeqMatch _, Some(qSeqMatchSql)),
+    ("q_movsum", qMovSum _, Some(qMovSumSql)),
     ("q_minsub", qMinSub _, Some(qMinSubSql)),
     ("q_semi_anti", qSemiAnti _, Some(qSemiAntiSql)),
     ("q_json", qJson _, Some(qJsonSql)),
