@@ -159,7 +159,7 @@ object GraphAlgs {
     val undirected = undirected0.localCheckpoint()
     var labels = vertices.select(F.col("vid"), F.col("vid").as("lbl"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // most-frequent neighbor label, ties to smallest: max on the
       // (count, -lbl) struct — a second partial-aggregatable groupBy
       // instead of a window (drops the per-iteration window SORT; vids
@@ -173,7 +173,9 @@ object GraphAlgs {
       labels = labels
         .join(top, Seq("vid"), "left")
         .select(F.col("vid"), F.coalesce(F.col("new_lbl"), F.col("lbl")).as("lbl"))
-        .localCheckpoint()
+      // truncate lineage every 2nd round (and at the end) — plans stay
+      // shallow at half the materialization barriers (see pagerank)
+      if (it % 2 == 0 || it == iters) labels = labels.localCheckpoint()
     }
     labels
   }

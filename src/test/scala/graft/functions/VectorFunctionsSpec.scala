@@ -30,6 +30,35 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("float_mat_top_centroids ranks like per-centroid cosine, ties to smaller index") {
+    val cents: Seq[Seq[Float]] = Seq(
+      Seq(1.0f, 0.0f, 0.0f),
+      Seq(0.0f, 1.0f, 0.0f),
+      Seq(1.0f, 1.0f, 0.0f),
+      Seq(2.0f, 0.0f, 0.0f)) // same direction as centroid 0 → cosine tie
+    val df = graft.Tables(spark, SF, "embeddings").limit(100)
+      .select(F.slice(F.col("embedding"), 1, 3).as("v"))
+    // reference ranking: argmax over explicit cosines (first max wins)
+    val rows = df.select(
+      VectorFunctions.floatMatTopCentroids(F.col("v"), F.typedlit(cents), F.lit(2)).as("top"),
+      F.array(cents.map(c => VectorFunctions.floatVecCosine(
+        F.col("v"), F.typedlit(c))): _*).as("cs")).collect()
+    rows.foreach { r =>
+      val top = r.getSeq[Int](0)
+      val cs = r.getSeq[Double](1)
+      val expected = cs.zipWithIndex.sortBy { case (c, i) => (-c, i) }.take(2).map(_._2)
+      assert(top == expected, s"got $top expected $expected for cs=$cs")
+    }
+    // deterministic tie via SQL: two colinear centroids tie on cosine,
+    // so the smaller index must come first
+    graft.GraftExtensions.register(spark)
+    val tie = spark.sql(
+      "SELECT float_mat_top_centroids(array(CAST(5.0 AS FLOAT), CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))), 2) AS t")
+    assert(tie.head().getSeq[Int](0) == Seq(0, 1))
+  }
+
   test("fused cosine agrees with dot/norm form") {
     val df = graft.Tables(spark, SF, "embeddings").limit(50)
       .select(F.col("embedding").as("e1"))
