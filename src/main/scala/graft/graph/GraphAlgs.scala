@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** Iterative graph algorithms as DataFrame Pregel loops.
@@ -21,38 +21,62 @@ import org.apache.spark.sql.{functions => F}
   */
 object GraphAlgs {
 
+  /** Frontier (delta) min-propagation Pregel: iterate
+    * x(v) ← min(x(v), min over in-neighbors u of msg(x(u), edge)), but
+    * only vertices whose x IMPROVED last round send messages. In min
+    * fixpoints a vertex's value can only drop because a neighbor's
+    * dropped, so the frontier form reaches the same fixpoint while the
+    * per-round join shrinks from |E| to edges-out-of-frontier — the
+    * difference between O(rounds·|E|) and O(Σ frontier out-degrees),
+    * which is what survives a 100 TB graph with a large diameter.
+    * One localCheckpoint per round materializes (state ⋈ candidates);
+    * state, the next frontier, and the emptiness probe are all cheap
+    * projections of it.
+    *
+    * @param state0    (vid, x) initial values
+    * @param frontier0 subset of state0 that speaks in round 0 (all
+    *                  vertices for cc; just the source for sssp — an
+    *                  unreached vertex has nothing useful to say)
+    * @param edges     (src, dst [, edge cols]) message topology
+    * @param msg       new candidate x for dst, from the src row's x + edge cols
+    */
+  private def minPropagate(state0: DataFrame, frontier0: DataFrame => DataFrame,
+                           edges0: DataFrame, msg: Column,
+                           maxIter: Int): DataFrame = {
+    // materialize the edge list once — otherwise its lineage (symmetrize/
+    // distinct/derive) re-runs inside every round's join
+    val edges = edges0.localCheckpoint()
+    var state = state0.localCheckpoint()
+    var frontier = frontier0(state)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val cand = edges
+        .join(frontier, edges("src") === frontier("vid"))
+        .select(F.col("dst").as("vid"), msg.as("x"))
+        .groupBy("vid").agg(F.min("x").as("cand"))
+      val joined = state.join(cand, Seq("vid"), "left")
+        .select(F.col("vid"), F.col("x"), F.col("cand"))
+        .localCheckpoint()
+      state = joined.select(F.col("vid"), F.least(F.col("x"), F.col("cand")).as("x"))
+      frontier = joined.filter(F.col("cand") < F.col("x"))
+        .select(F.col("vid"), F.col("cand").as("x"))
+      done = frontier.isEmpty
+      i += 1
+    }
+    state
+  }
+
   /** Connected components by min-vid label propagation over an
     * (already symmetrized) undirected edge list. Returns (vid, comp). */
   def connectedComponents(vertices: DataFrame, undirected0: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    // materialize the (symmetrize+distinct) edge list once — otherwise
-    // its shuffle re-runs inside every iteration's join
-    val undirected = undirected0.localCheckpoint()
-    var labels = vertices.select(F.col("vid"), F.col("vid").as("comp"))
-      .localCheckpoint()
-    // Convergence via Σcomp: min-label propagation only ever lowers
-    // labels, so the sum is strictly decreasing until fixpoint — an
-    // O(1)-result aggregation on the already-materialized state, instead
-    // of a join against the previous iteration (one shuffle per iter
-    // saved).
-    var prevSum = Long.MaxValue
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val msgs = undirected
-        .join(labels, undirected("src") === labels("vid"))
-        .select(F.col("dst").as("vid"), F.col("comp"))
-      val next = labels.select("vid", "comp").unionByName(msgs)
-        .groupBy("vid").agg(F.min("comp").as("comp"))
-        .localCheckpoint()
-      val sum = next.agg(F.sum("comp")).head().getLong(0)
-      labels = next
-      converged = sum == prevSum
-      prevSum = sum
-      i += 1
-    }
-    labels
-  }
+                          maxIter: Int = 20): DataFrame =
+    minPropagate(
+      vertices.select(F.col("vid"), F.col("vid").as("x")),
+      identity,
+      undirected0.select("src", "dst"),
+      F.col("x"), maxIter)
+      .select(F.col("vid"), F.col("x").as("comp"))
 
   /** PageRank, `iters` fixed iterations, d = 0.85, dangling mass dropped
     * (both engines drop it identically). pr is a BIGINT in 1e-12 units:
@@ -85,68 +109,39 @@ object GraphAlgs {
   }
 
   /** BFS hop count from `sourceVid` over an undirected edge list;
-    * returns reachable (vid, d). */
+    * returns reachable (vid, d). Frontier form: round k's senders are
+    * exactly the vertices first reached at hop k. */
   def sssp(vertices: DataFrame, undirected0: DataFrame, sourceVid: Long,
            maxIter: Int = 10): DataFrame = {
-    val undirected = undirected0.localCheckpoint() // see cc above
     val INF = Int.MaxValue.toLong
-    var dist = vertices.select(F.col("vid"),
-      F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("d"))
-      .localCheckpoint()
-    // Σd is monotone decreasing under relaxation (see cc above).
-    var prevSum = Long.MaxValue
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val relax = undirected
-        .join(dist, undirected("src") === dist("vid"))
-        .filter(F.col("d") < INF)
-        .select(F.col("dst").as("vid"), (F.col("d") + 1L).as("d"))
-      val next = dist.select("vid", "d").unionByName(relax)
-        .groupBy("vid").agg(F.min("d").as("d"))
-        .localCheckpoint()
-      val sum = next.agg(F.sum("d")).head().getLong(0)
-      dist = next
-      converged = sum == prevSum
-      prevSum = sum
-      i += 1
-    }
-    dist.filter(F.col("d") < INF)
+    minPropagate(
+      vertices.select(F.col("vid"),
+        F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("x")),
+      _.filter(F.col("x") < INF),
+      undirected0.select("src", "dst"),
+      F.col("x") + 1L, maxIter)
+      .filter(F.col("x") < INF)
+      .select(F.col("vid"), F.col("x").as("d"))
   }
 
   /** Weighted single-source shortest paths (distributed Bellman-Ford):
-    * relax every weighted edge per round until Σd stops falling. The
-    * weighted analogue of `sssp`; `weighted` is (src, dst, w) with
-    * integer weights. Returns reachable (vid, d). */
+    * frontier = vertices whose distance improved last round (only they
+    * can improve a neighbor). `weighted` is (src, dst, w) with integer
+    * weights. maxIter is a backstop: min-cost paths can use far more
+    * hops than the BFS diameter, so the cap covers |V|-ish worst cases;
+    * the frontier-empty check exits as soon as no relaxation fires.
+    * Returns reachable (vid, d). */
   def weightedSssp(vertices: DataFrame, weighted0: DataFrame, sourceVid: Long,
                    maxIter: Int = 60): DataFrame = {
-    // maxIter is a backstop: the Σd convergence check exits the loop as
-    // soon as no relaxation fires; a min-cost path can legally use far
-    // more hops than the hop diameter, so the cap must cover |V|-ish
-    // worst cases, not the BFS depth.
-    val weighted = weighted0.localCheckpoint()
     val INF = Int.MaxValue.toLong
-    var dist = vertices.select(F.col("vid"),
-      F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("d"))
-      .localCheckpoint()
-    var prevSum = Long.MaxValue
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val relax = weighted
-        .join(dist, weighted("src") === dist("vid"))
-        .filter(F.col("d") < INF)
-        .select(F.col("dst").as("vid"), (F.col("d") + F.col("w")).as("d"))
-      val next = dist.select("vid", "d").unionByName(relax)
-        .groupBy("vid").agg(F.min("d").as("d"))
-        .localCheckpoint()
-      val sum = next.agg(F.sum("d")).head().getLong(0)
-      dist = next
-      converged = sum == prevSum
-      prevSum = sum
-      i += 1
-    }
-    dist.filter(F.col("d") < INF)
+    minPropagate(
+      vertices.select(F.col("vid"),
+        F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("x")),
+      _.filter(F.col("x") < INF),
+      weighted0.select("src", "dst", "w"),
+      F.col("x") + F.col("w"), maxIter)
+      .filter(F.col("x") < INF)
+      .select(F.col("vid"), F.col("x").as("d"))
   }
 
   /** Community detection by synchronous label propagation, `iters` fixed
