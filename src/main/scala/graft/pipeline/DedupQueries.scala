@@ -51,7 +51,10 @@ object DedupQueries {
     * across engines. The shingle self-join is the quadratic step LSH
     * avoids; here it is the exactness oracle. */
   def dJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(Tables(s, dir, "documents"))
+    // the shingle set feeds both self-join sides AND the size table —
+    // materialize it once or the split+explode+distinct shuffle runs 3×
+    // (at cluster scale: persist(DISK_ONLY) instead of localCheckpoint)
+    val sh = wordShingles(Tables(s, dir, "documents")).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
     val a = sh.select(F.col("doc_id").as("a_id"), F.col("s"))
     val b = sh.select(F.col("doc_id").as("b_id"), F.col("s"))
@@ -101,8 +104,10 @@ object DedupQueries {
     val bandCols = (0 until Bands).map { b =>
       F.xxhash64((0 until RowsPerBand).map(r => F.col(s"m${b * RowsPerBand + r}")): _*)
     }
+    // both self-join sides read the signature pipeline — materialize once
     val bands = sig.select(F.col("doc_id"),
       F.posexplode(F.array(bandCols: _*)).as(Seq("band", "bh")))
+      .localCheckpoint()
     val x = bands.select(F.col("band"), F.col("bh"), F.col("doc_id").as("a_id"))
     val y = bands.select(F.col("band"), F.col("bh"), F.col("doc_id").as("b_id"))
     x.join(y, Seq("band", "bh")).filter(F.col("a_id") < F.col("b_id"))
@@ -126,10 +131,12 @@ object DedupQueries {
       (0 until 64).map(j =>
         F.when(F.col(s"b$j") > 0, F.lit(1L << j)).otherwise(F.lit(0L)))
         .reduce(_ bitwiseOR _).as("fp"))
+    // both self-join sides read the fingerprint pipeline — materialize once
     val chunks = fp.select(F.col("doc_id"), F.col("fp"),
       F.posexplode(F.array((0 until 4).map(c =>
         F.shiftright(F.col("fp"), 16 * c).bitwiseAND(F.lit(0xFFFFL))): _*))
         .as(Seq("chunk", "cv")))
+      .localCheckpoint()
     val x = chunks.select(F.col("chunk"), F.col("cv"),
       F.col("doc_id").as("a_id"), F.col("fp").as("fa"))
     val y = chunks.select(F.col("chunk"), F.col("cv"),
