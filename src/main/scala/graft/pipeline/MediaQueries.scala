@@ -111,7 +111,85 @@ object MediaQueries {
       |      i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, x) -> a + x) AS checksum
       |FROM m, UNNEST(range(0, nf)) AS u(f)""".stripMargin
 
+  final case class MediaResized(doc_id: Long, out_w: Int, out_h: Int,
+                                stride: Long, checksum: Long)
+
+  /** DETERMINISTIC RESIZE STUB — stands in for image downscaling: fixed
+    * 64×64 output, "sampling" every stride-th byte (stride sized so ≤4096
+    * samples survive, the 1-D analogue of nearest-neighbor downsampling).
+    * A real decoder swaps only this function. */
+  def stubResize(m: MediaBlob): MediaResized = {
+    val n = m.blob.length
+    val stride = math.max(1L, n.toLong / 4096L)
+    var sum = 0L
+    var i = 0L
+    while (i < n) { sum += m.blob(i.toInt) & 0xFF; i += stride }
+    MediaResized(m.doc_id, 64, 64, stride, sum)
+  }
+
+  /** m_media_resize: one-to-one media transform with data-dependent
+    * sampling — the resize shape of the pipeline. */
+  def mMediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions(_.map(stubResize))
+      .toDF()
+  }
+
+  val mMediaResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    greatest(1, length(text) // 4096) AS stride
+      |  FROM documents)
+      |SELECT doc_id, CAST(64 AS INTEGER) AS out_w, CAST(64 AS INTEGER) AS out_h,
+      |  CAST(stride AS BIGINT) AS stride,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, n + 1, CAST(stride AS INTEGER)),
+      |      i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, x) -> a + x) AS checksum
+      |FROM m""".stripMargin
+
+  final case class MediaFeat(doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long,
+                             f4: Long, f5: Long, f6: Long, f7: Long)
+
+  /** DETERMINISTIC FEATURE-EXTRACT STUB — stands in for an embedding
+    * model: an 8-bin byte "histogram" (sum of byte values by position mod
+    * 8). Fixed-width typed output, exactly the shape a real encoder
+    * produces; only this function changes in deployment. */
+  def stubFeatures(m: MediaBlob): MediaFeat = {
+    val f = new Array[Long](8)
+    var i = 0
+    while (i < m.blob.length) { f(i % 8) += m.blob(i) & 0xFF; i += 1 }
+    MediaFeat(m.doc_id, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+  }
+
+  /** m_media_features: binary column → fixed-dim feature columns. */
+  def mMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions(_.map(stubFeatures))
+      .toDF()
+  }
+
+  val mMediaFeaturesSql: String = {
+    val bins = (0 until 8).map { j =>
+      s"""  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(${j + 1}, n + 1, 8),
+         |      i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, x) -> a + x) AS f$j"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents)
+       |SELECT doc_id,
+       |$bins
+       |FROM m""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)),
-    ("m_media_frames", mMediaFrames _, Some(mMediaFramesSql)))
+    ("m_media_frames", mMediaFrames _, Some(mMediaFramesSql)),
+    ("m_media_resize", mMediaResize _, Some(mMediaResizeSql)),
+    ("m_media_features", mMediaFeatures _, Some(mMediaFeaturesSql)))
 }
