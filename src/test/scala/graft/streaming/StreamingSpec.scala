@@ -117,6 +117,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state is bounded: clickless users store nothing, clicks evict on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel_state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // 3 clickless users + 1 click: only the click may occupy state
+      in.addData(Ev(10, ts(0), "view", 0), Ev(11, ts(1), "view", 0),
+        Ev(12, ts(2), "purchase", 0), Ev(13, ts(3), "click", 0))
+      q.processAllAvailable()
+      val afterBatch1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(afterBatch1 == 1L,
+        s"clickless users must not be stored: state rows = $afterBatch1")
+      // push the watermark past click+1h+30min slack → timeout evicts it
+      in.addData(Ev(99, ts(200), "view", 0))
+      q.processAllAvailable()
+      in.addData(Ev(99, ts(400), "view", 0))
+      q.processAllAvailable()
+      val afterTimeout = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(afterTimeout == 0L,
+        s"timed-out funnel state must be evicted: state rows = $afterTimeout")
+    } finally q.stop()
+  }
+
   test("file readStream plans an unbounded source over events") {
     val df = EventStream.readEvents(spark, SF)
     assert(df.isStreaming)
