@@ -151,6 +151,40 @@ object EventStream {
       }
   }
 
+  /** Streaming windowed approximate-distinct users (HLL sketch per
+    * tumbling window): sketches are mergeable, so the partial aggregation
+    * is map-side and state per open window is one sketch, not a user set
+    * — the only formulation that survives unbounded cardinality. */
+  def tumblingApproxUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"))
+      .agg(F.approx_count_distinct("user_id").as("approx_users"),
+        F.count(F.lit(1)).as("n_events"))
+      .select(F.col("w.start").as("window_start"),
+        F.col("approx_users"), F.col("n_events"))
+
+  /** Stream-stream interval join: each click joined to that user's
+    * purchases within the following hour. Both sides are watermarked and
+    * the join condition bounds purchase_ts relative to click_ts, so the
+    * state store can evict rows once the watermark passes the interval —
+    * bounded state on two unbounded streams. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(F.col("event_type") === "click")
+      .select(F.col("user_id"), F.col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id").as("p_user"), F.col("ts").as("purchase_ts"),
+        F.col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases, F.expr(
+      """user_id = p_user AND
+        |purchase_ts > click_ts AND
+        |purchase_ts <= click_ts + interval 1 hour""".stripMargin))
+      .select(F.col("user_id"), F.col("click_ts"), F.col("purchase_ts"),
+        F.col("purchase_value"))
+  }
+
   /** File-stream source over a directory of event parquet — the
     * production entry point (readStream → transforms → writeStream). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -143,6 +143,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed approx-distinct users emits once the window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.tumblingApproxUsers(in.toDF())
+      .writeStream.format("memory").queryName("appx_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, ts(5), "click", 0), Ev(2, ts(10), "view", 0),
+        Ev(1, ts(20), "view", 0))
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(200), "view", 0)) // watermark past hour 0
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(400), "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("appx_out").collect()
+        .map(r => (mins(r.getTimestamp(0)), r.getLong(1), r.getLong(2))).toSet
+      // 2 distinct users, 3 events in hour 0; HLL is exact at this scale
+      assert(rows.contains((0L, 2L, 3L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs clicks with in-window purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.clickPurchaseJoin(in.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1, ts(0), "click", 0), Ev(1, ts(30), "purchase", 9.5),
+        Ev(2, ts(10), "click", 0), Ev(2, ts(90), "purchase", 1.0), // outside 1h
+        Ev(3, ts(40), "purchase", 2.0)) // no click
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(500), "view", 0)) // advance both watermarks
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), mins(r.getTimestamp(1)), mins(r.getTimestamp(2)), r.getDouble(3)))
+        .toSet
+      assert(rows == Set((1L, 0L, 30L, 9.5)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("file readStream plans an unbounded source over events") {
     val df = EventStream.readEvents(spark, SF)
     assert(df.isStreaming)
