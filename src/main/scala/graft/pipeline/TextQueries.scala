@@ -109,20 +109,18 @@ object TextQueries {
        |  CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS re_tokens
        |FROM documents""".stripMargin
 
-  /** t_fingerprint: 4-value MinHash sketch over rolling 8-char windows
-    * (rows-only: xxhash64 values are engine-specific; FingerprintSpec
-    * asserts the semantic properties). Map-only at any scale. */
-  def tFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val win = Tables(s, dir, "documents")
+  /** t_fingerprint: 4-value MinHash sketch over rolling 8-byte windows
+    * (rows-only: xxhash64 values are engine-specific; TextSpec asserts
+    * the semantic properties AND value-equality with the explode
+    * formulation). One codegen'd pass per document via the RollingMinHash
+    * expression — the explode form ships a row per window (|doc| rows per
+    * doc) through a shuffle; this emits 4 longs per doc, map-only. */
+  def tFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .filter(F.length(F.col("text")) >= 8)
-      .select(F.col("doc_id"), F.explode(F.expr(
-        "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))")).as("g"))
-      .select(F.col("doc_id"), F.xxhash64(F.col("g")).as("h"))
-    val sketch = (0 until 4).map { i =>
-      F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"fp$i")
-    }
-    win.groupBy("doc_id").agg(sketch.head, sketch.tail: _*)
-  }
+      .select(F.col("doc_id") +: (0 until 4).map(i =>
+        graft.functions.TextFunctions.rollingMinHash(F.col("text"), 8, 4)
+          .getItem(i).as(s"fp$i")): _*)
 
   /** t_topterms: top-5 terms per source by frequency (explode → count →
     * per-group top-N window; ties broken alphabetically). The groupBy

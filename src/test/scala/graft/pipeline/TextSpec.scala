@@ -30,6 +30,27 @@ class TextSpec extends SparkSpec {
       s"only $sharing/${near.length} near-dup pairs share a sketch value")
   }
 
+  test("one-pass rolling MinHash equals the explode formulation bit-for-bit") {
+    // the corpus is pure ASCII, so 8-char windows == 8-byte windows
+    val explodeForm = graft.Tables(spark, SF, "documents")
+      .filter(F.length(F.col("text")) >= 8)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))")).as("g"))
+      .select(F.col("doc_id"), F.xxhash64(F.col("g")).as("h"))
+      .groupBy("doc_id")
+      .agg(F.min(F.xxhash64(F.lit(0), F.col("h"))).as("fp0"),
+        F.min(F.xxhash64(F.lit(1), F.col("h"))).as("fp1"),
+        F.min(F.xxhash64(F.lit(2), F.col("h"))).as("fp2"),
+        F.min(F.xxhash64(F.lit(3), F.col("h"))).as("fp3"))
+    val diff = TextQueries.tFingerprint(spark, SF)
+      .join(explodeForm.withColumnsRenamed(
+        (0 until 4).map(i => s"fp$i" -> s"e$i").toMap), "doc_id")
+      .filter((0 until 4).map(i =>
+        F.col(s"fp$i") =!= F.col(s"e$i")).reduce(_ || _))
+      .count()
+    assert(diff == 0)
+  }
+
   test("langid predictions come from the marker lexicon or 'und'") {
     val langs = TextQueries.tLangid(spark, SF)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
