@@ -37,6 +37,98 @@ object TextOps {
   }
 }
 
+/** k-value MinHash sketch over all `nWords`-word shingles of a
+  * space-separated string, in one pass over its bytes. A shingle's bytes
+  * are the contiguous span from the first word's start to the last
+  * word's end, which is byte-identical to
+  * `concat_ws(' ', w[i..i+nWords-1])` for ANY spacing (empty tokens
+  * from repeated spaces reproduce the same bytes), so hashes match the
+  * explode formulation exactly. Duplicate shingles can't change a min,
+  * so the explode form's DISTINCT is unnecessary here. */
+object WordShingleOps {
+  def minHash(s: UTF8String, nWords: Int, seeds: Array[Long]): ArrayData = {
+    val mins = Array.fill(seeds.length)(Long.MaxValue)
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var spaces = 0
+    var p = 0
+    while (p < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) spaces += 1
+      p += 1
+    }
+    // starts(i) = byte offset of word i; sentinel start(nw) = n+1 makes
+    // end-of-word j = starts(j+1) - 1 uniform for the last word too
+    val starts = new Array[Int](spaces + 2)
+    var w = 0
+    p = 0
+    while (p < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        w += 1; starts(w) = p + 1
+      }
+      p += 1
+    }
+    val nw = w + 1
+    starts(nw) = n + 1
+    var i = 0
+    while (i + nWords <= nw) {
+      val a = starts(i)
+      val b = starts(i + nWords) - 1
+      val h = XXH64.hashUnsafeBytes(base, off + a, b - a, 42L)
+      var j = 0
+      while (j < seeds.length) {
+        val v = XXH64.hashLong(h, seeds(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** MinHash over word shingles as a single codegen'd expression: the
+  * explode formulation ships one row per (doc, shingle) through a
+  * distinct AND a grouped 64-column min — two shuffles scaling with
+  * total shingle count; this emits k longs per document, map-only. */
+case class WordShingleMinHash(str: Expression, nWords: Expression, k: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = str
+  override def second: Expression = nWords
+  override def third: Expression = k
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (str.dataType != StringType || nWords.dataType != IntegerType
+        || k.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"word_shingle_min_hash needs (string, int, int), got " +
+          s"(${str.dataType}, ${nWords.dataType}, ${k.dataType})")
+    else if (!nWords.foldable || !k.foldable)
+      TypeCheckResult.TypeCheckFailure("word_shingle_min_hash needs constant nWords and k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_min_hash"
+
+  @transient private lazy val nw: Int = nWords.eval(null).asInstanceOf[Int]
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k.eval(null).asInstanceOf[Int])(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(s: Any, nv: Any, kv: Any): Any =
+    WordShingleOps.minHash(s.asInstanceOf[UTF8String], nw, seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("wsmhSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, (s, _, _) =>
+      s"${ev.value} = graft.functions.WordShingleOps.minHash($s, $nw, $seedsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(str = newFirst, nWords = newSecond, k = newThird)
+}
+
 /** k-value MinHash sketch over all rolling `width`-byte windows of a
   * string, as array<long> (strings shorter than `width` yield an
   * all-Long.MaxValue sketch — filter them upstream if undesired).
@@ -91,5 +183,11 @@ object TextFunctions {
   def rollingMinHash(str: Column, width: Int, k: Int): Column =
     GraftSqlBridge.column(RollingMinHash(GraftSqlBridge.expression(str),
       GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(width)),
+      GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(k))))
+
+  /** One-pass word-shingle MinHash sketch (codegen'd). */
+  def wordShingleMinHash(str: Column, nWords: Int, k: Int): Column =
+    GraftSqlBridge.column(WordShingleMinHash(GraftSqlBridge.expression(str),
+      GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(nWords)),
       GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(k))))
 }

@@ -95,14 +95,18 @@ object DedupQueries {
     * candidate join keys on (band, bandHash): equality shuffle join, no
     * n² anywhere. */
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(Tables(s, dir, "documents"))
-    val base = sh.select(F.col("doc_id"), F.xxhash64(F.col("s")).as("h"))
-    val mins = (0 until MinHashK).map { i =>
-      F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"m$i")
-    }
-    val sig = base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // one-pass per-document signatures via the WordShingleMinHash
+    // expression: map-only, vs the explode form's distinct + 64-column
+    // grouped min (two shuffles scaling with total shingle count);
+    // DedupSpec asserts value-equality of the two formulations
+    val sig = Tables(s, dir, "documents")
+      .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+      .select(F.col("doc_id"),
+        graft.functions.TextFunctions
+          .wordShingleMinHash(F.col("text"), 3, MinHashK).as("mh"))
     val bandCols = (0 until Bands).map { b =>
-      F.xxhash64((0 until RowsPerBand).map(r => F.col(s"m${b * RowsPerBand + r}")): _*)
+      F.xxhash64((0 until RowsPerBand).map(r =>
+        F.col("mh").getItem(b * RowsPerBand + r)): _*)
     }
     // both self-join sides read the signature pipeline — materialize once
     val bands = sig.select(F.col("doc_id"),

@@ -31,6 +31,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("one-pass shingle MinHash equals the explode formulation bit-for-bit") {
+    val sh = DedupQueries.wordShingles(graft.Tables(spark, SF, "documents"))
+    val base = sh.select(F.col("doc_id"), F.xxhash64(F.col("s")).as("h"))
+    val mins = (0 until DedupQueries.MinHashK).map { i =>
+      F.min(F.xxhash64(F.lit(i), F.col("h"))).as(s"m$i")
+    }
+    val explodeForm = base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val onePass = graft.Tables(spark, SF, "documents")
+      .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+      .select(F.col("doc_id"),
+        graft.functions.TextFunctions
+          .wordShingleMinHash(F.col("text"), 3, DedupQueries.MinHashK).as("mh"))
+    val diff = onePass.join(explodeForm, "doc_id")
+      .filter((0 until DedupQueries.MinHashK).map(i =>
+        F.col("mh").getItem(i) =!= F.col(s"m$i")).reduce(_ || _))
+      .count()
+    assert(diff == 0)
+    assert(onePass.count() == explodeForm.count())
+  }
+
   test("minhash-LSH candidates cover every pair with Jaccard >= 0.85") {
     val cand = DedupQueries.dMinhashLsh(spark, SF)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
