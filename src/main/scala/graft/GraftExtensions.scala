@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatMatTopCentroids, FloatVecCosine, FloatVecDot, RollingMinHash, WordShingleMinHash}
+import graft.functions.{FloatMatTopCentroids, FloatVecCosine, FloatVecDot, RollingMinHash, WordShingleMinHash, WordSimHash}
 
 /** Spark session extension registering graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... float_vec_dot(a, b)")`
@@ -36,7 +36,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => RollingMinHash(args(0), args(1), args(2))),
     (new FunctionIdentifier("word_shingle_min_hash"),
       new ExpressionInfo(classOf[WordShingleMinHash].getName, "word_shingle_min_hash"),
-      (args: Seq[Expression]) => WordShingleMinHash(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => WordShingleMinHash(args(0), args(1), args(2))),
+    (new FunctionIdentifier("word_sim_hash"),
+      new ExpressionInfo(classOf[WordSimHash].getName, "word_sim_hash"),
+      (args: Seq[Expression]) => WordSimHash(args(0))))
 
   /** Register on an already-built session (e.g. a REPL). */
   def register(spark: SparkSession): Unit =

@@ -178,6 +178,66 @@ case class RollingMinHash(str: Expression, width: Expression, k: Expression)
     copy(str = newFirst, width = newSecond, k = newThird)
 }
 
+/** 64-bit SimHash of a space-separated string in one pass: each word's
+  * xxhash64 votes ±1 per bit position; fingerprint bit j is set when the
+  * votes sum positive. Value-identical to the explode formulation
+  * (per-word rows → 64 conditional sums → bit OR) without the explode or
+  * the 64-column aggregation. */
+object WordSimHashOps {
+  def simHash(s: UTF8String): Long = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val votes = new Array[Int](64)
+    var wordStart = 0
+    var p = 0
+    while (p <= n) {
+      val atSep = p == n || org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20
+      if (atSep) {
+        val h = XXH64.hashUnsafeBytes(base, off + wordStart, p - wordStart, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        wordStart = p + 1
+      }
+      p += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
+/** One-pass 64-bit SimHash expression (see [[WordSimHashOps]]). */
+case class WordSimHash(str: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = str
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (str.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_sim_hash needs a string input, got ${str.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "word_sim_hash"
+
+  override def nullSafeEval(s: Any): Any =
+    WordSimHashOps.simHash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.WordSimHashOps.simHash($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(str = newChild)
+}
+
 object TextFunctions {
   /** One-pass rolling-window MinHash sketch (codegen'd). */
   def rollingMinHash(str: Column, width: Int, k: Int): Column =
@@ -190,4 +250,8 @@ object TextFunctions {
     GraftSqlBridge.column(WordShingleMinHash(GraftSqlBridge.expression(str),
       GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(nWords)),
       GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(k))))
+
+  /** One-pass 64-bit word SimHash (codegen'd). */
+  def wordSimHash(str: Column): Column =
+    GraftSqlBridge.column(WordSimHash(GraftSqlBridge.expression(str)))
 }

@@ -123,18 +123,12 @@ object DedupQueries {
     * fingerprint — pigeonhole: hamming ≤ 3 over 4 chunks ⇒ ≥ 1 chunk
     * equal — so candidates come from an equality join, never n². */
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(s, dir, "documents")
-      .select(F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).as("w"))
-      .select(F.col("doc_id"), F.xxhash64(F.col("w")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = sums.select(F.col("doc_id"),
-      (0 until 64).map(j =>
-        F.when(F.col(s"b$j") > 0, F.lit(1L << j)).otherwise(F.lit(0L)))
-        .reduce(_ bitwiseOR _).as("fp"))
+    // one-pass per-document fingerprints via the WordSimHash expression:
+    // map-only, vs the explode form's per-word rows + 64-column grouped
+    // sum; DedupSpec asserts value-equality of the two formulations
+    val fp = Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        graft.functions.TextFunctions.wordSimHash(F.col("text")).as("fp"))
     // both self-join sides read the fingerprint pipeline — materialize once
     val chunks = fp.select(F.col("doc_id"), F.col("fp"),
       F.posexplode(F.array((0 until 4).map(c =>

@@ -51,6 +51,27 @@ class DedupSpec extends SparkSpec {
     assert(onePass.count() == explodeForm.count())
   }
 
+  test("one-pass SimHash equals the explode formulation bit-for-bit") {
+    val tok = graft.Tables(spark, SF, "documents")
+      .select(F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).as("w"))
+      .select(F.col("doc_id"), F.xxhash64(F.col("w")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val explodeForm = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(F.col("doc_id"),
+        (0 until 64).map(j =>
+          F.when(F.col(s"b$j") > 0, F.lit(1L << j)).otherwise(F.lit(0L)))
+          .reduce(_ bitwiseOR _).as("efp"))
+    val onePass = graft.Tables(spark, SF, "documents")
+      .select(F.col("doc_id"),
+        graft.functions.TextFunctions.wordSimHash(F.col("text")).as("fp"))
+    val diff = onePass.join(explodeForm, "doc_id")
+      .filter(F.col("fp") =!= F.col("efp")).count()
+    assert(diff == 0)
+  }
+
   test("minhash-LSH candidates cover every pair with Jaccard >= 0.85") {
     val cand = DedupQueries.dMinhashLsh(spark, SF)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
