@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatMatTopCentroids, FloatVecCosine, FloatVecDot, RollingMinHash, WordShingleMinHash, WordSimHash}
+import graft.functions.{FloatMatSignBuckets, FloatMatTopCentroids, FloatVecCosine, FloatVecDot, RollingMinHash, WordShingleMinHash, WordSimHash}
 
 /** Spark session extension registering graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("... float_vec_dot(a, b)")`
@@ -39,7 +39,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => WordShingleMinHash(args(0), args(1), args(2))),
     (new FunctionIdentifier("word_sim_hash"),
       new ExpressionInfo(classOf[WordSimHash].getName, "word_sim_hash"),
-      (args: Seq[Expression]) => WordSimHash(args(0))))
+      (args: Seq[Expression]) => WordSimHash(args(0))),
+    (new FunctionIdentifier("float_mat_sign_buckets"),
+      new ExpressionInfo(classOf[FloatMatSignBuckets].getName, "float_mat_sign_buckets"),
+      (args: Seq[Expression]) => FloatMatSignBuckets(args(0), args(1), args(2))))
 
   /** Register on an already-built session (e.g. a REPL). */
   def register(spark: SparkSession): Unit =

@@ -164,6 +164,85 @@ object MatOps {
     }
     new GenericArrayData(out)
   }
+
+  /** LSH bucket per table: bit b of bucket t set iff
+    * dot(v, plane[t·bpt+b]) > 0 (ascending-index fold, same as
+    * FloatVecDot). */
+  def signBuckets(v: ArrayData, flat: Array[Float], dim: Int, bpt: Int): ArrayData = {
+    val nPlanes = if (dim == 0) 0 else flat.length / dim
+    val out = new Array[Int](nPlanes / bpt)
+    val n = math.min(v.numElements(), dim)
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < n) { s += v.getFloat(i).toDouble * flat(off + i); i += 1 }
+      if (s > 0.0) out(p / bpt) |= 1 << (p % bpt)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Random-hyperplane LSH bucket signatures: planes is a constant matrix of
+  * (nTables × bitsPerTable) rows; bucket t's bit b is set when
+  * dot(vec, plane[t·bpt + b]) > 0 (the dot is the same ascending-index
+  * fold as FloatVecDot, so signs match the per-plane expression form).
+  * Returns array<int> of nTables buckets. Replaces nTables×bitsPerTable
+  * unrolled literal-array dot columns with one reference object + one
+  * static call — plan size independent of the plane count. */
+case class FloatMatSignBuckets(vec: Expression, mat: Expression, bitsPerTable: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = mat
+  override def third: Expression = bitsPerTable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val matOk = mat.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    if (!vecOk || !matOk || bitsPerTable.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"float_mat_sign_buckets needs (array<float>, array<array<float>>, int), " +
+          s"got (${vec.dataType}, ${mat.dataType}, ${bitsPerTable.dataType})")
+    else if (!mat.foldable || !bitsPerTable.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "float_mat_sign_buckets needs constant (foldable) planes and bitsPerTable")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "float_mat_sign_buckets"
+
+  @transient private lazy val (flat: Array[Float], dim: Int) = {
+    val m = mat.eval(null).asInstanceOf[ArrayData]
+    val rows = Array.tabulate(m.numElements())(i => m.getArray(i).toFloatArray())
+    val d = if (rows.isEmpty) 0 else rows.map(_.length).max
+    val f = new Array[Float](rows.length * d)
+    rows.zipWithIndex.foreach { case (r, i) => System.arraycopy(r, 0, f, i * d, r.length) }
+    (f, d)
+  }
+  @transient private lazy val bpt: Int = bitsPerTable.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(v: Any, m: Any, b: Any): Any =
+    MatOps.signBuckets(v.asInstanceOf[ArrayData], flat, dim, bpt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("planesFlat", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      s"${ev.value} = graft.functions.MatOps.signBuckets($v, $flatRef, $dim, $bpt);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, mat = newSecond, bitsPerTable = newThird)
 }
 
 /** Top-k nearest centroid *indices* for a float vector against a constant
@@ -250,4 +329,10 @@ object VectorFunctions {
     GraftSqlBridge.column(
       FloatMatTopCentroids(GraftSqlBridge.expression(vec),
         GraftSqlBridge.expression(mat), GraftSqlBridge.expression(k)))
+
+  /** Random-hyperplane LSH bucket per table (codegen'd). */
+  def floatMatSignBuckets(vec: Column, planes: Column, bitsPerTable: Column): Column =
+    GraftSqlBridge.column(
+      FloatMatSignBuckets(GraftSqlBridge.expression(vec),
+        GraftSqlBridge.expression(planes), GraftSqlBridge.expression(bitsPerTable)))
 }

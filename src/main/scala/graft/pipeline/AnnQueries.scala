@@ -91,7 +91,19 @@ object AnnQueries {
     Array.fill(Tables_, BitsPerTable, 64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
   }
 
-  private def signature(vec: Column, t: Int): Column =
+  /** All per-table bucket signatures at once via FloatMatSignBuckets —
+    * one constant plane matrix in the plan instead of
+    * Tables×BitsPerTable unrolled literal-array dot columns (AnnSpec
+    * asserts equality with the per-plane expression form). */
+  private[pipeline] def signatures(vec: Column): Column =
+    graft.functions.VectorFunctions.floatMatSignBuckets(
+      vec,
+      F.typedlit(planes.flatten.map(_.toSeq).toSeq),
+      F.lit(BitsPerTable))
+
+  /** Per-plane expression form of one table's signature (kept for the
+    * equality spec). */
+  private[pipeline] def signature(vec: Column, t: Int): Column =
     (0 until BitsPerTable).map { b =>
       val plane = F.array(planes(t)(b).map(F.lit): _*)
       F.when(dot(vec, plane) > 0.0, F.lit(1 << b)).otherwise(F.lit(0))
@@ -104,8 +116,7 @@ object AnnQueries {
   def sAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables(s, dir, "embeddings"))
     val buckets = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
-      F.posexplode(F.array((0 until Tables_).map(t =>
-        signature(F.col("embedding"), t)): _*)).as(Seq("t", "bucket")))
+      F.posexplode(signatures(F.col("embedding"))).as(Seq("t", "bucket")))
     val q = buckets.filter(F.col("vec_id") < NQueries)
       .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
         F.col("nrm").as("nq"), F.col("t"), F.col("bucket"))

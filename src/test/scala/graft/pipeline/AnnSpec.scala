@@ -20,6 +20,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("matrix sign buckets equal the per-plane signature expressions") {
+    import org.apache.spark.sql.{functions => F}
+    val e = graft.Tables(spark, SF, "embeddings").limit(200)
+    val diff = e.select(
+      AnnQueries.signatures(F.col("embedding")).as("b"),
+      F.array((0 until AnnQueries.Tables_).map(t =>
+        AnnQueries.signature(F.col("embedding"), t)): _*).as("ref"))
+      .filter(F.col("b") =!= F.col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("LSH ANN recall@10 vs brute force is usable") {
     val exact = pairs(AnnQueries.sAnnTopk(spark, SF))
     val approx = pairs(AnnQueries.sAnnLsh(spark, SF))
