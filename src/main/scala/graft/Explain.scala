@@ -8,7 +8,8 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (n <- Seq("q6_filter", "q5_join5", "kv_slice", "d_embed_dup", "q1_agg", "q_asof")) {
+    for (n <- Seq("q6_filter", "q5_join5", "kv_slice", "d_embed_dup", "q1_agg", "q_asof",
+        "t_fingerprint", "d_simhash", "d_minhash_lsh", "q_argmax")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
