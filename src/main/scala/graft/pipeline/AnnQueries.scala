@@ -56,14 +56,17 @@ object AnnQueries {
       .filter(F.col("vec_id") =!= F.col("q_id"))
       .select(F.col("q_id"), F.col("vec_id").as("n_id"),
         (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
-    scored
-      .withColumn("rnk", F.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(F.col("cs").desc, F.col("n_id"))))
-      .filter(F.col("rnk") <= TopK)
-      .select(F.col("q_id"), F.col("n_id"), F.col("rnk"),
-        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+    rankTopK(scored)
   }
+
+  /** Per-query top-k by (cs DESC, n_id ASC) via the bounded-heap
+    * TopKPairs aggregate: map-side partial top-k means the shuffle
+    * carries O(queries × k) entries, not every scored candidate — the
+    * window row_number form sorts ALL candidates per query. */
+  private def rankTopK(scored: DataFrame): DataFrame =
+    graft.operators.TopK.perGroup(scored, Seq("q_id"), F.col("cs"), F.col("n_id"), TopK)
+      .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"),
+        F.floor(F.col("score") * 1e6).cast("long").as("cs6"))
 
   val sAnnTopkSql: String =
     s"""WITH n AS ($normSql),
@@ -124,15 +127,9 @@ object AnnQueries {
       .filter(F.col("vec_id") =!= F.col("q_id"))
       .select("q_id", "eq", "nq", "vec_id", "embedding", "nrm")
       .dropDuplicates("q_id", "vec_id")
-    cand
+    rankTopK(cand
       .select(F.col("q_id"), F.col("vec_id").as("n_id"),
-        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
-      .withColumn("rnk", F.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(F.col("cs").desc, F.col("n_id"))))
-      .filter(F.col("rnk") <= TopK)
-      .select(F.col("q_id"), F.col("n_id"), F.col("rnk"),
-        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs")))
   }
 
   val NCentroids = 16
@@ -189,16 +186,10 @@ object AnnQueries {
       .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"), F.col("nrm").as("nq"))
       .select(F.col("q_id"), F.col("eq"), F.col("nq"),
         F.explode(topCids(F.col("eq"), cents, NProbe)).as("cid"))
-    F.broadcast(probes).join(assigned, Seq("cid"))
+    rankTopK(F.broadcast(probes).join(assigned, Seq("cid"))
       .filter(F.col("vec_id") =!= F.col("q_id"))
       .select(F.col("q_id"), F.col("vec_id").as("n_id"),
-        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
-      .withColumn("rnk", F.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(F.col("cs").desc, F.col("n_id"))))
-      .filter(F.col("rnk") <= TopK)
-      .select(F.col("q_id"), F.col("n_id"), F.col("rnk"),
-        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs")))
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
