@@ -1,0 +1,65 @@
+package graft.kv
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** Merge-on-read mutation log: the merged view after N appended batches
+  * must equal applying KVStore.mutate N times sequentially (the snapshot
+  * semantics), and compaction must not change the view. */
+class KVDeltaStoreSpec extends SparkSpec {
+
+  private def kcv(rows: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("kk", "cc", "vv").select(
+      KVStore.encLong(F.col("kk")).as("k"),
+      KVStore.encLong(F.col("cc")).as("c"),
+      KVStore.encLong(F.col("vv")).as("v"))
+  }
+
+  private def decode(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select(KVStore.decLong(F.col("k"), 1), KVStore.decLong(F.col("c"), 1),
+      KVStore.decLong(F.col("v"), 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("merged view equals sequential mutate; compaction preserves it") {
+    val wh = java.nio.file.Files.createTempDirectory("kvdelta").toString
+    val ds = new KVDeltaStore(spark, wh)
+    assert(!ds.exists("s"))
+
+    // batch 1: plain inserts
+    val b1add = kcv(Seq((1, 1, 10), (1, 2, 20), (2, 1, 30), (3, 1, 40)))
+    ds.appendMutation("s", b1add, kcv(Nil).select("k", "c"))
+    // batch 2: upsert (1,1)->11, delete (1,2), insert (2,2,50),
+    //          and delete-before-add on a NEW cell (3,2): both in one batch
+    val b2add = kcv(Seq((1, 1, 11), (2, 2, 50), (3, 2, 60)))
+    val b2del = kcv(Seq((1, 2, 0), (3, 2, 0))).select("k", "c")
+    ds.appendMutation("s", b2add, b2del)
+    // batch 3: delete the cell upserted in batch 2
+    val b3del = kcv(Seq((1, 1, 0))).select("k", "c")
+    ds.appendMutation("s", kcv(Nil), b3del)
+
+    // reference: the same three batches folded through KVStore.mutate
+    val empty = kcv(Nil)
+    val ref1 = KVStore.mutate(empty, b1add, kcv(Nil).select("k", "c"))
+    val ref2 = KVStore.mutate(ref1, b2add, b2del)
+    val ref3 = KVStore.mutate(ref2, kcv(Nil), b3del)
+    val expected = decode(ref3)
+    assert(expected == Set((2L, 1L, 30L), (3L, 1L, 40L), (2L, 2L, 50L), (3L, 2L, 60L)))
+    assert(decode(ds.openDatabase("s")) == expected)
+
+    // KVStore ops compose against the merged view
+    val sliced = KVStore.slice(ds.openDatabase("s"),
+      kcv(Seq((2, 0, 0))).select("k"), F.lit(Array.emptyByteArray),
+      KVStore.encLong(F.lit(Long.MaxValue)), 10)
+    assert(decode(sliced).map(t => (t._1, t._2)) == Set((2L, 1L), (2L, 2L)))
+
+    // compaction folds the log without changing the view
+    ds.compact("s")
+    assert(decode(ds.openDatabase("s")) == expected)
+
+    // and further mutation on a compacted store still works
+    ds.appendMutation("s", kcv(Seq((9, 9, 99))), kcv(Nil).select("k", "c"))
+    assert(decode(ds.openDatabase("s")) == expected + ((9L, 9L, 99L)))
+  }
+}
