@@ -116,9 +116,37 @@ object KVQueries {
       |  SELECT DISTINCT user_id, 0 AS us, 999999 AS event_id, 'upserted' AS v_str
       |  FROM events WHERE user_id < 5) x""".stripMargin
 
+  /** kv_deltalog: the kv_mutate scenario replayed through the append-only
+    * mutation log (KVDeltaStore): batch 1 = the full event store, batch 2
+    * = the same deletions+upserts, then the SAME slice read against the
+    * merge-on-read view. Shares kv_mutate's oracle — the log and the
+    * snapshot path must agree cell-for-cell. */
+  def kvDeltaLog(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_kvdelta").toString
+    val ds = new KVDeltaStore(s, wh)
+    val ev = Tables(s, dir, "events")
+    val noDel = eventStore(s, dir).select("k", "c").limit(0)
+    ds.appendMutation("events", eventStore(s, dir), noDel)
+    val deletions = ev
+      .filter(F.col("user_id") < 5 && F.col("event_type") === "error")
+      .select(
+        encLong(F.col("user_id")).as("k"),
+        F.concat(encLong(F.unix_micros(F.col("ts"))), encLong(F.col("event_id"))).as("c"))
+    val additions = ev.select("user_id").distinct().filter(F.col("user_id") < 5)
+      .select(
+        encLong(F.col("user_id")).as("k"),
+        F.concat(encLong(F.lit(0L)), encLong(F.lit(999999L))).as("c"),
+        F.lit("upserted").cast("binary").as("v"))
+    ds.appendMutation("events", additions, deletions)
+    val keys = s.range(0, 5).select(encLong(F.col("id")).as("k"))
+    decoded(slice(ds.openDatabase("events"), F.broadcast(keys), F.lit(Array.emptyByteArray),
+      F.concat(encLong(F.lit(Long.MaxValue)), encLong(F.lit(Long.MaxValue))), Int.MaxValue))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("kv_slice", kvSlice _, Some(kvSliceSql)),
     ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
     ("kv_getkeys", kvGetKeys _, Some(kvGetKeysSql)),
-    ("kv_mutate", kvMutate _, Some(kvMutateSql)))
+    ("kv_mutate", kvMutate _, Some(kvMutateSql)),
+    ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)))
 }
