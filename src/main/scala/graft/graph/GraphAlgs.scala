@@ -21,51 +21,11 @@ import org.apache.spark.sql.{functions => F}
   */
 object GraphAlgs {
 
-  /** Frontier (delta) min-propagation Pregel: iterate
-    * x(v) ← min(x(v), min over in-neighbors u of msg(x(u), edge)), but
-    * only vertices whose x IMPROVED last round send messages. In min
-    * fixpoints a vertex's value can only drop because a neighbor's
-    * dropped, so the frontier form reaches the same fixpoint while the
-    * per-round join shrinks from |E| to edges-out-of-frontier — the
-    * difference between O(rounds·|E|) and O(Σ frontier out-degrees),
-    * which is what survives a 100 TB graph with a large diameter.
-    * One localCheckpoint per round materializes (state ⋈ candidates);
-    * state, the next frontier, and the emptiness probe are all cheap
-    * projections of it.
-    *
-    * @param state0    (vid, x) initial values
-    * @param frontier0 subset of state0 that speaks in round 0 (all
-    *                  vertices for cc; just the source for sssp — an
-    *                  unreached vertex has nothing useful to say)
-    * @param edges     (src, dst [, edge cols]) message topology
-    * @param msg       new candidate x for dst, from the src row's x + edge cols
-    */
+  // the frontier (delta) min-propagation loop lives in graft.graph.Pregel
+  // (public API); cc/sssp/weightedSssp below are thin instantiations
   private def minPropagate(state0: DataFrame, frontier0: DataFrame => DataFrame,
-                           edges0: DataFrame, msg: Column,
-                           maxIter: Int): DataFrame = {
-    // materialize the edge list once — otherwise its lineage (symmetrize/
-    // distinct/derive) re-runs inside every round's join
-    val edges = edges0.localCheckpoint()
-    var state = state0.localCheckpoint()
-    var frontier = frontier0(state)
-    var done = false
-    var i = 0
-    while (!done && i < maxIter) {
-      val cand = edges
-        .join(frontier, edges("src") === frontier("vid"))
-        .select(F.col("dst").as("vid"), msg.as("x"))
-        .groupBy("vid").agg(F.min("x").as("cand"))
-      val joined = state.join(cand, Seq("vid"), "left")
-        .select(F.col("vid"), F.col("x"), F.col("cand"))
-        .localCheckpoint()
-      state = joined.select(F.col("vid"), F.least(F.col("x"), F.col("cand")).as("x"))
-      frontier = joined.filter(F.col("cand") < F.col("x"))
-        .select(F.col("vid"), F.col("cand").as("x"))
-      done = frontier.isEmpty
-      i += 1
-    }
-    state
-  }
+                           edges0: DataFrame, msg: Column, maxIter: Int): DataFrame =
+    Pregel.minPropagate(state0, frontier0, edges0, msg, maxIter)
 
   /** Connected components by min-vid label propagation over an
     * (already symmetrized) undirected edge list. Returns (vid, comp). */

@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Public frontier (delta) Pregel API — the loop under connected
+  * components, BFS and weighted shortest paths, exposed so library users
+  * can build further min-fixpoint algorithms (reachability under
+  * constraints, min-cost labels, earliest-arrival paths, ...) without
+  * re-deriving the iteration machinery.
+  *
+  * Semantics: iterate x(v) ← min(x(v), min over in-neighbors u of
+  * msg(x(u), edge)), but only vertices whose x IMPROVED last round send
+  * messages. In a min fixpoint a vertex's value can only drop because a
+  * neighbor's dropped, so the frontier form reaches the same fixpoint
+  * while per-round join work shrinks from |E| to the frontier's
+  * out-degree sum — the difference between O(rounds·|E|) and
+  * O(Σ frontier out-degrees), which is what survives a 100 TB graph
+  * with a large diameter.
+  *
+  * Mechanics per round: one localCheckpoint materializes
+  * (state ⋈ candidates); the updated state, the next frontier, and the
+  * convergence probe are all cheap projections of it. At cluster scale
+  * localCheckpoint becomes checkpoint to a reliable store, and a
+  * vid-bucketed edge table makes the per-round join shuffle-free.
+  *
+  * @param state0    (vid, x) initial values
+  * @param frontier0 subset of state0 that speaks in round 0 (all
+  *                  vertices for cc; just the source for sssp — an
+  *                  unreached vertex has nothing useful to say)
+  * @param edges0    (src, dst [, edge cols]) message topology
+  * @param msg       new candidate x for dst, from the src row's x + edge cols
+  * @param maxIter   backstop bound on rounds (the frontier-empty check
+  *                  exits earlier as soon as nothing improves)
+  */
+object Pregel {
+  def minPropagate(state0: DataFrame, frontier0: DataFrame => DataFrame,
+                   edges0: DataFrame, msg: Column,
+                   maxIter: Int): DataFrame = {
+    // materialize the edge list once — otherwise its lineage (symmetrize/
+    // distinct/derive) re-runs inside every round's join
+    val edges = edges0.localCheckpoint()
+    var state = state0.localCheckpoint()
+    var frontier = frontier0(state)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val cand = edges
+        .join(frontier, edges("src") === frontier("vid"))
+        .select(F.col("dst").as("vid"), msg.as("x"))
+        .groupBy("vid").agg(F.min("x").as("cand"))
+      val joined = state.join(cand, Seq("vid"), "left")
+        .select(F.col("vid"), F.col("x"), F.col("cand"))
+        .localCheckpoint()
+      state = joined.select(F.col("vid"), F.least(F.col("x"), F.col("cand")).as("x"))
+      frontier = joined.filter(F.col("cand") < F.col("x"))
+        .select(F.col("vid"), F.col("cand").as("x"))
+      done = frontier.isEmpty
+      i += 1
+    }
+    state
+  }
+}

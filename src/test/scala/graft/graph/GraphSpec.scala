@@ -20,6 +20,30 @@ class GraphSpec extends SparkSpec {
     (e ++ e.map(_.swap)).toDF("src", "dst")
   }
 
+  test("public Pregel.minPropagate runs a custom fixpoint (earliest arrival)") {
+    import spark.implicits._
+    // earliest-arrival: edges carry a departure and an arrival time; you
+    // can take an edge only if you're at src no later than dep. Not one
+    // of the shipped algorithms — exercises the public API's generality.
+    val timetable = Seq(
+      (1L, 2L, 0L, 5L), (2L, 3L, 6L, 9L), (2L, 3L, 4L, 7L), // 4 < 5: too early
+      (1L, 3L, 0L, 20L), (3L, 10L, 10L, 12L))
+      .toDF("src", "dst", "dep", "arr")
+    val INF = Long.MaxValue / 4
+    val state0 = verts.select(F.col("vid"),
+      F.when(F.col("vid") === 1L, 0L).otherwise(INF).as("x"))
+    val arrival = Pregel.minPropagate(
+      state0,
+      _.filter(F.col("x") < INF),
+      timetable,
+      F.when(F.col("dep") >= F.col("x"), F.col("arr")).otherwise(INF),
+      maxIter = 10)
+      .filter(F.col("x") < INF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 →(arr 5) 2 →(dep 6, arr 9) 3 →(dep 10, arr 12) 10; 11 unreachable
+    assert(arrival == Map(1L -> 0L, 2L -> 5L, 3L -> 9L, 10L -> 12L))
+  }
+
   test("connected components finds the two components") {
     val cc = GraphAlgs.connectedComponents(verts, undirected).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
