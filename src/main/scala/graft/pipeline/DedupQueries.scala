@@ -173,7 +173,22 @@ object DedupQueries {
        |SELECT a_id, b_id, CAST(floor(cs * 1e6) AS BIGINT) AS cs6
        |FROM p WHERE cs >= 0.4""".stripMargin
 
+  /** d_sample: deterministic content-hash sampling — keep a document iff
+    * its md5 prefix falls under the threshold. The split is a pure
+    * function of content (reproducible across engines, partitionings and
+    * reruns — what a train/eval split needs), unlike rand()-based
+    * sampling. ~10% rate: first hex byte < 0x1a. */
+  def dSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(F.substring(F.md5(F.col("text").cast("binary")), 1, 2) < "1a")
+      .select(F.col("doc_id"), F.col("source"))
+
+  val dSampleSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE substring(md5(text), 1, 2) < '1a'""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_sample", dSample _, Some(dSampleSql)),
     ("d_exact_dup", dExactDup _, Some(dExactDupSql)),
     ("d_jaccard_pairs", dJaccardPairs _, Some(dJaccardPairsSql)),
     ("d_minhash_lsh", dMinhashLsh _, None),
