@@ -120,32 +120,47 @@ object OlapExtraQueries {
 
   /** q_funnel: ClickHouse `windowFunnel` — deepest click→view→purchase
     * sequence per user completed within 1 hour of the first click, then
-    * user counts per funnel depth. Each step is a grouped conditional min
-    * joined to the previous step: 3 passes over events total, never a
-    * per-user subquery (at scale: 3 shuffles on user_id, all
-    * partial-aggregated map-side; a bucketed events table makes them
-    * shuffle-free). */
+    * user counts per funnel depth. ONE grouped pass: per user, fold the
+    * time-sorted event sequence through the funnel state machine
+    * (`aggregate` over `sort_array(collect_list(...))`). Processing
+    * ascending makes "first qualifying event" ≡ "min qualifying event",
+    * so this is value-identical to the staged conditional-min-join form —
+    * but with a single shuffle on user_id instead of three joins (and a
+    * user_id-bucketed events table makes even that one shuffle-free).
+    * Per-user state is 3 timestamps; the collected sequence is one
+    * user's events (the same bound the streaming funnel holds). */
   def qFunnel(s: SparkSession, dir: String): DataFrame = {
     val Win = 3600L * 1000000L // 1 hour in µs
+    // "unset" sentinel: far above any epoch-µs yet small enough that
+    // NoT + Win cannot overflow (ANSI mode turns wraparound into errors)
+    val NoT = Long.MaxValue / 4
     val ev = Tables(s, dir, "events")
-      .select(F.col("user_id"), F.col("event_type"), F.unix_micros(F.col("ts")).as("tu"))
-    val s1 = ev.filter(F.col("event_type") === "click")
-      .groupBy("user_id").agg(F.min("tu").as("t1"))
-    val s2 = ev.filter(F.col("event_type") === "view")
-      .join(s1, "user_id")
-      .filter(F.col("tu") > F.col("t1") && F.col("tu") <= F.col("t1") + Win)
-      .groupBy("user_id").agg(F.min("tu").as("t2"), F.min("t1").as("t1b"))
-    val s3 = ev.filter(F.col("event_type") === "purchase")
-      .join(s2, "user_id")
-      .filter(F.col("tu") > F.col("t2") && F.col("tu") <= F.col("t1b") + Win)
-      .groupBy("user_id").agg(F.min("tu").as("t3"))
-    val levels = s1.select(F.col("user_id"))
-      .join(s2.select(F.col("user_id"), F.lit(1).as("l2")), Seq("user_id"), "left")
-      .join(s3.select(F.col("user_id"), F.lit(1).as("l3")), Seq("user_id"), "left")
+      .filter(F.col("event_type").isin("click", "view", "purchase"))
       .select(F.col("user_id"),
-        (F.lit(1L) + F.coalesce(F.col("l2"), F.lit(0)) + F.coalesce(F.col("l3"), F.lit(0)))
-          .as("level"))
-    levels.groupBy("level").agg(F.count(F.lit(1)).as("n_users"))
+        F.struct(F.unix_micros(F.col("ts")).as("tu"),
+          F.when(F.col("event_type") === "click", 0)
+            .when(F.col("event_type") === "view", 1)
+            .otherwise(2).as("step")).as("e"))
+    val folded = ev.groupBy("user_id")
+      .agg(F.sort_array(F.collect_list("e")).as("seq"))
+      .select(F.col("user_id"), F.aggregate(
+        F.col("seq"),
+        F.struct(F.lit(NoT).as("t1"), F.lit(NoT).as("t2"), F.lit(NoT).as("t3")),
+        (st, e) => {
+          val (t1, t2, t3) = (st("t1"), st("t2"), st("t3"))
+          val (tu, step) = (e("tu"), e("step"))
+          F.struct(
+            F.when(step === 0 && tu < t1, tu).otherwise(t1).as("t1"),
+            F.when(step === 1 && t1 =!= NoT && tu > t1
+              && tu <= t1 + Win && t2 === NoT, tu).otherwise(t2).as("t2"),
+            F.when(step === 2 && t2 =!= NoT && tu > t2
+              && tu <= t1 + Win && t3 === NoT, tu).otherwise(t3).as("t3"))
+        }).as("st"))
+      .filter(F.col("st.t1") =!= NoT)
+      .select(F.col("user_id"),
+        (F.lit(1L) + F.when(F.col("st.t2") =!= NoT, 1L).otherwise(0L)
+          + F.when(F.col("st.t3") =!= NoT, 1L).otherwise(0L)).as("level"))
+    folded.groupBy("level").agg(F.count(F.lit(1)).as("n_users"))
   }
 
   val qFunnelSql: String =
