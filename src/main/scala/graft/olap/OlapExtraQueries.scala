@@ -326,7 +326,33 @@ object OlapExtraQueries {
       |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS mov3
       |FROM events""".stripMargin
 
+  /** q_grouparray: ClickHouse `groupArray` (bounded form) — the first 5
+    * event ids per event type in time order, emitted as a CSV string
+    * (array stringification differs between pandas and DuckDB df()).
+    * Computed with the bounded-heap TopKPairs aggregate on score = -tu
+    * (max-heap on negated time ≡ min-k by time): state per group is 5
+    * entries, where collect_list would buffer EVERY row of the group —
+    * the difference between O(groups×k) and O(rows) aggregation state. */
+  def qGroupArray(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        (-F.unix_micros(F.col("ts"))).cast("double").as("negtu"),
+        F.col("event_id"))
+    graft.operators.TopK.perGroup(ev, Seq("event_type"),
+        F.col("negtu"), F.col("event_id"), k = 5)
+      .groupBy("event_type")
+      .agg(F.concat_ws(",", F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("rnk"), F.col("id")))),
+        p => p("id").cast("string"))).as("first5"))
+  }
+
+  val qGroupArraySql: String =
+    """SELECT event_type,
+      | array_to_string((list(event_id ORDER BY epoch_us(ts) ASC, event_id ASC))[1:5], ',') AS first5
+      |FROM events GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_grouparray", qGroupArray _, Some(qGroupArraySql)),
     ("q_topk_heap", qTopkHeap _, Some(qTopkHeapSql)),
     ("q_argmax", qArgMax _, Some(qArgMaxSql)),
     ("q_seqmatch", qSeqMatch _, Some(qSeqMatchSql)),
