@@ -155,6 +155,28 @@ object OlapQueries {
       | COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Hopping (sliding) window aggregation: 1-hour windows every 30 min —
+    * each event contributes to exactly two windows (window/slide = 2
+    * copies is the planner's expansion; state per open window stays one
+    * aggregate). The streaming form is the same expression under
+    * readStream. */
+  def qHop(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        F.window(F.col("ts"), "1 hour", "30 minutes")("start").as("window_start"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), out2(F.sum(dec2(F.col("value")))).as("total"))
+
+  val qHopSql: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+      |w AS (
+      |  SELECT make_timestamp((tu // 1800000000) * 1800000000) AS window_start, event_type, value FROM ev
+      |  UNION ALL
+      |  SELECT make_timestamp((tu // 1800000000) * 1800000000 - 1800000000), event_type, value FROM ev)
+      |SELECT window_start, event_type, COUNT(*) AS n,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   /** Sessionization: 30-min-gap sessions per user + per-session aggregates. */
   def qSessionize(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").withColumn("us", F.unix_micros(F.col("ts")))
@@ -319,6 +341,7 @@ object OlapQueries {
     ("q6_filter", q6Filter _, Some(q6Sql)),
     ("q_window_topn", qWindowTopN _, Some(qWindowTopNSql)),
     ("q_tumble", qTumble _, Some(qTumbleSql)),
+    ("q_hop", qHop _, Some(qHopSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_distinct", qDistinct _, Some(qDistinctSql)),
     ("q_approx_distinct", qApproxDistinct _, None),
