@@ -35,6 +35,16 @@ object EventStream {
       .select(F.col("w.start").as("window_start"), F.col("event_type"),
         F.col("n_events"), F.col("total_value"))
 
+  /** Streaming hopping-window counts: 1-hour windows every 30 minutes —
+    * each event feeds window/slide open windows; state per open window
+    * is one aggregate row, evicted when the watermark passes its end. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").as("w"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"))
+      .select(F.col("w.start").as("window_start"), F.col("event_type"), F.col("n_events"))
+
   val SessionGapMs: Long = 30 * 60 * 1000L
 
   /** Streaming sessionization (30-min inactivity gap). A session closes

@@ -143,6 +143,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows count each event in both overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.hoppingCounts(in.toDF())
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, ts(40), "click", 0)) // minute 40 → windows starting at 0 and 30
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(300), "view", 0)) // close both windows
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(600), "view", 0))
+      q.processAllAvailable()
+      val starts = spark.table("hop_out")
+        .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+        .collect().map(r => (mins(r.getTimestamp(0)), r.getLong(2))).toSet
+      assert(starts == Set((0L, 1L), (30L, 1L)), s"got $starts")
+    } finally q.stop()
+  }
+
   test("windowed approx-distinct users emits once the window closes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
