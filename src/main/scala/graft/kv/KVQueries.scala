@@ -126,7 +126,9 @@ object KVQueries {
     val ds = new KVDeltaStore(s, wh)
     val ev = Tables(s, dir, "events")
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    ds.appendMutation("events", eventStore(s, dir), noDel)
+    // size write parallelism to the batch, not the cluster: a mutation
+    // batch this small written at full width is all task/commit overhead
+    ds.appendMutation("events", eventStore(s, dir).coalesce(8), noDel)
     val deletions = ev
       .filter(F.col("user_id") < 5 && F.col("event_type") === "error")
       .select(
