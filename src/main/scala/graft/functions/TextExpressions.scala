@@ -106,6 +106,9 @@ case class WordShingleMinHash(str: Expression, nWords: Expression, k: Expression
           s"(${str.dataType}, ${nWords.dataType}, ${k.dataType})")
     else if (!nWords.foldable || !k.foldable)
       TypeCheckResult.TypeCheckFailure("word_shingle_min_hash needs constant nWords and k")
+    else if (nWords.eval(null) == null || nWords.eval(null).asInstanceOf[Int] < 1
+        || k.eval(null) == null || k.eval(null).asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("word_shingle_min_hash needs nWords >= 1 and k >= 1")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -153,6 +156,9 @@ case class RollingMinHash(str: Expression, width: Expression, k: Expression)
           s"(${str.dataType}, ${width.dataType}, ${k.dataType})")
     else if (!width.foldable || !k.foldable)
       TypeCheckResult.TypeCheckFailure("rolling_min_hash needs constant width and k")
+    else if (width.eval(null) == null || width.eval(null).asInstanceOf[Int] < 1
+        || k.eval(null) == null || k.eval(null).asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("rolling_min_hash needs width >= 1 and k >= 1")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -155,7 +155,10 @@ object MatOps {
       var bestS = Double.NegativeInfinity
       var i = 0
       while (i < nc) {
-        if (!used(i) && scores(i) > bestS) { best = i; bestS = scores(i) }
+        // `>` never admits NaN scores; keep the smallest unused index as
+        // a deterministic fallback so a NaN-poisoned vector degrades to
+        // index order instead of crashing on used(-1)
+        if (!used(i) && (best < 0 || scores(i) > bestS)) { best = i; bestS = scores(i) }
         i += 1
       }
       used(best) = true
@@ -215,7 +218,22 @@ case class FloatMatSignBuckets(vec: Expression, mat: Expression, bitsPerTable: E
     else if (!mat.foldable || !bitsPerTable.foldable)
       TypeCheckResult.TypeCheckFailure(
         "float_mat_sign_buckets needs constant (foldable) planes and bitsPerTable")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      val bv = bitsPerTable.eval(null)
+      val mv = mat.eval(null)
+      if (bv == null || mv == null)
+        TypeCheckResult.TypeCheckFailure("planes and bitsPerTable must be non-null")
+      else {
+        val b = bv.asInstanceOf[Int]
+        val nPlanes = mv.asInstanceOf[ArrayData].numElements()
+        if (b < 1 || b > 32)
+          TypeCheckResult.TypeCheckFailure(s"bitsPerTable must be in [1, 32], got $b")
+        else if (nPlanes % b != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"plane count ($nPlanes) must be a multiple of bitsPerTable ($b)")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    }
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -278,6 +296,9 @@ case class FloatMatTopCentroids(vec: Expression, mat: Expression, k: Expression)
     else if (!mat.foldable || !k.foldable)
       TypeCheckResult.TypeCheckFailure(
         "float_mat_top_centroids needs constant (foldable) matrix and k")
+    else if (k.eval(null) == null || k.eval(null).asInstanceOf[Int] < 1
+        || mat.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure("matrix must be non-null and k >= 1")
     else TypeCheckResult.TypeCheckSuccess
   }
 

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.{functions => F}
 
 /** Iterative graph algorithms as DataFrame Pregel loops.
@@ -21,17 +21,11 @@ import org.apache.spark.sql.{functions => F}
   */
 object GraphAlgs {
 
-  // the frontier (delta) min-propagation loop lives in graft.graph.Pregel
-  // (public API); cc/sssp/weightedSssp below are thin instantiations
-  private def minPropagate(state0: DataFrame, frontier0: DataFrame => DataFrame,
-                           edges0: DataFrame, msg: Column, maxIter: Int): DataFrame =
-    Pregel.minPropagate(state0, frontier0, edges0, msg, maxIter)
-
   /** Connected components by min-vid label propagation over an
     * (already symmetrized) undirected edge list. Returns (vid, comp). */
   def connectedComponents(vertices: DataFrame, undirected0: DataFrame,
                           maxIter: Int = 20): DataFrame =
-    minPropagate(
+    Pregel.minPropagate(
       vertices.select(F.col("vid"), F.col("vid").as("x")),
       identity,
       undirected0.select("src", "dst"),
@@ -74,7 +68,7 @@ object GraphAlgs {
   def sssp(vertices: DataFrame, undirected0: DataFrame, sourceVid: Long,
            maxIter: Int = 10): DataFrame = {
     val INF = Int.MaxValue.toLong
-    minPropagate(
+    Pregel.minPropagate(
       vertices.select(F.col("vid"),
         F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("x")),
       _.filter(F.col("x") < INF),
@@ -94,7 +88,7 @@ object GraphAlgs {
   def weightedSssp(vertices: DataFrame, weighted0: DataFrame, sourceVid: Long,
                    maxIter: Int = 60): DataFrame = {
     val INF = Int.MaxValue.toLong
-    minPropagate(
+    Pregel.minPropagate(
       vertices.select(F.col("vid"),
         F.when(F.col("vid") === sourceVid, 0L).otherwise(INF).as("x")),
       _.filter(F.col("x") < INF),

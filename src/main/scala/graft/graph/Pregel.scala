@@ -49,11 +49,16 @@ object Pregel {
         .join(frontier, edges("src") === frontier("vid"))
         .select(F.col("dst").as("vid"), msg.as("x"))
         .groupBy("vid").agg(F.min("x").as("cand"))
-      val joined = state.join(cand, Seq("vid"), "left")
+      // outer join: a vid that appears only as an edge destination (not in
+      // state0) still materializes — it enters the state at its first
+      // message's value and joins the frontier, matching the
+      // union+groupBy formulation this loop replaced
+      val joined = state.join(cand, Seq("vid"), "outer")
         .select(F.col("vid"), F.col("x"), F.col("cand"))
         .localCheckpoint()
       state = joined.select(F.col("vid"), F.least(F.col("x"), F.col("cand")).as("x"))
-      frontier = joined.filter(F.col("cand") < F.col("x"))
+      frontier = joined.filter(
+        (F.col("x").isNull && F.col("cand").isNotNull) || F.col("cand") < F.col("x"))
         .select(F.col("vid"), F.col("cand").as("x"))
       done = frontier.isEmpty
       i += 1

@@ -40,10 +40,13 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
   private def dir(name: String) = new Path(warehouseDir, name)
   private def basePath(name: String) = new Path(dir(name), "base")
 
+  // numeric sort: a lexicographic sort of the names would order
+  // delta_100000 before delta_99999 once ids outgrow the name padding
   private def deltaPaths(name: String): Seq[Path] =
     if (!fs.exists(dir(name))) Seq.empty
     else fs.listStatus(dir(name)).map(_.getPath)
-      .filter(_.getName.startsWith("delta_")).sortBy(_.getName).toSeq
+      .filter(_.getName.startsWith("delta_"))
+      .sortBy(_.getName.stripPrefix("delta_").toLong).toSeq
 
   /** Append one mutate batch as a new delta part — no snapshot rewrite.
     * Within the batch, an addition of (k,c) supersedes its deletion
@@ -54,7 +57,9 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
     val batch = additions.select(F.col("k"), F.col("c"), F.col("v"), F.lit(1).as("op"))
       .unionByName(deletions.select(F.col("k"), F.col("c"),
         F.lit(null).cast(BinaryType).as("v"), F.lit(0).as("op")))
-    batch.write.mode(SaveMode.ErrorIfExists)
+    // size write parallelism to the batch, not the cluster: mutation
+    // batches are small and a full-width write is all task/commit overhead
+    batch.coalesce(8).write.mode(SaveMode.ErrorIfExists)
       .parquet(new Path(dir(name), f"delta_$next%05d").toString)
   }
 

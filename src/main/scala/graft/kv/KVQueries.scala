@@ -122,13 +122,23 @@ object KVQueries {
     * merge-on-read view. Shares kv_mutate's oracle — the log and the
     * snapshot path must agree cell-for-cell. */
   def kvDeltaLog(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_kvdelta").toString
-    val ds = new KVDeltaStore(s, wh)
+    // The merged view reads its files lazily, so the CURRENT warehouse
+    // must outlive this call — instead each invocation sweeps the
+    // previous invocations' leftovers (fully consumed by then), bounding
+    // accumulation at one warehouse.
+    import scala.jdk.CollectionConverters._
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.list(tmpRoot).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft_kvdelta"))
+      .foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    val whPath = java.nio.file.Files.createTempDirectory("graft_kvdelta")
+    val ds = new KVDeltaStore(s, whPath.toString)
     val ev = Tables(s, dir, "events")
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    // size write parallelism to the batch, not the cluster: a mutation
-    // batch this small written at full width is all task/commit overhead
-    ds.appendMutation("events", eventStore(s, dir).coalesce(8), noDel)
+    ds.appendMutation("events", eventStore(s, dir), noDel)
     val deletions = ev
       .filter(F.col("user_id") < 5 && F.col("event_type") === "error")
       .select(

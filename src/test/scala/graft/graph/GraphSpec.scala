@@ -44,6 +44,20 @@ class GraphSpec extends SparkSpec {
     assert(arrival == Map(1L -> 0L, 2L -> 5L, 3L -> 9L, 10L -> 12L))
   }
 
+  test("Pregel keeps vertices that appear only as edge destinations") {
+    import spark.implicits._
+    // vertex 99 exists only as a dst; it must still get a distance
+    val vs = Seq(1L, 2L).toDF("vid")
+    val es = Seq((1L, 2L), (2L, 99L)).toDF("src", "dst")
+    val INF = Int.MaxValue.toLong
+    val d = Pregel.minPropagate(
+      vs.select(F.col("vid"), F.when(F.col("vid") === 1L, 0L).otherwise(INF).as("x")),
+      _.filter(F.col("x") < INF), es, F.col("x") + 1L, 10)
+      .filter(F.col("x") < INF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 99L -> 2L))
+  }
+
   test("connected components finds the two components") {
     val cc = GraphAlgs.connectedComponents(verts, undirected).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
