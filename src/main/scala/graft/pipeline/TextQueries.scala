@@ -147,7 +147,28 @@ object TextQueries {
       |  FROM counts)
       |WHERE rnk <= 5""".stripMargin
 
+  /** t_clean: text normalization — strip punctuation, collapse runs of
+    * spaces, trim. The cleaning stage every training pipeline runs before
+    * tokenization; map-only, regex stays inside codegen, and the oracle
+    * replicates it exactly (DuckDB needs the 'g' flag Spark implies). */
+  def tClean(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = F.trim(F.regexp_replace(
+      F.regexp_replace(F.col("text"), "[.,!?;:]", ""), " +", " "))
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), cleaned.as("clean"),
+        (F.length(F.col("text")) - F.length(cleaned)).cast("long").as("n_removed"))
+  }
+
+  val tCleanSql: String =
+    """SELECT doc_id,
+      | trim(regexp_replace(regexp_replace(text, '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS clean,
+      | CAST(length(text) -
+      |   length(trim(regexp_replace(regexp_replace(text, '[.,!?;:]', '', 'g'), ' +', ' ', 'g')))
+      |   AS BIGINT) AS n_removed
+      |FROM documents""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_clean", tClean _, Some(tCleanSql)),
     ("t_langid", tLangid _, Some(tLangidSql)),
     ("t_quality", tQuality _, Some(tQualitySql)),
     ("t_tokens", tTokens _, Some(tTokensSql)),
