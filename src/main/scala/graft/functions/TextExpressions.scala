@@ -106,10 +106,12 @@ case class WordShingleMinHash(str: Expression, nWords: Expression, k: Expression
           s"(${str.dataType}, ${nWords.dataType}, ${k.dataType})")
     else if (!nWords.foldable || !k.foldable)
       TypeCheckResult.TypeCheckFailure("word_shingle_min_hash needs constant nWords and k")
-    else if (nWords.eval(null) == null || nWords.eval(null).asInstanceOf[Int] < 1
-        || k.eval(null) == null || k.eval(null).asInstanceOf[Int] < 1)
-      TypeCheckResult.TypeCheckFailure("word_shingle_min_hash needs nWords >= 1 and k >= 1")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      val (nv, kv) = (nWords.eval(null), k.eval(null))
+      if (nv == null || nv.asInstanceOf[Int] < 1 || kv == null || kv.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure("word_shingle_min_hash needs nWords >= 1 and k >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_min_hash"
@@ -156,10 +158,12 @@ case class RollingMinHash(str: Expression, width: Expression, k: Expression)
           s"(${str.dataType}, ${width.dataType}, ${k.dataType})")
     else if (!width.foldable || !k.foldable)
       TypeCheckResult.TypeCheckFailure("rolling_min_hash needs constant width and k")
-    else if (width.eval(null) == null || width.eval(null).asInstanceOf[Int] < 1
-        || k.eval(null) == null || k.eval(null).asInstanceOf[Int] < 1)
-      TypeCheckResult.TypeCheckFailure("rolling_min_hash needs width >= 1 and k >= 1")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      val (wv, kv) = (width.eval(null), k.eval(null))
+      if (wv == null || wv.asInstanceOf[Int] < 1 || kv == null || kv.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure("rolling_min_hash needs width >= 1 and k >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rolling_min_hash"

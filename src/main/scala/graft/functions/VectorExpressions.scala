@@ -143,7 +143,10 @@ object MatOps {
       var i = 0
       val off = c * dim
       while (i < n) { s += v.getFloat(i).toDouble * flat(off + i); i += 1 }
-      scores(c) = s * invNorms(c)
+      val sc = s * invNorms(c)
+      // NaN (Inf×0, NaN inputs) ranks LAST, not first: sanitize to -Inf so
+      // a poisoned centroid loses to every valid score
+      scores(c) = if (sc != sc) Double.NegativeInfinity else sc
       c += 1
     }
     val kk = math.min(k, nc)
@@ -296,10 +299,12 @@ case class FloatMatTopCentroids(vec: Expression, mat: Expression, k: Expression)
     else if (!mat.foldable || !k.foldable)
       TypeCheckResult.TypeCheckFailure(
         "float_mat_top_centroids needs constant (foldable) matrix and k")
-    else if (k.eval(null) == null || k.eval(null).asInstanceOf[Int] < 1
-        || mat.eval(null) == null)
-      TypeCheckResult.TypeCheckFailure("matrix must be non-null and k >= 1")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      val (kv, mv) = (k.eval(null), mat.eval(null))
+      if (kv == null || kv.asInstanceOf[Int] < 1 || mv == null)
+        TypeCheckResult.TypeCheckFailure("matrix must be non-null and k >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -38,7 +38,13 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
   private def fs =
     new Path(warehouseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def dir(name: String) = new Path(warehouseDir, name)
-  private def basePath(name: String) = new Path(dir(name), "base")
+  /** base/, or base__old/ if a compact() crashed between its two renames
+    * (the deltas it was folding are still present then, so the old base +
+    * deltas view remains correct). */
+  private def basePath(name: String): Path = {
+    val bp = new Path(dir(name), "base")
+    if (fs.exists(bp)) bp else new Path(dir(name), "base__old")
+  }
 
   // numeric sort: a lexicographic sort of the names would order
   // delta_100000 before delta_99999 once ids outgrow the name padding
@@ -82,21 +88,36 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
     }
     val w = Window.partitionBy("k", "c")
       .orderBy(F.col("seq").desc, F.col("op").desc)
-    log.withColumn("rn", F.row_number().over(w))
+    // rank, not row_number: duplicate additions of one (k,c) within the
+    // winning batch all tie at rank 1 and ALL survive — exactly what the
+    // snapshot path (KVStore.mutate) keeps, and deterministic where
+    // row_number would pick an arbitrary duplicate
+    log.withColumn("rn", F.rank().over(w))
       .filter(F.col("rn") === 1 && F.col("op") === 1)
       .select("k", "c", "v")
   }
 
   /** Fold the mutation log into a fresh base snapshot and drop the
-    * deltas — the MergeTree background-merge analogue. */
+    * deltas — the MergeTree background-merge analogue. Crash-safe
+    * ordering: the old base is renamed aside (not deleted) before the new
+    * one lands, and deltas are only dropped once the new base is in
+    * place, so every intermediate state still reads correctly via
+    * basePath's base__old fallback. */
   def compact(name: String): Unit = {
     val merged = openDatabase(name)
     val tmp = new Path(dir(name), "base__tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val bp = basePath(name)
-    if (fs.exists(bp)) fs.delete(bp, true)
+    val bp = new Path(dir(name), "base")
+    val old = new Path(dir(name), "base__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(bp)) require(fs.rename(bp, old), s"compact rename-aside failed for $name")
     require(fs.rename(tmp, bp), s"compact rename failed for $name")
+    // ascending order matters: a crash mid-loop leaves only the NEWEST
+    // deltas, which re-resolve idempotently over the folded base — the
+    // reverse order could resurrect a cell an already-deleted newer
+    // delta had removed
     deltaPaths(name).foreach(p => fs.delete(p, true))
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   def exists(name: String): Boolean = fs.exists(dir(name))

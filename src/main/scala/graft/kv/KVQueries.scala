@@ -85,11 +85,11 @@ object KVQueries {
   val kvGetKeysSql: String =
     "SELECT DISTINCT user_id FROM events WHERE user_id >= 50 AND user_id < 100"
 
-  /** kv_mutate: batch mutate (delete all 'error' events of users 0..4;
-    * upsert a sentinel entry per such user), then read the keys back —
-    * exercises delete-before-add (ref ClickhouseKeyColumnValueStore.java:133). */
-  def kvMutate(s: SparkSession, dir: String): DataFrame = {
-    val store = eventStore(s, dir)
+  /** The shared mutation scenario (also replayed by kv_deltalog, which
+    * shares kv_mutate's oracle — keep both paths in lockstep): delete all
+    * 'error' events of users 0..4, upsert a sentinel entry per such
+    * user. Returns (additions, deletions). */
+  private def mutationScenario(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables(s, dir, "events")
     val deletions = ev
       .filter(F.col("user_id") < 5 && F.col("event_type") === "error")
@@ -101,10 +101,21 @@ object KVQueries {
         encLong(F.col("user_id")).as("k"),
         F.concat(encLong(F.lit(0L)), encLong(F.lit(999999L))).as("c"),
         F.lit("upserted").cast("binary").as("v"))
-    val mutated = mutate(store, additions, deletions)
+    (additions, deletions)
+  }
+
+  /** Read back every cell of users 0..4 (the scenario's key range). */
+  private def readBackMutated(s: SparkSession, store: DataFrame): DataFrame = {
     val keys = s.range(0, 5).select(encLong(F.col("id")).as("k"))
-    decoded(slice(mutated, F.broadcast(keys), F.lit(Array.emptyByteArray),
+    decoded(slice(store, F.broadcast(keys), F.lit(Array.emptyByteArray),
       F.concat(encLong(F.lit(Long.MaxValue)), encLong(F.lit(Long.MaxValue))), Int.MaxValue))
+  }
+
+  /** kv_mutate: batch mutate, then read the keys back — exercises
+    * delete-before-add (ref ClickhouseKeyColumnValueStore.java:133). */
+  def kvMutate(s: SparkSession, dir: String): DataFrame = {
+    val (additions, deletions) = mutationScenario(s, dir)
+    readBackMutated(s, mutate(eventStore(s, dir), additions, deletions))
   }
 
   val kvMutateSql: String =
@@ -121,38 +132,31 @@ object KVQueries {
     * = the same deletions+upserts, then the SAME slice read against the
     * merge-on-read view. Shares kv_mutate's oracle — the log and the
     * snapshot path must agree cell-for-cell. */
-  def kvDeltaLog(s: SparkSession, dir: String): DataFrame = {
+  // this JVM's previous kv_deltalog warehouse — the only one it is safe
+  // to sweep (another process's graft_kvdelta dir may still back a
+  // lazily-read merged view)
+  private var lastDeltaWarehouse: Option[java.nio.file.Path] = None
+
+  def kvDeltaLog(s: SparkSession, dir: String): DataFrame = synchronized {
     // The merged view reads its files lazily, so the CURRENT warehouse
-    // must outlive this call — instead each invocation sweeps the
-    // previous invocations' leftovers (fully consumed by then), bounding
-    // accumulation at one warehouse.
-    import scala.jdk.CollectionConverters._
-    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.list(tmpRoot).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("graft_kvdelta"))
-      .foreach { d =>
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+    // must outlive this call; the previous invocation's (fully consumed
+    // by now) is swept, bounding accumulation at one warehouse per JVM.
+    lastDeltaWarehouse.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      } finally walk.close()
+    }
     val whPath = java.nio.file.Files.createTempDirectory("graft_kvdelta")
+    lastDeltaWarehouse = Some(whPath)
     val ds = new KVDeltaStore(s, whPath.toString)
-    val ev = Tables(s, dir, "events")
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
     ds.appendMutation("events", eventStore(s, dir), noDel)
-    val deletions = ev
-      .filter(F.col("user_id") < 5 && F.col("event_type") === "error")
-      .select(
-        encLong(F.col("user_id")).as("k"),
-        F.concat(encLong(F.unix_micros(F.col("ts"))), encLong(F.col("event_id"))).as("c"))
-    val additions = ev.select("user_id").distinct().filter(F.col("user_id") < 5)
-      .select(
-        encLong(F.col("user_id")).as("k"),
-        F.concat(encLong(F.lit(0L)), encLong(F.lit(999999L))).as("c"),
-        F.lit("upserted").cast("binary").as("v"))
+    val (additions, deletions) = mutationScenario(s, dir)
     ds.appendMutation("events", additions, deletions)
-    val keys = s.range(0, 5).select(encLong(F.col("id")).as("k"))
-    decoded(slice(ds.openDatabase("events"), F.broadcast(keys), F.lit(Array.emptyByteArray),
-      F.concat(encLong(F.lit(Long.MaxValue)), encLong(F.lit(Long.MaxValue))), Int.MaxValue))
+    readBackMutated(s, ds.openDatabase("events"))
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
