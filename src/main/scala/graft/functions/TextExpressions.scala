@@ -249,7 +249,15 @@ case class WordSimHash(str: Expression)
 }
 
 object TextFunctions {
-  /** One-pass rolling-window MinHash sketch (codegen'd). */
+  /** One-pass rolling-window MinHash sketch (codegen'd).
+    *
+    * Windows are `width` BYTES of the string's UTF-8 encoding, not
+    * characters — equal to character windows only for ASCII text. On
+    * multi-byte text the windows slide through code points (still a valid,
+    * deterministic shingle family, just a byte-level one). Callers guarding
+    * "has at least one window" must therefore test `octet_length(str) >=
+    * width`, not character `length`. A string with fewer than `width` bytes
+    * yields the empty-sketch sentinel (Long.MaxValue per lane). */
   def rollingMinHash(str: Column, width: Int, k: Int): Column =
     GraftSqlBridge.column(RollingMinHash(GraftSqlBridge.expression(str),
       GraftSqlBridge.expression(org.apache.spark.sql.functions.lit(width)),

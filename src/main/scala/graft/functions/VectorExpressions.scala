@@ -191,6 +191,34 @@ object MatOps {
   }
 }
 
+/** Plan-time validation of the constant matrix literals: flattening calls
+  * `getArray(i).toFloatArray()`, which NPEs on a null row (the element
+  * type admits nulls), and ragged rows would be silently zero-padded to
+  * the longest row — both are caller bugs that must fail analysis with a
+  * clear message, not eval time. */
+private[functions] object MatValidation {
+  /** None if rectangular and null-free, Some(error message) otherwise. */
+  def check(m: ArrayData, what: String): Option[String] = {
+    var d = -1
+    var i = 0
+    while (i < m.numElements()) {
+      if (m.isNullAt(i)) return Some(s"$what must not contain null rows (row $i is null)")
+      val r = m.getArray(i)
+      var j = 0
+      while (j < r.numElements()) {
+        if (r.isNullAt(j)) return Some(
+          s"$what must not contain null elements (row $i, element $j is null)")
+        j += 1
+      }
+      if (d < 0) d = r.numElements()
+      else if (r.numElements() != d) return Some(
+        s"$what rows must all have equal length (row 0 has $d, row $i has ${r.numElements()})")
+      i += 1
+    }
+    None
+  }
+}
+
 /** Random-hyperplane LSH bucket signatures: planes is a constant matrix of
   * (nTables × bitsPerTable) rows; bucket t's bit b is set when
   * dot(vec, plane[t·bpt + b]) > 0 (the dot is the same ascending-index
@@ -234,7 +262,8 @@ case class FloatMatSignBuckets(vec: Expression, mat: Expression, bitsPerTable: E
         else if (nPlanes % b != 0)
           TypeCheckResult.TypeCheckFailure(
             s"plane count ($nPlanes) must be a multiple of bitsPerTable ($b)")
-        else TypeCheckResult.TypeCheckSuccess
+        else MatValidation.check(mv.asInstanceOf[ArrayData], "planes matrix")
+          .map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
       }
     }
   }
@@ -303,7 +332,8 @@ case class FloatMatTopCentroids(vec: Expression, mat: Expression, k: Expression)
       val (kv, mv) = (k.eval(null), mat.eval(null))
       if (kv == null || kv.asInstanceOf[Int] < 1 || mv == null)
         TypeCheckResult.TypeCheckFailure("matrix must be non-null and k >= 1")
-      else TypeCheckResult.TypeCheckSuccess
+      else MatValidation.check(mv.asInstanceOf[ArrayData], "centroid matrix")
+        .map(TypeCheckResult.TypeCheckFailure).getOrElse(TypeCheckResult.TypeCheckSuccess)
     }
   }
 

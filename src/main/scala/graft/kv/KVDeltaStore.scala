@@ -72,7 +72,13 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
   /** The merged view: base ∪ deltas resolved per (k, c) by latest
     * (seq, op). This is the DataFrame every KVStore op (slice/keyScan/
     * mutate) runs against — merge-on-read, nothing materialized. */
-  def openDatabase(name: String): DataFrame = {
+  def openDatabase(name: String): DataFrame =
+    mergedView(name, deltaPaths(name))
+
+  /** The merged view over an EXPLICIT delta list — compact() folds and
+    * later deletes exactly one snapshot of the log, so a delta appended
+    * concurrently is neither half-read nor swept unfolded. */
+  private def mergedView(name: String, deltas: Seq[Path]): DataFrame = {
     val base =
       if (fs.exists(basePath(name)))
         spark.read.schema(baseSchema).parquet(basePath(name).toString)
@@ -81,7 +87,7 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(deltaSchema.fields :+ StructField("seq", LongType)))
-    val log = deltaPaths(name).foldLeft(base) { (acc, p) =>
+    val log = deltas.foldLeft(base) { (acc, p) =>
       val seq = p.getName.stripPrefix("delta_").toLong
       acc.unionByName(spark.read.schema(deltaSchema).parquet(p.toString)
         .withColumn("seq", F.lit(seq)))
@@ -104,19 +110,29 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
     * place, so every intermediate state still reads correctly via
     * basePath's base__old fallback. */
   def compact(name: String): Unit = {
-    val merged = openDatabase(name)
+    // snapshot the log ONCE: this exact list is folded and, at the end,
+    // this exact list is deleted — a delta appended concurrently is left
+    // in place for the next compact instead of being swept unfolded
+    val deltas = deltaPaths(name)
+    val merged = mergedView(name, deltas)
     val tmp = new Path(dir(name), "base__tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bp = new Path(dir(name), "base")
     val old = new Path(dir(name), "base__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(bp)) require(fs.rename(bp, old), s"compact rename-aside failed for $name")
+    if (fs.exists(bp)) {
+      // only a LIVE base may displace base__old: in the degraded state
+      // (base__old + deltas, no base — a prior compact crashed between
+      // its renames) base__old IS the readable base and must survive
+      // until the tmp→base rename below lands
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(bp, old), s"compact rename-aside failed for $name")
+    }
     require(fs.rename(tmp, bp), s"compact rename failed for $name")
     // ascending order matters: a crash mid-loop leaves only the NEWEST
     // deltas, which re-resolve idempotently over the folded base — the
     // reverse order could resurrect a cell an already-deleted newer
     // delta had removed
-    deltaPaths(name).foreach(p => fs.delete(p, true))
+    deltas.foreach(p => fs.delete(p, true))
     if (fs.exists(old)) fs.delete(old, true)
   }
 

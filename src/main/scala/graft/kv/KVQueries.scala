@@ -156,7 +156,11 @@ object KVQueries {
     ds.appendMutation("events", eventStore(s, dir), noDel)
     val (additions, deletions) = mutationScenario(s, dir)
     ds.appendMutation("events", additions, deletions)
-    readBackMutated(s, ds.openDatabase("events"))
+    // eager localCheckpoint: the returned DataFrame must stay re-evaluable
+    // AFTER a later kvDeltaLog call sweeps this warehouse, so cut its
+    // lineage to the parquet files now (blocks live in this JVM's block
+    // manager, not under whPath)
+    readBackMutated(s, ds.openDatabase("events")).localCheckpoint(true)
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(

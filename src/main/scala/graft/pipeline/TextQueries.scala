@@ -114,10 +114,13 @@ object TextQueries {
     * the semantic properties AND value-equality with the explode
     * formulation). One codegen'd pass per document via the RollingMinHash
     * expression — the explode form ships a row per window (|doc| rows per
-    * doc) through a shuffle; this emits 4 longs per doc, map-only. */
+    * doc) through a shuffle; this emits 4 longs per doc, map-only.
+    * Windows are BYTE windows (see rollingMinHash's API doc), so the
+    * has-a-window guard is octet_length, not character length — the two
+    * differ on non-ASCII text. */
   def tFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .filter(F.length(F.col("text")) >= 8)
+      .filter(F.octet_length(F.col("text")) >= 8)
       .select(F.col("doc_id") +: (0 until 4).map(i =>
         graft.functions.TextFunctions.rollingMinHash(F.col("text"), 8, 4)
           .getItem(i).as(s"fp$i")): _*)

@@ -59,6 +59,29 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(tie.head().getSeq[Int](0) == Seq(0, 1))
   }
 
+  test("matrix expressions reject null and ragged constant matrices at analysis") {
+    graft.GraftExtensions.register(spark)
+    def fails(sql: String, fragment: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
+    }
+    val v = "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))"
+    val f = "CAST(1.0 AS FLOAT)"
+    // null row
+    fails(s"SELECT float_mat_top_centroids($v, array(array($f, $f), CAST(NULL AS ARRAY<FLOAT>)), 1)",
+      "null rows")
+    // ragged rows
+    fails(s"SELECT float_mat_top_centroids($v, array(array($f, $f), array($f)), 1)",
+      "equal length")
+    // null element inside a row
+    fails(s"SELECT float_mat_sign_buckets($v, array(array($f, CAST(NULL AS FLOAT))), 1)",
+      "null elements")
+    // well-formed matrices still pass
+    val ok = spark.sql(
+      s"SELECT float_mat_top_centroids($v, array(array($f, $f), array($f, CAST(0.0 AS FLOAT))), 1) AS t")
+    assert(ok.head().getSeq[Int](0).nonEmpty)
+  }
+
   test("fused cosine agrees with dot/norm form") {
     val df = graft.Tables(spark, SF, "embeddings").limit(50)
       .select(F.col("embedding").as("e1"))

@@ -62,4 +62,30 @@ class KVDeltaStoreSpec extends SparkSpec {
     ds.appendMutation("s", kcv(Seq((9, 9, 99))), kcv(Nil).select("k", "c"))
     assert(decode(ds.openDatabase("s")) == expected + ((9L, 9L, 99L)))
   }
+
+  test("compact recovers the degraded crash state without losing the old base") {
+    // Simulate a compact that crashed BETWEEN its two renames: the store is
+    // left as base__old + deltas with no base/. A recovery compact must keep
+    // base__old readable until the new base has landed (the view would
+    // otherwise be lost if the recovery itself crashed mid-way).
+    val wh = java.nio.file.Files.createTempDirectory("kvdelta_crash")
+    val ds = new KVDeltaStore(spark, wh.toString)
+    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"))
+    ds.compact("s") // now base/ holds the two cells, no deltas
+    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"))
+
+    val basep = wh.resolve("s").resolve("base")
+    val oldp = wh.resolve("s").resolve("base__old")
+    java.nio.file.Files.move(basep, oldp) // the crashed rename-aside
+    assert(!java.nio.file.Files.exists(basep))
+
+    // the degraded state still reads correctly (base__old fallback)...
+    val expected = Set((2L, 1L, 20L), (3L, 1L, 30L))
+    assert(decode(ds.openDatabase("s")) == expected)
+    // ...and a recovery compact folds it into a fresh base and cleans up
+    ds.compact("s")
+    assert(java.nio.file.Files.exists(basep))
+    assert(!java.nio.file.Files.exists(oldp))
+    assert(decode(ds.openDatabase("s")) == expected)
+  }
 }

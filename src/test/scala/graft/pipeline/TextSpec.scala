@@ -6,9 +6,22 @@ import graft.SparkSpec
 
 class TextSpec extends SparkSpec {
 
+  test("fingerprint eligibility is byte-based: short-char multi-byte text keeps its windows") {
+    import spark.implicits._
+    // 6 chars / 12 UTF-8 bytes: has byte windows, must NOT be skipped;
+    // 7 ASCII chars / 7 bytes: no window, sentinel sketch
+    val df = Seq("éééééé", "abcdefg").toDF("text")
+    val rows = df.select(
+      F.octet_length(F.col("text")).as("ob"),
+      graft.functions.TextFunctions.rollingMinHash(F.col("text"), 8, 2).getItem(0).as("fp"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows(12) != Long.MaxValue) // real sketch from byte windows
+    assert(rows(7) == Long.MaxValue)  // no byte window -> sentinel
+  }
+
   test("fingerprint is a pure function of text (one sketch per distinct text)") {
     val docs = graft.Tables(spark, SF, "documents")
-    val eligible = docs.filter(F.length(F.col("text")) >= 8).count()
+    val eligible = docs.filter(F.octet_length(F.col("text")) >= 8).count()
     val fp = TextQueries.tFingerprint(spark, SF)
     assert(fp.count() == eligible)
     val perText = fp.join(docs.select("doc_id", "text"), "doc_id")
