@@ -52,15 +52,21 @@ object Pregel {
       // outer join: a vid that appears only as an edge destination (not in
       // state0) still materializes — it enters the state at its first
       // message's value and joins the frontier, matching the
-      // union+groupBy formulation this loop replaced
+      // union+groupBy formulation this loop replaced.
+      // LAZY localCheckpoint + count probe = ONE job per round: the count
+      // computes every partition (unlike isEmpty, which can stop at the
+      // first hit and leave the checkpoint cache partial), so the same job
+      // that answers convergence also materializes the cache and truncates
+      // lineage. The eager form ran a second, checkpoint-only job per round.
       val joined = state.join(cand, Seq("vid"), "outer")
         .select(F.col("vid"), F.col("x"), F.col("cand"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       state = joined.select(F.col("vid"), F.least(F.col("x"), F.col("cand")).as("x"))
-      frontier = joined.filter(
-        (F.col("x").isNull && F.col("cand").isNotNull) || F.col("cand") < F.col("x"))
+      val improved =
+        (F.col("x").isNull && F.col("cand").isNotNull) || F.col("cand") < F.col("x")
+      frontier = joined.filter(improved)
         .select(F.col("vid"), F.col("cand").as("x"))
-      done = frontier.isEmpty
+      done = joined.filter(improved).count() == 0L
       i += 1
     }
     state
