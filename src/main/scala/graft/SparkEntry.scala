@@ -8,6 +8,7 @@ object SparkEntry {
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     graft.olap.OlapQueries.entries ++
       graft.olap.OlapExtraQueries.entries ++
+      graft.olap.OlapCombinatorQueries.entries ++
       graft.kv.KVQueries.entries ++
       graft.graph.GraphQueries.entries ++
       graft.pipeline.DedupQueries.entries ++

@@ -129,6 +129,59 @@ object GraphAlgs {
     labels
   }
 
+  /** k-core: `rounds` synchronous peeling rounds — each round drops every
+    * vertex whose degree among the survivors is < k. Fixed-round
+    * semantics (a round at the fixpoint is a no-op) keep the result
+    * reproducible on any engine without a convergence probe; pick rounds
+    * ≥ the expected cascade depth. Returns the surviving (vid) set.
+    *
+    * Scale: each round is one semi-join pair + one count per src — all
+    * keyed on vertex id, so a vid-bucketed edge list co-locates every
+    * round; survivor sets only shrink, so per-round work is monotone
+    * non-increasing. */
+  def kCore(vertices: DataFrame, undirected0: DataFrame, k: Int,
+            rounds: Int = 10): DataFrame = {
+    val edges = undirected0.select("src", "dst").localCheckpoint()
+    var surv = vertices.select("vid").localCheckpoint()
+    var prev = surv.count()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      // alive edge = both endpoints survive; degree = alive out-edges per
+      // src (the symmetric list counts each undirected edge at both ends)
+      surv = edges
+        .join(surv.select(F.col("vid").as("src")), "src", "left_semi")
+        .join(surv.select(F.col("vid").as("dst")), "dst", "left_semi")
+        .groupBy(F.col("src").as("vid")).agg(F.count(F.lit(1)).as("deg"))
+        .filter(F.col("deg") >= k)
+        .select("vid")
+        .localCheckpoint(false)
+      // the count doubles as the materialization probe (see Pregel) AND
+      // the early exit: a round that drops nobody leaves every degree
+      // unchanged, so all remaining rounds are no-ops — the result is
+      // identical to running the full fixed-round schedule
+      val c = surv.count()
+      done = c == prev
+      prev = c
+    }
+    surv
+  }
+
+  /** Multi-source BFS: hop distance to the NEAREST source (landmark).
+    * Identical frontier loop to sssp — the source set just seeds more
+    * than one zero. Returns reachable (vid, d). */
+  def nearestLandmark(vertices: DataFrame, undirected0: DataFrame,
+                      isSource: org.apache.spark.sql.Column,
+                      maxIter: Int = 10): DataFrame = {
+    val INF = Int.MaxValue.toLong
+    Pregel.minPropagate(
+      vertices.select(F.col("vid"), F.when(isSource, 0L).otherwise(INF).as("x")),
+      _.filter(F.col("x") < INF),
+      undirected0.select("src", "dst"),
+      F.col("x") + 1L, maxIter)
+      .filter(F.col("x") < INF)
+      .select(F.col("vid"), F.col("x").as("d"))
+  }
+
   /** Triangle count over an undirected edge list: orient every edge
     * low→high (each triangle counted exactly once as a<b<c). */
   def triangleCount(undirected: DataFrame): DataFrame = {

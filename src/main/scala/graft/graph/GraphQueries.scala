@@ -238,7 +238,51 @@ object GraphQueries {
        |SELECT vid, lbl FROM lp5""".stripMargin
   }
 
+  /** g_kcore: 3-core membership after 10 synchronous peeling rounds
+    * (fixed-round semantics — see GraphAlgs.kCore; 10 covers this graph's
+    * cascade depth with headroom, extra rounds are no-ops). Customers
+    * (degree 1) fall immediately; thin supplier cliques cascade. */
+  def gKcore(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    GraphAlgs.kCore(g.vertices, g.undirected, k = 3, rounds = 10)
+  }
+
+  val gKcoreSql: String = {
+    val round = (r: Int) =>
+      s"""d$r AS (
+         |  SELECT e.src AS vid, count(*) AS n FROM uedges e
+         |  JOIN s${r - 1} a ON a.vid = e.src
+         |  JOIN s${r - 1} b ON b.vid = e.dst
+         |  GROUP BY 1),
+         |s$r AS (SELECT vid FROM d$r WHERE n >= 3)""".stripMargin
+    s"""WITH $sqlPrelude,
+       |s0 AS (SELECT vid FROM verts),
+       |${(1 to 10).map(round).mkString(",\n")}
+       |SELECT vid FROM s10""".stripMargin
+  }
+
+  /** g_bfs_multi: multi-source BFS — hop distance to the nearest of three
+    * landmark suppliers (s_suppkey ≤ 3), undirected. One frontier loop
+    * regardless of source count (the multi-landmark form costs the same
+    * as single-source sssp). */
+  def gBfsMulti(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    GraphAlgs.nearestLandmark(g.vertices, g.undirected,
+      F.col("vlabel") === "supplier" && F.col("vid") <= 3 * 4 + 1)
+  }
+
+  val gBfsMultiSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |bfs(vid, d) AS (
+       |  SELECT CAST(s_suppkey*4+1 AS BIGINT), CAST(0 AS BIGINT) FROM supplier WHERE s_suppkey <= 3
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 8
+       |)
+       |SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_kcore", gKcore _, Some(gKcoreSql)),
+    ("g_bfs_multi", gBfsMulti _, Some(gBfsMultiSql)),
     ("g_wsssp", gWsssp _, Some(gWsssspSql)),
     ("g_labelprop", gLabelprop _, Some(gLabelpropSql)),
     ("g_degree", gDegree _, Some(gDegreeSql)),

@@ -137,7 +137,18 @@ object KVQueries {
   // lazily-read merged view)
   private var lastDeltaWarehouse: Option[java.nio.file.Path] = None
 
-  def kvDeltaLog(s: SparkSession, dir: String): DataFrame = synchronized {
+  def kvDeltaLog(s: SparkSession, dir: String): DataFrame =
+    deltaScenario(s, dir, compactFirst = false)
+
+  /** kv_compact: the SAME scenario, but the log is folded into a fresh
+    * base snapshot (KVDeltaStore.compact — the MergeTree background-merge
+    * analogue) before the read. Shares kv_mutate's oracle: compaction
+    * must be invisible to readers, cell for cell. */
+  def kvCompact(s: SparkSession, dir: String): DataFrame =
+    deltaScenario(s, dir, compactFirst = true)
+
+  private def deltaScenario(s: SparkSession, dir: String,
+                            compactFirst: Boolean): DataFrame = synchronized {
     // The merged view reads its files lazily, so the CURRENT warehouse
     // must outlive this call; the previous invocation's (fully consumed
     // by now) is swept, bounding accumulation at one warehouse per JVM.
@@ -156,10 +167,11 @@ object KVQueries {
     ds.appendMutation("events", eventStore(s, dir), noDel)
     val (additions, deletions) = mutationScenario(s, dir)
     ds.appendMutation("events", additions, deletions)
+    if (compactFirst) ds.compact("events")
     // eager localCheckpoint: the returned DataFrame must stay re-evaluable
-    // AFTER a later kvDeltaLog call sweeps this warehouse, so cut its
-    // lineage to the parquet files now (blocks live in this JVM's block
-    // manager, not under whPath)
+    // AFTER a later call sweeps this warehouse, so cut its lineage to the
+    // parquet files now (blocks live in this JVM's block manager, not
+    // under whPath)
     readBackMutated(s, ds.openDatabase("events")).localCheckpoint(true)
   }
 
@@ -168,5 +180,6 @@ object KVQueries {
     ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
     ("kv_getkeys", kvGetKeys _, Some(kvGetKeysSql)),
     ("kv_mutate", kvMutate _, Some(kvMutateSql)),
-    ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)))
+    ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)),
+    ("kv_compact", kvCompact _, Some(kvMutateSql)))
 }

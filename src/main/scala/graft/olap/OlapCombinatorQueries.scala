@@ -1,0 +1,151 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+import graft.Tables.{dec2, out2}
+
+/** ClickHouse-style aggregate combinators and row-shaping modifiers the
+  * reference's deployments rely on: conditional aggregates (`sumIf` /
+  * `countIf` / `avgIf`), `LIMIT n BY`, pivoted cross-tabs, histogram
+  * bucketing, `neighbor`/lag-lead row access, and `groupUniqArray`.
+  *
+  * All are single partial-aggregatable passes or one window sort — no
+  * shape here adds a shuffle beyond its grouping key, so each holds at
+  * any scale factor unchanged.
+  */
+object OlapCombinatorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_condagg: ClickHouse -If combinators in one grouped pass —
+    * countIf/sumIf/avgIf(value > 50) per event type, next to the
+    * unconditional aggregates. Conditional aggregation beats a
+    * filter+join-back: one scan, partial-aggregated map-side. avg is a
+    * single division of the exact decimal sum by the count (bit-identical
+    * across engines; NULL for empty groups). */
+  def qCondAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("value") > 50.0, 1L).otherwise(0L)).as("n_big"),
+        F.sum(F.when(F.col("value") > 50.0, dec2(F.col("value")))).as("sum_big_d"))
+      .select(F.col("event_type"), F.col("n"), F.col("n_big"),
+        out2(F.col("sum_big_d")).as("sum_big"),
+        F.when(F.col("n_big") > 0L,
+          out2(F.col("sum_big_d")) / F.col("n_big").cast("double")).as("avg_big"))
+
+  val qCondAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(COUNT(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_big,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 50.0) AS DECIMAL(18,2)) AS DOUBLE) AS sum_big,
+      | CASE WHEN COUNT(*) FILTER (WHERE value > 50.0) > 0 THEN
+      |   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 50.0) AS DECIMAL(18,2)) AS DOUBLE)
+      |     / CAST(COUNT(*) FILTER (WHERE value > 50.0) AS DOUBLE)
+      | END AS avg_big
+      |FROM events GROUP BY 1""".stripMargin
+
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** q_pivot: day × event-type cross-tab (counts). Explicit pivot values
+    * keep this a single pass (no distinct-scan to discover columns — at
+    * 100 TB that discovery scan matters); missing cells coalesce to 0. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.date_format(F.col("ts"), "yyyy-MM-dd").as("day"), F.col("event_type"))
+      .groupBy("day").pivot("event_type", EventTypes).agg(F.count(F.lit(1)))
+      .select(F.col("day") +: EventTypes.map(t =>
+        F.coalesce(F.col(t), F.lit(0L)).as(t)): _*)
+
+  val qPivotSql: String = {
+    val cells = EventTypes.map(t =>
+      s"CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS \"$t\"").mkString(",\n ")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       | $cells
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  /** q_lead_lag: ClickHouse `neighbor(...)` shape — per user, in time
+    * order: gap to the previous event (µs) and the next event's id. One
+    * window sort per user partition; integer arithmetic end to end. */
+  def qLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(F.col("tu").asc, F.col("event_id").asc)
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"), F.unix_micros(F.col("ts")).as("tu"))
+      .select(F.col("user_id"), F.col("event_id"),
+        (F.col("tu") - F.lag("tu", 1).over(w)).as("gap_us"),
+        F.lead("event_id", 1).over(w).as("next_event_id"))
+  }
+
+  val qLeadLagSql: String =
+    """SELECT user_id, event_id,
+      | epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us,
+      | LEAD(event_id, 1) OVER w AS next_event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)""".stripMargin
+
+  /** q_histogram: fixed-width value histogram of order totals (the
+    * ClickHouse `histogram`/`width_bucket` shape). The bucket id is a
+    * single double division + floor — identical IEEE ops on both engines
+    * — and the aggregate is one partial-aggregatable groupBy. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(F.floor(F.col("o_totalprice") / 50000.0).cast("long").as("bucket"),
+        dec2(F.col("o_totalprice")).as("p"))
+      .groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("n"), out2(F.sum("p")).as("sum_price"))
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      | COUNT(*) AS n,
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** q_limit_by: ClickHouse `LIMIT 2 BY o_custkey` — each customer's
+    * first 2 orders by (date, key). Unlike q_window_topn's handful of
+    * groups, the grouping key is high-cardinality: the window partitions
+    * by customer, so the sort is many small per-key sorts that scale out
+    * with the key space. */
+  def qLimitBy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(F.col("o_orderdate").asc, F.col("o_orderkey").asc)
+    Tables(s, dir, "orders")
+      .select(F.col("o_custkey"), F.col("o_orderkey"), F.col("o_orderdate"))
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= 2)
+      .select(F.col("o_custkey"), F.col("o_orderkey"), F.col("rn"))
+  }
+
+  val qLimitBySql: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2""".stripMargin
+
+  /** q_uniq_arr: ClickHouse `groupUniqArray` — the sorted distinct set of
+    * active days per event type, emitted as CSV (array stringification
+    * differs between pandas and DuckDB df(), strings don't). collect_set
+    * state is bounded by the value domain (days), not row count. */
+  def qUniqArr(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.col("event_type"), F.dayofmonth(F.col("ts")).as("d"))
+      .groupBy("event_type")
+      .agg(F.concat_ws(",",
+        F.transform(F.sort_array(F.collect_set("d")), _.cast("string"))).as("days"))
+
+  val qUniqArrSql: String =
+    """SELECT event_type,
+      | array_to_string(list_sort(list(DISTINCT CAST(extract(day FROM ts) AS INTEGER))), ',') AS days
+      |FROM events GROUP BY 1""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_condagg", qCondAgg _, Some(qCondAggSql)),
+    ("q_pivot", qPivot _, Some(qPivotSql)),
+    ("q_lead_lag", qLeadLag _, Some(qLeadLagSql)),
+    ("q_histogram", qHistogram _, Some(qHistogramSql)),
+    ("q_limit_by", qLimitBy _, Some(qLimitBySql)),
+    ("q_uniq_arr", qUniqArr _, Some(qUniqArrSql)))
+}

@@ -79,6 +79,37 @@ object AnnQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rnk FROM p)
        |WHERE rnk <= $TopK""".stripMargin
 
+  /** s_ann_l2: brute-force EUCLIDEAN top-k — the metric variant of
+    * s_ann_topk (d² = |q|² + |x|² − 2·q·x from the precomputed norms and
+    * one dot, cheaper than a per-pair difference fold). Rank by (d² ASC,
+    * id ASC) via the same bounded heap on score = −d²; identical IEEE
+    * expression tree on both engines, so d² is bit-exact. */
+  def sAnnL2(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val q = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"), F.col("nrm").as("nq"))
+    val scored = F.broadcast(q).crossJoin(e)
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (F.col("nq") * F.col("nq") + F.col("nrm") * F.col("nrm")
+          - F.lit(2.0) * dot(F.col("eq"), F.col("embedding"))).as("d2"))
+    graft.operators.TopK.perGroup(scored, Seq("q_id"), -F.col("d2"), F.col("n_id"), TopK)
+      .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"),
+        F.floor(-F.col("score") * 1e6).cast("long").as("d6"))
+  }
+
+  val sAnnL2Sql: String =
+    s"""WITH n AS ($normSql),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    q.nrm * q.nrm + d.nrm * d.nrm
+       |      - 2.0 * ${dotSql("q.embedding", "d.embedding")} AS d2
+       |  FROM n q JOIN n d ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT q_id, n_id, rnk, CAST(floor(d2 * 1e6) AS BIGINT) AS d6
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id) AS rnk FROM p)
+       |WHERE rnk <= $TopK""".stripMargin
+
   /** LSH tables × bits per table. A vector is scored only against corpus
     * rows sharing a bucket in ≥ 1 table. This corpus's neighbors are
     * near-orthogonal (max cos ≈ 0.5), so capture probability per bit is
@@ -194,6 +225,7 @@ object AnnQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s_ann_topk", sAnnTopk _, Some(sAnnTopkSql)),
+    ("s_ann_l2", sAnnL2 _, Some(sAnnL2Sql)),
     ("s_ann_lsh", sAnnLsh _, None),
     ("s_ann_ivf", sAnnIvf _, None))
 }

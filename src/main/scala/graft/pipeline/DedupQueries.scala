@@ -118,6 +118,71 @@ object DedupQueries {
       .select("a_id", "b_id").distinct()
   }
 
+  /** d_lsh_verified: the production dedup path — MinHash+LSH candidate
+    * generation, then EXACT Jaccard verification on candidates only.
+    * Work per pair is Σ|shingles(a)| over candidates (≪ the n² shingle
+    * self-join of d_jaccard_pairs, whose oracle this shares). The shared
+    * oracle is the point: the scale path must reproduce the exact
+    * baseline bit for bit — every true ≥0.5 pair in this corpus sits at
+    * Jaccard ≥ 0.9, where the 16×4 banding's miss probability is ~4e-8
+    * (and the hash family is deterministic, so the driver re-run is the
+    * same outcome, not a re-roll; DedupSpec asserts the capture). */
+  def dLshVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val sh = wordShingles(docs).localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
+    val cand = dMinhashLsh(s, dir)
+    // candidate pair × a-side shingles, matched against b-side shingles:
+    // the intersection count without ever joining shingle lists at large
+    val inter = cand
+      .join(sh.select(F.col("doc_id").as("a_id"), F.col("s")), "a_id")
+      .join(sh.select(F.col("doc_id").as("b_id"), F.col("s")), Seq("b_id", "s"))
+      .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).as("c"))
+    inter
+      .join(sizes.select(F.col("doc_id").as("a_id"), F.col("n").as("na")), "a_id")
+      .join(sizes.select(F.col("doc_id").as("b_id"), F.col("n").as("nb")), "b_id")
+      .select(F.col("a_id"), F.col("b_id"),
+        (F.col("c").cast("double") /
+          (F.col("na") + F.col("nb") - F.col("c")).cast("double")).as("jac"))
+      .filter(F.col("jac") >= 0.5)
+  }
+
+  /** d_dup_groups: near-dup CLUSTERING + canonical selection — the "keep
+    * one copy per duplicate cluster" step every training pipeline ends
+    * with. Verified near-dup pairs become an undirected graph; connected
+    * components (frontier Pregel, min-label) give the cluster id = the
+    * kept doc_id. Every document appears (singletons keep themselves). */
+  def dDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dLshVerified(s, dir).select("a_id", "b_id").localCheckpoint()
+    val sym = pairs.select(F.col("a_id").as("src"), F.col("b_id").as("dst"))
+      .unionByName(pairs.select(F.col("b_id").as("src"), F.col("a_id").as("dst")))
+    val docs = Tables(s, dir, "documents").select(F.col("doc_id").as("vid"))
+    graft.graph.Pregel.minPropagate(
+      docs.select(F.col("vid"), F.col("vid").as("x")),
+      identity, sym, F.col("x"), maxIter = 10)
+      .select(F.col("vid").as("doc_id"), F.col("x").as("keep_id"))
+  }
+
+  val dDupGroupsSql: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+       |sym(s, d) AS (SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.v, e.d FROM reach r JOIN sym e ON e.s = r.u
+       |)
+       |SELECT v AS doc_id, MIN(u) AS keep_id FROM reach GROUP BY v""".stripMargin
+
   /** d_simhash: 64-bit SimHash near-dup pairs at hamming ≤ 3 (rows-only;
     * spec-tested). Pair search is blocked by the 4 16-bit chunks of the
     * fingerprint — pigeonhole: hamming ≤ 3 over 4 chunks ⇒ ≥ 1 chunk
@@ -192,6 +257,8 @@ object DedupQueries {
     ("d_exact_dup", dExactDup _, Some(dExactDupSql)),
     ("d_jaccard_pairs", dJaccardPairs _, Some(dJaccardPairsSql)),
     ("d_minhash_lsh", dMinhashLsh _, None),
+    ("d_lsh_verified", dLshVerified _, Some(dJaccardPairsSql)),
+    ("d_dup_groups", dDupGroups _, Some(dDupGroupsSql)),
     ("d_simhash", dSimhash _, None),
     ("d_embed_dup", dEmbedDup _, Some(dEmbedDupSql)))
 }

@@ -80,6 +80,32 @@ class GraphSpec extends SparkSpec {
     assert(Set(lp(1L), lp(2L), lp(3L)).size == 1)
   }
 
+  test("k-core peels the pendant edge and keeps the triangle (k=2)") {
+    // triangle {1,2,3} is the 2-core; {10,11} (degree 1) peels away
+    val core = GraphAlgs.kCore(verts, undirected, k = 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(core == Set(1L, 2L, 3L))
+    // k=3: triangle vertices have degree 2 -> everything peels
+    assert(GraphAlgs.kCore(verts, undirected, k = 3).isEmpty)
+  }
+
+  test("k-core cascade: a chain hanging off the triangle unravels fully") {
+    import spark.implicits._
+    // 1-2-3 triangle + chain 3-20-21-22: each chain round exposes the next
+    val vs = Seq(1L, 2L, 3L, 20L, 21L, 22L).toDF("vid")
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 20L), (20L, 21L), (21L, 22L))
+    val und = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val core = GraphAlgs.kCore(vs, und, k = 2).collect().map(_.getLong(0)).toSet
+    assert(core == Set(1L, 2L, 3L))
+  }
+
+  test("nearest landmark = min hop distance over the source set") {
+    val d = GraphAlgs.nearestLandmark(verts, undirected,
+      F.col("vid") === 2L || F.col("vid") === 10L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 1L))
+  }
+
   test("pagerank conserves mass on a regular graph (uniform on the triangle)") {
     val pr = GraphAlgs.pagerank(verts.filter(F.col("vid") <= 3),
       undirected.filter(F.col("src") <= 3), iters = 5).collect()

@@ -20,6 +20,28 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("L2 top-k matches a driver-side exact recomputation") {
+    import org.apache.spark.sql.{functions => F}
+    val vecs = graft.Tables(spark, SF, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      // same shape as the query: |a|^2 + |b|^2 - 2ab from ordered folds
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+    }
+    val got = AnnQueries.sAnnL2(spark, SF).collect()
+      .groupBy(_.getLong(0))
+    assert(got.size == AnnQueries.NQueries)
+    got.foreach { case (q, rs) =>
+      val expected = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, d2(vecs(q), vecs(n))))
+        .sortBy { case (n, d) => (d, n) }.take(AnnQueries.TopK).map(_._1)
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+      assert(byRank == expected, s"query $q")
+    }
+  }
+
   test("matrix sign buckets equal the per-plane signature expressions") {
     import org.apache.spark.sql.{functions => F}
     val e = graft.Tables(spark, SF, "embeddings").limit(200)

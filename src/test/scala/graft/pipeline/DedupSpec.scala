@@ -99,4 +99,32 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(2) >= 400000L) // floor(cs*1e6) with cs >= 0.4
     }
   }
+
+  test("LSH-verified pairs equal the exact quadratic baseline, jac included") {
+    // the whole point of the scale path: candidates ⊆ pairs via LSH, then
+    // exact verification must reproduce d_jaccard_pairs bit for bit
+    val exact = DedupQueries.dJaccardPairs(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val verified = DedupQueries.dLshVerified(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified == exact)
+  }
+
+  test("dup groups: total partition, canonical min, pairs co-clustered") {
+    val docs = graft.Tables(spark, SF, "documents")
+    val groups = DedupQueries.dDupGroups(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == docs.count()) // every document, exactly once
+    groups.foreach { case (d, keep) =>
+      assert(keep <= d)               // canonical = min id of the cluster
+      assert(groups(keep) == keep)    // the kept doc keeps itself
+    }
+    // near-dup pairs land in the same cluster; non-paired docs are alone
+    val pairs = jacPairs(0.5)
+    pairs.foreach { case (a, b) => assert(groups(a) == groups(b), s"($a,$b)") }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2))
+    groups.collect { case (d, keep) if !paired.contains(d) =>
+      assert(keep == d, s"unpaired doc $d must keep itself")
+    }
+  }
 }
