@@ -41,8 +41,11 @@ object GraphAlgs {
     val init = 1000000000000L / n
     val base = (15L * init) / 100L
     val outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
-    // (src, dst, deg) — static across iterations, cache it
-    val withDeg = edges.select("src", "dst").join(outdeg, "src").localCheckpoint()
+    // (src, dst, deg) — static across iterations; repartition by src so
+    // the captured partitioning makes every iteration's pr-join exchange
+    // only the rank side, never the edge list (see Pregel)
+    val withDeg = edges.select("src", "dst").join(outdeg, "src")
+      .repartition(F.col("src")).localCheckpoint()
     var pr = vertices.select(F.col("vid"), F.lit(init).as("pr"))
     val zeros = vertices.select(F.col("vid"), F.lit(0L).as("m")).localCheckpoint()
     for (it <- 1 to iters) {
@@ -105,7 +108,9 @@ object GraphAlgs {
     * smallest label; isolated vertices keep their own. */
   def labelPropagation(vertices: DataFrame, undirected0: DataFrame,
                        iters: Int = 5): DataFrame = {
-    val undirected = undirected0.localCheckpoint()
+    // src-partitioned once: each round's edge⋈labels join reuses it and
+    // exchanges only the label side (see Pregel)
+    val undirected = undirected0.repartition(F.col("src")).localCheckpoint()
     var labels = vertices.select(F.col("vid"), F.col("vid").as("lbl"))
       .localCheckpoint()
     for (it <- 1 to iters) {
@@ -141,7 +146,8 @@ object GraphAlgs {
     * non-increasing. */
   def kCore(vertices: DataFrame, undirected0: DataFrame, k: Int,
             rounds: Int = 10): DataFrame = {
-    val edges = undirected0.select("src", "dst").localCheckpoint()
+    val edges = undirected0.select("src", "dst")
+      .repartition(F.col("src")).localCheckpoint()
     var surv = vertices.select("vid").localCheckpoint()
     var prev = surv.count()
     var done = false

@@ -38,8 +38,12 @@ object Pregel {
                    edges0: DataFrame, msg: Column,
                    maxIter: Int): DataFrame = {
     // materialize the edge list once — otherwise its lineage (symmetrize/
-    // distinct/derive) re-runs inside every round's join
-    val edges = edges0.localCheckpoint()
+    // distinct/derive) re-runs inside every round's join. Repartition by
+    // src FIRST: the checkpointed Dataset keeps that hash partitioning in
+    // its LogicalRDD, so every round's edges⋈frontier join exchanges only
+    // the (small) frontier side — without it the FULL edge list shuffles
+    // once per round, which is the dominant cost at any scale
+    val edges = edges0.repartition(F.col("src")).localCheckpoint()
     var state = state0.localCheckpoint()
     var frontier = frontier0(state)
     var done = false

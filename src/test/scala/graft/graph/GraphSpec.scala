@@ -106,6 +106,25 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 1L))
   }
 
+  test("src-partitioned checkpointed edges join a frontier without re-shuffling") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the Pregel loops pre-partition the static edge list by src so each
+    // round's join exchanges only the frontier side — assert the captured
+    // partitioning survives localCheckpoint and is reused by the join
+    val edges = (1L to 2000L).map(i => (i % 97, i))
+      .toDF("src", "dst").repartition(F.col("src")).localCheckpoint()
+    val frontier = (1L to 50L).toDF("vid")
+    val joined = edges.join(frontier, edges("src") === frontier("vid"))
+    joined.count() // AQE finalizes the plan
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1,
+      s"edge side must reuse its checkpoint partitioning (only the frontier may " +
+        s"exchange), got ${shuffles.size} shuffles:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("pagerank conserves mass on a regular graph (uniform on the triangle)") {
     val pr = GraphAlgs.pagerank(verts.filter(F.col("vid") <= 3),
       undirected.filter(F.col("src") <= 3), iters = 5).collect()
