@@ -141,7 +141,32 @@ object OlapCombinatorQueries {
       | array_to_string(list_sort(list(DISTINCT CAST(extract(day FROM ts) AS INTEGER))), ',') AS days
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q_topk_freq: ClickHouse `topK()` — top-5 terms per source computed
+    * through the Misra-Gries sketch aggregate (graft.operators.FreqItems):
+    * 64 bounded counters per group, map-side partials, O(groups×capacity)
+    * shuffle — vs the exact form's one row per DISTINCT (source, term).
+    * This corpus's per-source vocabulary (31) fits the capacity, so the
+    * sketch is in its exact regime and shares the exact ranking's oracle;
+    * FreqItemsSpec covers the approximate regime's error bounds. */
+  def qTopkFreq(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables(s, dir, "documents")
+      .select(F.col("source"), F.explode(F.split(F.col("text"), " ")).as("term"))
+    graft.operators.FreqItems.perGroup(terms, Seq("source"), F.col("term"),
+      capacity = 64, k = 5)
+  }
+
+  val qTopkFreqSql: String =
+    """WITH counts AS (
+      |  SELECT source, term, COUNT(*) AS n
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+      |  GROUP BY 1, 2)
+      |SELECT source, rnk, term, CAST(n AS BIGINT) AS cnt FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rnk
+      |  FROM counts)
+      |WHERE rnk <= 5""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_topk_freq", qTopkFreq _, Some(qTopkFreqSql)),
     ("q_condagg", qCondAgg _, Some(qCondAggSql)),
     ("q_pivot", qPivot _, Some(qPivotSql)),
     ("q_lead_lag", qLeadLag _, Some(qLeadLagSql)),

@@ -1,0 +1,150 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.{functions => F}
+
+/** Misra-Gries frequent-items sketch as a custom Catalyst aggregate — the
+  * ClickHouse `topK()` analogue.
+  *
+  * The exact formulation (groupBy(group, term).count + window) shuffles
+  * one row per DISTINCT (group, term); over a 100 TB corpus with an
+  * unbounded term domain that intermediate is itself huge. This aggregate
+  * keeps at most `capacity` counters per group, gets map-side partial
+  * aggregation for free (shuffle volume O(groups × capacity)), and merges
+  * with the Agarwal et al. mergeable-summaries rule, so the result is
+  * identical under any partitioning.
+  *
+  * Guarantees (n = group's total item count, m = capacity):
+  *   true − n/(m+1) ≤ estimate ≤ true,
+  * and any item with true count > n/(m+1) is present in the summary.
+  * When a group's distinct-item count never exceeds `capacity`, no
+  * decrement ever fires and the counts are EXACT — the regime the oracle
+  * check runs in (bounded vocabularies); the spec covers the approximate
+  * regime's bounds.
+  */
+case class FreqItemsSketch(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(capacity > 0, "capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType), StructField("cnt", LongType))))
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  /** Classic MG step: known term increments; free slot inserts; full map
+    * decrements every counter (amortized O(1) per item — a decrement
+    * cancels capacity+1 arrivals). */
+  private def offer(buf: mutable.HashMap[String, Long], term: String, w: Long): Unit =
+    buf.get(term) match {
+      case Some(c) => buf.update(term, c + w)
+      case None if buf.size < capacity => buf.update(term, w)
+      case None =>
+        // decrement by the largest amount that keeps the invariant — for
+        // weight w that is min(w, smallest counter) applied all-around;
+        // iterate because w can exceed several smallest counters
+        var rem = w
+        while (rem > 0) {
+          if (buf.size < capacity) { buf.update(term, rem); rem = 0 }
+          else {
+            val minC = buf.valuesIterator.min
+            val dec = math.min(rem, minC)
+            val dead = buf.iterator.collect { case (t, c) if c == dec => t }.toList
+            buf.mapValuesInPlace((_, c) => c - dec)
+            dead.foreach(buf.remove)
+            rem -= dec
+          }
+        }
+    }
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val t = child.eval(input)
+    if (t != null) offer(buf, t.toString, 1L)
+    buf
+  }
+
+  /** Mergeable-summaries rule: pointwise sum, then if over capacity
+    * subtract the (capacity+1)-th largest count from all and drop ≤ 0 —
+    * both summaries' error bounds add, keeping est ≥ true − n/(m+1). */
+  override def merge(buf: mutable.HashMap[String, Long],
+                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (t, c) => buf.update(t, buf.getOrElse(t, 0L) + c) }
+    if (buf.size > capacity) {
+      val counts = buf.values.toArray.sorted(Ordering[Long].reverse)
+      val cut = counts(capacity) // (capacity+1)-th largest
+      val dead = buf.iterator.collect { case (t, c) if c <= cut => t }.toList
+      buf.mapValuesInPlace((_, c) => c - cut)
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val sorted = buf.toArray.sortBy { case (t, c) => (-c, t) }
+    new GenericArrayData(sorted.map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c)
+    })
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "freq_items_sketch"
+}
+
+object FreqItems {
+  /** Top-k frequent items per group by (count DESC, term ASC), exploded as
+    * (groupCols..., rnk, term, cnt). State per group is `capacity`
+    * counters; shuffle volume O(groups × capacity). */
+  def perGroup(df: DataFrame, groupCols: Seq[String], term: Column,
+               capacity: Int, k: Int): DataFrame = {
+    val agg = GraftSqlBridge.column(
+      FreqItemsSketch(GraftSqlBridge.expression(term.cast("string")), capacity)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(F.col): _*)
+      .agg(agg.as("fi"))
+      .select(groupCols.map(F.col) :+
+        F.posexplode(F.slice(F.col("fi"), 1, k)).as(Seq("i", "p")): _*)
+      .select(groupCols.map(F.col) :+ (F.col("i") + 1).as("rnk")
+        :+ F.col("p.term").as("term") :+ F.col("p.cnt").as("cnt"): _*)
+  }
+}

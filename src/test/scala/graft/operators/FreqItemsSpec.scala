@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** Misra-Gries frequent-items aggregate: exact regime equals the full
+  * count ranking; approximate regime honors the MG error bounds; results
+  * are partition-invariant (the mergeable-summary property). */
+class FreqItemsSpec extends SparkSpec {
+
+  private lazy val terms = graft.Tables(spark, SF, "documents")
+    .select(F.col("source"), F.explode(F.split(F.col("text"), " ")).as("term"))
+
+  private lazy val trueCounts: Map[(String, String), Long] =
+    terms.groupBy("source", "term").agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("capacity >= vocabulary: sketch equals the exact count ranking") {
+    val exact = terms.groupBy("source", "term").agg(F.count(F.lit(1)).as("n"))
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(F.col("n").desc, F.col("term").asc)))
+      .filter(F.col("rnk") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getString(1), r.getLong(2))).toSet
+    val sketch = FreqItems.perGroup(terms, Seq("source"), F.col("term"), 64, 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(sketch == exact)
+  }
+
+  test("capacity < vocabulary: estimates underestimate by at most n/(m+1)") {
+    val m = 8
+    val totals = terms.groupBy("source").agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = FreqItems.perGroup(terms, Seq("source"), F.col("term"), m, m)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, term, est) = (r.getString(0), r.getString(2), r.getLong(3))
+      val truth = trueCounts((src, term))
+      assert(est <= truth, s"$src/$term: est $est > true $truth")
+      assert(truth - est <= totals(src) / (m + 1),
+        s"$src/$term: est $est vs true $truth exceeds n/(m+1)=${totals(src) / (m + 1)}")
+    }
+  }
+
+  test("results are invariant to input partitioning (mergeable summaries)") {
+    val a = FreqItems.perGroup(terms.repartition(1), Seq("source"), F.col("term"), 64, 5)
+      .collect().map(_.toSeq).toSet
+    val b = FreqItems.perGroup(terms.repartition(13), Seq("source"), F.col("term"), 64, 5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
