@@ -174,6 +174,29 @@ object EventStream {
       .select(F.col("w.start").as("window_start"),
         F.col("approx_users"), F.col("n_events"))
 
+  /** Streaming windowed frequent items (the streaming form of
+    * q_topk_freq): per tumbling window, the top users by event count via
+    * the mergeable Misra-Gries sketch (graft.operators.FreqItemsSketch).
+    * State per open window is `capacity` counters — bounded regardless of
+    * user cardinality, where an exact per-(window, user) count grows with
+    * the key domain; the sketch's merge rule makes the partial
+    * aggregation path (map-side partials into the state store) exact in
+    * the bounded-vocabulary regime and error-bounded beyond it. */
+  def tumblingTopUsers(events: DataFrame, capacity: Int = 64, k: Int = 3): DataFrame = {
+    val agg = org.apache.spark.sql.graftbridge.GraftSqlBridge.column(
+      graft.operators.FreqItemsSketch(
+        org.apache.spark.sql.graftbridge.GraftSqlBridge.expression(
+          F.col("user_id").cast("string")), capacity).toAggregateExpression())
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"))
+      .agg(agg.as("fi"))
+      .select(F.col("w.start").as("window_start"),
+        F.posexplode(F.slice(F.col("fi"), 1, k)).as(Seq("i", "p")))
+      .select(F.col("window_start"), (F.col("i") + 1).as("rnk"),
+        F.col("p.term").cast("long").as("user_id"), F.col("p.cnt").as("n_events"))
+  }
+
   /** Stream-stream interval join: each click joined to that user's
     * purchases within the following hour. Both sides are watermarked and
     * the join condition bounds purchase_ts relative to click_ts, so the

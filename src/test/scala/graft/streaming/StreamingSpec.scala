@@ -164,6 +164,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-users sketch ranks by count with deterministic ties") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.tumblingTopUsers(in.toDF(), capacity = 8, k = 3)
+      .writeStream.format("memory").queryName("topusers_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window [0, 60): user 7 ×3, user 2 ×2, user 5 ×1
+      in.addData(
+        Ev(7, ts(1), "click", 0), Ev(7, ts(2), "click", 0), Ev(7, ts(3), "click", 0),
+        Ev(2, ts(4), "view", 0), Ev(2, ts(5), "view", 0), Ev(5, ts(6), "view", 0))
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(300), "view", 0)) // close the window
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(600), "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("topusers_out")
+        .filter(org.apache.spark.sql.functions.col("window_start") === ts(0))
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows == Set((1, 7L, 3L), (2, 2L, 2L), (3, 5L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("windowed approx-distinct users emits once the window closes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
