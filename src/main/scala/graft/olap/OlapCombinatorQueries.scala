@@ -165,7 +165,35 @@ object OlapCombinatorQueries {
       |  FROM counts)
       |WHERE rnk <= 5""".stripMargin
 
+  /** q_summap: ClickHouse `sumMap` — per event type, the per-day value
+    * sums as an ordered day:sum map (emitted as CSV — map/array
+    * stringification differs between pandas and DuckDB, strings don't).
+    * Two partial-aggregatable groupBys (the first shrinks rows to
+    * |types|×|days|); sums in exact decimal so the rendered strings match
+    * the oracle digit for digit. */
+  def qSumMap(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.col("event_type"), F.dayofmonth(F.col("ts")).as("d"),
+        dec2(F.col("value")).as("v"))
+      .groupBy("event_type", "d")
+      .agg(F.sum("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("sv"))
+      .groupBy("event_type")
+      .agg(F.concat_ws(",", F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("d"), F.col("sv")))),
+        p => F.concat(p("d").cast("string"), F.lit(":"), p("sv").cast("string"))))
+        .as("day_sums"))
+
+  val qSumMapSql: String =
+    """WITH m AS (
+      |  SELECT event_type, CAST(extract(day FROM ts) AS INTEGER) AS d,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  array_to_string(list(CAST(d AS VARCHAR) || ':' || CAST(sv AS VARCHAR) ORDER BY d), ',') AS day_sums
+      |FROM m GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_summap", qSumMap _, Some(qSumMapSql)),
     ("q_topk_freq", qTopkFreq _, Some(qTopkFreqSql)),
     ("q_condagg", qCondAgg _, Some(qCondAggSql)),
     ("q_pivot", qPivot _, Some(qPivotSql)),
