@@ -14,7 +14,8 @@ object SparkEntry {
       graft.pipeline.DedupQueries.entries ++
       graft.pipeline.AnnQueries.entries ++
       graft.pipeline.TextQueries.entries ++
-      graft.pipeline.MediaQueries.entries
+      graft.pipeline.MediaQueries.entries ++
+      graft.sources.SourceQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

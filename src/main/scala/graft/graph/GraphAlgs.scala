@@ -65,6 +65,34 @@ object GraphAlgs {
     pr
   }
 
+  /** Personalized PageRank: teleport mass returns to `srcVid` only —
+    * pr0 = 1e12·e_src; pr'(v) = [v = src]·(15·1e12)/100 + (85·Σ_in pr(u)
+    * div deg(u)) div 100, every division an integer floor division (same
+    * reproducibility argument as [[pagerank]]). Returns every vertex's
+    * rank in 1e-12 units (zero until mass reaches it). */
+  def personalizedPagerank(vertices: DataFrame, edges: DataFrame, srcVid: Long,
+                           iters: Int = 10): DataFrame = {
+    val init = 1000000000000L
+    val base = (15L * init) / 100L
+    val outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+    val withDeg = edges.select("src", "dst").join(outdeg, "src")
+      .repartition(F.col("src")).localCheckpoint()
+    var pr = vertices.select(F.col("vid"),
+      F.when(F.col("vid") === srcVid, init).otherwise(0L).as("pr"))
+    val zeros = vertices.select(F.col("vid"), F.lit(0L).as("m")).localCheckpoint()
+    val baseOf = F.when(F.col("vid") === srcVid, base).otherwise(0L)
+    for (it <- 1 to iters) {
+      val msgs = withDeg
+        .join(pr, withDeg("src") === pr("vid"))
+        .select(F.col("dst").as("vid"), F.expr("pr div deg").as("m"))
+      pr = zeros.unionByName(msgs)
+        .groupBy("vid").agg(F.sum("m").as("m"))
+        .select(F.col("vid"), (baseOf + F.expr("(85 * m) div 100")).as("pr"))
+      if (it % 2 == 0 || it == iters) pr = pr.localCheckpoint()
+    }
+    pr
+  }
+
   /** BFS hop count from `sourceVid` over an undirected edge list;
     * returns reachable (vid, d). Frontier form: round k's senders are
     * exactly the vertices first reached at hop k. */

@@ -280,7 +280,38 @@ object GraphQueries {
        |)
        |SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid""".stripMargin
 
+  /** g_ppr: personalized PageRank from the 'ASIA' region vertex — the
+    * "importance relative to a seed" ranking JanusGraph deployments run
+    * for recommendations; oracle = the recurrence unrolled in SQL. */
+  def gPpr(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val src = g.vertices
+      .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
+      .select("vid").head().getLong(0)
+    GraphAlgs.personalizedPagerank(g.vertices, g.edges, src, iters = 10)
+  }
+
+  val gPprSql: String = {
+    val src = "(SELECT CAST(r_regionkey*4+3 AS BIGINT) FROM region WHERE r_name = 'ASIA')"
+    val iter = (k: Int) =>
+      s"""pr$k AS (
+         |  SELECT v.vid,
+         |    (CASE WHEN v.vid = $src THEN (15 * 1000000000000) // 100 ELSE 0 END)
+         |      + COALESCE((85 * s.m) // 100, 0) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS vid, SUM(p.pr // o.deg) AS m
+         |    FROM edges e JOIN pr${k - 1} p ON p.vid = e.src
+         |    JOIN outdeg o ON o.vid = e.src
+         |    GROUP BY e.dst) s ON s.vid = v.vid)""".stripMargin
+    s"""WITH $sqlPrelude,
+       |outdeg AS (SELECT src AS vid, count(*) AS deg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT vid, CASE WHEN vid = $src THEN 1000000000000 ELSE 0 END AS pr FROM verts),
+       |${(1 to 10).map(iter).mkString(",\n")}
+       |SELECT vid, CAST(pr AS BIGINT) AS pr FROM pr10""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_ppr", gPpr _, Some(gPprSql)),
     ("g_kcore", gKcore _, Some(gKcoreSql)),
     ("g_bfs_multi", gBfsMulti _, Some(gBfsMultiSql)),
     ("g_wsssp", gWsssp _, Some(gWsssspSql)),

@@ -192,7 +192,35 @@ object OlapCombinatorQueries {
       |  array_to_string(list(CAST(d AS VARCHAR) || ':' || CAST(sv AS VARCHAR) ORDER BY d), ',') AS day_sums
       |FROM m GROUP BY 1""".stripMargin
 
+  /** q_exp_decay: ClickHouse arrayFold/exponentialMovingAverage shape —
+    * per user, fold the time-ordered value sequence through
+    * s ← s·0.5 + v. The fold is the same ordered left fold on both
+    * engines (Spark `aggregate` ≡ DuckDB `list_reduce` with a prepended
+    * 0.0 init, identical IEEE ops in identical order → bit-identical
+    * doubles); emitted floor-scaled to 1e-6 as a belt-and-suspenders
+    * integer. One shuffle on user_id; per-user state is the collected
+    * sequence (same bound as q_funnel). */
+  def qExpDecay(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        F.struct(F.unix_micros(F.col("ts")).as("tu"),
+          F.col("event_id"), F.col("value").as("v")).as("e"))
+      .groupBy("user_id")
+      .agg(F.sort_array(F.collect_list("e")).as("seq"))
+      .select(F.col("user_id"),
+        F.size(F.col("seq")).cast("long").as("n"),
+        F.floor(F.aggregate(F.col("seq"), F.lit(0.0),
+          (acc, e) => acc * 0.5 + e("v")) * 1e6).cast("long").as("decay6"))
+
+  val qExpDecaySql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(floor(list_reduce(
+      |   list_prepend(CAST(0.0 AS DOUBLE), list(value ORDER BY epoch_us(ts) ASC, event_id ASC)),
+      |   (acc, x) -> acc * 0.5 + x) * 1e6) AS BIGINT) AS decay6
+      |FROM events GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_exp_decay", qExpDecay _, Some(qExpDecaySql)),
     ("q_summap", qSumMap _, Some(qSumMapSql)),
     ("q_topk_freq", qTopkFreq _, Some(qTopkFreqSql)),
     ("q_condagg", qCondAgg _, Some(qCondAggSql)),

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+import graft.Tables.{dec2, out2}
+
+/** Driver-checked queries that push data THROUGH the interchange formats
+  * (the reference only speaks JDBC; graft's table layer is
+  * format-agnostic, and the roundtrip must be lossless).
+  *
+  * Each query writes a projection to a temp directory in the interchange
+  * format, reads it back with an explicit schema, and aggregates the
+  * re-read data. The oracle runs the same aggregate straight on the
+  * parquet table — so the driver's hash compare proves the roundtrip
+  * byte-faithful (Spark's CSV/JSON writers emit shortest-round-trip
+  * doubles, and the readers parse them back to identical bits).
+  */
+object SourceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // this JVM's previous roundtrip dir — swept on the next call, after the
+  // returned (eagerly materialized) DataFrame no longer needs it
+  private var lastDir: Option[java.nio.file.Path] = None
+
+  private def roundtrip(s: SparkSession, dir: String,
+                        fmt: TableSource.Format): DataFrame = synchronized {
+    lastDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_${fmt.name}")
+    lastDir = Some(tmp)
+    val subset = Tables(s, dir, "lineitem")
+      .filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    TableSource.write(subset, s"$tmp/li", fmt)
+    val back = TableSource.read(s, s"$tmp/li", fmt, subset.schema)
+    back.groupBy("l_returnflag")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("l_orderkey")).as("sum_key"),
+        out2(F.sum(dec2(F.col("l_quantity")))).as("sum_qty"),
+        out2(F.sum(dec2(F.col("l_extendedprice")))).as("sum_price"))
+      .localCheckpoint(true)
+  }
+
+  /** q_csv_roundtrip: lineitem subset → CSV → read back → aggregate. */
+  def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, TableSource.Csv)
+
+  /** q_json_roundtrip: the same through JSON lines. */
+  def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, TableSource.Json)
+
+  /** The oracle aggregates the SAME subset straight off parquet: a
+    * hash-match proves the interchange write+read lost nothing. */
+  val roundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_csv_roundtrip", qCsvRoundtrip _, Some(roundtripSql)),
+    ("q_json_roundtrip", qJsonRoundtrip _, Some(roundtripSql)))
+}

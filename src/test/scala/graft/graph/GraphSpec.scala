@@ -125,6 +125,17 @@ class GraphSpec extends SparkSpec {
         s"exchange), got ${shuffles.size} shuffles:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("personalized pagerank keeps all mass reachable from the seed") {
+    // seed = 1 on the triangle; the {10,11} component must stay at 0,
+    // and the seed outranks the symmetric pair {2,3}
+    val pr = GraphAlgs.personalizedPagerank(verts, undirected, srcVid = 1L, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(10L) == 0L && pr(11L) == 0L)
+    assert(pr(1L) > pr(2L) && pr(1L) > pr(3L))
+    assert(pr(2L) == pr(3L)) // symmetric w.r.t. the seed
+    assert(pr(2L) > 0L)
+  }
+
   test("pagerank conserves mass on a regular graph (uniform on the triangle)") {
     val pr = GraphAlgs.pagerank(verts.filter(F.col("vid") <= 3),
       undirected.filter(F.col("src") <= 3), iters = 5).collect()
