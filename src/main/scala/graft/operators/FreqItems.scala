@@ -105,11 +105,16 @@ case class FreqItemsSketch(
     })
   }
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF throws past 64 KB and a
+  // "term" can be an arbitrary string expression (a URL, a whole line)
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -118,7 +123,12 @@ case class FreqItemsSketch(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     buf
   }
 

@@ -139,7 +139,7 @@ object AnnQueries {
     * equality spec). */
   private[pipeline] def signature(vec: Column, t: Int): Column =
     (0 until BitsPerTable).map { b =>
-      val plane = F.array(planes(t)(b).map(F.lit): _*)
+      val plane = F.array(planes(t)(b).toIndexedSeq.map(F.lit): _*)
       F.when(dot(vec, plane) > 0.0, F.lit(1 << b)).otherwise(F.lit(0))
     }.reduce(_ + _)
 
