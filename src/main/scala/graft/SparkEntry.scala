@@ -9,6 +9,7 @@ object SparkEntry {
     graft.olap.OlapQueries.entries ++
       graft.olap.OlapExtraQueries.entries ++
       graft.olap.OlapCombinatorQueries.entries ++
+      graft.olap.OlapStatQueries.entries ++
       graft.kv.KVQueries.entries ++
       graft.graph.GraphQueries.entries ++
       graft.pipeline.DedupQueries.entries ++

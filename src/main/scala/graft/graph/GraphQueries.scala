@@ -310,7 +310,58 @@ object GraphQueries {
        |SELECT vid, CAST(pr AS BIGINT) AS pr FROM pr10""".stripMargin
   }
 
+  /** g_jaccard: neighborhood similarity per connected pair — for every
+    * undirected edge (a,b) with a<b, the Jaccard overlap of N(a) and
+    * N(b) (JanusGraph/Gremlin link-prediction shape; ClickHouse would
+    * spell it arrayIntersect/arrayUnion over grouped adjacency).
+    *
+    * Shape: one degree aggregate + the wedge self-join (a,x)⋈(b,x)
+    * restricted to the edge set — the same access pattern as triangle
+    * counting, so it scales the same way (shuffle keyed on vertex;
+    * per-pair work bounded by degree, hub skew → SaltedJoin). All-integer
+    * until the single terminal division. */
+  def gJaccard(s: SparkSession, dir: String): DataFrame = {
+    val ue = PropertyGraph(s, dir).undirected
+    val deg = ue.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("d"))
+    val pairs = ue.filter(F.col("src") < F.col("dst"))
+      .select(F.col("src").as("a"), F.col("dst").as("b"))
+    val com = pairs
+      .join(ue.select(F.col("src").as("a"), F.col("dst").as("x")), "a")
+      .join(ue.select(F.col("src").as("b"), F.col("dst").as("x")), Seq("b", "x"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("inter"))
+    val inter = F.coalesce(F.col("inter"), F.lit(0L))
+    val uni = F.col("da") + F.col("db") - inter
+    pairs
+      .join(deg.select(F.col("v").as("a"), F.col("d").as("da")), "a")
+      .join(deg.select(F.col("v").as("b"), F.col("d").as("db")), "b")
+      .join(com, Seq("a", "b"), "left")
+      .select(F.col("a").as("src"), F.col("b").as("dst"),
+        inter.as("inter"), uni.as("uni"),
+        F.floor(inter.cast("double") / uni.cast("double") * 1e6).as("jacc6"))
+  }
+
+  val gJaccardSql: String =
+    s"""WITH $sqlPrelude,
+       |deg AS (SELECT src AS v, COUNT(*) AS d FROM uedges GROUP BY 1),
+       |pairs AS (SELECT src AS a, dst AS b FROM uedges WHERE src < dst),
+       |com AS (
+       |  SELECT p.a, p.b, COUNT(*) AS inter
+       |  FROM pairs p
+       |  JOIN uedges n1 ON n1.src = p.a
+       |  JOIN uedges n2 ON n2.src = p.b AND n2.dst = n1.dst
+       |  GROUP BY 1, 2)
+       |SELECT p.a AS src, p.b AS dst,
+       | CAST(COALESCE(c.inter, 0) AS BIGINT) AS inter,
+       | CAST(da.d + db.d - COALESCE(c.inter, 0) AS BIGINT) AS uni,
+       | CAST(floor(CAST(COALESCE(c.inter, 0) AS DOUBLE)
+       |   / CAST(da.d + db.d - COALESCE(c.inter, 0) AS DOUBLE) * 1e6) AS BIGINT) AS jacc6
+       |FROM pairs p
+       |JOIN deg da ON da.v = p.a
+       |JOIN deg db ON db.v = p.b
+       |LEFT JOIN com c ON c.a = p.a AND c.b = p.b""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_jaccard", gJaccard _, Some(gJaccardSql)),
     ("g_ppr", gPpr _, Some(gPprSql)),
     ("g_kcore", gKcore _, Some(gKcoreSql)),
     ("g_bfs_multi", gBfsMulti _, Some(gBfsMultiSql)),

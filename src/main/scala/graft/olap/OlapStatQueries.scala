@@ -1,0 +1,158 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+import graft.Tables.{dec2, out2}
+
+/** Statistical aggregates and time-series shaping (ClickHouse `corr`,
+  * series gap-fill `WITH FILL` / `interpolate`, and a one-sort Gini
+  * inequality stat).
+  *
+  * Cross-engine float discipline (the whole point of these shapes): every
+  * aggregate is accumulated EXACTLY — BIGINT sums of integer-scaled
+  * values, or DECIMAL — and doubles appear only in a terminal expression
+  * applied to those exact sums, with the identical IEEE operation tree on
+  * both engines. Sums of doubles are never emitted (partition-order
+  * dependent); `floor(x*1e6)` scaling turns the final comparison into
+  * integer equality.
+  */
+object OlapStatQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_corr: Pearson correlation + the moment sums per group (ClickHouse
+    * `corr`/`covarPop` shape) of (l_quantity, 100·l_discount).
+    *
+    * One partial-aggregatable pass accumulates the five moment sums as
+    * BIGINTs — quantity ≤ 50 and scaled discount ≤ 10, so every sum stays
+    * far under 2^53 even at sf 10⁴ and the BIGINT→DOUBLE casts below are
+    * EXACT; the closed form is then pure double arithmetic (*, -, /,
+    * correctly-rounded sqrt) on identical inputs in identical order on
+    * both engines → bit-identical corr. This is why the stat is computed
+    * on the two small-domain columns rather than on prices: exactness of
+    * the double casts is a provable property of the value bounds. */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val x = F.col("l_quantity").cast("long") // integral 1..50 by data contract
+    val y = (dec2(F.col("l_discount")) * 100).cast("long") // 2dp → exact 0..10
+    val agg = Tables(s, dir, "lineitem")
+      .select(F.col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum("x").as("sx"), F.sum("y").as("sy"),
+        F.sum(F.col("x") * F.col("y")).as("sxy"),
+        F.sum(F.col("x") * F.col("x")).as("sxx"),
+        F.sum(F.col("y") * F.col("y")).as("syy"))
+    val d: String => Column = c => F.col(c).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+      F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    agg.select(F.col("l_returnflag"), F.col("n"), F.col("sxy"),
+      F.floor(num / den * 1e6).as("corr6"))
+  }
+
+  val qCorrSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |   CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |   CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |          CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT) AS y
+      |        FROM lineitem)
+      |  GROUP BY 1)
+      |SELECT l_returnflag, n, sxy,
+      | CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+      |   / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+      |   * 1e6) AS BIGINT) AS corr6
+      |FROM m""".stripMargin
+
+  /** q_gini: Gini coefficient of order totals per priority class — the
+    * sorted-rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    * ascending xᵢ. ONE per-group window sort assigns ranks (ties don't
+    * affect Σi·xᵢ — equal x under any tie order yields the same sum, so
+    * no tiebreak column is needed); both moment sums are exact (cents as
+    * BIGINT; the rank-weighted sum in DECIMAL — i·xᵢ overflows BIGINT
+    * past ~sf1, decimals don't); the single terminal division is double.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(F.col("pc").asc)
+    val d18 = DecimalType(18, 0)
+    val ranked = Tables(s, dir, "orders")
+      .select(F.col("o_orderpriority"), (dec2(F.col("o_totalprice")) * 100).cast("long").as("pc"))
+      .withColumn("i", F.row_number().over(w).cast("long"))
+    val agg = ranked.groupBy("o_orderpriority")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("pc").as("s0"),
+        F.sum(F.col("i").cast(d18) * F.col("pc").cast(d18)).as("s1"))
+    val num = (F.lit(2).cast(d18) * F.col("s1")
+      - (F.col("n") + 1).cast(d18) * F.col("s0").cast(d18)).cast("double")
+    val den = (F.col("n").cast(d18) * F.col("s0").cast(d18)).cast("double")
+    agg.select(F.col("o_orderpriority"), F.col("n"), F.col("s0"),
+      F.floor(num / den * 1e6).as("gini6"))
+  }
+
+  val qGiniSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, pc,
+      |   CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY pc ASC) AS BIGINT) AS i
+      |  FROM (SELECT o_orderpriority,
+      |          CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS pc
+      |        FROM orders)),
+      |m AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(pc) AS BIGINT) AS s0,
+      |   SUM(CAST(i AS DECIMAL(18,0)) * CAST(pc AS DECIMAL(18,0))) AS s1
+      |  FROM r GROUP BY 1)
+      |SELECT o_orderpriority, n, s0,
+      | CAST(floor(CAST(2*s1 - (n+1)*CAST(s0 AS DECIMAL(18,0)) AS DOUBLE)
+      |   / CAST(CAST(n AS DECIMAL(18,0))*CAST(s0 AS DECIMAL(18,0)) AS DOUBLE) * 1e6) AS BIGINT) AS gini6
+      |FROM m""".stripMargin
+
+  /** q_fill: time-series gap fill — ClickHouse `ORDER BY day WITH FILL`
+    * + `INTERPOLATE (carry-forward)`. The sparse series (days where an
+    * event type saw a value > 99) is densified onto each type's full
+    * calendar span (`sequence` + explode — generated, not scanned) and
+    * missing days take the last seen daily sum (LOCF via
+    * `last(ignoreNulls)` over an unbounded-preceding frame; one window
+    * sort per type). Day grids generate distributed per group; nothing
+    * round-trips through the driver. */
+  def qFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .filter(F.col("value") > 99.0)
+      .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("d"))
+      .agg(F.sum(dec2(F.col("value"))).cast(DecimalType(18, 2)).as("sv"))
+    val cal = daily.groupBy("event_type")
+      .agg(F.min("d").as("lo"), F.max("d").as("hi"))
+      .select(F.col("event_type"), F.explode(F.sequence(F.col("lo"), F.col("hi"))).as("d"))
+    val w = Window.partitionBy("event_type").orderBy(F.col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("event_type", "d"), "left")
+      .select(F.col("event_type"),
+        F.date_format(F.col("d"), "yyyy-MM-dd").as("day"),
+        F.col("sv").isNull.cast("int").as("filled"),
+        out2(F.last(F.col("sv"), ignoreNulls = true).over(w)).as("sv_fill"))
+  }
+
+  val qFillSql: String =
+    """WITH f AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv
+      |  FROM events WHERE value > 99.0 GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT event_type, CAST(u.d AS DATE) AS d
+      |  FROM (SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM f GROUP BY 1),
+      |   UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d))
+      |SELECT c.event_type, strftime(c.d, '%Y-%m-%d') AS day,
+      | CAST(f.sv IS NULL AS INTEGER) AS filled,
+      | CAST(CAST(last_value(f.sv IGNORE NULLS) OVER (
+      |   PARTITION BY c.event_type ORDER BY c.d ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS sv_fill
+      |FROM cal c LEFT JOIN f ON f.event_type = c.event_type AND f.d = c.d""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_corr", qCorr _, Some(qCorrSql)),
+    ("q_gini", qGini _, Some(qGiniSql)),
+    ("q_fill", qFill _, Some(qFillSql)))
+}

@@ -252,7 +252,53 @@ object DedupQueries {
     """SELECT doc_id, source FROM documents
       |WHERE substring(md5(text), 1, 2) < '1a'""".stripMargin
 
+  /** d_ngram_dupfrac: per-document duplicated-n-gram fraction — the
+    * RefinedWeb/Dolma quality signal: which share of a doc's distinct
+    * word-8-grams also occurs in some OTHER document. Docs shorter than
+    * 8 words have no 8-gram and are excluded (both engines filter on the
+    * same word count).
+    *
+    * Shape: shingle generation is per-row array code (no shuffle);
+    * then ONE aggregate keyed on shingle (global doc-frequency — the
+    * partial agg collapses within-partition repeats) and ONE keyed on
+    * doc_id. Both shuffles are on high-cardinality keys, so the op
+    * scales out flat; at 100 TB the shingle strings would ride as
+    * xxhash64 fingerprints instead (identical counts, 8-byte keys) —
+    * kept as strings here because the oracle must build the same keys.
+    * All-integer output with one terminal division. */
+  def dNgramDupfrac(s: SparkSession, dir: String): DataFrame = {
+    val ws = F.split(F.col("text"), " ")
+    val sh = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), ws.as("w"))
+      .filter(F.size(F.col("w")) >= 8)
+      .select(F.col("doc_id"), F.explode(F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size(F.col("w")) - 7),
+          i => F.concat_ws(" ", F.slice(F.col("w"), i, F.lit(8)))))).as("sh"))
+    val docFreq = sh.groupBy("sh").agg(F.count(F.lit(1)).as("nd"))
+    val dup = F.sum(F.when(F.col("nd") > 1L, 1L).otherwise(0L))
+    sh.join(docFreq, "sh")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_shingles"), dup.as("n_dup"))
+      .select(F.col("doc_id"), F.col("n_shingles"), F.col("n_dup"),
+        F.floor(F.col("n_dup").cast("double") / F.col("n_shingles").cast("double") * 1e6)
+          .as("dupfrac6"))
+  }
+
+  val dNgramDupfracSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 8),
+      |   UNNEST(range(1, len(w) - 6)) AS u(i)),
+      |df AS (SELECT sh, COUNT(*) AS nd FROM sh GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      | CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_dup,
+      | CAST(floor(CAST(COUNT(*) FILTER (WHERE nd > 1) AS DOUBLE)
+      |   / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS dupfrac6
+      |FROM sh JOIN df USING (sh) GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_ngram_dupfrac", dNgramDupfrac _, Some(dNgramDupfracSql)),
     ("d_sample", dSample _, Some(dSampleSql)),
     ("d_exact_dup", dExactDup _, Some(dExactDupSql)),
     ("d_jaccard_pairs", dJaccardPairs _, Some(dJaccardPairsSql)),

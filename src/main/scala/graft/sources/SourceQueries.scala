@@ -57,6 +57,12 @@ object SourceQueries {
   def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame =
     roundtrip(s, dir, TableSource.Json)
 
+  /** q_orc_roundtrip: the same through ORC (the other columnar format
+    * ClickHouse deployments interchange with; binary-exact doubles, no
+    * text parsing on the path). */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, TableSource.Orc)
+
   /** The oracle aggregates the SAME subset straight off parquet: a
     * hash-match proves the interchange write+read lost nothing. */
   val roundtripSql: String =
@@ -70,5 +76,6 @@ object SourceQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_csv_roundtrip", qCsvRoundtrip _, Some(roundtripSql)),
-    ("q_json_roundtrip", qJsonRoundtrip _, Some(roundtripSql)))
+    ("q_json_roundtrip", qJsonRoundtrip _, Some(roundtripSql)),
+    ("q_orc_roundtrip", qOrcRoundtrip _, Some(roundtripSql)))
 }

@@ -17,6 +17,7 @@ object TableSource {
   case object Parquet extends Format { val name = "parquet" }
   case object Csv extends Format { val name = "csv" }
   case object Json extends Format { val name = "json" }
+  case object Orc extends Format { val name = "orc" }
 
   def read(spark: SparkSession, path: String, fmt: Format, schema: StructType): DataFrame = {
     val r = spark.read.schema(schema)
@@ -24,6 +25,7 @@ object TableSource {
       case Parquet => r.parquet(path)
       case Csv => r.option("header", "true").csv(path)
       case Json => r.json(path)
+      case Orc => r.orc(path)
     }
   }
 
@@ -33,6 +35,7 @@ object TableSource {
       case Parquet => w.parquet(path)
       case Csv => w.option("header", "true").csv(path)
       case Json => w.json(path)
+      case Orc => w.orc(path)
     }): Unit
   }
 }
