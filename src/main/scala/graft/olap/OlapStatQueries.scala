@@ -151,8 +151,55 @@ object OlapStatQueries {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS sv_fill
       |FROM cal c LEFT JOIN f ON f.event_type = c.event_type AND f.d = c.d""".stripMargin
 
+  /** q_bitmap: ClickHouse `groupBitmap` + `groupBitmapAnd` — per event
+    * type, the exact distinct-user count and the overlap with the
+    * 'purchase' audience, both read off Roaring bitmaps
+    * (graft.operators.BitmapDistinct). ONE aggregate pass builds a
+    * compressed bitmap per type (map-side partials OR together); the
+    * overlap is bitmap AND on the 5 post-aggregation rows — no distinct
+    * self-join touches the fact table. */
+  def qBitmap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BitmapDistinct._
+    val bitmaps = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(buildAgg(F.col("user_id")).as("bm"))
+    val purchase = bitmaps.filter(F.col("event_type") === "purchase")
+      .select(F.col("bm").as("pbm"))
+    bitmaps.crossJoin(F.broadcast(purchase))
+      .select(F.col("event_type"),
+        cardinality(F.col("bm")).as("n_users"),
+        andCardinality(F.col("bm"), F.col("pbm")).as("n_also_purchase"))
+  }
+
+  val qBitmapSql: String =
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT event_type, COUNT(*) AS n_users,
+      | CAST(COUNT(*) FILTER (WHERE user_id IN (SELECT user_id FROM pu)) AS BIGINT) AS n_also_purchase
+      |FROM du GROUP BY 1""".stripMargin
+
+  /** q_uniq_upto: ClickHouse `uniqUpTo(N)` in both regimes at once — per
+    * event type, distinct users capped at 50 (saturates → 51) and at
+    * 100000 (exact). O(N) state per group vs countDistinct's O(distinct)
+    * (graft.operators.UniqUpTo). */
+  def qUniqUpTo(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UniqUpTo
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(UniqUpTo.agg(F.col("user_id"), 50).as("u50"),
+        UniqUpTo.agg(F.col("user_id"), 100000).as("u100k"))
+  }
+
+  val qUniqUpToSql: String =
+    """SELECT event_type,
+      | LEAST(COUNT(DISTINCT user_id), 51) AS u50,
+      | LEAST(COUNT(DISTINCT user_id), 100001) AS u100k
+      |FROM events GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_corr", qCorr _, Some(qCorrSql)),
     ("q_gini", qGini _, Some(qGiniSql)),
-    ("q_fill", qFill _, Some(qFillSql)))
+    ("q_fill", qFill _, Some(qFillSql)),
+    ("q_bitmap", qBitmap _, Some(qBitmapSql)),
+    ("q_uniq_upto", qUniqUpTo _, Some(qUniqUpToSql)))
 }

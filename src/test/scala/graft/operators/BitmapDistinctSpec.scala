@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+class BitmapDistinctSpec extends SparkSpec {
+  import BitmapDistinct._
+
+  // deterministic skewed ids: many repeats, some sparse high ids
+  private def ids(parts: Int) = {
+    import spark.implicits._
+    spark.range(0, 5000, 1, parts)
+      .select((F.col("id") % 7).as("g"),
+        F.when(F.col("id") % 11 === 0, F.col("id") * 1000000L)
+          .otherwise(F.col("id") % 400).as("uid"))
+  }
+
+  test("bitmap cardinality equals exact countDistinct, at any partitioning") {
+    val expected = ids(1).groupBy("g").agg(F.countDistinct("uid").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = ids(parts).groupBy("g").agg(cardinality(buildAgg(F.col("uid"))).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("and-cardinality equals the exact set intersection size") {
+    val df = ids(8)
+    val bms = df.groupBy("g").agg(buildAgg(F.col("uid")).as("bm"))
+    val a = bms.filter(F.col("g") === 0).select(F.col("bm").as("ba"))
+    val b = bms.filter(F.col("g") === 1).select(F.col("bm").as("bb"))
+    val got = a.crossJoin(b)
+      .select(andCardinality(F.col("ba"), F.col("bb")).as("n"))
+      .collect().head.getLong(0)
+    val ex = df.filter(F.col("g") === 0).select("uid")
+      .intersect(df.filter(F.col("g") === 1).select("uid")).count()
+    assert(got == ex)
+    assert(got > 0)
+  }
+
+  test("partial aggregation is active (map-side bitmaps, not raw rows)") {
+    val plan = ids(8).groupBy("g").agg(buildAgg(F.col("uid")).as("bm"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bitmap_build"), plan)
+  }
+}
