@@ -175,7 +175,40 @@ object KVQueries {
     readBackMutated(s, ds.openDatabase("events")).localCheckpoint(true)
   }
 
+  // this JVM's previous kv_dsv2 segment dir (same lifecycle as the delta
+  // warehouse: sweep only our own previous, fully-consumed directory)
+  private var lastSegmentDir: Option[java.nio.file.Path] = None
+
+  /** kv_dsv2: the kv_slice read replayed through the graft-kv
+    * DataSourceV2 connector — the store persisted as 8 key-range parquet
+    * segments (graft.sources.kvconnector.KVSegmentStore), read back via
+    * `spark.read.format("graft-kv")` with the key-range predicate pushed
+    * to the segment manifest (plan-time segment pruning; the spec asserts
+    * the pruned plan), then the identical slice. Shares kv_slice's
+    * oracle: the connector path must reproduce the direct path cell for
+    * cell. */
+  def kvDsv2(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastSegmentDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val seg = java.nio.file.Files.createTempDirectory("graft_kvseg")
+    lastSegmentDir = Some(seg)
+    graft.sources.kvconnector.KVSegmentStore.write(eventStore(s, dir), seg.toString, 8)
+    val store = s.read.format("graft-kv").load(seg.toString)
+      .filter(F.col("k") < encLong(F.lit(10L))) // pushed → manifest pruning
+    val keys = s.range(0, 10).select(encLong(F.col("id")).as("k"))
+    decoded(slice(store, F.broadcast(keys),
+      colBound("2024-01-10 00:00:00"), colBound("2024-01-20 00:00:00"), 50))
+      .localCheckpoint(true)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("kv_dsv2", kvDsv2 _, Some(kvSliceSql)),
     ("kv_slice", kvSlice _, Some(kvSliceSql)),
     ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
     ("kv_getkeys", kvGetKeys _, Some(kvGetKeysSql)),

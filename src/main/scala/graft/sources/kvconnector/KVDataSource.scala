@@ -1,0 +1,164 @@
+package graft.sources.kvconnector
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `spark.read.format("graft-kv").load(dir)` — a DataSourceV2 connector
+  * over a KVSegmentStore directory.
+  *
+  * This is the POINT-LOOKUP / SLICE path of the store (the reference's
+  * getSlice against MergeTree parts, QueryHelper.java:61): key predicates
+  * push down to the segment manifest, and only segments whose key range
+  * can match become input partitions — pruning happens at PLAN time, so
+  * a narrow slice of a million-segment store schedules a handful of
+  * tasks, where the generic parquet source would schedule all files and
+  * prune row groups inside each task. Full-corpus analytics should keep
+  * reading the segments with the vectorized parquet source; this
+  * connector's per-row reader trades raw scan throughput for plan-time
+  * segment elimination, which is the right trade exactly when predicates
+  * are selective.
+  *
+  * Filter contract: key filters are used for pruning AND all filters are
+  * returned as residual, so Spark re-applies them on the rows the reader
+  * emits — correctness never depends on the pruning logic.
+  */
+class KVDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KVDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KVTable(properties.get("path"))
+}
+
+object KVDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("k", BinaryType), StructField("c", BinaryType),
+    StructField("v", BinaryType)))
+
+  private def ucmp(a: Array[Byte], b: Array[Byte]): Int =
+    util.Arrays.compareUnsigned(a, b)
+
+  /** Could a segment with key range [lo, hi] contain rows matching `f`?
+    * Unknown/unrelated filters prune nothing (return true). */
+  private[kvconnector] def mayMatch(seg: KVSegmentStore.Segment, f: Filter): Boolean =
+    f match {
+      case EqualTo("k", v: Array[Byte]) =>
+        ucmp(seg.lo, v) <= 0 && ucmp(v, seg.hi) <= 0
+      case GreaterThan("k", v: Array[Byte]) => ucmp(seg.hi, v) > 0
+      case GreaterThanOrEqual("k", v: Array[Byte]) => ucmp(seg.hi, v) >= 0
+      case LessThan("k", v: Array[Byte]) => ucmp(seg.lo, v) < 0
+      case LessThanOrEqual("k", v: Array[Byte]) => ucmp(seg.lo, v) <= 0
+      case org.apache.spark.sql.sources.And(l, r) =>
+        mayMatch(seg, l) && mayMatch(seg, r)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        mayMatch(seg, l) || mayMatch(seg, r)
+      case _ => true
+    }
+}
+
+class KVTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-kv `$path`"
+  override def schema(): StructType = KVDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KVScanBuilder(path)
+}
+
+class KVScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = KVDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: Spark re-applies every filter after the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new KVScan(path, required, pushed)
+}
+
+class KVScan(path: String, required: StructType, pushed: Array[Filter])
+  extends Scan with Batch {
+
+  private val all = KVSegmentStore.readManifest(path)
+  private[kvconnector] val kept =
+    all.filter(seg => pushed.forall(KVDataSource.mayMatch(seg, _)))
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-kv $path segments=${kept.size}/${all.size} " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map(seg => KVSegmentPartition(seg.file, required.fieldNames)).toArray
+  override def createReaderFactory(): PartitionReaderFactory = KVReaderFactory
+}
+
+case class KVSegmentPartition(file: String, columns: Array[String]) extends InputPartition
+
+object KVReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KVSegmentReader(partition.asInstanceOf[KVSegmentPartition])
+}
+
+/** Row reader over one parquet segment via the parquet-mr Group API,
+  * projecting only the pruned columns (the projection reaches the
+  * parquet column reader — unread columns are never decoded). */
+class KVSegmentReader(p: KVSegmentPartition) extends PartitionReader[InternalRow] {
+  // empty projection (e.g. a bare count) still needs a column to drive
+  // row iteration; read the narrow key column and emit empty rows
+  private val cols = if (p.columns.isEmpty) Array("k") else p.columns
+  private val conf = new Configuration()
+  // projection fields must carry the file's own repetition (required vs
+  // optional varies with writer nullability), so project the footer schema
+  private val fileSchema = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p.file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+    new org.apache.parquet.schema.MessageType("graft_kv",
+      cols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*).toString)
+  private val reader =
+    ParquetReader.builder(new GroupReadSupport(), new Path(p.file)).withConf(conf).build()
+
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(p.columns.map { c =>
+      if (current.getFieldRepetitionCount(c) == 0) null
+      else current.getBinary(c, 0).getBytes
+    }.toArray[Any])
+
+  override def close(): Unit = reader.close()
+}

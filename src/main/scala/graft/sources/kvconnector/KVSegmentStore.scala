@@ -1,0 +1,56 @@
+package graft.sources.kvconnector
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Segment layout for the graft-kv connector: the KV `(k, c, v)` table
+  * persisted as key-range parquet segments plus a manifest of per-segment
+  * key bounds — the Spark analogue of a MergeTree part directory, where
+  * each part knows its primary-key range and a point/slice read opens
+  * only the parts whose range can match.
+  *
+  * The manifest is driver-sized metadata (one line per segment, like a
+  * parts list), NOT data: reads of it never scale with rows. Segment
+  * bounds are computed from the written files themselves — whatever the
+  * range partitioner sampled, the manifest states what each file actually
+  * holds, so pruning is correct by construction.
+  */
+object KVSegmentStore {
+  val ManifestFile = "_graft_manifest.txt"
+
+  final case class Segment(file: String, lo: Array[Byte], hi: Array[Byte], rows: Long)
+
+  def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Range-partition `store` into `numSegments` parquet segments sorted by
+    * (k, c) within each, and write the key-bounds manifest. */
+  def write(store: DataFrame, path: String, numSegments: Int): Unit = {
+    store.repartitionByRange(numSegments, F.col("k"))
+      .sortWithinPartitions("k", "c")
+      .write.mode("overwrite").parquet(path)
+    val bounds = store.sparkSession.read.parquet(path)
+      .groupBy(F.input_file_name().as("f"))
+      .agg(F.min("k").as("lo"), F.max("k").as("hi"), F.count(F.lit(1)).as("n"))
+      .collect()
+    val lines = bounds.map { r =>
+      val name = r.getString(0).split('/').last
+      s"$name\t${hex(r.getAs[Array[Byte]](1))}\t${hex(r.getAs[Array[Byte]](2))}\t${r.getLong(3)}"
+    }.sorted
+    Files.write(Paths.get(path, ManifestFile),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  def readManifest(path: String): Seq[Segment] = {
+    val raw = new String(Files.readAllBytes(Paths.get(path, ManifestFile)),
+      StandardCharsets.UTF_8)
+    raw.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val Array(f, lo, hi, n) = line.split('\t')
+      Segment(s"$path/$f", unhex(lo), unhex(hi), n.toLong)
+    }
+  }
+}

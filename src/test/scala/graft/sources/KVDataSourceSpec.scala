@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+import graft.kv.KVStore
+import graft.sources.kvconnector.KVSegmentStore
+
+class KVDataSourceSpec extends SparkSpec {
+
+  private def store = {
+    import spark.implicits._
+    spark.range(0, 2000)
+      .select(
+        KVStore.encLong(F.col("id") % 100).as("k"),
+        KVStore.encLong(F.col("id")).as("c"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).cast("binary").as("v"))
+  }
+
+  private def written: String = {
+    val dir = Files.createTempDirectory("graft_kvdsv2").toString
+    KVSegmentStore.write(store, dir, numSegments = 8)
+    dir
+  }
+
+  test("DSV2 read equals the parquet read, cell for cell") {
+    val dir = written
+    val viaDsv2 = spark.read.format("graft-kv").load(dir)
+      .select(F.hex(F.col("k")), F.hex(F.col("c")), F.col("v").cast("string"))
+      .collect().map(_.toSeq).toSet
+    val viaParquet = spark.read.parquet(dir)
+      .select(F.hex(F.col("k")), F.hex(F.col("c")), F.col("v").cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(viaDsv2 == viaParquet)
+    assert(viaDsv2.size == 2000)
+  }
+
+  test("key predicates prune segments at plan time") {
+    val dir = written
+    val narrow = spark.read.format("graft-kv").load(dir)
+      .filter(F.col("k") >= KVStore.encLong(F.lit(10L)) &&
+        F.col("k") < KVStore.encLong(F.lit(13L)))
+    // the scan's description reflects manifest pruning
+    val plan = narrow.queryExecution.executedPlan.toString
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(2).toInt == 8)
+    assert(m.get.group(1).toInt < 8, s"no pruning: ${m.get.matched}")
+    // and the result is still exactly right (filters re-applied by Spark)
+    val got = narrow.select(KVStore.decLong(F.col("k"), 1)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L, 12L))
+  }
+
+  test("column pruning reaches the reader") {
+    val dir = written
+    val df = spark.read.format("graft-kv").load(dir).select("k")
+    assert(df.schema.fieldNames.toSeq == Seq("k"))
+    assert(df.distinct().count() == 100)
+  }
+
+  test("a getSlice through the connector matches the same slice off parquet") {
+    val dir = written
+    import spark.implicits._
+    val keys = spark.range(5, 9).select(KVStore.encLong(F.col("id")).as("k"))
+    def slice(storeDf: org.apache.spark.sql.DataFrame) =
+      KVStore.slice(storeDf, F.broadcast(keys),
+        F.lit(Array.emptyByteArray), KVStore.encLong(F.lit(Long.MaxValue)), 5)
+        .select(F.hex(F.col("k")), F.hex(F.col("c"))).collect().map(_.toSeq).toSet
+    assert(slice(spark.read.format("graft-kv").load(dir)) ==
+      slice(spark.read.parquet(dir)))
+  }
+}
