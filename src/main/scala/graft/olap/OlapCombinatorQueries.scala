@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
@@ -219,7 +219,59 @@ object OlapCombinatorQueries {
       |   (acc, x) -> acc * 0.5 + x) * 1e6) AS BIGINT) AS decay6
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q_seq_count: ClickHouse `sequenceCount('(?1)(?2)')` — per user, the
+    * number of NON-OVERLAPPING click→purchase occurrences in time order
+    * (each completed match restarts the search; contrast q_seqmatch's
+    * existence test and q_funnel's depth).
+    *
+    * The two-state matcher folds over the ordered event codes with its
+    * whole state packed into ONE non-negative long — low bit = "armed by
+    * a click", upper bits = completed count — so the transition is two
+    * integer ops (click: acc|1, purchase on armed acc: acc+1) and the
+    * identical fold runs on both engines (Spark `aggregate` ≡ DuckDB
+    * `list_reduce` with prepended 0 init) with exact integer results at
+    * any scale. */
+  def qSeqCount(s: SparkSession, dir: String): DataFrame = {
+    val code = F.when(F.col("event_type") === "click", 1L)
+      .when(F.col("event_type") === "purchase", 2L).otherwise(0L)
+    val step: (Column, Column) => Column = (acc, x) =>
+      F.when(x === 1L, acc.bitwiseOR(1L))
+        .when(x === 2L && acc % 2 === 1L, acc + 1L)
+        .otherwise(acc)
+    Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        F.struct(F.unix_micros(F.col("ts")).as("tu"),
+          F.col("event_id"), code.as("x")).as("e"))
+      .groupBy("user_id")
+      .agg(F.sort_array(F.collect_list("e")).as("seq"))
+      .select(F.col("user_id"),
+        F.size(F.col("seq")).cast("long").as("n"),
+        F.shiftright(F.aggregate(
+          F.transform(F.col("seq"), e => e("x")), F.lit(0L), step), 1).as("seq_cnt"))
+  }
+
+  /** Oracle via the closed form, not list_reduce (DuckDB 1.0.0's
+    * list_reduce returns wrong folds on some grouped ~100-element lists
+    * — verified against a hand fold of the identical list): the greedy
+    * non-overlapping (?1)(?2) count equals, in the click/purchase
+    * subsequence, the number of purchases whose immediate predecessor is
+    * a click (extra clicks collapse into the armed state; a counted
+    * purchase disarms). */
+  val qSeqCountSql: String =
+    """WITH cp AS (
+      |  SELECT user_id, event_type,
+      |   LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT user_id,
+      |   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase' AND prev = 'click') AS BIGINT) AS seq_cnt
+      |  FROM cp GROUP BY 1),
+      |n AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+      |SELECT n.user_id, n.n, CAST(COALESCE(m.seq_cnt, 0) AS BIGINT) AS seq_cnt
+      |FROM n LEFT JOIN m ON m.user_id = n.user_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_seq_count", qSeqCount _, Some(qSeqCountSql)),
     ("q_exp_decay", qExpDecay _, Some(qExpDecaySql)),
     ("q_summap", qSumMap _, Some(qSumMapSql)),
     ("q_topk_freq", qTopkFreq _, Some(qTopkFreqSql)),

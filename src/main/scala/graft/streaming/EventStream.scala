@@ -174,6 +174,24 @@ object EventStream {
       .select(F.col("w.start").as("window_start"),
         F.col("approx_users"), F.col("n_events"))
 
+  /** Streaming windowed EXACT distinct users via the Roaring bitmap
+    * aggregate (graft.operators.BitmapDistinct) — the exact counterpart
+    * of tumblingApproxUsers: state per open window is one compressed
+    * bitmap (merged by container OR, map-side partials included), not a
+    * row per (window, user) as dropDuplicates+count would keep. The
+    * middle ground between HLL (tiny state, ~2% error) and exact
+    * per-user rows (unbounded state): exact counts with state
+    * proportional to the compressed id set. */
+  def tumblingExactUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"))
+      .agg(graft.operators.BitmapDistinct.buildAgg(F.col("user_id")).as("bm"),
+        F.count(F.lit(1)).as("n_events"))
+      .select(F.col("w.start").as("window_start"),
+        graft.operators.BitmapDistinct.cardinality(F.col("bm")).as("n_users"),
+        F.col("n_events"))
+
   /** Streaming windowed frequent items (the streaming form of
     * q_topk_freq): per tumbling window, the top users by event count via
     * the mergeable Misra-Gries sketch (graft.operators.FreqItemsSketch).

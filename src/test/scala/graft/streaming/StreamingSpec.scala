@@ -210,6 +210,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed exact-distinct users via bitmap state matches the true count") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.tumblingExactUsers(in.toDF())
+      .writeStream.format("memory").queryName("exact_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 3 distinct users (1 repeated), 5 events in hour 0
+      in.addData(Ev(1, ts(5), "click", 0), Ev(2, ts(10), "view", 0),
+        Ev(1, ts(20), "view", 0), Ev(8, ts(30), "view", 0), Ev(8, ts(31), "view", 0))
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(200), "view", 0)) // watermark past hour 0
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(400), "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("exact_out").collect()
+        .map(r => (mins(r.getTimestamp(0)), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((0L, 3L, 5L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
