@@ -216,6 +216,69 @@ object GraphAlgs {
       .select(F.col("vid"), F.col("x").as("d"))
   }
 
+  /** Strongly connected components over the DIRECTED edge list — the
+    * GraphX `stronglyConnectedComponents` analogue, as forward-backward
+    * min-label coloring (FW-BW): per outer round, within each color
+    * class, propagate min vid backward (bv = least label that reaches v)
+    * and forward (fv = least label v reaches); vertices with fv == bv
+    * are exactly the SCC of that label (mutual reachability with it),
+    * the rest re-color by the (fv, bv) pair — which SCCs never straddle,
+    * since mutually-reachable vertices share both label sets — and
+    * iterate on the shrinking remainder.
+    *
+    * Scale: each half-round is one frontier Pregel run over the
+    * color-filtered edges (all joins keyed on vertex id); the remainder
+    * only shrinks. Outer rounds needed ≈ how deeply reachability labels
+    * tie distinct SCCs together — small for short-diameter graphs;
+    * `maxOuter` is a backstop, the empty-remainder check exits early.
+    * Returns (vid, scc = min vid of the component). */
+  def scc(vertices: DataFrame, edges: DataFrame,
+          maxOuter: Int = 8, maxIter: Int = 10): DataFrame = {
+    val directed = edges.select("src", "dst").localCheckpoint()
+    var active = vertices.select(F.col("vid"), F.lit(0L).as("cf"), F.lit(0L).as("cr"))
+      .localCheckpoint()
+    var remaining = active.count()
+    val found = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var outer = 0
+    while (remaining > 0 && outer < maxOuter) {
+      // round 0 has one color class covering everything — the color
+      // filter would be a no-op join over the full edge list
+      val e = if (outer == 0) directed else directed
+        .join(active.select(F.col("vid").as("src"), F.col("cf").as("scf"),
+          F.col("cr").as("scr")), "src")
+        .join(active.select(F.col("vid").as("dst"), F.col("cf").as("dcf"),
+          F.col("cr").as("dcr")), "dst")
+        .filter(F.col("scf") === F.col("dcf") && F.col("scr") === F.col("dcr"))
+        .select("src", "dst")
+      // BOTH propagations ride one Pregel run over a doubled vertex space
+      // (vid·2 = backward copy, vid·2+1 = forward copy over reversed
+      // edges): the directions are independent, so fusing them halves the
+      // number of global rounds/barriers — the same trick as g_bfs_multi's
+      // one-loop multi-source BFS. (Requires vid < 2^62.)
+      val eBoth = e.select((F.col("src") * 2).as("src"), (F.col("dst") * 2).as("dst"))
+        .unionByName(
+          e.select((F.col("dst") * 2 + 1).as("src"), (F.col("src") * 2 + 1).as("dst")))
+      val init = active
+        .select(F.col("vid"), F.explode(F.array(F.lit(0L), F.lit(1L))).as("side"))
+        .select((F.col("vid") * 2 + F.col("side")).as("vid"), F.col("vid").as("x"))
+      val res = Pregel.minPropagate(init, identity, eBoth, F.col("x"), maxIter)
+        .select(F.expr("vid div 2").as("vid"), (F.col("vid") % 2).as("side"), F.col("x"))
+      // one materialization serves the SCC slice, the re-color, and the probe
+      val joined = res.filter(F.col("side") === 0).select(F.col("vid"), F.col("x").as("bv"))
+        .join(res.filter(F.col("side") === 1).select(F.col("vid"), F.col("x").as("fv")), "vid")
+        .localCheckpoint(false)
+      found += joined.filter(F.col("bv") === F.col("fv"))
+        .select(F.col("vid"), F.col("bv").as("scc"))
+      active = joined.filter(F.col("bv") =!= F.col("fv"))
+        .select(F.col("vid"), F.col("fv").as("cf"), F.col("bv").as("cr"))
+        .localCheckpoint(false)
+      remaining = active.count()
+      outer += 1
+    }
+    require(remaining == 0, s"scc: $remaining vertices unassigned after $maxOuter rounds")
+    found.reduce(_ unionByName _)
+  }
+
   /** Triangle count over an undirected edge list: orient every edge
     * low→high (each triangle counted exactly once as a<b<c). */
   def triangleCount(undirected: DataFrame): DataFrame = {

@@ -360,7 +360,31 @@ object GraphQueries {
        |JOIN deg db ON db.v = p.b
        |LEFT JOIN com c ON c.a = p.a AND c.b = p.b""".stripMargin
 
+  /** g_scc: strongly connected components of the DIRECTED graph
+    * (GraphX stronglyConnectedComponents parity; contrast g_cc's
+    * undirected components). On this graph the SCCs are each nation's
+    * supplier peer-clique plus singletons for the one-way
+    * customer→nation→region chains — precisely what mutual
+    * reachability distinguishes from plain connectivity. Oracle: the
+    * transitive closure by recursive CTE, SCC id = least mutually
+    * reachable vid. */
+  def gScc(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    GraphAlgs.scc(g.vertices, g.edges)
+  }
+
+  val gSccSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |reach(a, b) AS (
+       |  SELECT vid, vid FROM verts
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+       |SELECT r1.a AS vid, CAST(MIN(r1.b) AS BIGINT) AS scc
+       |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+       |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_scc", gScc _, Some(gSccSql)),
     ("g_jaccard", gJaccard _, Some(gJaccardSql)),
     ("g_ppr", gPpr _, Some(gPprSql)),
     ("g_kcore", gKcore _, Some(gKcoreSql)),
