@@ -196,7 +196,37 @@ object OlapStatQueries {
       | LEAST(COUNT(DISTINCT user_id), 100001) AS u100k
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q_rank_suite: the ranking-window family in one pass — ntile(4),
+    * percent_rank, cume_dist per priority class over (cents, orderkey).
+    * The ORDER BY is a TOTAL order (orderkey tiebreak): ntile's bucket
+    * boundaries depend on physical row order within ties, so an
+    * under-specified sort would be nondeterministic across engines.
+    * percent_rank/cume_dist are single divisions of exact ints,
+    * floor-scaled to 1e-6 ints. One window sort per class. */
+  def qRankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(F.col("pc").asc, F.col("o_orderkey").asc)
+    Tables(s, dir, "orders")
+      .select(F.col("o_orderpriority"), F.col("o_orderkey"),
+        (dec2(F.col("o_totalprice")) * 100).cast("long").as("pc"))
+      .select(F.col("o_orderpriority"), F.col("o_orderkey"),
+        F.ntile(4).over(w).cast("long").as("tile"),
+        F.floor(F.percent_rank().over(w) * 1e6).as("pr6"),
+        F.floor(F.cume_dist().over(w) * 1e6).as("cd6"))
+  }
+
+  val qRankSuiteSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      | CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+      | CAST(floor(PERCENT_RANK() OVER w * 1e6) AS BIGINT) AS pr6,
+      | CAST(floor(CUME_DIST() OVER w * 1e6) AS BIGINT) AS cd6
+      |FROM (SELECT o_orderpriority, o_orderkey,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS pc
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY pc ASC, o_orderkey ASC)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_rank_suite", qRankSuite _, Some(qRankSuiteSql)),
     ("q_corr", qCorr _, Some(qCorrSql)),
     ("q_gini", qGini _, Some(qGiniSql)),
     ("q_fill", qFill _, Some(qFillSql)),

@@ -297,7 +297,38 @@ object DedupQueries {
       |   / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS dupfrac6
       |FROM sh JOIN df USING (sh) GROUP BY 1""".stripMargin
 
+  /** d_corpus_stats: the assembled pre-training corpus pipeline in one
+    * query — exact dedup (keep-min doc per content hash) → quality gate
+    * (length floor) → per-source corpus statistics. Each stage is
+    * individually oracled elsewhere (d_exact_dup, t_quality's ratios,
+    * t_tokens); this entry pins the COMPOSITION, which is what a real
+    * ingestion run executes. Dedup and stats are both single aggregates
+    * keyed on high-cardinality columns; nothing widens. */
+  def dCorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val keep = docs.groupBy(F.md5(F.col("text")).as("h"))
+      .agg(F.min("doc_id").as("doc_id")).select("doc_id")
+    docs.join(keep, "doc_id")
+      .filter(F.col("n_chars") >= 100)
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).as("n_tokens"),
+        F.countDistinct("lang").as("n_langs"))
+  }
+
+  val dCorpusStatsSql: String =
+    """WITH keep AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |f AS (
+      |  SELECT d.* FROM documents d JOIN keep USING (doc_id)
+      |  WHERE n_chars >= 100)
+      |SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM f GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_corpus_stats", dCorpusStats _, Some(dCorpusStatsSql)),
     ("d_ngram_dupfrac", dNgramDupfrac _, Some(dNgramDupfracSql)),
     ("d_sample", dSample _, Some(dSampleSql)),
     ("d_exact_dup", dExactDup _, Some(dExactDupSql)),

@@ -99,6 +99,28 @@ class GraphSpec extends SparkSpec {
     assert(core == Set(1L, 2L, 3L))
   }
 
+  test("scc separates cycles, one-way bridges, and singletons") {
+    import spark.implicits._
+    // cycle {1,2,3} --one-way--> cycle {4,5}; 6 isolated; 7 -> 8 one-way
+    val v = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("vid")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (7L, 8L)).toDF("src", "dst")
+    val got = GraphAlgs.scc(v, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L), s"got $got")
+  }
+
+  test("scc handles interleaved vids where doubling must not collide") {
+    import spark.implicits._
+    // cycle {2,4} and cycle {3,5}: doubled ids 4,8 / 6,10 interleave
+    val v = Seq(2L, 3L, 4L, 5L).toDF("vid")
+    val e = Seq((2L, 4L), (4L, 2L), (3L, 5L), (5L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphAlgs.scc(v, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 4L -> 2L, 3L -> 3L, 5L -> 3L), s"got $got")
+  }
+
   test("nearest landmark = min hop distance over the source set") {
     val d = GraphAlgs.nearestLandmark(verts, undirected,
       F.col("vid") === 2L || F.col("vid") === 10L).collect()
