@@ -178,6 +178,34 @@ object OlapStatQueries {
       | CAST(COUNT(*) FILTER (WHERE user_id IN (SELECT user_id FROM pu)) AS BIGINT) AS n_also_purchase
       |FROM du GROUP BY 1""".stripMargin
 
+  /** q_bitmap_merge: the ClickHouse `-State`/`-Merge` combinator pattern
+    * — per-(type, day) bitmap states pre-aggregated once, then rolled up
+    * to per-type EXACT distinct users by OR-merging the states
+    * (BitmapOrAgg), never re-touching the fact table. The second column
+    * (sum of per-day distinct counts) quantifies what naive re-summing
+    * of daily uniques overcounts — the reason states must merge, not
+    * add. This is the bitmap materialized-view pattern: at 100 TB the
+    * day-level states are what you persist. */
+  def qBitmapMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BitmapDistinct._
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("d"))
+      .agg(buildAgg(F.col("user_id")).as("bm"))
+    daily.groupBy("event_type")
+      .agg(cardinality(orAgg(F.col("bm"))).as("n_users"),
+        F.sum(cardinality(F.col("bm"))).as("sum_daily_users"))
+  }
+
+  val qBitmapMergeSql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS dd, COUNT(DISTINCT user_id) AS nu
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1)
+      |SELECT t.event_type, t.n_users,
+      | CAST(SUM(d.nu) AS BIGINT) AS sum_daily_users
+      |FROM t JOIN d ON d.event_type = t.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   /** q_uniq_upto: ClickHouse `uniqUpTo(N)` in both regimes at once — per
     * event type, distinct users capped at 50 (saturates → 51) and at
     * 100000 (exact). O(N) state per group vs countDistinct's O(distinct)
@@ -231,5 +259,6 @@ object OlapStatQueries {
     ("q_gini", qGini _, Some(qGiniSql)),
     ("q_fill", qFill _, Some(qFillSql)),
     ("q_bitmap", qBitmap _, Some(qBitmapSql)),
+    ("q_bitmap_merge", qBitmapMerge _, Some(qBitmapMergeSql)),
     ("q_uniq_upto", qUniqUpTo _, Some(qUniqUpToSql)))
 }

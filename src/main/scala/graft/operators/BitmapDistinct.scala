@@ -122,6 +122,62 @@ case class BitmapAndCardinality(left: Expression, right: Expression)
   override def prettyName: String = "bitmap_and_cardinality"
 }
 
+/** OR-merge of already-serialized bitmaps — the ClickHouse
+  * `groupBitmapMergeState` / `-Merge` combinator: re-aggregate
+  * pre-aggregated states (e.g. per-day bitmaps rolled up to per-type)
+  * without touching the fact table again. This is what makes bitmap
+  * materialized views composable: any partition of the data into
+  * pre-aggregation groups merges to the identical exact set. */
+case class BitmapOrAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_or requires serialized bitmaps (BINARY), got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
+
+  override def update(buf: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) buf.or(BitmapDistinct.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: Roaring64Bitmap, other: Roaring64Bitmap): Roaring64Bitmap = {
+    buf.or(other)
+    buf
+  }
+
+  override def eval(buf: Roaring64Bitmap): Any = serialize(buf)
+
+  override def serialize(buf: Roaring64Bitmap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    buf.serialize(out)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap =
+    BitmapDistinct.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "bitmap_or"
+}
+
 object BitmapDistinct {
   private[operators] def fromBytes(bytes: Array[Byte]): Roaring64Bitmap = {
     val bm = new Roaring64Bitmap()
@@ -140,4 +196,9 @@ object BitmapDistinct {
   def andCardinality(a: Column, b: Column): Column =
     GraftSqlBridge.column(BitmapAndCardinality(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Aggregate: OR-merge of already-serialized bitmap states. */
+  def orAgg(bitmaps: Column): Column =
+    GraftSqlBridge.column(
+      BitmapOrAgg(GraftSqlBridge.expression(bitmaps)).toAggregateExpression())
 }

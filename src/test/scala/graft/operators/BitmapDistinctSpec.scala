@@ -40,6 +40,16 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(got > 0)
   }
 
+  test("merging per-subgroup states equals aggregating the raw rows") {
+    val df = ids(8).withColumn("sub", F.col("uid") % 3)
+    val direct = df.groupBy("g").agg(cardinality(buildAgg(F.col("uid"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = df.groupBy("g", "sub").agg(buildAgg(F.col("uid")).as("bm"))
+      .groupBy("g").agg(cardinality(orAgg(F.col("bm"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+  }
+
   test("partial aggregation is active (map-side bitmaps, not raw rows)") {
     val plan = ids(8).groupBy("g").agg(buildAgg(F.col("uid")).as("bm"))
       .queryExecution.executedPlan.toString
