@@ -321,7 +321,9 @@ object GraphQueries {
     * per-pair work bounded by degree, hub skew → SaltedJoin). All-integer
     * until the single terminal division. */
   def gJaccard(s: SparkSession, dir: String): DataFrame = {
-    val ue = PropertyGraph(s, dir).undirected
+    // the symmetrized list feeds the degree agg, the pair set and both
+    // wedge legs — materialize its derivation once (as triangleCount does)
+    val ue = PropertyGraph(s, dir).undirected.localCheckpoint()
     val deg = ue.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("d"))
     val pairs = ue.filter(F.col("src") < F.col("dst"))
       .select(F.col("src").as("a"), F.col("dst").as("b"))
