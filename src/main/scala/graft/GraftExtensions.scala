@@ -42,7 +42,36 @@ object GraftExtensions {
       (args: Seq[Expression]) => WordSimHash(args(0))),
     (new FunctionIdentifier("float_mat_sign_buckets"),
       new ExpressionInfo(classOf[FloatMatSignBuckets].getName, "float_mat_sign_buckets"),
-      (args: Seq[Expression]) => FloatMatSignBuckets(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => FloatMatSignBuckets(args(0), args(1), args(2))),
+    // aggregates register as bare AggregateFunctions — the analyzer wraps
+    // them in AggregateExpression during resolution, so
+    // `spark.sql("SELECT bitmap_cardinality(bitmap_build(id)) ...")` works
+    (new FunctionIdentifier("bitmap_build"),
+      new ExpressionInfo(classOf[graft.operators.BitmapBuildAgg].getName, "bitmap_build"),
+      (args: Seq[Expression]) => graft.operators.BitmapBuildAgg(args(0))),
+    (new FunctionIdentifier("bitmap_or"),
+      new ExpressionInfo(classOf[graft.operators.BitmapOrAgg].getName, "bitmap_or"),
+      (args: Seq[Expression]) => graft.operators.BitmapOrAgg(args(0))),
+    (new FunctionIdentifier("bitmap_cardinality"),
+      new ExpressionInfo(classOf[graft.operators.BitmapCardinality].getName, "bitmap_cardinality"),
+      (args: Seq[Expression]) => graft.operators.BitmapCardinality(args(0))),
+    (new FunctionIdentifier("bitmap_and_cardinality"),
+      new ExpressionInfo(classOf[graft.operators.BitmapAndCardinality].getName, "bitmap_and_cardinality"),
+      (args: Seq[Expression]) => graft.operators.BitmapAndCardinality(args(0), args(1))),
+    (new FunctionIdentifier("uniq_up_to"),
+      new ExpressionInfo(classOf[graft.operators.UniqUpToAgg].getName, "uniq_up_to"),
+      (args: Seq[Expression]) => graft.operators.UniqUpToAgg(args(0), intLiteral(args(1), "uniq_up_to(ids, n)")),
+    ),
+    (new FunctionIdentifier("freq_items_sketch"),
+      new ExpressionInfo(classOf[graft.operators.FreqItemsSketch].getName, "freq_items_sketch"),
+      (args: Seq[Expression]) => graft.operators.FreqItemsSketch(
+        args(0), intLiteral(args(1), "freq_items_sketch(term, capacity)"))))
+
+  private def intLiteral(e: Expression, usage: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(
+      s"$usage requires a literal INT, got $e")
+  }
 
   /** Register on an already-built session (e.g. a REPL). */
   def register(spark: SparkSession): Unit =

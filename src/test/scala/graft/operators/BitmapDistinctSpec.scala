@@ -50,6 +50,19 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("the aggregates work from SQL via GraftExtensions registration") {
+    graft.GraftExtensions.register(spark)
+    ids(8).createOrReplaceTempView("bm_ids")
+    val viaSql = spark.sql(
+      """SELECT g, bitmap_cardinality(bitmap_build(uid)) AS n, uniq_up_to(uid, 3) AS u
+        |FROM bm_ids GROUP BY g""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = ids(1).groupBy("g")
+      .agg(F.countDistinct("uid").as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), math.min(r.getLong(1), 4L))).toMap
+    assert(viaSql == expected)
+  }
+
   test("partial aggregation is active (map-side bitmaps, not raw rows)") {
     val plan = ids(8).groupBy("g").agg(buildAgg(F.col("uid")).as("bm"))
       .queryExecution.executedPlan.toString
