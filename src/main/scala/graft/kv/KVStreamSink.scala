@@ -64,12 +64,15 @@ object KVStreamSink {
   private def latestSnapshot(dir: String, beforeId: Long): Option[String] = {
     val d = Paths.get(dir)
     if (!Files.exists(d)) return None
-    val versions = Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("snapshot_v"))
-      .filter(p => Files.exists(p.resolve("_SUCCESS")))
-      .map(p => p.getFileName.toString.stripPrefix("snapshot_v").toLong)
-      .filter(_ < beforeId)
-      .toSeq
+    val listing = Files.list(d)
+    val versions =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snapshot_v"))
+        .filter(p => Files.exists(p.resolve("_SUCCESS")))
+        .map(p => p.getFileName.toString.stripPrefix("snapshot_v").toLong)
+        .filter(_ < beforeId)
+        .toSeq
+      finally listing.close()
     if (versions.isEmpty) None
     else Some(Paths.get(dir, s"snapshot_v${versions.max}").toString)
   }

@@ -253,7 +253,35 @@ object OlapStatQueries {
       |      FROM orders)
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY pc ASC, o_orderkey ASC)""".stripMargin
 
+  /** q_salted: a skew-proofed fact⋈dim join under the plain join's
+    * oracle — events (user activity is a skewed distribution) joined to
+    * customer attributes through graft.operators.SaltedJoin: the fact
+    * side fans out over 16 deterministic salt buckets, the dimension
+    * side replicates, and the aggregate result is REQUIRED to equal the
+    * unsalted join's (the whole point of result-preserving skew
+    * handling). Salting is the structural fix when one key dominates
+    * and the dim side is too big to broadcast; here it runs under the
+    * correctness gate so the rewrite is provably invisible. */
+  def qSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_type"), dec2(F.col("value")).as("v"),
+        F.col("event_id"))
+    val dim = Tables(s, dir, "customer")
+      .select(F.col("c_custkey").as("user_id"), F.col("c_mktsegment"))
+    graft.operators.SaltedJoin.inner(ev, dim, Seq("user_id"),
+      saltBy = F.col("event_id"), buckets = 16)
+      .groupBy("c_mktsegment", "event_type")
+      .agg(F.count(F.lit(1)).as("n"), out2(F.sum("v")).as("sum_v"))
+  }
+
+  val qSaltedSql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
+      |FROM events JOIN customer ON c_custkey = user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_salted", qSalted _, Some(qSaltedSql)),
     ("q_rank_suite", qRankSuite _, Some(qRankSuiteSql)),
     ("q_corr", qCorr _, Some(qCorrSql)),
     ("q_gini", qGini _, Some(qGiniSql)),
