@@ -63,6 +63,47 @@ object SourceQueries {
   def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame =
     roundtrip(s, dir, TableSource.Orc)
 
+  /** q_partition_prune: hive-style partitioned layout under the gate —
+    * lineitem written `partitionBy(l_returnflag)`, read back with a
+    * partition-key filter, aggregated. The filter binds at PLAN time to
+    * directory pruning (PartitionFilters in the scan — the spec asserts
+    * non-matching partitions never become input splits), which is the
+    * first-line data-skipping mechanism for any 100 TB table layout.
+    * Oracle = the same filter+aggregate straight off the unpartitioned
+    * table: pruning must be result-invisible. */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+    lastDir = Some(tmp)
+    Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.partitionBy("l_returnflag").parquet(s"$tmp/li")
+    s.read.parquet(s"$tmp/li")
+      .filter(F.col("l_returnflag") === "R")
+      .groupBy("l_returnflag")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("l_orderkey")).as("sum_key"),
+        out2(F.sum(dec2(F.col("l_quantity")))).as("sum_qty"),
+        out2(F.sum(dec2(F.col("l_extendedprice")))).as("sum_price"))
+      .localCheckpoint(true)
+  }
+
+  val qPartitionPruneSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1""".stripMargin
+
   /** The oracle aggregates the SAME subset straight off parquet: a
     * hash-match proves the interchange write+read lost nothing. */
   val roundtripSql: String =
@@ -77,5 +118,6 @@ object SourceQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_csv_roundtrip", qCsvRoundtrip _, Some(roundtripSql)),
     ("q_json_roundtrip", qJsonRoundtrip _, Some(roundtripSql)),
-    ("q_orc_roundtrip", qOrcRoundtrip _, Some(roundtripSql)))
+    ("q_orc_roundtrip", qOrcRoundtrip _, Some(roundtripSql)),
+    ("q_partition_prune", qPartitionPrune _, Some(qPartitionPruneSql)))
 }

@@ -19,4 +19,21 @@ class TableSourceSpec extends SparkSpec {
       assert(rowsOf(back) == expect, fmt.name)
     }
   }
+
+  test("a partition-key filter prunes directories at plan time") {
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pp").toString
+    spark.range(0, 300)
+      .select(F.col("id"), (F.col("id") % 3).cast("string").as("part"))
+      .write.partitionBy("part").parquet(s"$dir/t")
+    val q = spark.read.parquet(s"$dir/t").filter(F.col("part") === "1")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("(part = 1)") || plan.contains("part#"), plan)
+    assert(q.count() == 100)
+    // and the pruned read misses nothing relative to a full-scan filter
+    assert(q.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 300L).filter(_ % 3 == 1).toSet)
+  }
 }
