@@ -311,6 +311,74 @@ object OlapQueries {
       | CAST(CAST(last_oprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
       |FROM lv WHERE is_event = 1 AND last_okey IS NOT NULL""".stripMargin
 
+  /** q_asof_near: NEAREST-order join — each event matched to the user's
+    * order with the least |order_time − event_time|, either direction
+    * (the bidirectional flavor of q_asof's backward-only match; DuckDB/
+    * pandas ASOF joins only look backward, ClickHouse ASOF only one
+    * direction — nearest needs both). Same merge-sorted-union shape, run
+    * twice: a backward LOCF pass and a forward pass (the same window
+    * with the sort reversed), then a branch-free pick by distance with
+    * deterministic ties (backward wins; within a timestamp, okey order).
+    * Two window sorts per user partition, no self-join, all-integer µs
+    * arithmetic. */
+  def qAsofNear(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(F.col("user_id").as("k"), F.unix_micros(F.col("ts")).as("tu"),
+        F.col("event_id"), F.lit(1).as("is_event"),
+        F.lit(null).cast("long").as("okey"))
+    val ord = t(s, dir, "orders")
+      .select(F.col("o_custkey").as("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).as("tu"),
+        F.lit(null).cast("long").as("event_id"), F.lit(0).as("is_event"),
+        F.col("o_orderkey").as("okey"))
+    val otu = F.when(F.col("okey").isNotNull, F.col("tu"))
+    val wb = Window.partitionBy("k")
+      .orderBy(F.col("tu").asc, F.col("is_event").asc, F.col("okey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("k")
+      .orderBy(F.col("tu").desc, F.col("is_event").asc, F.col("okey").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bk = F.col("bk"); val fk = F.col("fk")
+    val bd = F.col("tu") - F.col("btu"); val fd = F.col("ftu") - F.col("tu")
+    ev.unionByName(ord)
+      .withColumn("bk", F.last("okey", ignoreNulls = true).over(wb))
+      .withColumn("btu", F.last(otu, ignoreNulls = true).over(wb))
+      .withColumn("fk", F.last("okey", ignoreNulls = true).over(wf))
+      .withColumn("ftu", F.last(otu, ignoreNulls = true).over(wf))
+      .filter(F.col("is_event") === 1 && (bk.isNotNull || fk.isNotNull))
+      .select(F.col("event_id"), F.col("k").as("user_id"),
+        F.when(bk.isNull, fk).when(fk.isNull, bk)
+          .when(bd <= fd, bk).otherwise(fk).as("near_okey"),
+        F.when(bk.isNull, fd).when(fk.isNull, bd)
+          .when(bd <= fd, bd).otherwise(fd).as("dist_us"))
+  }
+
+  val qAsofNearSql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, epoch_us(ts) AS tu, event_id, 1 AS is_event,
+      |   CAST(NULL AS BIGINT) AS okey FROM events
+      |  UNION ALL
+      |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS tu, CAST(NULL AS BIGINT) AS event_id,
+      |   0 AS is_event, o_orderkey AS okey FROM orders
+      |), lv AS (
+      |  SELECT *,
+      |   LAST_VALUE(okey IGNORE NULLS) OVER wb AS bk,
+      |   LAST_VALUE(CASE WHEN okey IS NOT NULL THEN tu END IGNORE NULLS) OVER wb AS btu,
+      |   LAST_VALUE(okey IGNORE NULLS) OVER wf AS fk,
+      |   LAST_VALUE(CASE WHEN okey IS NOT NULL THEN tu END IGNORE NULLS) OVER wf AS ftu
+      |  FROM u
+      |  WINDOW
+      |   wb AS (PARTITION BY k ORDER BY tu ASC, is_event ASC, okey ASC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |   wf AS (PARTITION BY k ORDER BY tu DESC, is_event ASC, okey DESC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, k AS user_id,
+      | CASE WHEN bk IS NULL THEN fk WHEN fk IS NULL THEN bk
+      |      WHEN tu - btu <= ftu - tu THEN bk ELSE fk END AS near_okey,
+      | CASE WHEN bk IS NULL THEN ftu - tu WHEN fk IS NULL THEN tu - btu
+      |      WHEN tu - btu <= ftu - tu THEN tu - btu ELSE ftu - tu END AS dist_us
+      |FROM lv WHERE is_event = 1 AND (bk IS NOT NULL OR fk IS NOT NULL)""".stripMargin
+
   /** Band/range join: orders bucketed into totalprice bands via an interval
     * join against a generated bands table (broadcast — bands are tiny).
     * The band table is sized from the data's own max price so no order can
@@ -348,5 +416,6 @@ object OlapQueries {
     ("q_percentile", qPercentile _, Some(qPercentileSql)),
     ("q_rollup", qRollup _, Some(qRollupSql)),
     ("q_asof", qAsof _, Some(qAsofSql)),
+    ("q_asof_near", qAsofNear _, Some(qAsofNearSql)),
     ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)))
 }
