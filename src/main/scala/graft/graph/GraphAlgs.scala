@@ -216,6 +216,48 @@ object GraphAlgs {
       .select(F.col("vid"), F.col("x").as("d"))
   }
 
+  /** k-truss: `rounds` synchronous peeling rounds over the oriented
+    * (a<b) edge list — each round keeps edges participating in ≥ k−2
+    * triangles among the survivors (the edge-level cohesion analogue of
+    * kCore's vertex peeling; trusses are the standard "strong community
+    * scaffold" extraction). Fixed-round semantics with early exit at the
+    * fixpoint (a no-op round proves all remaining rounds no-ops).
+    *
+    * Scale: each round is one triangle enumeration over the survivors
+    * (the same oriented wedge join as triangleCount — work bounded by
+    * Σ deg², the known frontier for distributed triangle counting) plus
+    * one edge-keyed aggregate; survivor sets only shrink. Returns the
+    * surviving oriented edges (a, b). */
+  def kTruss(undirected0: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    var edges = undirected0.filter(F.col("src") < F.col("dst"))
+      .select(F.col("src").as("a"), F.col("dst").as("b"))
+      .localCheckpoint()
+    var prev = edges.count()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val tri = edges
+        .join(edges.select(F.col("a").as("b2"), F.col("b").as("c")),
+          F.col("b") === F.col("b2"))
+        .join(edges.select(F.col("a").as("a3"), F.col("b").as("c3")),
+          F.col("a") === F.col("a3") && F.col("c") === F.col("c3"))
+        .select("a", "b", "c")
+      val support = tri.select(F.col("a").as("x"), F.col("b").as("y"))
+        .unionByName(tri.select(F.col("a").as("x"), F.col("c").as("y")))
+        .unionByName(tri.select(F.col("b").as("x"), F.col("c").as("y")))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).as("sup"))
+      edges = edges
+        .join(support, F.col("a") === F.col("x") && F.col("b") === F.col("y"))
+        .filter(F.col("sup") >= k - 2)
+        .select("a", "b")
+        .localCheckpoint(false)
+      val c = edges.count()
+      done = c == prev
+      prev = c
+    }
+    edges
+  }
+
   /** Strongly connected components over the DIRECTED edge list — the
     * GraphX `stronglyConnectedComponents` analogue, as forward-backward
     * min-label coloring (FW-BW): per outer round, within each color

@@ -385,7 +385,46 @@ object GraphQueries {
        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
        |GROUP BY 1""".stripMargin
 
+  /** g_truss: 4-truss of the undirected graph — surviving edges after
+    * peeling everything in fewer than 2 triangles among survivors (the
+    * strong-community scaffold: here, each nation's supplier clique plus
+    * its nation hub; chains and lone triangles peel away). 3 fixed
+    * peeling rounds (fixpoint lands in 2 on this family — verified at
+    * both SFs), early exit at the fixpoint; oracle = the identical 3
+    * rounds unrolled (each CTE round references its predecessor 4×, so
+    * deep unrolls explode DuckDB's CTE inlining — 3 is the practical
+    * bound, and it is provably at the fixpoint when the driver's
+    * hash-match passes). */
+  def gTruss(s: SparkSession, dir: String): DataFrame =
+    GraphAlgs.kTruss(PropertyGraph(s, dir).undirected, k = 4, rounds = 3)
+      .select(F.col("a").as("src"), F.col("b").as("dst"))
+
+  val gTrussSql: String = {
+    val round = (r: Int) => {
+      val p = r - 1
+      s"""t$r AS (
+         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM e$p e1
+         |  JOIN e$p e2 ON e2.a = e1.b
+         |  JOIN e$p e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s$r AS (
+         |  SELECT x, y, COUNT(*) AS sup FROM (
+         |    SELECT a AS x, b AS y FROM t$r
+         |    UNION ALL SELECT a AS x, c AS y FROM t$r
+         |    UNION ALL SELECT b AS x, c AS y FROM t$r) u
+         |  GROUP BY 1, 2),
+         |e$r AS (
+         |  SELECT e.a, e.b FROM e$p e
+         |  JOIN s$r s ON s.x = e.a AND s.y = e.b WHERE s.sup >= 2)""".stripMargin
+    }
+    s"""WITH $sqlPrelude,
+       |e0 AS (SELECT src AS a, dst AS b FROM uedges WHERE src < dst),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT a AS src, b AS dst FROM e3""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_truss", gTruss _, Some(gTrussSql)),
     ("g_scc", gScc _, Some(gSccSql)),
     ("g_jaccard", gJaccard _, Some(gJaccardSql)),
     ("g_ppr", gPpr _, Some(gPprSql)),

@@ -99,6 +99,19 @@ class GraphSpec extends SparkSpec {
     assert(core == Set(1L, 2L, 3L))
   }
 
+  test("k-truss keeps the 4-clique, peels triangles hanging off it (k=4)") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}; triangle {4,5,6} shares vertex 4; pendant 6-7.
+    // In a 4-truss every edge needs >= 2 triangles among survivors: the
+    // lone triangle's edges have 1 each -> peel; clique edges have 2.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val und = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val got = GraphAlgs.kTruss(und, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)), got)
+  }
+
   test("scc separates cycles, one-way bridges, and singletons") {
     import spark.implicits._
     // cycle {1,2,3} --one-way--> cycle {4,5}; 6 isolated; 7 -> 8 one-way
