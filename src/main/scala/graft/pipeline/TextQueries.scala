@@ -170,7 +170,54 @@ object TextQueries {
       |   AS BIGINT) AS n_removed
       |FROM documents""".stripMargin
 
+  /** t_trigram_lm: statistical fluency scoring by a character-trigram
+    * model trained on the corpus itself (the CCNet/KenLM shape:
+    * score each document by how predictable its character stream is
+    * under corpus statistics; low scores flag boilerplate/garble).
+    *
+    * Twist that makes it cross-engine exact: the per-position
+    * "probability" is the integer ratio floor(1e6·c(tri)/c(bi)) and the
+    * doc score its integer mean — ALL arithmetic is BIGINT (no doubles,
+    * no logs, so no libm divergence between engines; the ranking it
+    * induces is the same as mean trigram continuation probability).
+    * Two global count aggregates (trigram, bigram-prefix) + one explode
+    * join — every shuffle keyed on high-cardinality n-grams or doc_id.
+    * ASCII corpus: character and byte offsets coincide on both engines. */
+  def tTrigramLm(s: SparkSession, dir: String): DataFrame = {
+    val tris = Tables(s, dir, "documents")
+      .filter(F.length(F.col("text")) >= 3)
+      .select(F.col("doc_id"), F.explode(
+        F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
+          i => F.col("text").substr(i, F.lit(3)))).as("tri"))
+    val c3 = tris.groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
+    val c2 = tris.select(F.col("tri").substr(1, 2).as("bi"))
+      .groupBy("bi").agg(F.count(F.lit(1)).as("c2"))
+    tris.join(c3, "tri")
+      .withColumn("bi", F.col("tri").substr(1, 2))
+      .join(c2, "bi")
+      .select(F.col("doc_id"), F.expr("(1000000 * c3) div c2").as("r6"))
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_tris"), F.sum("r6").as("sum_r6"))
+      .select(F.col("doc_id"), F.col("n_tris"),
+        F.expr("sum_r6 div n_tris").as("score6"))
+  }
+
+  val tTrigramLmSql: String =
+    """WITH tris AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+      |  FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)
+      |  WHERE length(text) >= 3),
+      |c3 AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY 1),
+      |c2 AS (SELECT substr(tri, 1, 2) AS bi, COUNT(*) AS c2 FROM tris GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_tris,
+      | CAST(SUM((1000000 * c3.c3) // c2.c2) // COUNT(*) AS BIGINT) AS score6
+      |FROM tris
+      |JOIN c3 USING (tri)
+      |JOIN c2 ON c2.bi = substr(tris.tri, 1, 2)
+      |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_trigram_lm", tTrigramLm _, Some(tTrigramLmSql)),
     ("t_clean", tClean _, Some(tCleanSql)),
     ("t_langid", tLangid _, Some(tLangidSql)),
     ("t_quality", tQuality _, Some(tQualitySql)),
