@@ -184,18 +184,25 @@ object TextQueries {
     * join — every shuffle keyed on high-cardinality n-grams or doc_id.
     * ASCII corpus: character and byte offsets coincide on both engines. */
   def tTrigramLm(s: SparkSession, dir: String): DataFrame = {
+    // the trigram stream feeds both count models and the scoring join —
+    // materialize the explode once instead of re-running it three times
     val tris = Tables(s, dir, "documents")
       .filter(F.length(F.col("text")) >= 3)
       .select(F.col("doc_id"), F.explode(
         F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
           i => F.col("text").substr(i, F.lit(3)))).as("tri"))
+      .localCheckpoint()
+    // fold the model into a per-DISTINCT-trigram ratio table: it is
+    // bounded by charset³ (≲1M for ASCII) REGARDLESS of corpus size, so
+    // it broadcasts — the corpus-sized stream then takes one map-side
+    // join instead of two shuffle joins
     val c3 = tris.groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
     val c2 = tris.select(F.col("tri").substr(1, 2).as("bi"))
       .groupBy("bi").agg(F.count(F.lit(1)).as("c2"))
-    tris.join(c3, "tri")
-      .withColumn("bi", F.col("tri").substr(1, 2))
+    val model = c3.withColumn("bi", F.col("tri").substr(1, 2))
       .join(c2, "bi")
-      .select(F.col("doc_id"), F.expr("(1000000 * c3) div c2").as("r6"))
+      .select(F.col("tri"), F.expr("(1000000 * c3) div c2").as("r6"))
+    tris.join(F.broadcast(model), "tri")
       .groupBy("doc_id")
       .agg(F.count(F.lit(1)).as("n_tris"), F.sum("r6").as("sum_r6"))
       .select(F.col("doc_id"), F.col("n_tris"),
