@@ -268,12 +268,15 @@ object DedupQueries {
     * All-integer output with one terminal division. */
   def dNgramDupfrac(s: SparkSession, dir: String): DataFrame = {
     val ws = F.split(F.col("text"), " ")
+    // the shingle stream feeds the doc-frequency aggregate AND the
+    // scoring join — materialize the explode once
     val sh = Tables(s, dir, "documents")
       .select(F.col("doc_id"), ws.as("w"))
       .filter(F.size(F.col("w")) >= 8)
       .select(F.col("doc_id"), F.explode(F.array_distinct(
         F.transform(F.sequence(F.lit(1), F.size(F.col("w")) - 7),
           i => F.concat_ws(" ", F.slice(F.col("w"), i, F.lit(8)))))).as("sh"))
+      .localCheckpoint()
     val docFreq = sh.groupBy("sh").agg(F.count(F.lit(1)).as("nd"))
     val dup = F.sum(F.when(F.col("nd") > 1L, 1L).otherwise(0L))
     sh.join(docFreq, "sh")
