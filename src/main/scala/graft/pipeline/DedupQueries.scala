@@ -330,7 +330,32 @@ object DedupQueries {
       | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM f GROUP BY 1""".stripMargin
 
+  /** d_sample_strat: stratified sampling — exactly 10 documents per
+    * source, chosen by content-hash rank (md5 order), so the training
+    * mix is balanced across strata AND reproducible from content alone
+    * (no rand(): re-runs, retries and engine swaps pick identical
+    * rows — the same property as d_sample, plus exact per-stratum
+    * counts, which threshold sampling can't give). One window sort per
+    * stratum, scales out with the stratum key. */
+  def dSampleStrat(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(F.col("h").asc, F.col("doc_id").asc)
+    Tables(s, dir, "documents")
+      .select(F.col("source"), F.col("doc_id"), F.md5(F.col("text")).as("h"))
+      .withColumn("rk", F.row_number().over(w))
+      .filter(F.col("rk") <= 10)
+      .select(F.col("source"), F.col("doc_id"), F.col("rk"))
+  }
+
+  val dSampleStratSql: String =
+    """SELECT source, doc_id, rk FROM (
+      |  SELECT source, doc_id,
+      |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_sample_strat", dSampleStrat _, Some(dSampleStratSql)),
     ("d_corpus_stats", dCorpusStats _, Some(dCorpusStatsSql)),
     ("d_ngram_dupfrac", dNgramDupfrac _, Some(dNgramDupfracSql)),
     ("d_sample", dSample _, Some(dSampleSql)),
