@@ -10,6 +10,7 @@ object SparkEntry {
       graft.olap.OlapExtraQueries.entries ++
       graft.olap.OlapCombinatorQueries.entries ++
       graft.olap.OlapStatQueries.entries ++
+      graft.olap.OlapSeriesQueries.entries ++
       graft.kv.KVQueries.entries ++
       graft.graph.GraphQueries.entries ++
       graft.pipeline.DedupQueries.entries ++

@@ -1,0 +1,93 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Ordered time-series aggregates (ClickHouse `deltaSum` and
+  * `intervalLengthSum`) — both are "fold the group's time-sorted rows"
+  * shapes, spelled as ONE window sort per group plus a hash aggregate, so
+  * the shuffle is keyed on the (high-cardinality) group key and per-group
+  * state never leaves the executor. All arithmetic is BIGINT (cents /
+  * epoch seconds): cross-engine exact by construction.
+  */
+object OlapSeriesQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q_delta_sum: ClickHouse `deltaSum(value)` per user — the sum of
+    * POSITIVE increments of the time-ordered value sequence (counter-reset
+    * handling for monotone-ish gauges). The order is a TOTAL order
+    * ((ts, event_id) tiebreak): a tie-ambiguous sort would make lag()
+    * nondeterministic across engines. Values in exact cents; the first
+    * row of each group contributes 0 (lag is null). */
+  def qDeltaSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(F.col("tu").asc, F.col("event_id").asc)
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("tu"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .withColumn("d", F.col("vc") - F.lag("vc", 1).over(w))
+      .groupBy("user_id")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.greatest(F.col("d"), F.lit(0L))).as("delta_sum_c"))
+  }
+
+  val qDeltaSumSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id,
+      |   vc - LAG(vc, 1) OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC) AS d
+      |  FROM ev)
+      |SELECT user_id, COUNT(*) AS n,
+      | CAST(SUM(GREATEST(d, 0)) AS BIGINT) AS delta_sum_c
+      |FROM d GROUP BY 1""".stripMargin
+
+  /** q_interval_sum: ClickHouse `intervalLengthSum` per user — the length
+    * of the UNION of the user's activity intervals (overlaps counted
+    * once). Interval i = [start, start + 60 + event_id mod 600) in epoch
+    * seconds (deterministic data-derived lengths so overlaps actually
+    * vary). The classic one-sort sweep: rows sorted by start; each row
+    * contributes max(0, end − max(start, maxEndOfAllPriorRows)) — the
+    * running max over the PRECEDING frame needs no tiebreak sensitivity
+    * for the SUM (equal starts commute), but the sort is still total for
+    * engine parity. Per-group work is a single window pass: at 100 TB
+    * this is one shuffle on user_id, no self-join over interval pairs. */
+  def qIntervalSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(F.col("st").asc, F.col("en").asc, F.col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.expr("unix_micros(ts) div 1000000").as("st"))
+      .withColumn("en", F.col("st") + 60L + F.col("event_id") % 600L)
+      .withColumn("pm", F.max("en").over(w))
+      .groupBy("user_id")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.greatest(
+          F.col("en") - F.greatest(F.col("st"), F.coalesce(F.col("pm"), F.col("st"))),
+          F.lit(0L))).as("covered_sec"))
+  }
+
+  val qIntervalSumSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS st,
+      |   epoch_us(ts) // 1000000 + 60 + event_id % 600 AS en
+      |  FROM events),
+      |sw AS (
+      |  SELECT user_id, st, en,
+      |   MAX(en) OVER (PARTITION BY user_id ORDER BY st ASC, en ASC, event_id ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv)
+      |SELECT user_id, COUNT(*) AS n,
+      | CAST(SUM(GREATEST(en - GREATEST(st, COALESCE(pm, st)), 0)) AS BIGINT) AS covered_sec
+      |FROM sw GROUP BY 1""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_delta_sum", qDeltaSum _, Some(qDeltaSumSql)),
+    ("q_interval_sum", qIntervalSum _, Some(qIntervalSumSql)))
+}

@@ -1,0 +1,44 @@
+package graft.olap
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.{SparkSpec, Tables}
+
+class OlapSeriesSpec extends SparkSpec {
+
+  test("deltaSum of a per-user sequence is bounded by total positive variation and exact on a monotone user") {
+    val rows = OlapSeriesQueries.qDeltaSum(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L, s"user ${r.get(0)}: delta_sum must be non-negative")
+    }
+    // Independent recomputation for one user via a driver-side fold.
+    val uid = rows.head.get(0)
+    val vs = Tables(spark, SF, "events")
+      .filter(F.col("user_id") === uid)
+      .select(F.unix_micros(F.col("ts")).as("tu"), F.col("event_id"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .orderBy("tu", "event_id").collect().map(_.getLong(2))
+    val expect = vs.sliding(2).collect { case Array(a, b) if b > a => b - a }.sum
+    val got = rows.find(_.get(0) == uid).get.getLong(2)
+    assert(got == expect, s"user $uid: deltaSum $got vs driver fold $expect")
+  }
+
+  test("intervalLengthSum equals a driver-side interval-union sweep and never exceeds the raw length sum") {
+    val rows = OlapSeriesQueries.qIntervalSum(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val uid = rows.map(r => (r.getLong(1), r)).maxBy(_._1)._2.get(0) // busiest user: overlaps likely
+    val iv = Tables(spark, SF, "events")
+      .filter(F.col("user_id") === uid)
+      .select(F.expr("unix_micros(ts) div 1000000").as("st"), F.col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 60L + r.getLong(1) % 600L))
+      .sortBy(identity)
+    val rawSum = iv.map { case (s, e) => e - s }.sum
+    val union = iv.foldLeft((0L, Long.MinValue)) { case ((acc, hi), (s, e)) =>
+      (acc + math.max(0L, e - math.max(s, hi)), math.max(hi, e))
+    }._1
+    val got = rows.find(_.get(0) == uid).get.getLong(2)
+    assert(got == union, s"user $uid: covered $got vs driver sweep $union")
+    assert(got <= rawSum, "union length cannot exceed the sum of interval lengths")
+  }
+}
