@@ -11,6 +11,7 @@ object SparkEntry {
       graft.olap.OlapCombinatorQueries.entries ++
       graft.olap.OlapStatQueries.entries ++
       graft.olap.OlapSeriesQueries.entries ++
+      graft.olap.OlapAnalyticQueries.entries ++
       graft.kv.KVQueries.entries ++
       graft.graph.GraphQueries.entries ++
       graft.pipeline.DedupQueries.entries ++
