@@ -17,6 +17,7 @@ object SparkEntry {
       graft.pipeline.DedupQueries.entries ++
       graft.pipeline.AnnQueries.entries ++
       graft.pipeline.TextQueries.entries ++
+      graft.pipeline.HygieneQueries.entries ++
       graft.pipeline.MediaQueries.entries ++
       graft.sources.SourceQueries.entries
 

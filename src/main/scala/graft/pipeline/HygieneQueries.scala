@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Corpus-hygiene stages of a training-data pipeline: PII redaction and
+  * benchmark decontamination. Both are single-shuffle shapes (one hash
+  * aggregate / one semi-join on a shingle key) — at 100 TB the scrub is
+  * embarrassingly parallel per document and decontamination's only
+  * exchange is the candidate-shingle join, whose right side (the eval
+  * set's shingles) is small enough to broadcast.
+  */
+object HygieneQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val phoneRe = """\b\d{3}-\d{4}\b"""
+
+  /** t_pii_scrub: PII redaction — e-mail and phone patterns replaced by
+    * typed placeholder tokens (the standard pre-training scrub). The test
+    * corpus is word soup with no PII, so two-thirds of the docs get a
+    * deterministic data-derived contact line injected (pure function of
+    * doc_id — both engines synthesize the identical corpus); the rest
+    * stay clean so the no-op path is exercised too. The regexes stick to
+    * ASCII classes + \b\d — the portable intersection of Java regex and
+    * RE2 semantics. Per-source audit stats: docs touched, characters
+    * removed, and a min-string witness pinning the exact redacted text. */
+  def tPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = F.when(F.col("doc_id") % 3 === 0, F.col("text"))
+      .otherwise(F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" today")))
+    val scrub = F.regexp_replace(
+      F.regexp_replace(F.col("aug"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"), aug.as("aug"))
+      .withColumn("scrubbed", scrub)
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.when(F.col("scrubbed") =!= F.col("aug"), 1L).otherwise(0L)).as("n_redacted"),
+        F.sum((F.length(F.col("aug")) - F.length(F.col("scrubbed"))).cast("long")).as("chars_removed"),
+        F.min("scrubbed").as("min_scrub"))
+  }
+
+  val tPiiScrubSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, source,
+      |   CASE WHEN doc_id % 3 = 0 THEN text
+      |        ELSE substr(text, 1, 60) || ' contact user' || doc_id ||
+      |             '@mail.example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      |   END AS aug
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, aug,
+      |   regexp_replace(regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |     '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+      |  FROM a)
+      |SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN scrubbed <> aug THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+      | CAST(SUM(len(aug) - len(scrubbed)) AS BIGINT) AS chars_removed,
+      | MIN(scrubbed) AS min_scrub
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** d_decontam: benchmark decontamination — flag training documents that
+    * share any 8-word-gram with the held-out eval set (`doc_id % 97 = 0`
+    * plays the benchmark; the split is a pure function of the key, so
+    * both engines carve the identical sets). The scale shape: per-doc
+    * DISTINCT shingles once, the eval side's shingle set is tiny (eval
+    * sets are thousands of docs, not billions) → broadcast semi-join;
+    * contaminated ids dedup before the count. Per-source training-doc
+    * counts, contaminated counts, and ppm. */
+  def dDecontam(s: SparkSession, dir: String): DataFrame = {
+    val ws = F.split(F.col("text"), " ")
+    val sh = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), ws.as("w"))
+      .filter(F.size(F.col("w")) >= 8)
+      .select(F.col("doc_id"), F.explode(F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size(F.col("w")) - 7),
+          i => F.concat_ws(" ", F.slice(F.col("w"), i, F.lit(8)))))).as("sh"))
+      .localCheckpoint()
+    val bench = sh.filter(F.col("doc_id") % 97 === 0).select("sh").distinct()
+    val contam = sh.filter(F.col("doc_id") % 97 =!= 0)
+      .join(F.broadcast(bench), "sh", "left_semi")
+      .select("doc_id").distinct()
+    Tables(s, dir, "documents").filter(F.col("doc_id") % 97 =!= 0)
+      .join(contam.withColumn("hit", F.lit(1L)), Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_train"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0L))).as("n_contam"))
+      .select(F.col("source"), F.col("n_train"), F.col("n_contam"),
+        F.floor(F.col("n_contam").cast("double") / F.col("n_train").cast("double") * 1e6)
+          .as("contam_ppm"))
+  }
+
+  val dDecontamSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 8),
+      |   UNNEST(range(1, len(w) - 6)) AS u(i)),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |contam AS (
+      |  SELECT DISTINCT doc_id FROM sh
+      |  WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM bench))
+      |SELECT d.source, COUNT(*) AS n_train,
+      | CAST(COUNT(c.doc_id) AS BIGINT) AS n_contam,
+      | CAST(floor(CAST(COUNT(c.doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT) AS contam_ppm
+      |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+      |WHERE d.doc_id % 97 <> 0 GROUP BY 1""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_pii_scrub", tPiiScrub _, Some(tPiiScrubSql)),
+    ("d_decontam", dDecontam _, Some(dDecontamSql)))
+}
