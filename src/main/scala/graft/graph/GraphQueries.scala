@@ -423,7 +423,59 @@ object GraphQueries {
        |SELECT a AS src, b AS dst FROM e3""".stripMargin
   }
 
+  /** g_clustcoef: per-vertex local clustering coefficient —
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles through
+    * v. One oriented triangle enumeration (the g_triangles join, a < b < c
+    * so each triangle appears once) fanned out to its three corners, plus
+    * one degree aggregate; the terminal division is the only double,
+    * floor-scaled to ppm. NULL where deg < 2 (coefficient undefined). */
+  def gClustCoef(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val adj = g.undirected.filter(F.col("src") < F.col("dst"))
+      .select(F.col("src").as("a"), F.col("dst").as("b"))
+      .localCheckpoint()
+    val tri = adj
+      .join(adj.select(F.col("a").as("b2"), F.col("b").as("c")), F.col("b") === F.col("b2"))
+      .join(adj.select(F.col("a").as("a3"), F.col("b").as("c3")),
+        F.col("a") === F.col("a3") && F.col("c") === F.col("c3"))
+      .select("a", "b", "c")
+    val triPerV = tri.select(F.col("a").as("vid"))
+      .unionAll(tri.select(F.col("b").as("vid")))
+      .unionAll(tri.select(F.col("c").as("vid")))
+      .groupBy("vid").agg(F.count(F.lit(1)).as("tri"))
+    val deg = g.undirected.groupBy(F.col("src").as("vid")).agg(F.count(F.lit(1)).as("deg"))
+    g.vertices.select("vid")
+      .join(deg, Seq("vid"), "left").join(triPerV, Seq("vid"), "left")
+      .select(F.col("vid"),
+        F.coalesce(F.col("deg"), F.lit(0L)).as("deg"),
+        F.coalesce(F.col("tri"), F.lit(0L)).as("tri"))
+      .withColumn("cc_ppm",
+        F.when(F.col("deg") >= 2L,
+          F.floor((F.lit(2L) * F.col("tri")).cast("double") /
+            (F.col("deg") * (F.col("deg") - 1L)).cast("double") * 1e6)))
+  }
+
+  val gClustCoefSql: String =
+    s"""WITH $sqlPrelude,
+       |adj AS (SELECT src AS a, dst AS b FROM uedges WHERE src < dst),
+       |tri AS (
+       |  SELECT x.a AS a, x.b AS b, y.b AS c
+       |  FROM adj x JOIN adj y ON x.b = y.a JOIN adj z ON z.a = x.a AND z.b = y.b),
+       |tc AS (
+       |  SELECT vid, COUNT(*) AS tri FROM (
+       |    SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1),
+       |dg AS (SELECT src AS vid, COUNT(*) AS deg FROM uedges GROUP BY 1)
+       |SELECT v.vid, CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg,
+       | CAST(COALESCE(tc.tri, 0) AS BIGINT) AS tri,
+       | CASE WHEN COALESCE(dg.deg, 0) >= 2 THEN
+       |   CAST(floor(CAST(2*COALESCE(tc.tri, 0) AS DOUBLE)
+       |     / CAST(COALESCE(dg.deg, 0)*(COALESCE(dg.deg, 0)-1) AS DOUBLE) * 1e6) AS BIGINT)
+       | END AS cc_ppm
+       |FROM verts v LEFT JOIN dg ON dg.vid = v.vid LEFT JOIN tc ON tc.vid = v.vid""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_clustcoef", gClustCoef _, Some(gClustCoefSql)),
     ("g_truss", gTruss _, Some(gTrussSql)),
     ("g_scc", gScc _, Some(gSccSql)),
     ("g_jaccard", gJaccard _, Some(gJaccardSql)),

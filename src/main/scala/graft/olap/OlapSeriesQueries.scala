@@ -87,7 +87,49 @@ object OlapSeriesQueries {
       | CAST(SUM(GREATEST(en - GREATEST(st, COALESCE(pm, st)), 0)) AS BIGINT) AS covered_sec
       |FROM sw GROUP BY 1""".stripMargin
 
+  /** q_seq_next_node: ClickHouse `sequenceNextNode` — for each user, the
+    * event type that immediately follows their FIRST click in the total
+    * (ts, event_id) order. Two grouped min-struct passes (first click,
+    * then earliest strictly-later event) — witnesses are deterministic by
+    * the total order, no window over the full event stream. Users with no
+    * click or nothing after it yield NULLs (LEFT join keeps them). */
+  def qSeqNextNode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("tu"),
+        F.col("event_id"), F.col("event_type").as("et"))
+    val firstClick = ev.filter(F.col("et") === "click")
+      .groupBy("user_id")
+      .agg(F.min(F.struct(F.col("tu"), F.col("event_id").as("k"))).as("c"))
+    val next = ev.join(firstClick, "user_id")
+      .filter(F.col("tu") > F.col("c.tu") ||
+        (F.col("tu") === F.col("c.tu") && F.col("event_id") > F.col("c.k")))
+      .groupBy("user_id")
+      .agg(F.min(F.struct(F.col("tu"), F.col("event_id").as("k"), F.col("et"))).as("nx"))
+    ev.select("user_id").distinct()
+      .join(next, Seq("user_id"), "left_outer")
+      .select(F.col("user_id"), F.col("nx.et").as("next_et"), F.col("nx.k").as("next_eid"))
+  }
+
+  val qSeqNextNodeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_id, event_type AS et FROM events),
+      |fc AS (
+      |  SELECT user_id, tu AS ctu, event_id AS cid FROM (
+      |    SELECT user_id, tu, event_id,
+      |     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC) AS rn
+      |    FROM ev WHERE et = 'click') WHERE rn = 1),
+      |nx AS (
+      |  SELECT user_id, et, event_id FROM (
+      |    SELECT e.user_id, e.et, e.event_id,
+      |     ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.tu ASC, e.event_id ASC) AS rn
+      |    FROM ev e JOIN fc ON e.user_id = fc.user_id
+      |     AND (e.tu > fc.ctu OR (e.tu = fc.ctu AND e.event_id > fc.cid))) WHERE rn = 1)
+      |SELECT u.user_id, nx.et AS next_et, nx.event_id AS next_eid
+      |FROM (SELECT DISTINCT user_id FROM ev) u
+      |LEFT JOIN nx ON nx.user_id = u.user_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_delta_sum", qDeltaSum _, Some(qDeltaSumSql)),
-    ("q_interval_sum", qIntervalSum _, Some(qIntervalSumSql)))
+    ("q_interval_sum", qIntervalSum _, Some(qIntervalSumSql)),
+    ("q_seq_next_node", qSeqNextNode _, Some(qSeqNextNodeSql)))
 }

@@ -178,4 +178,24 @@ class GraphSpec extends SparkSpec {
     // symmetric 3-cycle: stationary = uniform = 1e12/3 (up to floor error)
     pr.values.foreach(v => assert(math.abs(v - 333333333333L) < 100L, pr))
   }
+
+  test("clustering coefficient matches a driver-side neighborhood count") {
+    val rows = GraphQueries.gClustCoef(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val und = PropertyGraph(spark, SF).undirected.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    // verify the densest 20 vertices (peers inside one nation form cliques)
+    rows.sortBy(-_.getLong(1)).take(20).foreach { r =>
+      val v = r.getLong(0)
+      val nv = nbrs.getOrElse(v, Set.empty)
+      assert(r.getLong(1) == nv.size, s"$v: degree")
+      val tri = nv.toSeq.combinations(2).count { case Seq(x, y) => nbrs(x).contains(y) }
+      assert(r.getLong(2) == tri, s"$v: triangle count")
+      if (nv.size >= 2) {
+        val expect = math.floor(2.0 * tri / (nv.size.toLong * (nv.size - 1)) * 1e6).toLong
+        assert(r.getLong(3) == expect, s"$v: cc_ppm")
+      } else assert(r.isNullAt(3))
+    }
+  }
 }

@@ -41,4 +41,21 @@ class OlapSeriesSpec extends SparkSpec {
     assert(got == union, s"user $uid: covered $got vs driver sweep $union")
     assert(got <= rawSum, "union length cannot exceed the sum of interval lengths")
   }
+
+  test("sequenceNextNode picks the event right after the first click") {
+    val ev = Tables(spark, SF, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")), F.col("event_id"), F.col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val got = OlapSeriesQueries.qSeqNextNode(spark, SF).collect()
+    assert(got.length == ev.map(_._1).distinct.length)
+    got.foreach { r =>
+      val mine = ev.filter(_._1 == r.getLong(0)).sortBy(e => (e._2, e._3))
+      val ci = mine.indexWhere(_._4 == "click")
+      if (ci < 0 || ci == mine.length - 1) assert(r.isNullAt(1), s"user ${r.getLong(0)}: expected NULL")
+      else {
+        assert(r.getString(1) == mine(ci + 1)._4, s"user ${r.getLong(0)}: type")
+        assert(r.getLong(2) == mine(ci + 1)._3, s"user ${r.getLong(0)}: witness id")
+      }
+    }
+  }
 }
