@@ -128,8 +128,60 @@ object OlapSeriesQueries {
       |FROM (SELECT DISTINCT user_id FROM ev) u
       |LEFT JOIN nx ON nx.user_id = u.user_id""".stripMargin
 
+  /** q_arr_suite: the ClickHouse array-combinator surface (arrayFilter /
+    * arraySum / arrayZip+arrayMap / arrayDistinct+arraySort+arraySlice)
+    * exercised end-to-end on per-user time-ordered value arrays, all in
+    * Spark's codegen'd higher-order functions — `filter`, `aggregate`,
+    * `zip_with`+`sequence`, `array_distinct`/`array_sort`/`slice`. The
+    * array is assembled once per user (sort_array over collected structs
+    * = deterministic time order), every derived stat is exact BIGINT, and
+    * the oracle recomputes the same numbers via plain window SQL — the
+    * list is a Spark-side representation choice, not a semantic one. */
+  def qArrSuite(s: SparkSession, dir: String): DataFrame = {
+    val arr = F.transform(
+      F.sort_array(F.collect_list(F.struct(F.col("tu"), F.col("event_id").as("k"),
+        F.col("vc")))), x => x.getField("vc"))
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("tu"),
+        F.col("event_id"), (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("user_id")
+      .agg(arr.as("a"))
+      .select(F.col("user_id"),
+        F.size(F.col("a")).cast("long").as("n"),
+        F.aggregate(F.filter(F.col("a"), _ > 5000L), F.lit(0L), _ + _).as("sum_hi"),
+        F.aggregate(
+          F.zip_with(F.col("a"), F.sequence(F.lit(1L), F.size(F.col("a")).cast("long")),
+            (v, i) => v * i),
+          F.lit(0L), _ + _).as("zsum"),
+        F.concat_ws(",", F.transform(
+          F.slice(F.reverse(F.array_sort(F.array_distinct(F.col("a")))), 1, 3),
+          _.cast("string"))).as("top3_csv"))
+  }
+
+  val qArrSuiteSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc,
+      |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS i
+      |  FROM events),
+      |base AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |   CAST(SUM(CASE WHEN vc > 5000 THEN vc ELSE 0 END) AS BIGINT) AS sum_hi,
+      |   CAST(SUM(vc * i) AS BIGINT) AS zsum
+      |  FROM ev GROUP BY 1),
+      |tops AS (
+      |  SELECT user_id, string_agg(CAST(vc AS VARCHAR), ',' ORDER BY vc DESC) AS top3_csv
+      |  FROM (
+      |    SELECT user_id, vc,
+      |     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vc DESC) AS r
+      |    FROM (SELECT DISTINCT user_id, vc FROM ev))
+      |  WHERE r <= 3 GROUP BY 1)
+      |SELECT b.user_id, b.n, b.sum_hi, b.zsum, t.top3_csv
+      |FROM base b JOIN tops t ON b.user_id = t.user_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_delta_sum", qDeltaSum _, Some(qDeltaSumSql)),
     ("q_interval_sum", qIntervalSum _, Some(qIntervalSumSql)),
-    ("q_seq_next_node", qSeqNextNode _, Some(qSeqNextNodeSql)))
+    ("q_seq_next_node", qSeqNextNode _, Some(qSeqNextNodeSql)),
+    ("q_arr_suite", qArrSuite _, Some(qArrSuiteSql)))
 }

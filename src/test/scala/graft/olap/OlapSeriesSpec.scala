@@ -42,6 +42,20 @@ class OlapSeriesSpec extends SparkSpec {
     assert(got <= rawSum, "union length cannot exceed the sum of interval lengths")
   }
 
+  test("array-suite stats equal a driver-side recomputation for every user") {
+    val ev = Tables(spark, SF, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")), F.col("event_id"),
+        (Tables.dec2(F.col("value")) * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    OlapSeriesQueries.qArrSuite(spark, SF).collect().foreach { r =>
+      val vs = ev.filter(_._1 == r.getLong(0)).sortBy(e => (e._2, e._3)).map(_._4)
+      assert(r.getLong(1) == vs.length)
+      assert(r.getLong(2) == vs.filter(_ > 5000L).sum, "sum_hi")
+      assert(r.getLong(3) == vs.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum, "zsum")
+      assert(r.getString(4) == vs.distinct.sorted.reverse.take(3).mkString(","), "top3")
+    }
+  }
+
   test("sequenceNextNode picks the event right after the first click") {
     val ev = Tables(spark, SF, "events")
       .select(F.col("user_id"), F.unix_micros(F.col("ts")), F.col("event_id"), F.col("event_type"))
