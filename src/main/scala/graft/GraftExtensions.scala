@@ -65,7 +65,11 @@ object GraftExtensions {
     (new FunctionIdentifier("freq_items_sketch"),
       new ExpressionInfo(classOf[graft.operators.FreqItemsSketch].getName, "freq_items_sketch"),
       (args: Seq[Expression]) => graft.operators.FreqItemsSketch(
-        args(0), intLiteral(args(1), "freq_items_sketch(term, capacity)"))))
+        args(0), intLiteral(args(1), "freq_items_sketch(term, capacity)"))),
+    (new FunctionIdentifier("freq_items_weighted"),
+      new ExpressionInfo(classOf[graft.operators.FreqItemsWeightedSketch].getName, "freq_items_weighted"),
+      (args: Seq[Expression]) => graft.operators.FreqItemsWeightedSketch(
+        args(0), args(1), intLiteral(args(2), "freq_items_weighted(term, weight, capacity)"))))
 
   private def intLiteral(e: Expression, usage: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -165,6 +165,31 @@ object OlapCombinatorQueries {
       |  FROM counts)
       |WHERE rnk <= 5""".stripMargin
 
+  /** q_topk_weighted: ClickHouse `topKWeighted()` — top-3 users per event
+    * type ranked by accumulated spend (cents), through the WEIGHTED
+    * Misra-Gries aggregate: each arrival counts its weight, state stays
+    * `capacity` counters per group. 256 ≥ this corpus's 150 users, so the
+    * sketch runs exact and shares the exact grouped-sum ranking's oracle;
+    * FreqItemsSpec covers the weighted approximate regime. Ranking
+    * tie-break is (weight DESC, term-string ASC) on both sides. */
+  def qTopkWeighted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("event_type"), F.col("user_id"),
+        (dec2(F.col("value")) * 100).cast("long").as("wc"))
+    graft.operators.FreqItems.perGroupWeighted(ev, Seq("event_type"),
+      F.col("user_id"), F.col("wc"), capacity = 256, k = 3)
+  }
+
+  val qTopkWeightedSql: String =
+    """WITH uv AS (
+      |  SELECT event_type, CAST(user_id AS VARCHAR) AS term,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, rnk, term, cnt FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt DESC, term ASC) AS rnk
+      |  FROM uv)
+      |WHERE rnk <= 3""".stripMargin
+
   /** q_summap: ClickHouse `sumMap` — per event type, the per-day value
     * sums as an ordered day:sum map (emitted as CSV — map/array
     * stringification differs between pandas and DuckDB, strings don't).
@@ -275,6 +300,7 @@ object OlapCombinatorQueries {
     ("q_exp_decay", qExpDecay _, Some(qExpDecaySql)),
     ("q_summap", qSumMap _, Some(qSumMapSql)),
     ("q_topk_freq", qTopkFreq _, Some(qTopkFreqSql)),
+    ("q_topk_weighted", qTopkWeighted _, Some(qTopkWeightedSql)),
     ("q_condagg", qCondAgg _, Some(qCondAggSql)),
     ("q_pivot", qPivot _, Some(qPivotSql)),
     ("q_lead_lag", qLeadLag _, Some(qLeadLagSql)),

@@ -53,6 +53,9 @@ case class FreqItemsSketch(
   /** Classic MG step: known term increments; free slot inserts; full map
     * decrements every counter (amortized O(1) per item — a decrement
     * cancels capacity+1 arrivals). */
+  private[operators] def offerTo(buf: mutable.HashMap[String, Long], term: String, w: Long): Unit =
+    offer(buf, term, w)
+
   private def offer(buf: mutable.HashMap[String, Long], term: String, w: Long): Unit =
     buf.get(term) match {
       case Some(c) => buf.update(term, c + w)
@@ -141,6 +144,60 @@ case class FreqItemsSketch(
   override def prettyName: String = "freq_items_sketch"
 }
 
+/** Weighted Misra-Gries — the ClickHouse `topKWeighted()` analogue: each
+  * arrival counts `weight` instead of 1 (top spenders, top bytes, top
+  * token counts). Same state bound, same mergeable-summaries rule (the
+  * [[FreqItemsSketch.offer]] step already handles arbitrary positive
+  * increments); the error bound generalizes with n = Σ weights. Exact
+  * whenever a group's distinct-term count stays ≤ capacity. NULL or
+  * non-positive weights contribute nothing. */
+case class FreqItemsWeightedSketch(
+    term: Expression,
+    weight: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  private val inner = FreqItemsSketch(term, capacity)
+
+  override def children: Seq[Expression] = Seq(term, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = inner.dataType
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val t = term.eval(input)
+    val w = weight.eval(input)
+    if (t != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      if (wl > 0L) inner.offerTo(buf, t.toString, wl)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, Long],
+                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    inner.merge(buf, other)
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = inner.eval(buf)
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsWeightedSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsWeightedSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(term = newChildren(0), weight = newChildren(1))
+  override def prettyName: String = "freq_items_weighted"
+}
+
 object FreqItems {
   /** Top-k frequent items per group by (count DESC, term ASC), exploded as
     * (groupCols..., rnk, term, cnt). State per group is `capacity`
@@ -149,6 +206,23 @@ object FreqItems {
                capacity: Int, k: Int): DataFrame = {
     val agg = GraftSqlBridge.column(
       FreqItemsSketch(GraftSqlBridge.expression(term.cast("string")), capacity)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(F.col): _*)
+      .agg(agg.as("fi"))
+      .select(groupCols.map(F.col) :+
+        F.posexplode(F.slice(F.col("fi"), 1, k)).as(Seq("i", "p")): _*)
+      .select(groupCols.map(F.col) :+ (F.col("i") + 1).as("rnk")
+        :+ F.col("p.term").as("term") :+ F.col("p.cnt").as("cnt"): _*)
+  }
+
+  /** Weighted top-k per group (ClickHouse topKWeighted): rank terms by
+    * accumulated weight under the same O(groups × capacity) state bound. */
+  def perGroupWeighted(df: DataFrame, groupCols: Seq[String], term: Column,
+                       weight: Column, capacity: Int, k: Int): DataFrame = {
+    val agg = GraftSqlBridge.column(
+      FreqItemsWeightedSketch(
+        GraftSqlBridge.expression(term.cast("string")),
+        GraftSqlBridge.expression(weight.cast("long")), capacity)
         .toAggregateExpression())
     df.groupBy(groupCols.map(F.col): _*)
       .agg(agg.as("fi"))

@@ -51,4 +51,54 @@ class FreqItemsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  private lazy val weighted = graft.Tables(spark, SF, "events")
+    .select(F.col("event_type"), F.col("user_id"),
+      (graft.Tables.dec2(F.col("value")) * 100).cast("long").as("wc"))
+
+  test("weighted sketch with capacity >= terms equals the exact weight ranking") {
+    val exact = weighted.groupBy("event_type", "user_id").agg(F.sum("wc").as("n"))
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(F.col("n").desc, F.col("user_id").cast("string").asc)))
+      .filter(F.col("rnk") <= 3)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1).toString, r.getLong(2))).toSet
+    val sketch = FreqItems.perGroupWeighted(weighted, Seq("event_type"),
+      F.col("user_id"), F.col("wc"), 256, 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(sketch == exact)
+  }
+
+  test("weighted sketch honors the generalized bound with n = total weight") {
+    val m = 8
+    val totals = weighted.groupBy("event_type").agg(F.sum("wc").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = weighted.groupBy("event_type", "user_id").agg(F.sum("wc").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toString) -> r.getLong(2)).toMap
+    val rows = FreqItems.perGroupWeighted(weighted, Seq("event_type"),
+      F.col("user_id"), F.col("wc"), m, m).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (et, term, est) = (r.getString(0), r.getString(2), r.getLong(3))
+      val t = truth((et, term))
+      assert(est <= t, s"$et/$term: est $est > true $t")
+      assert(t - est <= totals(et) / (m + 1),
+        s"$et/$term: underestimate exceeds W/(m+1)=${totals(et) / (m + 1)}")
+    }
+  }
+
+  test("weighted sketch is partition-invariant and SQL-registered") {
+    val a = FreqItems.perGroupWeighted(weighted.repartition(1), Seq("event_type"),
+      F.col("user_id"), F.col("wc"), 256, 3).collect().map(_.toSeq).toSet
+    val b = FreqItems.perGroupWeighted(weighted.repartition(13), Seq("event_type"),
+      F.col("user_id"), F.col("wc"), 256, 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+    graft.GraftExtensions.register(spark)
+    weighted.createOrReplaceTempView("wtmp")
+    val viaSql = spark.sql(
+      """SELECT event_type, freq_items_weighted(CAST(user_id AS STRING), wc, 256) AS fi
+        |FROM wtmp GROUP BY 1""".stripMargin).collect()
+    assert(viaSql.nonEmpty && viaSql.forall(!_.isNullAt(1)))
+  }
 }
