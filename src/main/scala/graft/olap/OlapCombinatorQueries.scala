@@ -217,6 +217,33 @@ object OlapCombinatorQueries {
       |  array_to_string(list(CAST(d AS VARCHAR) || ':' || CAST(sv AS VARCHAR) ORDER BY d), ',') AS day_sums
       |FROM m GROUP BY 1""".stripMargin
 
+  /** q_minmax_map: ClickHouse `minMap`/`maxMap` — per event type, the
+    * per-day value extremes as an ordered day:min:max map (CSV-rendered
+    * like q_summap). Min/max in exact cents — no float discipline needed
+    * at all; both groupBys partial-aggregate. */
+  def qMinMaxMap(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.col("event_type"), F.dayofmonth(F.col("ts")).as("d"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("event_type", "d")
+      .agg(F.min("vc").as("mn"), F.max("vc").as("mx"))
+      .groupBy("event_type")
+      .agg(F.concat_ws(",", F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("d"), F.col("mn"), F.col("mx")))),
+        p => F.concat(p("d").cast("string"), F.lit(":"), p("mn").cast("string"),
+          F.lit(":"), p("mx").cast("string"))))
+        .as("day_extremes"))
+
+  val qMinMaxMapSql: String =
+    """WITH m AS (
+      |  SELECT event_type, CAST(extract(day FROM ts) AS INTEGER) AS d,
+      |   MIN(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS mn,
+      |   MAX(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS mx
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  array_to_string(list(CAST(d AS VARCHAR) || ':' || CAST(mn AS VARCHAR) || ':' || CAST(mx AS VARCHAR) ORDER BY d), ',') AS day_extremes
+      |FROM m GROUP BY 1""".stripMargin
+
   /** q_exp_decay: ClickHouse arrayFold/exponentialMovingAverage shape —
     * per user, fold the time-ordered value sequence through
     * s ← s·0.5 + v. The fold is the same ordered left fold on both
@@ -301,6 +328,7 @@ object OlapCombinatorQueries {
     ("q_summap", qSumMap _, Some(qSumMapSql)),
     ("q_topk_freq", qTopkFreq _, Some(qTopkFreqSql)),
     ("q_topk_weighted", qTopkWeighted _, Some(qTopkWeightedSql)),
+    ("q_minmax_map", qMinMaxMap _, Some(qMinMaxMapSql)),
     ("q_condagg", qCondAgg _, Some(qCondAggSql)),
     ("q_pivot", qPivot _, Some(qPivotSql)),
     ("q_lead_lag", qLeadLag _, Some(qLeadLagSql)),
