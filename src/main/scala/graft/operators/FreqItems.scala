@@ -33,12 +33,25 @@ import org.apache.spark.sql.{functions => F}
   * check runs in (bounded vocabularies); the spec covers the approximate
   * regime's bounds.
   */
+/** Misra-Gries buffer in the GLOBAL-OFFSET representation: a counter's
+  * effective count is `raw − offset`. The MG "decrement every counter"
+  * step becomes `offset += d` — O(1) instead of a full-map rewrite — so a
+  * cache miss costs one min-scan, not three map passes. This matters
+  * exactly in the open-vocabulary regime (distinct terms ≫ capacity,
+  * i.e. the 100 TB case) where most arrivals miss. Serialization and
+  * eval always materialize effective counts, so the representation is
+  * invisible outside the buffer. */
+final class MGBuffer {
+  val m: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  var offset: Long = 0L
+}
+
 case class FreqItemsSketch(
     child: Expression,
     capacity: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[MGBuffer] {
 
   require(capacity > 0, "capacity must be positive")
 
@@ -47,62 +60,65 @@ case class FreqItemsSketch(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("term", StringType), StructField("cnt", LongType))))
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer
 
-  /** Classic MG step: known term increments; free slot inserts; full map
-    * decrements every counter (amortized O(1) per item — a decrement
-    * cancels capacity+1 arrivals). */
-  private[operators] def offerTo(buf: mutable.HashMap[String, Long], term: String, w: Long): Unit =
-    offer(buf, term, w)
-
-  private def offer(buf: mutable.HashMap[String, Long], term: String, w: Long): Unit =
-    buf.get(term) match {
-      case Some(c) => buf.update(term, c + w)
-      case None if buf.size < capacity => buf.update(term, w)
+  /** Classic MG step: known term increments; free slot inserts; a miss on
+    * a full map decrements every counter by min(w, current minimum) — as
+    * `offset += d` — evicting the minimum counters when w reaches them and
+    * inserting the remainder into the freed slot. Identical arithmetic to
+    * the textbook loop; when no miss ever fires (vocabulary ≤ capacity)
+    * offset stays 0 and counts are exact. */
+  private[operators] def offerTo(buf: MGBuffer, term: String, w: Long): Unit =
+    buf.m.get(term) match {
+      case Some(r) => buf.m.update(term, r + w)
+      case None if buf.m.size < capacity => buf.m.update(term, buf.offset + w)
       case None =>
-        // decrement by the largest amount that keeps the invariant — for
-        // weight w that is min(w, smallest counter) applied all-around;
-        // iterate because w can exceed several smallest counters
-        var rem = w
-        while (rem > 0) {
-          if (buf.size < capacity) { buf.update(term, rem); rem = 0 }
-          else {
-            val minC = buf.valuesIterator.min
-            val dec = math.min(rem, minC)
-            val dead = buf.iterator.collect { case (t, c) if c == dec => t }.toList
-            buf.mapValuesInPlace((_, c) => c - dec)
-            dead.foreach(buf.remove)
-            rem -= dec
-          }
+        val minR = buf.m.valuesIterator.min
+        val minEff = minR - buf.offset
+        if (w < minEff) {
+          buf.offset += w // absorbed entirely by the all-around decrement
+        } else {
+          // decrement all by the minimum, evict the counters that hit 0
+          buf.offset += minEff
+          val dead = buf.m.iterator.collect { case (t, r) if r == minR => t }.toList
+          dead.foreach(buf.m.remove)
+          val rem = w - minEff
+          if (rem > 0) buf.m.update(term, buf.offset + rem)
         }
     }
 
-  override def update(buf: mutable.HashMap[String, Long],
-                      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {
     val t = child.eval(input)
-    if (t != null) offer(buf, t.toString, 1L)
+    if (t != null) offerTo(buf, t.toString, 1L)
     buf
   }
 
-  /** Mergeable-summaries rule: pointwise sum, then if over capacity
-    * subtract the (capacity+1)-th largest count from all and drop ≤ 0 —
-    * both summaries' error bounds add, keeping est ≥ true − n/(m+1). */
-  override def merge(buf: mutable.HashMap[String, Long],
-                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (t, c) => buf.update(t, buf.getOrElse(t, 0L) + c) }
-    if (buf.size > capacity) {
-      val counts = buf.values.toArray.sorted(Ordering[Long].reverse)
+  /** Mergeable-summaries rule: pointwise sum of effective counts, then if
+    * over capacity subtract the (capacity+1)-th largest count from all and
+    * drop ≤ 0 — both summaries' error bounds add, keeping
+    * est ≥ true − n/(m+1). */
+  override def merge(buf: MGBuffer, other: MGBuffer): MGBuffer = {
+    if (buf.offset != 0L) { // normalize to effective before pointwise sum
+      buf.m.mapValuesInPlace((_, r) => r - buf.offset)
+      buf.offset = 0L
+    }
+    other.m.foreach { case (t, r) =>
+      buf.m.update(t, buf.m.getOrElse(t, 0L) + (r - other.offset))
+    }
+    if (buf.m.size > capacity) {
+      val counts = buf.m.values.toArray.sorted(Ordering[Long].reverse)
       val cut = counts(capacity) // (capacity+1)-th largest
-      val dead = buf.iterator.collect { case (t, c) if c <= cut => t }.toList
-      buf.mapValuesInPlace((_, c) => c - cut)
-      dead.foreach(buf.remove)
+      val dead = buf.m.iterator.collect { case (t, c) if c <= cut => t }.toList
+      buf.m.mapValuesInPlace((_, c) => c - cut)
+      dead.foreach(buf.m.remove)
     }
     buf
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val sorted = buf.toArray.sortBy { case (t, c) => (-c, t) }
+  override def eval(buf: MGBuffer): Any = {
+    val sorted = buf.m.toArray
+      .map { case (t, r) => (t, r - buf.offset) }
+      .sortBy { case (t, c) => (-c, t) }
     new GenericArrayData(sorted.map { case (t, c) =>
       InternalRow(UTF8String.fromString(t), c)
     })
@@ -110,19 +126,19 @@ case class FreqItemsSketch(
 
   // length-prefixed UTF-8, not writeUTF: writeUTF throws past 64 KB and a
   // "term" can be an arbitrary string expression (a URL, a whole line)
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: MGBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (t, c) =>
+    out.writeInt(buf.m.size)
+    buf.m.foreach { case (t, r) =>
       val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(b.length); out.write(b); out.writeLong(c)
+      out.writeInt(b.length); out.write(b); out.writeLong(r - buf.offset)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
@@ -130,7 +146,7 @@ case class FreqItemsSketch(
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      buf.m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
     }
     buf
   }
@@ -157,7 +173,7 @@ case class FreqItemsWeightedSketch(
     capacity: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[MGBuffer] {
 
   private val inner = FreqItemsSketch(term, capacity)
 
@@ -165,11 +181,9 @@ case class FreqItemsWeightedSketch(
   override def nullable: Boolean = false
   override def dataType: DataType = inner.dataType
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
-    mutable.HashMap.empty
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer
 
-  override def update(buf: mutable.HashMap[String, Long],
-                      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {
     val t = term.eval(input)
     val w = weight.eval(input)
     if (t != null && w != null) {
@@ -179,15 +193,12 @@ case class FreqItemsWeightedSketch(
     buf
   }
 
-  override def merge(buf: mutable.HashMap[String, Long],
-                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+  override def merge(buf: MGBuffer, other: MGBuffer): MGBuffer =
     inner.merge(buf, other)
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = inner.eval(buf)
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] =
-    inner.serialize(buf)
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] =
-    inner.deserialize(bytes)
+  override def eval(buf: MGBuffer): Any = inner.eval(buf)
+  override def serialize(buf: MGBuffer): Array[Byte] = inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): MGBuffer = inner.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsWeightedSketch =
     copy(mutableAggBufferOffset = newOffset)
