@@ -351,7 +351,75 @@ object OlapExtraQueries {
       | array_to_string((list(event_id ORDER BY epoch_us(ts) ASC, event_id ASC))[1:5], ',') AS first5
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q_full_join: FULL OUTER reconciliation — per nation, the count of
+    * BUILDING-segment customers against the count of overdrawn suppliers;
+    * nations present on only one side survive with the other side NULLed
+    * (COALESCEd to 0 — both engines agree on absent-side semantics). The
+    * two inputs pre-aggregate to |nations| rows each, so the outer join
+    * itself is dimension-sized at any fact-table scale. */
+  def qFullJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .filter(F.col("c_mktsegment") === "BUILDING")
+      .groupBy(F.col("c_nationkey").as("ck")).agg(F.count(F.lit(1)).as("n_cust"))
+    val p = Tables(s, dir, "supplier")
+      .filter(F.col("s_acctbal") < 0)
+      .groupBy(F.col("s_nationkey").as("sk")).agg(F.count(F.lit(1)).as("n_supp"))
+    c.join(p, F.col("ck") === F.col("sk"), "full_outer")
+      .select(F.coalesce(F.col("ck"), F.col("sk")).as("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0L)).as("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0L)).as("n_supp"))
+  }
+
+  val qFullJoinSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer
+      |  WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+      |p AS (
+      |  SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier
+      |  WHERE s_acctbal < 0 GROUP BY 1)
+      |SELECT COALESCE(ck, sk) AS nationkey,
+      | CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+      | CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+      |FROM c FULL OUTER JOIN p ON ck = sk""".stripMargin
+
+  /** q_any_join: ClickHouse `LEFT ANY JOIN` — each left row pairs with AT
+    * MOST ONE right match, deterministically the lexicographic-minimum
+    * (linenumber, partkey, price) line of the order (the full struct is
+    * the tiebreak: this corpus has duplicate (orderkey, linenumber)
+    * pairs, so linenumber alone would be an ambiguous pick). Spark-first
+    * formulation: the right side collapses
+    * to one row per key via a min-struct aggregate BEFORE the join, so
+    * the join itself is 1:≤1 — no post-join dedup, no row_number over the
+    * full fact table on the probe side. */
+  def qAnyJoin(s: SparkSession, dir: String): DataFrame = {
+    val firstLine = Tables(s, dir, "lineitem")
+      .select(F.col("l_orderkey"),
+        F.struct(F.col("l_linenumber"), F.col("l_partkey").as("pk"),
+          dec2(F.col("l_extendedprice")).as("px")).as("ln"))
+      .groupBy("l_orderkey").agg(F.min("ln").as("ln"))
+    Tables(s, dir, "orders")
+      .filter(F.col("o_orderpriority") === "1-URGENT")
+      .select(F.col("o_orderkey"), F.col("o_custkey"))
+      .join(firstLine, F.col("o_orderkey") === F.col("l_orderkey"), "left_outer")
+      .select(F.col("o_orderkey"), F.col("o_custkey"),
+        F.col("ln.pk").as("first_partkey"), out2(F.col("ln.px")).as("first_price"))
+  }
+
+  val qAnyJoinSql: String =
+    """WITH fl AS (
+      |  SELECT l_orderkey, l_partkey, px FROM (
+      |    SELECT l_orderkey, l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS px,
+      |     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |       ORDER BY l_linenumber ASC, l_partkey ASC, CAST(l_extendedprice AS DECIMAL(18,2)) ASC) AS rn
+      |    FROM lineitem) WHERE rn = 1)
+      |SELECT o_orderkey, o_custkey, fl.l_partkey AS first_partkey,
+      | CAST(fl.px AS DOUBLE) AS first_price
+      |FROM orders LEFT JOIN fl ON o_orderkey = fl.l_orderkey
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_full_join", qFullJoin _, Some(qFullJoinSql)),
+    ("q_any_join", qAnyJoin _, Some(qAnyJoinSql)),
     ("q_grouparray", qGroupArray _, Some(qGroupArraySql)),
     ("q_topk_heap", qTopkHeap _, Some(qTopkHeapSql)),
     ("q_argmax", qArgMax _, Some(qArgMaxSql)),

@@ -223,7 +223,35 @@ object TextQueries {
       |JOIN c2 ON c2.bi = substr(tris.tri, 1, 2)
       |GROUP BY 1""".stripMargin
 
+  /** t_url_parse: the ClickHouse URL-function family (domain / path /
+    * extractURLParameter) through Spark's codegen'd `parse_url`. URLs are
+    * synthesized deterministically from doc fields (the corpus has none),
+    * then parsed back; the oracle reconstructs each component from the
+    * same fields directly, so a hash match proves the parser inverts the
+    * construction — host, path, and two query parameters, per doc. */
+  def tUrlParse(s: SparkSession, dir: String): DataFrame = {
+    val url = F.concat(F.lit("https://www."), F.col("source"),
+      F.lit(".example.com/docs/"), F.col("doc_id"),
+      F.lit("?lang="), F.col("lang"), F.lit("&v="), F.col("doc_id") % 7)
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), url.as("url"))
+      .select(F.col("doc_id"),
+        F.parse_url(F.col("url"), F.lit("HOST")).as("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).as("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).as("p_lang"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("v")).as("p_v"))
+  }
+
+  val tUrlParseSql: String =
+    """SELECT doc_id,
+      | 'www.' || source || '.example.com' AS host,
+      | '/docs/' || doc_id AS path,
+      | lang AS p_lang,
+      | CAST(doc_id % 7 AS VARCHAR) AS p_v
+      |FROM documents""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_url_parse", tUrlParse _, Some(tUrlParseSql)),
     ("t_trigram_lm", tTrigramLm _, Some(tTrigramLmSql)),
     ("t_clean", tClean _, Some(tCleanSql)),
     ("t_langid", tLangid _, Some(tLangidSql)),
