@@ -474,7 +474,53 @@ object GraphQueries {
        | END AS cc_ppm
        |FROM verts v LEFT JOIN dg ON dg.vid = v.vid LEFT JOIN tc ON tc.vid = v.vid""".stripMargin
 
+  /** g_assort: degree assortativity — the Pearson correlation of
+    * (deg(src), deg(dst)) over the directed undirected-edge list (both
+    * orientations present ⇒ the symmetric definition). One degree
+    * aggregate, two dimension-sized joins onto the edge list, then the
+    * exact-BIGINT moment-sum closed form of q_corr (degrees are small
+    * integers: every sum is far under 2^53, the BIGINT→DOUBLE casts are
+    * exact, one division + two sqrt with identical IEEE trees). */
+  def gAssort(s: SparkSession, dir: String): DataFrame = {
+    val und = PropertyGraph(s, dir).undirected.localCheckpoint()
+    val deg = und.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("d"))
+    val xy = und
+      .join(deg.select(F.col("v").as("sv"), F.col("d").as("x")), F.col("src") === F.col("sv"))
+      .join(deg.select(F.col("v").as("dv"), F.col("d").as("y")), F.col("dst") === F.col("dv"))
+      .select("x", "y")
+    val agg = xy.agg(F.count(F.lit(1)).as("n"),
+      F.sum("x").as("sx"), F.sum("y").as("sy"),
+      F.sum(F.col("x") * F.col("y")).as("sxy"),
+      F.sum(F.col("x") * F.col("x")).as("sxx"),
+      F.sum(F.col("y") * F.col("y")).as("syy"))
+    val d: String => org.apache.spark.sql.Column = c => F.col(c).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+      F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    agg.select(F.col("n").as("n_edges"), F.col("sxy"),
+      F.floor(num / den * 1e6).as("assort6"))
+  }
+
+  val gAssortSql: String =
+    s"""WITH $sqlPrelude,
+       |deg AS (SELECT src AS v, COUNT(*) AS d FROM uedges GROUP BY 1),
+       |xy AS (
+       |  SELECT dx.d AS x, dy.d AS y FROM uedges e
+       |  JOIN deg dx ON e.src = dx.v JOIN deg dy ON e.dst = dy.v),
+       |m AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |   CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+       |   CAST(SUM(y*y) AS BIGINT) AS syy
+       |  FROM xy)
+       |SELECT n AS n_edges, sxy,
+       | CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       |   / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+       |      * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+       |   * 1e6) AS BIGINT) AS assort6
+       |FROM m""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_assort", gAssort _, Some(gAssortSql)),
     ("g_clustcoef", gClustCoef _, Some(gClustCoefSql)),
     ("g_truss", gTruss _, Some(gTrussSql)),
     ("g_scc", gScc _, Some(gSccSql)),

@@ -111,7 +111,57 @@ object HygieneQueries {
       |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
       |WHERE d.doc_id % 97 <> 0 GROUP BY 1""".stripMargin
 
+  /** d_gopher_rep: within-document repetition signals (the Gopher /
+    * RefinedWeb quality-filter family): duplicate-word fraction
+    * (1 − distinct/total) and the share of all bigrams taken by the most
+    * frequent bigram. Pure per-document computation — a map-side explode +
+    * two-level aggregate keyed on doc_id, no cross-document state at all,
+    * so the op is embarrassingly parallel at any corpus size. Exact
+    * integer counts; the two ratios are single divisions, floor-scaled to
+    * ppm. */
+  def dGopherRep(s: SparkSession, dir: String): DataFrame = {
+    val ws = F.split(F.col("text"), " ")
+    val base = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), ws.as("w"))
+      .filter(F.size(F.col("w")) >= 2)
+    val words = base.select(F.col("doc_id"), F.size(F.col("w")).cast("long").as("n_words"),
+      F.size(F.array_distinct(F.col("w"))).cast("long").as("n_distinct"))
+    val bigrams = base
+      .select(F.col("doc_id"), F.explode(
+        F.transform(F.sequence(F.lit(1), F.size(F.col("w")) - 1),
+          i => F.concat_ws(" ", F.slice(F.col("w"), i, F.lit(2))))).as("bg"))
+      .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("doc_id").agg(F.sum("c").as("n_bigrams"), F.max("c").as("top_bg"))
+    words.join(bigrams, "doc_id")
+      .select(F.col("doc_id"), F.col("n_words"),
+        F.floor((F.col("n_words") - F.col("n_distinct")).cast("double") /
+          F.col("n_words").cast("double") * 1e6).as("dup_word_ppm"),
+        F.floor(F.col("top_bg").cast("double") /
+          F.col("n_bigrams").cast("double") * 1e6).as("top_bigram_ppm"))
+  }
+
+  val dGopherRepSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |words AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      |  FROM d),
+      |bg AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+      |  FROM d, UNNEST(range(1, len(w))) AS u(i)),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(MAX(c) AS BIGINT) AS top_bg
+      |       FROM bc GROUP BY 1)
+      |SELECT d.doc_id, words.n_words,
+      | CAST(floor(CAST(words.n_words - words.n_distinct AS DOUBLE)
+      |   / CAST(words.n_words AS DOUBLE) * 1e6) AS BIGINT) AS dup_word_ppm,
+      | CAST(floor(CAST(bs.top_bg AS DOUBLE) / CAST(bs.n_bigrams AS DOUBLE) * 1e6) AS BIGINT) AS top_bigram_ppm
+      |FROM d JOIN words ON d.doc_id = words.doc_id JOIN bs ON d.doc_id = bs.doc_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("t_pii_scrub", tPiiScrub _, Some(tPiiScrubSql)),
-    ("d_decontam", dDecontam _, Some(dDecontamSql)))
+    ("d_decontam", dDecontam _, Some(dDecontamSql)),
+    ("d_gopher_rep", dGopherRep _, Some(dGopherRepSql)))
 }
