@@ -168,16 +168,19 @@ object OlapCombinatorQueries {
   /** q_topk_weighted: ClickHouse `topKWeighted()` — top-3 users per event
     * type ranked by accumulated spend (cents), through the WEIGHTED
     * Misra-Gries aggregate: each arrival counts its weight, state stays
-    * `capacity` counters per group. 256 ≥ this corpus's 150 users, so the
-    * sketch runs exact and shares the exact grouped-sum ranking's oracle;
-    * FreqItemsSpec covers the weighted approximate regime. Ranking
-    * tie-break is (weight DESC, term-string ASC) on both sides. */
+    * `capacity` counters per group. 4096 ≥ the user cardinality at every
+    * gate scale (150 at sf0.01, 1500 at sf0.1), so the sketch runs exact
+    * there and shares the exact grouped-sum ranking's oracle — while the
+    * state stays a fixed 4096 counters per group however large the stream
+    * grows; FreqItemsSpec covers the weighted approximate regime (m=8,
+    * where evictions DO fire). Ranking tie-break is (weight DESC,
+    * term-string ASC) on both sides. */
   def qTopkWeighted(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
       .select(F.col("event_type"), F.col("user_id"),
         (dec2(F.col("value")) * 100).cast("long").as("wc"))
     graft.operators.FreqItems.perGroupWeighted(ev, Seq("event_type"),
-      F.col("user_id"), F.col("wc"), capacity = 256, k = 3)
+      F.col("user_id"), F.col("wc"), capacity = 4096, k = 3)
   }
 
   val qTopkWeightedSql: String =
