@@ -325,7 +325,63 @@ object OlapAnalyticQueries {
       | CAST(MIN(CASE WHEN run = mr THEN t END) AS BIGINT) AS pos_t
       |FROM mx GROUP BY 1""".stripMargin
 
+  /** q_ttest: ClickHouse `welchTTest(value, sample)` — Welch's
+    * t-statistic comparing click vs purchase value distributions per
+    * day-of-week cohort (the q_mwu_auc pairing, parametric flavor). Six
+    * exact BIGINT moment sums in one grouped pass; the closed form
+    * t = (m1−m2)/sqrt(v1/n1 + v2/n2) (population variances — the
+    * deterministic, df-free formulation) runs in doubles with the
+    * identical IEEE tree on both engines; floor-scaled to 1e-6. */
+  def qTtest(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(s, dir, "events")
+      .filter(F.col("event_type").isin("click", "purchase"))
+      .select(F.expr("unix_micros(ts) div 86400000000 % 7").as("g"),
+        F.col("event_type").as("et"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("g")
+      .agg(
+        F.count(F.when(F.col("et") === "click", 1)).as("n1"),
+        F.sum(F.when(F.col("et") === "click", F.col("vc")).otherwise(0L)).as("s1"),
+        F.sum(F.when(F.col("et") === "click", F.col("vc") * F.col("vc")).otherwise(0L)).as("q1"),
+        F.count(F.when(F.col("et") === "purchase", 1)).as("n2"),
+        F.sum(F.when(F.col("et") === "purchase", F.col("vc")).otherwise(0L)).as("s2"),
+        F.sum(F.when(F.col("et") === "purchase", F.col("vc") * F.col("vc")).otherwise(0L)).as("q2"))
+    val m1 = d("s1") / d("n1"); val m2 = d("s2") / d("n2")
+    val v1 = d("q1") / d("n1") - m1 * m1
+    val v2 = d("q2") / d("n2") - m2 * m2
+    agg.select(F.col("g"), F.col("n1"), F.col("n2"),
+      F.floor((m1 - m2) / F.sqrt(v1 / d("n1") + v2 / d("n2")) * 1e6).as("t6"))
+  }
+
+  val qTtestSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 % 7 AS g, event_type AS et,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |m AS (
+      |  SELECT g,
+      |   COUNT(CASE WHEN et = 'click' THEN 1 END) AS n1,
+      |   CAST(SUM(CASE WHEN et = 'click' THEN vc ELSE 0 END) AS BIGINT) AS s1,
+      |   CAST(SUM(CASE WHEN et = 'click' THEN vc*vc ELSE 0 END) AS BIGINT) AS q1,
+      |   COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS n2,
+      |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS s2,
+      |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc*vc ELSE 0 END) AS BIGINT) AS q2
+      |  FROM ev GROUP BY 1),
+      |t AS (
+      |  SELECT g, n1, n2,
+      |   CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS m1,
+      |   CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS m2,
+      |   CAST(q1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS t1,
+      |   CAST(q2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS t2
+      |  FROM m)
+      |SELECT g, n1, n2,
+      | CAST(floor((m1 - m2)
+      |   / sqrt((t1 - m1*m1) / CAST(n1 AS DOUBLE) + (t2 - m2*m2) / CAST(n2 AS DOUBLE))
+      |   * 1e6) AS BIGINT) AS t6
+      |FROM t""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ttest", qTtest _, Some(qTtestSql)),
     ("q_skew_kurt", qSkewKurt _, Some(qSkewKurtSql)),
     ("q_linreg", qLinreg _, Some(qLinregSql)),
     ("q_mwu_auc", qMwuAuc _, Some(qMwuAucSql)),

@@ -88,6 +88,44 @@ class FreqItemsSpec extends SparkSpec {
     }
   }
 
+  test("offset-buffer offer matches the textbook Misra-Gries loop on random streams") {
+    // reference: the literal textbook decrement-all loop over absolute counters
+    def refOffer(buf: scala.collection.mutable.HashMap[String, Long], cap: Int,
+                 term: String, w: Long): Unit =
+      buf.get(term) match {
+        case Some(c) => buf.update(term, c + w)
+        case None if buf.size < cap => buf.update(term, w)
+        case None =>
+          var rem = w
+          while (rem > 0) {
+            if (buf.size < cap) { buf.update(term, rem); rem = 0 }
+            else {
+              val minC = buf.valuesIterator.min
+              val dec = math.min(rem, minC)
+              val dead = buf.iterator.collect { case (t, c) if c == dec => t }.toList
+              buf.mapValuesInPlace((_, c) => c - dec)
+              dead.foreach(buf.remove)
+              rem -= dec
+            }
+          }
+      }
+    val rnd = new scala.util.Random(42)
+    (0 until 20).foreach { trial =>
+      val cap = 1 + rnd.nextInt(8)
+      val agg = FreqItemsSketch(null, cap)
+      val fast = new MGBuffer
+      val ref = scala.collection.mutable.HashMap[String, Long]()
+      (0 until 500).foreach { _ =>
+        val term = s"t${rnd.nextInt(30)}"
+        val w = 1L + rnd.nextInt(20)
+        agg.offerTo(fast, term, w)
+        refOffer(ref, cap, term, w)
+        val eff = fast.m.map { case (t, r) => t -> (r - fast.offset) }
+        assert(eff == ref, s"trial $trial: offset buffer diverged from textbook MG")
+      }
+    }
+  }
+
   test("weighted sketch is partition-invariant and SQL-registered") {
     val a = FreqItems.perGroupWeighted(weighted.repartition(1), Seq("event_type"),
       F.col("user_id"), F.col("wc"), 256, 3).collect().map(_.toSeq).toSet
