@@ -109,6 +109,43 @@ object GraphAlgs {
       .select(F.col("vid"), F.col("x").as("d"))
   }
 
+  /** Shortest-path TREE with materialized path strings — the traversal
+    * `g.V(src).repeat(out()).path()` capability: every reachable vertex
+    * gets ONE canonical shortest path (predecessor = the minimum vid
+    * among neighbors one hop closer — a deterministic pick, so the tree
+    * is a pure function of the graph). Distances come from the frontier
+    * BFS; predecessors are one 3-way join + min aggregate; paths
+    * materialize level by level — `eccentricity` rounds of a join keyed
+    * on the predecessor, each joining only the PREVIOUS level's paths
+    * (frontier-sized, not |V|), so the loop does diameter × one-shuffle
+    * rounds, same budget as the BFS itself. */
+  def shortestPathTree(vertices: DataFrame, undirected0: DataFrame,
+                       sourceVid: Long, maxIter: Int = 10): DataFrame = {
+    val dist = sssp(vertices, undirected0, sourceVid, maxIter).localCheckpoint()
+    val edges = undirected0.select("src", "dst")
+    val pred = edges
+      .join(dist.select(F.col("vid").as("src"), F.col("d").as("ds")), "src")
+      .join(dist.select(F.col("vid").as("dst"), F.col("d").as("dd")), "dst")
+      .filter(F.col("ds") === F.col("dd") - 1)
+      .groupBy(F.col("dst").as("v"), F.col("dd").as("dl"))
+      .agg(F.min("src").as("p"))
+      .localCheckpoint()
+    val maxD = dist.agg(F.max("d")).head().getLong(0)
+    var level = dist.filter(F.col("d") === 0L)
+      .select(F.col("vid"), F.col("vid").cast("string").as("path"))
+      .localCheckpoint()
+    var acc = level
+    (1L to maxD).foreach { k =>
+      level = pred.filter(F.col("dl") === k)
+        .join(level.select(F.col("vid").as("p"), F.col("path").as("pp")), "p")
+        .select(F.col("v").as("vid"),
+          F.concat(F.col("pp"), F.lit("->"), F.col("v").cast("string")).as("path"))
+        .localCheckpoint()
+      acc = acc.unionAll(level)
+    }
+    acc.join(dist, "vid").select("vid", "d", "path")
+  }
+
   /** Weighted single-source shortest paths (distributed Bellman-Ford):
     * frontier = vertices whose distance improved last round (only they
     * can improve a neighbor). `weighted` is (src, dst, w) with integer

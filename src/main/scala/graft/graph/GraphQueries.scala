@@ -188,6 +188,42 @@ object GraphQueries {
        |)
        |SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid""".stripMargin
 
+  /** g_paths: the `g.V(src).repeat(out()).path()` traversal — one
+    * canonical shortest path per reachable vertex from the 'ASIA' region
+    * vertex (deterministic min-vid predecessor tree; see
+    * GraphAlgs.shortestPathTree). Oracle = the same BFS distances, the
+    * same min-predecessor pick, and a recursive CTE walking the pred
+    * tree from the source concatenating the identical path strings. */
+  def gPaths(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val src = g.vertices
+      .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
+      .select("vid").head().getLong(0)
+    GraphAlgs.shortestPathTree(g.vertices, g.undirected, src)
+  }
+
+  val gPathsSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |bfs(vid, d) AS (
+       |  SELECT CAST(r_regionkey*4+3 AS BIGINT), CAST(0 AS BIGINT) FROM region WHERE r_name = 'ASIA'
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 8
+       |),
+       |dist AS (SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid),
+       |pred AS (
+       |  SELECT e.dst AS v, dd.d AS dl, MIN(e.src) AS p
+       |  FROM uedges e
+       |  JOIN dist ds ON e.src = ds.vid
+       |  JOIN dist dd ON e.dst = dd.vid
+       |  WHERE ds.d = dd.d - 1 GROUP BY 1, 2),
+       |tree(vid, d, path) AS (
+       |  SELECT vid, d, CAST(vid AS VARCHAR) FROM dist WHERE d = 0
+       |  UNION ALL
+       |  SELECT p.v, p.dl, t.path || '->' || CAST(p.v AS VARCHAR)
+       |  FROM pred p JOIN tree t ON p.p = t.vid
+       |)
+       |SELECT vid, d, path FROM tree""".stripMargin
+
   /** g_wsssp: weighted shortest paths from the 'ASIA' region vertex over
     * the undirected graph with deterministic derived weights
     * w = 1 + (src+dst) mod 5 — same derivation in the oracle's recursive
@@ -520,6 +556,7 @@ object GraphQueries {
        |FROM m""".stripMargin
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_paths", gPaths _, Some(gPathsSql)),
     ("g_assort", gAssort _, Some(gAssortSql)),
     ("g_clustcoef", gClustCoef _, Some(gClustCoefSql)),
     ("g_truss", gTruss _, Some(gTrussSql)),

@@ -179,6 +179,31 @@ class GraphSpec extends SparkSpec {
     pr.values.foreach(v => assert(math.abs(v - 333333333333L) < 100L, pr))
   }
 
+  test("shortest-path tree paths are valid minimal walks with min-vid predecessors") {
+    val g = PropertyGraph(spark, SF)
+    val src = g.vertices
+      .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
+      .select("vid").head().getLong(0)
+    val und = g.undirected.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = GraphAlgs.shortestPathTree(g.vertices, g.undirected, src).collect()
+    assert(rows.nonEmpty)
+    val dist = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (v, d, path) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val hops = path.split("->").map(_.toLong)
+      assert(hops.head == src && hops.last == v, s"$v: endpoints")
+      assert(hops.length == d + 1, s"$v: path length vs distance")
+      hops.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(und.contains((a, b)), s"$v: ($a,$b) is not an edge")
+          assert(dist(b) == dist(a) + 1, s"$v: hop must increase distance by 1")
+          val minPred = und.collect { case (u, w) if w == b && dist.get(u).contains(dist(b) - 1) => u }.min
+          assert(a == minPred, s"$v: predecessor of $b must be the min-vid one")
+        case _ => () // the source's single-node path has no hops
+      }
+    }
+  }
+
   test("clustering coefficient matches a driver-side neighborhood count") {
     val rows = GraphQueries.gClustCoef(spark, SF).collect()
     assert(rows.nonEmpty)
