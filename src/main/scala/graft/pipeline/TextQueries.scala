@@ -250,7 +250,55 @@ object TextQueries {
       | CAST(doc_id % 7 AS VARCHAR) AS p_v
       |FROM documents""".stripMargin
 
+  /** t_ngram_search: ClickHouse `ngramDistance`-style fuzzy match — rank
+    * documents by character-trigram Jaccard similarity against a query
+    * phrase. Per-doc DISTINCT trigram sets (a map-side explode keyed on
+    * doc_id); the query's tiny trigram set broadcasts into a semi-join
+    * count, so the only widening is |docs| × |matched grams| — no
+    * pairwise doc×doc work. Exact integer set sizes; the similarity is
+    * one division floor-scaled to ppm; top-20 by (sim DESC, doc_id ASC)
+    * total order. */
+  def tNgramSearch(s: SparkSession, dir: String): DataFrame = {
+    val query = "the fast key order sort table"
+    val qGrams = query.sliding(3).toSeq.distinct
+    val docGrams = Tables(s, dir, "documents")
+      .filter(F.length(F.col("text")) >= 3)
+      .select(F.col("doc_id"), F.explode(F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
+          i => F.col("text").substr(i, F.lit(3))))).as("g"))
+    val hits = docGrams
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.when(F.col("g").isin(qGrams: _*), 1L).otherwise(0L)).as("n_hit"))
+    hits
+      .select(F.col("doc_id"), F.col("n_grams"), F.col("n_hit"),
+        F.floor(F.col("n_hit").cast("double") /
+          (F.col("n_grams") + F.lit(qGrams.size.toLong) - F.col("n_hit")).cast("double") * 1e6)
+          .as("sim_ppm"))
+      .orderBy(F.col("sim_ppm").desc, F.col("doc_id").asc)
+      .limit(20)
+  }
+
+  val tNgramSearchSql: String = {
+    val query = "the fast key order sort table"
+    val qGrams = query.sliding(3).toSeq.distinct
+    val inList = qGrams.map(g => s"'${g.replace("'", "''")}'").mkString(", ")
+    s"""WITH dg AS (
+       |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+       |  FROM documents, UNNEST(range(1, len(text) - 1)) AS u(i)
+       |  WHERE len(text) >= 3),
+       |h AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |   CAST(SUM(CASE WHEN g IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM dg GROUP BY 1)
+       |SELECT doc_id, n_grams, n_hit,
+       | CAST(floor(CAST(n_hit AS DOUBLE)
+       |   / CAST(n_grams + ${qGrams.size} - n_hit AS DOUBLE) * 1e6) AS BIGINT) AS sim_ppm
+       |FROM h ORDER BY sim_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_ngram_search", tNgramSearch _, Some(tNgramSearchSql)),
     ("t_url_parse", tUrlParse _, Some(tUrlParseSql)),
     ("t_trigram_lm", tTrigramLm _, Some(tTrigramLmSql)),
     ("t_clean", tClean _, Some(tCleanSql)),
