@@ -223,7 +223,44 @@ object AnnQueries {
         (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs")))
   }
 
+  /** s_class_scatter: per-label embedding diagnostics — centroid squared
+    * norm and the within-class scatter n·Σᵢ‖cᵢ‖² − ‖Σᵢcᵢ‖² (= n²·mean
+    * squared distance to the centroid), the quantity embedding-quality /
+    * dataset-cartography passes monitor. Components are floor-scaled to
+    * 1e-4 integers FIRST (float→double cast + one multiply + floor:
+    * deterministic on both engines), so every sum, square, and the final
+    * combination is exact BIGINT arithmetic — no float accumulation
+    * order anywhere. Shapes: one explode keyed on (label, dim), two
+    * partial-aggregatable groupBys, one dimension-sized join. */
+  def sClassScatter(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(s, dir, "embeddings")
+      .select(F.col("label"), F.posexplode(F.col("embedding")).as(Seq("d", "x")))
+      .select(F.col("label"), F.col("d"),
+        F.floor(F.col("x").cast("double") * 1e4).cast("long").as("c"))
+    val cn = ex.groupBy("label", "d").agg(F.sum("c").as("sd"))
+      .groupBy("label").agg(F.sum(F.col("sd") * F.col("sd")).as("cnorm2"))
+    val sq = ex.groupBy("label")
+      .agg(F.sum(F.col("c") * F.col("c")).as("ssq"))
+    val n = Tables(s, dir, "embeddings").groupBy("label").agg(F.count(F.lit(1)).as("n"))
+    n.join(cn, "label").join(sq, "label")
+      .select(F.col("label"), F.col("n"), F.col("cnorm2"),
+        (F.col("n") * F.col("ssq") - F.col("cnorm2")).as("scatter"))
+  }
+
+  val sClassScatterSql: String =
+    """WITH ex AS (
+      |  SELECT label, i,
+      |   CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e4) AS BIGINT) AS c
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+      |pd AS (SELECT label, i, CAST(SUM(c) AS BIGINT) AS sd FROM ex GROUP BY 1, 2),
+      |cn AS (SELECT label, CAST(SUM(sd*sd) AS BIGINT) AS cnorm2 FROM pd GROUP BY 1),
+      |sq AS (SELECT label, CAST(SUM(c*c) AS BIGINT) AS ssq FROM ex GROUP BY 1),
+      |nn AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1)
+      |SELECT nn.label, nn.n, cn.cnorm2, nn.n * sq.ssq - cn.cnorm2 AS scatter
+      |FROM nn JOIN cn ON nn.label = cn.label JOIN sq ON nn.label = sq.label""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_class_scatter", sClassScatter _, Some(sClassScatterSql)),
     ("s_ann_topk", sAnnTopk _, Some(sAnnTopkSql)),
     ("s_ann_l2", sAnnL2 _, Some(sAnnL2Sql)),
     ("s_ann_lsh", sAnnLsh _, None),
