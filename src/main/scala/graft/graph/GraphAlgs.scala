@@ -131,17 +131,27 @@ object GraphAlgs {
       .agg(F.min("src").as("p"))
       .localCheckpoint()
     val maxD = dist.agg(F.max("d")).head().getLong(0)
+    // the level chain is only `diameter` joins deep over checkpointed
+    // inputs — one lazy plan, no per-level materialization barrier
     var level = dist.filter(F.col("d") === 0L)
       .select(F.col("vid"), F.col("vid").cast("string").as("path"))
-      .localCheckpoint()
     var acc = level
     (1L to maxD).foreach { k =>
       level = pred.filter(F.col("dl") === k)
         .join(level.select(F.col("vid").as("p"), F.col("path").as("pp")), "p")
         .select(F.col("v").as("vid"),
           F.concat(F.col("pp"), F.lit("->"), F.col("v").cast("string")).as("path"))
-        .localCheckpoint()
-      acc = acc.unionAll(level)
+    }
+    // rebuild acc as the union of all levels lazily
+    acc = dist.filter(F.col("d") === 0L)
+      .select(F.col("vid"), F.col("vid").cast("string").as("path"))
+    var lvl = acc
+    (1L to maxD).foreach { k =>
+      lvl = pred.filter(F.col("dl") === k)
+        .join(lvl.select(F.col("vid").as("p"), F.col("path").as("pp")), "p")
+        .select(F.col("v").as("vid"),
+          F.concat(F.col("pp"), F.lit("->"), F.col("v").cast("string")).as("path"))
+      acc = acc.unionAll(lvl)
     }
     acc.join(dist, "vid").select("vid", "d", "path")
   }
