@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Fixed-point seconds, never scientific notation. */
+  private def fmt(v: Double, dec: Int): String =
+    BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+
+  /** One JSON line. The driver keeps only the last ~2000 chars of process
+    * output and parses the metric line out of that tail; round 3's line (92
+    * queries at full Double precision, ~2.7 KB) overflowed it and the round
+    * recorded parsed:null. So the line is built to a hard budget: 3-decimal
+    * seconds, then 2-decimal, then drop the FASTEST queries (slowest are the
+    * interesting ones) with an "omitted" count, until it fits. */
+  private def renderLine(total: Double, reps: Int, nq: Int, sfDir: String,
+                         entries: Seq[(String, Double)]): String = {
+    val budget = 1800
+    def build(dec: Int, kept: Seq[(String, Double)]): String = {
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val omitted = if (kept.size < nq) s""","omitted":${nq - kept.size}""" else ""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq$omitted,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val bySlowest = entries.sortBy(-_._2)
+    var dec = 3
+    var kept = bySlowest
+    var s = build(dec, kept)
+    if (s.length > budget) { dec = 2; s = build(dec, kept) }
+    while (s.length > budget && kept.nonEmpty) {
+      kept = kept.dropRight(1)
+      s = build(dec, kept)
+    }
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,18 +65,33 @@ object Bench {
     // cluster serves, and the JSON reports reps for transparency
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val picked = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Drop leftover checkpoint blocks between runs (ContextCleaner would do
+    // this after a driver GC; doing it eagerly keeps the block manager at a
+    // long-lived cluster's steady state). Safe: every query builds its plan
+    // from parquet — nothing persisted by one run is referenced by the next.
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    sweep()
     val results = picked.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep()
+        dt
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision per-query detail (the printed line is budget-trimmed).
+    val detail = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      w.println(s"""{"total": $total, "reps": $reps, "sf": "$sfDir", "queries": $detail}""")
+      w.close()
+    } catch { case _: Throwable => () }
+    println(renderLine(total, reps, picked.size, sfDir, results.toSeq))
     spark.stop()
   }
 }

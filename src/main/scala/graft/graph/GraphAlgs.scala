@@ -133,19 +133,9 @@ object GraphAlgs {
     val maxD = dist.agg(F.max("d")).head().getLong(0)
     // the level chain is only `diameter` joins deep over checkpointed
     // inputs — one lazy plan, no per-level materialization barrier
-    var level = dist.filter(F.col("d") === 0L)
+    var lvl = dist.filter(F.col("d") === 0L)
       .select(F.col("vid"), F.col("vid").cast("string").as("path"))
-    var acc = level
-    (1L to maxD).foreach { k =>
-      level = pred.filter(F.col("dl") === k)
-        .join(level.select(F.col("vid").as("p"), F.col("path").as("pp")), "p")
-        .select(F.col("v").as("vid"),
-          F.concat(F.col("pp"), F.lit("->"), F.col("v").cast("string")).as("path"))
-    }
-    // rebuild acc as the union of all levels lazily
-    acc = dist.filter(F.col("d") === 0L)
-      .select(F.col("vid"), F.col("vid").cast("string").as("path"))
-    var lvl = acc
+    var acc = lvl
     (1L to maxD).foreach { k =>
       lvl = pred.filter(F.col("dl") === k)
         .join(lvl.select(F.col("vid").as("p"), F.col("path").as("pp")), "p")
@@ -261,6 +251,66 @@ object GraphAlgs {
       F.col("x") + 1L, maxIter)
       .filter(F.col("x") < INF)
       .select(F.col("vid"), F.col("x").as("d"))
+  }
+
+  /** Multi-source BFS over a ≤64-landmark set in ONE frontier loop — the
+    * MS-BFS pattern (Then et al., VLDB 2014): per-vertex state is a
+    * 64-bit landmark bitmask, a round ORs the frontier's masks into
+    * neighbors, and a bit that first appears at round r marks a landmark
+    * at distance exactly r. Running L separate BFS loops costs L passes
+    * over the edge list; this costs ONE — on a 100 TB graph that is the
+    * whole game, and the bitmask OR aggregates map-side like any sum.
+    *
+    * Returns per-vertex centrality aggregates of the landmark distance
+    * vector, all-integer (cross-engine exact):
+    *   h6     = Σ_l floor(1e6 / d(l,v)) over landmarks at d ≥ 1
+    *            (landmark-harmonic closeness centrality),
+    *   ecc    = max_l d(l,v) (landmark-restricted eccentricity bound),
+    *   nreach = #landmarks reached at d ≥ 1.
+    */
+  def landmarkCentrality(vertices: DataFrame, undirected0: DataFrame,
+                         isLandmark: org.apache.spark.sql.Column,
+                         maxIter: Int = 10): DataFrame = {
+    val edges = undirected0.select("src", "dst")
+      .repartition(F.col("src")).localCheckpoint()
+    // landmark set is dimension-sized by contract (≤ 64 bits): the
+    // driver-side collect assigns stable bit positions by vid order
+    val lms = vertices.filter(isLandmark).select("vid")
+      .orderBy("vid").collect().map(_.getLong(0))
+    require(lms.nonEmpty && lms.length <= 64,
+      s"landmarkCentrality needs 1..64 landmarks, got ${lms.length}")
+    val mask0 = lms.zipWithIndex.foldLeft(F.lit(0L)) { case (acc, (v, i)) =>
+      F.when(F.col("vid") === v, F.lit(1L << i)).otherwise(acc)
+    }
+    var state = vertices.select(F.col("vid"), mask0.as("mask"),
+      F.lit(0L).as("h6"), F.lit(0L).as("ecc"), F.lit(0L).as("nr"))
+      .localCheckpoint()
+    var frontier = state.filter(F.col("mask") =!= 0L).select("vid", "mask")
+    var done = false
+    var r = 0
+    while (!done && r < maxIter) {
+      r += 1
+      val contrib = 1000000L / r // this round's per-new-landmark harmonic term
+      val cand = edges.join(frontier, edges("src") === frontier("vid"))
+        .select(F.col("dst").as("vid"), F.col("mask").as("m"))
+        .groupBy("vid").agg(F.expr("bit_or(m)").as("inm"))
+      val joined = state.join(cand, Seq("vid"), "left")
+        .select(F.col("vid"), F.col("mask"), F.col("h6"), F.col("ecc"), F.col("nr"),
+          (F.coalesce(F.col("inm"), F.lit(0L)).bitwiseAND(F.expr("~mask"))).as("nb"))
+        .localCheckpoint(false)
+      state = joined.select(F.col("vid"),
+        F.col("mask").bitwiseOR(F.col("nb")).as("mask"),
+        (F.col("h6") + F.expr("bit_count(nb)") * contrib).as("h6"),
+        F.when(F.col("nb") =!= 0L, r.toLong).otherwise(F.col("ecc")).as("ecc"),
+        (F.col("nr") + F.expr("bit_count(nb)")).as("nr"))
+      frontier = state.join(
+        joined.filter(F.col("nb") =!= 0L).select("vid"), "vid", "left_semi")
+        .select("vid", "mask")
+      // one job per round: the convergence count also materializes the
+      // lazy checkpoint (same pattern as Pregel.minPropagate)
+      done = joined.filter(F.col("nb") =!= 0L).count() == 0L
+    }
+    state.select(F.col("vid"), F.col("h6"), F.col("ecc"), F.col("nr").as("nreach"))
   }
 
   /** k-truss: `rounds` synchronous peeling rounds over the oriented

@@ -184,7 +184,7 @@ object GraphQueries {
        |bfs(vid, d) AS (
        |  SELECT CAST(r_regionkey*4+3 AS BIGINT), CAST(0 AS BIGINT) FROM region WHERE r_name = 'ASIA'
        |  UNION
-       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 8
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 10
        |)
        |SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid""".stripMargin
 
@@ -207,7 +207,7 @@ object GraphQueries {
        |bfs(vid, d) AS (
        |  SELECT CAST(r_regionkey*4+3 AS BIGINT), CAST(0 AS BIGINT) FROM region WHERE r_name = 'ASIA'
        |  UNION
-       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 8
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 10
        |),
        |dist AS (SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid),
        |pred AS (
@@ -312,7 +312,7 @@ object GraphQueries {
        |bfs(vid, d) AS (
        |  SELECT CAST(s_suppkey*4+1 AS BIGINT), CAST(0 AS BIGINT) FROM supplier WHERE s_suppkey <= 3
        |  UNION
-       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 8
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 10
        |)
        |SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid""".stripMargin
 
@@ -555,7 +555,89 @@ object GraphQueries {
        |   * 1e6) AS BIGINT) AS assort6
        |FROM m""".stripMargin
 
+  /** g_harmonic: landmark harmonic-closeness centrality + eccentricity
+    * bound via MS-BFS (GraphAlgs.landmarkCentrality): 8 landmark
+    * suppliers ride ONE bitmask frontier loop instead of 8 BFS runs.
+    * h6 = Σ_l floor(1e6/d(l,v)), ecc = max_l d, nreach = #landmarks at
+    * d ≥ 1 — all-integer, so the oracle (an 8-source product-state
+    * recursive CTE) matches bit for bit. */
+  def gHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    GraphAlgs.landmarkCentrality(g.vertices, g.undirected,
+      F.col("vlabel") === "supplier" && F.col("vid") <= 8L * 4 + 1)
+  }
+
+  val gHarmonicSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |bfs(src, vid, d) AS (
+       |  SELECT CAST(s_suppkey*4+1 AS BIGINT), CAST(s_suppkey*4+1 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM supplier WHERE s_suppkey <= 8
+       |  UNION
+       |  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < 10
+       |),
+       |md AS (SELECT src, vid, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT vid, SUM(1000000 // d) AS h6, MAX(d) AS ecc, COUNT(*) AS nreach
+       |  FROM md WHERE d > 0 GROUP BY 1)
+       |SELECT v.vid, CAST(COALESCE(a.h6, 0) AS BIGINT) AS h6,
+       |  CAST(COALESCE(a.ecc, 0) AS BIGINT) AS ecc,
+       |  CAST(COALESCE(a.nreach, 0) AS BIGINT) AS nreach
+       |FROM verts v LEFT JOIN agg a ON a.vid = v.vid""".stripMargin
+
+  /** g_walks: deterministic pseudo-random graph walks (the node2vec /
+    * DeepWalk sampling shape): from each of 20 supplier starts, 4 steps;
+    * step k moves from u to the out-neighbor v minimizing
+    * md5(u:k:v) — a pure function of the graph, so retried tasks and the
+    * oracle replay the identical walk (rand() would be neither). Each
+    * step joins only the 20 current positions against the src-keyed edge
+    * list and picks the min (hash, dst) string per walk — frontier-sized
+    * work per step, no |E| shuffle. */
+  def gWalks(s: SparkSession, dir: String): DataFrame = {
+    val ue = PropertyGraph(s, dir).undirected
+      .select("src", "dst").repartition(F.col("src")).localCheckpoint()
+    var w = PropertyGraph(s, dir).vertices
+      .filter(F.col("vlabel") === "supplier" && F.col("vid") <= 20L * 4 + 1)
+      .select(F.col("vid").as("walk"), F.col("vid").as("cur"),
+        F.col("vid").cast("string").as("path"))
+    for (k <- 1 to 4) {
+      // md5 is 32 fixed hex chars, so string-min on hash||':'||dst orders
+      // by (hash, dst-as-text) — total, deterministic, collision-proof
+      val pick = F.min(F.concat(
+        F.md5(F.concat_ws(":", F.col("src"), F.lit(k), F.col("dst")).cast("binary")),
+        F.lit(":"), F.col("dst").cast("string")))
+      w = ue.join(w, ue("src") === w("cur"))
+        .groupBy("walk", "path").agg(pick.as("pk"))
+        .select(F.col("walk"),
+          F.split(F.col("pk"), ":").getItem(1).cast("long").as("cur"),
+          F.concat(F.col("path"), F.lit("->"),
+            F.split(F.col("pk"), ":").getItem(1)).as("path"))
+    }
+    w.select(F.col("walk"), F.col("cur").as("end_vid"), F.col("path"))
+  }
+
+  val gWalksSql: String = {
+    val step = (k: Int) =>
+      s"""w$k AS (
+         |  SELECT walk, CAST(split_part(pk, ':', 2) AS BIGINT) AS cur,
+         |         path || '->' || split_part(pk, ':', 2) AS path
+         |  FROM (
+         |    SELECT w.walk,
+         |      MIN(md5(e.src || ':' || $k || ':' || e.dst) || ':' || CAST(e.dst AS VARCHAR)) AS pk,
+         |      w.path AS path
+         |    FROM w${k - 1} w JOIN uedges e ON e.src = w.cur
+         |    GROUP BY w.walk, w.path))""".stripMargin
+    s"""WITH $sqlPrelude,
+       |w0 AS (
+       |  SELECT CAST(s_suppkey*4+1 AS BIGINT) AS walk, CAST(s_suppkey*4+1 AS BIGINT) AS cur,
+       |         CAST(s_suppkey*4+1 AS VARCHAR) AS path
+       |  FROM supplier WHERE s_suppkey <= 20),
+       |${(1 to 4).map(step).mkString(",\n")}
+       |SELECT walk, cur AS end_vid, path FROM w4""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_harmonic", gHarmonic _, Some(gHarmonicSql)),
+    ("g_walks", gWalks _, Some(gWalksSql)),
     ("g_paths", gPaths _, Some(gPathsSql)),
     ("g_assort", gAssort _, Some(gAssortSql)),
     ("g_clustcoef", gClustCoef _, Some(gClustCoefSql)),

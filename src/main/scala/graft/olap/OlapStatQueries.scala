@@ -165,10 +165,15 @@ object OlapStatQueries {
       .agg(buildAgg(F.col("user_id")).as("bm"))
     val purchase = bitmaps.filter(F.col("event_type") === "purchase")
       .select(F.col("bm").as("pbm"))
-    bitmaps.crossJoin(F.broadcast(purchase))
+    // LEFT join against the 0-or-1-row audience side: were the audience
+    // empty, a plain cross join would return zero rows while the oracle
+    // still emits one row per event type — absent audience must read as
+    // 0 overlap, not as no data.
+    bitmaps.join(F.broadcast(purchase), F.lit(true), "left")
       .select(F.col("event_type"),
         cardinality(F.col("bm")).as("n_users"),
-        andCardinality(F.col("bm"), F.col("pbm")).as("n_also_purchase"))
+        F.coalesce(andCardinality(F.col("bm"), F.col("pbm")), F.lit(0L))
+          .as("n_also_purchase"))
   }
 
   val qBitmapSql: String =

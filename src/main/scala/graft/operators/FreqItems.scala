@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -180,6 +181,19 @@ case class FreqItemsWeightedSketch(
   override def children: Seq[Expression] = Seq(term, weight)
   override def nullable: Boolean = false
   override def dataType: DataType = inner.dataType
+
+  // update() does weight.eval(..).asInstanceOf[Long]: reject non-LONG
+  // weights at analysis time (a SQL caller passing an INT column would
+  // otherwise fail mid-execution with ClassCastException), matching
+  // BitmapBuildAgg/UniqUpToAgg's analysis-time checks.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (term.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING term, got ${term.dataType.sql}")
+    else if (weight.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT weight, got ${weight.dataType.sql} (CAST(w AS BIGINT))")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): MGBuffer = new MGBuffer
 
