@@ -18,6 +18,7 @@ object SparkEntry {
       graft.pipeline.AnnQueries.entries ++
       graft.pipeline.TextQueries.entries ++
       graft.pipeline.HygieneQueries.entries ++
+      graft.pipeline.PackQueries.entries ++
       graft.pipeline.MediaQueries.entries ++
       graft.sources.SourceQueries.entries
 

@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Input row for the packing fold (public: private case classes break
+  * Spark's codegen'd encoders). */
+case class PackDoc(doc_id: Long, source: String, h: String, n: Long)
+
+/** One packed placement: document `doc_id` sits in bin `bin` of its
+  * source's stream at token offset `off`. */
+case class PackSlot(doc_id: Long, source: String, bin: Long, off: Long, n: Long)
+
+/** Training-sequence assembly operators (builder mandate, SURVEY §2D):
+  * the stages between a filtered corpus and a token stream — sequence
+  * packing, term weighting, readability scoring.
+  */
+object PackQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Context-window capacity (whitespace tokens) for d_pack. Docs average
+    * ~54 tokens, so bins hold ~4-5 docs — enough occupancy to exercise
+    * the overflow rule at every SF. */
+  val PackCap = 256L
+
+  /** d_pack: greedy sequence packing — the LLM-pretraining stage that
+    * lays documents into fixed-capacity context windows. Docs are ordered
+    * within each source by (content-hash, doc_id) — a pure function of
+    * content, so the layout is reproducible under any partitioning (the
+    * reason NOT to use rand() or input order) — then folded greedily:
+    * a doc that would overflow the open bin starts the next one; a doc
+    * longer than the cap gets a bin of its own.
+    *
+    * Packing is inherently sequential WITHIN a stream, so the unit of
+    * parallelism is the stream: `groupByKey(source).flatMapGroups` runs
+    * one independent fold per source. At 100 TB the stream key becomes
+    * (source, shard-of-hash) — thousands of independent folds, each
+    * hash-ordered and cap-bounded — with bin ids namespaced per shard;
+    * the fold itself is unchanged. This is the rare operator where
+    * per-group imperative code IS the Spark-first design: the fold is
+    * O(group) with O(1) state, and no window/cumsum formulation
+    * reproduces first-fit semantics. */
+  def dPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"),
+        F.md5(F.col("text").cast("binary")).as("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").as("n"))
+      .as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapGroups { (src: String, it: Iterator[PackDoc]) =>
+        // hex md5 under JVM string order ≡ DuckDB VARCHAR order (ASCII)
+        val docs = it.toArray.sortBy(d => (d.h, d.doc_id))
+        var bin = 0L
+        var fill = 0L
+        docs.iterator.map { d =>
+          if (fill > 0 && fill + d.n > PackCap) { bin += 1; fill = 0 }
+          val slot = PackSlot(d.doc_id, src, bin, fill, d.n)
+          fill += d.n
+          slot
+        }
+      }
+      .toDF()
+  }
+
+  /** The identical greedy fold as a recursive CTE: rank docs per source
+    * by (md5, doc_id), then advance one rank per recursion step carrying
+    * (bin, off) — every source's fold runs in parallel within the CTE. */
+  val dPackSql: String =
+    s"""WITH RECURSIVE d2 AS (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+       |  FROM documents),
+       |pack(source, rn, doc_id, n, bin, off) AS (
+       |  SELECT source, rn, doc_id, n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM d2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.rn, d.doc_id, d.n,
+       |    CASE WHEN p.off + p.n + d.n > $PackCap THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.off + p.n + d.n > $PackCap THEN CAST(0 AS BIGINT) ELSE p.off + p.n END
+       |  FROM pack p JOIN d2 d ON d.source = p.source AND d.rn = p.rn + 1)
+       |SELECT doc_id, source, bin, off, n FROM pack""".stripMargin
+
+  /** d_tfidf: per-document top-3 terms by tf·idf — the classic corpus
+    * term-weighting stage (keyword extraction / quality features).
+    * idf is the INTEGER surrogate floor(1e6·N/df): exact cross-engine
+    * arithmetic with the same ordering as log(N/df) (both decrease in
+    * df), where a floating log would flake the gate on libm ulps.
+    * Shape: one explode → (doc,term) counts with map-side partials; the
+    * doc-frequency table is vocabulary-sized and joins by term; ranking
+    * is a per-doc window over ≤ |terms-per-doc| rows. */
+  def dTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val n = docs.count()
+    val toks = docs.select(F.col("doc_id"),
+      F.explode(F.split(F.col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(F.count_distinct(F.col("doc_id")).as("df"))
+    val score = F.col("tf") * F.expr(s"${1000000L * n}L div df")
+    tf.join(df, "term")
+      .select(F.col("doc_id"), F.col("term"), score.as("score"))
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(F.col("score").desc, F.col("term").asc)))
+      .filter(F.col("rnk") <= 3)
+      .select("doc_id", "rnk", "term", "score")
+  }
+
+  val dTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, term
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(term)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, rnk, term, CAST(score AS BIGINT) AS score FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf * ((1000000 * nn.n) // df.df) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ((1000000 * nn.n) // df.df) DESC, tf.term ASC) AS rnk
+      |  FROM tf JOIN df USING (term) CROSS JOIN nn)
+      |WHERE rnk <= 3""".stripMargin
+
+  /** t_readability: Flesch reading-ease per document in µ-units —
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word), with
+    * syllables approximated by vowel-group count (the standard
+    * dictionary-free surrogate) and each ratio floor-scaled ×1e6 so the
+    * score is all-BIGINT (single-pass, map-only, regex inside codegen). */
+  def tReadability(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").as("words"),
+        F.greatest(F.lit(1L),
+          F.expr("regexp_count(text, '[.!?]+')").cast("long")).as("sentences"),
+        F.expr("regexp_count(lower(text), '[aeiou]+')").cast("long").as("syllables"))
+      .select(F.col("doc_id"), F.col("words"), F.col("sentences"), F.col("syllables"),
+        (F.lit(206835000L)
+          - F.expr("(1015000 * words) div sentences")
+          - F.expr("(84600000 * syllables) div words")).as("flesch6"))
+
+  val tReadabilitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS syllables
+      |  FROM documents)
+      |SELECT doc_id, words, sentences, syllables,
+      |  206835000 - ((1015000 * words) // sentences)
+      |            - ((84600000 * syllables) // words) AS flesch6
+      |FROM m""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_pack", dPack _, Some(dPackSql)),
+    ("d_tfidf", dTfidf _, Some(dTfidfSql)),
+    ("t_readability", tReadability _, Some(tReadabilitySql)))
+}

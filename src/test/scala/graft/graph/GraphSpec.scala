@@ -223,4 +223,27 @@ class GraphSpec extends SparkSpec {
       } else assert(r.isNullAt(3))
     }
   }
+
+  test("MS-BFS landmark centrality equals per-landmark BFS runs") {
+    import org.apache.spark.sql.{functions => F}
+    val g = PropertyGraph(spark, SF)
+    val pred = F.col("vlabel") === "supplier" && F.col("vid") <= 8L * 4 + 1
+    val got = GraphAlgs.landmarkCentrality(g.vertices, g.undirected, pred)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // reference: one sssp per landmark, aggregated the slow way
+    val lms = g.vertices.filter(pred).select("vid").collect().map(_.getLong(0))
+    assert(lms.nonEmpty && lms.length <= 9) // suppkeys 0..8
+    val dists = lms.flatMap { l =>
+      GraphAlgs.sssp(g.vertices, g.undirected, l).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    }.groupBy(_._1)
+    val allVids = g.vertices.select("vid").collect().map(_.getLong(0))
+    allVids.foreach { v =>
+      val ds = dists.getOrElse(v, Array.empty).map(_._2)
+      val expect =
+        if (ds.isEmpty) (0L, 0L, 0L)
+        else (ds.map(1000000L / _).sum, ds.max, ds.length.toLong)
+      assert(got(v) == expect, s"vertex $v: got ${got(v)}, expect $expect")
+    }
+  }
 }
