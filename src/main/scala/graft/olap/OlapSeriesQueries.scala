@@ -179,7 +179,35 @@ object OlapSeriesQueries {
       |SELECT b.user_id, b.n, b.sum_hi, b.zsum, t.top3_csv
       |FROM base b JOIN tops t ON b.user_id = t.user_id""".stripMargin
 
+  /** q_range_frame: RANGE-frame window aggregate (the ClickHouse / ANSI
+    * `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW` shape) —
+    * per event, the exact-decimal sum and count of the same user's events
+    * in the trailing hour. RANGE (unlike ROWS) includes ALL peers at the
+    * current timestamp, so the frame is deterministic even under ts ties
+    * with no tiebreak column. One window sort per user partition; sums
+    * accumulate in DECIMAL and emit as DOUBLE. */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(F.col("tu"))
+      .rangeBetween(-3600000000L, 0L) // µs
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("tu"),
+        Tables.dec2(F.col("value")).as("v"))
+      .select(F.col("user_id"), F.col("event_id"),
+        Tables.out2(F.sum("v").over(w)).as("sum1h"),
+        F.count(F.lit(1)).over(w).as("n1h"))
+  }
+
+  val qRangeFrameSql: String =
+    """SELECT user_id, event_id,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS sum1h,
+      | COUNT(*) OVER w AS n1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_range_frame", qRangeFrame _, Some(qRangeFrameSql)),
     ("q_delta_sum", qDeltaSum _, Some(qDeltaSumSql)),
     ("q_interval_sum", qIntervalSum _, Some(qIntervalSumSql)),
     ("q_seq_next_node", qSeqNextNode _, Some(qSeqNextNodeSql)),

@@ -259,7 +259,94 @@ object AnnQueries {
       |SELECT nn.label, nn.n, cn.cnorm2, nn.n * sq.ssq - cn.cnorm2 AS scatter
       |FROM nn JOIN cn ON nn.label = cn.label JOIN sq ON nn.label = sq.label""".stripMargin
 
+  val PqM = 8       // subspaces
+  val PqSubDim = 8  // dims per subspace (8×8 = 64)
+  val PqK = 16      // codebook entries per subspace → 4-bit codes
+
+  /** s_ann_pq: product-quantization ANN (rows-only; AnnSpec measures
+    * recall) — the memory-bound scale path of the ANN trio (LSH buckets,
+    * IVF probes, PQ compresses): each vector is stored as M=8 4-bit
+    * codebook ids (4 bytes vs 256), and query scoring is an M-entry
+    * table lookup per candidate instead of a 64-dim dot.
+    *
+    * Codebooks: per subspace, seed subvectors + one Lloyd step, refined
+    * over the whole corpus in ONE pass (all-subspace assignment columns,
+    * then a single posexplode keyed (subspace, code, dim); sums in
+    * DECIMAL so centroids are partition-order exact — same discipline as
+    * IVF). Scoring: the query×codebook partial-dot lookup table (M·K
+    * rows per query) is built on the driver from collected queries —
+    * the same broadcast-sized object the exact paths ship anyway — and
+    * joined to the exploded corpus codes; partial dots accumulate in
+    * DECIMAL (order-exact). The top-2k ADC candidates per query are then
+    * re-ranked with the EXACT cosine, so output quality degrades only
+    * via candidate misses, exactly like the LSH/IVF paths.
+    * At 100 TB: codes live next to the data (4 bytes/vector), the LUT
+    * join broadcasts, and only the 2k re-rank touches raw vectors. */
+  def sAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+    val seedRows: Array[Array[Float]] = e.orderBy("vec_id").limit(PqK)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val seedBooks: Array[Array[Array[Float]]] =
+      Array.tabulate(PqM, PqK)((m, k) =>
+        seedRows(k).slice(m * PqSubDim, (m + 1) * PqSubDim))
+    def subv(m: Int): Column =
+      F.slice(F.col("embedding"), m * PqSubDim + 1, PqSubDim)
+    def codeCols(books: Array[Array[Array[Float]]]): Seq[Column] =
+      (0 until PqM).map(m => F.element_at(
+        graft.functions.VectorFunctions.floatMatTopCentroids(
+          subv(m), matLit(books(m)), F.lit(1)), 1).as(s"c$m"))
+    // one Lloyd step, one job: assign every subspace, then explode the
+    // full vector once — (m, code, dim) keyed means in exact DECIMAL
+    val means = e.select(F.col("embedding") +: codeCols(seedBooks): _*)
+      .select(F.posexplode(F.col("embedding")).as(Seq("pos", "x")),
+        F.array((0 until PqM).map(m => F.col(s"c$m")): _*).as("cs"))
+      .select(F.expr(s"cast(pos div $PqSubDim as int)").as("m"),
+        F.expr(s"cast(pos % $PqSubDim as int)").as("p"),
+        F.element_at(F.col("cs"),
+          F.expr(s"cast(pos div $PqSubDim as int)") + 1).as("cid"),
+        F.col("x"))
+      .groupBy("m", "cid", "p")
+      .agg(F.sum(F.col("x").cast(DecimalType(30, 12))).as("sx"),
+        F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getDecimal(3).doubleValue() / r.getLong(4)).toFloat).toMap
+    val books = Array.tabulate(PqM, PqK, PqSubDim)((m, k, p) =>
+      means.getOrElse((m, k, p), seedBooks(m)(k)(p)))
+    // corpus → M small codes (this projection IS the compressed index)
+    val codes = e.select(F.col("vec_id") +: codeCols(books): _*)
+      .select(F.col("vec_id"),
+        F.posexplode(F.array((0 until PqM).map(m => F.col(s"c$m")): _*))
+          .as(Seq("m", "code")))
+    // per-query ADC lookup table, driver-built from the broadcast-sized
+    // query set: pdot(q, m, code) = q_m · books(m)(code)
+    val qs = e.filter(F.col("vec_id") < NQueries)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val lut = s.createDataFrame(for {
+      (qid, qv, _) <- qs.toSeq; m <- 0 until PqM; k <- 0 until PqK
+    } yield (qid, m, k,
+      (0 until PqSubDim).foldLeft(0.0)((acc, p) =>
+        acc + qv(m * PqSubDim + p).toDouble * books(m)(k)(p).toDouble)))
+      .toDF("q_id", "m", "code", "pdot")
+    val adc = codes.join(F.broadcast(lut), Seq("m", "code"))
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(F.sum(F.col("pdot").cast(DecimalType(30, 12))).as("adot"))
+    // 2k ADC candidates, then EXACT cosine re-rank (bounded-heap both)
+    val cand = graft.operators.TopK.perGroup(adc,
+      Seq("q_id"), F.col("adot").cast("double"), F.col("vec_id"), 2 * TopK)
+      .select(F.col("q_id"), F.col("id").as("vec_id"))
+    val qdf = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"))
+    rankTopK(cand.join(e, "vec_id").join(F.broadcast(qdf), "q_id")
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs")))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_ann_pq", sAnnPq _, None),
     ("s_class_scatter", sClassScatter _, Some(sClassScatterSql)),
     ("s_ann_topk", sAnnTopk _, Some(sAnnTopkSql)),
     ("s_ann_l2", sAnnL2 _, Some(sAnnL2Sql)),

@@ -62,6 +62,18 @@ class AnnSpec extends SparkSpec {
     approx.foreach { case (q, n) => assert(q < AnnQueries.NQueries && n != q) }
   }
 
+  test("PQ ANN recall@10 vs brute force is usable, k rows per query") {
+    val exact = pairs(AnnQueries.sAnnTopk(spark, SF))
+    val out = AnnQueries.sAnnPq(spark, SF)
+    val approx = pairs(out)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 = $recall")
+    // exact-re-rank contract: k rows per query, ranks 1..k
+    out.collect().groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to AnnQueries.TopK))
+    }
+  }
+
   test("IVF ANN recall@10 vs brute force beats random scan fraction") {
     val exact = pairs(AnnQueries.sAnnTopk(spark, SF))
     val approx = pairs(AnnQueries.sAnnIvf(spark, SF))
