@@ -48,6 +48,7 @@ object GraphAlgs {
       .repartition(F.col("src")).localCheckpoint()
     var pr = vertices.select(F.col("vid"), F.lit(init).as("pr"))
     val zeros = vertices.select(F.col("vid"), F.lit(0L).as("m")).localCheckpoint()
+    var prevCkpt: DataFrame = null
     for (it <- 1 to iters) {
       // messages ∪ a zero row per vertex, then ONE groupBy — replaces the
       // groupBy(dst) + left-join(vertices) pair (two shuffles → one; the
@@ -59,8 +60,13 @@ object GraphAlgs {
         .groupBy("vid").agg(F.sum("m").as("m"))
         .select(F.col("vid"), (F.lit(base) + F.expr("(85 * m) div 100")).as("pr"))
       // truncate lineage every 2nd iteration (and at the end): plans stay
-      // shallow while halving the materialization barriers
-      if (it % 2 == 0 || it == iters) pr = pr.localCheckpoint()
+      // shallow while halving the materialization barriers; each eager
+      // checkpoint supersedes the previous one's blocks
+      if (it % 2 == 0 || it == iters) {
+        pr = pr.localCheckpoint()
+        if (prevCkpt != null) CheckpointGC.unpersist(prevCkpt)
+        prevCkpt = pr
+      }
     }
     pr
   }
@@ -81,6 +87,7 @@ object GraphAlgs {
       F.when(F.col("vid") === srcVid, init).otherwise(0L).as("pr"))
     val zeros = vertices.select(F.col("vid"), F.lit(0L).as("m")).localCheckpoint()
     val baseOf = F.when(F.col("vid") === srcVid, base).otherwise(0L)
+    var prevCkpt: DataFrame = null
     for (it <- 1 to iters) {
       val msgs = withDeg
         .join(pr, withDeg("src") === pr("vid"))
@@ -88,7 +95,11 @@ object GraphAlgs {
       pr = zeros.unionByName(msgs)
         .groupBy("vid").agg(F.sum("m").as("m"))
         .select(F.col("vid"), (baseOf + F.expr("(85 * m) div 100")).as("pr"))
-      if (it % 2 == 0 || it == iters) pr = pr.localCheckpoint()
+      if (it % 2 == 0 || it == iters) {
+        pr = pr.localCheckpoint()
+        if (prevCkpt != null) CheckpointGC.unpersist(prevCkpt)
+        prevCkpt = pr
+      }
     }
     pr
   }
@@ -178,6 +189,7 @@ object GraphAlgs {
     val undirected = undirected0.repartition(F.col("src")).localCheckpoint()
     var labels = vertices.select(F.col("vid"), F.col("vid").as("lbl"))
       .localCheckpoint()
+    var prevCkpt = labels
     for (it <- 1 to iters) {
       // most-frequent neighbor label, ties to smallest: max on the
       // (count, -lbl) struct — a second partial-aggregatable groupBy
@@ -194,7 +206,11 @@ object GraphAlgs {
         .select(F.col("vid"), F.coalesce(F.col("new_lbl"), F.col("lbl")).as("lbl"))
       // truncate lineage every 2nd round (and at the end) — plans stay
       // shallow at half the materialization barriers (see pagerank)
-      if (it % 2 == 0 || it == iters) labels = labels.localCheckpoint()
+      if (it % 2 == 0 || it == iters) {
+        labels = labels.localCheckpoint()
+        if (prevCkpt != null) CheckpointGC.unpersist(prevCkpt)
+        prevCkpt = labels
+      }
     }
     labels
   }
@@ -214,6 +230,7 @@ object GraphAlgs {
     val edges = undirected0.select("src", "dst")
       .repartition(F.col("src")).localCheckpoint()
     var surv = vertices.select("vid").localCheckpoint()
+    var prevSurv = surv
     var prev = surv.count()
     var done = false
     for (_ <- 1 to rounds if !done) {
@@ -231,6 +248,8 @@ object GraphAlgs {
       // unchanged, so all remaining rounds are no-ops — the result is
       // identical to running the full fixed-round schedule
       val c = surv.count()
+      CheckpointGC.unpersist(prevSurv) // superseded by the new survivors
+      prevSurv = surv
       done = c == prev
       prev = c
     }
@@ -285,6 +304,7 @@ object GraphAlgs {
     var state = vertices.select(F.col("vid"), mask0.as("mask"),
       F.lit(0L).as("h6"), F.lit(0L).as("ecc"), F.lit(0L).as("nr"))
       .localCheckpoint()
+    var prevCkpt = state
     var frontier = state.filter(F.col("mask") =!= 0L).select("vid", "mask")
     var done = false
     var r = 0
@@ -309,6 +329,8 @@ object GraphAlgs {
       // one job per round: the convergence count also materializes the
       // lazy checkpoint (same pattern as Pregel.minPropagate)
       done = joined.filter(F.col("nb") =!= 0L).count() == 0L
+      CheckpointGC.unpersist(prevCkpt) // superseded by joined's blocks
+      prevCkpt = joined
     }
     state.select(F.col("vid"), F.col("h6"), F.col("ecc"), F.col("nr").as("nreach"))
   }
@@ -343,12 +365,14 @@ object GraphAlgs {
         .unionByName(tri.select(F.col("a").as("x"), F.col("c").as("y")))
         .unionByName(tri.select(F.col("b").as("x"), F.col("c").as("y")))
         .groupBy("x", "y").agg(F.count(F.lit(1)).as("sup"))
+      val prevEdges = edges
       edges = edges
         .join(support, F.col("a") === F.col("x") && F.col("b") === F.col("y"))
         .filter(F.col("sup") >= k - 2)
         .select("a", "b")
         .localCheckpoint(false)
       val c = edges.count()
+      CheckpointGC.unpersist(prevEdges) // superseded by the new survivors
       done = c == prev
       prev = c
     }
@@ -408,10 +432,16 @@ object GraphAlgs {
         .localCheckpoint(false)
       found += joined.filter(F.col("bv") === F.col("fv"))
         .select(F.col("vid"), F.col("bv").as("scc"))
+      val prevActive = active
       active = joined.filter(F.col("bv") =!= F.col("fv"))
         .select(F.col("vid"), F.col("fv").as("cf"), F.col("bv").as("cr"))
         .localCheckpoint(false)
-      remaining = active.count()
+      remaining = active.count() // materializes joined + active
+      // joined's blocks now carry this round's slice in `found`; the
+      // inner Pregel's final checkpoint (behind res) and the previous
+      // round's active set have no remaining consumer
+      CheckpointGC.unpersist(res)
+      if (prevActive != null) CheckpointGC.unpersist(prevActive)
       outer += 1
     }
     require(remaining == 0, s"scc: $remaining vertices unassigned after $maxOuter rounds")

@@ -33,6 +33,21 @@ import org.apache.spark.sql.{functions => F}
   * @param maxIter   backstop bound on rounds (the frontier-empty check
   *                  exits earlier as soon as nothing improves)
   */
+/** Drops the cached blocks of a superseded localCheckpoint. Iterative
+  * loops otherwise accumulate one checkpoint per round in the block
+  * manager until a driver GC lets ContextCleaner collect them — harmless
+  * on a workstation, a steady leak on a long-lived cluster session (and
+  * the direct analogue of deleting round N−1's checkpoint files once
+  * round N is durable). Only call on checkpoints whose every downstream
+  * consumer reads a LATER materialized checkpoint: an unpersisted
+  * localCheckpoint is unrecoverable (lineage is truncated). */
+private[graph] object CheckpointGC {
+  def unpersist(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+}
+
 object Pregel {
   def minPropagate(state0: DataFrame, frontier0: DataFrame => DataFrame,
                    edges0: DataFrame, msg: Column,
@@ -45,6 +60,8 @@ object Pregel {
     // once per round, which is the dominant cost at any scale
     val edges = edges0.repartition(F.col("src")).localCheckpoint()
     var state = state0.localCheckpoint()
+    // the checkpoint superseded once the current round's is materialized
+    var prevCkpt = state
     var frontier = frontier0(state)
     var done = false
     var i = 0
@@ -71,6 +88,10 @@ object Pregel {
       frontier = joined.filter(improved)
         .select(F.col("vid"), F.col("cand").as("x"))
       done = joined.filter(improved).count() == 0L
+      // this round's state/frontier read joined's blocks only — the
+      // previous round's checkpoint has no remaining consumer
+      CheckpointGC.unpersist(prevCkpt)
+      prevCkpt = joined
       i += 1
     }
     state

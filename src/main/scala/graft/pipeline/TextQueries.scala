@@ -297,7 +297,88 @@ object TextQueries {
        |FROM h ORDER BY sim_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
   }
 
+  /** t_ip_funcs: the ClickHouse IPv4 function family
+    * (IPv4NumToString / IPv4StringToNum / CIDR grouping / range test) —
+    * per-user addresses are deterministically synthesized in 10/8
+    * (render), parsed BACK from the string (the parse is the operator
+    * under test — a split + positional fold, same as the URL family),
+    * grouped by /16 subnet with an in-10.0.0.0/9 flag, top-20 subnets.
+    * All integer/string ops, cross-engine exact. */
+  def tIpFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ipCol = F.concat_ws(".",
+      F.lit(10), F.expr("(uid*7+1) % 256"), F.expr("(uid*13+5) % 256"),
+      F.expr("(uid*31+7) % 256"))
+    val ips = Tables(s, dir, "events").select(F.col("user_id").as("uid"))
+      .distinct().select(F.col("uid"), ipCol.as("ip"))
+    val o: Int => Column = i => F.element_at(F.split(F.col("ip"), "\\."), i).cast("long")
+    val parsed = ips.select(F.col("uid"), F.col("ip"),
+      (o(1) * 16777216L + o(2) * 65536L + o(3) * 256L + o(4)).as("num"),
+      F.concat_ws(".", o(1), o(2), F.lit("0.0/16")).as("subnet"))
+    val grouped = parsed.groupBy("subnet")
+      .agg(F.count(F.lit(1)).as("n"), F.min("num").as("lo"), F.max("num").as("hi"),
+        F.sum(F.when(F.col("num") < 10L * 16777216L + 8388608L, 1L).otherwise(0L))
+          .as("n_in_lower_half"))
+    grouped
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(F.col("n").desc, F.col("subnet").asc)))
+      .filter(F.col("rnk") <= 20)
+      .select("subnet", "rnk", "n", "lo", "hi", "n_in_lower_half")
+  }
+
+  val tIpFuncsSql: String =
+    """WITH ips AS (
+      |  SELECT uid, '10.' || ((uid*7+1) % 256) || '.' || ((uid*13+5) % 256)
+      |           || '.' || ((uid*31+7) % 256) AS ip
+      |  FROM (SELECT DISTINCT user_id AS uid FROM events)),
+      |parsed AS (
+      |  SELECT uid, ip,
+      |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+      |      + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+      |      + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+      |      + CAST(string_split(ip, '.')[4] AS BIGINT) AS num,
+      |    string_split(ip, '.')[1] || '.' || string_split(ip, '.')[2] || '.0.0/16' AS subnet
+      |  FROM ips),
+      |grouped AS (
+      |  SELECT subnet, COUNT(*) AS n,
+      |    CAST(MIN(num) AS BIGINT) AS lo, CAST(MAX(num) AS BIGINT) AS hi,
+      |    CAST(SUM(CASE WHEN num < 10*16777216 + 8388608 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_in_lower_half
+      |  FROM parsed GROUP BY 1)
+      |SELECT subnet, rnk, n, lo, hi, n_in_lower_half FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, subnet ASC) AS rnk FROM grouped)
+      |WHERE rnk <= 20""".stripMargin
+
+  /** Needle set for t_multisearch (fixed, like ClickHouse's constant
+    * needle arrays). */
+  val Needles: Seq[String] = Seq("the", "data", "model", "graph", "query")
+
+  /** t_multisearch: ClickHouse `multiSearchAny`/`hasToken` — one map-only
+    * pass computing, per document, the bitmask and count of which
+    * constant needles occur (substring semantics). N needles = N
+    * codegen'd instr calls fused in one projection, not N passes. */
+  def tMultiSearch(s: SparkSession, dir: String): DataFrame = {
+    val hitBits = Needles.zipWithIndex.map { case (w, i) =>
+      F.when(F.instr(F.col("text"), w) > 0, F.lit(1L << i)).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), hitBits.as("hits"))
+      .select(F.col("doc_id"), F.col("hits"),
+        F.expr("bit_count(hits)").cast("long").as("n_hit"))
+  }
+
+  val tMultiSearchSql: String = {
+    val bits = Needles.zipWithIndex.map { case (w, i) =>
+      s"CASE WHEN strpos(text, '$w') > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS hits,
+       |  CAST(bit_count(CAST($bits AS BIGINT)) AS BIGINT) AS n_hit
+       |FROM documents""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_ip_funcs", tIpFuncs _, Some(tIpFuncsSql)),
+    ("t_multisearch", tMultiSearch _, Some(tMultiSearchSql)),
     ("t_ngram_search", tNgramSearch _, Some(tNgramSearchSql)),
     ("t_url_parse", tUrlParse _, Some(tUrlParseSql)),
     ("t_trigram_lm", tTrigramLm _, Some(tTrigramLmSql)),
