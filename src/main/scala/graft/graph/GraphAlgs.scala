@@ -335,6 +335,64 @@ object GraphAlgs {
     state.select(F.col("vid"), F.col("h6"), F.col("ecc"), F.col("nr").as("nreach"))
   }
 
+  /** Single-source STRESS centrality (the integer-exact core of Brandes'
+    * betweenness): for every vertex v, the number of shortest paths from
+    * `sourceVid` that pass through v as an interior vertex,
+    * stress(v) = σ(v)·(T(v)−1), where σ(v) counts shortest source→v
+    * paths (forward sweep over the BFS DAG: σ(w) = Σ_pred σ(u)) and T(v)
+    * counts shortest-path continuations from v (backward sweep:
+    * T(v) = 1 + Σ_succ T(w)). Both sweeps are integers — Brandes'
+    * fractional δ-accumulation is exactly what can NOT cross engines
+    * bit-stably, stress is the variant that can. The source row reports
+    * σ=1 and its total downstream path count.
+    *
+    * Scale: one frontier BFS for distances + one DAG-edge join, then
+    * 2×diameter rounds of level-sized joins (each level joins only the
+    * previous level's σ/T rows against the dist-oriented DAG, keyed on
+    * vertex id). Returns (vid, d, sigma, stress) for reachable vertices. */
+  def stressCentrality(vertices: DataFrame, undirected0: DataFrame,
+                       sourceVid: Long, maxIter: Int = 10): DataFrame = {
+    val dist = sssp(vertices, undirected0, sourceVid, maxIter).localCheckpoint()
+    // DAG edge (u,w): an undirected edge that advances the BFS by one hop
+    val dag = undirected0.select("src", "dst")
+      .join(dist.select(F.col("vid").as("src"), F.col("d").as("du")), "src")
+      .join(dist.select(F.col("vid").as("dst"), F.col("d").as("dw")), "dst")
+      .filter(F.col("dw") === F.col("du") + 1)
+      .select(F.col("src").as("u"), F.col("dst").as("w"), F.col("dw"))
+      .localCheckpoint()
+    val maxD = dist.agg(F.max("d")).head().getLong(0)
+    // forward σ sweep: level k's counts from level k−1's (lazy chain over
+    // checkpointed inputs — diameter joins deep, like shortestPathTree)
+    var sigLvl = dist.filter(F.col("d") === 0L)
+      .select(F.col("vid"), F.lit(1L).as("sigma"))
+    var sig = sigLvl
+    (1L to maxD).foreach { k =>
+      sigLvl = dag.filter(F.col("dw") === k)
+        .join(sigLvl.select(F.col("vid").as("u"), F.col("sigma")), "u")
+        .groupBy(F.col("w").as("vid")).agg(F.sum("sigma").as("sigma"))
+      sig = sig.unionAll(sigLvl)
+    }
+    sig = sig.localCheckpoint()
+    // backward T sweep: leaves (deepest level) have T = 1; level k adds
+    // its successors' T at k+1
+    var tLvl = dist.filter(F.col("d") === maxD)
+      .select(F.col("vid"), F.lit(1L).as("t"))
+    var ts = tLvl
+    ((maxD - 1) to 0L by -1L).foreach { k =>
+      val succSum = dag.filter(F.col("dw") === k + 1)
+        .join(tLvl.select(F.col("vid").as("w"), F.col("t")), "w")
+        .groupBy(F.col("u").as("vid")).agg(F.sum("t").as("st"))
+      tLvl = dist.filter(F.col("d") === k).select("vid")
+        .join(succSum, Seq("vid"), "left")
+        .select(F.col("vid"),
+          (F.lit(1L) + F.coalesce(F.col("st"), F.lit(0L))).as("t"))
+      ts = ts.unionAll(tLvl)
+    }
+    dist.join(sig, "vid").join(ts, "vid")
+      .select(F.col("vid"), F.col("d"), F.col("sigma"),
+        (F.col("sigma") * (F.col("t") - 1L)).as("stress"))
+  }
+
   /** k-truss: `rounds` synchronous peeling rounds over the oriented
     * (a<b) edge list — each round keeps edges participating in ≥ k−2
     * triangles among the survivors (the edge-level cohesion analogue of

@@ -635,7 +635,55 @@ object GraphQueries {
        |SELECT walk, cur AS end_vid, path FROM w4""".stripMargin
   }
 
+  /** g_stress: single-source stress centrality from the 'ASIA' region
+    * vertex — how many shortest paths from the seed route through each
+    * vertex (the integer-exact Brandes core; see
+    * GraphAlgs.stressCentrality). Oracle = the same two sweeps unrolled:
+    * σ forward over the BFS DAG, T backward from the leaves. */
+  def gStress(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val src = g.vertices
+      .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
+      .select("vid").head().getLong(0)
+    GraphAlgs.stressCentrality(g.vertices, g.undirected, src)
+  }
+
+  val gStressSql: String = {
+    val L = 10 // matches the engine's maxIter backstop; deeper levels are empty
+    val sg = (k: Int) =>
+      s"""sg$k AS (
+         |  SELECT w AS vid, CAST(SUM(sigma) AS BIGINT) AS sigma
+         |  FROM dag JOIN sg${k - 1} p ON dag.u = p.vid WHERE dw = $k GROUP BY 1)""".stripMargin
+    val tl = (k: Int) =>
+      s"""tl$k AS (
+         |  SELECT dv.vid, CAST(1 + COALESCE(s.st, 0) AS BIGINT) AS t
+         |  FROM (SELECT vid FROM dist WHERE d = $k) dv
+         |  LEFT JOIN (
+         |    SELECT u, SUM(t) AS st FROM dag JOIN tl${k + 1} n ON dag.w = n.vid
+         |    WHERE dw = ${k + 1} GROUP BY 1) s ON s.u = dv.vid)""".stripMargin
+    s"""WITH RECURSIVE $sqlPrelude,
+       |bfs(vid, d) AS (
+       |  SELECT CAST(r_regionkey*4+3 AS BIGINT), CAST(0 AS BIGINT) FROM region WHERE r_name = 'ASIA'
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN uedges e ON e.src = b.vid WHERE b.d < $L
+       |),
+       |dist AS (SELECT vid, MIN(d) AS d FROM bfs GROUP BY 1),
+       |dag AS (
+       |  SELECT e.src AS u, e.dst AS w, dd.d AS dw
+       |  FROM uedges e JOIN dist du ON e.src = du.vid JOIN dist dd ON e.dst = dd.vid
+       |  WHERE dd.d = du.d + 1),
+       |sg0 AS (SELECT vid, CAST(1 AS BIGINT) AS sigma FROM dist WHERE d = 0),
+       |${(1 to L).map(sg).mkString(",\n")},
+       |sig AS (${(0 to L).map(k => s"SELECT * FROM sg$k").mkString(" UNION ALL ")}),
+       |tl$L AS (SELECT vid, CAST(1 AS BIGINT) AS t FROM dist WHERE d = $L),
+       |${(L - 1 to 0 by -1).map(tl).mkString(",\n")},
+       |tt AS (${(0 to L).map(k => s"SELECT * FROM tl$k").mkString(" UNION ALL ")})
+       |SELECT dist.vid, dist.d, sig.sigma, sig.sigma * (tt.t - 1) AS stress
+       |FROM dist JOIN sig ON sig.vid = dist.vid JOIN tt ON tt.vid = dist.vid""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_stress", gStress _, Some(gStressSql)),
     ("g_harmonic", gHarmonic _, Some(gHarmonicSql)),
     ("g_walks", gWalks _, Some(gWalksSql)),
     ("g_paths", gPaths _, Some(gPathsSql)),

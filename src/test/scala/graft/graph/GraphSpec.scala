@@ -224,6 +224,46 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("stress centrality matches a driver-side sigma/T recomputation") {
+    import org.apache.spark.sql.{functions => F}
+    val g = PropertyGraph(spark, SF)
+    val src = g.vertices
+      .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
+      .select("vid").head().getLong(0)
+    val got = GraphAlgs.stressCentrality(g.vertices, g.undirected, src)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent recomputation from the raw edge list
+    val und: Seq[(Long, Long)] =
+      g.undirected.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] =
+      und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Seq(src)
+    while (frontier.nonEmpty) {
+      val depth = dist(frontier.head) // frontier is all one depth
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Seq.empty))
+        .distinct.filterNot(w => dist.contains(w))
+        .map { w => dist(w) = depth + 1; w }
+    }
+    val byLevel = dist.toSeq.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val maxD = dist.values.max
+    val sigma = scala.collection.mutable.Map(src -> 1L)
+    (1L to maxD).foreach(k => byLevel.getOrElse(k, Seq.empty).foreach { w =>
+      sigma(w) = und.collect {
+        case (u, `w`) if dist.get(u).contains(k - 1) => sigma(u)
+      }.sum
+    })
+    val t = scala.collection.mutable.Map.empty[Long, Long]
+    (maxD to 0L by -1L).foreach(k => byLevel.getOrElse(k, Seq.empty).foreach { v =>
+      t(v) = 1L + adj.getOrElse(v, Seq.empty[Long])
+        .filter(w => dist.get(w).contains(k + 1)).map(w => t(w)).sum
+    })
+    assert(got.keySet == dist.keySet)
+    dist.foreach { case (v, d) =>
+      assert(got(v) == ((d, sigma(v), sigma(v) * (t(v) - 1))), s"vertex $v")
+    }
+  }
+
   test("MS-BFS landmark centrality equals per-landmark BFS runs") {
     import org.apache.spark.sql.{functions => F}
     val g = PropertyGraph(spark, SF)
