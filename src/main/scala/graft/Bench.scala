@@ -42,6 +42,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // unpersisting a superseded localCheckpoint is deliberate (CheckpointGC,
+    // the between-run sweep): silence the per-RDD lineage warning
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     // Warm up the JVM/codegen/shuffle/parquet paths so per-query numbers
     // measure the query, not first-job setup (steady-state is what a
     // long-lived cluster sees).

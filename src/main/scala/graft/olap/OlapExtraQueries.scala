@@ -163,6 +163,48 @@ object OlapExtraQueries {
     folded.groupBy("level").agg(F.count(F.lit(1)).as("n_users"))
   }
 
+  /** q_funnel_strict: ClickHouse `windowFunnel(strict_order)` semantics
+    * (windowless): the click→view→purchase chain must run in order with
+    * NO other funnel event interleaved — reduce each user's time-ordered
+    * funnel events to a step string ('c','v','p' under the (ts, event_id)
+    * total order) and the strict level is the longest of 'cvp'/'cv'/'c'
+    * occurring as a CONTIGUOUS substring. One grouped pass builds the
+    * string (per-user state = that user's funnel events, same bound as
+    * q_funnel); the substring tests are constant-time per user. */
+  def qFunnelStrict(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .filter(F.col("event_type").isin("click", "view", "purchase"))
+      .select(F.col("user_id"),
+        F.struct(F.unix_micros(F.col("ts")).as("tu"), F.col("event_id"),
+          F.when(F.col("event_type") === "click", "c")
+            .when(F.col("event_type") === "view", "v")
+            .otherwise("p").as("st")).as("e"))
+    ev.groupBy("user_id")
+      .agg(F.concat_ws("", F.expr("transform(sort_array(collect_list(e)), x -> x.st)"))
+        .as("seq"))
+      .select(F.col("user_id"),
+        F.when(F.instr(F.col("seq"), "cvp") > 0, 3L)
+          .when(F.instr(F.col("seq"), "cv") > 0, 2L)
+          .when(F.instr(F.col("seq"), "c") > 0, 1L)
+          .otherwise(0L).as("level"))
+      .groupBy("level").agg(F.count(F.lit(1)).as("n_users"))
+  }
+
+  val qFunnelStrictSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+      |    CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' ELSE 'p' END AS st
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |seqs AS (
+      |  SELECT user_id, string_agg(st, '' ORDER BY tu, event_id) AS seq
+      |  FROM ev GROUP BY 1)
+      |SELECT level, COUNT(*) AS n_users FROM (
+      |  SELECT CASE WHEN strpos(seq, 'cvp') > 0 THEN 3
+      |              WHEN strpos(seq, 'cv') > 0 THEN 2
+      |              WHEN strpos(seq, 'c') > 0 THEN 1 ELSE 0 END AS level
+      |  FROM seqs)
+      |GROUP BY 1""".stripMargin
+
   val qFunnelSql: String =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
       |s1 AS (SELECT user_id, MIN(tu) AS t1 FROM ev WHERE event_type = 'click' GROUP BY 1),
@@ -431,5 +473,6 @@ object OlapExtraQueries {
     ("q_cube", qCube _, Some(qCubeSql)),
     ("q_approx_pct", qApproxPct _, None),
     ("q_funnel", qFunnel _, Some(qFunnelSql)),
+    ("q_funnel_strict", qFunnelStrict _, Some(qFunnelStrictSql)),
     ("q_retention", qRetention _, Some(qRetentionSql)))
 }

@@ -285,6 +285,25 @@ object OlapStatQueries {
       |FROM events JOIN customer ON c_custkey = user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** q_sql_bitmap: q_bitmap's semantics expressed as ONE SQL string
+    * through the GraftExtensions-registered functions (bitmap_build /
+    * bitmap_cardinality / bitmap_and_cardinality) — the path a SQL-only
+    * client takes (`spark.sql.extensions=graft.GraftExtensions`). Shares
+    * q_bitmap's oracle, so the driver gate proves the SQL registration
+    * end-to-end, not just the Column API. */
+  def qSqlBitmap(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables(s, dir, "events").createOrReplaceTempView("graft_events")
+    s.sql(
+      """WITH bm AS (
+        |  SELECT event_type, bitmap_build(user_id) AS b
+        |  FROM graft_events GROUP BY event_type),
+        |p AS (SELECT b AS pb FROM bm WHERE event_type = 'purchase')
+        |SELECT event_type, bitmap_cardinality(b) AS n_users,
+        |  coalesce(bitmap_and_cardinality(b, pb), 0L) AS n_also_purchase
+        |FROM bm LEFT JOIN p ON true""".stripMargin)
+  }
+
   /** q_cramers_v: ClickHouse `cramersV`/`contingency` — association
     * strength between event type and value bucket from one contingency
     * pass. chi² is accumulated EXACTLY: per-cell floor(o²·1e9/(rowtot·
@@ -335,6 +354,7 @@ object OlapStatQueries {
       |FROM agg""".stripMargin
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_sql_bitmap", qSqlBitmap _, Some(qBitmapSql)),
     ("q_cramers_v", qCramersV _, Some(qCramersVSql)),
     ("q_salted", qSalted _, Some(qSaltedSql)),
     ("q_rank_suite", qRankSuite _, Some(qRankSuiteSql)),

@@ -45,6 +45,30 @@ import org.apache.spark.sql.{functions => F}
 final class MGBuffer {
   val m: mutable.HashMap[String, Long] = mutable.HashMap.empty
   var offset: Long = 0L
+  // ordered index raw-count → terms at that count, kept in lockstep with
+  // `m` by the offer path: min lookup O(log m), eviction O(#evicted).
+  // Without it every miss on a full map pays an O(capacity) min-scan —
+  // capacity-quadratic behavior in exactly the open-vocabulary regime
+  // (distinct ≫ capacity, the 100 TB case; weighted arrivals make it
+  // bite hardest because large weights force the eviction path often).
+  val idx: java.util.TreeMap[Long, java.util.ArrayList[String]] =
+    new java.util.TreeMap[Long, java.util.ArrayList[String]]
+
+  def idxAdd(raw: Long, t: String): Unit = {
+    var l = idx.get(raw)
+    if (l == null) { l = new java.util.ArrayList[String](1); idx.put(raw, l) }
+    l.add(t)
+  }
+
+  def idxRemove(raw: Long, t: String): Unit = {
+    val l = idx.get(raw)
+    if (l != null) { l.remove(t); if (l.isEmpty) idx.remove(raw) }
+  }
+
+  def idxRebuild(): Unit = {
+    idx.clear()
+    m.foreach { case (t, r) => idxAdd(r, t) }
+  }
 }
 
 case class FreqItemsSketch(
@@ -71,20 +95,29 @@ case class FreqItemsSketch(
     * offset stays 0 and counts are exact. */
   private[operators] def offerTo(buf: MGBuffer, term: String, w: Long): Unit =
     buf.m.get(term) match {
-      case Some(r) => buf.m.update(term, r + w)
-      case None if buf.m.size < capacity => buf.m.update(term, buf.offset + w)
+      case Some(r) =>
+        buf.m.update(term, r + w)
+        buf.idxRemove(r, term)
+        buf.idxAdd(r + w, term)
+      case None if buf.m.size < capacity =>
+        val raw = buf.offset + w
+        buf.m.update(term, raw)
+        buf.idxAdd(raw, term)
       case None =>
-        val minR = buf.m.valuesIterator.min
-        val minEff = minR - buf.offset
+        val mn = buf.idx.firstKey() // O(log m), no scan
+        val minEff = mn - buf.offset
         if (w < minEff) {
           buf.offset += w // absorbed entirely by the all-around decrement
         } else {
           // decrement all by the minimum, evict the counters that hit 0
           buf.offset += minEff
-          val dead = buf.m.iterator.collect { case (t, r) if r == minR => t }.toList
-          dead.foreach(buf.m.remove)
+          val dead = buf.idx.pollFirstEntry().getValue // exactly the min terms
+          dead.forEach(t => buf.m.remove(t))
           val rem = w - minEff
-          if (rem > 0) buf.m.update(term, buf.offset + rem)
+          if (rem > 0) {
+            buf.m.update(term, buf.offset + rem)
+            buf.idxAdd(buf.offset + rem, term)
+          }
         }
     }
 
@@ -113,6 +146,7 @@ case class FreqItemsSketch(
       buf.m.mapValuesInPlace((_, c) => c - cut)
       dead.foreach(buf.m.remove)
     }
+    buf.idxRebuild() // counters rewritten wholesale; O(m log m), merges are few
     buf
   }
 
@@ -149,6 +183,7 @@ case class FreqItemsSketch(
       in.readFully(b)
       buf.m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
     }
+    buf.idxRebuild()
     buf
   }
 

@@ -376,7 +376,37 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  /** t_codec: the encoding function family (ClickHouse base64Encode /
+    * hex / unhex; Spark base64 / hex / unbase64) — per doc, the base64
+    * and hex renderings' lengths plus a decode-roundtrip proof: the md5
+    * of unbase64(base64(text)) must equal the md5 of the original (the
+    * hash equality makes the roundtrip part of the DRIVER-checked
+    * contract, not just a spec). Map-only, one pass. */
+  def tCodec(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        // Spark's base64 MIME-chunks at 76 chars (RFC 2045 \r\n breaks);
+        // strip them to the canonical unchunked RFC 4648 length
+        F.length(F.regexp_replace(F.base64(F.col("text").cast("binary")),
+          "[\\r\\n]", "")).cast("long").as("b64_len"),
+        F.length(F.hex(F.col("text").cast("binary"))).cast("long").as("hex_len"),
+        (F.md5(F.unbase64(F.base64(F.col("text").cast("binary"))))
+          === F.md5(F.col("text").cast("binary"))).cast("long").as("roundtrip_ok"),
+        F.substring(F.hex(F.col("text").cast("binary")), 1, 16).as("hex16"))
+
+  // DuckDB hex() is uppercase like Spark's; base64 is to_base64(BLOB);
+  // DuckDB md5 wants VARCHAR, so the decoded BLOB is cast back.
+  val tCodecSql: String =
+    """SELECT doc_id,
+      |  CAST(length(to_base64(CAST(text AS BLOB))) AS BIGINT) AS b64_len,
+      |  CAST(length(hex(text)) AS BIGINT) AS hex_len,
+      |  CAST(md5(CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR)) = md5(text)
+      |    AS BIGINT) AS roundtrip_ok,
+      |  substring(hex(text), 1, 16) AS hex16
+      |FROM documents""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_codec", tCodec _, Some(tCodecSql)),
     ("t_ip_funcs", tIpFuncs _, Some(tIpFuncsSql)),
     ("t_multisearch", tMultiSearch _, Some(tMultiSearchSql)),
     ("t_ngram_search", tNgramSearch _, Some(tNgramSearchSql)),
