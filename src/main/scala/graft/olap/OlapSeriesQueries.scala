@@ -13,6 +13,13 @@ import graft.Tables
   * state never leaves the executor. All arithmetic is BIGINT (cents /
   * epoch seconds): cross-engine exact by construction.
   */
+/** One time-series point for the LTTB fold (public: private case classes
+  * break Spark's codegen'd encoders). */
+case class LttbPt(user_id: Long, tu: Long, event_id: Long, tx: Long, vy: Long)
+
+/** One selected LTTB point: `sel` = 0 (first) .. 11 (last). */
+case class LttbSel(user_id: Long, sel: Long, tx: Long, vy: Long)
+
 object OlapSeriesQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -206,7 +213,103 @@ object OlapSeriesQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Buckets for q_lttb (first + last + 10 inner selections). */
+  val LttbB = 12
+
+  /** q_lttb: ClickHouse `largestTriangleThreeBuckets` — the canonical
+    * dashboard-downsampling operator: keep first and last, split the
+    * interior into B−2 buckets, and per bucket keep the point forming
+    * the largest triangle with the PREVIOUSLY KEPT point and the next
+    * bucket's centroid. The selection is inherently sequential per
+    * series (each pick depends on the last), so — like d_pack — the unit
+    * of parallelism is the series: one in-memory fold per user via
+    * flatMapGroups, all-integer: x in epoch SECONDS and y in cents keep
+    * every cross-product term ≤ ~1e17, and the centroid division is
+    * avoided by scaling the triangle area by the next bucket's size m
+    * (2·A·m is exact). Tie-break (area DESC, x ASC, event_id ASC).
+    * Oracle = the 10 selection steps unrolled, identical arithmetic. */
+  def qLttb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inner = LttbB - 2
+    val pts = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("tu"), F.col("event_id"),
+        F.expr("unix_micros(ts) div 1000000").as("tx"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vy"))
+      .as[LttbPt]
+    pts.groupByKey(_.user_id).flatMapGroups { (uid: Long, it: Iterator[LttbPt]) =>
+      val a = it.toArray.sortBy(p => (p.tu, p.event_id))
+      val n = a.length
+      if (n <= LttbB) Iterator.empty
+      else {
+        // 0-based inner index i in [1, n-2] → bucket 1..inner
+        def bk(i: Int): Int = ((i - 1) * inner) / (n - 2) + 1
+        val byBucket = (1 to inner).map(k =>
+          (1 to n - 2).filter(i => bk(i) == k).toArray)
+        val out = collection.mutable.ArrayBuffer(LttbSel(uid, 0L, a(0).tx, a(0).vy))
+        var ax = a(0).tx
+        var ay = a(0).vy
+        (1 to inner).foreach { k =>
+          val nxt = if (k < inner) byBucket(k) else Array(n - 1) // k+1's points
+          val m = nxt.length.toLong
+          val sx = nxt.map(a(_).tx).sum
+          val sy = nxt.map(a(_).vy).sum
+          val best = byBucket(k - 1).minBy { i =>
+            val area = math.abs((ax * m - sx) * (a(i).vy - ay)
+              - (a(i).tx - ax) * (sy - ay * m))
+            (-area, a(i).tx, a(i).event_id)
+          }
+          out += LttbSel(uid, k.toLong, a(best).tx, a(best).vy)
+          ax = a(best).tx
+          ay = a(best).vy
+        }
+        out += LttbSel(uid, (LttbB - 1).toLong, a(n - 1).tx, a(n - 1).vy)
+        out.iterator
+      }
+    }.toDF()
+  }
+
+  val qLttbSql: String = {
+    val inner = LttbB - 2
+    val step = (k: Int) => {
+      val nxtCond = if (k < inner) s"bk = ${k + 1}" else s"bk = ${inner + 1}"
+      s"""nx$k AS (
+         |  SELECT user_id, COUNT(*) AS m, CAST(SUM(tx) AS BIGINT) AS sx,
+         |         CAST(SUM(vy) AS BIGINT) AS sy
+         |  FROM b WHERE $nxtCond GROUP BY 1),
+         |sel$k AS (
+         |  SELECT user_id, tx, vy FROM (
+         |    SELECT p.user_id, p.tx, p.vy,
+         |      ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY
+         |        abs((a.tx * n.m - n.sx) * (p.vy - a.vy)
+         |            - (p.tx - a.tx) * (n.sy - a.vy * n.m)) DESC,
+         |        p.tx ASC, p.event_id ASC) AS rnk
+         |    FROM b p
+         |    JOIN sel${k - 1} a ON a.user_id = p.user_id
+         |    JOIN nx$k n ON n.user_id = p.user_id
+         |    WHERE p.bk = $k)
+         |  WHERE rnk = 1)""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tx,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vy,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) - 1 AS i,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events),
+       |b AS (
+       |  SELECT *, CASE WHEN i = 0 THEN 0 WHEN i = n - 1 THEN ${inner + 1}
+       |              ELSE ((i - 1) * $inner) // (n - 2) + 1 END AS bk
+       |  FROM base WHERE n > $LttbB),
+       |sel0 AS (SELECT user_id, tx, vy FROM b WHERE bk = 0),
+       |${(1 to inner).map(step).mkString(",\n")}
+       |SELECT user_id, CAST(0 AS BIGINT) AS sel, tx, vy FROM sel0
+       |${(1 to inner).map(k =>
+          s"UNION ALL SELECT user_id, CAST($k AS BIGINT), tx, vy FROM sel$k").mkString("\n")}
+       |UNION ALL SELECT user_id, CAST(${inner + 1} AS BIGINT), tx, vy FROM b WHERE bk = ${inner + 1}""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_lttb", qLttb _, Some(qLttbSql)),
     ("q_range_frame", qRangeFrame _, Some(qRangeFrameSql)),
     ("q_delta_sum", qDeltaSum _, Some(qDeltaSumSql)),
     ("q_interval_sum", qIntervalSum _, Some(qIntervalSumSql)),
