@@ -187,7 +187,88 @@ object MediaQueries {
        |FROM m""".stripMargin
   }
 
+  final case class MediaPhash(doc_id: Long, h_hi: Long, h_lo: Long)
+
+  /** DETERMINISTIC PERCEPTUAL-HASH STUB — a 64-bit SimHash over the
+    * blob's 2-shingle set with md5 as the per-feature bit source (split
+    * into two 32-bit halves so every SQL-side constant stays positive).
+    * A real image pHash swaps only the feature stage (DCT coefficients
+    * for shingles); the sketch/band/verify plumbing is identical. */
+  def stubPhash(m: MediaBlob): MediaPhash = {
+    val ws = new String(m.blob, java.nio.charset.StandardCharsets.UTF_8).split(" ")
+    val sh = (0 until ws.length - 1).map(i => ws(i) + " " + ws(i + 1)).distinct
+    val v = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    sh.foreach { w =>
+      val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        v(j) += (if (((d(j / 8) >> (j % 8)) & 1) == 1) 1 else -1)
+        j += 1
+      }
+    }
+    var hi = 0L
+    var lo = 0L
+    (0 until 32).foreach { j => if (v(j) > 0) lo |= 1L << j }
+    (32 until 64).foreach { j => if (v(j) > 0) hi |= 1L << (j - 32) }
+    MediaPhash(m.doc_id, hi, lo)
+  }
+
+  /** m_media_phash: perceptual-hash near-duplicate detection — the
+    * media-dedup stage (same sketch→band→verify shape as MinHash-LSH).
+    * Candidates join on any of 4 16-bit bands; hamming ≤ 3 is then
+    * verified exactly. With 4 bands, ≤ 3 differing bits CANNOT touch
+    * every band (pigeonhole), so banded candidates provably cover every
+    * threshold pair — the oracle is the plain all-pairs hamming join,
+    * and the banding is pure (shuffle-sized) optimization. */
+  def mMediaPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions(_.map(stubPhash)).toDF()
+      .localCheckpoint() // both self-join sides read the hash pipeline
+    val bands = hashed.select(F.col("doc_id"), F.col("h_hi"), F.col("h_lo"),
+      F.posexplode(F.array(
+        F.col("h_lo") % 65536L, F.expr("h_lo div 65536"),
+        F.col("h_hi") % 65536L, F.expr("h_hi div 65536"))).as(Seq("b", "v")))
+    val x = bands.select(F.col("b"), F.col("v"), F.col("doc_id").as("a_id"),
+      F.col("h_hi").as("ahi"), F.col("h_lo").as("alo"))
+    val y = bands.select(F.col("b"), F.col("v"), F.col("doc_id").as("b_id"),
+      F.col("h_hi").as("bhi"), F.col("h_lo").as("blo"))
+    x.join(y, Seq("b", "v")).filter(F.col("a_id") < F.col("b_id"))
+      .select(F.col("a_id"), F.col("b_id"),
+        F.expr("bit_count(ahi ^ bhi) + bit_count(alo ^ blo)").cast("long").as("hamming"))
+      .distinct() // a close pair shares several bands
+      .filter(F.col("hamming") <= 3)
+  }
+
+  /** Oracle: identical hash arithmetic (md5 hex digits → digest bytes),
+    * then the PLAIN all-pairs hamming join — no band condition, see
+    * [[mMediaPhash]]'s pigeonhole argument. */
+  val mMediaPhashSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s
+      |  FROM w, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    ((((strpos('0123456789abcdef', substr(md5(s), 2*(j//8)+1, 1)) - 1) * 16
+      |       + strpos('0123456789abcdef', substr(md5(s), 2*(j//8)+2, 1)) - 1)
+      |      >> (j % 8)) & 1) AS bit
+      |  FROM sh, UNNEST(range(0, 64)) AS u(j)),
+      |votes AS (SELECT doc_id, j, SUM(2*bit - 1) AS v FROM bits GROUP BY 1, 2),
+      |h AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS h_lo,
+      |  CAST(SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS h_hi
+      |  FROM votes GROUP BY 1)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("m_media_phash", mMediaPhash _, Some(mMediaPhashSql)),
     ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)),
     ("m_media_frames", mMediaFrames _, Some(mMediaFramesSql)),
     ("m_media_resize", mMediaResize _, Some(mMediaResizeSql)),
