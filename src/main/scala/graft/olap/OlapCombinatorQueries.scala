@@ -67,6 +67,37 @@ object OlapCombinatorQueries {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** q_group_concat: ClickHouse `groupConcat`/`arrayStringConcat` — each
+    * user's first 8 event types in time order as one comma string. The
+    * ordered list rides the bounded-heap TopKPairs aggregate (score =
+    * −tu: min-8-by-time), so per-group state is 8 entries however long
+    * the stream — collect_list + sort would buffer every row. The csv
+    * assembly is a per-group post-aggregation map. */
+  def qGroupConcat(s: SparkSession, dir: String): DataFrame = {
+    // TopKPairs ranks (score, long id): ride the dictionary-coded event
+    // type through it and decode after the aggregate
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        (-F.unix_micros(F.col("ts"))).cast("double").as("negtu"),
+        (F.array_position(F.typedlit(EventTypes), F.col("event_type")) - 1).as("code"))
+    graft.operators.TopK.perGroup(ev, Seq("user_id"),
+        F.col("negtu"), F.col("code"), k = 8)
+      .select(F.col("user_id"), F.col("rnk"),
+        F.element_at(F.typedlit(EventTypes), (F.col("id") + 1).cast("int")).as("term"))
+      .groupBy("user_id")
+      .agg(F.concat_ws(",", F.expr(
+        "transform(sort_array(collect_list(struct(rnk, term))), x -> x.term)"))
+        .as("first_types"))
+  }
+
+  val qGroupConcatSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS rnk
+      |  FROM events)
+      |SELECT user_id, string_agg(event_type, ',' ORDER BY rnk) AS first_types
+      |FROM r WHERE rnk <= 8 GROUP BY 1""".stripMargin
+
   /** q_lead_lag: ClickHouse `neighbor(...)` shape — per user, in time
     * order: gap to the previous event (µs) and the next event's id. One
     * window sort per user partition; integer arithmetic end to end. */
@@ -334,6 +365,7 @@ object OlapCombinatorQueries {
     ("q_minmax_map", qMinMaxMap _, Some(qMinMaxMapSql)),
     ("q_condagg", qCondAgg _, Some(qCondAggSql)),
     ("q_pivot", qPivot _, Some(qPivotSql)),
+    ("q_group_concat", qGroupConcat _, Some(qGroupConcatSql)),
     ("q_lead_lag", qLeadLag _, Some(qLeadLagSql)),
     ("q_histogram", qHistogram _, Some(qHistogramSql)),
     ("q_limit_by", qLimitBy _, Some(qLimitBySql)),

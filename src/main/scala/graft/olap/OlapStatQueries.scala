@@ -318,7 +318,11 @@ object OlapStatQueries {
     val ev = Tables(s, dir, "events").select(
       F.col("event_type").as("r"),
       F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 10000").as("c"))
+    // the contingency table feeds both marginals AND the term join —
+    // materialize it once (it is cells-sized, tiny; without this the
+    // fact table is scanned once per reference)
     val cell = ev.groupBy("r", "c").agg(F.count(F.lit(1)).as("o"))
+      .localCheckpoint()
     val rt = cell.groupBy("r").agg(F.sum("o").as("rt"))
     val ct = cell.groupBy("c").agg(F.sum("o").as("ct"))
     val agg = cell.join(rt, "r").join(ct, "c")

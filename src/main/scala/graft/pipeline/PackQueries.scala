@@ -95,8 +95,12 @@ object PackQueries {
   def dTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val n = docs.count()
+    // both the tf and df aggregates read the token stream — materialize
+    // the explode once (it is the expensive step at corpus scale; at
+    // cluster scale: persist(DISK_ONLY))
     val toks = docs.select(F.col("doc_id"),
       F.explode(F.split(F.col("text"), " ")).as("term"))
+      .localCheckpoint()
     val tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
     val df = toks.groupBy("term").agg(F.count_distinct(F.col("doc_id")).as("df"))
     val score = F.col("tf") * F.expr(s"${1000000L * n}L div df")
