@@ -256,7 +256,9 @@ object GraphQueries {
     GraphAlgs.labelPropagation(g.vertices, g.undirected, iters = 5)
   }
 
-  val gLabelpropSql: String = {
+  /** The 5 unrolled LPA rounds as CTEs ending in lp5(vid, lbl) — shared
+    * by the labelprop oracle and the modularity oracle. */
+  private val lpCtes: String = {
     val iter = (k: Int) =>
       s"""m$k AS (
          |  SELECT e.dst AS vid, l.lbl, COUNT(*) AS c
@@ -268,11 +270,64 @@ object GraphQueries {
          |lp$k AS (
          |  SELECT p.vid, COALESCE(t.lbl, p.lbl) AS lbl
          |  FROM lp${k - 1} p LEFT JOIN t$k t ON t.vid = p.vid)""".stripMargin
-    s"""WITH $sqlPrelude,
-       |lp0 AS (SELECT vid, vid AS lbl FROM verts),
-       |${(1 to 5).map(iter).mkString(",\n")}
-       |SELECT vid, lbl FROM lp5""".stripMargin
+    s"""lp0 AS (SELECT vid, vid AS lbl FROM verts),
+       |${(1 to 5).map(iter).mkString(",\n")}""".stripMargin
   }
+
+  val gLabelpropSql: String =
+    s"""WITH $sqlPrelude,
+       |$lpCtes
+       |SELECT vid, lbl FROM lp5""".stripMargin
+
+  /** g_modularity: Newman modularity of the labelprop communities — the
+    * quality metric every community pipeline reports next to the
+    * assignment. Kept EXACT: with S = |directed symmetric edges| = 2m,
+    * within_c = directed intra-community edges = 2e_c and degsum_c the
+    * community's degree mass, the community contribution to Q·S² is
+    * S·within_c − degsum_c² — all BIGINT (Q itself is the one terminal
+    * division, left to the reader of the contrib column; emitting it
+    * would be the only float). Shapes: the LPA run + one edge join +
+    * two partial-aggregatable groupBys. */
+  def gModularity(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val und = g.undirected.select("src", "dst").localCheckpoint()
+    val labels = GraphAlgs.labelPropagation(g.vertices, und, iters = 5)
+      .localCheckpoint() // feeds the src side, the dst side and the degree join
+    val sTot = und.count() // S = 2m
+    val within = und
+      .join(labels.select(F.col("vid").as("src"), F.col("lbl").as("ls")), "src")
+      .join(labels.select(F.col("vid").as("dst"), F.col("lbl").as("ld")), "dst")
+      .filter(F.col("ls") === F.col("ld"))
+      .groupBy(F.col("ls").as("comp")).agg(F.count(F.lit(1)).as("within"))
+    val deg = und.groupBy("src").agg(F.count(F.lit(1)).as("d"))
+    val mass = labels.join(deg, labels("vid") === deg("src"), "left")
+      .groupBy(F.col("lbl").as("comp"))
+      .agg(F.count(F.lit(1)).as("nv"),
+        F.sum(F.coalesce(F.col("d"), F.lit(0L))).as("degsum"))
+    mass.join(within, Seq("comp"), "left")
+      .select(F.col("comp"), F.col("nv"), F.col("degsum"),
+        F.coalesce(F.col("within"), F.lit(0L)).as("within"))
+      .select(F.col("comp"), F.col("nv"), F.col("degsum"), F.col("within"),
+        (F.lit(sTot) * F.col("within") - F.col("degsum") * F.col("degsum")).as("contrib"))
+  }
+
+  val gModularitySql: String =
+    s"""WITH $sqlPrelude,
+       |$lpCtes,
+       |stot AS (SELECT COUNT(*) AS s FROM uedges),
+       |win AS (
+       |  SELECT a.lbl AS comp, COUNT(*) AS w
+       |  FROM uedges e JOIN lp5 a ON a.vid = e.src JOIN lp5 b ON b.vid = e.dst
+       |  WHERE a.lbl = b.lbl GROUP BY 1),
+       |deg AS (SELECT src AS vid, COUNT(*) AS d FROM uedges GROUP BY 1),
+       |mass AS (
+       |  SELECT l.lbl AS comp, COUNT(*) AS nv,
+       |    CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS degsum
+       |  FROM lp5 l LEFT JOIN deg ON deg.vid = l.vid GROUP BY 1)
+       |SELECT m.comp, m.nv, m.degsum,
+       |  CAST(COALESCE(win.w, 0) AS BIGINT) AS within,
+       |  CAST(stot.s * COALESCE(win.w, 0) - m.degsum * m.degsum AS BIGINT) AS contrib
+       |FROM mass m LEFT JOIN win ON win.comp = m.comp CROSS JOIN stot""".stripMargin
 
   /** g_kcore: 3-core membership after 10 synchronous peeling rounds
     * (fixed-round semantics — see GraphAlgs.kCore; 10 covers this graph's
@@ -697,6 +752,7 @@ object GraphQueries {
     ("g_bfs_multi", gBfsMulti _, Some(gBfsMultiSql)),
     ("g_wsssp", gWsssp _, Some(gWsssspSql)),
     ("g_labelprop", gLabelprop _, Some(gLabelpropSql)),
+    ("g_modularity", gModularity _, Some(gModularitySql)),
     ("g_degree", gDegree _, Some(gDegreeSql)),
     ("g_onehop", gOneHop _, Some(gOneHopSql)),
     ("g_twohop", gTwoHop _, Some(gTwoHopSql)),
