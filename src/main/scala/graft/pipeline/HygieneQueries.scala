@@ -111,6 +111,63 @@ object HygieneQueries {
       |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
       |WHERE d.doc_id % 97 <> 0 GROUP BY 1""".stripMargin
 
+  /** d_bloom_decontam: the decontamination check behind a BLOOM
+    * PREFILTER — the 100 TB shape: the eval set's shingles compress into
+    * one broadcastable bloom filter (bytes per thousand entries, not a
+    * broadcast hash set), the train side keeps only shingles the filter
+    * might contain, and the exact semi-join then runs on that small
+    * candidate stream. Bloom filters have NO false negatives, so the
+    * two-stage result provably equals the one-stage exact join — this
+    * query shares d_decontam's oracle, making the prefilter's
+    * result-invisibility part of the driver-checked contract (same
+    * pattern as d_lsh_verified and q_salted). */
+  def dBloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val ws = F.split(F.col("text"), " ")
+    val sh = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), ws.as("w"))
+      .filter(F.size(F.col("w")) >= 8)
+      .select(F.col("doc_id"), F.explode(F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size(F.col("w")) - 7),
+          i => F.concat_ws(" ", F.slice(F.col("w"), i, F.lit(8)))))).as("sh"))
+      .localCheckpoint()
+    val bench = sh.filter(F.col("doc_id") % 97 === 0).select("sh").distinct()
+      .localCheckpoint() // feeds the bloom build AND the exact verify
+    // Spark's runtime-filter bloom aggregate, used directly (it has no
+    // public SQL registration): built over xxhash64(shingle) longs
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val bloomAgg = GraftSqlBridge.column(new BloomFilterAggregate(
+      GraftSqlBridge.expression(F.xxhash64(F.col("sh"))),
+      GraftSqlBridge.expression(F.lit(100000L)),
+      GraftSqlBridge.expression(F.lit(800000L))).toAggregateExpression())
+    // might_contain requires a CONSTANT filter side: collect the ~100 KB
+    // sketch and embed it (the runtime-filter framework would inject it
+    // as a scalar subquery; at cluster scale this stays a driver-sized
+    // object however large the corpus — that is the whole point)
+    val bf = bloom_build(bench, bloomAgg)
+    val mightContain = GraftSqlBridge.column(new BloomFilterMightContain(
+      GraftSqlBridge.expression(F.lit(bf)),
+      GraftSqlBridge.expression(F.xxhash64(F.col("sh")))))
+    val cand = sh.filter(F.col("doc_id") % 97 =!= 0)
+      .filter(mightContain)
+      .select("doc_id", "sh")
+    val contam = cand.join(F.broadcast(bench), "sh", "left_semi")
+      .select("doc_id").distinct()
+    Tables(s, dir, "documents").filter(F.col("doc_id") % 97 =!= 0)
+      .join(contam.withColumn("hit", F.lit(1L)), Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_train"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0L))).as("n_contam"))
+      .select(F.col("source"), F.col("n_train"), F.col("n_contam"),
+        F.floor(F.col("n_contam").cast("double") / F.col("n_train").cast("double") * 1e6)
+          .as("contam_ppm"))
+  }
+
+  private def bloom_build(bench: DataFrame,
+                          agg: org.apache.spark.sql.Column): Array[Byte] =
+    bench.agg(agg.as("bf")).head().getAs[Array[Byte]]("bf")
+
   /** d_gopher_rep: within-document repetition signals (the Gopher /
     * RefinedWeb quality-filter family): duplicate-word fraction
     * (1 − distinct/total) and the share of all bigrams taken by the most
@@ -161,6 +218,7 @@ object HygieneQueries {
       |FROM d JOIN words ON d.doc_id = words.doc_id JOIN bs ON d.doc_id = bs.doc_id""".stripMargin
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_bloom_decontam", dBloomDecontam _, Some(dDecontamSql)),
     ("t_pii_scrub", tPiiScrub _, Some(tPiiScrubSql)),
     ("d_decontam", dDecontam _, Some(dDecontamSql)),
     ("d_gopher_rep", dGopherRep _, Some(dGopherRepSql)))
