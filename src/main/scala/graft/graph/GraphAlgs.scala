@@ -256,6 +256,53 @@ object GraphAlgs {
     surv
   }
 
+  /** Full k-core DECOMPOSITION — coreness number per vertex — by the
+    * distributed h-index iteration (Montresor et al., "Distributed k-core
+    * decomposition"): start at c(v) = degree(v) and repeatedly lower
+    * c(v) to the h-index of its neighbors' values; the fixpoint is
+    * exactly the coreness. The per-round h-index rides the identity
+    * h = max_i min(value_i, i) over neighbors sorted descending — one
+    * window rank + one max aggregate per round, both keyed on vertex id
+    * (co-located on a vid-bucketed edge list). `rounds` is a fixed
+    * schedule with an early exit at the fixpoint: values only decrease,
+    * so a no-change round proves all remaining rounds no-ops and the
+    * result equals the full schedule (same argument as kCore). */
+  def coreness(vertices: DataFrame, undirected0: DataFrame,
+               rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = undirected0.select("src", "dst")
+      .repartition(F.col("src")).localCheckpoint()
+    var c = edges.groupBy(F.col("src").as("vid"))
+      .agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint()
+    var prevCkpt = c
+    var prevSum = c.agg(F.sum("c")).head().getLong(0)
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val nbr = edges
+        .join(c.select(F.col("vid").as("dst"), F.col("c").as("cu")), "dst")
+        .select(F.col("src").as("vid"), F.col("cu"))
+      val w = Window.partitionBy("vid").orderBy(F.col("cu").desc)
+      val h = nbr
+        .select(F.col("vid"), F.least(F.col("cu"), F.row_number().over(w)).as("m"))
+        .groupBy("vid").agg(F.max("m").cast("long").as("h"))
+      c = c.join(h, Seq("vid"))
+        .select(F.col("vid"), F.least(F.col("c"), F.col("h")).as("c"))
+        .localCheckpoint(false)
+      // one job: the sum materializes the checkpoint AND probes the
+      // fixpoint (values are non-increasing, so equal sums = no change)
+      val s = c.agg(F.sum("c")).head().getLong(0)
+      CheckpointGC.unpersist(prevCkpt)
+      prevCkpt = c
+      done = s == prevSum
+      prevSum = s
+    }
+    // isolated vertices (none in this graph's model, but the API
+    // shouldn't lose them) have coreness 0
+    vertices.select("vid").join(c, Seq("vid"), "left")
+      .select(F.col("vid"), F.coalesce(F.col("c"), F.lit(0L)).as("coreness"))
+  }
+
   /** Multi-source BFS: hop distance to the NEAREST source (landmark).
     * Identical frontier loop to sssp — the source set just seeds more
     * than one zero. Returns reachable (vid, d). */

@@ -352,6 +352,34 @@ object GraphQueries {
        |SELECT vid FROM s10""".stripMargin
   }
 
+  /** g_coreness: full k-core decomposition — the coreness number per
+    * vertex via the distributed h-index iteration (see
+    * GraphAlgs.coreness); the standard "how deep in the cohesion
+    * hierarchy" vertex metric, of which gKcore's membership is one
+    * slice. Oracle = 8 unrolled h-index rounds. */
+  def gCoreness(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    GraphAlgs.coreness(g.vertices, g.undirected, rounds = 8)
+  }
+
+  val gCorenessSql: String = {
+    val round = (k: Int) =>
+      s"""h$k AS (
+         |  SELECT vid, CAST(MAX(m) AS BIGINT) AS h FROM (
+         |    SELECT e.src AS vid,
+         |      least(p.c, ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY p.c DESC)) AS m
+         |    FROM uedges e JOIN c${k - 1} p ON p.vid = e.dst)
+         |  GROUP BY 1),
+         |c$k AS (
+         |  SELECT p.vid, least(p.c, h$k.h) AS c
+         |  FROM c${k - 1} p JOIN h$k ON h$k.vid = p.vid)""".stripMargin
+    s"""WITH $sqlPrelude,
+       |c0 AS (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS c FROM uedges GROUP BY 1),
+       |${(1 to 8).map(round).mkString(",\n")}
+       |SELECT v.vid, CAST(COALESCE(c8.c, 0) AS BIGINT) AS coreness
+       |FROM verts v LEFT JOIN c8 ON c8.vid = v.vid""".stripMargin
+  }
+
   /** g_bfs_multi: multi-source BFS — hop distance to the nearest of three
     * landmark suppliers (s_suppkey ≤ 3), undirected. One frontier loop
     * regardless of source count (the multi-landmark form costs the same
@@ -749,6 +777,7 @@ object GraphQueries {
     ("g_jaccard", gJaccard _, Some(gJaccardSql)),
     ("g_ppr", gPpr _, Some(gPprSql)),
     ("g_kcore", gKcore _, Some(gKcoreSql)),
+    ("g_coreness", gCoreness _, Some(gCorenessSql)),
     ("g_bfs_multi", gBfsMulti _, Some(gBfsMultiSql)),
     ("g_wsssp", gWsssp _, Some(gWsssspSql)),
     ("g_labelprop", gLabelprop _, Some(gLabelpropSql)),

@@ -224,6 +224,23 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("coreness: h-index fixpoint agrees with peeling on the hand graph and sf") {
+    import org.apache.spark.sql.{functions => F}
+    // triangle {1,2,3} + pendant edge {10,11}: triangle coreness 2, pendant 1
+    val got = GraphAlgs.coreness(verts, undirected)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 10L -> 1L, 11L -> 1L), s"$got")
+    // independent algorithm cross-check on the sf graph: the coreness-≥3
+    // set must be exactly the 3-core peeling's survivor set
+    val g = PropertyGraph(spark, SF)
+    val byCoreness = GraphAlgs.coreness(g.vertices, g.undirected)
+      .filter(F.col("coreness") >= 3).select("vid")
+      .collect().map(_.getLong(0)).toSet
+    val byPeeling = GraphAlgs.kCore(g.vertices, g.undirected, k = 3, rounds = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(byCoreness == byPeeling)
+  }
+
   test("stress centrality matches a driver-side sigma/T recomputation") {
     import org.apache.spark.sql.{functions => F}
     val g = PropertyGraph(spark, SF)
