@@ -85,6 +85,12 @@ object Bench {
         sweep()
         dt
       }
+      // collect the previous query's garbage OUTSIDE any timed section:
+      // in a 140-query session, queries otherwise pay a predecessor's
+      // full GC inside their own measurement (observed as sporadic
+      // 10-17x outliers on a large heap), which no per-query min fixes
+      // because both reps follow the same allocation debt
+      System.gc()
       name -> times.min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0

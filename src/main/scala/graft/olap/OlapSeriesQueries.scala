@@ -253,9 +253,11 @@ object OlapSeriesQueries {
           val m = nxt.length.toLong
           val sx = nxt.map(a(_).tx).sum
           val sy = nxt.map(a(_).vy).sum
+          // 2·A·m = |(m·ax−sx)(py−ay) − (px−ax)(m·ay−sy)| — the cross
+          // product of (p−a) with (c−a) scaled through the centroid sum
           val best = byBucket(k - 1).minBy { i =>
             val area = math.abs((ax * m - sx) * (a(i).vy - ay)
-              - (a(i).tx - ax) * (sy - ay * m))
+              - (a(i).tx - ax) * (ay * m - sy))
             (-area, a(i).tx, a(i).event_id)
           }
           out += LttbSel(uid, k.toLong, a(best).tx, a(best).vy)
@@ -281,7 +283,7 @@ object OlapSeriesQueries {
          |    SELECT p.user_id, p.tx, p.vy,
          |      ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY
          |        abs((a.tx * n.m - n.sx) * (p.vy - a.vy)
-         |            - (p.tx - a.tx) * (n.sy - a.vy * n.m)) DESC,
+         |            - (p.tx - a.tx) * (a.vy * n.m - n.sy)) DESC,
          |        p.tx ASC, p.event_id ASC) AS rnk
          |    FROM b p
          |    JOIN sel${k - 1} a ON a.user_id = p.user_id
