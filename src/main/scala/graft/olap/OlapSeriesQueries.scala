@@ -310,7 +310,38 @@ object OlapSeriesQueries {
        |UNION ALL SELECT user_id, CAST(${inner + 1} AS BIGINT), tx, vy FROM b WHERE bk = ${inner + 1}""".stripMargin
   }
 
+  /** q_first_last: the first_value / last_value / nth_value window
+    * family (ClickHouse + ANSI) — per event, the first, last and 2nd
+    * value of the same user's trailing-hour RANGE frame, in exact cents.
+    * The frame is the peers-inclusive RANGE of q_range_frame, so the
+    * family is deterministic under ts ties; the ORDER BY itself is the
+    * (unique-per-user) event time. One window sort serves all three. */
+  def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(F.col("tu"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("tu"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .select(F.col("user_id"), F.col("event_id"),
+        F.first("vc").over(w).as("first_c"),
+        F.last("vc").over(w).as("last_c"),
+        F.nth_value(F.col("vc"), 2).over(w).as("second_c"))
+  }
+
+  val qFirstLastSql: String =
+    """SELECT user_id, event_id,
+      | first_value(vc) OVER w AS first_c,
+      | last_value(vc) OVER w AS last_c,
+      | nth_value(vc, 2) OVER w AS second_c
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS tu,
+      |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tu
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_first_last", qFirstLast _, Some(qFirstLastSql)),
     ("q_lttb", qLttb _, Some(qLttbSql)),
     ("q_range_frame", qRangeFrame _, Some(qRangeFrameSql)),
     ("q_delta_sum", qDeltaSum _, Some(qDeltaSumSql)),
