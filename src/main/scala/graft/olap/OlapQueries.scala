@@ -266,6 +266,29 @@ object OlapQueries {
       | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** q_grouping_sets: EXPLICIT mixed grouping sets — (flag, status),
+    * (flag), (status) but NOT the grand total (the set rollup/cube can't
+    * spell), with grouping_id() distinguishing which set produced each
+    * row (NULL group values are ambiguous when a grouping column is
+    * itself nullable — gid is the ANSI answer). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, CAST(grouping_id() AS BIGINT) AS gid,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin
+
   // ---- as-of join / range join ------------------------------------------
 
   /** As-of join: for each event, the latest order of that customer with
@@ -415,6 +438,7 @@ object OlapQueries {
     ("q_approx_distinct", qApproxDistinct _, None),
     ("q_percentile", qPercentile _, Some(qPercentileSql)),
     ("q_rollup", qRollup _, Some(qRollupSql)),
+    ("q_grouping_sets", qGroupingSets _, Some(qGroupingSetsSql)),
     ("q_asof", qAsof _, Some(qAsofSql)),
     ("q_asof_near", qAsofNear _, Some(qAsofNearSql)),
     ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)))
