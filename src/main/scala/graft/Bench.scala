@@ -6,20 +6,40 @@ object Bench {
   private def fmt(v: Double, dec: Int): String =
     BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
 
+  /** Bench family of a query name — the round-over-round drift unit the
+    * budget line reports even when individual queries are omitted. */
+  private def family(n: String): String =
+    if (n.startsWith("g_")) "graph"
+    else if (n.startsWith("kv_")) "kv"
+    else if (n.startsWith("d_")) "dedup"
+    else if (n.startsWith("t_")) "text"
+    else if (n.startsWith("s_")) "ann"
+    else if (n.startsWith("m_")) "media"
+    else "olap"
+
   /** One JSON line. The driver keeps only the last ~2000 chars of process
     * output and parses the metric line out of that tail; round 3's line (92
     * queries at full Double precision, ~2.7 KB) overflowed it and the round
     * recorded parsed:null. So the line is built to a hard budget: 3-decimal
     * seconds, then 2-decimal, then drop the FASTEST queries (slowest are the
-    * interesting ones) with an "omitted" count, until it fits. */
+    * interesting ones) with an "omitted" count, until it fits. Per-family
+    * subtotals and any errored query names ride ahead of the per-query map,
+    * so they survive the truncation. */
   private def renderLine(total: Double, reps: Int, nq: Int, sfDir: String,
-                         entries: Seq[(String, Double)]): String = {
+                         entries: Seq[(String, Double)],
+                         errors: Seq[String]): String = {
     val budget = 1800
+    val fams = entries.groupBy { case (k, _) => family(k) }
+      .map { case (f, es) => f -> es.map(_._2).sum }.toSeq.sortBy(-_._2)
+      .map { case (f, v) => "\"" + f + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
     def build(dec: Int, kept: Seq[(String, Double)]): String = {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val omitted = if (kept.size < nq) s""","omitted":${nq - kept.size}""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq$omitted,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq$errs,"families":$fams$omitted,"queries":$qs,"sf":"$sfDir"}"""
     }
     val bySlowest = entries.sortBy(-_._2)
     var dec = 3
@@ -77,11 +97,22 @@ object Bench {
     def sweep(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     sweep()
-    val results = picked.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // A rep that throws records NO time (timing the exception path would
+    // report a plausible-looking duration for a broken query); the failure
+    // is carried explicitly instead — names on the metric line, messages in
+    // BENCH_DETAIL.json — so a query that starts failing is loud, not fast.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = picked.flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt =
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              errors(name) = e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160)
+              None
+          }
         sweep()
         dt
       }
@@ -91,18 +122,21 @@ object Bench {
       // 10-17x outliers on a large heap), which no per-query min fixes
       // because both reps follow the same allocation debt
       System.gc()
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full-precision per-query detail (the printed line is budget-trimmed).
     val detail = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
+    val errDetail = errors
+      .map { case (k, m) => s"""  "$k": "${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
+      .mkString("{\n", ",\n", "\n}")
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      w.println(s"""{"total": $total, "reps": $reps, "sf": "$sfDir", "queries": $detail}""")
+      w.println(s"""{"total": $total, "reps": $reps, "sf": "$sfDir", "errors": $errDetail, "queries": $detail}""")
       w.close()
     } catch { case _: Throwable => () }
-    println(renderLine(total, reps, picked.size, sfDir, results.toSeq))
+    println(renderLine(total, reps, picked.size, sfDir, results.toSeq, errors.keys.toSeq))
     spark.stop()
   }
 }

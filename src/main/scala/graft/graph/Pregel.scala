@@ -42,10 +42,19 @@ import org.apache.spark.sql.{functions => F}
   * consumer reads a LATER materialized checkpoint: an unpersisted
   * localCheckpoint is unrecoverable (lineage is truncated). */
 private[graph] object CheckpointGC {
-  def unpersist(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
+  def unpersist(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+    }
+    // A derived plan can embed OTHER live checkpoints (e.g. a loop's static
+    // edge list) whose sweep would be unrecoverable — demand the frame IS
+    // a single checkpoint, not merely contains some.
+    require(rdds.size == 1,
+      s"CheckpointGC.unpersist expects a frame rooted at exactly one " +
+        s"LogicalRDD (a single materialized checkpoint); got ${rdds.size}. " +
+        "Pass the checkpointed DataFrame itself, not a plan derived from it.")
+    rdds.foreach(_.unpersist(false))
+  }
 }
 
 object Pregel {

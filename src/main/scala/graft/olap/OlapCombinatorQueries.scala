@@ -74,16 +74,26 @@ object OlapCombinatorQueries {
     * the stream — collect_list + sort would buffer every row. The csv
     * assembly is a per-group post-aggregation map. */
   def qGroupConcat(s: SparkSession, dir: String): DataFrame = {
-    // TopKPairs ranks (score, long id): ride the dictionary-coded event
-    // type through it and decode after the aggregate
+    // TopKPairs ranks (score DESC, id ASC): score = −tu picks the earliest
+    // 8; the id packs (event_id, dictionary code) as event_id·8+code, so
+    // equal timestamps tie-break by event_id — exactly the oracle's
+    // ROW_NUMBER order (code < 8 never perturbs it) — and the term decodes
+    // from id mod 8 after the aggregate. An event type outside the
+    // dictionary raises instead of silently corrupting the packing.
+    val codeRaw = F.array_position(F.typedlit(EventTypes), F.col("event_type"))
+    val code = F.when(codeRaw === 0, F.raise_error(F.concat(
+        F.lit("q_group_concat: event_type outside the dictionary: "),
+        F.col("event_type"))))
+      .otherwise(codeRaw - 1)
     val ev = Tables(s, dir, "events")
       .select(F.col("user_id"),
         (-F.unix_micros(F.col("ts"))).cast("double").as("negtu"),
-        (F.array_position(F.typedlit(EventTypes), F.col("event_type")) - 1).as("code"))
+        (F.col("event_id") * 8 + code).as("packed"))
     graft.operators.TopK.perGroup(ev, Seq("user_id"),
-        F.col("negtu"), F.col("code"), k = 8)
+        F.col("negtu"), F.col("packed"), k = 8)
       .select(F.col("user_id"), F.col("rnk"),
-        F.element_at(F.typedlit(EventTypes), (F.col("id") + 1).cast("int")).as("term"))
+        F.element_at(F.typedlit(EventTypes),
+          (F.pmod(F.col("id"), F.lit(8L)) + 1).cast("int")).as("term"))
       .groupBy("user_id")
       .agg(F.concat_ws(",", F.expr(
         "transform(sort_array(collect_list(struct(rnk, term))), x -> x.term)"))

@@ -16,15 +16,16 @@ object OlapExtraQueries {
   /** q_minsub: for each large part, the supplier(s) achieving the minimum
     * extended price — correlated aggregate decorrelated into a join with
     * a grouped min (exactly what Catalyst does to the EXISTS form).
-    * Broadcast: part (dimension-sized after the p_size filter). */
+    * part and the part-keyed mins aggregate both grow with SF, so neither
+    * is hinted — AQE broadcasts them while they fit and shuffles beyond. */
   def qMinSub(s: SparkSession, dir: String): DataFrame = {
     val part = Tables(s, dir, "part").filter(F.col("p_size") >= 40)
       .select("p_partkey", "p_name")
     val li = Tables(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
-    val mins = li.join(F.broadcast(part), F.col("l_partkey") === F.col("p_partkey"))
+    val mins = li.join(part, F.col("l_partkey") === F.col("p_partkey"))
       .groupBy("p_partkey", "p_name")
       .agg(F.min(dec2(F.col("l_extendedprice"))).as("min_price"))
-    li.join(F.broadcast(mins),
+    li.join(mins,
         F.col("l_partkey") === F.col("p_partkey") &&
           dec2(F.col("l_extendedprice")) === F.col("min_price"))
       .groupBy("p_partkey", "p_name", "min_price")
@@ -265,8 +266,9 @@ object OlapExtraQueries {
     * O(groups × k) entries, not every row (graft.operators.TopK). Same
     * oracle as the window form: results must be identical. */
   def qTopkHeap(s: SparkSession, dir: String): DataFrame = {
+    // customer grows with SF: unhinted join, AQE decides the strategy.
     val joined = Tables(s, dir, "orders")
-      .join(F.broadcast(Tables(s, dir, "customer")),
+      .join(Tables(s, dir, "customer"),
         F.col("o_custkey") === F.col("c_custkey"))
     graft.operators.TopK.perGroup(joined, Seq("c_mktsegment"),
         F.col("o_totalprice"), F.col("o_orderkey"), k = 3)
@@ -288,8 +290,9 @@ object OlapExtraQueries {
     * deterministic tie-break (max key for argMax, min key for argMin) —
     * no second join back, partial-aggregatable at any scale. */
   def qArgMax(s: SparkSession, dir: String): DataFrame = {
+    // customer grows with SF: unhinted join, AQE decides the strategy.
     val j = Tables(s, dir, "orders")
-      .join(F.broadcast(Tables(s, dir, "customer")), F.col("o_custkey") === F.col("c_custkey"))
+      .join(Tables(s, dir, "customer"), F.col("o_custkey") === F.col("c_custkey"))
       .select(F.col("c_mktsegment"), F.col("o_orderkey"), dec2(F.col("o_totalprice")).as("p"))
     j.groupBy("c_mktsegment")
       .agg(

@@ -12,8 +12,12 @@ import graft.Tables.{dec2, out2, out4, revenue}
   * reference's capability surface, declared with the DataFrame API so
   * Catalyst handles pushdown/pruning/join-planning.
   *
-  * Scale notes: dimension tables (region/nation/customer/supplier/part) get
-  * explicit broadcast hints; fact-side filters are plain column predicates
+  * Scale notes: only genuinely bounded relations (region: 5 rows, nation:
+  * 25 rows, band tables, query sets) carry explicit broadcast hints.
+  * SF-scaled tables (customer/supplier/part) join unhinted so AQE
+  * broadcasts them while they fit the threshold and degrades to a shuffled
+  * join at scale — a hardcoded hint would force the build at 100× and OOM.
+  * Fact-side filters are plain column predicates
   * so they reach the parquet scan (verified via .explain: PushedFilters).
   * All aggregates run in exact decimal so a 1000-executor re-run returns
   * the same bits.
@@ -51,8 +55,10 @@ object OlapQueries {
     val cust = t(s, dir, "customer").filter(F.col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp"))
     val li = t(s, dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp"))
+    // customer grows with SF: no broadcast hint — AQE picks broadcast at
+    // small SF and degrades to a shuffled join at scale instead of OOMing.
     li.join(ord, F.col("l_orderkey") === F.col("o_orderkey"))
-      .join(F.broadcast(cust), F.col("o_custkey") === F.col("c_custkey"))
+      .join(cust, F.col("o_custkey") === F.col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(out4(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).as("rev"))
       .orderBy(F.col("rev").desc, F.col("o_orderdate").asc, F.col("l_orderkey").asc)
@@ -79,9 +85,11 @@ object OlapQueries {
       .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
         && F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem")
+    // customer/supplier grow with SF: unhinted so AQE sizes the join;
+    // nation (25 rows) and region (5 rows) are genuinely bounded — keep hints.
     li.join(ord, F.col("l_orderkey") === F.col("o_orderkey"))
-      .join(F.broadcast(cust), F.col("o_custkey") === F.col("c_custkey"))
-      .join(F.broadcast(supp),
+      .join(cust, F.col("o_custkey") === F.col("c_custkey"))
+      .join(supp,
         F.col("l_suppkey") === F.col("s_suppkey") && F.col("c_nationkey") === F.col("s_nationkey"))
       .join(F.broadcast(nation), F.col("s_nationkey") === F.col("n_nationkey"))
       .join(F.broadcast(region), F.col("n_regionkey") === F.col("r_regionkey"))
@@ -123,8 +131,9 @@ object OlapQueries {
 
   /** Window function: top-3 orders per market segment. */
   def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    // customer grows with SF: leave the join unhinted (AQE decides).
     val joined = t(s, dir, "orders")
-      .join(F.broadcast(t(s, dir, "customer")), F.col("o_custkey") === F.col("c_custkey"))
+      .join(t(s, dir, "customer"), F.col("o_custkey") === F.col("c_custkey"))
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
     joined

@@ -307,12 +307,15 @@ object OlapStatQueries {
   /** q_cramers_v: ClickHouse `cramersV`/`contingency` — association
     * strength between event type and value bucket from one contingency
     * pass. chi² is accumulated EXACTLY: per-cell floor(o²·1e9/(rowtot·
-    * coltot)) in BIGINT (overflow-free to ~sf2; beyond that the scale
-    * constant drops), so chi2s9 = N·(Σterms − 1e9) is integer equality
-    * cross-engine; V then needs only correctly-rounded double ops
-    * (÷, ÷, √) on identical operands. greatest(0, ·) guards the
-    * independent case where per-cell flooring can dip the sum a few
-    * units below zero. */
+    * coltot)) with the numerator formed in DECIMAL(38,0) (HUGEINT on the
+    * oracle side) so no cell count can overflow at ANY scale — each
+    * floored term is ≤ 1e9 and sums back into BIGINT. chi2s9 =
+    * N·(Σterms − 1e9) is likewise formed in DECIMAL and emitted as the
+    * correctly-rounded double of that exact integer (N·chi² can pass
+    * 2⁶³ at large N), so the bits agree cross-engine; V then needs only
+    * correctly-rounded double ops (÷, ÷, √) on identical operands.
+    * greatest(0, ·) guards the independent case where per-cell flooring
+    * can dip the sum a few units below zero. */
   def qCramersV(s: SparkSession, dir: String): DataFrame = {
     val S = 1000000000L // 1e9 scale for the chi-square terms
     val ev = Tables(s, dir, "events").select(
@@ -326,15 +329,17 @@ object OlapStatQueries {
     val rt = cell.groupBy("r").agg(F.sum("o").as("rt"))
     val ct = cell.groupBy("c").agg(F.sum("o").as("ct"))
     val agg = cell.join(rt, "r").join(ct, "c")
-      .agg(F.sum(F.expr(s"(o * o * $S) div (rt * ct)")).as("t"),
+      .agg(F.sum(F.expr(
+          s"(cast(o as decimal(38,0)) * o * $S) div (cast(rt as decimal(38,0)) * ct)")).as("t"),
         F.sum("o").as("n"),
         F.count_distinct(F.col("r")).as("nr"),
         F.count_distinct(F.col("c")).as("nc"))
     agg.select(F.col("n"), F.col("nr"), F.col("nc"),
-        F.greatest(F.lit(0L), F.col("n") * (F.col("t") - S)).as("chi2s9"),
+        F.expr(s"cast(greatest(cast(0 as decimal(38,0)), cast(n as decimal(38,0)) * (t - $S)) as double)")
+          .as("chi2s9"),
         F.least(F.col("nr") - 1, F.col("nc") - 1).as("k"))
       .select(F.col("n"), F.col("nr"), F.col("nc"), F.col("chi2s9"),
-        F.sqrt((F.col("chi2s9").cast("double") / 1e9)
+        F.sqrt((F.col("chi2s9") / 1e9)
           / (F.col("n") * F.col("k")).cast("double")).as("v"))
   }
 
@@ -347,13 +352,14 @@ object OlapStatQueries {
       |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY 1),
       |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY 1),
       |agg AS (
-      |  SELECT CAST(SUM((o * o * 1000000000) // (rt.rt * ct.ct)) AS BIGINT) AS t,
+      |  SELECT CAST(SUM((CAST(o AS HUGEINT) * o * 1000000000)
+      |                  // (CAST(rt.rt AS HUGEINT) * ct.ct)) AS BIGINT) AS t,
       |    CAST(SUM(o) AS BIGINT) AS n,
       |    COUNT(DISTINCT cell.r) AS nr, COUNT(DISTINCT cell.c) AS nc
       |  FROM cell JOIN rt ON rt.r = cell.r JOIN ct ON ct.c = cell.c)
       |SELECT n, nr, nc,
-      |  greatest(0, n * (t - 1000000000)) AS chi2s9,
-      |  sqrt((CAST(greatest(0, n * (t - 1000000000)) AS DOUBLE) / 1e9)
+      |  CAST(greatest(CAST(0 AS HUGEINT), CAST(n AS HUGEINT) * (t - 1000000000)) AS DOUBLE) AS chi2s9,
+      |  sqrt((CAST(greatest(CAST(0 AS HUGEINT), CAST(n AS HUGEINT) * (t - 1000000000)) AS DOUBLE) / 1e9)
       |       / CAST(n * least(nr - 1, nc - 1) AS DOUBLE)) AS v
       |FROM agg""".stripMargin
 

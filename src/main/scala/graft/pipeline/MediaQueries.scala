@@ -194,8 +194,13 @@ object MediaQueries {
     * into two 32-bit halves so every SQL-side constant stays positive).
     * A real image pHash swaps only the feature stage (DCT coefficients
     * for shingles); the sketch/band/verify plumbing is identical. */
-  def stubPhash(m: MediaBlob): MediaPhash = {
+  def stubPhash(m: MediaBlob): Option[MediaPhash] = {
     val ws = new String(m.blob, java.nio.charset.StandardCharsets.UTF_8).split(" ")
+    // A doc with < 2 words has an empty shingle set — no features means no
+    // hash (the all-zero hash would pair every such doc at hamming 0 and
+    // collapse into one giant band group at scale); the oracle's
+    // `len(ws) >= 2` predicate excludes them identically.
+    if (ws.length < 2) return None
     val sh = (0 until ws.length - 1).map(i => ws(i) + " " + ws(i + 1)).distinct
     val v = new Array[Int](64)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -211,7 +216,7 @@ object MediaQueries {
     var lo = 0L
     (0 until 32).foreach { j => if (v(j) > 0) lo |= 1L << j }
     (32 until 64).foreach { j => if (v(j) > 0) hi |= 1L << (j - 32) }
-    MediaPhash(m.doc_id, hi, lo)
+    Some(MediaPhash(m.doc_id, hi, lo))
   }
 
   /** m_media_phash: perceptual-hash near-duplicate detection — the
@@ -226,7 +231,7 @@ object MediaQueries {
     val hashed = Tables(s, dir, "documents")
       .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
       .as[MediaBlob]
-      .mapPartitions(_.map(stubPhash)).toDF()
+      .mapPartitions(_.flatMap(stubPhash)).toDF()
       .localCheckpoint() // both self-join sides read the hash pipeline
     val bands = hashed.select(F.col("doc_id"), F.col("h_hi"), F.col("h_lo"),
       F.posexplode(F.array(

@@ -318,12 +318,12 @@ object TextQueries {
       .agg(F.count(F.lit(1)).as("n"), F.min("num").as("lo"), F.max("num").as("hi"),
         F.sum(F.when(F.col("num") < 10L * 16777216L + 8388608L, 1L).otherwise(0L))
           .as("n_in_lower_half"))
+    // Top-20 via orderBy+limit → TakeOrderedAndProject (a per-partition
+    // bounded heap + driver merge), never a single-partition global window.
     grouped
-      .withColumn("rnk", F.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(F.col("n").desc, F.col("subnet").asc)))
-      .filter(F.col("rnk") <= 20)
-      .select("subnet", "rnk", "n", "lo", "hi", "n_in_lower_half")
+      .orderBy(F.col("n").desc, F.col("subnet").asc)
+      .limit(20)
+      .select("subnet", "n", "lo", "hi", "n_in_lower_half")
   }
 
   val tIpFuncsSql: String =
@@ -345,9 +345,8 @@ object TextQueries {
       |    CAST(SUM(CASE WHEN num < 10*16777216 + 8388608 THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_in_lower_half
       |  FROM parsed GROUP BY 1)
-      |SELECT subnet, rnk, n, lo, hi, n_in_lower_half FROM (
-      |  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, subnet ASC) AS rnk FROM grouped)
-      |WHERE rnk <= 20""".stripMargin
+      |SELECT subnet, n, lo, hi, n_in_lower_half FROM grouped
+      |ORDER BY n DESC, subnet ASC LIMIT 20""".stripMargin
 
   /** Needle set for t_multisearch (fixed, like ClickHouse's constant
     * needle arrays). */
