@@ -85,6 +85,26 @@ object KVQueries {
   val kvGetKeysSql: String =
     "SELECT DISTINCT user_id FROM events WHERE user_id >= 50 AND user_id < 100"
 
+  /** kv_keyslices: getKeys(KeyRangeQuery) with per-key entries — key
+    * range [20, 60) × column range [Jan10, Jan20), per-key limit 15: the
+    * composition a JanusGraph OLAP scan consumes through the reference's
+    * RowIterator (ClickhouseKeyColumnValueStore.java:175, :294). One
+    * parquet scan carries both range predicates. */
+  def kvKeySlices(s: SparkSession, dir: String): DataFrame =
+    decoded(keySlices(eventStore(s, dir),
+      encLong(F.lit(20L)), encLong(F.lit(60L)),
+      colBound("2024-01-10 00:00:00"), colBound("2024-01-20 00:00:00"), 15))
+
+  val kvKeySlicesSql: String =
+    s"""SELECT user_id, us, event_id, CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str
+       |FROM (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+       |  FROM events
+       |  WHERE user_id >= 20 AND user_id < 60
+       |    AND epoch_us(ts) >= $usLo AND epoch_us(ts) < $usHi) x
+       |WHERE rn <= 15""".stripMargin
+
   /** The shared mutation scenario (also replayed by kv_deltalog, which
     * shares kv_mutate's oracle — keep both paths in lockstep): delete all
     * 'error' events of users 0..4, upsert a sentinel entry per such
@@ -212,6 +232,7 @@ object KVQueries {
     ("kv_slice", kvSlice _, Some(kvSliceSql)),
     ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
     ("kv_getkeys", kvGetKeys _, Some(kvGetKeysSql)),
+    ("kv_keyslices", kvKeySlices _, Some(kvKeySlicesSql)),
     ("kv_mutate", kvMutate _, Some(kvMutateSql)),
     ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)),
     ("kv_compact", kvCompact _, Some(kvMutateSql)))

@@ -50,6 +50,27 @@ object KVStore {
   def keyScan(store: DataFrame, keyStart: Column, keyEnd: Column): DataFrame =
     store.filter(F.col("k") >= keyStart && F.col("k") < keyEnd).select("k").distinct()
 
+  /** getKeys(KeyRangeQuery) with the entries materialized — the shape a
+    * JanusGraph OLAP scan actually consumes: the reference's getKeys
+    * returns a KeyIterator whose per-key `getEntries()` applies the
+    * column slice (ref ClickhouseKeyColumnValueStore.java:175; RowIterator
+    * `:294` — one ordered (k,c) walk re-segmented per key, column range
+    * [c1,c2) with a per-key limit). Here both ranges land in ONE scan —
+    * k and c predicates push to parquet together — and the per-key limit
+    * is a bounded window over each key partition; no driver-side key
+    * iteration at any scale. */
+  def keySlices(store: DataFrame, keyStart: Column, keyEnd: Column,
+                columnStart: Column, columnEnd: Column, limit: Int): DataFrame = {
+    val ranged = store.filter(
+      F.col("k") >= keyStart && F.col("k") < keyEnd &&
+        F.col("c") >= columnStart && F.col("c") < columnEnd)
+    val w = Window.partitionBy("k").orderBy(F.col("c").asc)
+    ranged
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= limit)
+      .drop("rn")
+  }
+
   /** mutate(additions, deletions) — ref
     * ClickhouseKeyColumnValueStore.java:133: deletions apply strictly
     * before additions, and every addition first deletes its own (k,c)
