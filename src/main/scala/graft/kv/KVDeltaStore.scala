@@ -27,8 +27,17 @@ import org.apache.spark.sql.{functions => F}
   * merge-on-read is one window over (k, c) which co-locates with a
   * k-bucketed layout; compact() folds the log back into base/ exactly
   * like a MergeTree background merge.
+  *
+  * `maxEntriesPerTask` bounds how many entries any single delta-write
+  * task carries — the reference chunks its insert/delete statements the
+  * same way via BATCH_MUTATION_SIZE (QueryHelper.java:51,87) — so one hot
+  * key's mega-mutation cannot concentrate in a single task however skewed
+  * the batch's upstream partitioning is.
   */
-final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
+final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
+                         maxEntriesPerTask: Long = 1000000L) {
+
+  require(maxEntriesPerTask > 0, "maxEntriesPerTask must be positive")
 
   private val baseSchema = StructType(Seq(
     StructField("k", BinaryType), StructField("c", BinaryType),
@@ -63,9 +72,15 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String) {
     val batch = additions.select(F.col("k"), F.col("c"), F.col("v"), F.lit(1).as("op"))
       .unionByName(deletions.select(F.col("k"), F.col("c"),
         F.lit(null).cast(BinaryType).as("v"), F.lit(0).as("op")))
-    // size write parallelism to the batch, not the cluster: mutation
-    // batches are small and a full-width write is all task/commit overhead
-    batch.coalesce(8).write.mode(SaveMode.ErrorIfExists)
+    // Size write parallelism to the batch, not the cluster: a typical
+    // mutation lands as ONE task (full-width writes are all task/commit
+    // overhead), and a mega-batch spreads round-robin — key-OBLIVIOUS, so
+    // even a single hot key's mutation splits across tasks — at
+    // maxEntriesPerTask per task. The count is one extra pass over the
+    // batch; it is what makes the bound exact rather than heuristic.
+    val n = batch.count()
+    val parts = math.max(1L, (n + maxEntriesPerTask - 1) / maxEntriesPerTask).toInt
+    batch.repartition(parts).write.mode(SaveMode.ErrorIfExists)
       .parquet(new Path(dir(name), f"delta_$next%05d").toString)
   }
 

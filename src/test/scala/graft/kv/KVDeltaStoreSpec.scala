@@ -88,4 +88,23 @@ class KVDeltaStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(oldp))
     assert(decode(ds.openDatabase("s")) == expected)
   }
+
+  test("maxEntriesPerTask bounds per-task rows even for one hot key") {
+    import org.apache.spark.sql.{functions => FF}
+    val wh = java.nio.file.Files.createTempDirectory("kvdelta_hot")
+    val ds = new KVDeltaStore(spark, wh.toString, maxEntriesPerTask = 100L)
+    // a single key's mega-mutation: 1000 cells of k=7, arriving as ONE
+    // upstream partition (the worst-case skew a key-hash layout produces)
+    val hot = kcv((1L to 1000L).map(c => (7L, c, c * 2))).coalesce(1)
+    ds.appendMutation("s", hot, kcv(Nil).select("k", "c"))
+    // each write task emits one file: the bound is visible as per-file rows
+    val perFile = spark.read
+      .parquet(wh.resolve("s").resolve("delta_00001").toString)
+      .groupBy(FF.input_file_name()).count()
+      .select("count").collect().map(_.getLong(0))
+    assert(perFile.length == 10, s"expected 10 write tasks, got ${perFile.length}")
+    assert(perFile.forall(_ <= 100L), s"per-task rows exceed the bound: ${perFile.mkString(",")}")
+    // and the bounded write changes nothing semantically
+    assert(decode(ds.openDatabase("s")) == (1L to 1000L).map(c => (7L, c, c * 2)).toSet)
+  }
 }

@@ -40,4 +40,57 @@ class KVStoreManagerSpec extends SparkSpec {
     mgr.clearStorage()
     assert(!mgr.exists("edgestore") && !mgr.exists("indexstore"))
   }
+
+  private def readCells(mgr: KVStoreManager, name: String): Set[(Long, Long, Long)] =
+    mgr.openDatabase(name)
+      .select(KVStore.decLong(F.col("k"), 1), KVStore.decLong(F.col("c"), 1),
+        KVStore.decLong(F.col("v"), 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("transactional mode: two racing mutateMany writers serialize") {
+    val wh = java.nio.file.Files.createTempDirectory("kvmgr_txn").toString
+    val seed = new KVStoreManager(spark, wh, transactional = true)
+    seed.mutateMany(Map("s" -> ((kcv(Seq((1, 1, 10))), kcv(Nil).select("k", "c")))))
+
+    // Each writer is its own manager instance (its own lease owner), as two
+    // JanusGraph instances sharing a warehouse would be. Un-serialized,
+    // both read the SAME base snapshot and the second swap drops the first
+    // writer's cell (last-writer-wins) — the dirty-write the lease exists
+    // to prevent.
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(cell: (Long, Long, Long)): Thread = {
+      val t = new Thread(() => {
+        try {
+          start.await()
+          val m = new KVStoreManager(spark, wh, transactional = true)
+          m.mutateMany(Map("s" -> ((kcv(Seq(cell)), kcv(Nil).select("k", "c")))))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    val ta = writer((2, 1, 20))
+    val tb = writer((3, 1, 30))
+    start.countDown()
+    ta.join(120000); tb.join(120000)
+    assert(errs.isEmpty, s"writer failed: ${errs.toArray.mkString("; ")}")
+    assert(readCells(seed, "s") == Set((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L)))
+    // lease released after both writers
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "__graft_lease")))
+  }
+
+  test("transactional mode: a crashed holder's stale lease is taken over") {
+    val wh = java.nio.file.Files.createTempDirectory("kvmgr_stale").toString
+    // a dead writer's lease: present, never released
+    val lock = java.nio.file.Paths.get(wh, "__graft_lease")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
+    java.nio.file.Files.write(lock, Array[Byte](0, 4, 'd', 'e', 'a', 'd'))
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+    val mgr = new KVStoreManager(spark, wh, transactional = true,
+      leaseTimeoutMs = 1000L, acquireTimeoutMs = 30000L)
+    mgr.mutateMany(Map("s" -> ((kcv(Seq((1, 1, 10))), kcv(Nil).select("k", "c")))))
+    assert(readCells(mgr, "s") == Set((1L, 1L, 10L)))
+    assert(!java.nio.file.Files.exists(lock))
+  }
 }
