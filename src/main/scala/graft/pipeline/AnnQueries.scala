@@ -63,7 +63,7 @@ object AnnQueries {
     * TopKPairs aggregate: map-side partial top-k means the shuffle
     * carries O(queries × k) entries, not every scored candidate — the
     * window row_number form sorts ALL candidates per query. */
-  private def rankTopK(scored: DataFrame): DataFrame =
+  private[pipeline] def rankTopK(scored: DataFrame): DataFrame =
     graft.operators.TopK.perGroup(scored, Seq("q_id"), F.col("cs"), F.col("n_id"), TopK)
       .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"),
         F.floor(F.col("score") * 1e6).cast("long").as("cs6"))
@@ -180,23 +180,40 @@ object AnnQueries {
   private def nearestCid(vec: Column, cents: Array[Array[Float]]): Column =
     F.element_at(topCids(vec, cents, 1), 1)
 
+  /** Deterministic bounded training sample: the hash-least `n` vectors
+    * (hash order ≡ uniform order). One TakeOrderedAndProject — per-
+    * partition bounded heaps, a single driver merge — so the trainer
+    * NEVER collects more than the sample at any corpus size. */
+  private[pipeline] def trainSample(e: DataFrame, n: Int): Array[(Long, Array[Float])] =
+    e.select(F.col("vec_id"), F.col("embedding"))
+      .orderBy(F.xxhash64(F.col("vec_id"), F.lit(0x5eedL)), F.col("vec_id"))
+      .limit(n)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  val TrainSampleN = 1024
+
   /** s_ann_ivf: IVF (inverted-file) ANN — the clustered scale path
-    * (rows-only; AnnSpec measures recall). Centroids: deterministic seed
-    * rows + one Lloyd refinement computed distributed (posexplode → mean
-    * per dimension), collected to the driver (NCentroids×64 floats) and
+    * (rows-only; AnnSpec measures recall). Centroids: deterministic
+    * k-means|| over a bounded hash sample (KMeansTrainer — the 100 TB
+    * trainer: only the sample is ever collected), then one distributed
+    * Lloyd refinement over the full corpus (posexplode → mean per
+    * dimension), collected to the driver (NCentroids×64 floats) and
     * rebroadcast as literals. Every vector lands in one inverted list;
     * queries probe the NProbe nearest lists and re-rank exactly — scan
     * fraction ≈ NProbe/NCentroids of the corpus instead of all of it.
-    * At 100 TB the only change is training centroids from a sample
-    * (k-means||) instead of seed rows; the assign/probe plan is the same.
     */
   def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    // materialized once: seeds collect, Lloyd step, assignment and probe
+    // materialized once: sample, Lloyd step, assignment and probe
     // would otherwise each re-scan + re-fold the corpus
     val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
-    val seeds: Array[Array[Float]] = e.orderBy("vec_id").limit(NCentroids)
-      .collect().map(_.getSeq[Float](1).toArray)
-    // one Lloyd step: assign to seeds, mean per (cluster, dimension).
+    // cosine: the assigner (FloatMatTopCentroids) ranks by cosine.
+    // medoid: probe recall needs data-point spread, not converged means
+    // (see KMeansTrainer — measured +0.10 recall@10 on this corpus).
+    val seeds: Array[Array[Float]] =
+      KMeansTrainer.kmeansParallel(trainSample(e, TrainSampleN), NCentroids,
+        cosine = true, medoid = true)
+    // one full-corpus Lloyd step: assign to the sample-trained centroids,
+    // mean per (cluster, dimension).
     // Sum in exact DECIMAL (order-independent), divide once on the driver:
     // F.avg over doubles would make the centroids — and hence the output —
     // vary with partition order.
@@ -262,6 +279,7 @@ object AnnQueries {
   val PqM = 8       // subspaces
   val PqSubDim = 8  // dims per subspace (8×8 = 64)
   val PqK = 16      // codebook entries per subspace → 4-bit codes
+  val RerankDepth = 8 * TopK // exact-rescored ADC candidates per query
 
   /** s_ann_pq: product-quantization ANN (rows-only; AnnSpec measures
     * recall) — the memory-bound scale path of the ANN trio (LSH buckets,
@@ -269,27 +287,31 @@ object AnnQueries {
     * codebook ids (4 bytes vs 256), and query scoring is an M-entry
     * table lookup per candidate instead of a 64-dim dot.
     *
-    * Codebooks: per subspace, seed subvectors + one Lloyd step, refined
-    * over the whole corpus in ONE pass (all-subspace assignment columns,
-    * then a single posexplode keyed (subspace, code, dim); sums in
-    * DECIMAL so centroids are partition-order exact — same discipline as
-    * IVF). Scoring: the query×codebook partial-dot lookup table (M·K
+    * Codebooks: per subspace, k-means|| over the bounded hash sample's
+    * subvectors (KMeansTrainer — only the sample is ever collected) + one
+    * Lloyd step refined over the whole corpus in ONE pass (all-subspace
+    * assignment columns, then a single posexplode keyed (subspace, code,
+    * dim); sums in DECIMAL so centroids are partition-order exact — same
+    * discipline as IVF). Scoring: the query×codebook partial-dot lookup table (M·K
     * rows per query) is built on the driver from collected queries —
     * the same broadcast-sized object the exact paths ship anyway — and
     * joined to the exploded corpus codes; partial dots accumulate in
-    * DECIMAL (order-exact). The top-2k ADC candidates per query are then
-    * re-ranked with the EXACT cosine, so output quality degrades only
-    * via candidate misses, exactly like the LSH/IVF paths.
+    * DECIMAL (order-exact). The top-RerankDepth ADC candidates per query
+    * are then re-ranked with the EXACT cosine, so output quality degrades
+    * only via candidate misses, exactly like the LSH/IVF paths.
     * At 100 TB: codes live next to the data (4 bytes/vector), the LUT
     * join broadcasts, and only the 2k re-rank touches raw vectors. */
   def sAnnPq(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
-    val seedRows: Array[Array[Float]] = e.orderBy("vec_id").limit(PqK)
-      .collect().map(_.getSeq[Float](1).toArray)
+    // each subspace trains its own codebook on the sample's subvectors
+    val sample = trainSample(e, TrainSampleN)
     val seedBooks: Array[Array[Array[Float]]] =
-      Array.tabulate(PqM, PqK)((m, k) =>
-        seedRows(k).slice(m * PqSubDim, (m + 1) * PqSubDim))
+      Array.tabulate(PqM) { m =>
+        KMeansTrainer.kmeansParallel(
+          sample.map { case (id, v) => (id, v.slice(m * PqSubDim, (m + 1) * PqSubDim)) },
+          PqK, cosine = true) // codebook assignment is cosine too
+      }
     def subv(m: Int): Column =
       F.slice(F.col("embedding"), m * PqSubDim + 1, PqSubDim)
     def codeCols(books: Array[Array[Array[Float]]]): Seq[Column] =
@@ -333,9 +355,12 @@ object AnnQueries {
       .filter(F.col("vec_id") =!= F.col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(F.sum(F.col("pdot").cast(DecimalType(30, 12))).as("adot"))
-    // 2k ADC candidates, then EXACT cosine re-rank (bounded-heap both)
+    // RerankDepth ADC candidates, then EXACT cosine re-rank (bounded-heap
+    // both); the depth buys recall at RerankDepth exact dots per query —
+    // the re-rank knob from Jégou et al.'s PQ paper, negligible beside
+    // the code scan at any corpus size
     val cand = graft.operators.TopK.perGroup(adc,
-      Seq("q_id"), F.col("adot").cast("double"), F.col("vec_id"), 2 * TopK)
+      Seq("q_id"), F.col("adot").cast("double"), F.col("vec_id"), RerankDepth)
       .select(F.col("q_id"), F.col("id").as("vec_id"))
     val qdf = e.filter(F.col("vec_id") < NQueries)
       .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
