@@ -238,6 +238,48 @@ object DedupQueries {
        |SELECT a_id, b_id, CAST(floor(cs * 1e6) AS BIGINT) AS cs6
        |FROM p WHERE cs >= 0.4""".stripMargin
 
+  /** d_semdedup: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+    * semantic dedup through embedding clusters: k-means|| clusters the
+    * corpus (KMeansTrainer, the same sample-bounded trainer as IVF),
+    * then ONLY within-cluster pairs are exactly cosine-verified at the
+    * all-pairs baseline's threshold (cos ≥ 0.4, d_embed_dup), and a doc
+    * is dropped iff a SMALLER-id doc sharing one of its clusters sits
+    * within the threshold (keep-min, the d_exact_dup rule on the
+    * semantic graph). Each vector joins the pairwise stage under its
+    * TOP-2 clusters (soft assignment — a near-dup pair straddling one
+    * Voronoi boundary still meets in the runner-up cluster), so the
+    * pairwise work is 4·Σ|cluster|² ≈ 4n²/k instead of n² — the SemDeDup
+    * design point — and only pairs split across BOTH probes are missed
+    * (rows-only; DedupSpec proves precision = 1 against the exact
+    * baseline and measures recall). Output: (vec_id, cid, keep) with cid
+    * = the primary cluster. */
+  def dSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+    val cents = KMeansTrainer.kmeansParallel(
+      AnnQueries.trainSample(e, AnnQueries.TrainSampleN),
+      AnnQueries.NCentroids, cosine = true)
+    // both self-join sides read the assignment — materialize it once
+    val assigned = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
+      graft.functions.VectorFunctions.floatMatTopCentroids(
+        F.col("embedding"),
+        F.typedlit(cents.map(_.toSeq).toSeq), F.lit(2)).as("cids"))
+      .localCheckpoint()
+    val soft = assigned.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
+      F.explode(F.col("cids")).as("cid"))
+    val a = soft.select(F.col("cid"), F.col("vec_id").as("a_id"),
+      F.col("embedding").as("ea"), F.col("nrm").as("na"))
+    val b = soft.select(F.col("cid"), F.col("vec_id").as("b_id"),
+      F.col("embedding").as("eb"), F.col("nrm").as("nb"))
+    val drops = a.join(b, "cid").filter(F.col("a_id") < F.col("b_id"))
+      .filter(AnnQueries.dot(F.col("ea"), F.col("eb"))
+        / (F.col("na") * F.col("nb")) >= 0.4)
+      .select(F.col("b_id").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("dropped", F.lit(1)), Seq("vec_id"), "left")
+      .select(F.col("vec_id"),
+        F.element_at(F.col("cids"), 1).cast("long").as("cid"),
+        F.when(F.col("dropped").isNotNull, 0L).otherwise(1L).as("keep"))
+  }
+
   /** d_sample: deterministic content-hash sampling — keep a document iff
     * its md5 prefix falls under the threshold. The split is a pure
     * function of content (reproducible across engines, partitionings and
@@ -365,5 +407,6 @@ object DedupQueries {
     ("d_lsh_verified", dLshVerified _, Some(dJaccardPairsSql)),
     ("d_dup_groups", dDupGroups _, Some(dDupGroupsSql)),
     ("d_simhash", dSimhash _, None),
+    ("d_semdedup", dSemDedup _, None),
     ("d_embed_dup", dEmbedDup _, Some(dEmbedDupSql)))
 }

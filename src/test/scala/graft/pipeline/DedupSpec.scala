@@ -100,6 +100,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semdedup: precision 1 vs the exact baseline, keep-min, measured recall") {
+    val out = DedupQueries.dSemDedup(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // total partition of the corpus into keep/drop
+    val n = graft.Tables(spark, SF, "embeddings").count()
+    assert(out.length == n)
+    val dropped = out.filter(_._3 == 0L).map(_._1).toSet
+    // the exact all-pairs baseline (a<b, cos >= 0.4)
+    val exactPairs = DedupQueries.dEmbedDup(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PRECISION = 1: every drop has a smaller exact-threshold witness —
+    // the within-cluster verify is exact cosine, so no false drops exist
+    dropped.foreach { b =>
+      assert(exactPairs.exists(_._2 == b), s"dropped $b has no exact witness")
+    }
+    // keep-min: a doc with NO smaller threshold partner anywhere is kept
+    val exactDrops = exactPairs.map(_._2)
+    out.filter(t => !exactDrops.contains(t._1)).foreach(t =>
+      assert(t._3 == 1L, s"${t._1} dropped without any exact witness"))
+    // RECALL vs the baseline keep-min rule: pairs split across clusters
+    // are missed by design; the cluster count bounds the loss
+    val recall = dropped.size.toDouble / exactDrops.size
+    info(f"semdedup recall vs exact keep-min drops: $recall%.3f " +
+      s"(${dropped.size}/${exactDrops.size})")
+    assert(recall >= 0.3, s"recall $recall")
+    // deterministic end to end (trainer draws are hash-based)
+    val again = DedupQueries.dSemDedup(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("LSH-verified pairs equal the exact quadratic baseline, jac included") {
     // the whole point of the scale path: candidates ⊆ pairs via LSH, then
     // exact verification must reproduce d_jaccard_pairs bit for bit
