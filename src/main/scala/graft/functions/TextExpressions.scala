@@ -248,6 +248,68 @@ case class WordSimHash(str: Expression)
     copy(str = newChild)
 }
 
+/** Runtime core of [[TrigramLmScore]]: one pass over a doc's bytes,
+  * looking each byte-trigram up in a sorted-array model (binary search —
+  * compact, serialization-friendly, no boxing). Returns [n_hits,
+  * sum_r6]: a trigram ABSENT from the model counts toward neither, the
+  * inner-join semantics of the explode formulation this replaces.
+  * Byte-trigrams equal character-trigrams only on ASCII text (same
+  * caveat as rollingMinHash). */
+object TrigramLmOps {
+  def score(s: UTF8String, keys: Array[Int], vals: Array[Long]): ArrayData = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cnt = 0L
+    var sum = 0L
+    var j = 0
+    while (j + 3 <= n) {
+      val k =
+        ((org.apache.spark.unsafe.Platform.getByte(base, off + j) & 0xFF) << 16) |
+        ((org.apache.spark.unsafe.Platform.getByte(base, off + j + 1) & 0xFF) << 8) |
+        (org.apache.spark.unsafe.Platform.getByte(base, off + j + 2) & 0xFF)
+      val idx = java.util.Arrays.binarySearch(keys, k)
+      if (idx >= 0) { cnt += 1; sum += vals(idx) }
+      j += 1
+    }
+    new GenericArrayData(Array(cnt, sum))
+  }
+}
+
+/** Per-document trigram-LM scoring as ONE map-only expression: the
+  * trained model (trigram → r6 ratio) rides as two reference arrays, so
+  * scoring never explodes the corpus into per-trigram rows — the explode
+  * → broadcast-join → groupBy(doc) formulation ships one row per corpus
+  * CHARACTER through the join; this ships two longs per document.
+  * The model is charset³-bounded regardless of corpus size. */
+case class TrigramLmScore(str: Expression, keys: Array[Int], vals: Array[Long])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(keys.length == vals.length, "model arrays must align")
+
+  override def child: Expression = str
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (str.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"trigram_lm_score needs a string input, got ${str.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_lm_score"
+
+  override def nullSafeEval(s: Any): Any =
+    TrigramLmOps.score(s.asInstanceOf[UTF8String], keys, vals)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("triLmKeys", keys, "int[]")
+    val valsRef = ctx.addReferenceObj("triLmVals", vals, "long[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TrigramLmOps.score($s, $keysRef, $valsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(str = newChild)
+}
+
 object TextFunctions {
   /** One-pass rolling-window MinHash sketch (codegen'd).
     *
@@ -272,4 +334,13 @@ object TextFunctions {
   /** One-pass 64-bit word SimHash (codegen'd). */
   def wordSimHash(str: Column): Column =
     GraftSqlBridge.column(WordSimHash(GraftSqlBridge.expression(str)))
+
+  /** One-pass trigram-LM scorer over a driver-trained model (codegen'd):
+    * returns array(n_model_trigrams, sum_r6). `model` maps the 24-bit
+    * ASCII byte-trigram key to its r6 ratio; entries must be unique. */
+  def trigramLmScore(str: Column, model: Seq[(Int, Long)]): Column = {
+    val sorted = model.sortBy(_._1).toArray
+    GraftSqlBridge.column(TrigramLmScore(GraftSqlBridge.expression(str),
+      sorted.map(_._1), sorted.map(_._2)))
+  }
 }

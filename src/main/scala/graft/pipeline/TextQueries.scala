@@ -180,33 +180,37 @@ object TextQueries {
     * doc score its integer mean — ALL arithmetic is BIGINT (no doubles,
     * no logs, so no libm divergence between engines; the ranking it
     * induces is the same as mean trigram continuation probability).
-    * Two global count aggregates (trigram, bigram-prefix) + one explode
-    * join — every shuffle keyed on high-cardinality n-grams or doc_id.
+    * Shape: ONE explode+count pass trains c(tri) (map-side partial, the
+    * only corpus-sized shuffle); c(bi) then aggregates from the DISTINCT-
+    * trigram table (charset³-bounded) rather than re-scanning the corpus;
+    * the model collects to the driver and scoring is a single map-only
+    * pass (TrigramLmScore, the model riding as reference arrays) — no
+    * per-trigram rows ever reach a join or a doc_id shuffle.
     * ASCII corpus: character and byte offsets coincide on both engines. */
   def tTrigramLm(s: SparkSession, dir: String): DataFrame = {
-    // the trigram stream feeds both count models and the scoring join —
-    // materialize the explode once instead of re-running it three times
-    val tris = Tables(s, dir, "documents")
-      .filter(F.length(F.col("text")) >= 3)
-      .select(F.col("doc_id"), F.explode(
+    val docs = Tables(s, dir, "documents").filter(F.length(F.col("text")) >= 3)
+    val c3 = docs
+      .select(F.explode(
         F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
           i => F.col("text").substr(i, F.lit(3)))).as("tri"))
-      .localCheckpoint()
-    // fold the model into a per-DISTINCT-trigram ratio table: it is
-    // bounded by charset³ (≲1M for ASCII) REGARDLESS of corpus size, so
-    // it broadcasts — the corpus-sized stream then takes one map-side
-    // join instead of two shuffle joins
-    val c3 = tris.groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
-    val c2 = tris.select(F.col("tri").substr(1, 2).as("bi"))
-      .groupBy("bi").agg(F.count(F.lit(1)).as("c2"))
+      .groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
+    // c2(bi) = Σ c3(tri) over the prefix — aggregated from the tiny
+    // distinct-trigram table, never from the corpus stream
     val model = c3.withColumn("bi", F.col("tri").substr(1, 2))
-      .join(c2, "bi")
+      .withColumn("c2", F.sum("c3").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bi")))
       .select(F.col("tri"), F.expr("(1000000 * c3) div c2").as("r6"))
-    tris.join(F.broadcast(model), "tri")
-      .groupBy("doc_id")
-      .agg(F.count(F.lit(1)).as("n_tris"), F.sum("r6").as("sum_r6"))
-      .select(F.col("doc_id"), F.col("n_tris"),
-        F.expr("sum_r6 div n_tris").as("score6"))
+      .collect().map { r =>
+        val t = r.getString(0)
+        ((t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt,
+          r.getLong(1))
+      }.toSeq
+    docs
+      .select(F.col("doc_id"),
+        graft.functions.TextFunctions.trigramLmScore(F.col("text"), model).as("sc"))
+      .select(F.col("doc_id"),
+        F.element_at(F.col("sc"), 1).as("n_tris"),
+        F.expr("element_at(sc, 2) div element_at(sc, 1)").as("score6"))
   }
 
   val tTrigramLmSql: String =

@@ -64,6 +64,41 @@ class TextSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("one-pass trigram-LM scorer equals the explode+join formulation bit-for-bit") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "the hat"), (3L, "cattle"), (4L, "xyz"))
+      .toDF("doc_id", "text").filter(F.length(F.col("text")) >= 3)
+    // explode formulation (the old plan): c3, c2, inner join, group by doc
+    val tris = docs.select(F.col("doc_id"), F.explode(
+      F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
+        i => F.col("text").substr(i, F.lit(3)))).as("tri"))
+    val c3 = tris.groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
+    val c2 = tris.select(F.col("tri").substr(1, 2).as("bi"))
+      .groupBy("bi").agg(F.count(F.lit(1)).as("c2"))
+    val modelDf = c3.withColumn("bi", F.col("tri").substr(1, 2)).join(c2, "bi")
+      .select(F.col("tri"), F.expr("(1000000 * c3) div c2").as("r6"))
+    val expected = tris.join(modelDf, "tri").groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("r6").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // one-pass expression over the collected model
+    val model = modelDf.collect().map { r =>
+      val t = r.getString(0)
+      ((t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt,
+        r.getLong(1))
+    }.toSeq
+    val got = docs.select(F.col("doc_id"),
+        graft.functions.TextFunctions.trigramLmScore(F.col("text"), model).as("sc"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).head, r.getSeq[Long](1)(1))).toMap
+    assert(got == expected)
+    // a trigram absent from the model counts toward neither sum nor n
+    val partial = docs.filter(F.col("doc_id") === 1L).select(
+      graft.functions.TextFunctions.trigramLmScore(F.col("text"),
+        model.take(2)).as("sc"))
+      .collect()(0).getSeq[Long](0)
+    assert(partial.head <= 2L)
+  }
+
   test("langid predictions come from the marker lexicon or 'und'") {
     val langs = TextQueries.tLangid(spark, SF)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
