@@ -276,6 +276,83 @@ object TrigramLmOps {
   }
 }
 
+/** Runtime core of [[NgramJaccardHits]]: the DISTINCT byte-trigram count
+  * of a string plus how many of those distinct trigrams appear in a
+  * constant (sorted) query-key array — one pass, one scratch
+  * open-addressing set per row, zero per-position allocation (the
+  * array_distinct/array_intersect form allocates a UTF8String per
+  * position). Keys are 24-bit byte triples: exact for ASCII text, a
+  * byte-level trigram family otherwise (rollingMinHash's caveat). */
+object NgramSetOps {
+  def distinctAndHits(s: UTF8String, qKeys: Array[Int]): ArrayData = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val windows = math.max(0, n - 2)
+    // open addressing at load factor <= 0.5; slot stores key+1 (0 = empty)
+    var cap = 16
+    while (cap < windows * 2) cap <<= 1
+    val table = new Array[Int](cap)
+    val mask = cap - 1
+    var distinct = 0L
+    var hits = 0L
+    var j = 0
+    while (j + 3 <= n) {
+      val k =
+        ((org.apache.spark.unsafe.Platform.getByte(base, off + j) & 0xFF) << 16) |
+        ((org.apache.spark.unsafe.Platform.getByte(base, off + j + 1) & 0xFF) << 8) |
+        (org.apache.spark.unsafe.Platform.getByte(base, off + j + 2) & 0xFF)
+      // fibonacci hashing; -1640531527 == 0x9E3779B9 as a signed int
+      var slot = (k * -1640531527) >>> (32 - Integer.numberOfTrailingZeros(cap))
+      slot &= mask
+      var seen = false
+      var probing = true
+      while (probing) {
+        val v = table(slot)
+        if (v == 0) probing = false
+        else if (v == k + 1) { seen = true; probing = false }
+        else slot = (slot + 1) & mask
+      }
+      if (!seen) {
+        table(slot) = k + 1
+        distinct += 1
+        if (java.util.Arrays.binarySearch(qKeys, k) >= 0) hits += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(Array(distinct, hits))
+  }
+}
+
+/** Distinct-trigram count + query-set hit count as ONE map-only codegen'd
+  * expression — the whole ngram-search scoring stage with no per-gram
+  * rows, no allocation per position, and the query set riding as a
+  * sorted reference array. */
+case class NgramJaccardHits(str: Expression, qKeys: Array[Int])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = str
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (str.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ngram_jaccard_hits needs a string input, got ${str.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_jaccard_hits"
+
+  override def nullSafeEval(s: Any): Any =
+    NgramSetOps.distinctAndHits(s.asInstanceOf[UTF8String], qKeys)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val keysRef = ctx.addReferenceObj("njhKeys", qKeys, "int[]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NgramSetOps.distinctAndHits($s, $keysRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(str = newChild)
+}
+
 /** Per-document trigram-LM scoring as ONE map-only expression: the
   * trained model (trigram → r6 ratio) rides as two reference arrays, so
   * scoring never explodes the corpus into per-trigram rows — the explode
@@ -334,6 +411,13 @@ object TextFunctions {
   /** One-pass 64-bit word SimHash (codegen'd). */
   def wordSimHash(str: Column): Column =
     GraftSqlBridge.column(WordSimHash(GraftSqlBridge.expression(str)))
+
+  /** One-pass distinct-trigram + query-hit counter (codegen'd): returns
+    * array(n_distinct_grams, n_query_hits). `qKeys` are 24-bit ASCII
+    * byte-trigram keys; ordering is handled here. */
+  def ngramJaccardHits(str: Column, qKeys: Seq[Int]): Column =
+    GraftSqlBridge.column(NgramJaccardHits(GraftSqlBridge.expression(str),
+      qKeys.sorted.toArray))
 
   /** One-pass trigram-LM scorer over a driver-trained model (codegen'd):
     * returns array(n_model_trigrams, sum_r6). `model` maps the 24-bit

@@ -256,24 +256,25 @@ object TextQueries {
 
   /** t_ngram_search: ClickHouse `ngramDistance`-style fuzzy match — rank
     * documents by character-trigram Jaccard similarity against a query
-    * phrase. Per-doc DISTINCT trigram sets (a map-side explode keyed on
-    * doc_id); the query's tiny trigram set broadcasts into a semi-join
-    * count, so the only widening is |docs| × |matched grams| — no
-    * pairwise doc×doc work. Exact integer set sizes; the similarity is
-    * one division floor-scaled to ppm; top-20 by (sim DESC, doc_id ASC)
-    * total order. */
+    * phrase. Both set sizes come from per-row higher-order functions
+    * (array_distinct / array_intersect against the constant query set) —
+    * the whole scoring is MAP-ONLY inside codegen; the only exchange in
+    * the plan is the top-20 TakeOrderedAndProject. No per-gram rows, no
+    * doc_id shuffle, no pairwise doc×doc work. Exact integer set sizes;
+    * the similarity is one division floor-scaled to ppm; top-20 by
+    * (sim DESC, doc_id ASC) total order. */
   def tNgramSearch(s: SparkSession, dir: String): DataFrame = {
     val query = "the fast key order sort table"
     val qGrams = query.sliding(3).toSeq.distinct
-    val docGrams = Tables(s, dir, "documents")
+    val qKeys = qGrams.map(g =>
+      (g.charAt(0).toInt << 16) | (g.charAt(1).toInt << 8) | g.charAt(2).toInt)
+    val hits = Tables(s, dir, "documents")
       .filter(F.length(F.col("text")) >= 3)
-      .select(F.col("doc_id"), F.explode(F.array_distinct(
-        F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
-          i => F.col("text").substr(i, F.lit(3))))).as("g"))
-    val hits = docGrams
-      .groupBy("doc_id")
-      .agg(F.count(F.lit(1)).as("n_grams"),
-        F.sum(F.when(F.col("g").isin(qGrams: _*), 1L).otherwise(0L)).as("n_hit"))
+      .select(F.col("doc_id"),
+        graft.functions.TextFunctions.ngramJaccardHits(F.col("text"), qKeys).as("dh"))
+      .select(F.col("doc_id"),
+        F.element_at(F.col("dh"), 1).as("n_grams"),
+        F.element_at(F.col("dh"), 2).as("n_hit"))
     hits
       .select(F.col("doc_id"), F.col("n_grams"), F.col("n_hit"),
         F.floor(F.col("n_hit").cast("double") /

@@ -99,6 +99,29 @@ class TextSpec extends SparkSpec {
     assert(partial.head <= 2L)
   }
 
+  test("one-pass ngram distinct+hits equals the array_distinct/intersect form") {
+    import spark.implicits._
+    // repeats (distinct matters), full-hit, no-hit, minimal 3-char, spaces
+    val docs = Seq("ababababab", "the the the", "zzzzz", "abc", "a b c d e")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .filter(F.length(F.col("text")) >= 3)
+    val qGrams = Seq("the", "ab ", "bab", "zzz")
+    val grams = F.array_distinct(
+      F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
+        i => F.col("text").substr(i, F.lit(3))))
+    val expected = docs.select(F.col("doc_id"),
+        F.size(grams).cast("long"), F.size(F.array_intersect(grams,
+          F.typedlit(qGrams))).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val qKeys = qGrams.map(g =>
+      (g.charAt(0).toInt << 16) | (g.charAt(1).toInt << 8) | g.charAt(2).toInt)
+    val got = docs.select(F.col("doc_id"),
+        graft.functions.TextFunctions.ngramJaccardHits(F.col("text"), qKeys).as("dh"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).head, r.getSeq[Long](1)(1))).toMap
+    assert(got == expected)
+  }
+
   test("langid predictions come from the marker lexicon or 'und'") {
     val langs = TextQueries.tLangid(spark, SF)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
