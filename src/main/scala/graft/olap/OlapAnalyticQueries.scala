@@ -380,7 +380,68 @@ object OlapAnalyticQueries {
       |   * 1e6) AS BIGINT) AS t6
       |FROM t""".stripMargin
 
+  /** q_studentt: ClickHouse `studentTTest(value, sample)` — the
+    * equal-variance (pooled) Student's t over the same click/purchase
+    * cohort pairing as q_ttest. Same six exact BIGINT moment sums; the
+    * pooled form needs SUM-OF-SQUARED-DEVIATIONS ssᵢ = qᵢ − sᵢ²/nᵢ and
+    * sp² = (ss1+ss2)/(n1+n2−2), then t = (m1−m2)/√(sp²·(1/n1+1/n2)) —
+    * every double op an identical IEEE tree on both engines,
+    * floor-scaled to 1e-6; df emitted alongside (the reference
+    * statistic's second component). */
+  def qStudentT(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(s, dir, "events")
+      .filter(F.col("event_type").isin("click", "purchase"))
+      .select(F.expr("unix_micros(ts) div 86400000000 % 7").as("g"),
+        F.col("event_type").as("et"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("g")
+      .agg(
+        F.count(F.when(F.col("et") === "click", 1)).as("n1"),
+        F.sum(F.when(F.col("et") === "click", F.col("vc")).otherwise(0L)).as("s1"),
+        F.sum(F.when(F.col("et") === "click", F.col("vc") * F.col("vc")).otherwise(0L)).as("q1"),
+        F.count(F.when(F.col("et") === "purchase", 1)).as("n2"),
+        F.sum(F.when(F.col("et") === "purchase", F.col("vc")).otherwise(0L)).as("s2"),
+        F.sum(F.when(F.col("et") === "purchase", F.col("vc") * F.col("vc")).otherwise(0L)).as("q2"))
+    val m1 = d("s1") / d("n1"); val m2 = d("s2") / d("n2")
+    val ss1 = d("q1") - d("s1") * d("s1") / d("n1")
+    val ss2 = d("q2") - d("s2") * d("s2") / d("n2")
+    val dfC = F.col("n1") + F.col("n2") - 2
+    val sp2 = (ss1 + ss2) / dfC.cast("double")
+    agg.select(F.col("g"), F.col("n1"), F.col("n2"), dfC.as("df"),
+      F.floor((m1 - m2)
+        / F.sqrt(sp2 * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n2"))) * 1e6).as("t6"))
+  }
+
+  val qStudentTSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 % 7 AS g, event_type AS et,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |m AS (
+      |  SELECT g,
+      |   COUNT(CASE WHEN et = 'click' THEN 1 END) AS n1,
+      |   CAST(SUM(CASE WHEN et = 'click' THEN vc ELSE 0 END) AS BIGINT) AS s1,
+      |   CAST(SUM(CASE WHEN et = 'click' THEN vc*vc ELSE 0 END) AS BIGINT) AS q1,
+      |   COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS n2,
+      |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS s2,
+      |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc*vc ELSE 0 END) AS BIGINT) AS q2
+      |  FROM ev GROUP BY 1),
+      |t AS (
+      |  SELECT g, n1, n2,
+      |   CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS m1,
+      |   CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS m2,
+      |   CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS ss1,
+      |   CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS ss2
+      |  FROM m)
+      |SELECT g, n1, n2, n1 + n2 - 2 AS df,
+      | CAST(floor((m1 - m2)
+      |   / sqrt((ss1 + ss2) / CAST(n1 + n2 - 2 AS DOUBLE)
+      |          * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE)))
+      |   * 1e6) AS BIGINT) AS t6
+      |FROM t""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_studentt", qStudentT _, Some(qStudentTSql)),
     ("q_ttest", qTtest _, Some(qTtestSql)),
     ("q_skew_kurt", qSkewKurt _, Some(qSkewKurtSql)),
     ("q_linreg", qLinreg _, Some(qLinregSql)),
