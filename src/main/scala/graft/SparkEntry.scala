@@ -12,6 +12,7 @@ object SparkEntry {
       graft.olap.OlapStatQueries.entries ++
       graft.olap.OlapSeriesQueries.entries ++
       graft.olap.OlapAnalyticQueries.entries ++
+      graft.olap.OlapHypothesisQueries.entries ++
       graft.kv.KVQueries.entries ++
       graft.graph.GraphQueries.entries ++
       graft.pipeline.DedupQueries.entries ++

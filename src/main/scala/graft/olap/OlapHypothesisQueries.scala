@@ -1,0 +1,358 @@
+package graft.olap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+import graft.Tables.dec2
+
+/** Distribution-comparison and association statistics (ClickHouse
+  * `kolmogorovSmirnovTest`, `rankCorr`, `entropy`, `contingency`,
+  * `cramersVBiasCorrected`, `theilsU`, `sparkbar`).
+  *
+  * Same cross-engine float discipline as [[OlapAnalyticQueries]]:
+  * aggregation state is exact (BIGINT / DECIMAL(38,0) rank sums, integer
+  * cumulative counts, contingency cell counts); doubles appear only in a
+  * terminal closed form written as the identical IEEE operation tree on
+  * both engines. The one genuinely inexact primitive used here is log2,
+  * whose last-ulp result is NOT guaranteed identical between java.lang.Math
+  * and C libm — every log2 term is therefore floor(x*1e6 + 0.5)-rounded
+  * (round-half-up) so a 1-ulp disagreement at an integer boundary (e.g.
+  * log2 of a power of two) cannot flip the output, and the per-category
+  * terms are rounded to BIGINT *before* summation so the sum is
+  * order-independent.
+  *
+  * Scale shapes: KS and Spearman are one range-frame window sort per
+  * group key (single exchange, no self-join); the entropy / association
+  * family aggregates to a contingency table first (cells ≤ |r|·|c|, a
+  * few dozen rows) so every log/chi² term runs on cell counts, never on
+  * the fact stream; sparkbar's bounds row is a broadcast scalar.
+  */
+object OlapHypothesisQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val d38 = DecimalType(38, 0)
+  private def d(c: String): Column = F.col(c).cast("double")
+
+  /** Day-of-week group + click/purchase value-cents — the shared cohort
+    * pairing of q_ttest / q_mwu_auc, reused so the hypothesis family is
+    * directly comparable across tests. */
+  private def cohort(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .filter(F.col("event_type").isin("click", "purchase"))
+      .select(F.expr("unix_micros(ts) div 86400000000 % 7").as("g"),
+        F.col("event_type").as("et"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+
+  /** q_ks_test: ClickHouse `kolmogorovSmirnovTest` — two-sample exact KS
+    * statistic per cohort day. D = max_v |F1(v) − F2(v)| is computed as a
+    * pure integer: cumulative counts c1,c2 under a RANGE frame (ties
+    * collapse identically on both engines because the frame includes all
+    * peers of v), numerator max|c1·n2 − c2·n1|, then
+    * d6 = floor(1e6·D) via DECIMAL division. lam6 is the asymptotic
+    * scaling √(n1·n2/(n1+n2))·D (sqrt/division are correctly rounded —
+    * deterministic). One window sort per day partition; no self-join.
+    * Numerator stays in BIGINT for per-day sample sizes up to ~3e9 per
+    * side (beyond any per-day cohort at 100 TB). */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val wv = Window.partitionBy("g").orderBy(F.col("vc"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy("g")
+    val one = (et: String) => F.when(F.col("et") === et, 1L).otherwise(0L)
+    val r = cohort(s, dir)
+      .withColumn("c1", F.sum(one("click")).over(wv))
+      .withColumn("c2", F.sum(one("purchase")).over(wv))
+      .withColumn("n1", F.sum(one("click")).over(wg))
+      .withColumn("n2", F.sum(one("purchase")).over(wg))
+    val m = r.groupBy("g").agg(
+      F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).as("dnum"),
+      F.max("n1").as("n1"), F.max("n2").as("n2"))
+    m.select(F.col("g"), F.col("n1"), F.col("n2"), F.col("dnum"),
+      F.expr("cast((cast(dnum as decimal(38,0)) * 1000000) div (cast(n1 as decimal(38,0)) * n2) as bigint)").as("d6"),
+      F.floor(F.sqrt(d("n1") * d("n2") / (d("n1") + d("n2")))
+        * (d("dnum") / (d("n1") * d("n2"))) * 1e6).as("lam6"))
+  }
+
+  val qKsTestSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 % 7 AS g, event_type AS et,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |r AS (
+      |  SELECT g,
+      |   SUM(CASE WHEN et='click' THEN 1 ELSE 0 END) OVER
+      |     (PARTITION BY g ORDER BY vc RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+      |   SUM(CASE WHEN et='purchase' THEN 1 ELSE 0 END) OVER
+      |     (PARTITION BY g ORDER BY vc RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+      |   SUM(CASE WHEN et='click' THEN 1 ELSE 0 END) OVER (PARTITION BY g) AS n1,
+      |   SUM(CASE WHEN et='purchase' THEN 1 ELSE 0 END) OVER (PARTITION BY g) AS n2
+      |  FROM ev),
+      |m AS (
+      |  SELECT g, CAST(MAX(ABS(c1*n2 - c2*n1)) AS BIGINT) AS dnum,
+      |   CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
+      |  FROM r GROUP BY 1)
+      |SELECT g, n1, n2, dnum,
+      | CAST((CAST(dnum AS HUGEINT) * 1000000) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d6,
+      | CAST(floor(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |   * (CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e6) AS BIGINT) AS lam6
+      |FROM m""".stripMargin
+
+  /** q_rankcorr: ClickHouse `rankCorr` — Spearman's rho between quantity
+    * and extended price per return flag. Ties get the average rank; it is
+    * kept integer by carrying 2× the average rank (2·rank + |peers| − 1,
+    * the q_mwu_auc trick), which rescales numerator and denominator of
+    * the Pearson form identically and thus cancels. All five sums
+    * accumulate in DECIMAL(38,0) (rx2·ry2 ≤ 4n², so BIGINT would
+    * overflow past n≈1.3e6 rows per group); the closed form is terminal
+    * doubles (division / sqrt — correctly rounded). Two window sorts on
+    * the same partition key = one exchange + two sorts, no self-join. */
+  def qRankCorr(s: SparkSession, dir: String): DataFrame = {
+    val wx = Window.partitionBy("g").orderBy(F.col("x"))
+    val wxt = Window.partitionBy("g", "x")
+    val wy = Window.partitionBy("g").orderBy(F.col("y"))
+    val wyt = Window.partitionBy("g", "y")
+    val r = Tables(s, dir, "lineitem")
+      .select(F.col("l_returnflag").as("g"),
+        F.col("l_quantity").cast("long").as("x"),
+        (dec2(F.col("l_extendedprice")) * 100).cast("long").as("y"))
+      .withColumn("rx2",
+        F.lit(2L) * F.rank().over(wx).cast("long") + F.count(F.lit(1)).over(wxt) - 1L)
+      .withColumn("ry2",
+        F.lit(2L) * F.rank().over(wy).cast("long") + F.count(F.lit(1)).over(wyt) - 1L)
+    val a = r.groupBy("g").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.col("rx2").cast(d38)).as("sx"),
+      F.sum(F.col("ry2").cast(d38)).as("sy"),
+      F.sum(F.col("rx2").cast(d38) * F.col("ry2")).as("sxy"),
+      F.sum(F.col("rx2").cast(d38) * F.col("rx2")).as("sxx"),
+      F.sum(F.col("ry2").cast(d38) * F.col("ry2")).as("syy"))
+    val num = (F.col("n").cast(d38) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    val dxx = (F.col("n").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    val dyy = (F.col("n").cast(d38) * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    a.select(F.col("g"), F.col("n"),
+      F.floor(num / F.sqrt(dxx * dyy) * 1e6).as("rho6"))
+  }
+
+  val qRankCorrSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+      |   CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT g,
+      |   2*CAST(RANK() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+      |     + COUNT(*) OVER (PARTITION BY g, x) - 1 AS rx2,
+      |   2*CAST(RANK() OVER (PARTITION BY g ORDER BY y) AS BIGINT)
+      |     + COUNT(*) OVER (PARTITION BY g, y) - 1 AS ry2
+      |  FROM li),
+      |a AS (
+      |  SELECT g, COUNT(*) AS n,
+      |   SUM(CAST(rx2 AS HUGEINT)) AS sx, SUM(CAST(ry2 AS HUGEINT)) AS sy,
+      |   SUM(CAST(rx2 AS HUGEINT)*ry2) AS sxy,
+      |   SUM(CAST(rx2 AS HUGEINT)*rx2) AS sxx,
+      |   SUM(CAST(ry2 AS HUGEINT)*ry2) AS syy
+      |  FROM r GROUP BY 1)
+      |SELECT g, n,
+      | CAST(floor(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+      |   / sqrt(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)
+      |        * CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE)) * 1e6) AS BIGINT) AS rho6
+      |FROM a""".stripMargin
+
+  /** floor(c·log2(c)·1e6 + 0.5) — the order-independent, 1-ulp-safe
+    * entropy term (see class doc). */
+  private def lgTerm(c: Column): Column =
+    F.floor(c.cast("double") * F.log2(c.cast("double")) * 1e6 + 0.5)
+
+  /** q_entropy: ClickHouse `entropy(event_type)` per cohort day. Shannon
+    * entropy H = log2(n) − Σ cᵢ·log2(cᵢ) / n computed from the per-day
+    * category counts (≤ |event_type| cells per day), with every log2 term
+    * rounded to BIGINT before the (integer, order-independent) sum. */
+  def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables(s, dir, "events")
+      .select(F.expr("unix_micros(ts) div 86400000000 % 7").as("g"),
+        F.col("event_type").as("et"))
+      .groupBy("g", "et").agg(F.count(F.lit(1)).as("c"))
+    val a = cell.groupBy("g").agg(
+      F.sum("c").as("n"), F.count(F.lit(1)).as("k"),
+      F.sum(lgTerm(F.col("c"))).as("slg6"))
+    a.select(F.col("g"), F.col("n"), F.col("k"), F.col("slg6"),
+      F.floor((F.log2(d("n")) - (d("slg6") / 1e6) / d("n")) * 1e6 + 0.5).as("h6"))
+  }
+
+  val qEntropySql: String =
+    """WITH cell AS (
+      |  SELECT epoch_us(ts) // 86400000000 % 7 AS g, event_type AS et, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT g, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k,
+      |   CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS slg6
+      |  FROM cell GROUP BY 1)
+      |SELECT g, n, k, slg6,
+      | CAST(floor((log2(CAST(n AS DOUBLE)) - (CAST(slg6 AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS h6
+      |FROM a""".stripMargin
+
+  /** The event_type × user-bucket contingency table with marginals —
+    * shared by q_assoc_suite and q_theilsu. Cells ≤ |event_type|·nb; the
+    * fact stream is touched exactly once (groupBy), everything after
+    * runs on the cell table. */
+  private def contingency(s: SparkSession, dir: String, nb: Int): DataFrame = {
+    val cell = Tables(s, dir, "events")
+      .select(F.col("event_type").as("r"), (F.col("user_id") % nb).as("c"))
+      .groupBy("r", "c").agg(F.count(F.lit(1)).as("o"))
+      .localCheckpoint()
+    val rt = cell.groupBy("r").agg(F.sum("o").as("rt"))
+    val ct = cell.groupBy("c").agg(F.sum("o").as("ct"))
+    cell.join(rt, "r").join(ct, "c")
+  }
+
+  /** q_assoc_suite: ClickHouse `contingency` + `cramersVBiasCorrected` —
+    * Pearson's contingency coefficient C = √(χ²/(χ²+n)) and the
+    * Bergsma bias-corrected Cramér's V over event_type × user-id bucket.
+    * χ² uses the q_cramers_v DECIMAL(38,0) scheme (per-cell
+    * (o²·1e9) div (rt·ct), overflow-impossible); the correction
+    * φ²c = max(0, φ² − (r−1)(c−1)/(n−1)) and the shrunken category
+    * counts are terminal doubles. */
+  def qAssocSuite(s: SparkSession, dir: String): DataFrame = {
+    val S = 1000000000L
+    val a = contingency(s, dir, 10).agg(
+      F.sum(F.expr(
+        s"(cast(o as decimal(38,0)) * o * $S) div (cast(rt as decimal(38,0)) * ct)")).as("t"),
+      F.sum("o").as("n"),
+      F.count_distinct(F.col("r")).as("nr"),
+      F.count_distinct(F.col("c")).as("nc"))
+    val chi2 = F.expr(s"cast(greatest(cast(0 as decimal(38,0)), cast(n as decimal(38,0)) * (t - $S)) as double)") / 1e9
+    val phi2 = chi2 / d("n")
+    val phi2c = F.greatest(F.lit(0.0),
+      phi2 - (d("nr") - 1.0) * (d("nc") - 1.0) / (d("n") - 1.0))
+    val rc = d("nr") - (d("nr") - 1.0) * (d("nr") - 1.0) / (d("n") - 1.0)
+    val cc = d("nc") - (d("nc") - 1.0) * (d("nc") - 1.0) / (d("n") - 1.0)
+    a.select(F.col("n"), F.col("nr"), F.col("nc"),
+      F.floor(F.sqrt(chi2 / (chi2 + d("n"))) * 1e6).as("c6"),
+      F.floor(F.sqrt(phi2c / F.least(rc - 1.0, cc - 1.0)) * 1e6).as("vc6"))
+  }
+
+  val qAssocSuiteSql: String =
+    """WITH ev AS (SELECT event_type AS r, user_id % 10 AS c FROM events),
+      |cell AS (SELECT r, c, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+      |rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY 1),
+      |ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY 1),
+      |agg AS (
+      |  SELECT CAST(SUM((CAST(o AS HUGEINT) * o * 1000000000)
+      |                  // (CAST(rt.rt AS HUGEINT) * ct.ct)) AS BIGINT) AS t,
+      |    CAST(SUM(o) AS BIGINT) AS n,
+      |    COUNT(DISTINCT cell.r) AS nr, COUNT(DISTINCT cell.c) AS nc
+      |  FROM cell JOIN rt ON rt.r = cell.r JOIN ct ON ct.c = cell.c),
+      |f AS (
+      |  SELECT n, nr, nc,
+      |   CAST(greatest(CAST(0 AS HUGEINT), CAST(n AS HUGEINT) * (t - 1000000000)) AS DOUBLE) / 1e9 AS chi2
+      |  FROM agg)
+      |SELECT n, nr, nc,
+      | CAST(floor(sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))) * 1e6) AS BIGINT) AS c6,
+      | CAST(floor(sqrt(
+      |   greatest(0.0, chi2 / CAST(n AS DOUBLE)
+      |     - (CAST(nr AS DOUBLE)-1.0)*(CAST(nc AS DOUBLE)-1.0)/(CAST(n AS DOUBLE)-1.0))
+      |   / least(CAST(nr AS DOUBLE) - (CAST(nr AS DOUBLE)-1.0)*(CAST(nr AS DOUBLE)-1.0)/(CAST(n AS DOUBLE)-1.0) - 1.0,
+      |           CAST(nc AS DOUBLE) - (CAST(nc AS DOUBLE)-1.0)*(CAST(nc AS DOUBLE)-1.0)/(CAST(n AS DOUBLE)-1.0) - 1.0))
+      |   * 1e6) AS BIGINT) AS vc6
+      |FROM f""".stripMargin
+
+  /** q_theilsu: ClickHouse `theilsU` — the uncertainty coefficient
+    * U(r|c) = (H(r) − H(r|c)) / H(r) of event_type given the user-id
+    * bucket. The three entropy sums (row marginal, column marginal,
+    * joint) use the same BIGINT-rounded log2 terms as q_entropy, taken
+    * over the contingency cells; the identity
+    * H(r|c) = H(r,c) − H(c) = (sct6 − sj6)/(1e6·n) makes the whole
+    * statistic a function of (n, srt6, sct6, sj6) — four exact BIGINTs. */
+  def qTheilsU(s: SparkSession, dir: String): DataFrame = {
+    val cell = contingency(s, dir, 8)
+    // rt/ct repeat per cell — de-duplicate marginal terms by summing the
+    // per-cell term divided by the number of cells sharing the marginal:
+    // instead aggregate marginals separately from the distinct sets.
+    val rts = cell.select("r", "rt").distinct()
+      .agg(F.sum(lgTerm(F.col("rt"))).as("srt6"))
+    val cts = cell.select("c", "ct").distinct()
+      .agg(F.sum(lgTerm(F.col("ct"))).as("sct6"))
+    val js = cell.agg(F.sum(lgTerm(F.col("o"))).as("sj6"), F.sum("o").as("n"))
+    val a = js.crossJoin(rts).crossJoin(cts)
+    val hr = F.log2(d("n")) - (d("srt6") / 1e6) / d("n")
+    val hrGivenC = (d("sct6") - d("sj6")) / 1e6 / d("n")
+    a.select(F.col("n"), F.col("srt6"), F.col("sct6"), F.col("sj6"),
+      F.floor((hr - hrGivenC) / hr * 1e6 + 0.5).as("u6"))
+  }
+
+  val qTheilsUSql: String =
+    """WITH ev AS (SELECT event_type AS r, user_id % 8 AS c FROM events),
+      |cell AS (SELECT r, c, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+      |rts AS (SELECT CAST(SUM(CAST(floor(CAST(rt AS DOUBLE)*log2(CAST(rt AS DOUBLE))*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS srt6
+      |        FROM (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY 1)),
+      |cts AS (SELECT CAST(SUM(CAST(floor(CAST(ct AS DOUBLE)*log2(CAST(ct AS DOUBLE))*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sct6
+      |        FROM (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY 1)),
+      |js AS (SELECT CAST(SUM(CAST(floor(CAST(o AS DOUBLE)*log2(CAST(o AS DOUBLE))*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sj6,
+      |        CAST(SUM(o) AS BIGINT) AS n FROM cell)
+      |SELECT n, srt6, sct6, sj6,
+      | CAST(floor(
+      |   ((log2(CAST(n AS DOUBLE)) - (CAST(srt6 AS DOUBLE)/1e6)/CAST(n AS DOUBLE))
+      |    - (CAST(sct6 AS DOUBLE) - CAST(sj6 AS DOUBLE))/1e6/CAST(n AS DOUBLE))
+      |   / (log2(CAST(n AS DOUBLE)) - (CAST(srt6 AS DOUBLE)/1e6)/CAST(n AS DOUBLE))
+      |   * 1e6 + 0.5) AS BIGINT) AS u6
+      |FROM js CROSS JOIN rts CROSS JOIN cts""".stripMargin
+
+  /** q_sparkbar: ClickHouse `sparkbar(16)(day, count)` — a 16-bucket
+    * activity bar per event type over the table's full day range,
+    * emitted as digit levels '0'..'8' (0 = empty bucket, else
+    * 1 + (c−1)·8 div maxc — the same ceil-scaled 8-level quantisation
+    * ClickHouse renders as block glyphs). Pure integer arithmetic; the
+    * global day range is a 1-row broadcast scalar, bucket cells are
+    * ≤ |event_type|·16 rows, and the dense 0..15 bucket axis comes from
+    * an explode of a literal sequence (so empty buckets render as 0). */
+  def qSparkbar(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("event_type").as("et"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+    val bounds = ev.agg(F.min("day").as("d0"), F.max("day").as("d1"))
+    val b = ev.crossJoin(F.broadcast(bounds))
+      .select(F.col("et"),
+        F.expr("least(15, ((day - d0) * 16) div (d1 - d0 + 1))").as("bucket"))
+      .groupBy("et", "bucket").agg(F.count(F.lit(1)).as("c"))
+    val mx = b.groupBy("et").agg(F.max("c").as("maxc"))
+    val axis = b.select("et").distinct()
+      .select(F.col("et"), F.explode(F.sequence(F.lit(0L), F.lit(15L))).as("bucket"))
+    val lvl = axis.join(b, Seq("et", "bucket"), "left")
+      .join(mx, Seq("et"))
+      .select(F.col("et"), F.col("bucket"),
+        F.when(F.col("c").isNull, 0L)
+          .otherwise(F.expr("(c - 1) * 8 div maxc + 1")).as("lvl"))
+    lvl.groupBy("et").agg(
+      F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("bucket"), F.col("lvl")))),
+        x => x.getField("lvl").cast("string"))).as("bar"))
+  }
+
+  val qSparkbarSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day FROM events),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |b AS (
+      |  SELECT et, least(15, ((day - d0) * 16) // (d1 - d0 + 1)) AS bucket, COUNT(*) AS c
+      |  FROM ev CROSS JOIN bounds GROUP BY 1, 2),
+      |mx AS (SELECT et, MAX(c) AS maxc FROM b GROUP BY 1),
+      |axis AS (SELECT DISTINCT et, CAST(u.bucket AS BIGINT) AS bucket
+      |         FROM b, UNNEST(range(0, 16)) AS u(bucket)),
+      |lvl AS (
+      |  SELECT axis.et, axis.bucket,
+      |   CASE WHEN b.c IS NULL THEN 0 ELSE CAST((b.c - 1) * 8 // mx.maxc + 1 AS BIGINT) END AS lvl
+      |  FROM axis LEFT JOIN b ON b.et = axis.et AND b.bucket = axis.bucket
+      |  JOIN mx ON mx.et = axis.et)
+      |SELECT et, string_agg(CAST(lvl AS VARCHAR), '' ORDER BY bucket) AS bar
+      |FROM lvl GROUP BY 1""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ks_test", qKsTest _, Some(qKsTestSql)),
+    ("q_rankcorr", qRankCorr _, Some(qRankCorrSql)),
+    ("q_entropy", qEntropy _, Some(qEntropySql)),
+    ("q_assoc_suite", qAssocSuite _, Some(qAssocSuiteSql)),
+    ("q_theilsu", qTheilsU _, Some(qTheilsUSql)),
+    ("q_sparkbar", qSparkbar _, Some(qSparkbarSql)))
+}
