@@ -61,11 +61,14 @@ object OlapHypothesisQueries {
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wg = Window.partitionBy("g")
     val one = (et: String) => F.when(F.col("et") === et, 1L).otherwise(0L)
-    val r = cohort(s, dir)
-      .withColumn("c1", F.sum(one("click")).over(wv))
-      .withColumn("c2", F.sum(one("purchase")).over(wv))
-      .withColumn("n1", F.sum(one("click")).over(wg))
-      .withColumn("n2", F.sum(one("purchase")).over(wg))
+    // one select so Catalyst groups the four aggregates into two Window
+    // nodes (one per spec) over a single exchange+sort, instead of the
+    // four stacked Window nodes sequential withColumns produce
+    val r = cohort(s, dir).select(F.col("g"),
+      F.sum(one("click")).over(wv).as("c1"),
+      F.sum(one("purchase")).over(wv).as("c2"),
+      F.sum(one("click")).over(wg).as("n1"),
+      F.sum(one("purchase")).over(wg).as("n2"))
     val m = r.groupBy("g").agg(
       F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).as("dnum"),
       F.max("n1").as("n1"), F.max("n2").as("n2"))
@@ -109,18 +112,23 @@ object OlapHypothesisQueries {
     * doubles (division / sqrt — correctly rounded). Two window sorts on
     * the same partition key = one exchange + two sorts, no self-join. */
   def qRankCorr(s: SparkSession, dir: String): DataFrame = {
+    // 2·midrank = rank + #{≤v} (rank = #{<v}+1, so their sum is
+    // #{<v} + #{≤v} + 1 = 2·average-rank): both terms share the same
+    // (partition, order) spec — rank row-framed, the cumulative count
+    // RANGE-framed — so each axis is ONE Window node over one sort, two
+    // sorts total on a single exchange (the 2·rank + ties − 1 form needs
+    // a second partition-by-(g,v) spec and doubles the sorts)
     val wx = Window.partitionBy("g").orderBy(F.col("x"))
-    val wxt = Window.partitionBy("g", "x")
+    val wxc = wx.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wy = Window.partitionBy("g").orderBy(F.col("y"))
-    val wyt = Window.partitionBy("g", "y")
+    val wyc = wy.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val r = Tables(s, dir, "lineitem")
       .select(F.col("l_returnflag").as("g"),
         F.col("l_quantity").cast("long").as("x"),
         (dec2(F.col("l_extendedprice")) * 100).cast("long").as("y"))
-      .withColumn("rx2",
-        F.lit(2L) * F.rank().over(wx).cast("long") + F.count(F.lit(1)).over(wxt) - 1L)
-      .withColumn("ry2",
-        F.lit(2L) * F.rank().over(wy).cast("long") + F.count(F.lit(1)).over(wyt) - 1L)
+      .select(F.col("g"),
+        (F.rank().over(wx).cast("long") + F.count(F.lit(1)).over(wxc)).as("rx2"),
+        (F.rank().over(wy).cast("long") + F.count(F.lit(1)).over(wyc)).as("ry2"))
     val a = r.groupBy("g").agg(
       F.count(F.lit(1)).as("n"),
       F.sum(F.col("rx2").cast(d38)).as("sx"),
@@ -142,10 +150,12 @@ object OlapHypothesisQueries {
       |  FROM lineitem),
       |r AS (
       |  SELECT g,
-      |   2*CAST(RANK() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
-      |     + COUNT(*) OVER (PARTITION BY g, x) - 1 AS rx2,
-      |   2*CAST(RANK() OVER (PARTITION BY g ORDER BY y) AS BIGINT)
-      |     + COUNT(*) OVER (PARTITION BY g, y) - 1 AS ry2
+      |   CAST(RANK() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+      |     + COUNT(*) OVER (PARTITION BY g ORDER BY x
+      |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx2,
+      |   CAST(RANK() OVER (PARTITION BY g ORDER BY y) AS BIGINT)
+      |     + COUNT(*) OVER (PARTITION BY g ORDER BY y
+      |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ry2
       |  FROM li),
       |a AS (
       |  SELECT g, COUNT(*) AS n,
