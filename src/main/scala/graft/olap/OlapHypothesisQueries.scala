@@ -358,7 +358,77 @@ object OlapHypothesisQueries {
       |SELECT et, string_agg(CAST(lvl AS VARCHAR), '' ORDER BY bucket) AS bar
       |FROM lvl GROUP BY 1""".stripMargin
 
+  /** q_psi_drift: Population Stability Index — the standard
+    * training-data drift metric — of each cohort day's value
+    * distribution against the event type's overall distribution, over 16
+    * equal-width buckets with add-one smoothing (so empty buckets are
+    * defined on both engines). PSI = Σ_b (p_b − q_b)·ln(p_b/q_b); p and
+    * q are correctly-rounded quotients of exact integers, and each ln
+    * term is rounded to BIGINT (×1e9, half-up) before the
+    * order-independent integer sum — the same 1-ulp discipline as the
+    * entropy family. The fact stream is aggregated once to
+    * (et, day, bucket) cells; day totals, overall-bucket totals and the
+    * 5-row min/max bounds are cell-level joins (bounds broadcast). */
+  def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val B = 16
+    val ev = Tables(s, dir, "events")
+      .select(F.col("event_type").as("et"),
+        F.expr("unix_micros(ts) div 86400000000 % 7").as("g"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+    val bounds = ev.groupBy("et").agg(F.min("vc").as("mn"), F.max("vc").as("mx"))
+    val cell = ev.join(F.broadcast(bounds), "et")
+      .select(F.col("et"), F.col("g"),
+        F.expr(s"least(${B - 1}, ((vc - mn) * $B) div (mx - mn + 1))").as("bucket"))
+      .groupBy("et", "g", "bucket").agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint()
+    val ng = cell.groupBy("et", "g").agg(F.sum("c").as("ng"))
+    val ct = cell.groupBy("et", "bucket").agg(F.sum("c").as("ct"))
+    val nt = cell.groupBy("et").agg(F.sum("c").as("nt"))
+    // dense (et, g, bucket) axis so empty day-buckets contribute their
+    // smoothed term too (DuckDB's cross of distinct ets/days × range)
+    val axis = ng.select("et", "g")
+      .select(F.col("et"), F.col("g"),
+        F.explode(F.sequence(F.lit(0L), F.lit((B - 1).toLong))).as("bucket"))
+    val j = axis.join(cell, Seq("et", "g", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(ng, Seq("et", "g")).join(ct, Seq("et", "bucket")).join(nt, Seq("et"))
+    val p = (F.col("c") + 1L).cast("double") / (F.col("ng") + B).cast("double")
+    val q = (F.col("ct") + 1L).cast("double") / (F.col("nt") + B).cast("double")
+    val term = F.floor((p - q) * F.log(p / q) * 1e9 + 0.5)
+    j.groupBy("et", "g").agg(F.sum(term).as("psi9"))
+  }
+
+  val qPsiDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS et, epoch_us(ts) // 86400000000 % 7 AS g,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events),
+      |bounds AS (SELECT et, MIN(vc) AS mn, MAX(vc) AS mx FROM ev GROUP BY 1),
+      |cell AS (
+      |  SELECT ev.et, g, least(15, ((vc - mn) * 16) // (mx - mn + 1)) AS bucket, COUNT(*) AS c
+      |  FROM ev JOIN bounds ON bounds.et = ev.et GROUP BY 1, 2, 3),
+      |ng AS (SELECT et, g, CAST(SUM(c) AS BIGINT) AS ng FROM cell GROUP BY 1, 2),
+      |ct AS (SELECT et, bucket, CAST(SUM(c) AS BIGINT) AS ct FROM cell GROUP BY 1, 2),
+      |nt AS (SELECT et, CAST(SUM(c) AS BIGINT) AS nt FROM cell GROUP BY 1),
+      |axis AS (SELECT et, g, CAST(u.bucket AS BIGINT) AS bucket
+      |         FROM ng, UNNEST(range(0, 16)) AS u(bucket)),
+      |j AS (
+      |  SELECT axis.et, axis.g, axis.bucket, COALESCE(cell.c, 0) AS c, ng.ng, ct.ct, nt.nt
+      |  FROM axis LEFT JOIN cell ON cell.et = axis.et AND cell.g = axis.g AND cell.bucket = axis.bucket
+      |  JOIN ng ON ng.et = axis.et AND ng.g = axis.g
+      |  JOIN ct ON ct.et = axis.et AND ct.bucket = axis.bucket
+      |  JOIN nt ON nt.et = axis.et),
+      |t AS (
+      |  SELECT et, g,
+      |   CAST(floor((CAST(c+1 AS DOUBLE)/CAST(ng+16 AS DOUBLE)
+      |              - CAST(ct+1 AS DOUBLE)/CAST(nt+16 AS DOUBLE))
+      |     * ln((CAST(c+1 AS DOUBLE)/CAST(ng+16 AS DOUBLE))
+      |        / (CAST(ct+1 AS DOUBLE)/CAST(nt+16 AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS term
+      |  FROM j)
+      |SELECT et, g, CAST(SUM(term) AS BIGINT) AS psi9 FROM t GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_psi_drift", qPsiDrift _, Some(qPsiDriftSql)),
     ("q_ks_test", qKsTest _, Some(qKsTestSql)),
     ("q_rankcorr", qRankCorr _, Some(qRankCorrSql)),
     ("q_entropy", qEntropy _, Some(qEntropySql)),
