@@ -21,6 +21,7 @@ object SparkEntry {
       graft.pipeline.HygieneQueries.entries ++
       graft.pipeline.PackQueries.entries ++
       graft.pipeline.MediaQueries.entries ++
+      graft.pipeline.PipelineQueries.entries ++
       graft.sources.SourceQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** The composed corpus-preparation pipeline (builder mandate, SURVEY §2D):
+  * clean → language-ID gate → quality/repetition gate → exact dedup →
+  * token accounting, as ONE driver-checked query. Individually each stage
+  * is its own CORRECTNESS entry (t_clean, t_langid, t_quality,
+  * d_gopher_rep, d_exact_dup, t_tokens); this entry proves the
+  * composition a user would actually run end-to-end over 100 TB, and
+  * that the whole thing stays one map-only pass plus ONE exchange:
+  * every gate is a codegen'd per-row predicate, and the dedup step is a
+  * window over the content hash (row_number + count share the spec) —
+  * no joins, no second shuffle, no driver round-trips.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  import TextQueries.{markers, tokenRe}
+
+  private def inList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString(", ")
+
+  /** d_e2e_pipeline: the kept documents with their pipeline metrics.
+    * Gates: predicted language 'en' (marker lexicons, priority tie-break
+    * — t_langid's rule), ≥ 10 cleaned words, duplicate-word fraction
+    * ≤ 0.5 (d_gopher_rep's dup_word_ppm), then keep the min doc_id per
+    * exact cleaned-content hash. */
+  def dE2ePipeline(s: SparkSession, dir: String): DataFrame = {
+    val clean = F.trim(F.regexp_replace(
+      F.regexp_replace(F.col("text"), "[.,!?;:]", ""), " +", " "))
+    val stage1 = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"), clean.as("clean"),
+        F.split(clean, " ").as("w"))
+    val metricCols: Seq[Column] =
+      Seq(F.col("doc_id"), F.col("source"), F.col("clean"),
+        F.size(F.col("w")).cast("long").as("n_words"),
+        F.size(F.array_distinct(F.col("w"))).cast("long").as("n_distinct")) ++
+        markers.map { case (l, ws) =>
+          F.expr(s"size(filter(w, x -> x IN (${inList(ws)})))").cast("long").as(s"s_$l")
+        }
+    val scored = stage1.select(metricCols: _*)
+    val best = markers.map { case (l, _) => F.col(s"s_$l") }.reduce(F.greatest(_, _))
+    val pred = F.when(best <= 0L, "und")
+      .otherwise(markers.foldRight(F.lit("und"): Column) { case ((l, _), el) =>
+        F.when(F.col(s"s_$l") === best, l).otherwise(el)
+      })
+    val gated = scored
+      .withColumn("pred_lang", pred)
+      .filter(F.col("pred_lang") === "en")
+      .filter(F.col("n_words") >= 10L)
+      .withColumn("dup_word_ppm",
+        F.floor((F.col("n_words") - F.col("n_distinct")).cast("double") /
+          F.col("n_words").cast("double") * 1e6))
+      .filter(F.col("dup_word_ppm") <= 500000L)
+    val wh = Window.partitionBy("h").orderBy("doc_id")
+    gated
+      .select(F.col("doc_id"), F.col("source"), F.col("clean"),
+        F.col("n_words"), F.col("dup_word_ppm"),
+        F.md5(F.col("clean").cast("binary")).as("h"))
+      .select(F.col("doc_id"), F.col("source"), F.col("n_words"),
+        F.col("dup_word_ppm"),
+        F.expr(s"regexp_count(clean, '$tokenRe')").cast("long").as("re_tokens"),
+        F.row_number().over(wh).as("rn"),
+        F.count(F.lit(1)).over(wh.rangeBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("n_copies"))
+      .filter(F.col("rn") === 1).drop("rn")
+  }
+
+  val dE2ePipelineSql: String = {
+    val scores = markers.map { case (l, ws) =>
+      s"CAST(len(list_filter(w, x -> x IN (${inList(ws)}))) AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    val best = "greatest(" + markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pick = markers.reverse.foldLeft("'und'") { case (el, (l, _)) =>
+      s"CASE WHEN s_$l = $best THEN '$l' ELSE $el END"
+    }
+    s"""WITH c AS (
+       |  SELECT doc_id, source,
+       |   trim(regexp_replace(regexp_replace(text, '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS clean
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT doc_id, source, clean, string_split(clean, ' ') AS w FROM c),
+       |scored AS (
+       |  SELECT doc_id, source, clean,
+       |   CAST(len(w) AS BIGINT) AS n_words,
+       |   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |  $scores
+       |  FROM s1),
+       |gated AS (
+       |  SELECT doc_id, source, clean, n_words,
+       |   CAST(floor(CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) AS dup_word_ppm
+       |  FROM scored
+       |  WHERE (CASE WHEN $best <= 0 THEN 'und' ELSE $pick END) = 'en'
+       |    AND n_words >= 10
+       |    AND CAST(floor(CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) * 1e6) AS BIGINT) <= 500000),
+       |ded AS (
+       |  SELECT doc_id, source, n_words, dup_word_ppm,
+       |   CAST(len(regexp_extract_all(clean, '$tokenRe')) AS BIGINT) AS re_tokens,
+       |   ROW_NUMBER() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn,
+       |   COUNT(*) OVER (PARTITION BY md5(clean)) AS n_copies
+       |  FROM gated)
+       |SELECT doc_id, source, n_words, dup_word_ppm, re_tokens, n_copies
+       |FROM ded WHERE rn = 1""".stripMargin
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)))
+}
