@@ -427,7 +427,60 @@ object OlapHypothesisQueries {
       |  FROM j)
       |SELECT et, g, CAST(SUM(term) AS BIGINT) AS psi9 FROM t GROUP BY 1, 2""".stripMargin
 
+  /** q_iv_woe: ClickHouse `categoricalInformationValue` — Weight of
+    * Evidence and Information Value of the user-id bucket feature
+    * against the binary purchase outcome, with add-one smoothing so
+    * empty cells are defined. good/bad counts are exact BIGINTs from one
+    * fact-stream aggregation; WOE = ln((g_i/G)/(b_i/B)) is rounded to
+    * BIGINT per category (1-ulp-safe), and IV = Σ (g_i/G − b_i/B)·WOE_i
+    * sums BIGINT-rounded terms (order-independent), attached to every
+    * row from the ≤10-row cell aggregate (broadcast). */
+  def qIvWoe(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables(s, dir, "events")
+      .select((F.col("user_id") % 10).as("cat"),
+        F.when(F.col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy("cat")
+      .agg(F.sum("y").as("good"), F.sum(F.lit(1L) - F.col("y")).as("bad"))
+      .localCheckpoint()
+    val tot = cell.agg(F.sum("good").as("gt"), F.sum("bad").as("bt"),
+      F.count(F.lit(1)).as("k"))
+    val j = cell.crossJoin(F.broadcast(tot))
+    val pg = (F.col("good") + 1L).cast("double") / (F.col("gt") + F.col("k")).cast("double")
+    val pb = (F.col("bad") + 1L).cast("double") / (F.col("bt") + F.col("k")).cast("double")
+    val woe6 = F.floor(F.log(pg / pb) * 1e6 + 0.5)
+    val term9 = F.floor((pg - pb) * F.log(pg / pb) * 1e9 + 0.5)
+    val terms = j.select(F.col("cat"), F.col("good"), F.col("bad"),
+      woe6.as("woe6"), term9.as("term9"))
+    val iv = terms.agg(F.sum("term9").as("iv9"))
+    terms.drop("term9").crossJoin(F.broadcast(iv))
+  }
+
+  val qIvWoeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id % 10 AS cat,
+      |   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |cell AS (
+      |  SELECT cat, CAST(SUM(y) AS BIGINT) AS good,
+      |   CAST(SUM(1 - y) AS BIGINT) AS bad
+      |  FROM ev GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(good) AS BIGINT) AS gt, CAST(SUM(bad) AS BIGINT) AS bt,
+      |        COUNT(*) AS k FROM cell),
+      |t AS (
+      |  SELECT cat, good, bad,
+      |   CAST(floor(ln((CAST(good+1 AS DOUBLE)/CAST(gt+k AS DOUBLE))
+      |               / (CAST(bad+1 AS DOUBLE)/CAST(bt+k AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS woe6,
+      |   CAST(floor((CAST(good+1 AS DOUBLE)/CAST(gt+k AS DOUBLE)
+      |             - CAST(bad+1 AS DOUBLE)/CAST(bt+k AS DOUBLE))
+      |     * ln((CAST(good+1 AS DOUBLE)/CAST(gt+k AS DOUBLE))
+      |        / (CAST(bad+1 AS DOUBLE)/CAST(bt+k AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS term9
+      |  FROM cell CROSS JOIN tot)
+      |SELECT cat, good, bad, woe6,
+      | (SELECT CAST(SUM(term9) AS BIGINT) FROM t) AS iv9
+      |FROM t""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_iv_woe", qIvWoe _, Some(qIvWoeSql)),
     ("q_psi_drift", qPsiDrift _, Some(qPsiDriftSql)),
     ("q_ks_test", qKsTest _, Some(qKsTestSql)),
     ("q_rankcorr", qRankCorr _, Some(qRankCorrSql)),

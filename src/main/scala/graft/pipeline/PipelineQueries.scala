@@ -107,6 +107,48 @@ object PipelineQueries {
        |FROM ded WHERE rn = 1""".stripMargin
   }
 
+  /** d_vocab_coverage: tokenizer-planning statistic — what fraction of
+    * all corpus tokens the top-100 words cover, cumulatively. Word
+    * counts are ONE hash aggregation (map-side combined); the top-100 cut
+    * is TakeOrderedAndProject with the deterministic (count desc, word)
+    * tie-break — never a global sort; the cumulative sum then runs as a
+    * window over the 100 surviving rows (partitioned by a constant: the
+    * input is bounded by the preceding limit, so the single partition is
+    * by construction, not by accident); the corpus token total joins in
+    * as a broadcast scalar. */
+  def dVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(F.explode(F.split(F.col("text"), " ")).as("word"))
+      .groupBy("word").agg(F.count(F.lit(1)).as("c"))
+    val total = words.agg(F.sum("c").as("n"))
+    val top = words.orderBy(F.col("c").desc, F.col("word")).limit(100)
+    val wcum = Window.partitionBy(F.lit(0)).orderBy(F.col("c").desc, F.col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(F.broadcast(total))
+      .select(
+        F.row_number().over(wcum).as("rnk"),
+        F.col("word"), F.col("c"),
+        F.expr("cast(0 as bigint)").as("_pad"), // keep column order stable
+        F.floor(F.sum("c").over(wcum).cast("double") / F.col("n").cast("double") * 1e6)
+          .as("cum_ppm"))
+      .drop("_pad")
+  }
+
+  val dVocabCoverageSql: String =
+    """WITH w AS (
+      |  SELECT u.word AS word FROM documents, UNNEST(string_split(text, ' ')) AS u(word)),
+      |wc AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wc),
+      |top AS (SELECT word, CAST(c AS BIGINT) AS c FROM wc ORDER BY c DESC, word LIMIT 100)
+      |SELECT
+      | CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS BIGINT) AS rnk,
+      | word, c,
+      | CAST(floor(CAST(SUM(c) OVER (ORDER BY c DESC, word
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS cum_ppm
+      |FROM top CROSS JOIN tot""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)))
+    ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)),
+    ("d_vocab_coverage", dVocabCoverage _, Some(dVocabCoverageSql)))
 }
