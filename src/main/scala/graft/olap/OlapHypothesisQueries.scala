@@ -479,7 +479,75 @@ object OlapHypothesisQueries {
       | (SELECT CAST(SUM(term9) AS BIGINT) FROM t) AS iv9
       |FROM t""".stripMargin
 
+  /** q_meanztest: ClickHouse `meanZTest` — two-sample z on the q_ttest
+    * cohort under the given population variances (σ² = 250000 cents² per
+    * side, the test's parameters, as ClickHouse takes them as
+    * arguments). Exact BIGINT sums; z = (m1−m2)/√(σ²/n1 + σ²/n2) is a
+    * correctly-rounded terminal tree — no libm beyond sqrt. */
+  def qMeanZTest(s: SparkSession, dir: String): DataFrame = {
+    val V = 250000.0
+    val agg = cohort(s, dir)
+      .groupBy("g")
+      .agg(
+        F.count(F.when(F.col("et") === "click", 1)).as("n1"),
+        F.sum(F.when(F.col("et") === "click", F.col("vc")).otherwise(0L)).as("s1"),
+        F.count(F.when(F.col("et") === "purchase", 1)).as("n2"),
+        F.sum(F.when(F.col("et") === "purchase", F.col("vc")).otherwise(0L)).as("s2"))
+    agg.select(F.col("g"), F.col("n1"), F.col("n2"),
+      F.floor((d("s1") / d("n1") - d("s2") / d("n2"))
+        / F.sqrt(F.lit(V) / d("n1") + F.lit(V) / d("n2")) * 1e6).as("z6"))
+  }
+
+  val qMeanZTestSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 % 7 AS g, event_type AS et,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |m AS (
+      |  SELECT g,
+      |   COUNT(CASE WHEN et = 'click' THEN 1 END) AS n1,
+      |   CAST(SUM(CASE WHEN et = 'click' THEN vc ELSE 0 END) AS BIGINT) AS s1,
+      |   COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS n2,
+      |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS s2
+      |  FROM ev GROUP BY 1)
+      |SELECT g, n1, n2,
+      | CAST(floor((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+      |   / sqrt(250000.0/CAST(n1 AS DOUBLE) + 250000.0/CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT) AS z6
+      |FROM m""".stripMargin
+
+  /** q_chi2_gof: one-sample chi² goodness-of-fit of the per-day
+    * event-type mix against the uniform expectation n/k — entirely in
+    * integers: per-cell term (o·k − n)²·1e9 div (n·k²) accumulated in
+    * DECIMAL(38,0) (χ² = Σ(o−n/k)²/(n/k) scaled by 1e9), so there is no
+    * float anywhere and overflow is impossible below DECIMAL38 bounds. */
+  def qChi2Gof(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables(s, dir, "events")
+      .select(F.expr("unix_micros(ts) div 86400000000 % 7").as("g"),
+        F.col("event_type").as("et"))
+      .groupBy("g", "et").agg(F.count(F.lit(1)).as("o"))
+    val tot = cell.groupBy("g").agg(F.sum("o").as("n"), F.count(F.lit(1)).as("k"))
+    cell.join(tot, "g")
+      .groupBy("g")
+      .agg(F.max("n").as("n"), F.max("k").as("k"),
+        F.sum(F.expr(
+          """(cast(o as decimal(38,0)) * k - n) * (cast(o as decimal(38,0)) * k - n) * 1000000000
+            |  div (cast(n as decimal(38,0)) * k * k)""".stripMargin))
+          .cast("long").as("chi2s9"))
+  }
+
+  val qChi2GofSql: String =
+    """WITH cell AS (
+      |  SELECT epoch_us(ts) // 86400000000 % 7 AS g, event_type AS et, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT g, CAST(SUM(o) AS BIGINT) AS n, COUNT(*) AS k FROM cell GROUP BY 1)
+      |SELECT cell.g, MAX(n) AS n, MAX(k) AS k,
+      | CAST(SUM((CAST(o AS HUGEINT) * k - n) * (CAST(o AS HUGEINT) * k - n) * 1000000000
+      |          // (CAST(n AS HUGEINT) * k * k)) AS BIGINT) AS chi2s9
+      |FROM cell JOIN tot ON tot.g = cell.g GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_meanztest", qMeanZTest _, Some(qMeanZTestSql)),
+    ("q_chi2_gof", qChi2Gof _, Some(qChi2GofSql)),
     ("q_iv_woe", qIvWoe _, Some(qIvWoeSql)),
     ("q_psi_drift", qPsiDrift _, Some(qPsiDriftSql)),
     ("q_ks_test", qKsTest _, Some(qKsTestSql)),

@@ -78,4 +78,39 @@ object DriftStream {
       .select(F.col("window_start"), F.col("n"), F.col("dnum"),
         F.expr(s"cast((cast(dnum as decimal(38,0)) * 1000000) div (cast(n as decimal(38,0)) * ${ref.m}) as bigint)").as("d6"))
   }
+
+  /** Streaming PSI against the same compiled reference — the windowed
+    * form of q_psi_drift, sharing binnedKs's one-histogram-row state
+    * design. The per-bin reference counts are recovered from the
+    * cumulative array (rc_b − rc_{b−1}) inside the fold; each smoothed
+    * (p−q)·ln(p/q) term is BIGINT-rounded (×1e9, half-up) before the
+    * integer sum, the same 1-ulp discipline as the batch metric. */
+  def binnedPsi(events: DataFrame, ref: Ref): DataFrame = {
+    val B = ref.bins
+    val vc = F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+    val bucket = F.greatest(F.lit(0L), F.least(F.lit((B - 1).toLong),
+      F.expr(s"((vc - ${ref.mn}) * $B) div (${ref.mx - ref.mn} + 1)")))
+    val hist = F.array((0 until B).map(b =>
+      F.sum(F.when(F.col("bucket") === b, 1L).otherwise(0L))): _*)
+    val refHist = ref.cum.indices
+      .map(i => if (i == 0) ref.cum(0) else ref.cum(i) - ref.cum(i - 1))
+    events
+      .select(F.col("ts"), vc.as("vc"))
+      .select(F.col("ts"), bucket.as("bucket"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"))
+      .agg(hist.as("h"), F.count(F.lit(1)).as("n"))
+      .select(F.col("w.start").as("window_start"), F.col("n"),
+        F.expr(
+          s"""aggregate(
+             |  zip_with(h, array(${refHist.mkString(",")}),
+             |           (a, b) -> struct(a as c, b as rc)),
+             |  cast(0 as bigint),
+             |  (acc, x) -> acc + cast(floor(
+             |    (cast(x.c + 1 as double) / cast(n + $B as double)
+             |     - cast(x.rc + 1 as double) / cast(${ref.m} + $B as double))
+             |    * ln((cast(x.c + 1 as double) / cast(n + $B as double))
+             |       / (cast(x.rc + 1 as double) / cast(${ref.m} + $B as double))) * 1e9 + 0.5) as bigint))""".stripMargin)
+          .as("psi9"))
+  }
 }

@@ -74,4 +74,47 @@ class DriftStreamSpec extends SparkSpec {
       assert(got(0L)._3 < 200000L)
     } finally q.stop()
   }
+
+  /** Plain-Scala replica of the streaming smoothed-PSI sum. */
+  private def psi9(vals: Seq[Long], ref: DriftStream.Ref): Long = {
+    val b = ref.bins
+    val hist = new Array[Long](b)
+    vals.foreach { v =>
+      val i = math.max(0L, math.min((b - 1).toLong,
+        (v - ref.mn) * b / (ref.mx - ref.mn + 1))).toInt
+      hist(i) += 1
+    }
+    val n = vals.size.toLong
+    (0 until b).map { i =>
+      val rc = if (i == 0) ref.cum(0) else ref.cum(i) - ref.cum(i - 1)
+      val p = (hist(i) + 1).toDouble / (n + b)
+      val q = (rc + 1).toDouble / (ref.m + b)
+      math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+    }.sum
+  }
+
+  test("windowed PSI equals the Scala replica and separates drifted from stable windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val refVals = (0L until 100L).map(_ * 100)
+    val ref = DriftStream.compileRef(refVals.toDF("vc"), bins = 16)
+    val in = MemoryStream[V]
+    val q = DriftStream.binnedPsi(in.toDF(), ref)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val w0 = (0L until 60L).map(v => V(ts(v), v * 100 * 1.65 % 100))
+      val w1 = (0L until 60L).map(v => V(ts(60 + v), 95.0 + (v % 5)))
+      in.addData(w0: _*); q.processAllAvailable()
+      in.addData(w1: _*); q.processAllAvailable()
+      in.addData(V(ts(400), 1.0)); q.processAllAvailable()
+      val got = spark.table("psi_out")
+        .collect().map(r => mins(r.getTimestamp(0)) -> (r.getLong(1), r.getLong(2))).toMap
+      def cents(vs: Seq[V]): Seq[Long] =
+        vs.map(v => (BigDecimal(v.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      assert(got(0L) === ((60L, psi9(cents(w0), ref))), s"got $got")
+      assert(got(60L) === ((60L, psi9(cents(w1), ref))), s"got $got")
+      assert(got(60L)._2 > got(0L)._2 * 5, s"got $got") // drift separates
+    } finally q.stop()
+  }
 }
