@@ -340,7 +340,43 @@ object OlapSeriesQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY tu
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** q_datetime_suite: the ClickHouse date/time function family
+    * (toStartOfMonth/Week, toDayOfWeek, toHour, toStartOfInterval,
+    * formatDateTime) as one grouped scan. The day-of-week, hour and
+    * 15-minute-interval derivations are pure epoch integer arithmetic
+    * (identical on both engines by construction — no reliance on either
+    * engine's dow numbering convention); month/week truncation and
+    * yyyy-MM formatting go through each engine's calendar functions under
+    * the UTC session timezone. Map-side derivations + one hash aggregate
+    * on (month, dow) — a single exchange at any scale. */
+  def qDatetimeSuite(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.date_trunc("month", F.col("ts")).as("month_start"),
+        F.date_trunc("week", F.col("ts")).as("week_start"),
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+        F.expr("unix_micros(ts) div 900000000").as("q15"),
+        F.date_format(F.col("ts"), "yyyy-MM").as("ym"))
+      .groupBy("month_start", "dow")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count_distinct(F.col("week_start")).as("n_weeks"),
+        F.count_distinct(F.col("hr")).as("n_hours"),
+        F.min("q15").as("q15_min"), F.max("q15").as("q15_max"),
+        F.max("ym").as("ym"))
+
+  val qDatetimeSuiteSql: String =
+    """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+      | (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      | COUNT(*) AS n,
+      | COUNT(DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP)) AS n_weeks,
+      | COUNT(DISTINCT (epoch_us(ts) // 3600000000) % 24) AS n_hours,
+      | CAST(MIN(epoch_us(ts) // 900000000) AS BIGINT) AS q15_min,
+      | CAST(MAX(epoch_us(ts) // 900000000) AS BIGINT) AS q15_max,
+      | MAX(strftime(ts, '%Y-%m')) AS ym
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_datetime_suite", qDatetimeSuite _, Some(qDatetimeSuiteSql)),
     ("q_first_last", qFirstLast _, Some(qFirstLastSql)),
     ("q_lttb", qLttb _, Some(qLttbSql)),
     ("q_range_frame", qRangeFrame _, Some(qRangeFrameSql)),

@@ -409,7 +409,33 @@ object TextQueries {
       |  substring(hex(text), 1, 16) AS hex16
       |FROM documents""".stripMargin
 
+  /** t_string_suite: the ClickHouse string-function family (position,
+    * substring, reverse, leftPad, replaceAll, splitByChar) as one
+    * map-only pass per document — every expression a codegen'd Catalyst
+    * built-in with an exact DuckDB equivalent (1-based positions, 0 when
+    * absent; ASCII corpus so byte/char semantics coincide). */
+  def tStringSuite(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        F.instr(F.col("text"), "the").cast("long").as("pos_the"),
+        F.substring(F.col("text"), 5, 12).as("sub"),
+        F.reverse(F.substring(F.col("text"), 1, 8)).as("rev8"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").as("pad"),
+        F.length(F.regexp_replace(F.col("text"), "the", "THEE")).cast("long").as("len_repl"),
+        (F.size(F.split(F.col("text"), "e", -1)) - 1).cast("long").as("n_e"))
+
+  val tStringSuiteSql: String =
+    """SELECT doc_id,
+      | CAST(strpos(text, 'the') AS BIGINT) AS pos_the,
+      | substr(text, 5, 12) AS sub,
+      | reverse(substr(text, 1, 8)) AS rev8,
+      | lpad(CAST(doc_id AS VARCHAR), 8, '0') AS pad,
+      | CAST(length(regexp_replace(text, 'the', 'THEE', 'g')) AS BIGINT) AS len_repl,
+      | CAST(len(string_split(text, 'e')) - 1 AS BIGINT) AS n_e
+      |FROM documents""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_string_suite", tStringSuite _, Some(tStringSuiteSql)),
     ("t_codec", tCodec _, Some(tCodecSql)),
     ("t_ip_funcs", tIpFuncs _, Some(tIpFuncsSql)),
     ("t_multisearch", tMultiSearch _, Some(tMultiSearchSql)),
