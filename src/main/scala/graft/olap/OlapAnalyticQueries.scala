@@ -156,7 +156,8 @@ object OlapAnalyticQueries {
       .agg(F.count(F.when(F.col("et") === "click", 1)).as("n1"),
         F.count(F.when(F.col("et") === "purchase", 1)).as("n2"),
         F.sum(F.when(F.col("et") === "click", F.col("tr2"))).as("r1x2"))
-    m.select(F.col("g"), F.col("n1"), F.col("n2"),
+    m.filter(F.col("n1") > 0L && F.col("n2") > 0L) // U/AUC undefined on an empty side
+      .select(F.col("g"), F.col("n1"), F.col("n2"),
       (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1L)).as("u2"))
       .select(F.col("g"), F.col("n1"), F.col("n2"), F.col("u2"),
         (F.col("u2").cast("double") /
@@ -177,7 +178,9 @@ object OlapAnalyticQueries {
       |  SELECT g, COUNT(CASE WHEN et = 'click' THEN 1 END) AS n1,
       |   COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS n2,
       |   CAST(SUM(CASE WHEN et = 'click' THEN tr2 END) AS BIGINT) AS r1x2
-      |  FROM r GROUP BY 1)
+      |  FROM r GROUP BY 1
+      |  HAVING COUNT(CASE WHEN et = 'click' THEN 1 END) > 0
+      |     AND COUNT(CASE WHEN et = 'purchase' THEN 1 END) > 0)
       |SELECT g, n1, n2, r1x2 - n1*(n1+1) AS u2,
       | CAST(r1x2 - n1*(n1+1) AS DOUBLE) / CAST(2*n1*n2 AS DOUBLE) AS auc
       |FROM m""".stripMargin
@@ -349,8 +352,11 @@ object OlapAnalyticQueries {
     val m1 = d("s1") / d("n1"); val m2 = d("s2") / d("n2")
     val v1 = d("q1") / d("n1") - m1 * m1
     val v2 = d("q2") / d("n2") - m2 * m2
-    agg.select(F.col("g"), F.col("n1"), F.col("n2"),
-      F.floor((m1 - m2) / F.sqrt(v1 / d("n1") + v2 / d("n2")) * 1e6).as("t6"))
+    // a day with either sample empty has no defined t: filter on BOTH
+    // engines rather than diverge on the zero divisor
+    agg.filter(F.col("n1") > 0L && F.col("n2") > 0L)
+      .select(F.col("g"), F.col("n1"), F.col("n2"),
+        F.floor((m1 - m2) / F.sqrt(v1 / d("n1") + v2 / d("n2")) * 1e6).as("t6"))
   }
 
   val qTtestSql: String =
@@ -366,7 +372,9 @@ object OlapAnalyticQueries {
       |   COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS n2,
       |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS s2,
       |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc*vc ELSE 0 END) AS BIGINT) AS q2
-      |  FROM ev GROUP BY 1),
+      |  FROM ev GROUP BY 1
+      |  HAVING COUNT(CASE WHEN et = 'click' THEN 1 END) > 0
+      |     AND COUNT(CASE WHEN et = 'purchase' THEN 1 END) > 0),
       |t AS (
       |  SELECT g, n1, n2,
       |   CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS m1,
@@ -407,9 +415,13 @@ object OlapAnalyticQueries {
     val ss2 = d("q2") - d("s2") * d("s2") / d("n2")
     val dfC = F.col("n1") + F.col("n2") - 2
     val sp2 = (ss1 + ss2) / dfC.cast("double")
-    agg.select(F.col("g"), F.col("n1"), F.col("n2"), dfC.as("df"),
-      F.floor((m1 - m2)
-        / F.sqrt(sp2 * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n2"))) * 1e6).as("t6"))
+    // both samples non-empty AND df > 0, or the pooled variance and the
+    // statistic are undefined (filtered identically on both engines)
+    agg.filter(F.col("n1") > 0L && F.col("n2") > 0L &&
+        F.col("n1") + F.col("n2") > 2L)
+      .select(F.col("g"), F.col("n1"), F.col("n2"), dfC.as("df"),
+        F.floor((m1 - m2)
+          / F.sqrt(sp2 * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n2"))) * 1e6).as("t6"))
   }
 
   val qStudentTSql: String =
@@ -425,7 +437,11 @@ object OlapAnalyticQueries {
       |   COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS n2,
       |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS s2,
       |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc*vc ELSE 0 END) AS BIGINT) AS q2
-      |  FROM ev GROUP BY 1),
+      |  FROM ev GROUP BY 1
+      |  HAVING COUNT(CASE WHEN et = 'click' THEN 1 END) > 0
+      |     AND COUNT(CASE WHEN et = 'purchase' THEN 1 END) > 0
+      |     AND COUNT(CASE WHEN et = 'click' THEN 1 END)
+      |       + COUNT(CASE WHEN et = 'purchase' THEN 1 END) > 2),
       |t AS (
       |  SELECT g, n1, n2,
       |   CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS m1,

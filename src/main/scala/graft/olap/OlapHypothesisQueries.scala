@@ -72,6 +72,9 @@ object OlapHypothesisQueries {
     val m = r.groupBy("g").agg(
       F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).as("dnum"),
       F.max("n1").as("n1"), F.max("n2").as("n2"))
+      // a day with either sample empty has no defined D: filter it on BOTH
+      // engines rather than diverge (Spark NULL vs DuckDB //0 error)
+      .filter(F.col("n1") > 0L && F.col("n2") > 0L)
     m.select(F.col("g"), F.col("n1"), F.col("n2"), F.col("dnum"),
       F.expr("cast((cast(dnum as decimal(38,0)) * 1000000) div (cast(n1 as decimal(38,0)) * n2) as bigint)").as("d6"),
       F.floor(F.sqrt(d("n1") * d("n2") / (d("n1") + d("n2")))
@@ -95,7 +98,8 @@ object OlapHypothesisQueries {
       |m AS (
       |  SELECT g, CAST(MAX(ABS(c1*n2 - c2*n1)) AS BIGINT) AS dnum,
       |   CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
-      |  FROM r GROUP BY 1)
+      |  FROM r GROUP BY 1
+      |  HAVING MAX(n1) > 0 AND MAX(n2) > 0)
       |SELECT g, n1, n2, dnum,
       | CAST((CAST(dnum AS HUGEINT) * 1000000) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d6,
       | CAST(floor(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
@@ -139,8 +143,11 @@ object OlapHypothesisQueries {
     val num = (F.col("n").cast(d38) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     val dxx = (F.col("n").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     val dyy = (F.col("n").cast(d38) * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    // a group with a constant axis has no defined rho: emit NULL on BOTH
+    // engines (Spark double/0 would give ±Infinity, DuckDB may differ)
     a.select(F.col("g"), F.col("n"),
-      F.floor(num / F.sqrt(dxx * dyy) * 1e6).as("rho6"))
+      F.when(dxx > 0.0 && dyy > 0.0,
+        F.floor(num / F.sqrt(dxx * dyy) * 1e6)).as("rho6"))
   }
 
   val qRankCorrSql: String =
@@ -165,9 +172,12 @@ object OlapHypothesisQueries {
       |   SUM(CAST(ry2 AS HUGEINT)*ry2) AS syy
       |  FROM r GROUP BY 1)
       |SELECT g, n,
-      | CAST(floor(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
-      |   / sqrt(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)
-      |        * CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE)) * 1e6) AS BIGINT) AS rho6
+      | CASE WHEN CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE) > 0
+      |       AND CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE) > 0
+      |  THEN CAST(floor(CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+      |    / sqrt(CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE)
+      |         * CAST(CAST(n AS HUGEINT)*syy - sy*sy AS DOUBLE)) * 1e6) AS BIGINT)
+      |  ELSE NULL END AS rho6
       |FROM a""".stripMargin
 
   /** floor(c·log2(c)·1e6 + 0.5) — the order-independent, 1-ulp-safe
@@ -288,8 +298,9 @@ object OlapHypothesisQueries {
     val a = js.crossJoin(rts).crossJoin(cts)
     val hr = F.log2(d("n")) - (d("srt6") / 1e6) / d("n")
     val hrGivenC = (d("sct6") - d("sj6")) / 1e6 / d("n")
+    // H(r)=0 (a single event type) leaves U undefined: NULL on both engines
     a.select(F.col("n"), F.col("srt6"), F.col("sct6"), F.col("sj6"),
-      F.floor((hr - hrGivenC) / hr * 1e6 + 0.5).as("u6"))
+      F.when(hr > 0.0, F.floor((hr - hrGivenC) / hr * 1e6 + 0.5)).as("u6"))
   }
 
   val qTheilsUSql: String =
@@ -302,11 +313,13 @@ object OlapHypothesisQueries {
       |js AS (SELECT CAST(SUM(CAST(floor(CAST(o AS DOUBLE)*log2(CAST(o AS DOUBLE))*1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sj6,
       |        CAST(SUM(o) AS BIGINT) AS n FROM cell)
       |SELECT n, srt6, sct6, sj6,
-      | CAST(floor(
+      | CASE WHEN (log2(CAST(n AS DOUBLE)) - (CAST(srt6 AS DOUBLE)/1e6)/CAST(n AS DOUBLE)) > 0
+      |  THEN CAST(floor(
       |   ((log2(CAST(n AS DOUBLE)) - (CAST(srt6 AS DOUBLE)/1e6)/CAST(n AS DOUBLE))
       |    - (CAST(sct6 AS DOUBLE) - CAST(sj6 AS DOUBLE))/1e6/CAST(n AS DOUBLE))
       |   / (log2(CAST(n AS DOUBLE)) - (CAST(srt6 AS DOUBLE)/1e6)/CAST(n AS DOUBLE))
-      |   * 1e6 + 0.5) AS BIGINT) AS u6
+      |   * 1e6 + 0.5) AS BIGINT)
+      |  ELSE NULL END AS u6
       |FROM js CROSS JOIN rts CROSS JOIN cts""".stripMargin
 
   /** q_sparkbar: ClickHouse `sparkbar(16)(day, count)` — a 16-bucket
@@ -493,6 +506,7 @@ object OlapHypothesisQueries {
         F.sum(F.when(F.col("et") === "click", F.col("vc")).otherwise(0L)).as("s1"),
         F.count(F.when(F.col("et") === "purchase", 1)).as("n2"),
         F.sum(F.when(F.col("et") === "purchase", F.col("vc")).otherwise(0L)).as("s2"))
+      .filter(F.col("n1") > 0L && F.col("n2") > 0L) // z undefined on an empty side
     agg.select(F.col("g"), F.col("n1"), F.col("n2"),
       F.floor((d("s1") / d("n1") - d("s2") / d("n2"))
         / F.sqrt(F.lit(V) / d("n1") + F.lit(V) / d("n2")) * 1e6).as("z6"))
@@ -509,7 +523,9 @@ object OlapHypothesisQueries {
       |   CAST(SUM(CASE WHEN et = 'click' THEN vc ELSE 0 END) AS BIGINT) AS s1,
       |   COUNT(CASE WHEN et = 'purchase' THEN 1 END) AS n2,
       |   CAST(SUM(CASE WHEN et = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS s2
-      |  FROM ev GROUP BY 1)
+      |  FROM ev GROUP BY 1
+      |  HAVING COUNT(CASE WHEN et = 'click' THEN 1 END) > 0
+      |     AND COUNT(CASE WHEN et = 'purchase' THEN 1 END) > 0)
       |SELECT g, n1, n2,
       | CAST(floor((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
       |   / sqrt(250000.0/CAST(n1 AS DOUBLE) + 250000.0/CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT) AS z6
