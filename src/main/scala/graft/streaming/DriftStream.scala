@@ -79,6 +79,44 @@ object DriftStream {
         F.expr(s"cast((cast(dnum as decimal(38,0)) * 1000000) div (cast(n as decimal(38,0)) * ${ref.m}) as bigint)").as("d6"))
   }
 
+  /** Streaming windowed approximate quantiles from the same bounded
+    * histogram state: per tumbling window, p50/p95/p99 of the value
+    * stream to one-bin resolution (the bin's lower cents bound), with the
+    * bins spanning the reference range. The state per window is the same
+    * single histogram row as binnedKs — never the values — so the
+    * operator survives unbounded windows; resolution is (mx−mn)/bins,
+    * the knob a production monitor turns. The quantile extraction is a
+    * codegen'd fold over the emitted histogram: the first bin whose
+    * cumulative count reaches ceil(q·n). */
+  def binnedQuantiles(events: DataFrame, ref: Ref,
+                      qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    val B = ref.bins
+    val vc = F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+    val bucket = F.greatest(F.lit(0L), F.least(F.lit((B - 1).toLong),
+      F.expr(s"((vc - ${ref.mn}) * $B) div (${ref.mx - ref.mn} + 1)")))
+    val hist = F.array((0 until B).map(b =>
+      F.sum(F.when(F.col("bucket") === b, 1L).otherwise(0L))): _*)
+    val agg = events
+      .select(F.col("ts"), vc.as("vc"))
+      .select(F.col("ts"), bucket.as("bucket"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"))
+      .agg(hist.as("h"), F.count(F.lit(1)).as("n"))
+    val qCols = qs.map { q =>
+      // bin index of the first cumulative count ≥ ceil(q%·n), then its
+      // lower value bound in cents
+      F.expr(
+        s"""${ref.mn} + (cast(aggregate(h,
+           |  struct(cast(0 as bigint) as cum, cast(-1 as bigint) as idx, cast(0 as bigint) as i),
+           |  (acc, x) -> struct(acc.cum + x as cum,
+           |    if(acc.idx < 0 and (acc.cum + x) * 100 >= n * $q, acc.i, acc.idx) as idx,
+           |    acc.i + 1 as i),
+           |  acc -> acc.idx) as bigint) * (${ref.mx - ref.mn} + 1)) div $B""".stripMargin)
+        .as(s"p$q")
+    }
+    agg.select(F.col("w.start").as("window_start") +: F.col("n") +: qCols: _*)
+  }
+
   /** Streaming PSI against the same compiled reference — the windowed
     * form of q_psi_drift, sharing binnedKs's one-histogram-row state
     * design. The per-bin reference counts are recovered from the

@@ -117,4 +117,44 @@ class DriftStreamSpec extends SparkSpec {
       assert(got(60L)._2 > got(0L)._2 * 5, s"got $got") // drift separates
     } finally q.stop()
   }
+
+  /** Plain-Scala replica: lower cents bound of the bin holding pct. */
+  private def binnedQ(vals: Seq[Long], ref: DriftStream.Ref, pct: Int): Long = {
+    val b = ref.bins
+    val hist = new Array[Long](b)
+    vals.foreach { v =>
+      val i = math.max(0L, math.min((b - 1).toLong,
+        (v - ref.mn) * b / (ref.mx - ref.mn + 1))).toInt
+      hist(i) += 1
+    }
+    val n = vals.size.toLong
+    var cum = 0L
+    val idx = (0 until b).find { i => cum += hist(i); cum * 100 >= n * pct }.get
+    ref.mn + idx.toLong * (ref.mx - ref.mn + 1) / b
+  }
+
+  test("windowed binned quantiles equal the Scala replica at bin resolution") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val refVals = (0L until 100L).map(_ * 100)
+    val ref = DriftStream.compileRef(refVals.toDF("vc"), bins = 16)
+    val in = MemoryStream[V]
+    val q = DriftStream.binnedQuantiles(in.toDF(), ref)
+      .writeStream.format("memory").queryName("quant_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val w0 = (0L until 80L).map(v => V(ts(v % 60), (v * 97 % 100).toDouble))
+      in.addData(w0: _*); q.processAllAvailable()
+      in.addData(V(ts(400), 1.0)); q.processAllAvailable()
+      val got = spark.table("quant_out")
+        .collect().map(r => mins(r.getTimestamp(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val cents = w0.map(v => (BigDecimal(v.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong)
+      assert(got(0L) === ((80L, binnedQ(cents, ref, 50), binnedQ(cents, ref, 95),
+        binnedQ(cents, ref, 99))), s"got $got")
+      // semantic sanity: p50 ≤ p95 ≤ p99 and within the reference range
+      val (_, p50, p95, p99) = got(0L)
+      assert(p50 <= p95 && p95 <= p99 && p50 >= ref.mn && p99 <= ref.mx)
+    } finally q.stop()
+  }
 }
