@@ -561,7 +561,53 @@ object OlapHypothesisQueries {
       |          // (CAST(n AS HUGEINT) * k * k)) AS BIGINT) AS chi2s9
       |FROM cell JOIN tot ON tot.g = cell.g GROUP BY 1""".stripMargin
 
+  /** q_covar_suite: ClickHouse `covarPop` / `covarSamp` / `avgWeighted` —
+    * quantity-price covariance and the quantity-weighted mean price per
+    * return flag. One partial-aggregatable pass of exact sums (Σxy in
+    * DECIMAL(38,0): x ≤ 50, y ≤ 1e7 cents ⇒ BIGINT-safe only to ~1.8e10
+    * rows/group, DECIMAL is unconditional); terminal doubles with the
+    * identical division/subtraction tree on both engines, floor-scaled. */
+  def qCovarSuite(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "lineitem")
+      .select(F.col("l_returnflag").as("g"),
+        F.col("l_quantity").cast("long").as("x"),
+        (dec2(F.col("l_extendedprice")) * 100).cast("long").as("y"))
+      .groupBy("g")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum("x").as("sx"),
+        F.sum(F.col("y").cast(d38)).as("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).as("sxy"))
+    val covp = (F.col("sxy").cast("double")
+      - F.col("sx").cast("double") * F.col("sy").cast("double") / d("n")) / d("n")
+    val covs = (F.col("sxy").cast("double")
+      - F.col("sx").cast("double") * F.col("sy").cast("double") / d("n")) /
+      (d("n") - 1.0)
+    a.filter(F.col("n") > 1L) // covarSamp needs n ≥ 2
+      .select(F.col("g"), F.col("n"),
+        F.floor(covp * 100).as("covp2"),
+        F.floor(covs * 100).as("covs2"),
+        F.floor(F.col("sxy").cast("double") / F.col("sx").cast("double") * 100).as("wavg2"))
+  }
+
+  val qCovarSuiteSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+      |   CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT g, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |   SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(x AS HUGEINT)*y) AS sxy
+      |  FROM li GROUP BY 1 HAVING COUNT(*) > 1)
+      |SELECT g, n,
+      | CAST(floor((CAST(sxy AS DOUBLE)
+      |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 100) AS BIGINT) AS covp2,
+      | CAST(floor((CAST(sxy AS DOUBLE)
+      |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) * 100) AS BIGINT) AS covs2,
+      | CAST(floor(CAST(sxy AS DOUBLE) / CAST(sx AS DOUBLE) * 100) AS BIGINT) AS wavg2
+      |FROM a""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_covar_suite", qCovarSuite _, Some(qCovarSuiteSql)),
     ("q_meanztest", qMeanZTest _, Some(qMeanZTestSql)),
     ("q_chi2_gof", qChi2Gof _, Some(qChi2GofSql)),
     ("q_iv_woe", qIvWoe _, Some(qIvWoeSql)),
