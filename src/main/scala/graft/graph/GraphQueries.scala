@@ -765,7 +765,44 @@ object GraphQueries {
        |FROM dist JOIN sig ON sig.vid = dist.vid JOIN tt ON tt.vid = dist.vid""".stripMargin
   }
 
+  /** g_rank_revenue: the graph×OLAP composition capstone — PageRank over
+    * the whole property graph restricted to supplier vertices
+    * (vid ≡ 1 mod 4), joined to each supplier's exact lineitem revenue,
+    * ranked by rank-weighted revenue (pr·rev in DECIMAL(38,0) — the
+    * product overflows BIGINT — emitted as the correctly-rounded double
+    * of the exact integer), top-10 via TakeOrdered. Proves a user can
+    * feed an iterative graph result straight into a relational
+    * aggregation in one plan; the oracle nests the full unrolled-PageRank
+    * SQL as a derived table. */
+  def gRankRevenue(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val pr = GraphAlgs.pagerank(g.vertices, g.edges, iters = 10)
+      .filter(F.col("vid") % 4 === 1L)
+      .select(F.expr("(vid - 1) div 4").as("suppkey"), F.col("pr"))
+    val rev = graft.Tables(s, dir, "lineitem")
+      .groupBy(F.col("l_suppkey").as("suppkey"))
+      .agg(F.sum(F.expr(
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")).as("rev_c"))
+    pr.join(rev, "suppkey")
+      .select(F.col("suppkey"), F.col("pr"), F.col("rev_c"),
+        F.expr("cast(cast(pr as decimal(38,0)) * rev_c as double)").as("wrev"))
+      .orderBy(F.col("wrev").desc, F.col("suppkey").asc)
+      .limit(10)
+  }
+
+  val gRankRevenueSql: String =
+    s"""WITH pr AS (SELECT * FROM ($gPagerankSql) t WHERE vid % 4 = 1),
+       |rev AS (
+       |  SELECT l_suppkey AS suppkey,
+       |   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM lineitem GROUP BY 1)
+       |SELECT (vid - 1) // 4 AS suppkey, pr, rev_c,
+       | CAST(CAST(pr AS HUGEINT) * rev_c AS DOUBLE) AS wrev
+       |FROM pr JOIN rev ON rev.suppkey = (vid - 1) // 4
+       |ORDER BY wrev DESC, suppkey ASC LIMIT 10""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_rank_revenue", gRankRevenue _, Some(gRankRevenueSql)),
     ("g_stress", gStress _, Some(gStressSql)),
     ("g_harmonic", gHarmonic _, Some(gHarmonicSql)),
     ("g_walks", gWalks _, Some(gWalksSql)),
