@@ -434,7 +434,54 @@ object TextQueries {
       | CAST(len(string_split(text, 'e')) - 1 AS BIGINT) AS n_e
       |FROM documents""".stripMargin
 
+  /** The fuzzy-match lexicon for t_editdist (one marker per language
+    * family plus near-collisions, so distances are discriminative). */
+  val editLexicon: Seq[String] =
+    Seq("the", "der", "los", "les", "une", "fast", "nicht", "que")
+
+  /** t_editdist: ClickHouse `editDistance` — fuzzy lexicon matching.
+    * Per document: the Levenshtein distance from the document's first
+    * word to each canonical marker, folded into (best distance, best
+    * term) with first-in-lexicon tie-break — classic unit-cost DP on
+    * both engines, exact integers; plus the punctuation-distance of the
+    * 16-char prefix against its cleaned form. Map-only, no shuffle. */
+  def tEditDist(s: SparkSession, dir: String): DataFrame = {
+    val w1 = F.element_at(F.split(F.col("text"), " "), 1)
+    val cleaned = F.substring(
+      F.trim(F.regexp_replace(F.regexp_replace(F.col("text"), "[.,!?;:]", ""), " +", " ")), 1, 16)
+    val base = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), w1.as("w"),
+        F.levenshtein(F.substring(F.col("text"), 1, 16), cleaned)
+          .cast("long").as("d_clean"))
+    val folded = editLexicon.tail.foldLeft(
+      (F.levenshtein(F.col("w"), F.lit(editLexicon.head)).cast("long"),
+        F.lit(editLexicon.head))) { case ((bd, bt), cand) =>
+      val d = F.levenshtein(F.col("w"), F.lit(cand)).cast("long")
+      (F.when(d < bd, d).otherwise(bd), F.when(d < bd, cand).otherwise(bt))
+    }
+    base.select(F.col("doc_id"), F.col("d_clean"),
+      folded._1.as("best_d"), folded._2.as("best_term"))
+  }
+
+  val tEditDistSql: String = {
+    val h = editLexicon.head
+    val (bdExpr, btExpr) = editLexicon.tail.foldLeft(
+      (s"CAST(levenshtein(w, '$h') AS BIGINT)", s"'$h'")) { case ((bd, bt), cand) =>
+      val d = s"CAST(levenshtein(w, '$cand') AS BIGINT)"
+      (s"CASE WHEN $d < $bd THEN $d ELSE $bd END",
+        s"CASE WHEN $d < $bd THEN '$cand' ELSE $bt END")
+    }
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split(text, ' ')[1] AS w,
+       |   CAST(levenshtein(substr(text, 1, 16),
+       |     substr(trim(regexp_replace(regexp_replace(text, '[.,!?;:]', '', 'g'), ' +', ' ', 'g')), 1, 16)) AS BIGINT) AS d_clean
+       |  FROM documents)
+       |SELECT doc_id, d_clean, $bdExpr AS best_d, $btExpr AS best_term
+       |FROM b""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_editdist", tEditDist _, Some(tEditDistSql)),
     ("t_string_suite", tStringSuite _, Some(tStringSuiteSql)),
     ("t_codec", tCodec _, Some(tCodecSql)),
     ("t_ip_funcs", tIpFuncs _, Some(tIpFuncsSql)),
