@@ -151,6 +151,82 @@ object OlapStatQueries {
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS sv_fill
       |FROM cal c LEFT JOIN f ON f.event_type = c.event_type AND f.d = c.d""".stripMargin
 
+  /** q_fill_interp: ClickHouse `ORDER BY ... WITH FILL INTERPOLATE` —
+    * q_fill's dense calendar, but gaps take the LINEAR interpolation
+    * between the surrounding observations instead of carry-forward:
+    * v = prev + (next−prev)·(d−d_prev)/(d_next−d_prev), computed in
+    * exact cents/day integers with the one division done in doubles
+    * under floor (floor, not integer `div`: Spark's div truncates toward
+    * zero while DuckDB's // floors, and falling values make the
+    * numerator negative — floor(double) agrees on both engines for all
+    * signs). Edges beyond the first/last observation carry the available
+    * side. Both direction scans share one (event_type, d) sort: the
+    * forward last-non-null and backward first-non-null run over the same
+    * window order with different frames. */
+  def qFillInterp(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .filter(F.col("value") > 99.0)
+      .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("d"))
+      .agg(F.sum((dec2(F.col("value")) * 100).cast("long")).as("svc"))
+    val cal = daily.groupBy("event_type")
+      .agg(F.min("d").as("lo"), F.max("d").as("hi"))
+      .select(F.col("event_type"), F.explode(F.sequence(F.col("lo"), F.col("hi"))).as("d"))
+    val base = cal.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("dn", F.datediff(F.col("d"), F.lit("1970-01-01")).cast("long"))
+    val ord = Window.partitionBy("event_type").orderBy(F.col("d").asc)
+    val wf = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsD = F.when(F.col("svc").isNotNull, F.col("dn"))
+    val r = base.select(F.col("event_type"),
+      F.date_format(F.col("d"), "yyyy-MM-dd").as("day"),
+      F.col("svc").isNull.cast("int").as("filled"),
+      F.last(F.col("svc"), ignoreNulls = true).over(wf).as("pv"),
+      F.last(obsD, ignoreNulls = true).over(wf).as("pd"),
+      F.first(F.col("svc"), ignoreNulls = true).over(wb).as("nv"),
+      F.first(obsD, ignoreNulls = true).over(wb).as("nd"),
+      F.col("dn"))
+    r.select(F.col("event_type"), F.col("day"), F.col("filled"),
+      F.coalesce(
+        F.when(F.col("pv").isNotNull && F.col("nv").isNotNull && F.col("nd") > F.col("pd"),
+          F.col("pv") + F.floor(
+            (F.col("nv") - F.col("pv")).cast("double") * (F.col("dn") - F.col("pd")).cast("double")
+              / (F.col("nd") - F.col("pd")).cast("double"))),
+        F.col("pv"), F.col("nv")).as("svc_interp"))
+  }
+
+  val qFillInterpSql: String =
+    """WITH f AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS svc
+      |  FROM events WHERE value > 99.0 GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT event_type, CAST(u.d AS DATE) AS d
+      |  FROM (SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM f GROUP BY 1),
+      |   UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d)),
+      |b AS (
+      |  SELECT c.event_type, c.d, f.svc,
+      |   CAST(date_diff('day', DATE '1970-01-01', c.d) AS BIGINT) AS dn
+      |  FROM cal c LEFT JOIN f ON f.event_type = c.event_type AND f.d = c.d),
+      |r AS (
+      |  SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+      |   CAST(svc IS NULL AS INTEGER) AS filled, dn,
+      |   last_value(svc IGNORE NULLS) OVER fw AS pv,
+      |   last_value(CASE WHEN svc IS NOT NULL THEN dn END IGNORE NULLS) OVER fw AS pd,
+      |   first_value(svc IGNORE NULLS) OVER bw AS nv,
+      |   first_value(CASE WHEN svc IS NOT NULL THEN dn END IGNORE NULLS) OVER bw AS nd
+      |  FROM b
+      |  WINDOW fw AS (PARTITION BY event_type ORDER BY d ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  bw AS (PARTITION BY event_type ORDER BY d ASC
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, day, filled,
+      | CAST(COALESCE(
+      |   CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND nd > pd
+      |    THEN pv + CAST(floor(CAST(nv - pv AS DOUBLE) * CAST(dn - pd AS DOUBLE)
+      |                        / CAST(nd - pd AS DOUBLE)) AS BIGINT)
+      |   END, pv, nv) AS BIGINT) AS svc_interp
+      |FROM r""".stripMargin
+
   /** q_bitmap: ClickHouse `groupBitmap` + `groupBitmapAnd` — per event
     * type, the exact distinct-user count and the overlap with the
     * 'purchase' audience, both read off Roaring bitmaps
@@ -371,6 +447,7 @@ object OlapStatQueries {
     ("q_corr", qCorr _, Some(qCorrSql)),
     ("q_gini", qGini _, Some(qGiniSql)),
     ("q_fill", qFill _, Some(qFillSql)),
+    ("q_fill_interp", qFillInterp _, Some(qFillInterpSql)),
     ("q_bitmap", qBitmap _, Some(qBitmapSql)),
     ("q_bitmap_merge", qBitmapMerge _, Some(qBitmapMergeSql)),
     ("q_uniq_upto", qUniqUpTo _, Some(qUniqUpToSql)))
