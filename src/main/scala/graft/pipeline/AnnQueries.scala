@@ -370,7 +370,45 @@ object AnnQueries {
         (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs")))
   }
 
+  /** s_ann_filtered: FILTERED vector search — the vector-DB shape where
+    * a metadata predicate restricts the candidate set (here: neighbors
+    * must share the query's label, the "same-class nearest" retrieval).
+    * Pre-filtering is the 100 TB-correct order: the predicate prunes the
+    * scan BEFORE any distance is computed (pushed to the parquet reader),
+    * so selectivity cuts compute linearly — post-filtering an unfiltered
+    * top-k would return < k survivors. Same broadcast query set, one
+    * codegen'd dot per surviving row, bounded-heap top-k. */
+  def sAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    // withNorm + the label column (the filter predicate's metadata)
+    val e = Tables(s, dir, "embeddings")
+      .select(F.col("vec_id"), F.col("embedding"), F.col("label"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).as("nrm"))
+    val q = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"), F.col("label").as("q_label"))
+    val scored = F.broadcast(q)
+      .join(e, F.col("label") === F.col("q_label") && F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+    rankTopK(scored)
+  }
+
+  val sAnnFilteredSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, label,
+       |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |    (acc, x) -> acc + x)) AS nrm FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cs
+       |  FROM n q JOIN n d ON d.label = q.label AND d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT q_id, n_id, rnk, CAST(floor(cs * 1e6) AS BIGINT) AS cs6
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rnk FROM p)
+       |WHERE rnk <= $TopK""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_ann_filtered", sAnnFiltered _, Some(sAnnFilteredSql)),
     ("s_ann_pq", sAnnPq _, None),
     ("s_class_scatter", sClassScatter _, Some(sClassScatterSql)),
     ("s_ann_topk", sAnnTopk _, Some(sAnnTopkSql)),
