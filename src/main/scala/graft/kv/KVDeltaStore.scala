@@ -152,4 +152,22 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
   }
 
   def exists(name: String): Boolean = fs.exists(dir(name))
+
+  /** The number of un-compacted delta batches in `name`'s log. */
+  def logDepth(name: String): Int = deltaPaths(name).size
+
+  /** Size-tiered auto-compaction — the MergeTree background-merge POLICY
+    * (parts accumulate until the engine folds them) as an explicit,
+    * caller-driven trigger: compact when the log holds at least
+    * `threshold` delta batches, otherwise do nothing. Keeping the
+    * trigger synchronous-and-explicit (e.g. called after appendMutation,
+    * or from a foreachBatch sink) preserves the reader guarantee that
+    * compaction is invisible: merge-on-read resolves identically before
+    * and after, there is just a bounded amount of log to merge. Returns
+    * whether a compaction ran. */
+  def maybeCompact(name: String, threshold: Int = 8): Boolean = {
+    require(threshold > 0, "threshold must be positive")
+    if (deltaPaths(name).size >= threshold) { compact(name); true }
+    else false
+  }
 }

@@ -606,7 +606,41 @@ object OlapHypothesisQueries {
       | CAST(floor(CAST(sxy AS DOUBLE) / CAST(sx AS DOUBLE) * 100) AS BIGINT) AS wavg2
       |FROM a""".stripMargin
 
+  /** q_table_stats: the ANALYZE TABLE / column-statistics pass every
+    * cost-based optimizer (and ClickHouse's `system.columns`-style
+    * introspection) needs: per-column row count, exact NDV, min/max and
+    * null count for a column set, in ONE aggregation pass. The three
+    * exact count-distincts ride Spark's Expand (row ×3 — the standard
+    * ANALYZE plan shape, map-side partial-aggregated); min/max/nulls are
+    * plain partials. Emitted long-typed (quantity in whole units, price
+    * in cents) so the stats row is engine-exact. */
+  def qTableStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select(F.col("l_returnflag").as("rf"), F.col("l_linestatus").as("ls"),
+        F.col("l_quantity").cast("long").as("qty"),
+        (dec2(F.col("l_extendedprice")) * 100).cast("long").as("pc"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count_distinct(F.col("rf")).as("ndv_rf"),
+        F.count_distinct(F.col("ls")).as("ndv_ls"),
+        F.count_distinct(F.col("qty")).as("ndv_qty"),
+        F.min("qty").as("qty_min"), F.max("qty").as("qty_max"),
+        F.min("pc").as("pc_min"), F.max("pc").as("pc_max"),
+        F.sum(F.col("pc").isNull.cast("long")).as("pc_nulls"))
+
+  val qTableStatsSql: String =
+    """SELECT COUNT(*) AS n,
+      | COUNT(DISTINCT l_returnflag) AS ndv_rf,
+      | COUNT(DISTINCT l_linestatus) AS ndv_ls,
+      | COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS ndv_qty,
+      | CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_min,
+      | CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_max,
+      | CAST(MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS pc_min,
+      | CAST(MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS pc_max,
+      | CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pc_nulls
+      |FROM lineitem""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_table_stats", qTableStats _, Some(qTableStatsSql)),
     ("q_covar_suite", qCovarSuite _, Some(qCovarSuiteSql)),
     ("q_meanztest", qMeanZTest _, Some(qMeanZTestSql)),
     ("q_chi2_gof", qChi2Gof _, Some(qChi2GofSql)),

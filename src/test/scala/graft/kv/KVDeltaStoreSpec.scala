@@ -107,4 +107,20 @@ class KVDeltaStoreSpec extends SparkSpec {
     // and the bounded write changes nothing semantically
     assert(decode(ds.openDatabase("s")) == (1L to 1000L).map(c => (7L, c, c * 2)).toSet)
   }
+
+  test("maybeCompact triggers at the size threshold and preserves the view") {
+    val wh = java.nio.file.Files.createTempDirectory("kvdelta_auto").toString
+    val ds = new KVDeltaStore(spark, wh)
+    for (i <- 1L to 3L) {
+      ds.appendMutation("s", kcv(Seq((i, 1, i * 10))), kcv(Nil).select("k", "c"))
+      assert(!ds.maybeCompact("s", threshold = 4), s"compacted early at log depth $i")
+    }
+    assert(ds.logDepth("s") == 3)
+    val expected = decode(ds.openDatabase("s"))
+    ds.appendMutation("s", kcv(Seq((4, 1, 40))), kcv(Seq((1, 1, 0))).select("k", "c"))
+    assert(ds.maybeCompact("s", threshold = 4)) // 4th delta trips the policy
+    assert(ds.logDepth("s") == 0) // log folded into base
+    assert(decode(ds.openDatabase("s")) ==
+      expected - ((1L, 1L, 10L)) + ((4L, 1L, 40L)))
+  }
 }
