@@ -375,7 +375,148 @@ object OlapSeriesQueries {
       | MAX(strftime(ts, '%Y-%m')) AS ym
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q_islands: gaps-and-islands — per-user consecutive-active-day
+    * streaks (the classic sessionize-on-the-calendar shape ClickHouse
+    * analysts spell with `runningDifference`/`arraySplit`). One distinct
+    * pass to (user, day), one window sort per user for the
+    * day − row_number island key, one streak aggregate, one user
+    * aggregate — the longest streak's start day rides the packed
+    * BIGINT len·10⁶ − start (max picks longest-then-earliest; day
+    * indexes ≈ 19700 ≪ 10⁶ so the pack never collides), decoded after
+    * the max. All integers, cross-engine exact. */
+  def qIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(F.col("d").asc)
+    val days = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val streaks = days
+      .withColumn("grp", F.col("d") - F.row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(F.count(F.lit(1)).as("len"), F.min("d").as("s"))
+    streaks.groupBy("user_id")
+      .agg(F.sum("len").as("n_days"),
+        F.count(F.lit(1)).as("n_streaks"),
+        F.max("len").as("max_streak"),
+        F.max(F.col("len") * 1000000L - F.col("s")).as("b"))
+      .select(F.col("user_id"), F.col("n_days"), F.col("n_streaks"),
+        F.col("max_streak"),
+        (F.col("max_streak") * 1000000L - F.col("b")).as("streak_start_day"))
+  }
+
+  val qIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      |isl AS (
+      |  SELECT user_id, d,
+      |   d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d ASC) AS grp
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, COUNT(*) AS len, MIN(d) AS s
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id,
+      | CAST(SUM(len) AS BIGINT) AS n_days,
+      | COUNT(*) AS n_streaks,
+      | CAST(MAX(len) AS BIGINT) AS max_streak,
+      | CAST(MAX(len) * 1000000 - MAX(len * 1000000 - s) AS BIGINT) AS streak_start_day
+      |FROM streaks GROUP BY 1""".stripMargin
+
+  /** q_cohort_matrix: the cohort-retention matrix (signup week ×
+    * week offset → distinct retained users + retention ppm) — the
+    * canonical product-analytics rollup ClickHouse serves with
+    * `retention`/`uniqIf` per cohort. Cohort = each user's first active
+    * epoch-week; one distinct (user, week) pass, a per-user min, one
+    * equi-join back, one grouped exact distinct. The ppm is an integer
+    * floor against the offset-0 cohort size (self-join on the matrix's
+    * own diagonal). */
+  def qCohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val cohort = weeks.groupBy("user_id").agg(F.min("wk").as("cw"))
+    val cells = weeks.join(cohort, "user_id")
+      .groupBy(F.col("cw"), (F.col("wk") - F.col("cw")).as("off"))
+      .agg(F.count_distinct(F.col("user_id")).as("n_users"))
+    val base = cells.filter(F.col("off") === 0L)
+      .select(F.col("cw"), F.col("n_users").as("cohort_size"))
+    cells.join(base, "cw")
+      .select(F.col("cw").as("cohort_week"), F.col("off"), F.col("n_users"),
+        F.col("cohort_size"),
+        F.expr("n_users * 1000000 div cohort_size").as("ret_ppm"))
+  }
+
+  val qCohortMatrixSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cw FROM weeks GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cw, w.wk - c.cw AS off, COUNT(DISTINCT w.user_id) AS n_users
+      |  FROM weeks w JOIN cohort c ON c.user_id = w.user_id
+      |  GROUP BY 1, 2),
+      |base AS (SELECT cw, n_users AS cohort_size FROM cells WHERE off = 0)
+      |SELECT c.cw AS cohort_week, c.off, c.n_users, b.cohort_size,
+      | CAST(c.n_users * 1000000 // b.cohort_size AS BIGINT) AS ret_ppm
+      |FROM cells c JOIN base b ON b.cw = c.cw""".stripMargin
+
+  /** q_arr_cumsum: the ClickHouse cumulative array family —
+    * arrayCumSum / arrayDifference / arrayCompact over each user's
+    * time-ordered value array, as Spark higher-order functions: cumsum
+    * is one `aggregate` fold carrying (array, running) struct state,
+    * difference one indexed `transform` (x − a[i−1]), compact-length one
+    * (count, prev) fold — all codegen'd, per-user arrays bounded by the
+    * per-user event count. The oracle spells the same three via plain
+    * window SQL (running SUM, LAG, change-count), so the hash gate
+    * proves the higher-order forms against the relational forms.
+    * Output bounded: first-5 slices as CSV + totals. */
+  def qArrCumsum(s: SparkSession, dir: String): DataFrame = {
+    val arr = F.transform(
+      F.sort_array(F.collect_list(F.struct(F.col("tu"), F.col("event_id").as("k"),
+        F.col("vc")))), x => x.getField("vc"))
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("tu"),
+        F.col("event_id"), (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("user_id")
+      .agg(arr.as("a"))
+      .select(F.col("user_id"),
+        F.size(F.col("a")).cast("long").as("n"),
+        F.expr("""aggregate(a,
+            struct(cast(array() as array<bigint>) as cs, cast(0 as bigint) as run),
+            (acc, x) -> struct(concat(acc.cs, array(acc.run + x)), acc.run + x),
+            acc -> concat_ws(',', slice(acc.cs, 1, 5)))""").as("cum5_csv"),
+        F.expr("""concat_ws(',', slice(
+            transform(a, (x, i) -> IF(i = 0, cast(0 as bigint), x - element_at(a, i))), 1, 5))""")
+          .as("diff5_csv"),
+        F.expr("""aggregate(a,
+            struct(cast(0 as bigint) as cnt, cast(-9223372036854775808 as bigint) as prev),
+            (acc, x) -> struct(acc.cnt + IF(x = acc.prev, 0, 1), x),
+            acc -> acc.cnt)""").as("compact_n"),
+        F.expr("aggregate(a, cast(0 as bigint), (acc, x) -> acc + x)").as("total_c"))
+  }
+
+  val qArrCumsumSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, vc,
+      |   ROW_NUMBER() OVER w AS i,
+      |   SUM(vc) OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+      |   vc - LAG(vc, 1) OVER w AS d,
+      |   CASE WHEN vc IS DISTINCT FROM LAG(vc, 1) OVER w THEN 1 ELSE 0 END AS chg
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tu ASC, event_id ASC))
+      |SELECT user_id, COUNT(*) AS n,
+      | string_agg(CASE WHEN i <= 5 THEN CAST(cs AS VARCHAR) END, ',' ORDER BY i) AS cum5_csv,
+      | string_agg(CASE WHEN i <= 5 THEN CAST(COALESCE(d, 0) AS VARCHAR) END, ',' ORDER BY i) AS diff5_csv,
+      | CAST(SUM(chg) AS BIGINT) AS compact_n,
+      | CAST(SUM(vc) AS BIGINT) AS total_c
+      |FROM r GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_islands", qIslands _, Some(qIslandsSql)),
+    ("q_cohort_matrix", qCohortMatrix _, Some(qCohortMatrixSql)),
+    ("q_arr_cumsum", qArrCumsum _, Some(qArrCumsumSql)),
     ("q_datetime_suite", qDatetimeSuite _, Some(qDatetimeSuiteSql)),
     ("q_first_last", qFirstLast _, Some(qFirstLastSql)),
     ("q_lttb", qLttb _, Some(qLttbSql)),
