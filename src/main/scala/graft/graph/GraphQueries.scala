@@ -801,7 +801,121 @@ object GraphQueries {
        |FROM pr JOIN rev ON rev.suppkey = (vid - 1) // 4
        |ORDER BY wrev DESC, suppkey ASC LIMIT 10""".stripMargin
 
+  /** g_hits: HITS hubs & authorities (Kleinberg) — the link-analysis
+    * companion to PageRank over the directed edge list. Three full
+    * iterations (a ← Aᵀh then h ← A·a) accumulated UNNORMALIZED in
+    * DECIMAL(38,0)/HUGEINT — magnitudes grow as deg^(2·iters), so 38
+    * digits hold to degree ~2·10⁶, far past any SF here — with ONE
+    * terminal normalization to ppm-of-max by integer division
+    * (truncating div of non-negative integers is identical on both
+    * engines; intermediate per-round float normalization would not be).
+    * Per iteration: two edge⋈score joins + two grouped sums — the same
+    * frontierless shape as pagerank, and like it the edge list is the
+    * static side. Vertices without in-(out-)edges keep a = 0 (h = 0)
+    * via left joins. */
+  def gHits(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val e = g.edges.select("src", "dst").localCheckpoint()
+    val verts = g.vertices.select("vid").localCheckpoint()
+    val d38 = "decimal(38,0)"
+    var h = verts.select(F.col("vid"), F.lit(1L).cast(d38).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to 3) {
+      a = verts.join(
+          e.join(h, e("src") === h("vid")).groupBy(F.col("dst").as("v"))
+            .agg(F.sum("h").cast(d38).as("s")),
+          verts("vid") === F.col("v"), "left")
+        .select(F.col("vid"), F.coalesce(F.col("s"), F.lit(0L).cast(d38)).as("a"))
+      h = verts.join(
+          e.join(a, e("dst") === a("vid")).groupBy(F.col("src").as("v"))
+            .agg(F.sum("a").cast(d38).as("s")),
+          verts("vid") === F.col("v"), "left")
+        .select(F.col("vid"), F.coalesce(F.col("s"), F.lit(0L).cast(d38)).as("h"))
+    }
+    val mx = h.join(a, "vid")
+      .agg(F.max("h").cast(d38).as("mh"), F.max("a").cast(d38).as("ma"))
+    h.join(a, "vid").crossJoin(F.broadcast(mx))
+      .select(F.col("vid"),
+        F.expr("cast(h * 1000000 div mh as bigint)").as("hub_ppm"),
+        F.expr("cast(a * 1000000 div ma as bigint)").as("auth_ppm"))
+  }
+
+  val gHitsSql: String = {
+    val iter = (k: Int) =>
+      s"""a$k AS (
+         |  SELECT v.vid, CAST(COALESCE(s.m, 0) AS HUGEINT) AS a
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS vid, SUM(p.h) AS m
+         |    FROM edges e JOIN h${k - 1} p ON p.vid = e.src GROUP BY 1) s
+         |  ON s.vid = v.vid),
+         |h$k AS (
+         |  SELECT v.vid, CAST(COALESCE(s.m, 0) AS HUGEINT) AS h
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.src AS vid, SUM(p.a) AS m
+         |    FROM edges e JOIN a$k p ON p.vid = e.dst GROUP BY 1) s
+         |  ON s.vid = v.vid)""".stripMargin
+    s"""WITH $sqlPrelude,
+       |h0 AS (SELECT vid, CAST(1 AS HUGEINT) AS h FROM verts),
+       |${(1 to 3).map(iter).mkString(",\n")},
+       |mx AS (SELECT (SELECT MAX(h) FROM h3) AS mh, (SELECT MAX(a) FROM a3) AS ma)
+       |SELECT t.vid,
+       | CAST(t.h * 1000000 // mx.mh AS BIGINT) AS hub_ppm,
+       | CAST(u.a * 1000000 // mx.ma AS BIGINT) AS auth_ppm
+       |FROM h3 t JOIN a3 u ON u.vid = t.vid, mx""".stripMargin
+  }
+
+  /** g_adamic: Adamic-Adar link strength per existing undirected edge —
+    * the link-prediction companion to g_jaccard: AA(u,v) =
+    * Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w). Same wedge join as g_jaccard (the
+    * only shuffle family), but each common neighbor contributes a
+    * DEGREE-weighted term. The one inexact primitive (ln) is confined
+    * to a per-neighbor term rounded to an integer ppm BEFORE the sum —
+    * order-independent, and a 1-ulp libm divergence cannot flip the
+    * rounding away from exact .5 boundaries (ln of an integer > 1 is
+    * irrational) — the q_entropy discipline. Common neighbors always
+    * have deg ≥ 2 (adjacent to both endpoints), so ln is never 0. */
+  def gAdamic(s: SparkSession, dir: String): DataFrame = {
+    val ue = PropertyGraph(s, dir).undirected.localCheckpoint()
+    val term = ue.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("d"))
+      .filter(F.col("d") >= 2)
+      .select(F.col("v"),
+        F.floor(F.lit(1e6) / F.log(F.col("d").cast("double")) + 0.5)
+          .cast("long").as("t6"))
+    val pairs = ue.filter(F.col("src") < F.col("dst"))
+      .select(F.col("src").as("a"), F.col("dst").as("b"))
+    val com = pairs
+      .join(ue.select(F.col("src").as("a"), F.col("dst").as("x")), "a")
+      .join(ue.select(F.col("src").as("b"), F.col("dst").as("x")), Seq("b", "x"))
+      .join(term.select(F.col("v").as("x"), F.col("t6")), "x")
+      .groupBy("a", "b")
+      .agg(F.count(F.lit(1)).as("ncom"), F.sum("t6").as("aa6"))
+    pairs.join(com, Seq("a", "b"), "left")
+      .select(F.col("a").as("src"), F.col("b").as("dst"),
+        F.coalesce(F.col("ncom"), F.lit(0L)).as("ncom"),
+        F.coalesce(F.col("aa6"), F.lit(0L)).as("aa6"))
+  }
+
+  val gAdamicSql: String =
+    s"""WITH $sqlPrelude,
+       |term AS (
+       |  SELECT src AS v, CAST(floor(1e6 / ln(count(*)) + 0.5) AS BIGINT) AS t6
+       |  FROM uedges GROUP BY src HAVING count(*) >= 2),
+       |pairs AS (SELECT src AS a, dst AS b FROM uedges WHERE src < dst),
+       |com AS (
+       |  SELECT p.a, p.b, COUNT(*) AS ncom, CAST(SUM(t.t6) AS BIGINT) AS aa6
+       |  FROM pairs p
+       |  JOIN uedges e1 ON e1.src = p.a
+       |  JOIN uedges e2 ON e2.src = p.b AND e2.dst = e1.dst
+       |  JOIN term t ON t.v = e1.dst
+       |  GROUP BY 1, 2)
+       |SELECT p.a AS src, p.b AS dst,
+       | CAST(COALESCE(c.ncom, 0) AS BIGINT) AS ncom,
+       | CAST(COALESCE(c.aa6, 0) AS BIGINT) AS aa6
+       |FROM pairs p LEFT JOIN com c ON c.a = p.a AND c.b = p.b""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_hits", gHits _, Some(gHitsSql)),
+    ("g_adamic", gAdamic _, Some(gAdamicSql)),
     ("g_rank_revenue", gRankRevenue _, Some(gRankRevenueSql)),
     ("g_stress", gStress _, Some(gStressSql)),
     ("g_harmonic", gHarmonic _, Some(gHarmonicSql)),
