@@ -407,7 +407,58 @@ object AnnQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rnk FROM p)
        |WHERE rnk <= $TopK""".stripMargin
 
+  val KnnK = 5
+
+  /** s_knn_graph: mutual k-NN graph construction over the embedding
+    * corpus — the substrate SemDeDup-style clustering, label propagation
+    * over similarity, and graph-based outlier pruning all consume. Every
+    * node ranks its cosine top-5 through the bounded-heap TopKPairs
+    * (map-side partial top-k: the shuffle carries O(n·k), never the n²
+    * scored candidates), then one self-join keeps MUTUAL pairs (v ∈
+    * top-k(u) ∧ u ∈ top-k(v)), emitted once (src < dst) with both ranks.
+    * cos(u,v) is the identical IEEE expression in both directions
+    * (element products commute, fold order is the index order), so the
+    * forward score is THE edge score. The all-pairs scoring is the
+    * exactness tier — by design, like d_embed_dup; at 100 TB the
+    * candidate generation swaps to the LSH/IVF bucketing of
+    * s_ann_lsh/s_ann_ivf with identical downstream mutuality. */
+  def sKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val l = e.select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+      F.col("nrm").as("nq"))
+    val scored = l.crossJoin(e).filter(F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+    val top = graft.operators.TopK.perGroup(scored, Seq("q_id"), F.col("cs"),
+        F.col("n_id"), KnnK)
+      .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"), F.col("score"))
+    val rev = top.select(F.col("n_id").as("q_id"), F.col("q_id").as("n_id"),
+      F.col("rnk").as("rnk_rev"))
+    top.join(rev, Seq("q_id", "n_id"))
+      .filter(F.col("q_id") < F.col("n_id"))
+      .select(F.col("q_id").as("src"), F.col("n_id").as("dst"),
+        F.col("rnk").as("rnk_fwd"), F.col("rnk_rev"),
+        F.floor(F.col("score") * 1e6).cast("long").as("cs6"))
+  }
+
+  val sKnnGraphSql: String =
+    s"""WITH n AS ($normSql),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cs
+       |  FROM n q JOIN n d ON d.vec_id <> q.vec_id),
+       |t AS (
+       |  SELECT q_id, n_id, rnk, cs FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rnk
+       |    FROM p)
+       |  WHERE rnk <= $KnnK)
+       |SELECT t.q_id AS src, t.n_id AS dst, t.rnk AS rnk_fwd, u.rnk AS rnk_rev,
+       | CAST(floor(t.cs * 1e6) AS BIGINT) AS cs6
+       |FROM t JOIN t u ON u.q_id = t.n_id AND u.n_id = t.q_id
+       |WHERE t.q_id < t.n_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_knn_graph", sKnnGraph _, Some(sKnnGraphSql)),
     ("s_ann_filtered", sAnnFiltered _, Some(sAnnFilteredSql)),
     ("s_ann_pq", sAnnPq _, None),
     ("s_class_scatter", sClassScatter _, Some(sClassScatterSql)),

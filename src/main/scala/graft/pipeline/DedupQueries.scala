@@ -396,7 +396,53 @@ object DedupQueries {
       |  FROM documents)
       |WHERE rk <= 10""".stripMargin
 
+  /** d_mix_sampling: temperature-based source mixing — the
+    * training-mix assembly stage (UniMax / multilingual-temperature
+    * sampling shape): per-source quotas ∝ n_s^(1/2) instead of ∝ n_s,
+    * so long-tail sources are up-weighted against the head. The weight
+    * w_s = floor(√n_s·10⁶ + 0.5) is integer-exact cross-engine (sqrt is
+    * the one correctly-rounded IEEE primitive; √ of a non-square integer
+    * is irrational so the rounding never sits on a boundary), quotas are
+    * one truncating div against the broadcast weight total, and the
+    * selection is the deterministic content-hash rank of d_sample_strat
+    * — reproducible mixes, exact per-source counts, no rand() anywhere.
+    * One count aggregate + one window sort per source partition. */
+  def dMixSampling(s: SparkSession, dir: String): DataFrame = {
+    val T = 200L // target mix size
+    val docs = Tables(s, dir, "documents")
+      .select(F.col("source"), F.col("doc_id"), F.md5(F.col("text")).as("h"))
+    val w = docs.groupBy("source").agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("source"), F.col("n"),
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1e6 + 0.5).cast("long").as("w6"))
+    val quota = w.crossJoin(F.broadcast(w.agg(F.sum("w6").as("tot"))))
+      .select(F.col("source"), F.col("n"),
+        F.expr(s"$T * w6 div tot").as("quota"))
+    val rk = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(F.col("h").asc, F.col("doc_id").asc)
+    docs.join(quota, "source")
+      .withColumn("rk", F.row_number().over(rk))
+      .filter(F.col("rk") <= F.col("quota"))
+      .select(F.col("source"), F.col("doc_id"), F.col("rk"), F.col("quota"))
+  }
+
+  val dMixSamplingSql: String =
+    """WITH w AS (
+      |  SELECT source, COUNT(*) AS n,
+      |   CAST(floor(sqrt(COUNT(*)) * 1e6 + 0.5) AS BIGINT) AS w6
+      |  FROM documents GROUP BY 1),
+      |q AS (
+      |  SELECT source, CAST(200 * w6 // (SELECT SUM(w6) FROM w) AS BIGINT) AS quota
+      |  FROM w),
+      |r AS (
+      |  SELECT source, doc_id,
+      |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC) AS rk
+      |  FROM documents)
+      |SELECT r.source, r.doc_id, r.rk, q.quota
+      |FROM r JOIN q ON q.source = r.source
+      |WHERE r.rk <= q.quota""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_mix_sampling", dMixSampling _, Some(dMixSamplingSql)),
     ("d_sample_strat", dSampleStrat _, Some(dSampleStratSql)),
     ("d_corpus_stats", dCorpusStats _, Some(dCorpusStatsSql)),
     ("d_ngram_dupfrac", dNgramDupfrac _, Some(dNgramDupfracSql)),
