@@ -69,7 +69,23 @@ object GraftExtensions {
     (new FunctionIdentifier("freq_items_weighted"),
       new ExpressionInfo(classOf[graft.operators.FreqItemsWeightedSketch].getName, "freq_items_weighted"),
       (args: Seq[Expression]) => graft.operators.FreqItemsWeightedSketch(
-        args(0), args(1), intLiteral(args(2), "freq_items_weighted(term, weight, capacity)"))))
+        args(0), args(1), intLiteral(args(2), "freq_items_weighted(term, weight, capacity)"))),
+    (new FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[graft.operators.ThetaSketchAgg].getName, "theta_sketch"),
+      (args: Seq[Expression]) => graft.operators.ThetaSketchAgg(
+        args(0), intLiteral(args(1), "theta_sketch(ids, k)"))),
+    (new FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[graft.operators.ThetaEstimate].getName, "theta_estimate"),
+      (args: Seq[Expression]) => graft.operators.ThetaEstimate(
+        args(0), intLiteral(args(1), "theta_estimate(sketch, k)"))),
+    (new FunctionIdentifier("theta_union_estimate"),
+      new ExpressionInfo(classOf[graft.operators.ThetaUnionEstimate].getName, "theta_union_estimate"),
+      (args: Seq[Expression]) => graft.operators.ThetaUnionEstimate(
+        args(0), args(1), intLiteral(args(2), "theta_union_estimate(a, b, k)"))),
+    (new FunctionIdentifier("theta_intersect_estimate"),
+      new ExpressionInfo(classOf[graft.operators.ThetaIntersectEstimate].getName, "theta_intersect_estimate"),
+      (args: Seq[Expression]) => graft.operators.ThetaIntersectEstimate(
+        args(0), args(1), intLiteral(args(2), "theta_intersect_estimate(a, b, k)"))))
 
   private def intLiteral(e: Expression, usage: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

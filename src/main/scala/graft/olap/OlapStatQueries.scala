@@ -439,7 +439,34 @@ object OlapStatQueries {
       |       / CAST(n * least(nr - 1, nc - 1) AS DOUBLE)) AS v
       |FROM agg""".stripMargin
 
+  /** q_theta_sketch: the q_bitmap audience analysis through KMV theta
+    * sketches (ClickHouse uniqTheta / DataSketches family) — per-type
+    * user-audience estimate + union/intersection with the purchase
+    * audience, all from k·8-byte mergeable states instead of exact
+    * Roaring sets. Rows-only (estimates are sketch-specific), but fully
+    * DETERMINISTIC (the k-smallest-hashes state is order- and
+    * partition-invariant); the ThetaSketchSpec proves the error bound
+    * vs this very query's exact twin. Below-capacity groups are exact
+    * by construction. */
+  def qThetaSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ThetaSketch
+    val K = 256
+    val sk = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(ThetaSketch.agg(F.col("user_id"), K).as("sk"))
+    val purchase = sk.filter(F.col("event_type") === "purchase")
+      .select(F.col("sk").as("psk"))
+    sk.join(F.broadcast(purchase), F.lit(true), "left")
+      .select(F.col("event_type"),
+        ThetaSketch.estimateCol(F.col("sk"), K).as("n_users_est"),
+        F.coalesce(ThetaSketch.unionEstimateCol(F.col("sk"), F.col("psk"), K), F.lit(0L))
+          .as("n_union_est"),
+        F.coalesce(ThetaSketch.intersectEstimateCol(F.col("sk"), F.col("psk"), K), F.lit(0L))
+          .as("n_also_purchase_est"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_theta_sketch", qThetaSketch _, None),
     ("q_sql_bitmap", qSqlBitmap _, Some(qBitmapSql)),
     ("q_cramers_v", qCramersV _, Some(qCramersVSql)),
     ("q_salted", qSalted _, Some(qSaltedSql)),
