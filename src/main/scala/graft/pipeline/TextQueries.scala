@@ -125,6 +125,60 @@ object TextQueries {
         graft.functions.TextFunctions.rollingMinHash(F.col("text"), 8, 4)
           .getItem(i).as(s"fp$i")): _*)
 
+  /** t_zipf: Zipf rank-frequency fit — the corpus-health diagnostic
+    * (natural corpora have log-log slope ≈ −1; pathological/boilerplate
+    * corpora drift): OLS slope of ln(freq) vs ln(rank) over the top-100
+    * terms. The cut is a TakeOrdered (never a global sort); the rank
+    * then comes from ONE sort_array + posexplode over the bounded
+    * 100-struct array — no single-partition window anywhere. Each ln is
+    * rounded to an integer ×10⁶ per term BEFORE the moment sums
+    * (q_entropy discipline), the sums ride DECIMAL(38,0), and the slope
+    * is one terminal division of exact integers cast to double — the
+    * identical IEEE tree on both engines. */
+  def tZipf(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "documents")
+      .select(F.explode(F.split(F.col("text"), " ")).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("n"))
+    val top = counts.orderBy(F.col("n").desc, F.col("term").asc).limit(100)
+    val pts = top
+      .agg(F.sort_array(F.collect_list(
+        F.struct((-F.col("n")).as("negn"), F.col("term"), F.col("n")))).as("a"))
+      .select(F.posexplode(F.col("a")).as(Seq("pos", "s")))
+      .select(
+        F.floor(F.log((F.col("pos") + 1).cast("double")) * 1e6 + 0.5).cast("long").as("x6"),
+        F.floor(F.log(F.col("s.n").cast("double")) * 1e6 + 0.5).cast("long").as("y6"))
+    pts
+      .agg(F.count(F.lit(1)).as("k"),
+        F.sum("x6").cast("decimal(38,0)").as("sx"),
+        F.sum("y6").cast("decimal(38,0)").as("sy"),
+        F.sum(F.expr("cast(x6 as decimal(38,0)) * y6")).cast("decimal(38,0)").as("sxy"),
+        F.sum(F.expr("cast(x6 as decimal(38,0)) * x6")).cast("decimal(38,0)").as("sxx"))
+      .select(F.col("k"),
+        F.expr("cast(k * sxy - sx * sy as double) / cast(k * sxx - sx * sx as double)")
+          .as("slope"))
+  }
+
+  val tZipfSql: String =
+    """WITH counts AS (
+      |  SELECT term, COUNT(*) AS n
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+      |  GROUP BY 1),
+      |top AS (SELECT term, n FROM counts ORDER BY n DESC, term ASC LIMIT 100),
+      |pts AS (
+      |  SELECT
+      |   CAST(floor(ln(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC)) * 1e6 + 0.5) AS BIGINT) AS x6,
+      |   CAST(floor(ln(n) * 1e6 + 0.5) AS BIGINT) AS y6
+      |  FROM top),
+      |m AS (
+      |  SELECT COUNT(*) AS k,
+      |   CAST(SUM(x6) AS HUGEINT) AS sx, CAST(SUM(y6) AS HUGEINT) AS sy,
+      |   CAST(SUM(CAST(x6 AS HUGEINT) * y6) AS HUGEINT) AS sxy,
+      |   CAST(SUM(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) AS sxx
+      |  FROM pts)
+      |SELECT k,
+      | CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE) AS slope
+      |FROM m""".stripMargin
+
   /** t_topterms: top-5 terms per source by frequency (explode → count →
     * per-group top-N window; ties broken alphabetically). The groupBy
     * pre-aggregates map-side, so the shuffle carries (source, term)
@@ -482,6 +536,7 @@ object TextQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("t_editdist", tEditDist _, Some(tEditDistSql)),
+    ("t_zipf", tZipf _, Some(tZipfSql)),
     ("t_string_suite", tStringSuite _, Some(tStringSuiteSql)),
     ("t_codec", tCodec _, Some(tCodecSql)),
     ("t_ip_funcs", tIpFuncs _, Some(tIpFuncsSql)),

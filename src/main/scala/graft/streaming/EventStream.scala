@@ -236,6 +236,30 @@ object EventStream {
         F.col("purchase_value"))
   }
 
+  /** Stream-stream interval LEFT OUTER join — the conversion-attribution
+    * shape that also SURFACES the non-converting clicks: matched rows
+    * emit like the inner join, while a click with no in-window purchase
+    * is emitted with NULL purchase columns only once the watermark
+    * passes its interval end (before that a match could still arrive —
+    * the null row is a statement about a CLOSED window, which is why the
+    * outer side needs the same watermark-bounded state as the inner).
+    * Same bounded-state eviction as clickPurchaseJoin. */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(F.col("event_type") === "click")
+      .select(F.col("user_id"), F.col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id").as("p_user"), F.col("ts").as("purchase_ts"),
+        F.col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases, F.expr(
+      """user_id = p_user AND
+        |purchase_ts > click_ts AND
+        |purchase_ts <= click_ts + interval 1 hour""".stripMargin), "leftOuter")
+      .select(F.col("user_id"), F.col("click_ts"), F.col("purchase_ts"),
+        F.col("purchase_value"))
+  }
+
   /** File-stream source over a directory of event parquet — the
     * production entry point (readStream → transforms → writeStream). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {

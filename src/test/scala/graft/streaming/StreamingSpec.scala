@@ -254,6 +254,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval LEFT join emits null rows for non-converting clicks after close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.clickPurchaseLeftJoin(in.toDF())
+      .writeStream.format("memory").queryName("sslj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1, ts(0), "click", 0), Ev(1, ts(30), "purchase", 9.5), // converts
+        Ev(2, ts(10), "click", 0)) // never converts
+      q.processAllAvailable()
+      // Advance BOTH sides' watermarks far past click 2's interval end
+      // (70 min) + delay (30 min): "view" rows would be filtered out
+      // before the watermark nodes and advance nothing, so the probes
+      // are a click/purchase pair too far apart to ever match (the
+      // watermark updates at batch end, eviction emits on the NEXT
+      // batch — hence two rounds).
+      in.addData(Ev(8, ts(600), "click", 0), Ev(9, ts(600), "purchase", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(8, ts(900), "click", 0), Ev(9, ts(900), "purchase", 1.0))
+      q.processAllAvailable()
+      // the ts(600)/ts(900) probe clicks eventually emit their own null
+      // rows as their windows close — assert on the users under test
+      val rows = spark.table("sslj_out").collect()
+        .map(r => (r.getLong(0), mins(r.getTimestamp(1)),
+          Option(r.getTimestamp(2)).map(mins), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .filter(_._1 <= 2L).toSet
+      assert(rows == Set(
+        (1L, 0L, Some(30L), Some(9.5)),
+        (2L, 10L, None, None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("file readStream plans an unbounded source over events") {
     val df = EventStream.readEvents(spark, SF)
     assert(df.isStreaming)
