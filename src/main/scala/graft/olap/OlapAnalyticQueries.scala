@@ -456,7 +456,76 @@ object OlapAnalyticQueries {
       |   * 1e6) AS BIGINT) AS t6
       |FROM t""".stripMargin
 
+  /** q_anomaly_mad: median-absolute-deviation outlier monitor per
+    * event type — the robust dispersion ClickHouse spells
+    * medianExact + a second pass (MAD resists the outliers stddev-based
+    * z-scores are poisoned by). Both medians are RANK-SELECTED (the
+    * value at row floor((n+1)/2) of the total order — q_percentile's
+    * type-1 discipline, zero interpolation, all BIGINT cents), the
+    * deviation pass reuses the group median via one broadcast-sized
+    * join, and the outlier rule dev > 3·MAD is an integer comparison.
+    * Two window sorts (value order, deviation order) keyed on the
+    * group — no global sort anywhere. */
+  def qAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("event_type"), F.col("event_id"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+    val w1 = Window.partitionBy("event_type").orderBy(F.col("vc").asc, F.col("event_id").asc)
+    val cw = Window.partitionBy("event_type")
+    val med = ev
+      .withColumn("rn", F.row_number().over(w1))
+      .withColumn("cnt", F.count(F.lit(1)).over(cw))
+      .filter(F.col("rn") === F.floor((F.col("cnt") + 1) / 2))
+      .select(F.col("event_type"), F.col("vc").as("med"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("dev", F.abs(F.col("vc") - F.col("med")))
+    val w2 = Window.partitionBy("event_type").orderBy(F.col("dev").asc, F.col("event_id").asc)
+    val mad = dev
+      .withColumn("rn2", F.row_number().over(w2))
+      .withColumn("cnt2", F.count(F.lit(1)).over(cw))
+      .filter(F.col("rn2") === F.floor((F.col("cnt2") + 1) / 2))
+      .select(F.col("event_type"), F.col("dev").as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.max("med").as("med_c"),
+        F.max("mad").as("mad_c"),
+        F.sum(F.when(F.col("dev") > F.col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  val qAnomalyMadSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events),
+      |r1 AS (
+      |  SELECT event_type, vc,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc ASC, event_id ASC) AS rn,
+      |   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM ev),
+      |med AS (
+      |  SELECT event_type, vc AS med FROM r1
+      |  WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)),
+      |dev AS (
+      |  SELECT e.event_type, e.event_id, abs(e.vc - m.med) AS dev, m.med
+      |  FROM ev e JOIN med m ON m.event_type = e.event_type),
+      |r2 AS (
+      |  SELECT event_type, dev,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev ASC, event_id ASC) AS rn2,
+      |   COUNT(*) OVER (PARTITION BY event_type) AS cnt2
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type, dev AS mad FROM r2
+      |  WHERE rn2 = CAST(floor((cnt2 + 1) / 2) AS BIGINT))
+      |SELECT d.event_type, COUNT(*) AS n,
+      | CAST(MAX(d.med) AS BIGINT) AS med_c,
+      | CAST(MAX(a.mad) AS BIGINT) AS mad_c,
+      | CAST(SUM(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a ON a.event_type = d.event_type
+      |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_anomaly_mad", qAnomalyMad _, Some(qAnomalyMadSql)),
     ("q_studentt", qStudentT _, Some(qStudentTSql)),
     ("q_ttest", qTtest _, Some(qTtestSql)),
     ("q_skew_kurt", qSkewKurt _, Some(qSkewKurtSql)),

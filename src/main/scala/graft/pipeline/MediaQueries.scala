@@ -272,7 +272,53 @@ object MediaQueries {
       |FROM h a JOIN h b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3""".stripMargin
 
+  /** m_media_clip_pairs: the multimodal training-pair ASSEMBLY stage
+    * (CLIP-style caption↔media pairing): join the caption table to the
+    * media blob's decoded metadata and the embedding table, gate each
+    * modality independently — media must be a keepable format with both
+    * dims ≥ 100 and aspect within [0.5, 2] (the standard pretraining
+    * crop gate), captions must be ≥ 20 words — and emit the aligned
+    * pair rows. All gates are codegen'd pushed predicates; the
+    * doc⋈embedding join is an unhinted equi-join (both sides SF-scaled,
+    * AQE sizes it). The decode is the same deterministic stub as
+    * m_media_meta, so the oracle replays the identical arithmetic. */
+  def mMediaClipPairs(s: SparkSession, dir: String): DataFrame = {
+    val n = F.octet_length(F.col("text")).cast("long")
+    val meta = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("lang"),
+        F.expr("size(split(text, ' '))").cast("long").as("n_words"),
+        F.when(n % 3 === 0, "jpeg").when(n % 3 === 1, "png").otherwise("webp").as("fmt"),
+        (F.lit(64) + (n * 7) % 512).cast("long").as("width"),
+        (F.lit(64) + (n * 13) % 512).cast("long").as("height"))
+    val emb = Tables(s, dir, "embeddings")
+      .select(F.col("vec_id").as("doc_id"), F.col("label").cast("long").as("label"))
+    meta.join(emb, "doc_id")
+      .withColumn("aspect_ppm", F.expr("width * 1000000 div height"))
+      .filter(F.col("fmt") =!= "webp"
+        && F.col("width") >= 100 && F.col("height") >= 100
+        && F.col("aspect_ppm").between(500000L, 2000000L)
+        && F.col("n_words") >= 20)
+      .select("doc_id", "lang", "fmt", "width", "height", "n_words", "aspect_ppm", "label")
+  }
+
+  val mMediaClipPairsSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id, lang,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |   CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt,
+      |   CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS width,
+      |   CAST(64 + (octet_length(encode(text)) * 13) % 512 AS BIGINT) AS height
+      |  FROM documents)
+      |SELECT m.doc_id, m.lang, m.fmt, m.width, m.height, m.n_words,
+      | CAST(m.width * 1000000 // m.height AS BIGINT) AS aspect_ppm,
+      | CAST(e.label AS BIGINT) AS label
+      |FROM meta m JOIN embeddings e ON e.vec_id = m.doc_id
+      |WHERE m.fmt <> 'webp' AND m.width >= 100 AND m.height >= 100
+      |  AND m.width * 1000000 // m.height BETWEEN 500000 AND 2000000
+      |  AND m.n_words >= 20""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("m_media_clip_pairs", mMediaClipPairs _, Some(mMediaClipPairsSql)),
     ("m_media_phash", mMediaPhash _, Some(mMediaPhashSql)),
     ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)),
     ("m_media_frames", mMediaFrames _, Some(mMediaFramesSql)),
