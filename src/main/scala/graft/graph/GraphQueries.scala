@@ -913,7 +913,23 @@ object GraphQueries {
        | CAST(COALESCE(c.aa6, 0) AS BIGINT) AS aa6
        |FROM pairs p LEFT JOIN com c ON c.a = p.a AND c.b = p.b""".stripMargin
 
+  /** g_comp_sizes: component-size distribution — the summary every
+    * graph-cleaning pass reads first (how fragmented is the graph, is
+    * there a giant component): per-component vertex counts composed
+    * over the SAME frontier-Pregel CC as g_cc, plus each component's
+    * canonical (min) vid as the stable key. One extra grouped count
+    * over g_cc's output; the oracle nests g_cc's recursive-CTE oracle,
+    * so the gate covers composition, not just the algorithm. */
+  def gCompSizes(s: SparkSession, dir: String): DataFrame =
+    gCc(s, dir).groupBy("comp")
+      .agg(F.count(F.lit(1)).as("size"), F.min("vid").as("min_vid"))
+
+  val gCompSizesSql: String =
+    s"""SELECT comp, COUNT(*) AS size, MIN(vid) AS min_vid
+       |FROM ($gCcSql) cc GROUP BY comp""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_comp_sizes", gCompSizes _, Some(gCompSizesSql)),
     ("g_hits", gHits _, Some(gHitsSql)),
     ("g_adamic", gAdamic _, Some(gAdamicSql)),
     ("g_rank_revenue", gRankRevenue _, Some(gRankRevenueSql)),

@@ -513,7 +513,70 @@ object OlapSeriesQueries {
       | CAST(SUM(vc) AS BIGINT) AS total_c
       |FROM r GROUP BY 1""".stripMargin
 
+  /** q_cusum: CUSUM change detection per event type — the classic
+    * monitoring fold s_d = max(0, s_{d-1} + (x_d − k)) over the daily
+    * value series, with allowance k = the type's mean daily sum
+    * (integer div). The fold is sequential BY DEFINITION, so it runs as
+    * one codegen'd `aggregate` over the type's sorted daily array
+    * (bounded: ≤ #days elements — the same bounded-fold shape as
+    * q_exp_decay); everything before it is ordinary distributed
+    * aggregation. All BIGINT cents. Oracle = the identical recursion as
+    * a recursive CTE (list_reduce avoided per the round-3 DuckDB
+    * finding). Emits the final and max CUSUM — max > 0 flags a
+    * sustained upward shift. */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("d"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("event_type", "d").agg(F.sum("vc").as("x"))
+    daily.groupBy("event_type")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("d"), F.col("x")))).as("a"),
+        F.count(F.lit(1)).as("nd"), F.sum("x").as("tot"))
+      .select(F.col("event_type"), F.col("nd"),
+        F.expr("tot div nd").as("k"),
+        F.expr("""aggregate(a,
+            struct(cast(0 as bigint) as s, cast(0 as bigint) as mx),
+            (acc, e) -> struct(
+              greatest(cast(0 as bigint), acc.s + e.x - (tot div nd)),
+              greatest(acc.mx,
+                greatest(cast(0 as bigint), acc.s + e.x - (tot div nd)))),
+            acc -> acc)""").as("c"))
+      .select(F.col("event_type"), F.col("nd"), F.col("k"),
+        F.col("c.s").as("final_cusum"), F.col("c.mx").as("max_cusum"))
+  }
+
+  val qCusumSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |kk AS (
+      |  SELECT event_type, COUNT(*) AS nd,
+      |   CAST(SUM(x) // COUNT(*) AS BIGINT) AS k
+      |  FROM daily GROUP BY 1),
+      |seq AS (
+      |  SELECT event_type, x,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d ASC) AS i
+      |  FROM daily),
+      |rec(event_type, i, s, mx) AS (
+      |  SELECT q.event_type, 1,
+      |   GREATEST(0, q.x - kk.k), GREATEST(0, q.x - kk.k)
+      |  FROM seq q JOIN kk ON kk.event_type = q.event_type WHERE q.i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |   GREATEST(0, r.s + q.x - kk.k),
+      |   GREATEST(r.mx, GREATEST(0, r.s + q.x - kk.k))
+      |  FROM rec r
+      |  JOIN seq q ON q.event_type = r.event_type AND q.i = r.i + 1
+      |  JOIN kk ON kk.event_type = r.event_type)
+      |SELECT r.event_type, kk.nd, kk.k,
+      | CAST(r.s AS BIGINT) AS final_cusum, CAST(r.mx AS BIGINT) AS max_cusum
+      |FROM rec r JOIN kk ON kk.event_type = r.event_type
+      |WHERE r.i = kk.nd""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_cusum", qCusum _, Some(qCusumSql)),
     ("q_islands", qIslands _, Some(qIslandsSql)),
     ("q_cohort_matrix", qCohortMatrix _, Some(qCohortMatrixSql)),
     ("q_arr_cumsum", qArrCumsum _, Some(qArrCumsumSql)),

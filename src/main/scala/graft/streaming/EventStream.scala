@@ -215,6 +215,24 @@ object EventStream {
         F.col("p.term").cast("long").as("user_id"), F.col("p.cnt").as("n_events"))
   }
 
+  /** Streaming windowed distinct users via the KMV theta sketch
+    * (graft.operators.ThetaSketch) — the third point on the streaming
+    * distinct-count curve: HLL (tumblingApproxUsers — cardinality only),
+    * Roaring (tumblingExactUsers — exact, state ∝ compressed id set),
+    * theta (THIS — k·8-byte state per window AND downstream set algebra
+    * over the emitted sketches: window-over-window overlap is one
+    * intersect_estimate on the sink table). Exact below k distinct
+    * per window, deterministic always (k-smallest-hash state). */
+  def tumblingThetaUsers(events: DataFrame, k: Int = 256): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour").as("w"))
+      .agg(graft.operators.ThetaSketch.agg(F.col("user_id"), k).as("sk"),
+        F.count(F.lit(1)).as("n_events"))
+      .select(F.col("w.start").as("window_start"),
+        graft.operators.ThetaSketch.estimateCol(F.col("sk"), k).as("theta_users"),
+        F.col("sk"), F.col("n_events"))
+
   /** Stream-stream interval join: each click joined to that user's
     * purchases within the following hour. Both sides are watermarked and
     * the join condition bounds purchase_ts relative to click_ts, so the

@@ -232,6 +232,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed theta-sketch users: exact below capacity, sketches emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStream.tumblingThetaUsers(in.toDF())
+      .writeStream.format("memory").queryName("theta_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 3 distinct users (1 repeated), 5 events in hour 0 — below k=256,
+      // so the sketch IS the user set and the estimate is exact
+      in.addData(Ev(1, ts(5), "click", 0), Ev(2, ts(10), "view", 0),
+        Ev(1, ts(20), "view", 0), Ev(8, ts(30), "view", 0), Ev(8, ts(31), "view", 0))
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(200), "view", 0)) // watermark past hour 0
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(400), "view", 0))
+      q.processAllAvailable()
+      val rows = spark.table("theta_out").collect()
+        .map(r => (mins(r.getTimestamp(0)), r.getLong(1), r.getLong(3))).toSet
+      assert(rows.contains((0L, 3L, 5L)), s"got $rows")
+      // the emitted sketch supports downstream set algebra: hour-0 ∩ hour-3
+      // audiences share exactly user 9's absence → intersect of hour-0 with
+      // itself returns its own cardinality
+      val sk0 = spark.table("theta_out").collect()
+        .find(r => mins(r.getTimestamp(0)) == 0L).get.getAs[Array[Byte]]("sk")
+      val buf = graft.operators.ThetaSketch.deserialize(sk0)
+      assert(graft.operators.ThetaSketch.intersectEstimate(buf, buf, 256) == 3L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
