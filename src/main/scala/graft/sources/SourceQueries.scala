@@ -115,7 +115,53 @@ object SourceQueries {
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY 1""".stripMargin
 
+  // previous q_state_merge dir — same sweep discipline as roundtrip()
+  private var lastStateDir: Option[java.nio.file.Path] = None
+
+  /** q_state_merge: the ClickHouse -State/-Merge combinator pattern as a
+    * BATCH rollup (AggregatingMergeTree / materialized-view analogue,
+    * the batch twin of the streaming RollupSink): per-(type, day)
+    * mergeable partial states (count/sum/min/max — each re-aggregable)
+    * are persisted to parquet, read back, and MERGED to the per-type
+    * final — under the ORACLE OF THE DIRECT one-pass aggregate, so the
+    * hash gate proves the two-level rollup invisible. This is the
+    * pattern that lets a 100 TB daily pipeline maintain pre-aggregated
+    * state and serve final aggregates from state-sized scans. */
+  def qStateMerge(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastStateDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_state")
+    lastStateDir = Some(tmp)
+    val partials = Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("d"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("event_type", "d")
+      .agg(F.count(F.lit(1)).as("pn"), F.sum("vc").as("ps"),
+        F.min("vc").as("pmn"), F.max("vc").as("pmx"))
+    partials.write.mode("overwrite").parquet(s"$tmp/state")
+    s.read.parquet(s"$tmp/state")
+      .groupBy("event_type")
+      .agg(F.sum("pn").cast("long").as("n"), F.sum("ps").cast("long").as("sum_c"),
+        F.min("pmn").as("min_c"), F.max("pmx").as("max_c"))
+      .localCheckpoint(true)
+  }
+
+  val qStateMergeSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_c,
+      | CAST(MIN(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS min_c,
+      | CAST(MAX(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS max_c
+      |FROM events GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_state_merge", qStateMerge _, Some(qStateMergeSql)),
     ("q_csv_roundtrip", qCsvRoundtrip _, Some(roundtripSql)),
     ("q_json_roundtrip", qJsonRoundtrip _, Some(roundtripSql)),
     ("q_orc_roundtrip", qOrcRoundtrip _, Some(roundtripSql)),
