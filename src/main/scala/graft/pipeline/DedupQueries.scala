@@ -441,7 +441,34 @@ object DedupQueries {
       |FROM r JOIN q ON q.source = r.source
       |WHERE r.rk <= q.quota""".stripMargin
 
+  /** d_prefix_dup: shared-prefix (boilerplate) detection — the cheap
+    * pass every corpus cleaning pipeline runs before fuzzy dedup: docs
+    * opening with the same k leading words are usually template/header
+    * boilerplate (k = 3 here). One map-only prefix projection + one
+    * hash groupBy; emitted per duplicate group with its canonical
+    * (min-id) doc and source spread (n_sources > 1 ⇒ cross-source
+    * template, the strongest boilerplate signal). The group key is the
+    * md5 of the prefix — at 100 TB the groupBy key is a fixed-width
+    * hash, never the prefix text. */
+  def dPrefixDup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"),
+        F.md5(F.expr("array_join(slice(split(text, ' '), 1, 3), ' ')")).as("ph"))
+      .groupBy("ph")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.min("doc_id").as("canonical"),
+        F.count_distinct(F.col("source")).as("n_sources"))
+      .filter(F.col("n_docs") > 1)
+
+  val dPrefixDupSql: String =
+    """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')) AS ph,
+      | COUNT(*) AS n_docs, MIN(doc_id) AS canonical,
+      | COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_prefix_dup", dPrefixDup _, Some(dPrefixDupSql)),
     ("d_mix_sampling", dMixSampling _, Some(dMixSamplingSql)),
     ("d_sample_strat", dSampleStrat _, Some(dSampleStratSql)),
     ("d_corpus_stats", dCorpusStats _, Some(dCorpusStatsSql)),
