@@ -426,17 +426,21 @@ object AnnQueries {
     val e = withNorm(Tables(s, dir, "embeddings"))
     val l = e.select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
       F.col("nrm").as("nq"))
-    // score the upper triangle once and MIRROR it (cos is the identical
-    // IEEE value in both orientations: element products commute and the
-    // fold order is the index order) — half the dot products of the full
-    // crossJoin; the checkpoint stops the union's two branches from
-    // recomputing the scoring subtree
+    // score the upper triangle once and MIRROR each pair inline (cos is
+    // the identical IEEE value in both orientations: element products
+    // commute and the fold order is the index order) — half the dot
+    // products of the full crossJoin, and the explode feeds both
+    // orientations straight into the partial aggregate in the SAME pass
+    // (no checkpoint, no second read of the scoring subtree)
     val scored = l.crossJoin(e).filter(F.col("q_id") < F.col("vec_id"))
       .select(F.col("q_id"), F.col("vec_id").as("n_id"),
         (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
-      .localCheckpoint()
-    val both = scored.unionByName(
-      scored.select(F.col("n_id").as("q_id"), F.col("q_id").as("n_id"), F.col("cs")))
+    val both = scored
+      .select(F.explode(F.array(
+          F.struct(F.col("q_id"), F.col("n_id")),
+          F.struct(F.col("n_id").as("q_id"), F.col("q_id").as("n_id")))).as("p"),
+        F.col("cs"))
+      .select(F.col("p.q_id"), F.col("p.n_id"), F.col("cs"))
     val top = graft.operators.TopK.perGroup(both, Seq("q_id"), F.col("cs"),
         F.col("n_id"), KnnK)
       .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"), F.col("score"))
