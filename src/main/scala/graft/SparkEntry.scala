@@ -13,6 +13,7 @@ object SparkEntry {
       graft.olap.OlapSeriesQueries.entries ++
       graft.olap.OlapAnalyticQueries.entries ++
       graft.olap.OlapHypothesisQueries.entries ++
+      graft.olap.OlapGeoQueries.entries ++
       graft.kv.KVQueries.entries ++
       graft.graph.GraphQueries.entries ++
       graft.pipeline.DedupQueries.entries ++

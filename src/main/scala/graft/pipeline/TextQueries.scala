@@ -534,7 +534,70 @@ object TextQueries {
        |FROM b""".stripMargin
   }
 
+  /** t_phonetic: ClickHouse `soundex` — phonetic bucketing of each
+    * document's first word (fuzzy name/term matching: words that sound
+    * alike share a code). Spark's codegen'd `soundex` built-in does the
+    * per-row work (map-only); one hash aggregate groups the corpus into
+    * phonetic buckets. The oracle replicates American Soundex exactly
+    * for all-letter input: letter→digit map, h/w invisible to the
+    * adjacent-dedup rule (consonants separated by h/w collapse), vowels
+    * break the dedup chain, first letter kept verbatim, pad to 4.
+    * Input is restricted to `^[a-z]+$` first words on BOTH engines so
+    * the non-letter edge cases (where implementations diverge) are out
+    * of domain. Scale: map + one bounded aggregate (≤ 26·7³ buckets). */
+  def tPhonetic(s: SparkSession, dir: String): DataFrame = {
+    val w = F.element_at(F.split(F.col("text"), " "), 1)
+    Tables(s, dir, "documents")
+      .select(w.as("w"))
+      .filter(F.col("w").rlike("^[a-z]+$"))
+      .select(F.soundex(F.col("w")).as("sndx"), F.col("w"))
+      .groupBy("sndx")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.countDistinct(F.col("w")).as("n_w"),
+        F.min(F.col("w")).as("min_w"),
+        F.max(F.col("w")).as("max_w"))
+  }
+
+  val tPhoneticSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ')[1] AS w FROM documents
+      |  WHERE regexp_matches(string_split(text, ' ')[1], '^[a-z]+$')),
+      |chars AS (
+      |  SELECT doc_id, w, u.i AS pos, substr(w, u.i, 1) AS ch
+      |  FROM words, UNNEST(range(1, len(w) + 1)) AS u(i)),
+      |coded AS (
+      |  SELECT doc_id, w, pos,
+      |    CASE WHEN ch IN ('b','f','p','v') THEN '1'
+      |         WHEN ch IN ('c','g','j','k','q','s','x','z') THEN '2'
+      |         WHEN ch IN ('d','t') THEN '3'
+      |         WHEN ch = 'l' THEN '4'
+      |         WHEN ch IN ('m','n') THEN '5'
+      |         WHEN ch = 'r' THEN '6'
+      |         WHEN ch IN ('h','w') THEN '7'
+      |         ELSE '0' END AS code
+      |  FROM chars),
+      |-- h/w never update the last-emitted code (pos 1 always does)
+      |sel AS (SELECT * FROM coded WHERE pos = 1 OR code <> '7'),
+      |lagd AS (
+      |  SELECT *, lag(code) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM sel),
+      |emitted AS (
+      |  SELECT doc_id, pos, code,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+      |  FROM lagd WHERE pos > 1 AND code <> '0' AND code <> prev),
+      |sndxs AS (
+      |  SELECT wo.doc_id, wo.w,
+      |    upper(substr(wo.w, 1, 1)) ||
+      |      rpad(coalesce(string_agg(e.code, '' ORDER BY e.pos)
+      |        FILTER (WHERE e.k <= 3), ''), 3, '0') AS sndx
+      |  FROM words wo LEFT JOIN emitted e ON wo.doc_id = e.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT sndx, COUNT(*) AS n_docs, COUNT(DISTINCT w) AS n_w,
+      |  min(w) AS min_w, max(w) AS max_w
+      |FROM sndxs GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_phonetic", tPhonetic _, Some(tPhoneticSql)),
     ("t_editdist", tEditDist _, Some(tEditDistSql)),
     ("t_zipf", tZipf _, Some(tZipfSql)),
     ("t_string_suite", tStringSuite _, Some(tStringSuiteSql)),
