@@ -70,6 +70,83 @@ object OlapStatQueries {
       |   * 1e6) AS BIGINT) AS corr6
       |FROM m""".stripMargin
 
+  /** The q_corr_matrix measure set: exact fixed-point integers per row
+    * (quantity is integral; discount/tax/price are 2-dp decimals scaled
+    * to integers), so every moment sum is exact. */
+  private val CorrMeasures = Seq(
+    "qty" -> "CAST(l_quantity AS BIGINT)",
+    "disc" -> "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    "tax" -> "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    "price" -> "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+  private val CorrPairs: Seq[(String, String)] = {
+    val ms = CorrMeasures.map(_._1)
+    for { i <- ms.indices; j <- ms.indices if i < j } yield (ms(i), ms(j))
+  }
+
+  /** q_corr_matrix: ClickHouse `corrMatrix` — all pairwise Pearson
+    * correlations of the four lineitem measures per return flag, one
+    * row per (group, pair).
+    *
+    * ONE partial-aggregatable pass accumulates n + 4 sums + 10 product
+    * sums; the 6 off-diagonal correlations are then projected from that
+    * single aggregated row (the explode costs nothing — 3 input rows).
+    * Product sums ride DECIMAL(38,0) (price² cents² ≈ 1e14/row would
+    * wrap BIGINT near sf30 — same overflow-proofing as q_cramers_v);
+    * the closed form divides doubles cast from exact sums, identical
+    * text on both engines → bit-identical corr6. */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = Tables(s, dir, "lineitem")
+      .select(F.col("l_returnflag") +:
+        CorrMeasures.map { case (m, e) => F.expr(e).as(m) }: _*)
+    val sums =
+      CorrMeasures.map { case (m, _) => F.sum(F.col(m).cast(d38)).as(s"s_$m") } ++
+        (for { (a, b) <- CorrPairs } yield
+          F.sum((F.col(a) * F.col(b)).cast(d38)).as(s"p_${a}_$b")) ++
+        CorrMeasures.map { case (m, _) =>
+          F.sum((F.col(m) * F.col(m)).cast(d38)).as(s"p_${m}_$m") }
+    val agg = base.groupBy("l_returnflag")
+      .agg(F.count(F.lit(1)).as("n"), sums: _*)
+    val d: String => Column = c => F.col(c).cast("double")
+    def corr6(a: String, b: String): Column = {
+      val num = d("n") * d(s"p_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val den = F.sqrt(d("n") * d(s"p_${a}_$a") - d(s"s_$a") * d(s"s_$a")) *
+        F.sqrt(d("n") * d(s"p_${b}_$b") - d(s"s_$b") * d(s"s_$b"))
+      F.floor(num / den * 1e6)
+    }
+    agg.select(F.col("l_returnflag"),
+      F.explode(F.array(CorrPairs.map { case (a, b) =>
+        F.struct(F.lit(a).as("vi"), F.lit(b).as("vj"), corr6(a, b).as("corr6"))
+      }: _*)).as("pr"))
+      .select(F.col("l_returnflag"),
+        F.col("pr.vi").as("vi"), F.col("pr.vj").as("vj"),
+        F.col("pr.corr6").as("corr6"))
+  }
+
+  val qCorrMatrixSql: String = {
+    val defs = CorrMeasures.map { case (m, e) => s"$e AS $m" }.mkString(", ")
+    val sumCols = (
+      CorrMeasures.map { case (m, _) => s"SUM($m) AS s_$m" } ++
+        CorrPairs.map { case (a, b) => s"SUM($a*$b) AS p_${a}_$b" } ++
+        CorrMeasures.map { case (m, _) => s"SUM($m*$m) AS p_${m}_$m" }
+      ).mkString(",\n   ")
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val arms = CorrPairs.map { case (a, b) =>
+      val num = s"${dd("n")}*${dd(s"p_${a}_$b")} - ${dd(s"s_$a")}*${dd(s"s_$b")}"
+      val den = s"sqrt(${dd("n")}*${dd(s"p_${a}_$a")} - ${dd(s"s_$a")}*${dd(s"s_$a")}) * " +
+        s"sqrt(${dd("n")}*${dd(s"p_${b}_$b")} - ${dd(s"s_$b")}*${dd(s"s_$b")})"
+      s"""SELECT l_returnflag, '$a' AS vi, '$b' AS vj,
+         | CAST(floor(($num) / ($den) * 1e6) AS BIGINT) AS corr6 FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT l_returnflag, $defs FROM lineitem),
+       |m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |   $sumCols
+       |  FROM b GROUP BY 1)
+       |$arms""".stripMargin
+  }
+
   /** q_gini: Gini coefficient of order totals per priority class — the
     * sorted-rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
     * ascending xᵢ. ONE per-group window sort assigns ranks (ties don't
@@ -472,6 +549,7 @@ object OlapStatQueries {
     ("q_salted", qSalted _, Some(qSaltedSql)),
     ("q_rank_suite", qRankSuite _, Some(qRankSuiteSql)),
     ("q_corr", qCorr _, Some(qCorrSql)),
+    ("q_corr_matrix", qCorrMatrix _, Some(qCorrMatrixSql)),
     ("q_gini", qGini _, Some(qGiniSql)),
     ("q_fill", qFill _, Some(qFillSql)),
     ("q_fill_interp", qFillInterp _, Some(qFillInterpSql)),

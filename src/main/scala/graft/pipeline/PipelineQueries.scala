@@ -148,7 +148,40 @@ object PipelineQueries {
       |   / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS cum_ppm
       |FROM top CROSS JOIN tot""".stripMargin
 
+  /** d_shard_shuffle: deterministic epoch-salted training-order shuffle —
+    * the step between a cleaned corpus and a training run. Every doc gets
+    * a content-independent pseudorandom hash (md5 of doc_id + epoch
+    * salt), the top byte routes it to one of 256 shards, and its
+    * position within the shard is the hash order. Reshuffling an epoch
+    * is a salt change; the order is reproducible on any cluster.
+    *
+    * Scale shape: the hash is map-only; position assignment is ONE
+    * row_number window partitioned by shard — 256 balanced partitions
+    * whose per-shard sort IS the product (a training job needs the
+    * materialized order). At 100 TB the same plan writes
+    * `partitionBy(shard)` sorted-within-partitions parquet, so the
+    * window sort and the write sort coincide. */
+  def dShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    val h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ep1")).cast("binary"))
+    val w = Window.partitionBy("shard").orderBy(F.col("h"), F.col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), h.as("h"))
+      .withColumn("shard", F.substring(F.col("h"), 1, 2))
+      .withColumn("pos", F.row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  val dShardShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ep1') AS h
+      |  FROM documents)
+      |SELECT doc_id, substr(h, 1, 2) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 2)
+      |    ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM h""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)),
+    ("d_shard_shuffle", dShardShuffle _, Some(dShardShuffleSql)),
     ("d_vocab_coverage", dVocabCoverage _, Some(dVocabCoverageSql)))
 }
