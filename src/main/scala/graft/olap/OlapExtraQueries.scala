@@ -462,7 +462,52 @@ object OlapExtraQueries {
       |FROM orders LEFT JOIN fl ON o_orderkey = fl.l_orderkey
       |WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  /** q_dictget: ClickHouse external-dictionary lookups
+    * (`dictGetOrDefault` + a 2-level `dictGetHierarchy` walk) in their
+    * Spark-first form — broadcast LEFT joins against genuinely bounded
+    * dimension relations with a COALESCE default on the miss path.
+    * The probe key (s_nationkey + 20) forces real misses (nation keys
+    * stop at 24), so the default branch is exercised, not decorative.
+    * nation/region are fixed 25/5-row relations at every SF — these
+    * broadcast hints are safe at 100 TB, unlike the SF-scaled ones this
+    * repo dropped. Output is the bounded rollup (≤ 25·2 groups). */
+  def qDictGet(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(s, dir, "nation")
+      .select(F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey"))
+    val region = Tables(s, dir, "region")
+      .select(F.col("r_regionkey"), F.col("r_name"))
+    val probe = nation.select(F.col("n_nationkey").as("p_key"),
+      F.col("n_name").as("p_name"))
+    Tables(s, dir, "supplier")
+      .select(F.col("s_suppkey"), F.col("s_nationkey"))
+      .join(F.broadcast(nation),
+        F.col("s_nationkey") === F.col("n_nationkey"), "left")
+      .join(F.broadcast(region),
+        F.col("n_regionkey") === F.col("r_regionkey"), "left")
+      .join(F.broadcast(probe),
+        F.col("s_nationkey") + 20 === F.col("p_key"), "left")
+      .groupBy(
+        F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).as("nation_name"),
+        F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).as("region_name"),
+        F.coalesce(F.col("p_name"), F.lit("UNKNOWN")).as("probe_name"))
+      .agg(F.count(F.lit(1)).as("n_supp"),
+        F.min(F.col("s_suppkey")).as("min_supp"))
+  }
+
+  val qDictGetSql: String =
+    """SELECT
+      |  COALESCE(n.n_name, 'UNKNOWN') AS nation_name,
+      |  COALESCE(r.r_name, 'UNKNOWN') AS region_name,
+      |  COALESCE(p.n_name, 'UNKNOWN') AS probe_name,
+      |  COUNT(*) AS n_supp, min(s.s_suppkey) AS min_supp
+      |FROM supplier s
+      |LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |LEFT JOIN nation p ON s.s_nationkey + 20 = p.n_nationkey
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_dictget", qDictGet _, Some(qDictGetSql)),
     ("q_full_join", qFullJoin _, Some(qFullJoinSql)),
     ("q_any_join", qAnyJoin _, Some(qAnyJoinSql)),
     ("q_grouparray", qGroupArray _, Some(qGroupArraySql)),
