@@ -39,6 +39,19 @@ object GraphAlgs {
   def pagerank(vertices: DataFrame, edges: DataFrame, iters: Int = 10): DataFrame = {
     val n = vertices.count()
     val init = 1000000000000L / n
+    pagerankFrom(vertices,
+      vertices.select(F.col("vid"), F.lit(init).as("pr")), edges, iters)
+  }
+
+  /** The [[pagerank]] recurrence warm-started from an arbitrary rank
+    * vector `pr0` (vid, pr in 1e-12 units) — the incremental-maintenance
+    * entry: after an edge delta, a few rounds from the previous fixed
+    * point re-converge instead of restarting from uniform (the recurrence
+    * is a contraction toward the same fixed point from any start). */
+  def pagerankFrom(vertices: DataFrame, pr0: DataFrame, edges: DataFrame,
+                   iters: Int): DataFrame = {
+    val n = vertices.count()
+    val init = 1000000000000L / n
     val base = (15L * init) / 100L
     val outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
     // (src, dst, deg) — static across iterations; repartition by src so
@@ -46,7 +59,7 @@ object GraphAlgs {
     // only the rank side, never the edge list (see Pregel)
     val withDeg = edges.select("src", "dst").join(outdeg, "src")
       .repartition(F.col("src")).localCheckpoint()
-    var pr = vertices.select(F.col("vid"), F.lit(init).as("pr"))
+    var pr = pr0.select("vid", "pr")
     val zeros = vertices.select(F.col("vid"), F.lit(0L).as("m")).localCheckpoint()
     var prevCkpt: DataFrame = null
     for (it <- 1 to iters) {

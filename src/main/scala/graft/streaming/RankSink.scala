@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{functions => F}
+
+import graft.graph.GraphAlgs
+
+/** Incrementally-maintained PageRank over streaming edge ingestion — the
+  * JanusGraph "centrality of a growing graph" maintenance problem.
+  *
+  * Unlike components (GraphSink), PageRank has no sublinear merge: new
+  * edges redistribute mass globally. What CAN be saved is the iteration
+  * count — each micro-batch warm-starts the integer power iteration from
+  * the previous snapshot's ranks (the recurrence contracts to the same
+  * fixed point from any start), so a small edge delta re-converges in
+  * `RefreshIters` rounds instead of a cold run's 10–20. Per-batch cost is
+  * RefreshIters·|E| with the edge side partitioned once per batch; at
+  * 100 TB the edge accumulation is a bucketed table appended per batch
+  * and the rank join exchanges only the rank side (see
+  * GraphAlgs.pagerankFrom). Snapshots/idempotence follow the
+  * KVStreamSink `_SUCCESS` scheme: a replayed batch that already has a
+  * complete snapshot is a no-op.
+  */
+object RankSink {
+
+  /** Warm-start refresh rounds per micro-batch (delta batches). */
+  val RefreshIters = 6
+
+  /** Bootstrap rounds for the first batch — a cold start from uniform
+    * needs a full power-iteration run; only deltas get the short
+    * refresh. */
+  val ColdIters = 16
+
+  /** Start the maintenance query: `edges` rows carry (src, dst). */
+  def start(edges: DataFrame, dir: String): StreamingQuery =
+    edges.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) => applyBatch(batch, dir, batchId))
+      .start()
+
+  /** Fold one micro-batch of new edges into pr_v{batchId}. */
+  def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val target = Paths.get(dir, s"pr_v$batchId")
+    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
+    val s = batch.sparkSession
+    // land the delta first (idempotent: per-batch directory)
+    val edgeDir = Paths.get(dir, s"edges_v$batchId")
+    if (!Files.exists(edgeDir.resolve("_SUCCESS")))
+      batch.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .write.mode("overwrite").parquet(edgeDir.toString)
+    val edges = s.read.parquet(
+      edgeDirs(dir, batchId).map(_.toString): _*)
+    val vertices = edges.select(F.col("src").as("vid"))
+      .unionByName(edges.select(F.col("dst").as("vid"))).distinct()
+    val n = vertices.count()
+    val init = 1000000000000L / n
+    // previous fixed point where known; uniform mass for new vertices
+    val (pr0, iters) = latest(dir, batchId) match {
+      case Some(p) =>
+        val prev = s.read.parquet(p).select(F.col("vid"), F.col("pr").as("prev"))
+        (vertices.join(prev, Seq("vid"), "left")
+          .select(F.col("vid"), F.coalesce(F.col("prev"), F.lit(init)).as("pr")),
+          RefreshIters)
+      case None => (vertices.select(F.col("vid"), F.lit(init).as("pr")), ColdIters)
+    }
+    GraphAlgs.pagerankFrom(vertices, pr0, edges.select("src", "dst"), iters)
+      .write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** The current readable ranking: latest complete snapshot. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    latest(dir, Long.MaxValue) match {
+      case Some(p) => spark.read.parquet(p)
+      case None => spark.emptyDataFrame
+    }
+
+  private def edgeDirs(dir: String, upTo: Long): Seq[java.nio.file.Path] =
+    versioned(dir, "edges_v", upTo)
+
+  private def latest(dir: String, before: Long): Option[String] =
+    versioned(dir, "pr_v", before - 1).lastOption.map(_.toString)
+
+  /** Complete (`_SUCCESS`-marked) versioned children `prefix{0..upTo}`,
+    * version-ascending. */
+  private def versioned(dir: String, prefix: String, upTo: Long): Seq[java.nio.file.Path] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(prefix))
+      .filter(p => Files.exists(p.resolve("_SUCCESS")))
+      .map(p => (p.getFileName.toString.stripPrefix(prefix).toLong, p))
+      .filter(_._1 <= upTo)
+      .toSeq.sortBy(_._1).map(_._2)
+}
