@@ -206,6 +206,76 @@ object OlapExtraQueries {
       |  FROM seqs)
       |GROUP BY 1""".stripMargin
 
+  /** q_funnel_dedup: ClickHouse `windowFunnel(strict_dedup)` semantics
+    * (windowless): the greedy click→view→purchase chain is INTERRUPTED
+    * when a duplicate of an already-matched step arrives before the next
+    * step — a second 'c' before the 'v' freezes the user at level 1; a
+    * 'c' or 'v' before the 'p' freezes at level 2. Rides the same
+    * per-user step string as q_funnel_strict; the dedup walk is three
+    * constant-time position probes per user (first 'c'; first of {c,v}
+    * after it must be 'v'; first of {c,v,p} after that must be 'p'). */
+  def qFunnelDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .filter(F.col("event_type").isin("click", "view", "purchase"))
+      .select(F.col("user_id"),
+        F.struct(F.unix_micros(F.col("ts")).as("tu"), F.col("event_id"),
+          F.when(F.col("event_type") === "click", "c")
+            .when(F.col("event_type") === "view", "v")
+            .otherwise("p").as("st")).as("e"))
+    val seqs = ev.groupBy("user_id")
+      .agg(F.concat_ws("", F.expr("transform(sort_array(collect_list(e)), x -> x.st)"))
+        .as("seq"))
+    // after the anchor, the NEXT occurrence among the contenders decides:
+    // advance if it is the wanted step, interrupt if it is a repeat
+    val rest1 = F.expr("substr(seq, instr(seq, 'c') + 1)")
+    val levels = seqs
+      .withColumn("l1", F.instr(F.col("seq"), "c") > 0)
+      .withColumn("r1", rest1)
+      .withColumn("pv", F.instr(F.col("r1"), "v"))
+      .withColumn("pc", F.instr(F.col("r1"), "c"))
+      .withColumn("l2", F.col("l1") && F.col("pv") > 0 &&
+        (F.col("pc") === 0 || F.col("pv") < F.col("pc")))
+      .withColumn("r2", F.expr("substr(r1, pv + 1)"))
+      .withColumn("pp", F.instr(F.col("r2"), "p"))
+      .withColumn("pc2", F.instr(F.col("r2"), "c"))
+      .withColumn("pv2", F.instr(F.col("r2"), "v"))
+      .withColumn("l3", F.col("l2") && F.col("pp") > 0 &&
+        (F.col("pc2") === 0 || F.col("pp") < F.col("pc2")) &&
+        (F.col("pv2") === 0 || F.col("pp") < F.col("pv2")))
+    levels.select(
+      (F.when(F.col("l3"), 3L).when(F.col("l2"), 2L)
+        .when(F.col("l1"), 1L).otherwise(0L)).as("level"))
+      .groupBy("level").agg(F.count(F.lit(1)).as("n_users"))
+  }
+
+  val qFunnelDedupSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+      |    CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' ELSE 'p' END AS st
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |seqs AS (
+      |  SELECT user_id, string_agg(st, '' ORDER BY tu, event_id) AS seq
+      |  FROM ev GROUP BY 1),
+      |walk AS (
+      |  SELECT user_id, strpos(seq, 'c') > 0 AS l1,
+      |    substr(seq, strpos(seq, 'c') + 1) AS r1
+      |  FROM seqs),
+      |w2 AS (
+      |  SELECT *, strpos(r1, 'v') AS pv, strpos(r1, 'c') AS pc,
+      |    l1 AND strpos(r1, 'v') > 0 AND
+      |      (strpos(r1, 'c') = 0 OR strpos(r1, 'v') < strpos(r1, 'c')) AS l2,
+      |    substr(r1, strpos(r1, 'v') + 1) AS r2
+      |  FROM walk),
+      |w3 AS (
+      |  SELECT *, l2 AND strpos(r2, 'p') > 0 AND
+      |      (strpos(r2, 'c') = 0 OR strpos(r2, 'p') < strpos(r2, 'c')) AND
+      |      (strpos(r2, 'v') = 0 OR strpos(r2, 'p') < strpos(r2, 'v')) AS l3
+      |  FROM w2)
+      |SELECT CAST(CASE WHEN l3 THEN 3 WHEN l2 THEN 2 WHEN l1 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS level,
+      |  COUNT(*) AS n_users
+      |FROM w3 GROUP BY 1""".stripMargin
+
   val qFunnelSql: String =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
       |s1 AS (SELECT user_id, MIN(tu) AS t1 FROM ev WHERE event_type = 'click' GROUP BY 1),
@@ -522,5 +592,6 @@ object OlapExtraQueries {
     ("q_approx_pct", qApproxPct _, None),
     ("q_funnel", qFunnel _, Some(qFunnelSql)),
     ("q_funnel_strict", qFunnelStrict _, Some(qFunnelStrictSql)),
+    ("q_funnel_dedup", qFunnelDedup _, Some(qFunnelDedupSql)),
     ("q_retention", qRetention _, Some(qRetentionSql)))
 }
