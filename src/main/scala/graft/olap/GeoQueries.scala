@@ -46,7 +46,7 @@ object OlapGeoQueries {
   /** Test pentagon in (lon100, lat100) fixed-point space — spans enough
     * of the coordinate range that both branches of the parity test are
     * exercised at every SF. */
-  private val Poly: Seq[(Long, Long)] =
+  private[olap] val Poly: Seq[(Long, Long)] =
     Seq((-12000L, -4000L), (-3000L, 6500L), (5000L, 7500L),
       (14000L, 0L), (2000L, -8000L))
 
@@ -77,9 +77,10 @@ object OlapGeoQueries {
   private val CustLat = "(c_custkey * 9973) % 17000 - 8500"
   private val CustLon = "(c_custkey * 7919) % 35900 - 17950"
 
-  /** q_geo: per-customer geohashEncode + pointInPolygon, rolled up by
-    * (2-char geohash cell, polygon membership). */
-  def qGeo(s: SparkSession, dir: String): DataFrame = {
+  /** The per-customer point frame (gh5, in_poly, lat100, lon100) —
+    * package-visible so the spec can check every point against an
+    * independent decoder. */
+  private[olap] def points(s: SparkSession, dir: String): DataFrame = {
     val latb = s"(($CustLat) + 9000) * 4096 div 18000"
     val lonb = s"(($CustLon) + 18000) * 8192 div 36000"
     Tables(s, dir, "customer")
@@ -88,13 +89,18 @@ object OlapGeoQueries {
         F.expr(inPoly(CustLon, CustLat)).as("in_poly"),
         F.expr(CustLat).as("lat100"),
         F.expr(CustLon).as("lon100"))
+  }
+
+  /** q_geo: per-customer geohashEncode + pointInPolygon, rolled up by
+    * (2-char geohash cell, polygon membership). */
+  def qGeo(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
       .groupBy(F.substring(F.col("gh5"), 1, 2).as("gh2"), F.col("in_poly"))
       .agg(F.count(F.lit(1)).as("n"),
         F.countDistinct(F.col("gh5")).as("n_gh5"),
         F.min(F.col("gh5")).as("min_gh5"),
         F.min(F.col("lat100")).as("min_lat100"),
         F.max(F.col("lon100")).as("max_lon100"))
-  }
 
   val qGeoSql: String = {
     val latb = s"((($CustLat) + 9000) * 4096) // 18000"
