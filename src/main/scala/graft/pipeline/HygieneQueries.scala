@@ -217,7 +217,71 @@ object HygieneQueries {
       | CAST(floor(CAST(bs.top_bg AS DOUBLE) / CAST(bs.n_bigrams AS DOUBLE) * 1e6) AS BIGINT) AS top_bigram_ppm
       |FROM d JOIN words ON d.doc_id = words.doc_id JOIN bs ON d.doc_id = bs.doc_id""".stripMargin
 
+  /** d_substr_scrub: substring-level dedup — REMOVE (not just count)
+    * every span covered by a word-8-gram that also appears in another
+    * document, the ExactSubstr-style boilerplate scrub: headers, license
+    * blocks and templated lines vanish while unique prose survives, and
+    * (unlike document-level dedup) a doc that is 95% unique keeps its
+    * unique 95%.
+    *
+    * Shape: 8-gram generation is per-row array code; ONE aggregate keyed
+    * on the gram computes cross-doc frequency (map-side combine collapses
+    * within-doc repeats); duplicated start positions flow back as ONE
+    * per-doc array; the span-union and text rebuild are then map-only
+    * higher-order functions (no second pass over grams). Grams ride as
+    * strings so the oracle can build identical keys — at 100 TB they ride
+    * as xxhash64 fingerprints (identical span structure, 8-byte keys). */
+  def dSubstrScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("text"), F.split(F.col("text"), " ").as("w"))
+    val grams = docs
+      .select(F.col("doc_id"), F.explode(F.expr(
+        // sequence(1, 0) would DESCEND in Spark — guard the <8-word case
+        "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7), i -> struct(i AS i, array_join(slice(w, i, 8), ' ') AS g)) ELSE array() END"))
+        .as("e"))
+      .select(F.col("doc_id"), F.col("e.i").as("i"), F.col("e.g").as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(F.countDistinct(F.col("doc_id")).as("df"))
+      .filter(F.col("df") >= 2)
+      .select("g")
+    val starts = grams.join(dupGrams, "g")
+      .groupBy("doc_id")
+      .agg(F.sort_array(F.collect_list(F.col("i"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts", F.coalesce(F.col("starts"), F.expr("array()")))
+      .select(F.col("doc_id"),
+        F.size(F.col("w")).cast("long").as("n_words"),
+        F.expr("size(filter(sequence(1, size(w)), j -> exists(starts, s -> s <= j AND j < s + 8)))")
+          .cast("long").as("n_removed"),
+        F.expr("array_join(transform(filter(transform(sequence(1, size(w)), j -> struct(j AS j, element_at(w, j) AS word)), x -> NOT exists(starts, s -> s <= x.j AND x.j < s + 8)), x -> x.word), ' ')")
+          .as("cleaned"))
+  }
+
+  val dSubstrScrubSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, u.i AS i, array_to_string(w[u.i:u.i+7], ' ') AS g
+      |  FROM docs, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS u(i)),
+      |dup AS (
+      |  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      |starts AS (
+      |  SELECT doc_id, list(i ORDER BY i) AS starts
+      |  FROM grams JOIN dup USING (g) GROUP BY 1),
+      |pos AS (
+      |  SELECT d.doc_id, u.j AS j, d.w[u.j] AS word,
+      |    len(list_filter(COALESCE(s.starts, []),
+      |      x -> x <= u.j AND u.j < x + 8)) > 0 AS covered
+      |  FROM docs d LEFT JOIN starts s USING (doc_id),
+      |    UNNEST(range(1, len(d.w) + 1)) AS u(j))
+      |SELECT doc_id, COUNT(*) AS n_words,
+      |  CAST(COUNT(*) FILTER (WHERE covered) AS BIGINT) AS n_removed,
+      |  COALESCE(string_agg(word, ' ' ORDER BY j) FILTER (WHERE NOT covered), '')
+      |    AS cleaned
+      |FROM pos GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_substr_scrub", dSubstrScrub _, Some(dSubstrScrubSql)),
     ("d_bloom_decontam", dBloomDecontam _, Some(dDecontamSql)),
     ("t_pii_scrub", tPiiScrub _, Some(tPiiScrubSql)),
     ("d_decontam", dDecontam _, Some(dDecontamSql)),
