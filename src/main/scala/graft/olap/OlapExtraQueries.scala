@@ -1,6 +1,7 @@
 package graft.olap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 import graft.Tables
@@ -532,6 +533,49 @@ object OlapExtraQueries {
       |FROM orders LEFT JOIN fl ON o_orderkey = fl.l_orderkey
       |WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  /** q_paste_join: ClickHouse PASTE JOIN — positional pairing of two
+    * result sets by row number. Position only means something under an
+    * explicit total order, so the Spark-first form pairs two bounded
+    * top-20 rankings (customers by revenue vs customers by order count,
+    * both from ONE shared aggregate): each side is TakeOrdered(20) with
+    * a deterministic tie-break, rank assignment is a window over the
+    * 20 surviving rows (single partition by construction, same argument
+    * as d_vocab_coverage), and the paste is an equi-join on rank. */
+  def qPasteJoin(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables(s, dir, "orders")
+      .select(F.col("o_custkey"),
+        (dec2(F.col("o_totalprice")) * 100).cast("long").as("c0"))
+      .groupBy("o_custkey")
+      .agg(F.sum("c0").as("cents"), F.count(F.lit(1)).as("n_orders"))
+    val byRev = agg.orderBy(F.col("cents").desc, F.col("o_custkey")).limit(20)
+      .select(F.col("o_custkey").as("rev_cust"), F.col("cents"))
+      .withColumn("rnk", F.row_number().over(Window.partitionBy(F.lit(0))
+        .orderBy(F.col("cents").desc, F.col("rev_cust"))).cast("long"))
+    val byCnt = agg.orderBy(F.col("n_orders").desc, F.col("o_custkey")).limit(20)
+      .select(F.col("o_custkey").as("cnt_cust"), F.col("n_orders"))
+      .withColumn("rnk", F.row_number().over(Window.partitionBy(F.lit(0))
+        .orderBy(F.col("n_orders").desc, F.col("cnt_cust"))).cast("long"))
+    byRev.join(byCnt, "rnk")
+      .select("rnk", "rev_cust", "cents", "cnt_cust", "n_orders")
+  }
+
+  val qPasteJoinSql: String =
+    """WITH agg AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |rev AS (
+      |  SELECT o_custkey AS rev_cust, cents,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rnk
+      |  FROM agg ORDER BY cents DESC, o_custkey LIMIT 20),
+      |cnt AS (
+      |  SELECT o_custkey AS cnt_cust, n_orders,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS rnk
+      |  FROM agg ORDER BY n_orders DESC, o_custkey LIMIT 20)
+      |SELECT rnk, rev_cust, cents, cnt_cust, n_orders
+      |FROM rev JOIN cnt USING (rnk)""".stripMargin
+
   /** q_dictget: ClickHouse external-dictionary lookups
     * (`dictGetOrDefault` + a 2-level `dictGetHierarchy` walk) in their
     * Spark-first form — broadcast LEFT joins against genuinely bounded
@@ -578,6 +622,7 @@ object OlapExtraQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_dictget", qDictGet _, Some(qDictGetSql)),
+    ("q_paste_join", qPasteJoin _, Some(qPasteJoinSql)),
     ("q_full_join", qFullJoin _, Some(qFullJoinSql)),
     ("q_any_join", qAnyJoin _, Some(qAnyJoinSql)),
     ("q_grouparray", qGroupArray _, Some(qGroupArraySql)),
