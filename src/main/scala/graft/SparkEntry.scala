@@ -23,6 +23,7 @@ object SparkEntry {
       graft.pipeline.PackQueries.entries ++
       graft.pipeline.MediaQueries.entries ++
       graft.pipeline.PipelineQueries.entries ++
+      graft.pipeline.BpeTrainer.entries ++
       graft.sources.SourceQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Distributed BPE tokenizer training — the merge-table learner a
+  * training-data pipeline runs before tokenizing a corpus.
+  *
+  * Classic byte-pair encoding over the word-frequency table: each round
+  * counts adjacent symbol pairs weighted by word frequency, merges the
+  * most frequent pair (ties broken lexicographically so the table is
+  * deterministic), and rewrites the symbol sequences left-to-right.
+  *
+  * Scale shape: the word-frequency table is ONE hash aggregate over the
+  * corpus (Heaps-law-bounded rows — millions at 100 TB, never corpus-
+  * sized); each round is one pair-count aggregate + a TakeOrdered(1)
+  * (only the single winning pair ever reaches the driver) + a map-only
+  * codegen'd fold applying the merge. Rounds localCheckpoint so the plan
+  * stays shallow at any merge count. No oracle (iterative training is
+  * not single-statement SQL) — the spec proves the merge table EQUALS a
+  * plain-Scala BPE replica on the same word frequencies.
+  */
+object BpeTrainer {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Merge rounds for the driver-checked query. */
+  val Merges = 12
+
+  /** Word-frequency table of the documents corpus (lowercase a-z words
+    * only, so symbols are single letters). */
+  def wordFreqs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.explode(F.split(F.col("text"), " ")).as("word"))
+      .filter(F.col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(F.count(F.lit(1)).as("freq"))
+
+  /** One left-to-right merge application as a codegen'd fold: append the
+    * symbol, or fuse it onto the accumulator's tail when (tail, symbol)
+    * is the winning pair. "aaa" under (a,a) becomes [aa, a] — the fused
+    * tail "aa" no longer equals "a", so overlaps resolve left-to-right
+    * exactly like the reference implementation. */
+  private def applyMerge(l: String, r: String): String = {
+    def q(s: String) = "'" + s.replace("'", "\\'") + "'"
+    s"""aggregate(syms, array_remove(array(''), ''),
+       |  (acc, s) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${q(l)}
+       |                        AND s = ${q(r)}
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array(${q(l + r)}))
+       |    ELSE concat(acc, array(s)) END)""".stripMargin
+  }
+
+  /** Train `merges` rounds; returns (rank, left, right, freq) rows in
+    * merge order. */
+  def train(words: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
+    var cur = words
+      .select(F.col("freq"), F.split(F.col("word"), "").as("syms"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= merges && !done) {
+      val top = cur
+        .filter(F.expr("size(syms) >= 2"))
+        .select(F.col("freq"), F.explode(F.expr(
+          "transform(sequence(1, size(syms) - 1), j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"))
+          .as("p"))
+        .groupBy("p.l", "p.r").agg(F.sum("freq").as("c"))
+        .orderBy(F.col("c").desc, F.col("l"), F.col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((rank, l, r, c))
+        val next = cur.select(F.col("freq"),
+          F.expr(applyMerge(l, r)).as("syms")).localCheckpoint()
+        cur.unpersist(false)
+        cur = next
+        rank += 1
+      }
+    }
+    cur.unpersist(false)
+    out.result()
+  }
+
+  /** t_bpe_train: the learned merge table as a DataFrame (rows-only —
+    * spec-proven equal to the plain-Scala replica). */
+  def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = train(wordFreqs(s, dir), Merges)
+      .map { case (rank, l, r, c) =>
+        org.apache.spark.sql.Row(rank.toLong, l, r, c)
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("left",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("right",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("freq",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(rows.asJava, schema)
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_bpe_train", tBpeTrain _, None))
+}

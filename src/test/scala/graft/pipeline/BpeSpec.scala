@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import graft.SparkSpec
+
+/** The distributed BPE trainer must produce EXACTLY the merge table of a
+  * plain-Scala reference implementation over the same word-frequency
+  * table — same pair counts, same (count desc, left, right) tie-break,
+  * same left-to-right merge application. */
+class BpeSpec extends SparkSpec {
+
+  /** Reference BPE on a word-frequency map. */
+  private def refBpe(freqs: Seq[(String, Long)], merges: Int): Seq[(Int, String, String, Long)] = {
+    var seqs: Seq[(Vector[String], Long)] =
+      freqs.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = mutable.Buffer[(Int, String, String, Long)]()
+    for (rank <- 1 to merges) {
+      val counts = mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((syms, f) <- seqs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, c))
+        seqs = seqs.map { case (syms, f) =>
+          val res = mutable.Buffer[String]()
+          for (s <- syms) {
+            if (res.nonEmpty && res.last == l && s == r)
+              res(res.length - 1) = l + r
+            else res += s
+          }
+          (res.toVector, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed merge table equals the plain-Scala reference") {
+    val words = BpeTrainer.wordFreqs(spark, SF)
+    val freqs = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(freqs.nonEmpty)
+    val expect = refBpe(freqs, BpeTrainer.Merges)
+    val got = BpeTrainer.train(words, BpeTrainer.Merges)
+    assert(got === expect)
+    // merges actually fuse multi-char symbols by the end
+    assert(got.exists { case (_, l, r, _) => (l + r).length > 2 })
+  }
+}
