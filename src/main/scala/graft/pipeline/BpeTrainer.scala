@@ -103,6 +103,44 @@ object BpeTrainer {
     s.createDataFrame(rows.asJava, schema)
   }
 
+  /** Tokenization of one word as an expression: symbols ride as a
+    * space-delimited string (" a b c "), and each learned merge is ONE
+    * non-overlapping left-to-right `replace(" l r " → " lr ")` — which
+    * provably equals the per-symbol fold (a merged token never re-matches
+    * within its round: "lr" ≠ "l"), so apply is a chain of codegen'd
+    * string replaces instead of nested array folds. */
+  private def tokenizeExpr(wordCol: String, merges: Seq[(Int, String, String, Long)]): String = {
+    def q(s: String) = "'" + s.replace("'", "\\'") + "'"
+    val base = s"concat(' ', array_join(split($wordCol, ''), ' '), ' ')"
+    val folded = merges.foldLeft(base) { case (e, (_, l, r, _)) =>
+      s"replace($e, ${q(s" $l $r ")}, ${q(s" ${l + r} ")})"
+    }
+    s"split(trim($folded), ' ')"
+  }
+
+  /** t_bpe_apply: tokenize the corpus with the learned merge table —
+    * train once (the bounded iterative phase), then tokenization is
+    * map-only over documents: per-word token counts summed per doc,
+    * plus the first word's token split as a witness. OOV words (outside
+    * the trained `^[a-z]+$` domain) count as single tokens. Rows-only;
+    * the spec proves token counts and splits equal the plain-Scala
+    * fold-apply replica. */
+  def tBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = train(wordFreqs(s, dir), Merges)
+    val tok = tokenizeExpr("w", merges)
+    val perWord =
+      s"transform(split(text, ' '), w -> CASE WHEN w RLIKE '^[a-z]+$$' THEN size($tok) ELSE 1 END)"
+    val firstTok = tokenizeExpr("element_at(split(text, ' '), 1)", merges)
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").as("n_words"),
+        F.expr(s"aggregate($perWord, 0L, (a, x) -> a + x)").as("n_tokens"),
+        F.when(F.element_at(F.split(F.col("text"), " "), 1).rlike("^[a-z]+$"),
+          F.expr(s"array_join($firstTok, '|')")).otherwise(F.lit("<oov>"))
+          .as("first_toks"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("t_bpe_train", tBpeTrain _, None))
+    ("t_bpe_train", tBpeTrain _, None),
+    ("t_bpe_apply", tBpeApply _, None))
 }

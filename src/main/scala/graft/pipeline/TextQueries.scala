@@ -596,7 +596,52 @@ object TextQueries {
       |  min(w) AS min_w, max(w) AS max_w
       |FROM sndxs GROUP BY 1""".stripMargin
 
+  /** t_stem: suffix-stripping stemming (the normalization step before
+    * dedup/search indexing) — every corpus word collapsed to its stem
+    * bucket. Map-only expression work + ONE vocabulary-bounded hash
+    * aggregate. */
+  def tStem(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.explode(F.split(F.col("text"), " ")).as("word"))
+      .filter(F.col("word").rlike("^[a-z]+$"))
+      .withColumn("s1", F.expr(stemRule1))
+      .withColumn("s2", F.expr(stemRule2))
+      .withColumn("stem", F.expr(stemRule3))
+      .groupBy("stem")
+      .agg(F.count(F.lit(1)).as("n_occ"),
+        F.countDistinct(F.col("word")).as("n_w"),
+        F.min(F.col("word")).as("min_w"),
+        F.max(F.col("word")).as("max_w"))
+
+  /** Rule stages shared verbatim with the oracle SQL. */
+  private val stemRule1 =
+    """CASE WHEN right(word, 4) = 'sses' THEN left(word, length(word) - 2)
+      |     WHEN right(word, 3) = 'ies' THEN left(word, length(word) - 2)
+      |     WHEN right(word, 2) = 'ss' THEN word
+      |     WHEN right(word, 1) = 's' AND length(word) > 3 THEN left(word, length(word) - 1)
+      |     ELSE word END""".stripMargin
+  private val stemRule2 =
+    """CASE WHEN right(s1, 3) = 'ing' AND length(s1) > 5 THEN left(s1, length(s1) - 3)
+      |     WHEN right(s1, 2) = 'ed' AND length(s1) > 4 THEN left(s1, length(s1) - 2)
+      |     ELSE s1 END""".stripMargin
+  private val stemRule3 =
+    """CASE WHEN right(s2, 2) = 'ly' AND length(s2) > 4 THEN left(s2, length(s2) - 2)
+      |     ELSE s2 END""".stripMargin
+
+  val tStemSql: String =
+    s"""WITH w AS (
+       |  SELECT u.word AS word FROM documents,
+       |    UNNEST(string_split(text, ' ')) AS u(word)
+       |  WHERE regexp_matches(u.word, '^[a-z]+$$')),
+       |r1 AS (SELECT word, $stemRule1 AS s1 FROM w),
+       |r2 AS (SELECT word, $stemRule2 AS s2 FROM r1),
+       |r3 AS (SELECT word, $stemRule3 AS stem FROM r2)
+       |SELECT stem, COUNT(*) AS n_occ, COUNT(DISTINCT word) AS n_w,
+       |  min(word) AS min_w, max(word) AS max_w
+       |FROM r3 GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_stem", tStem _, Some(tStemSql)),
     ("t_phonetic", tPhonetic _, Some(tPhoneticSql)),
     ("t_editdist", tEditDist _, Some(tEditDistSql)),
     ("t_zipf", tZipf _, Some(tZipfSql)),

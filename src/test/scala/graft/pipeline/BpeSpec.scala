@@ -46,4 +46,42 @@ class BpeSpec extends SparkSpec {
     // merges actually fuse multi-char symbols by the end
     assert(got.exists { case (_, l, r, _) => (l + r).length > 2 })
   }
+
+  /** Fold-apply reference: the per-symbol left-to-right merge. */
+  private def refTokenize(word: String, merges: Seq[(Int, String, String, Long)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (syms, (_, l, r, _)) =>
+      val res = mutable.Buffer[String]()
+      for (s <- syms) {
+        if (res.nonEmpty && res.last == l && s == r)
+          res(res.length - 1) = l + r
+        else res += s
+      }
+      res.toVector
+    }
+
+  test("expression tokenization equals the fold-apply reference") {
+    val words = BpeTrainer.wordFreqs(spark, SF)
+    val merges = BpeTrainer.train(words, BpeTrainer.Merges)
+    val wordRe = "^[a-z]+$".r
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = BpeTrainer.tBpeApply(spark, SF).collect()
+    assert(got.length === docs.size)
+    for (r <- got) {
+      val (docId, nWords, nTokens, firstToks) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val ws = docs(docId).split(" ", -1)
+      assert(nWords === ws.length)
+      val expTokens = ws.map(w =>
+        if (wordRe.findFirstIn(w).isDefined) refTokenize(w, merges).length else 1)
+        .map(_.toLong).sum
+      assert(nTokens === expTokens, s"doc $docId")
+      val expFirst =
+        if (wordRe.findFirstIn(ws.head).isDefined)
+          refTokenize(ws.head, merges).mkString("|")
+        else "<oov>"
+      assert(firstToks === expFirst, s"doc $docId first word")
+    }
+  }
 }
