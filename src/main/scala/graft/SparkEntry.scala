@@ -24,6 +24,7 @@ object SparkEntry {
       graft.pipeline.MediaQueries.entries ++
       graft.pipeline.PipelineQueries.entries ++
       graft.pipeline.BpeTrainer.entries ++
+      graft.pipeline.QualityModel.entries ++
       graft.sources.SourceQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

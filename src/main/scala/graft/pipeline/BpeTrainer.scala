@@ -140,7 +140,48 @@ object BpeTrainer {
           .as("first_toks"))
   }
 
+  /** d_tokenize_pack: the end-to-end LLM data-prep capstone — train the
+    * tokenizer, tokenize, then pack documents into fixed context windows
+    * by their TRUE token counts (d_pack's greedy first-fit fold, but
+    * capacity measured in BPE tokens, which is what the training job
+    * actually consumes — word-count packing over/under-fills bins as
+    * merge depth changes). Same scale shape as d_pack: one independent
+    * O(group) fold per source over (content-hash, doc_id) order; token
+    * counting is map-only expression work. Rows-only; the spec composes
+    * the two proven replicas (fold-apply tokenizer + greedy fold) and
+    * demands EXACT equality. */
+  def dTokenizePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = train(wordFreqs(s, dir))
+    val tok = tokenizeExpr("w", merges)
+    val perWord =
+      s"transform(split(text, ' '), w -> CASE WHEN w RLIKE '^[a-z]+$$' THEN size($tok) ELSE 1 END)"
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"),
+        F.md5(F.col("text").cast("binary")).as("h"),
+        F.expr(s"aggregate($perWord, 0L, (a, x) -> a + x)").as("n"))
+      .as[PackDoc]
+      .groupByKey(_.source)
+      .flatMapGroups { (src: String, it: Iterator[PackDoc]) =>
+        val docs = it.toArray.sortBy(d => (d.h, d.doc_id))
+        var bin = 0L
+        var fill = 0L
+        docs.iterator.map { d =>
+          if (fill > 0 && fill + d.n > PackQueries.PackCap) { bin += 1; fill = 0 }
+          val slot = PackSlot(d.doc_id, src, bin, fill, d.n)
+          fill += d.n
+          slot
+        }
+      }
+      .toDF()
+  }
+
+  /** Default merge count overload used by the packing capstone. */
+  def train(words: DataFrame): Seq[(Int, String, String, Long)] =
+    train(words, Merges)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("t_bpe_train", tBpeTrain _, None),
-    ("t_bpe_apply", tBpeApply _, None))
+    ("t_bpe_apply", tBpeApply _, None),
+    ("d_tokenize_pack", dTokenizePack _, None))
 }

@@ -84,4 +84,43 @@ class BpeSpec extends SparkSpec {
       assert(firstToks === expFirst, s"doc $docId first word")
     }
   }
+
+  test("tokenize-and-pack equals the composed replicas") {
+    val words = BpeTrainer.wordFreqs(spark, SF)
+    val merges = BpeTrainer.train(words)
+    val wordRe = "^[a-z]+$".r
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = docs
+      .map { case (id, src, text) =>
+        val n = text.split(" ", -1).map(w =>
+          if (wordRe.findFirstIn(w).isDefined) refTokenize(w, merges).length.toLong
+          else 1L).sum
+        (src, md5hex(text), id, n)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        var bin = 0L; var fill = 0L
+        ds.sortBy(d => (d._2, d._3)).map { case (_, _, id, n) =>
+          if (fill > 0 && fill + n > PackQueries.PackCap) { bin += 1; fill = 0 }
+          val slot = (id, src, bin, fill, n)
+          fill += n
+          slot
+        }
+      }.toSet
+    val got = BpeTrainer.dTokenizePack(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expect)
+    // bins are genuinely multi-doc and respect the cap
+    assert(got.exists(_._3 > 0))
+    assert(got.groupBy(s => (s._2, s._3))
+      .forall { case (_, slots) =>
+        val tot = slots.toSeq.map(_._5).sum
+        tot <= PackQueries.PackCap || slots.size == 1
+      })
+  }
 }
