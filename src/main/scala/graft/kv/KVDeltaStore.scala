@@ -39,9 +39,13 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
 
   require(maxEntriesPerTask > 0, "maxEntriesPerTask must be positive")
 
+  // wts = cell write time (millis), the MergeTree-TTL age column: stamped
+  // per batch, carried by the winning row through merge-on-read AND
+  // compaction. Parquet written before the column existed reads as null =
+  // "age unknown, never expires" (conservative; additive schema change).
   private val baseSchema = StructType(Seq(
     StructField("k", BinaryType), StructField("c", BinaryType),
-    StructField("v", BinaryType)))
+    StructField("v", BinaryType), StructField("wts", LongType)))
   private val deltaSchema = StructType(baseSchema.fields :+ StructField("op", IntegerType))
 
   private def fs =
@@ -66,12 +70,15 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
   /** Append one mutate batch as a new delta part — no snapshot rewrite.
     * Within the batch, an addition of (k,c) supersedes its deletion
     * (delete-before-add upsert, resolved at read time via op ordering). */
-  def appendMutation(name: String, additions: DataFrame, deletions: DataFrame): Unit = {
+  def appendMutation(name: String, additions: DataFrame, deletions: DataFrame,
+                     wts: Long = System.currentTimeMillis()): Unit = {
     val next = deltaPaths(name).lastOption
       .map(_.getName.stripPrefix("delta_").toInt + 1).getOrElse(1)
-    val batch = additions.select(F.col("k"), F.col("c"), F.col("v"), F.lit(1).as("op"))
+    val batch = additions.select(F.col("k"), F.col("c"), F.col("v"),
+      F.lit(wts).as("wts"), F.lit(1).as("op"))
       .unionByName(deletions.select(F.col("k"), F.col("c"),
-        F.lit(null).cast(BinaryType).as("v"), F.lit(0).as("op")))
+        F.lit(null).cast(BinaryType).as("v"), F.lit(wts).as("wts"),
+        F.lit(0).as("op")))
     // Size write parallelism to the batch, not the cluster: a typical
     // mutation lands as ONE task (full-width writes are all task/commit
     // overhead), and a mega-batch spreads round-robin — key-OBLIVIOUS, so
@@ -93,11 +100,16 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
   /** The merged view over an EXPLICIT delta list — compact() folds and
     * later deletes exactly one snapshot of the log, so a delta appended
     * concurrently is neither half-read nor swept unfolded. */
-  private def mergedView(name: String, deltas: Seq[Path]): DataFrame = {
+  private def mergedView(name: String, deltas: Seq[Path]): DataFrame =
+    mergedWithMeta(name, deltas).select("k", "c", "v")
+
+  /** The merged view INCLUDING the winning row's write time — what
+    * compact() persists and expire() filters on. */
+  private def mergedWithMeta(name: String, deltas: Seq[Path]): DataFrame = {
     val base =
       if (fs.exists(basePath(name)))
         spark.read.schema(baseSchema).parquet(basePath(name).toString)
-          .select(F.col("k"), F.col("c"), F.col("v"),
+          .select(F.col("k"), F.col("c"), F.col("v"), F.col("wts"),
             F.lit(1).as("op"), F.lit(0L).as("seq"))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -115,7 +127,31 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
     // row_number would pick an arbitrary duplicate
     log.withColumn("rn", F.rank().over(w))
       .filter(F.col("rn") === 1 && F.col("op") === 1)
-      .select("k", "c", "v")
+      .select("k", "c", "v", "wts")
+  }
+
+  /** MergeTree-TTL expiry (`TTL <col> + INTERVAL ...` / materialized
+    * `ALTER TABLE DELETE`): cells whose winning write is older than
+    * `olderThan` are deleted via ONE ordinary mutation batch — no base
+    * rewrite, crash-safe and chunk-bounded like any other mutation, and
+    * a later re-add of the same cell resurrects it with a fresh age.
+    * Cells with unknown age (pre-wts parquet) are conservatively kept.
+    * Returns the number of expired cells. */
+  def expire(name: String, olderThan: Long,
+             wts: Long = System.currentTimeMillis()): Long = {
+    val doomed = mergedWithMeta(name, deltaPaths(name))
+      .filter(F.col("wts").isNotNull && F.col("wts") < olderThan)
+      .select("k", "c")
+      .localCheckpoint() // pin the victim set: the append below must not re-resolve it
+    try {
+      val n = doomed.count()
+      if (n > 0) {
+        val none = doomed.filter(F.lit(false))
+          .select(F.col("k"), F.col("c"), F.lit(null).cast(BinaryType).as("v"))
+        appendMutation(name, none, doomed, wts)
+      }
+      n
+    } finally doomed.unpersist(false)
   }
 
   /** Fold the mutation log into a fresh base snapshot and drop the
@@ -129,7 +165,7 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
     // this exact list is deleted — a delta appended concurrently is left
     // in place for the next compact instead of being swept unfolded
     val deltas = deltaPaths(name)
-    val merged = mergedView(name, deltas)
+    val merged = mergedWithMeta(name, deltas) // wts survives the merge
     val tmp = new Path(dir(name), "base__tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bp = new Path(dir(name), "base")
