@@ -533,6 +533,35 @@ object OlapExtraQueries {
       |FROM orders LEFT JOIN fl ON o_orderkey = fl.l_orderkey
       |WHERE o_orderpriority = '1-URGENT'""".stripMargin
 
+  /** q_sample_by: the ClickHouse `SAMPLE k OFFSET m` clause — consistent
+    * KEY-hash sampling (every row of a sampled user is in or out
+    * together, so per-user aggregates stay coherent — the property row
+    * sampling lacks). The sampling expression is a content-independent
+    * hash band: md5(user_id) landing in [OFFSET, OFFSET+k) of the hex
+    * space. Deterministic, composable (disjoint offsets → disjoint
+    * samples), and map-only before the aggregate — the scan is the only
+    * full-data pass at any scale. Emits per-type stats of the ~1/8 user
+    * band with the sample-expansion estimate (count × 8). */
+  def qSampleBy(s: SparkSession, dir: String): DataFrame = {
+    val band = F.substring(F.md5(F.concat(F.col("user_id").cast("string"),
+      F.lit(":smp")).cast("binary")), 1, 2)
+    Tables(s, dir, "events")
+      .filter(band >= "20" && band < "60") // 4/16 of the hex space = 1/4
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_sampled"),
+        (F.count(F.lit(1)) * 4).as("n_est"),
+        F.countDistinct(F.col("user_id")).as("n_users"),
+        F.min(F.col("user_id")).as("min_user"))
+  }
+
+  val qSampleBySql: String =
+    """SELECT event_type, COUNT(*) AS n_sampled, COUNT(*) * 4 AS n_est,
+      |  COUNT(DISTINCT user_id) AS n_users, min(user_id) AS min_user
+      |FROM events
+      |WHERE substring(md5(CAST(user_id AS VARCHAR) || ':smp'), 1, 2) >= '20'
+      |  AND substring(md5(CAST(user_id AS VARCHAR) || ':smp'), 1, 2) < '60'
+      |GROUP BY 1""".stripMargin
+
   /** q_paste_join: ClickHouse PASTE JOIN — positional pairing of two
     * result sets by row number. Position only means something under an
     * explicit total order, so the Spark-first form pairs two bounded
@@ -623,6 +652,7 @@ object OlapExtraQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_dictget", qDictGet _, Some(qDictGetSql)),
     ("q_paste_join", qPasteJoin _, Some(qPasteJoinSql)),
+    ("q_sample_by", qSampleBy _, Some(qSampleBySql)),
     ("q_full_join", qFullJoin _, Some(qFullJoinSql)),
     ("q_any_join", qAnyJoin _, Some(qAnyJoinSql)),
     ("q_grouparray", qGroupArray _, Some(qGroupArraySql)),
