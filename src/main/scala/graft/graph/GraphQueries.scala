@@ -928,7 +928,40 @@ object GraphQueries {
     s"""SELECT comp, COUNT(*) AS size, MIN(vid) AS min_vid
        |FROM ($gCcSql) cc GROUP BY comp""".stripMargin
 
+  /** g_sample_neighbors: GraphSAGE-style deterministic neighbor sampling
+    * — the GNN-training minibatch primitive: ≤3 out-neighbors per
+    * vertex, ranked by a content hash of the edge so the sample is a
+    * pure function of the graph (reproducible across runs/partitions;
+    * resampling = salt change, exactly like d_shard_shuffle). ONE
+    * row_number window partitioned by src — per-vertex work is
+    * out-degree-bounded and the shuffle key is the natural graph
+    * partitioning, so the plan co-locates with a vid-bucketed layout. */
+  def gSampleNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val h = F.md5(F.concat(F.col("src").cast("string"), F.lit(":"),
+      F.col("dst").cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(F.col("h"), F.col("dst"))
+    g.edges.select(F.col("src"), F.col("dst"), F.col("elabel"), h.as("h"))
+      .withColumn("rnk", F.row_number().over(w).cast("long"))
+      .filter(F.col("rnk") <= 3)
+      .select("src", "dst", "elabel", "rnk")
+  }
+
+  val gSampleNeighborsSql: String =
+    s"""WITH $sqlPrelude,
+       |h AS (
+       |  SELECT src, dst, elabel,
+       |    md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)) AS h
+       |  FROM edges),
+       |r AS (
+       |  SELECT src, dst, elabel,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY h, dst) AS BIGINT) AS rnk
+       |  FROM h)
+       |SELECT src, dst, elabel, rnk FROM r WHERE rnk <= 3""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_sample_neighbors", gSampleNeighbors _, Some(gSampleNeighborsSql)),
     ("g_comp_sizes", gCompSizes _, Some(gCompSizesSql)),
     ("g_hits", gHits _, Some(gHitsSql)),
     ("g_adamic", gAdamic _, Some(gAdamicSql)),

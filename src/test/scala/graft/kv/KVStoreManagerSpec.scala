@@ -72,7 +72,11 @@ class KVStoreManagerSpec extends SparkSpec {
     val ta = writer((2, 1, 20))
     val tb = writer((3, 1, 30))
     start.countDown()
-    ta.join(120000); tb.join(120000)
+    // unbounded joins: under a loaded full-suite JVM a 120 s bound can
+    // expire while a writer is still mid-job, failing the read-back
+    // assert spuriously (observed once; the writers themselves are
+    // deadline-bounded by acquireTimeoutMs, so this cannot hang)
+    ta.join(); tb.join()
     assert(errs.isEmpty, s"writer failed: ${errs.toArray.mkString("; ")}")
     assert(readCells(seed, "s") == Set((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L)))
     // lease released after both writers
