@@ -928,24 +928,42 @@ object GraphQueries {
     s"""SELECT comp, COUNT(*) AS size, MIN(vid) AS min_vid
        |FROM ($gCcSql) cc GROUP BY comp""".stripMargin
 
+  /** The g_sample_neighbors edge-label dictionary (packed into the
+    * TopKPairs id alongside dst). */
+  private val ELabels = Seq("in_nation", "in_region", "peer")
+
   /** g_sample_neighbors: GraphSAGE-style deterministic neighbor sampling
     * — the GNN-training minibatch primitive: ≤3 out-neighbors per
     * vertex, ranked by a content hash of the edge so the sample is a
     * pure function of the graph (reproducible across runs/partitions;
-    * resampling = salt change, exactly like d_shard_shuffle). ONE
-    * row_number window partitioned by src — per-vertex work is
-    * out-degree-bounded and the shuffle key is the natural graph
-    * partitioning, so the plan co-locates with a vid-bucketed layout. */
+    * resampling = salt change, exactly like d_shard_shuffle).
+    *
+    * Rides the bounded-heap TopKPairs aggregate, NOT a row_number
+    * window: per-vertex state is 3 entries with map-side partial top-k,
+    * so a celebrity vertex with 10⁸ out-edges costs O(deg) scanning —
+    * never a per-vertex sort — and the only shuffle is O(V·k). The
+    * ranking score is the md5's first 13 hex digits as an exact double
+    * (52 bits < 2⁵³), whose numeric order equals the oracle's
+    * fixed-width hex string order; dst (tie-break) and the elabel code
+    * pack into the id as dst·4+code. */
   def gSampleNeighbors(s: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph(s, dir)
     val h = F.md5(F.concat(F.col("src").cast("string"), F.lit(":"),
       F.col("dst").cast("string")).cast("binary"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(F.col("h"), F.col("dst"))
-    g.edges.select(F.col("src"), F.col("dst"), F.col("elabel"), h.as("h"))
-      .withColumn("rnk", F.row_number().over(w).cast("long"))
-      .filter(F.col("rnk") <= 3)
-      .select("src", "dst", "elabel", "rnk")
+    val score = -F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+    val codeRaw = F.array_position(F.typedlit(ELabels), F.col("elabel"))
+    val code = F.when(codeRaw === 0, F.raise_error(F.concat(
+        F.lit("g_sample_neighbors: elabel outside the dictionary: "),
+        F.col("elabel"))))
+      .otherwise(codeRaw - 1)
+    val ev = g.edges.select(F.col("src"), score.as("sc"),
+      (F.col("dst") * 4 + code).as("packed"))
+    graft.operators.TopK.perGroup(ev, Seq("src"), F.col("sc"), F.col("packed"), k = 3)
+      .select(F.col("src"),
+        F.expr("id div 4").as("dst"),
+        F.element_at(F.typedlit(ELabels),
+          (F.pmod(F.col("id"), F.lit(4L)) + 1).cast("int")).as("elabel"),
+        F.col("rnk").cast("long").as("rnk"))
   }
 
   val gSampleNeighborsSql: String =
@@ -956,7 +974,8 @@ object GraphQueries {
        |  FROM edges),
        |r AS (
        |  SELECT src, dst, elabel,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY h, dst) AS BIGINT) AS rnk
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY substr(h, 1, 13), dst) AS BIGINT) AS rnk
        |  FROM h)
        |SELECT src, dst, elabel, rnk FROM r WHERE rnk <= 3""".stripMargin
 
