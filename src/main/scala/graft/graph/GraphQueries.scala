@@ -966,6 +966,58 @@ object GraphQueries {
         F.col("rnk").cast("long").as("rnk"))
   }
 
+  /** Hash-ranked ≤k out-neighbor sample with a per-layer salt (the
+    * TopKPairs form of g_sample_neighbors, reused per GraphSAGE layer —
+    * different salts give independent per-layer samples). */
+  private def neighborSample(edges: DataFrame, salt: String, k: Int): DataFrame = {
+    val h = F.md5(F.concat(F.col("src").cast("string"), F.lit(salt),
+      F.col("dst").cast("string")).cast("binary"))
+    val score = -F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+    val ev = edges.select(F.col("src"), score.as("sc"), F.col("dst").as("packed"))
+    graft.operators.TopK.perGroup(ev, Seq("src"), F.col("sc"), F.col("packed"), k)
+      .select(F.col("src"), F.col("id").as("dst"), F.col("rnk").cast("long").as("rnk"))
+  }
+
+  /** g_sample_fanout: the full 2-layer GraphSAGE minibatch — for every
+    * customer seed, ≤3 sampled neighbors, then ≤2 neighbors of each with
+    * an independent salt: one (seed, hop1, hop2, rnk1, rnk2) row per
+    * sampled path. Two bounded-heap sampling passes (each one O(E) scan
+    * with O(V·k) output) + ONE equi-join between the capped samples —
+    * fanout is ≤6 paths per seed by construction, so minibatch size is
+    * exact at any graph scale and no vertex degree enters the cost. */
+  def gSampleFanout(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val e = g.edges.select("src", "dst")
+    val l1 = neighborSample(e, ":l1:", 3)
+      .filter(F.col("src") % 4 === 0) // customer seeds (vid scheme)
+      .select(F.col("src").as("seed"), F.col("dst").as("hop1"),
+        F.col("rnk").as("rnk1"))
+    val l2 = neighborSample(e, ":l2:", 2)
+      .select(F.col("src").as("hop1"), F.col("dst").as("hop2"),
+        F.col("rnk").as("rnk2"))
+    l1.join(l2, "hop1")
+      .select("seed", "hop1", "hop2", "rnk1", "rnk2")
+  }
+
+  val gSampleFanoutSql: String =
+    s"""WITH $sqlPrelude,
+       |r1 AS (
+       |  SELECT src, dst,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+       |      substr(md5(CAST(src AS VARCHAR) || ':l1:' || CAST(dst AS VARCHAR)), 1, 13),
+       |      dst) AS BIGINT) AS rnk
+       |  FROM edges),
+       |r2 AS (
+       |  SELECT src, dst,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+       |      substr(md5(CAST(src AS VARCHAR) || ':l2:' || CAST(dst AS VARCHAR)), 1, 13),
+       |      dst) AS BIGINT) AS rnk
+       |  FROM edges)
+       |SELECT a.src AS seed, a.dst AS hop1, b.dst AS hop2,
+       |  a.rnk AS rnk1, b.rnk AS rnk2
+       |FROM r1 a JOIN r2 b ON a.dst = b.src
+       |WHERE a.src % 4 = 0 AND a.rnk <= 3 AND b.rnk <= 2""".stripMargin
+
   val gSampleNeighborsSql: String =
     s"""WITH $sqlPrelude,
        |h AS (
@@ -981,6 +1033,7 @@ object GraphQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("g_sample_neighbors", gSampleNeighbors _, Some(gSampleNeighborsSql)),
+    ("g_sample_fanout", gSampleFanout _, Some(gSampleFanoutSql)),
     ("g_comp_sizes", gCompSizes _, Some(gCompSizesSql)),
     ("g_hits", gHits _, Some(gHitsSql)),
     ("g_adamic", gAdamic _, Some(gAdamicSql)),
