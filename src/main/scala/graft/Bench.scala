@@ -59,6 +59,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // graft's TypedImperativeAggregates (TopKPairs, sketches, bitmaps)
       // all carry BOUNDED per-group state, so hash aggregation is safe at

@@ -19,13 +19,19 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    * default; read nanos as long and floor-convert to a µs timestamp
+  /** events.parquet has carried ts as TIMESTAMP(NANOS) (readable only as
+    * long nanos), as plain TIMESTAMP_NTZ(µs), and as TIMESTAMP(µs) across
+    * testdata generations — normalize all three to TimestampType µs
     * (matches DuckDB's epoch_us() flooring of TIMESTAMP_NS). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", F.col("ts").cast("timestamp"))
+    }
   }
 
   /** exact 2-dp decimal view of a double column (inputs are 2-dp money). */

@@ -281,11 +281,16 @@ object EventStream {
   /** File-stream source over a directory of event parquet — the
     * production entry point (readStream → transforms → writeStream). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS): stream the raw long and
-    // floor-convert, same as the batch path (graft.Tables.events).
+    // normalize ts across testdata generations (nanos-as-long /
+    // TIMESTAMP_NTZ / TIMESTAMP), same as the batch path (graft.Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    }
   }
 }
