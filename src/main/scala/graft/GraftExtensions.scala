@@ -58,6 +58,12 @@ object GraftExtensions {
     (new FunctionIdentifier("bitmap_and_cardinality"),
       new ExpressionInfo(classOf[graft.operators.BitmapAndCardinality].getName, "bitmap_and_cardinality"),
       (args: Seq[Expression]) => graft.operators.BitmapAndCardinality(args(0), args(1))),
+    (new FunctionIdentifier("bitmap_andnot_cardinality"),
+      new ExpressionInfo(classOf[graft.operators.BitmapAndNotCardinality].getName, "bitmap_andnot_cardinality"),
+      (args: Seq[Expression]) => graft.operators.BitmapAndNotCardinality(args(0), args(1))),
+    (new FunctionIdentifier("bitmap_xor_cardinality"),
+      new ExpressionInfo(classOf[graft.operators.BitmapXorCardinality].getName, "bitmap_xor_cardinality"),
+      (args: Seq[Expression]) => graft.operators.BitmapXorCardinality(args(0), args(1))),
     (new FunctionIdentifier("uniq_up_to"),
       new ExpressionInfo(classOf[graft.operators.UniqUpToAgg].getName, "uniq_up_to"),
       (args: Seq[Expression]) => graft.operators.UniqUpToAgg(args(0), intLiteral(args(1), "uniq_up_to(ids, n)")),

@@ -718,6 +718,82 @@ object GraphQueries {
        |SELECT walk, cur AS end_vid, path FROM w4""".stripMargin
   }
 
+  /** g_node2vec: SECOND-ORDER biased walks (the node2vec p/q sampler) on
+    * g_walks' deterministic machinery. Each step knows `prev` and biases
+    * the candidate choice by its relation to it: returning to prev gets
+    * 1 hash draw, a common neighbor of (prev, cur) gets 4, an outward
+    * hop gets 2 — the candidate minimizing md5(cur:k:dst:j) over its
+    * draws wins, so more draws = stochastically favored (the min-hash
+    * analogue of node2vec's α ∈ {1/p, 1, 1/q} with in > out > return),
+    * while staying a pure function of the graph: retried tasks, the
+    * oracle, and any cluster replay the identical walk.
+    *
+    * Scale shape: per step, TWO frontier-sized joins against the
+    * src-keyed edge list (candidates; prev-adjacency probe on the
+    * (prev,dst) pair) and one frontier-keyed min-aggregate — never an
+    * |E|-sized shuffle. The draw explode multiplies the candidate stream
+    * by ≤ 4 before the map-side-combined min. */
+  def gNode2vec(s: SparkSession, dir: String): DataFrame = {
+    val ue = PropertyGraph(s, dir).undirected
+      .select("src", "dst").repartition(F.col("src")).localCheckpoint()
+    val e2 = ue.select(F.col("src").as("p2"), F.col("dst").as("d2"),
+      F.lit(1).as("adj"))
+    var w = PropertyGraph(s, dir).vertices
+      .filter(F.col("vlabel") === "supplier" && F.col("vid") <= 20L * 4 + 1)
+      .select(F.col("vid").as("walk"), F.col("vid").as("cur"),
+        F.lit(-1L).as("prev"), F.col("vid").cast("string").as("path"))
+    for (k <- 1 to 4) {
+      val cand = ue.join(w, ue("src") === w("cur"))
+        .join(e2, F.col("prev") === F.col("p2") && F.col("dst") === F.col("d2"),
+          "left_outer")
+      val draws = F.when(F.col("dst") === F.col("prev"), 1)
+        .when(F.col("adj").isNotNull, 4).otherwise(2)
+      // md5 is 32 fixed hex chars: string-min on hash||':'||dst is a
+      // total deterministic order (same trick as g_walks)
+      val pick = F.min(F.concat(
+        F.md5(F.concat_ws(":", F.col("cur"), F.lit(k), F.col("dst"), F.col("j"))
+          .cast("binary")),
+        F.lit(":"), F.col("dst").cast("string")))
+      w = cand
+        .select(F.col("walk"), F.col("cur"), F.col("path"), F.col("dst"),
+          F.explode(F.sequence(F.lit(0), draws - 1)).as("j"))
+        .groupBy("walk", "path", "cur").agg(pick.as("pk"))
+        .select(F.col("walk"),
+          F.split(F.col("pk"), ":").getItem(1).cast("long").as("cur"),
+          F.col("cur").as("prev"),
+          F.concat(F.col("path"), F.lit("->"),
+            F.split(F.col("pk"), ":").getItem(1)).as("path"))
+    }
+    w.select(F.col("walk"), F.col("cur").as("end_vid"), F.col("path"))
+  }
+
+  val gNode2vecSql: String = {
+    val step = (k: Int) =>
+      s"""n$k AS (
+         |  SELECT walk, CAST(split_part(pk, ':', 2) AS BIGINT) AS cur,
+         |         prevcur AS prev,
+         |         path || '->' || split_part(pk, ':', 2) AS path
+         |  FROM (
+         |    SELECT w.walk, w.cur AS prevcur, w.path,
+         |      MIN(md5(w.cur || ':' || $k || ':' || e.dst || ':' || j) || ':' || CAST(e.dst AS VARCHAR)) AS pk
+         |    FROM n${k - 1} w
+         |    JOIN uedges e ON e.src = w.cur
+         |    LEFT JOIN uedges e2 ON e2.src = w.prev AND e2.dst = e.dst,
+         |    UNNEST(range(0, CASE WHEN e.dst = w.prev THEN 1
+         |                         WHEN e2.src IS NOT NULL THEN 4
+         |                         ELSE 2 END)) AS u(j)
+         |    GROUP BY w.walk, w.path, w.cur))""".stripMargin
+    s"""WITH $sqlPrelude,
+       |n0 AS (
+       |  SELECT CAST(s_suppkey*4+1 AS BIGINT) AS walk,
+       |         CAST(s_suppkey*4+1 AS BIGINT) AS cur,
+       |         CAST(-1 AS BIGINT) AS prev,
+       |         CAST(s_suppkey*4+1 AS VARCHAR) AS path
+       |  FROM supplier WHERE s_suppkey <= 20),
+       |${(1 to 4).map(step).mkString(",\n")}
+       |SELECT walk, cur AS end_vid, path FROM n4""".stripMargin
+  }
+
   /** g_stress: single-source stress centrality from the 'ASIA' region
     * vertex — how many shortest paths from the seed route through each
     * vertex (the integer-exact Brandes core; see
@@ -1041,6 +1117,7 @@ object GraphQueries {
     ("g_stress", gStress _, Some(gStressSql)),
     ("g_harmonic", gHarmonic _, Some(gHarmonicSql)),
     ("g_walks", gWalks _, Some(gWalksSql)),
+    ("g_node2vec", gNode2vec _, Some(gNode2vecSql)),
     ("g_paths", gPaths _, Some(gPathsSql)),
     ("g_assort", gAssort _, Some(gAssortSql)),
     ("g_clustcoef", gClustCoef _, Some(gClustCoefSql)),

@@ -649,7 +649,69 @@ object OlapExtraQueries {
       |LEFT JOIN nation p ON s.s_nationkey + 20 = p.n_nationkey
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q_collapsing: (Versioned)CollapsingMergeTree semantics — the one
+    * ClickHouse table-engine behavior not yet covered elsewhere (Summing
+    * → q_summap/q_state_merge, Aggregating → -State/-Merge, Replacing →
+    * kv_compact, TTL → KVDeltaStore.expire, SAMPLE BY → q_sample_by).
+    *
+    * Fixture: the signed row stream a collapsing ingest produces — every
+    * event is a `+1` state row (version = event_id); every superseded
+    * event additionally gets a `-1` cancel row (emitted by its
+    * successor). The OPERATOR is the collapse itself, generic over
+    * (key, version, sign): net = Σsign per (key, version); versions with
+    * net ≤ 0 vanish; FINAL keeps the max surviving version per key.
+    * Shape: the cancel stream is one lead() window per key (the same
+    * exchange the collapse groupBy needs — AQE reuses the partitioning),
+    * then ONE two-level aggregate; no joins, no second pass over the
+    * fact table. Value rides through untouched (no arithmetic → no
+    * cross-engine float risk). */
+  def qCollapsing(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("ver")
+    val st = Tables(s, dir, "events")
+      .select(F.col("user_id").as("k"), F.col("event_id").as("ver"),
+        F.col("value"))
+      .withColumn("nxt", F.lead("ver", 1).over(w))
+    val signed = st.select(F.col("k"), F.col("ver"), F.col("value"),
+        F.lit(1L).as("sign"))
+      .unionAll(st.filter(F.col("nxt").isNotNull)
+        .select(F.col("k"), F.col("ver"), F.col("value"),
+          F.lit(-1L).as("sign")))
+    val collapsed = signed.groupBy("k", "ver")
+      .agg(F.sum("sign").as("net"), F.max("value").as("value"),
+        F.count(F.lit(1)).as("n_rows"))
+    collapsed.groupBy("k")
+      .agg(
+        F.max(F.when(F.col("net") > 0, F.struct(F.col("ver"), F.col("value"))))
+          .as("last"),
+        F.sum("n_rows").as("n_raw_rows"),
+        F.sum(F.when(F.col("net") <= 0, 1L).otherwise(0L)).as("n_cancelled"))
+      .select(F.col("k").as("user_id"),
+        F.col("last.ver").as("last_ver"), F.col("last.value").as("last_value"),
+        F.col("n_raw_rows"), F.col("n_cancelled"))
+  }
+
+  val qCollapsingSql: String =
+    """WITH st AS (
+      |  SELECT user_id AS k, event_id AS ver, value,
+      |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+      |  FROM events),
+      |signed AS (
+      |  SELECT k, ver, value, 1 AS sign FROM st
+      |  UNION ALL
+      |  SELECT k, ver, value, -1 FROM st WHERE nxt IS NOT NULL),
+      |coll AS (
+      |  SELECT k, ver, SUM(sign) AS net, MAX(value) AS value,
+      |    COUNT(*) AS n_rows
+      |  FROM signed GROUP BY 1, 2)
+      |SELECT k AS user_id,
+      |  CAST(arg_max(ver, ver) FILTER (WHERE net > 0) AS BIGINT) AS last_ver,
+      |  arg_max(value, ver) FILTER (WHERE net > 0) AS last_value,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_raw_rows,
+      |  CAST(COUNT(*) FILTER (WHERE net <= 0) AS BIGINT) AS n_cancelled
+      |FROM coll GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_collapsing", qCollapsing _, Some(qCollapsingSql)),
     ("q_dictget", qDictGet _, Some(qDictGetSql)),
     ("q_paste_join", qPasteJoin _, Some(qPasteJoinSql)),
     ("q_sample_by", qSampleBy _, Some(qSampleBySql)),

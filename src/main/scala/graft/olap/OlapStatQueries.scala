@@ -457,6 +457,42 @@ object OlapStatQueries {
         |FROM bm LEFT JOIN p ON true""".stripMargin)
   }
 
+  /** q_bitmap_andnot: the rest of the ClickHouse bitmap set algebra —
+    * `bitmapAndnotCardinality` (users who did X but never purchased:
+    * the exclusion audience) and `bitmapXorCardinality` (users in
+    * exactly one of the two audiences), off the same one-pass per-type
+    * Roaring states as q_bitmap. Post-aggregation rows only — the fact
+    * table is touched once; the set algebra runs on 5 rows. The empty-
+    * audience guard mirrors q_bitmap: absent purchase audience means
+    * AndNot = the full audience and Xor = the full audience, not NULL. */
+  def qBitmapAndNot(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BitmapDistinct._
+    val bitmaps = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(buildAgg(F.col("user_id")).as("bm"))
+    val purchase = bitmaps.filter(F.col("event_type") === "purchase")
+      .select(F.col("bm").as("pbm"))
+    bitmaps.join(F.broadcast(purchase), F.lit(true), "left")
+      .select(F.col("event_type"),
+        cardinality(F.col("bm")).as("n_users"),
+        F.coalesce(andNotCardinality(F.col("bm"), F.col("pbm")),
+          cardinality(F.col("bm"))).as("n_never_purchase"),
+        F.coalesce(xorCardinality(F.col("bm"), F.col("pbm")),
+          cardinality(F.col("bm"))).as("n_xor_purchase"))
+  }
+
+  val qBitmapAndNotSql: String =
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT event_type, COUNT(*) AS n_users,
+      | CAST(COUNT(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM pu)) AS BIGINT)
+      |   AS n_never_purchase,
+      | CAST(COUNT(*) FILTER (WHERE user_id NOT IN (SELECT user_id FROM pu))
+      |   + (SELECT COUNT(*) FROM pu)
+      |   - COUNT(*) FILTER (WHERE user_id IN (SELECT user_id FROM pu)) AS BIGINT)
+      |   AS n_xor_purchase
+      |FROM du GROUP BY 1""".stripMargin
+
   /** q_cramers_v: ClickHouse `cramersV`/`contingency` — association
     * strength between event type and value bucket from one contingency
     * pass. chi² is accumulated EXACTLY: per-cell floor(o²·1e9/(rowtot·
@@ -555,5 +591,6 @@ object OlapStatQueries {
     ("q_fill_interp", qFillInterp _, Some(qFillInterpSql)),
     ("q_bitmap", qBitmap _, Some(qBitmapSql)),
     ("q_bitmap_merge", qBitmapMerge _, Some(qBitmapMergeSql)),
+    ("q_bitmap_andnot", qBitmapAndNot _, Some(qBitmapAndNotSql)),
     ("q_uniq_upto", qUniqUpTo _, Some(qUniqUpToSql)))
 }

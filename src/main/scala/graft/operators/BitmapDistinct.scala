@@ -122,6 +122,53 @@ case class BitmapAndCardinality(left: Expression, right: Expression)
   override def prettyName: String = "bitmap_and_cardinality"
 }
 
+/** |A \ B| — ClickHouse `bitmapAndnotCardinality`: members of A that are
+  * NOT in B (the "did X but never Y" audience). Same post-aggregation
+  * contract as BitmapAndCardinality: runs on one row per group. */
+case class BitmapAndNotCardinality(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bitmap_andnot_cardinality requires two serialized bitmaps (BINARY)")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val bm = BitmapDistinct.fromBytes(a.asInstanceOf[Array[Byte]])
+    bm.andNot(BitmapDistinct.fromBytes(b.asInstanceOf[Array[Byte]]))
+    bm.getLongCardinality
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapAndNotCardinality =
+    copy(left = l, right = r)
+  override def prettyName: String = "bitmap_andnot_cardinality"
+}
+
+/** |A △ B| — ClickHouse `bitmapXorCardinality`: symmetric difference
+  * (members in exactly one of the two audiences). */
+case class BitmapXorCardinality(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bitmap_xor_cardinality requires two serialized bitmaps (BINARY)")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val bm = BitmapDistinct.fromBytes(a.asInstanceOf[Array[Byte]])
+    bm.xor(BitmapDistinct.fromBytes(b.asInstanceOf[Array[Byte]]))
+    bm.getLongCardinality
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapXorCardinality =
+    copy(left = l, right = r)
+  override def prettyName: String = "bitmap_xor_cardinality"
+}
+
 /** OR-merge of already-serialized bitmaps — the ClickHouse
   * `groupBitmapMergeState` / `-Merge` combinator: re-aggregate
   * pre-aggregated states (e.g. per-day bitmaps rolled up to per-type)
@@ -195,6 +242,14 @@ object BitmapDistinct {
 
   def andCardinality(a: Column, b: Column): Column =
     GraftSqlBridge.column(BitmapAndCardinality(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def andNotCardinality(a: Column, b: Column): Column =
+    GraftSqlBridge.column(BitmapAndNotCardinality(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def xorCardinality(a: Column, b: Column): Column =
+    GraftSqlBridge.column(BitmapXorCardinality(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Aggregate: OR-merge of already-serialized bitmap states. */

@@ -82,6 +82,53 @@ object DedupQueries {
        |JOIN sizes sb ON sb.doc_id = b_id
        |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5""".stripMargin
 
+  /** d_containment: ASYMMETRIC near-subset detection — containment
+    * cont(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8 flags documents mostly
+    * embedded in another (quote-plus-commentary, boilerplate-wrapped
+    * copies) that symmetric Jaccard misses whenever the host doc is much
+    * longer (jac ≈ |a|/|b| → 0 while containment stays 1).
+    *
+    * Scale shape: posting lists are DF-CAPPED before the self-join —
+    * shingles appearing in > 50 documents (boilerplate) are dropped from
+    * BOTH the intersection and the denominators, so each posting list
+    * joins at most 50×50 pairs and the candidate set is Σ df² over rare
+    * shingles, never n². The cap is part of the operator's definition
+    * (rare-shingle containment), applied identically in the oracle; at
+    * sf0.01 max df = 7, so the cap is semantically inert here while the
+    * bound it enforces is what survives 100 TB. Exact integer ppm. */
+  val ContainDfCap = 50
+  def dContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(Tables(s, dir, "documents")).localCheckpoint()
+    val df = sh.groupBy("s").agg(F.count(F.lit(1)).as("df"))
+    val rare = sh.join(df.filter(F.col("df") <= ContainDfCap), "s")
+      .select("doc_id", "s").localCheckpoint() // feeds sizes AND both join sides
+    val sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
+    val a = rare.select(F.col("doc_id").as("a_id"), F.col("s"))
+    val b = rare.select(F.col("doc_id").as("b_id"), F.col("s"))
+    a.join(b, Seq("s")).filter(F.col("a_id") =!= F.col("b_id"))
+      .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).as("c"))
+      .join(sizes.select(F.col("doc_id").as("a_id"), F.col("n").as("na")), "a_id")
+      .select(F.col("a_id"), F.col("b_id"), F.col("na"),
+        F.expr("(1000000 * c) div na").as("cont6"))
+      .filter(F.col("cont6") >= 800000L)
+  }
+
+  val dContainmentSql: String =
+    s"""WITH $shinglesSql,
+       |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+       |rare AS (
+       |  SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+       |  WHERE df.df <= $ContainDfCap),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM rare GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+       |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, CAST(sa.n AS BIGINT) AS na,
+       |  (1000000 * c) // sa.n AS cont6
+       |FROM inter JOIN sizes sa ON sa.doc_id = a_id
+       |WHERE (1000000 * c) // sa.n >= 800000""".stripMargin
+
   /** MinHash signature length / LSH banding: 64 hashes in 16 bands of 4
     * → candidate-capture threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. */
   val MinHashK = 64
@@ -476,6 +523,7 @@ object DedupQueries {
     ("d_sample", dSample _, Some(dSampleSql)),
     ("d_exact_dup", dExactDup _, Some(dExactDupSql)),
     ("d_jaccard_pairs", dJaccardPairs _, Some(dJaccardPairsSql)),
+    ("d_containment", dContainment _, Some(dContainmentSql)),
     ("d_minhash_lsh", dMinhashLsh _, None),
     ("d_lsh_verified", dLshVerified _, Some(dJaccardPairsSql)),
     ("d_dup_groups", dDupGroups _, Some(dDupGroupsSql)),

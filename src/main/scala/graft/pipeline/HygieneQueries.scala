@@ -280,7 +280,67 @@ object HygieneQueries {
       |    AS cleaned
       |FROM pos GROUP BY 1""".stripMargin
 
+  /** d_fuzzy_decontam: FUZZY benchmark decontamination — where d_decontam
+    * flags only documents sharing a verbatim 8-gram with the eval set,
+    * this flags partial-overlap contamination: per (train doc, eval doc),
+    * the CONTAINMENT of the eval doc's 3-word shingle set in the train
+    * doc, ov = |sh(train) ∩ sh(eval)| / |sh(eval)| (the direction that
+    * matters for leakage: "how much of the benchmark is inside this
+    * training doc"), flagged at ≥ 50%. Exact integer ppm — no sketch, no
+    * float compare.
+    *
+    * Scale shape: the corpus-sized work is ONE posting-list equi-join of
+    * train shingles against the BROADCAST eval shingle set (eval sets
+    * are thousands of docs — bounded by contract, like the d_decontam
+    * bench side), then a (train, eval)-keyed count whose cardinality is
+    * bounded by |eval postings touched|, not n². Per-eval-doc summary
+    * output (LEFT join) so clean eval docs surface as 0 rows matched —
+    * the audit a release gate actually reads. */
+  def dFuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupQueries.wordShingles(Tables(s, dir, "documents"))
+      .localCheckpoint() // feeds eval sizes, eval postings AND train side
+    val ev = sh.filter(F.col("doc_id") % 97 === 0)
+      .select(F.col("doc_id").as("eval_id"), F.col("s"))
+    val evSizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).as("n_eval"))
+    val pairs = sh.filter(F.col("doc_id") % 97 =!= 0)
+      .select(F.col("doc_id").as("train_id"), F.col("s"))
+      .join(F.broadcast(ev), "s")
+      .groupBy("train_id", "eval_id").agg(F.count(F.lit(1)).as("c"))
+      .join(F.broadcast(evSizes), "eval_id")
+      .select(F.col("eval_id"), F.col("train_id"),
+        F.expr("(1000000 * c) div n_eval").as("ov6"))
+    evSizes.join(pairs.groupBy("eval_id")
+        .agg(F.count(F.lit(1)).as("n_cand"), F.max("ov6").as("max_ov6"),
+          F.sum(F.when(F.col("ov6") >= 500000L, 1L).otherwise(0L)).as("n_contam")),
+        Seq("eval_id"), "left_outer")
+      .select(F.col("eval_id"), F.col("n_eval"),
+        F.coalesce(F.col("n_cand"), F.lit(0L)).as("n_cand"),
+        F.coalesce(F.col("max_ov6"), F.lit(0L)).as("max_ov6"),
+        F.coalesce(F.col("n_contam"), F.lit(0L)).as("n_contam"))
+  }
+
+  val dFuzzyDecontamSql: String =
+    s"""WITH ${DedupQueries.shinglesSql},
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),
+       |es AS (SELECT eval_id, COUNT(*) AS n_eval FROM ev GROUP BY 1),
+       |pairs AS (
+       |  SELECT ev.eval_id, t.doc_id AS train_id,
+       |    (1000000 * COUNT(*)) // MAX(es.n_eval) AS ov6
+       |  FROM sh t JOIN ev ON t.s = ev.s AND t.doc_id % 97 <> 0
+       |  JOIN es ON es.eval_id = ev.eval_id
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT eval_id, COUNT(*) AS n_cand, MAX(ov6) AS max_ov6,
+       |    COUNT(*) FILTER (WHERE ov6 >= 500000) AS n_contam
+       |  FROM pairs GROUP BY 1)
+       |SELECT es.eval_id, es.n_eval,
+       |  CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(COALESCE(a.max_ov6, 0) AS BIGINT) AS max_ov6,
+       |  CAST(COALESCE(a.n_contam, 0) AS BIGINT) AS n_contam
+       |FROM es LEFT JOIN agg a ON a.eval_id = es.eval_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_fuzzy_decontam", dFuzzyDecontam _, Some(dFuzzyDecontamSql)),
     ("d_substr_scrub", dSubstrScrub _, Some(dSubstrScrubSql)),
     ("d_bloom_decontam", dBloomDecontam _, Some(dDecontamSql)),
     ("t_pii_scrub", tPiiScrub _, Some(tPiiScrubSql)),

@@ -180,8 +180,47 @@ object PipelineQueries {
       |    ORDER BY h, doc_id) AS BIGINT) AS pos
       |FROM h""".stripMargin
 
+  /** d_ppl_bucket: CCNet's corpus partitioning step — split the corpus
+    * into head/middle/tail thirds by language-model score, per language
+    * (CCNet buckets by Wikipedia-LM perplexity terciles; here the LM is
+    * the corpus-trained character-trigram model behind t_trigram_lm,
+    * whose integer score is cross-engine exact). The tercile cut is
+    * NTILE(3) over the deterministic total order (score6 DESC, doc_id)
+    * within each language — high predictability = head.
+    *
+    * Scale shape: scoring is t_trigram_lm's map-only pass (bounded model
+    * broadcast); the tercile assignment is ONE window exchange keyed on
+    * lang. At 100 TB the lang partitions are few and fat, so the real
+    * deployment would swap NTILE for the rank-vs-count form over the
+    * same exchange (or approx-percentile cuts); the per-language
+    * sort is the honest cost of exact terciles either way. */
+  def dPplBucket(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextQueries.tTrigramLm(s, dir)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang")
+    val w = Window.partitionBy("lang")
+      .orderBy(F.col("score6").desc, F.col("doc_id"))
+    scored.join(docs, "doc_id")
+      .withColumn("t", F.ntile(3).over(w))
+      .select(F.col("doc_id"), F.col("lang"), F.col("score6"),
+        F.when(F.col("t") === 1, "head")
+          .when(F.col("t") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  val dPplBucketSql: String =
+    s"""WITH lm AS (${TextQueries.tTrigramLmSql}),
+       |b AS (
+       |  SELECT lm.doc_id, d.lang, lm.score6,
+       |    NTILE(3) OVER (PARTITION BY d.lang
+       |                   ORDER BY lm.score6 DESC, lm.doc_id) AS t
+       |  FROM lm JOIN documents d ON d.doc_id = lm.doc_id)
+       |SELECT doc_id, lang, score6,
+       |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM b""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)),
     ("d_shard_shuffle", dShardShuffle _, Some(dShardShuffleSql)),
+    ("d_ppl_bucket", dPplBucket _, Some(dPplBucketSql)),
     ("d_vocab_coverage", dVocabCoverage _, Some(dVocabCoverageSql)))
 }

@@ -40,6 +40,41 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(got > 0)
   }
 
+  test("andnot/xor cardinalities equal the exact set algebra, and compose") {
+    val df = ids(8)
+    val bms = df.groupBy("g").agg(buildAgg(F.col("uid")).as("bm"))
+    val a = bms.filter(F.col("g") === 0).select(F.col("bm").as("ba"))
+    val b = bms.filter(F.col("g") === 1).select(F.col("bm").as("bb"))
+    val row = a.crossJoin(b).select(
+      cardinality(F.col("ba")).as("na"),
+      cardinality(F.col("bb")).as("nb"),
+      andCardinality(F.col("ba"), F.col("bb")).as("nand"),
+      andNotCardinality(F.col("ba"), F.col("bb")).as("nanot"),
+      andNotCardinality(F.col("bb"), F.col("ba")).as("nbnot"),
+      xorCardinality(F.col("ba"), F.col("bb")).as("nxor"))
+      .collect().head
+    val sa = df.filter(F.col("g") === 0).select("uid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val sb = df.filter(F.col("g") === 1).select("uid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(row.getAs[Long]("nanot") == (sa diff sb).size)
+    assert(row.getAs[Long]("nbnot") == (sb diff sa).size)
+    assert(row.getAs[Long]("nxor") == ((sa diff sb) union (sb diff sa)).size)
+    // algebraic identities tie the five cardinalities together
+    assert(row.getAs[Long]("nanot") == row.getAs[Long]("na") - row.getAs[Long]("nand"))
+    assert(row.getAs[Long]("nxor") ==
+      row.getAs[Long]("na") + row.getAs[Long]("nb") - 2 * row.getAs[Long]("nand"))
+    // SQL registration path
+    graft.GraftExtensions.register(spark)
+    a.crossJoin(b).createOrReplaceTempView("bm_pair")
+    val sqlRow = spark.sql(
+      """SELECT bitmap_andnot_cardinality(ba, bb) AS x,
+        |       bitmap_xor_cardinality(ba, bb) AS y FROM bm_pair""".stripMargin)
+      .collect().head
+    assert(sqlRow.getLong(0) == row.getAs[Long]("nanot"))
+    assert(sqlRow.getLong(1) == row.getAs[Long]("nxor"))
+  }
+
   test("merging per-subgroup states equals aggregating the raw rows") {
     val df = ids(8).withColumn("sub", F.col("uid") % 3)
     val direct = df.groupBy("g").agg(cardinality(buildAgg(F.col("uid"))).as("n"))
