@@ -195,6 +195,53 @@ object KVQueries {
     readBackMutated(s, ds.openDatabase("events")).localCheckpoint(true)
   }
 
+  // this JVM's previous kv_ttl warehouse (same sweep lifecycle as
+  // lastDeltaWarehouse)
+  private var lastTtlWarehouse: Option[java.nio.file.Path] = None
+
+  /** kv_ttl: MergeTree-style TTL (`TTL ts + INTERVAL ...`) as a
+    * driver-checked query — the KVDeltaStore.expire path end-to-end.
+    * Scenario: the event store lands in TWO ingestion batches split by
+    * event time (pre-/post- Jan 15) with write-stamps 1000/2000; expire
+    * (olderThan=1500) must delete exactly the first batch's cells via an
+    * ordinary mutation batch; compact() then folds the log (ages survive
+    * — KVTtlSpec proves that independently) and the slice read of users
+    * 0..19 must see precisely the young half. Oracle = the plain time
+    * filter, so expiry exactness is hash-gated cell for cell. */
+  def kvTtl(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastTtlWarehouse.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val whPath = java.nio.file.Files.createTempDirectory("graft_kvttl")
+    lastTtlWarehouse = Some(whPath)
+    val ds = new KVDeltaStore(s, whPath.toString)
+    val es = eventStore(s, dir)
+    val cut = colBound("2024-01-15 00:00:00")
+    val noDel = es.select("k", "c").limit(0)
+    ds.appendMutation("events", es.filter(F.col("c") < cut), noDel, wts = 1000L)
+    ds.appendMutation("events", es.filter(F.col("c") >= cut), noDel, wts = 2000L)
+    ds.expire("events", olderThan = 1500L, wts = 3000L)
+    ds.compact("events")
+    val keys = s.range(0, 20).select(encLong(F.col("id")).as("k"))
+    decoded(slice(ds.openDatabase("events"), F.broadcast(keys),
+      F.lit(Array.emptyByteArray),
+      F.concat(encLong(F.lit(Long.MaxValue)), encLong(F.lit(Long.MaxValue))),
+      Int.MaxValue))
+      .localCheckpoint(true) // outlive the warehouse sweep, like kv_deltalog
+  }
+
+  val kvTtlSql: String =
+    """SELECT user_id, epoch_us(ts) AS us, event_id,
+      | CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str
+      |FROM events
+      |WHERE user_id < 20
+      |  AND epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-15 00:00:00')""".stripMargin
+
   // this JVM's previous kv_dsv2 segment dir (same lifecycle as the delta
   // warehouse: sweep only our own previous, fully-consumed directory)
   private var lastSegmentDir: Option[java.nio.file.Path] = None
@@ -235,5 +282,6 @@ object KVQueries {
     ("kv_keyslices", kvKeySlices _, Some(kvKeySlicesSql)),
     ("kv_mutate", kvMutate _, Some(kvMutateSql)),
     ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)),
-    ("kv_compact", kvCompact _, Some(kvMutateSql)))
+    ("kv_compact", kvCompact _, Some(kvMutateSql)),
+    ("kv_ttl", kvTtl _, Some(kvTtlSql)))
 }

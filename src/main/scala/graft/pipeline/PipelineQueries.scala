@@ -218,7 +218,74 @@ object PipelineQueries {
        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
        |FROM b""".stripMargin
 
+  /** d_dsir: Data Selection via Importance Resampling (the DSIR recipe:
+    * rank corpus documents by how much more likely a TARGET-domain
+    * n-gram LM finds them than the corpus-wide LM, and keep the most
+    * target-like). Target domain = the `lang='en'` slice; both models
+    * are the integer character-trigram LM behind t_trigram_lm (shared
+    * trainer), so the importance weight w6 = mean-target-score −
+    * mean-corpus-score is BIGINT end-to-end — no logs, no float
+    * divergence. A trigram unseen in the target model scores 0 there
+    * (inner-join semantics of the codegen'd scorer, COALESCE(.,0) in the
+    * oracle); both per-doc means divide non-negative sums by the same
+    * positive trigram count, so engine `div` and oracle `//` agree.
+    *
+    * Scale shape: two bounded-model trainings (one corpus-sized explode
+    * pass each — the target pass over the target slice only), then ONE
+    * map-only scoring pass with both models riding as reference arrays,
+    * and a top-100 TakeOrderedAndProject. Nothing per-trigram ever
+    * reaches a join or shuffle at scoring time. */
+  def dDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").filter(F.length(F.col("text")) >= 3)
+    val modelC = TextQueries.trigramModel(docs)
+    val modelT = TextQueries.trigramModel(docs.filter(F.col("lang") === "en"))
+    docs
+      .select(F.col("doc_id"), F.col("lang"),
+        graft.functions.TextFunctions.trigramLmScore(F.col("text"), modelC).as("sc"),
+        graft.functions.TextFunctions.trigramLmScore(F.col("text"), modelT).as("st"))
+      .select(F.col("doc_id"), F.col("lang"),
+        F.element_at(F.col("sc"), 1).as("n_tris"),
+        F.expr("element_at(sc, 2) div element_at(sc, 1)").as("score_c6"),
+        F.expr("element_at(st, 2) div element_at(sc, 1)").as("score_t6"),
+        F.expr("element_at(st, 2) div element_at(sc, 1) - element_at(sc, 2) div element_at(sc, 1)")
+          .as("w6"))
+      .orderBy(F.col("w6").desc, F.col("doc_id")).limit(100)
+  }
+
+  val dDsirSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+      |tris AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+      |  FROM base, UNNEST(range(1, length(text) - 1)) AS u(i)),
+      |c3 AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY 1),
+      |c2 AS (SELECT substr(tri, 1, 2) AS bi, COUNT(*) AS c2 FROM tris GROUP BY 1),
+      |trisT AS (
+      |  SELECT t.doc_id, t.tri FROM tris t
+      |  JOIN base b ON b.doc_id = t.doc_id AND b.lang = 'en'),
+      |c3t AS (SELECT tri, COUNT(*) AS c3t FROM trisT GROUP BY 1),
+      |c2t AS (SELECT substr(tri, 1, 2) AS bi, COUNT(*) AS c2t FROM trisT GROUP BY 1),
+      |rt AS (
+      |  SELECT c3t.tri, (1000000 * c3t.c3t) // c2t.c2t AS r6t
+      |  FROM c3t JOIN c2t ON c2t.bi = substr(c3t.tri, 1, 2)),
+      |sc AS (
+      |  SELECT tris.doc_id, COUNT(*) AS n,
+      |    SUM((1000000 * c3.c3) // c2.c2) AS sum_c,
+      |    SUM(COALESCE(rt.r6t, 0)) AS sum_t
+      |  FROM tris
+      |  JOIN c3 USING (tri)
+      |  JOIN c2 ON c2.bi = substr(tris.tri, 1, 2)
+      |  LEFT JOIN rt ON rt.tri = tris.tri
+      |  GROUP BY 1)
+      |SELECT b.doc_id, b.lang, CAST(n AS BIGINT) AS n_tris,
+      |  CAST(sum_c // n AS BIGINT) AS score_c6,
+      |  CAST(sum_t // n AS BIGINT) AS score_t6,
+      |  CAST(sum_t // n - sum_c // n AS BIGINT) AS w6
+      |FROM sc JOIN base b USING (doc_id)
+      |ORDER BY w6 DESC, doc_id LIMIT 100""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_dsir", dDsir _, Some(dDsirSql)),
     ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)),
     ("d_shard_shuffle", dShardShuffle _, Some(dShardShuffleSql)),
     ("d_ppl_bucket", dPplBucket _, Some(dPplBucketSql)),

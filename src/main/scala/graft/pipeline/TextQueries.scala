@@ -241,16 +241,19 @@ object TextQueries {
     * pass (TrigramLmScore, the model riding as reference arrays) — no
     * per-trigram rows ever reach a join or a doc_id shuffle.
     * ASCII corpus: character and byte offsets coincide on both engines. */
-  def tTrigramLm(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents").filter(F.length(F.col("text")) >= 3)
+  /** Train the integer trigram model on `docs`' text column: trigram →
+    * r6 = floor(1e6·c3/c2). One explode+count pass over the training
+    * stream; c2 aggregates from the charset³-bounded distinct-trigram
+    * table; the model collects to the driver (bounded) for map-only
+    * scoring via TrigramLmScore. Shared by t_trigram_lm (corpus model)
+    * and d_dsir (corpus + target-domain models). */
+  private[pipeline] def trigramModel(docs: DataFrame): Seq[(Int, Long)] = {
     val c3 = docs
       .select(F.explode(
         F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
           i => F.col("text").substr(i, F.lit(3)))).as("tri"))
       .groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
-    // c2(bi) = Σ c3(tri) over the prefix — aggregated from the tiny
-    // distinct-trigram table, never from the corpus stream
-    val model = c3.withColumn("bi", F.col("tri").substr(1, 2))
+    c3.withColumn("bi", F.col("tri").substr(1, 2))
       .withColumn("c2", F.sum("c3").over(
         org.apache.spark.sql.expressions.Window.partitionBy("bi")))
       .select(F.col("tri"), F.expr("(1000000 * c3) div c2").as("r6"))
@@ -259,6 +262,11 @@ object TextQueries {
         ((t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt,
           r.getLong(1))
       }.toSeq
+  }
+
+  def tTrigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").filter(F.length(F.col("text")) >= 3)
+    val model = trigramModel(docs)
     docs
       .select(F.col("doc_id"),
         graft.functions.TextFunctions.trigramLmScore(F.col("text"), model).as("sc"))
