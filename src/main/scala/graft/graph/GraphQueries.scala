@@ -1107,7 +1107,247 @@ object GraphQueries {
        |  FROM h)
        |SELECT src, dst, elabel, rnk FROM r WHERE rnk <= 3""".stripMargin
 
+  /** g_mis: deterministic maximal independent set — Luby's algorithm
+    * (1986), the other classic distributed symmetry-breaking primitive
+    * (g_matching is its line-graph sibling): each round every undecided
+    * vertex draws priority md5(r:v) (fresh per round, as Luby
+    * re-randomizes — but a pure function of (round, vertex), so replays
+    * are identical) and joins the MIS iff its priority is strictly
+    * smaller than every undecided neighbor's (strict total order: the
+    * 32-hex md5 || vid string); winners' neighbors become excluded.
+    * 3 rounds; vertices never touched by an edge join in round 1
+    * trivially (isolated). Per-round work: one edge-keyed join of the
+    * undecided set + one grouped min — linear in surviving edges, the
+    * g_matching shuffle discipline. Output: (vid, r) the round each MIS
+    * member joined. The oracle unrolls the identical rounds; the spec
+    * proves independence + maximality on the real graph. */
+  def gMis(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val ue = g.undirected.localCheckpoint()
+    def pri(r: Int, v: org.apache.spark.sql.Column) = F.concat(
+      F.md5(F.concat_ws(":", F.lit(r), v).cast("binary")),
+      F.lit(":"), v.cast("string"))
+    // isolated vertices (none in this graph, but the algorithm must not
+    // depend on that): they join in round 1 below via the left_anti path
+    var undec = g.vertices.select(F.col("vid").as("v")).localCheckpoint()
+    var mis: DataFrame = null
+    for (r <- 1 to 3) {
+      val uv = undec.select(F.col("v"), pri(r, F.col("v")).as("p"))
+      // min neighbor priority among undecided neighbors
+      val nbrMin = ue
+        .join(uv.select(F.col("v").as("dst"), F.col("p").as("np")), Seq("dst"))
+        .join(uv.select(F.col("v").as("src")), Seq("src"))
+        .groupBy(F.col("src").as("v")).agg(F.min("np").as("mn"))
+      val winners = uv.join(nbrMin, Seq("v"), "left")
+        .filter(F.col("mn").isNull || F.col("p") < F.col("mn"))
+        .select(F.col("v"), F.lit(r.toLong).as("r"))
+        .localCheckpoint()
+      mis = if (mis == null) winners else mis.unionByName(winners)
+      val excluded = ue
+        .join(winners.select(F.col("v").as("src")), Seq("src"))
+        .select(F.col("dst").as("v"))
+        .unionByName(winners.select(F.col("v"))).distinct()
+      undec = undec.join(excluded, Seq("v"), "left_anti").localCheckpoint()
+    }
+    mis.select(F.col("v").as("vid"), F.col("r"))
+  }
+
+  val gMisSql: String = {
+    def round(k: Int) =
+      s"""uv$k AS MATERIALIZED (
+         |  SELECT v, md5($k || ':' || v) || ':' || v AS p FROM u${k - 1}),
+         |nm$k AS MATERIALIZED (
+         |  SELECT e.src AS v, MIN(d.p) AS mn
+         |  FROM uedges e
+         |  JOIN uv$k d ON d.v = e.dst
+         |  JOIN uv$k s ON s.v = e.src
+         |  GROUP BY 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT uv.v FROM uv$k uv LEFT JOIN nm$k nm ON nm.v = uv.v
+         |  WHERE nm.mn IS NULL OR uv.p < nm.mn),
+         |u$k AS MATERIALIZED (
+         |  SELECT v FROM u${k - 1}
+         |  WHERE v NOT IN (SELECT v FROM w$k)
+         |    AND v NOT IN (SELECT e.dst FROM uedges e JOIN w$k w ON w.v = e.src))""".stripMargin
+    s"""WITH $sqlPrelude,
+       |u0 AS MATERIALIZED (SELECT vid AS v FROM verts),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT v AS vid, CAST(1 AS BIGINT) AS r FROM w1
+       |UNION ALL SELECT v, CAST(2 AS BIGINT) FROM w2
+       |UNION ALL SELECT v, CAST(3 AS BIGINT) FROM w3""".stripMargin
+  }
+
+  /** g_louvain: two synchronized Louvain move rounds (community detection
+    * by modularity gain — Blondel et al. 2008, in the synchronous
+    * "parallel Louvain" form every distributed implementation uses, since
+    * the sequential scan order doesn't exist on a cluster). All-integer
+    * gain: moving i into community c scores 2m·e_{i→c} − k_i·Σtot\i(c)
+    * (the standard ΔQ scaled by 2m² — sign- and order-preserving, so no
+    * float modularity anywhere); every vertex evaluates its neighbors'
+    * communities plus its own and takes (score DESC, c ASC). Round 1 from
+    * singletons reduces to argmin_j (k_j, j) with a move iff 2m > k_i·k_j;
+    * round 2 uses the full community-mass formula. Per round: one
+    * neighbor-community aggregate + bounded-width joins (deg, Σtot) —
+    * linear in |E|, the same shuffle shape as labelprop, scale-safe.
+    * Output (vid, c1, c2) gates both rounds. */
+  def gLouvain(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val ue = g.undirected.localCheckpoint()
+    val deg = ue.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("k"))
+    val m2 = ue.count() // 2m: one scalar job over the symmetric edge list
+    // round 1 (singletons): best target = neighbor with min (k_j, j)
+    val best = ue
+      .join(deg.select(F.col("v").as("dst"), F.col("k").as("kj")), Seq("dst"))
+      .groupBy(F.col("src").as("v"))
+      .agg(F.min(F.struct(F.col("kj"), F.col("dst"))).as("b"))
+    val r1 = best
+      .join(deg, Seq("v"))
+      .select(F.col("v"),
+        F.when(F.lit(m2) - F.col("k") * F.col("b.kj") > 0, F.col("b.dst"))
+          .otherwise(F.col("v")).as("c"))
+    val c1 = g.vertices.select(F.col("vid").as("v"))
+      .join(r1, Seq("v"), "left")
+      .select(F.col("v"), F.coalesce(F.col("c"), F.col("v")).as("c"))
+      .localCheckpoint()
+    // round 2: full gain against round-1 community masses
+    val sigma = c1.join(deg, Seq("v"), "left")
+      .groupBy("c").agg(F.sum(F.coalesce(F.col("k"), F.lit(0L))).as("st"))
+    val eic = ue
+      .join(c1.select(F.col("v").as("dst"), F.col("c")), Seq("dst"))
+      .groupBy(F.col("src").as("v"), F.col("c"))
+      .agg(F.count(F.lit(1)).as("e_ic"))
+    val cand = eic
+      .unionByName(c1.select(F.col("v"), F.col("c"), F.lit(0L).as("e_ic")))
+      .groupBy("v", "c").agg(F.max("e_ic").as("e_ic"))
+    val scored = cand
+      .join(c1.select(F.col("v"), F.col("c").as("c0")), Seq("v"))
+      .join(deg, Seq("v"), "left")
+      .join(sigma, Seq("c"))
+      .select(F.col("v"), F.col("c"),
+        (F.lit(m2) * F.col("e_ic") - F.coalesce(F.col("k"), F.lit(0L)) *
+          (F.col("st") - F.when(F.col("c0") === F.col("c"),
+            F.coalesce(F.col("k"), F.lit(0L))).otherwise(F.lit(0L)))).as("score"))
+    val r2 = scored.groupBy("v")
+      .agg(F.min(F.struct((-F.col("score")).as("ns"), F.col("c"))).as("p"))
+      .select(F.col("v"), F.col("p.c").as("c2"))
+    c1.join(r2, Seq("v"))
+      .select(F.col("v").as("vid"), F.col("c").as("c1"), F.col("c2"))
+  }
+
+  val gLouvainSql: String =
+    s"""WITH $sqlPrelude,
+       |deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS k FROM uedges GROUP BY 1),
+       |tm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM uedges),
+       |n1 AS MATERIALIZED (
+       |  SELECT e.src AS v, e.dst AS j, dj.k AS kj,
+       |    ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY dj.k, e.dst) AS rn
+       |  FROM uedges e JOIN deg dj ON dj.v = e.dst),
+       |r1 AS MATERIALIZED (
+       |  SELECT n1.v,
+       |    CASE WHEN (SELECT m2 FROM tm) - dv.k * n1.kj > 0 THEN n1.j ELSE n1.v END AS c
+       |  FROM n1 JOIN deg dv ON dv.v = n1.v WHERE n1.rn = 1),
+       |c1 AS MATERIALIZED (
+       |  SELECT vt.vid AS v, COALESCE(r1.c, vt.vid) AS c
+       |  FROM verts vt LEFT JOIN r1 ON r1.v = vt.vid),
+       |sigma AS MATERIALIZED (
+       |  SELECT c1.c, SUM(COALESCE(deg.k, 0)) AS st
+       |  FROM c1 LEFT JOIN deg ON deg.v = c1.v GROUP BY 1),
+       |eic AS MATERIALIZED (
+       |  SELECT e.src AS v, cj.c, COUNT(*) AS e_ic
+       |  FROM uedges e JOIN c1 cj ON cj.v = e.dst GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT v, c, MAX(e_ic) AS e_ic FROM (
+       |    SELECT v, c, e_ic FROM eic
+       |    UNION ALL SELECT v, c, 0 FROM c1) GROUP BY 1, 2),
+       |scored AS MATERIALIZED (
+       |  SELECT cd.v, cd.c,
+       |    (SELECT m2 FROM tm) * cd.e_ic - COALESCE(dv.k, 0) *
+       |      (sg.st - CASE WHEN c0.c = cd.c THEN COALESCE(dv.k, 0) ELSE 0 END) AS score
+       |  FROM cand cd
+       |  JOIN c1 c0 ON c0.v = cd.v
+       |  LEFT JOIN deg dv ON dv.v = cd.v
+       |  JOIN sigma sg ON sg.c = cd.c),
+       |r2 AS MATERIALIZED (
+       |  SELECT v, c AS c2,
+       |    ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+       |  FROM scored)
+       |SELECT c1.v AS vid, c1.c AS c1, r2.c2
+       |FROM c1 JOIN r2 ON r2.v = c1.v AND r2.rn = 1""".stripMargin
+
+  /** g_matching: deterministic distributed maximal matching (the
+    * Israeli-Itai 1986 / parallel-greedy shape — the classic
+    * symmetry-breaking primitive behind graph coarsening and scheduling):
+    * each round every unmatched vertex points at its minimum-priority
+    * incident edge, where priority = md5(a:b) || a || b — a pure function
+    * of the edge, so retried tasks and the oracle replay identically
+    * (rand() would be neither) — and an edge joins the matching exactly
+    * when BOTH endpoints point at it; matched vertices leave the graph.
+    * 3 rounds over the full undirected graph. Per-round work is one
+    * endpoint-keyed min aggregate plus one equi-join back to the edges —
+    * linear in surviving edges, no all-pairs anywhere — and the
+    * surviving-edge set shrinks monotonically, so at 100 TB each round is
+    * one bounded shuffle and the tail rounds are near-free. */
+  def gMatching(s: SparkSession, dir: String): DataFrame = {
+    var edges = PropertyGraph(s, dir).undirected
+      .filter(F.col("src") < F.col("dst"))
+      .select(F.col("src").as("a"), F.col("dst").as("b"))
+      .withColumn("pri", F.concat(
+        F.md5(F.concat_ws(":", F.col("a"), F.col("b")).cast("binary")),
+        F.lit(":"), F.col("a").cast("string"),
+        F.lit(":"), F.col("b").cast("string")))
+      .localCheckpoint()
+    var matched: DataFrame = null
+    for (r <- 1 to 3) {
+      val mins = edges.select(F.col("a").as("v"), F.col("pri"))
+        .unionByName(edges.select(F.col("b").as("v"), F.col("pri")))
+        .groupBy("v").agg(F.min("pri").as("mp"))
+      val mt = edges
+        .join(mins.select(F.col("v").as("a"), F.col("mp").as("ma")), Seq("a"))
+        .join(mins.select(F.col("v").as("b"), F.col("mp").as("mb")), Seq("b"))
+        .filter(F.col("pri") === F.col("ma") && F.col("pri") === F.col("mb"))
+        .select(F.col("a"), F.col("b"), F.lit(r.toLong).as("r"))
+        .localCheckpoint()
+      matched = if (matched == null) mt else matched.unionByName(mt)
+      val mv = mt.select(F.col("a").as("v"))
+        .unionByName(mt.select(F.col("b").as("v"))).distinct()
+      edges = edges
+        .join(mv.select(F.col("v").as("a")), Seq("a"), "left_anti")
+        .join(mv.select(F.col("v").as("b")), Seq("b"), "left_anti")
+        .localCheckpoint()
+    }
+    matched
+  }
+
+  val gMatchingSql: String = {
+    // AS MATERIALIZED: DuckDB inlines plain CTEs per reference, which
+    // re-opens the parquet scans once per use — 3 unrolled rounds of
+    // that exhaust the process's file-handle limit
+    def round(k: Int) =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a, b, md5(a || ':' || b) || ':' || a || ':' || b AS pri FROM ce${k - 1}),
+         |m$k AS MATERIALIZED (
+         |  SELECT v, MIN(pri) AS mp FROM (
+         |    SELECT a AS v, pri FROM p$k UNION ALL SELECT b, pri FROM p$k) GROUP BY v),
+         |mt$k AS MATERIALIZED (
+         |  SELECT p.a, p.b FROM p$k p
+         |  JOIN m$k ma ON ma.v = p.a AND ma.mp = p.pri
+         |  JOIN m$k mb ON mb.v = p.b AND mb.mp = p.pri),
+         |ce$k AS MATERIALIZED (
+         |  SELECT a, b FROM ce${k - 1}
+         |  WHERE a NOT IN (SELECT a FROM mt$k UNION SELECT b FROM mt$k)
+         |    AND b NOT IN (SELECT a FROM mt$k UNION SELECT b FROM mt$k))""".stripMargin
+    s"""WITH $sqlPrelude,
+       |ce0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM uedges WHERE src < dst),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT a, b, CAST(1 AS BIGINT) AS r FROM mt1
+       |UNION ALL SELECT a, b, CAST(2 AS BIGINT) AS r FROM mt2
+       |UNION ALL SELECT a, b, CAST(3 AS BIGINT) AS r FROM mt3""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_mis", gMis _, Some(gMisSql)),
+    ("g_louvain", gLouvain _, Some(gLouvainSql)),
+    ("g_matching", gMatching _, Some(gMatchingSql)),
     ("g_sample_neighbors", gSampleNeighbors _, Some(gSampleNeighborsSql)),
     ("g_sample_fanout", gSampleFanout _, Some(gSampleFanoutSql)),
     ("g_comp_sizes", gCompSizes _, Some(gCompSizesSql)),

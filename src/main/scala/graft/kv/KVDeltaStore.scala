@@ -97,6 +97,17 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
   def openDatabase(name: String): DataFrame =
     mergedView(name, deltaPaths(name))
 
+  /** Time-travel read: the merged view as of delta `version` (inclusive)
+    * — later-appended deltas are invisible, so a reader can pin the store
+    * state any mutation batch produced. compact() folds the log into base
+    * (seq 0), which moves the travel horizon up to the compaction point —
+    * the same retention contract as MergeTree part merges (and Delta
+    * VACUUM). Same merge-on-read plan as openDatabase, just over a
+    * filtered delta list — no extra work at any scale. */
+  def openDatabaseAsOf(name: String, version: Long): DataFrame =
+    mergedView(name, deltaPaths(name)
+      .filter(_.getName.stripPrefix("delta_").toLong <= version))
+
   /** The merged view over an EXPLICIT delta list — compact() folds and
     * later deletes exactly one snapshot of the log, so a delta appended
     * concurrently is neither half-read nor swept unfolded. */

@@ -195,6 +195,84 @@ object KVQueries {
     readBackMutated(s, ds.openDatabase("events")).localCheckpoint(true)
   }
 
+  /** kv_bucket_join: store-to-store CO-LOCATED join driver-checked — the
+    * payoff of writeBucketed's MergeTree ORDER BY (k,c) layout: the event
+    * store and a per-key rollup store are both persisted bucketed by k,
+    * and the cell⋈rollup equi-join plans with ZERO Exchange on either
+    * side (KVBucketSpec asserts the no-shuffle plan property; this entry
+    * hash-gates the joined VALUES against the plain SQL join). At 100 TB
+    * this is the difference between a join that moves both stores and one
+    * that moves nothing: both sides' bucket files are read co-located.
+    * Read back: every cell of users < 50 enriched with that user's total
+    * cell count. */
+  def kvBucketJoin(s: SparkSession, dir: String): DataFrame = synchronized {
+    val store = eventStore(s, dir)
+    KVStore.writeBucketed(store, "graft_kvbj_cells", numBuckets = 8)
+    val roll = store.groupBy("k").agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("k"), encLong(F.lit(0L)).as("c"), encLong(F.col("n")).as("v"))
+    KVStore.writeBucketed(roll, "graft_kvbj_roll", numBuckets = 8)
+    val cells = s.table("graft_kvbj_cells")
+      .filter(F.col("k") < encLong(F.lit(50L)))
+    val totals = s.table("graft_kvbj_roll")
+      .select(F.col("k"), decLong(F.col("v"), 1).as("user_total"))
+    val res = cells.join(totals, Seq("k"))
+      .select(
+        decLong(F.col("k"), 1).as("user_id"),
+        decLong(F.col("c"), 1).as("us"),
+        decLong(F.col("c"), 9).as("event_id"),
+        F.col("v").cast("string").as("v_str"),
+        F.col("user_total"))
+      .localCheckpoint(true) // outlive the DROP TABLE below
+    s.sql("DROP TABLE IF EXISTS graft_kvbj_cells")
+    s.sql("DROP TABLE IF EXISTS graft_kvbj_roll")
+    res
+  }
+
+  val kvBucketJoinSql: String =
+    """SELECT e.user_id, epoch_us(e.ts) AS us, e.event_id,
+      | CAST(CAST(e.value AS DECIMAL(18,2)) AS VARCHAR) AS v_str,
+      | t.n AS user_total
+      |FROM events e
+      |JOIN (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1) t
+      |  ON t.user_id = e.user_id
+      |WHERE e.user_id < 50""".stripMargin
+
+  // this JVM's previous kv_timetravel warehouse (same sweep lifecycle)
+  private var lastTravelWarehouse: Option[java.nio.file.Path] = None
+
+  /** kv_timetravel: version-pinned read of the mutation log
+    * (KVDeltaStore.openDatabaseAsOf) — the capability the append-only log
+    * buys over the reference's in-place MergeTree mutations: batch 1 =
+    * the full event store, batch 2 = kv_mutate's deletions+upserts, then
+    * the SAME key-range read **as of version 1**. The mutation batch is
+    * in the log but must be invisible; the oracle is the PLAIN
+    * pre-mutation event store, so the version pin is hash-gated cell for
+    * cell (while kv_deltalog gates the post-mutation view of the very
+    * same log). */
+  def kvTimetravel(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastTravelWarehouse.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val whPath = java.nio.file.Files.createTempDirectory("graft_kvtravel")
+    lastTravelWarehouse = Some(whPath)
+    val ds = new KVDeltaStore(s, whPath.toString)
+    val noDel = eventStore(s, dir).select("k", "c").limit(0)
+    ds.appendMutation("events", eventStore(s, dir), noDel)
+    val (additions, deletions) = mutationScenario(s, dir)
+    ds.appendMutation("events", additions, deletions)
+    readBackMutated(s, ds.openDatabaseAsOf("events", 1L)).localCheckpoint(true)
+  }
+
+  val kvTimetravelSql: String =
+    """SELECT user_id, epoch_us(ts) AS us, event_id,
+      | CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str
+      |FROM events WHERE user_id < 5""".stripMargin
+
   // this JVM's previous kv_ttl warehouse (same sweep lifecycle as
   // lastDeltaWarehouse)
   private var lastTtlWarehouse: Option[java.nio.file.Path] = None
@@ -282,6 +360,8 @@ object KVQueries {
     ("kv_keyslices", kvKeySlices _, Some(kvKeySlicesSql)),
     ("kv_mutate", kvMutate _, Some(kvMutateSql)),
     ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)),
+    ("kv_timetravel", kvTimetravel _, Some(kvTimetravelSql)),
+    ("kv_bucket_join", kvBucketJoin _, Some(kvBucketJoinSql)),
     ("kv_compact", kvCompact _, Some(kvMutateSql)),
     ("kv_ttl", kvTtl _, Some(kvTtlSql)))
 }

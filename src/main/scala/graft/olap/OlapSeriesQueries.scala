@@ -530,6 +530,14 @@ object OlapSeriesQueries {
         F.expr("unix_micros(ts) div 86400000000").as("d"),
         (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
       .groupBy("event_type", "d").agg(F.sum("vc").as("x"))
+    cusumOverDaily(daily)
+  }
+
+  /** The CUSUM fold over a (event_type, d, x) daily series — shared by
+    * the batch query above and the incrementally-maintained streaming
+    * monitor (graft.streaming.CusumSink), so the two paths are the same
+    * plan by construction. */
+  def cusumOverDaily(daily: DataFrame): DataFrame =
     daily.groupBy("event_type")
       .agg(F.sort_array(F.collect_list(F.struct(F.col("d"), F.col("x")))).as("a"),
         F.count(F.lit(1)).as("nd"), F.sum("x").as("tot"))
@@ -544,7 +552,6 @@ object OlapSeriesQueries {
             acc -> acc)""").as("c"))
       .select(F.col("event_type"), F.col("nd"), F.col("k"),
         F.col("c.s").as("final_cusum"), F.col("c.mx").as("max_cusum"))
-  }
 
   val qCusumSql: String =
     """WITH RECURSIVE daily AS (
@@ -575,7 +582,179 @@ object OlapSeriesQueries {
       |FROM rec r JOIN kk ON kk.event_type = r.event_type
       |WHERE r.i = kk.nd""".stripMargin
 
+  /** q_arr_enum: ClickHouse arrayEnumerateUniq — for each user's
+    * time-ordered event sequence, the occurrence index of each element
+    * among its equals (1st click, 2nd click, …). The engine computes it
+    * ARRAY-SIDE: one grouped pass builds the ordered array, then a
+    * codegen'd transform-with-index counts equals in each prefix —
+    * per-user O(len²) on a bounded activity stream, zero extra
+    * exchanges. The oracle is the per-(user, type) ROW_NUMBER window —
+    * an independent formulation, so the hash gate proves the array path
+    * against the relational one. */
+  def qArrEnum(s: SparkSession, dir: String): DataFrame = {
+    val seq = Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        F.struct(F.unix_micros(F.col("ts")).as("tu"), F.col("event_id"),
+          F.col("event_type").as("et")).as("e"))
+      .groupBy("user_id")
+      .agg(F.expr("transform(sort_array(collect_list(e)), x -> x.et)").as("a"))
+    seq.select(F.col("user_id"), F.posexplode(F.expr(
+      """zip_with(a,
+        |  transform(a, (x, i) -> size(filter(slice(a, 1, i), y -> y = x)) + 1),
+        |  (et, occ) -> struct(et, cast(occ as bigint) as occ))""".stripMargin)))
+      .select(F.col("user_id"), F.col("pos").cast("long").as("pos"),
+        F.col("col.et").as("et"), F.col("col.occ").as("occ"))
+  }
+
+  val qArrEnumSql: String =
+    """SELECT user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) - 1 AS pos,
+      |  event_type AS et,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY epoch_us(ts), event_id) AS occ
+      |FROM events""".stripMargin
+
+  /** q_mov_median: moving EXACT median over each user's trailing-5-event
+    * frame (the windowed medianExact / robust smoothing shape — the
+    * median counterpart of q_movsum's moving sum). The frame is ROWS
+    * BETWEEN 4 PRECEDING AND CURRENT ROW under the (ts, event_id) total
+    * order, the median is type-1 (lower-middle element, exact cents — no
+    * interpolation, no doubles): element (n+1) div 2 of the sorted
+    * ≤5-element frame array. One window sort per user partition; the
+    * per-row sort is over a constant-bounded array inside codegen. */
+  def qMovMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+      .rowsBetween(-4, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("tu"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .withColumn("fr", F.sort_array(F.collect_list("vc").over(w)))
+      .select(F.col("user_id"), F.col("event_id"), F.col("tu"), F.col("vc"),
+        F.expr("element_at(fr, cast((size(fr) + 1) div 2 as int))").as("med5"),
+        F.size(F.col("fr")).cast("long").as("n_frame"))
+  }
+
+  val qMovMedianSql: String =
+    """SELECT user_id, event_id, tu, vc,
+      |  ls[CAST((len(ls) + 1) // 2 AS BIGINT)] AS med5,
+      |  CAST(len(ls) AS BIGINT) AS n_frame
+      |FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |    list_sort(list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS ls
+      |  FROM events)""".stripMargin
+
+  /** q_twa: per-user TIME-WEIGHTED average value (the TWAP shape —
+    * ClickHouse's avgWeighted over hold durations / timeSeries* family):
+    * each event's value holds until the user's next event, weight = hold
+    * duration in µs; twa = Σ(value·dur) / Σdur. The value×duration
+    * products overflow BIGINT at month-scale holds (cents·µs ≈ 2.6e16 per
+    * event, summed), so the moment sums accumulate in DECIMAL(38,0) on
+    * the Spark side and HUGEINT on the oracle side — both exact — and the
+    * terminal division is a single integer div emitting exact cents. One
+    * window sort per user partition (lead), then one aggregate. */
+  def qTwa(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    val held = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"),
+        F.unix_micros(F.col("ts")).as("tu"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .withColumn("dur", F.lead("tu", 1).over(w) - F.col("tu"))
+      .filter(F.col("dur").isNotNull)
+    held.groupBy("user_id")
+      .agg(
+        F.sum(F.col("vc").cast(DecimalType(38, 0)) * F.col("dur")).as("swv"),
+        F.sum(F.col("dur").cast(DecimalType(38, 0))).as("sw"),
+        F.count(F.lit(1)).as("n_holds"))
+      .select(F.col("user_id"), F.col("n_holds"),
+        F.expr("cast(sw as bigint)").as("held_us"),
+        F.expr("cast(swv div sw as bigint)").as("twa_cents"))
+  }
+
+  val qTwaSql: String =
+    """WITH held AS (
+      |  SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      - epoch_us(ts) AS dur
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_holds,
+      |  CAST(SUM(dur) AS BIGINT) AS held_us,
+      |  CAST(SUM(vc * dur) // SUM(dur) AS BIGINT) AS twa_cents
+      |FROM held WHERE dur IS NOT NULL
+      |GROUP BY user_id""".stripMargin
+
+  /** q_arr_setops: the ClickHouse array set-algebra family
+    * (arrayIntersect / arrayDistinct-union / array difference, hasAll /
+    * hasAny) over per-user event-type sets: set A = the types seen in a
+    * user's even-event_id events, set B = the odd half (deterministic
+    * halves of each stream). ONE grouped pass builds both sorted distinct
+    * sets — per-user state is bounded by the 5-value type domain — and
+    * the set algebra itself is Spark's codegen'd array functions on those
+    * bounded arrays, map-only after the aggregate. The oracle computes
+    * the identical sets via per-(user, type) boolean flags — an
+    * independent formulation, so the hash gate proves the array-function
+    * path end-to-end. */
+  def qArrSetops(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_type"),
+        (F.col("event_id") % 2 === 0).as("even"))
+      .groupBy("user_id").agg(
+        F.sort_array(F.collect_set(
+          F.when(F.col("even"), F.col("event_type")))).as("sa"),
+        F.sort_array(F.collect_set(
+          F.when(!F.col("even"), F.col("event_type")))).as("sb"))
+    sets.select(
+      F.col("user_id"),
+      F.concat_ws(",", F.col("sa")).as("set_a"),
+      F.concat_ws(",", F.col("sb")).as("set_b"),
+      F.concat_ws(",", F.sort_array(
+        F.array_intersect(F.col("sa"), F.col("sb")))).as("inter"),
+      F.concat_ws(",", F.sort_array(
+        F.array_union(F.col("sa"), F.col("sb")))).as("uni"),
+      F.concat_ws(",", F.sort_array(
+        F.array_except(F.col("sa"), F.col("sb")))).as("a_not_b"),
+      F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long").as("n_inter"),
+      F.when(F.size(F.array_except(F.col("sb"), F.col("sa"))) === 0, 1L)
+        .otherwise(0L).as("has_all"),
+      F.when(F.size(F.array_intersect(F.col("sa"), F.col("sb"))) > 0, 1L)
+        .otherwise(0L).as("has_any"))
+  }
+
+  val qArrSetopsSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type,
+      |    MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+      |    MAX(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  COALESCE(string_agg(CASE WHEN in_a = 1 THEN event_type END, ','
+      |    ORDER BY event_type), '') AS set_a,
+      |  COALESCE(string_agg(CASE WHEN in_b = 1 THEN event_type END, ','
+      |    ORDER BY event_type), '') AS set_b,
+      |  COALESCE(string_agg(CASE WHEN in_a = 1 AND in_b = 1 THEN event_type END, ','
+      |    ORDER BY event_type), '') AS inter,
+      |  COALESCE(string_agg(CASE WHEN in_a = 1 OR in_b = 1 THEN event_type END, ','
+      |    ORDER BY event_type), '') AS uni,
+      |  COALESCE(string_agg(CASE WHEN in_a = 1 AND in_b = 0 THEN event_type END, ','
+      |    ORDER BY event_type), '') AS a_not_b,
+      |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+      |  CAST(CASE WHEN SUM(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) = 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS has_all,
+      |  CAST(CASE WHEN SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS has_any
+      |FROM f GROUP BY user_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_arr_enum", qArrEnum _, Some(qArrEnumSql)),
+    ("q_mov_median", qMovMedian _, Some(qMovMedianSql)),
+    ("q_twa", qTwa _, Some(qTwaSql)),
+    ("q_arr_setops", qArrSetops _, Some(qArrSetopsSql)),
     ("q_cusum", qCusum _, Some(qCusumSql)),
     ("q_islands", qIslands _, Some(qIslandsSql)),
     ("q_cohort_matrix", qCohortMatrix _, Some(qCohortMatrixSql)),

@@ -514,7 +514,54 @@ object DedupQueries {
       |FROM documents
       |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 
+  /** d_url_dedup: URL canonicalization + dedup — the Common-Crawl-style
+    * ingestion step that runs BEFORE any content dedup (the same page
+    * crawled under www./no-www, mixed-case hosts, tracking params,
+    * trailing slashes and fragments must collapse to one fetch). Each doc
+    * carries a deterministically synthesized messy surface URL (case
+    * variance on host and source, optional `www.`, `utm_*` tracking
+    * params, optional trailing slash, optional fragment — all pure
+    * functions of doc_id, the same trick as t_url_parse). The
+    * canonicalizer is a map-only codegen'd pass (parse_url + lower +
+    * regexp: strip `www.`, drop utm params keeping `id`, strip the
+    * trailing slash, drop the fragment), and the dedup is ONE hash
+    * groupBy on the canonical URL — keep-min doc_id, exactly d_exact_dup
+    * discipline. The oracle rebuilds the canonical URL arithmetically
+    * from (source, doc_id), so a hash match proves the canonicalizer
+    * inverts every injected variation. */
+  def dUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = F.col("doc_id")
+    val url = F.concat(
+      F.lit("https://"),
+      F.when(d % 2 === 0, "WWW.").otherwise(""),
+      F.when(d % 3 === 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+      F.lit(".Example.COM/page/"), (d % 40).cast("string"),
+      F.when(d % 5 === 0, "/").otherwise(""),
+      F.when(d % 4 === 0, "?utm_source=feed&utm_campaign=x&id=").otherwise("?id="),
+      (d % 40).cast("string"),
+      F.when(d % 7 === 0, "#section-2").otherwise(""))
+    Tables(s, dir, "documents")
+      .select(d.as("doc_id"), url.as("url"))
+      .select(F.col("doc_id"), F.concat(
+        F.lit("https://"),
+        F.regexp_replace(F.lower(F.parse_url(F.col("url"), F.lit("HOST"))),
+          "^www\\.", ""),
+        F.regexp_replace(F.parse_url(F.col("url"), F.lit("PATH")), "/$", ""),
+        F.lit("?id="),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id"))).as("curl"))
+      .groupBy("curl").agg(
+        F.min("doc_id").as("keep_id"),
+        F.count(F.lit(1)).as("n_docs"))
+  }
+
+  val dUrlDedupSql: String =
+    """SELECT 'https://' || lower(source) || '.example.com/page/' || (doc_id % 40)
+      |    || '?id=' || (doc_id % 40) AS curl,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_url_dedup", dUrlDedup _, Some(dUrlDedupSql)),
     ("d_prefix_dup", dPrefixDup _, Some(dPrefixDupSql)),
     ("d_mix_sampling", dMixSampling _, Some(dMixSamplingSql)),
     ("d_sample_strat", dSampleStrat _, Some(dSampleStratSql)),

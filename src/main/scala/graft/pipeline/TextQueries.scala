@@ -648,7 +648,190 @@ object TextQueries {
        |  min(word) AS min_w, max(word) AS max_w
        |FROM r3 GROUP BY 1""".stripMargin
 
+  /** t_char_entropy: per-document character-level Shannon entropy +
+    * distinct-char count — the compressibility proxy quality signal
+    * (low-entropy docs are boilerplate/repetitive; the cheap stand-in for
+    * a zlib-ratio gate in Gopher/Dolma-style filters). Whole thing is
+    * MAP-ONLY: per-char counts over the fixed [a-z ] charset via the
+    * length-minus-replace trick (27 codegen'd string ops per row — no
+    * explode, no shuffle at all before the output), entropy assembled
+    * from per-term BIGINT-rounded c·log2(c) (q_entropy's 1-ulp
+    * discipline, order-independent over the fixed charset). The SAME
+    * Scala loop renders the expression into both engine dialects (the
+    * q_geo trick), so the formulations agree by construction. */
+  def tCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val chars = ('a' to 'z').map(_.toString) :+ " "
+    def cnt(ch: String) = s"(length(text) - length(replace(text, '$ch', '')))"
+    val n = chars.map(cnt).mkString(" + ")
+    def term(ch: String) =
+      s"""(CASE WHEN ${cnt(ch)} > 0 THEN cast(floor(
+         |  cast(${cnt(ch)} as double) * log2(cast(${cnt(ch)} as double))
+         |  * 1e6 + 0.5) as bigint) ELSE 0 END)""".stripMargin
+    val slg = chars.map(term).mkString(" + ")
+    val kd = chars.map(ch => s"(CASE WHEN ${cnt(ch)} > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        F.expr(s"cast($n as bigint)").as("n"),
+        F.expr(s"cast($kd as bigint)").as("k_distinct"),
+        F.expr(s"cast($slg as bigint)").as("slg6"))
+      .filter(F.col("n") > 0)
+      .select(F.col("doc_id"), F.col("n"), F.col("k_distinct"),
+        F.expr("cast(floor((log2(cast(n as double)) - (cast(slg6 as double) / 1e6) / cast(n as double)) * 1e6 + 0.5) as bigint)").as("h6"))
+  }
+
+  val tCharEntropySql: String = {
+    val chars = ('a' to 'z').map(_.toString) :+ " "
+    def cnt(ch: String) = s"(length(text) - length(replace(text, '$ch', '')))"
+    val n = chars.map(cnt).mkString(" + ")
+    def term(ch: String) =
+      s"""(CASE WHEN ${cnt(ch)} > 0 THEN CAST(floor(
+         |  CAST(${cnt(ch)} AS DOUBLE) * log2(CAST(${cnt(ch)} AS DOUBLE))
+         |  * 1e6 + 0.5) AS BIGINT) ELSE 0 END)""".stripMargin
+    val slg = chars.map(term).mkString(" + ")
+    val kd = chars.map(ch => s"(CASE WHEN ${cnt(ch)} > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, n, k_distinct,
+       |  CAST(floor((log2(CAST(n AS DOUBLE)) - (CAST(slg6 AS DOUBLE) / 1e6) / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS h6
+       |FROM (
+       |  SELECT doc_id, CAST($n AS BIGINT) AS n,
+       |    CAST($kd AS BIGINT) AS k_distinct,
+       |    CAST($slg AS BIGINT) AS slg6
+       |  FROM documents) x
+       |WHERE n > 0""".stripMargin
+  }
+
+  /** t_kn_lm: interpolated Kneser-Ney bigram LM fluency scoring — the
+    * stronger form of the CCNet-style perplexity filter (t_trigram_lm is
+    * the add-one-smoothed baseline; KN's continuation counts are the
+    * standard production smoothing, Kneser & Ney 1995). With discount
+    * d = 3/4:  P(w|v) = max(c(vw)−d, 0)/c(v) + d·N1+(v·)/c(v) · N1+(·w)/B.
+    * Everything stays integer: scaling by 4·c(v)·B gives the exact
+    * numerator S = (4·c(vw)−3)·B + 3·N1+(v·)·N1+(·w), and each scored
+    * bigram emits score6 = (1e6·S) div (4·c(v)·B) — one exact floor
+    * division per bigram, order-independent, so both engines agree bit
+    * for bit (no logs, no doubles anywhere). The numerator product rides
+    * DECIMAL(38,0) / HUGEINT — BIGINT would overflow past ~sf3. Model
+    * tables (bigram counts, left/right continuation counts) are one
+    * aggregate each over the map-only generated adjacent-pair stream; the
+    * scoring join is the only other exchange. Output: per-doc bigram
+    * count + mean KN score (exact integer div). */
+  def tKnLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("ws"))
+    val bg = toks.select(F.col("doc_id"), F.explode(F.expr(
+      """transform(slice(ws, 1, size(ws) - 1), (w, i) ->
+        |  struct(w AS v, element_at(ws, i + 2) AS w2))""".stripMargin)).as("p"))
+      .select(F.col("doc_id"), F.col("p.v").as("v"), F.col("p.w2").as("w"))
+    val cvw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).as("c_vw"))
+    // c(v), N1+(v·) from the bigram-type table; N1+(·w) likewise; B = |types|
+    val left = cvw.groupBy("v").agg(F.sum("c_vw").as("c_v"),
+      F.count(F.lit(1)).as("n1l"))
+    val right = cvw.groupBy("w").agg(F.count(F.lit(1)).as("n1r"))
+    val btypes = cvw.agg(F.count(F.lit(1)).as("bb"))
+    val model = cvw
+      .join(left, Seq("v")).join(right, Seq("w"))
+      .crossJoin(F.broadcast(btypes))
+      .select(F.col("v"), F.col("w"),
+        F.expr("""cast((cast(1000000 as decimal(38,0)) *
+            ((4 * c_vw - 3) * cast(bb as decimal(38,0)) + 3 * n1l * n1r))
+            div (4 * c_v * cast(bb as decimal(38,0))) as bigint)""").as("score6"))
+    bg.join(model, Seq("v", "w"))
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("nbg"), F.sum("score6").as("ssum"))
+      .select(F.col("doc_id"), F.col("nbg"),
+        F.expr("ssum div nbg").as("kn6"))
+  }
+
+  val tKnLmSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS MATERIALIZED (
+      |  SELECT doc_id, UNNEST(ws) AS w, generate_subscripts(ws, 1) AS i FROM toks),
+      |bg AS MATERIALIZED (
+      |  SELECT p1.doc_id, p1.w AS v, p2.w AS w
+      |  FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1),
+      |cvw AS MATERIALIZED (SELECT v, w, COUNT(*) AS c_vw FROM bg GROUP BY 1, 2),
+      |lft AS MATERIALIZED (
+      |  SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1l FROM cvw GROUP BY 1),
+      |rgt AS MATERIALIZED (SELECT w, COUNT(*) AS n1r FROM cvw GROUP BY 1),
+      |bt AS (SELECT COUNT(*) AS bb FROM cvw),
+      |model AS MATERIALIZED (
+      |  SELECT cvw.v, cvw.w,
+      |    CAST((1000000 * ((4 * c_vw - 3) * bb + 3 * n1l * n1r))
+      |      // (4 * c_v * bb) AS BIGINT) AS score6
+      |  FROM cvw JOIN lft ON lft.v = cvw.v JOIN rgt ON rgt.w = cvw.w CROSS JOIN bt)
+      |SELECT bg.doc_id, COUNT(*) AS nbg,
+      |  CAST(SUM(score6) // COUNT(*) AS BIGINT) AS kn6
+      |FROM bg JOIN model ON model.v = bg.v AND model.w = bg.w
+      |GROUP BY bg.doc_id""".stripMargin
+
+  /** t_cooc: skip-gram co-occurrence + PMI (the word2vec/GloVe
+    * count-matrix substrate — what embedding training preps from a
+    * corpus): unordered word pairs within distance ≤ 3, min support 5,
+    * ranked by pointwise mutual information. Pair generation is MAP-ONLY
+    * — one codegen'd nested transform+slice per document (each token
+    * pairs with its next 3 — O(len·3) per doc, no positional self-join,
+    * no doc_id shuffle); the only exchanges are the pair/unigram count
+    * aggregates. PMI = log2(c_ab·T/(c_a·c_b)) assembled from FOUR
+    * per-quantity BIGINT-rounded log2 terms (q_entropy's 1-ulp
+    * discipline — the sum of pre-rounded integers is order-independent
+    * and cross-engine-exact); the corpus total T stays engine-side (one
+    * aggregated row cross-joined, never a driver constant). Top-20 under
+    * the (pmi6 DESC, wa, wb) total order via TakeOrdered. The oracle
+    * generates pairs by positional self-join — an independent
+    * formulation of the same window. */
+  def tCooc(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("ws"))
+    val pairs = toks.select(F.explode(F.expr(
+      """flatten(transform(ws, (w, i) ->
+        |  transform(slice(ws, i + 2, 3), w2 ->
+        |    struct(least(w, w2) AS a, greatest(w, w2) AS b))))""".stripMargin)).as("p"))
+      .select(F.col("p.a").as("wa"), F.col("p.b").as("wb"))
+    val cPair = pairs.groupBy("wa", "wb").agg(F.count(F.lit(1)).as("c_ab"))
+    val uni = toks.select(F.explode(F.col("ws")).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("c_w"))
+    val tot = pairs.agg(F.count(F.lit(1)).as("t"))
+    def lg(c: Column): Column =
+      F.floor(F.log2(c.cast("double")) * 1e6 + 0.5).cast("long")
+    cPair.filter(F.col("c_ab") >= 5)
+      .join(uni.select(F.col("w").as("wa"), F.col("c_w").as("c_a")), Seq("wa"))
+      .join(uni.select(F.col("w").as("wb"), F.col("c_w").as("c_b")), Seq("wb"))
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("wa"), F.col("wb"), F.col("c_ab"), F.col("c_a"), F.col("c_b"),
+        (lg(F.col("c_ab")) + lg(F.col("t")) - lg(F.col("c_a")) - lg(F.col("c_b")))
+          .as("pmi6"))
+      .orderBy(F.col("pmi6").desc, F.col("wa").asc, F.col("wb").asc)
+      .limit(20)
+  }
+
+  val tCoocSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS MATERIALIZED (
+      |  SELECT doc_id, UNNEST(ws) AS w, generate_subscripts(ws, 1) AS i FROM toks),
+      |pr AS MATERIALIZED (
+      |  SELECT least(p1.w, p2.w) AS wa, greatest(p1.w, p2.w) AS wb
+      |  FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id
+      |    AND p2.i BETWEEN p1.i + 1 AND p1.i + 3),
+      |cp AS MATERIALIZED (SELECT wa, wb, COUNT(*) AS c_ab FROM pr GROUP BY 1, 2),
+      |uni AS MATERIALIZED (SELECT w, COUNT(*) AS c_w FROM pos GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS t FROM pr)
+      |SELECT wa, wb, c_ab, ca.c_w AS c_a, cb.c_w AS c_b,
+      |  CAST(floor(log2(CAST(c_ab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |  + CAST(floor(log2(CAST(tot.t AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |  - CAST(floor(log2(CAST(ca.c_w AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |  - CAST(floor(log2(CAST(cb.c_w AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS pmi6
+      |FROM cp JOIN uni ca ON ca.w = cp.wa JOIN uni cb ON cb.w = cp.wb CROSS JOIN tot
+      |WHERE c_ab >= 5
+      |ORDER BY pmi6 DESC, wa, wb LIMIT 20""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_char_entropy", tCharEntropy _, Some(tCharEntropySql)),
+    ("t_kn_lm", tKnLm _, Some(tKnLmSql)),
+    ("t_cooc", tCooc _, Some(tCoocSql)),
     ("t_stem", tStem _, Some(tStemSql)),
     ("t_phonetic", tPhonetic _, Some(tPhoneticSql)),
     ("t_editdist", tEditDist _, Some(tEditDistSql)),

@@ -324,4 +324,43 @@ class GraphSpec extends SparkSpec {
       assert(got(v) == expect, s"vertex $v: got ${got(v)}, expect $expect")
     }
   }
+
+  test("g_mis emits a valid maximal independent set") {
+    val mis = GraphQueries.gMis(spark, SF).collect().map(_.getLong(0)).toSet
+    assert(mis.nonEmpty)
+    val ue = PropertyGraph(spark, SF).undirected.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independence: no edge has both endpoints in the set
+    ue.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"edge ($a,$b) lies inside the MIS")
+    }
+    // maximality (3 Luby rounds suffice on this graph): every vertex
+    // outside the set has a neighbor inside it
+    val nbrs = ue.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val verts = PropertyGraph(spark, SF).vertices.collect().map(_.getLong(0))
+    verts.filterNot(mis).foreach { v =>
+      assert(nbrs.getOrElse(v, Set.empty[Long]).exists(mis),
+        s"non-member $v has no MIS neighbor — set not maximal")
+    }
+  }
+
+  test("g_matching emits a valid deterministic matching") {
+    val m = GraphQueries.gMatching(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.nonEmpty)
+    // a matching: no vertex appears in two matched pairs
+    val verts = m.flatMap(p => Seq(p._1, p._2))
+    assert(verts.distinct.length == verts.length,
+      "a vertex is matched twice")
+    // every matched pair is a real edge of the undirected graph
+    val ue = PropertyGraph(spark, SF).undirected.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    m.foreach { case (a, b, _) =>
+      assert(a < b && ue.contains((a, b)), s"($a,$b) is not a graph edge")
+    }
+    // pure function of the graph: a rerun reproduces it exactly
+    val m2 = GraphQueries.gMatching(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSet == m2.toSet)
+  }
 }

@@ -108,6 +108,27 @@ class KVDeltaStoreSpec extends SparkSpec {
     assert(decode(ds.openDatabase("s")) == (1L to 1000L).map(c => (7L, c, c * 2)).toSet)
   }
 
+  test("openDatabaseAsOf pins each version; compaction moves the horizon") {
+    val wh = java.nio.file.Files.createTempDirectory("kvdelta_tt").toString
+    val ds = new KVDeltaStore(spark, wh)
+    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((1, 1, 11))), kcv(Nil).select("k", "c"))
+    // each version is exactly the state its batch produced
+    assert(decode(ds.openDatabaseAsOf("s", 1)) == Set((1L, 1L, 10L), (2L, 1L, 20L)))
+    assert(decode(ds.openDatabaseAsOf("s", 2)) == Set((2L, 1L, 20L), (3L, 1L, 30L)))
+    assert(decode(ds.openDatabaseAsOf("s", 3)) == decode(ds.openDatabase("s")))
+    // a version past the head is just the current view
+    assert(decode(ds.openDatabaseAsOf("s", 99)) == decode(ds.openDatabase("s")))
+    // compact() folds the log into base (seq 0): history before the
+    // compaction point is gone — asOf(1) now reads base alone, i.e. the
+    // CURRENT state — while the current view is unchanged
+    val cur = decode(ds.openDatabase("s"))
+    ds.compact("s")
+    assert(decode(ds.openDatabase("s")) == cur)
+    assert(decode(ds.openDatabaseAsOf("s", 1)) == cur)
+  }
+
   test("maybeCompact triggers at the size threshold and preserves the view") {
     val wh = java.nio.file.Files.createTempDirectory("kvdelta_auto").toString
     val ds = new KVDeltaStore(spark, wh)
