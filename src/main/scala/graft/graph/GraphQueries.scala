@@ -1143,11 +1143,13 @@ object GraphQueries {
         .select(F.col("v"), F.lit(r.toLong).as("r"))
         .localCheckpoint()
       mis = if (mis == null) winners else mis.unionByName(winners)
-      val excluded = ue
-        .join(winners.select(F.col("v").as("src")), Seq("src"))
-        .select(F.col("dst").as("v"))
-        .unionByName(winners.select(F.col("v"))).distinct()
-      undec = undec.join(excluded, Seq("v"), "left_anti").localCheckpoint()
+      if (r < 3) { // the final round's undecided set is never read
+        val excluded = ue
+          .join(winners.select(F.col("v").as("src")), Seq("src"))
+          .select(F.col("dst").as("v"))
+          .unionByName(winners.select(F.col("v"))).distinct()
+        undec = undec.join(excluded, Seq("v"), "left_anti").localCheckpoint()
+      }
     }
     mis.select(F.col("v").as("vid"), F.col("r"))
   }
@@ -1308,12 +1310,14 @@ object GraphQueries {
         .select(F.col("a"), F.col("b"), F.lit(r.toLong).as("r"))
         .localCheckpoint()
       matched = if (matched == null) mt else matched.unionByName(mt)
-      val mv = mt.select(F.col("a").as("v"))
-        .unionByName(mt.select(F.col("b").as("v"))).distinct()
-      edges = edges
-        .join(mv.select(F.col("v").as("a")), Seq("a"), "left_anti")
-        .join(mv.select(F.col("v").as("b")), Seq("b"), "left_anti")
-        .localCheckpoint()
+      if (r < 3) { // the final round's survivor set is never read
+        val mv = mt.select(F.col("a").as("v"))
+          .unionByName(mt.select(F.col("b").as("v"))).distinct()
+        edges = edges
+          .join(mv.select(F.col("v").as("a")), Seq("a"), "left_anti")
+          .join(mv.select(F.col("v").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+      }
     }
     matched
   }
