@@ -291,4 +291,24 @@ object FreqItems {
       .select(groupCols.map(F.col) :+ (F.col("i") + 1).as("rnk")
         :+ F.col("p.term").as("term") :+ F.col("p.cnt").as("cnt"): _*)
   }
+
+  /** One GLOBAL weighted sketch, emitted in full (all ≤ capacity
+    * counters) as (rnk, term, w) rows — the serialization surface
+    * TopKSink persists and re-feeds: offering a sketch's emitted
+    * (term, weight) rows into a fresh weighted sketch IS the
+    * mergeable-summaries rule (pointwise count sum, then trim), so
+    * snapshot → re-sketch round-trips preserve the n/(capacity+1)
+    * error bound. */
+  def globalWeighted(df: DataFrame, term: Column, weight: Column,
+                     capacity: Int): DataFrame = {
+    val agg = GraftSqlBridge.column(
+      FreqItemsWeightedSketch(
+        GraftSqlBridge.expression(term.cast("string")),
+        GraftSqlBridge.expression(weight.cast("long")), capacity)
+        .toAggregateExpression())
+    df.agg(agg.as("fi"))
+      .select(F.posexplode(F.col("fi")).as(Seq("i", "p")))
+      .select((F.col("i") + 1).as("rnk"),
+        F.col("p.term").as("term"), F.col("p.cnt").as("w"))
+  }
 }
