@@ -16,8 +16,11 @@ import graft.functions.{FloatMatSignBuckets, FloatMatTopCentroids, FloatVecCosin
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator extension (tier c): AsOfJoinNode → AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -353,6 +353,29 @@ object OlapQueries {
     * deterministic ties (backward wins; within a timestamp, okey order).
     * Two window sorts per user partition, no self-join, all-integer µs
     * arithmetic. */
+  /** q_asof_phys: the SAME as-of join through graft's custom physical
+    * operator (graft.plans.AsOfJoinExec — logical node + planner strategy
+    * injected by GraftExtensions) instead of the union+window
+    * formulation. Shares q_asof's oracle: the hash gate proves the
+    * whole-operator extension path end-to-end (per-partition streaming
+    * merge ≡ the windowed LOCF, cell for cell). The plan: each side
+    * hash-clustered on its own key + sorted (key, time) — no union, no
+    * window state, left partitioning preserved for downstream reuse. */
+  def qAsofPhys(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      F.col("event_id"), F.col("user_id"),
+      F.unix_micros(F.col("ts")).as("etu"))
+    val ord = t(s, dir, "orders").select(
+      F.col("o_custkey").cast("long").as("ocust"),
+      F.unix_micros(F.col("o_orderdate").cast("timestamp")).as("otu"),
+      F.col("o_orderkey").cast("long").as("o_orderkey"),
+      F.col("o_totalprice"))
+    graft.plans.AsOfJoin
+      .asof(ev, ord, "user_id", "etu", "ocust", "otu", "o_orderkey")
+      .select(F.col("event_id"), F.col("user_id"),
+        F.col("o_orderkey"), out2(F.col("o_totalprice")).as("o_totalprice"))
+  }
+
   def qAsofNear(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(F.col("user_id").as("k"), F.unix_micros(F.col("ts")).as("tu"),
@@ -449,6 +472,7 @@ object OlapQueries {
     ("q_rollup", qRollup _, Some(qRollupSql)),
     ("q_grouping_sets", qGroupingSets _, Some(qGroupingSetsSql)),
     ("q_asof", qAsof _, Some(qAsofSql)),
+    ("q_asof_phys", qAsofPhys _, Some(qAsofSql)),
     ("q_asof_near", qAsofNear _, Some(qAsofNearSql)),
     ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)))
 }

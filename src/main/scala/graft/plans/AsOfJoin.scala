@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.types.LongType
+
+/** AS-OF JOIN as a first-class operator — the tier-(c) extension path
+  * (custom LogicalPlan + SparkStrategy + SparkPlan registered through
+  * `SparkSessionExtensions`): for every left row, the LAST right row of
+  * the same key with rightTime ≤ leftTime (ties on rightTime broken by
+  * the largest rightTie — exactly q_asof's window semantics, so the
+  * driver gates this operator under q_asof's own DuckDB oracle).
+  *
+  * Why a physical operator instead of the union+window formulation
+  * (OlapQueries.qAsof): the window form materializes BOTH relations into
+  * ONE sorted partition stream and drags every column of both sides
+  * through the union schema and the running `last(ignoreNulls)` state.
+  * This node instead requires each child hash-clustered on its own key
+  * and sorted (key, time) — Spark's EnsureRequirements provides both,
+  * and AQE's re-planning re-validates them — then streams a
+  * per-partition MERGE: one pass, O(left + right), zero per-row state
+  * beyond the single remembered match, no union, no window buffer. The
+  * output keeps the left side's partitioning AND ordering, so a
+  * downstream per-key aggregate reuses the exchange (the window form
+  * destroys both by filtering the union). At 100 TB: two key-clustered
+  * shuffles (or zero, if both sides are already bucketed by key) instead
+  * of one giant union sort.
+  *
+  * Contract: key/time/tie columns are non-null BIGINTs (the helper
+  * enforces types at construction; as-of semantics over nulls are
+  * undefined anyway). The exec is deliberately codegen-free — the merge
+  * is pointer-chasing, not expression evaluation; children still arrive
+  * through their own WholeStageCodegen pipelines.
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        lKey: Attribute, lTime: Attribute,
+                        rKey: Attribute, rTime: Attribute, rTie: Attribute)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans AsOfJoinNode → AsOfJoinExec (injected by GraftExtensions). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, rb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rb) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        lKey: Attribute, lTime: Attribute,
+                        rKey: Attribute, rTime: Attribute, rTie: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(lKey)) :: ClusteredDistribution(Seq(rKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(lKey, Ascending), SortOrder(lTime, Ascending)) ::
+      Seq(SortOrder(rKey, Ascending), SortOrder(rTime, Ascending),
+        SortOrder(rTie, Ascending)) :: Nil
+
+  // the merge is left-driven: left rows pass through in order, untouched
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lk = left.output.indexWhere(_.exprId == lKey.exprId)
+    val lt = left.output.indexWhere(_.exprId == lTime.exprId)
+    val rk = right.output.indexWhere(_.exprId == rKey.exprId)
+    val rt = right.output.indexWhere(_.exprId == rTime.exprId)
+    require(lk >= 0 && lt >= 0 && rk >= 0 && rt >= 0,
+      "as-of key/time attributes must come from the join children")
+    val schema = output // capture serializable fields, not `this`, in the closure
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val joiner = new JoinedRow
+      val resultProj = UnsafeProjection.create(schema.map(_.dataType).toArray)
+      new Iterator[InternalRow] {
+        // the best (= latest ≤ current left time) right row seen for curKey;
+        // right rows are copied when remembered — the child iterator reuses
+        // its UnsafeRow buffer
+        private var bestRow: InternalRow = null
+        private var bestKey: Long = 0L
+        // the next not-yet-consumed right row (safe to hold un-copied: the
+        // child's buffer is only overwritten by our own next() call)
+        private var pending: InternalRow = if (ri.hasNext) ri.next() else null
+        private var out: InternalRow = null
+
+        private def advanceRight(k: Long, t: Long): Unit = {
+          while (pending != null && {
+            val pk = pending.getLong(rk)
+            pk < k || (pk == k && pending.getLong(rt) <= t)
+          }) {
+            if (pending.getLong(rk) == k) {
+              bestRow = pending.copy(); bestKey = k
+            }
+            pending = if (ri.hasNext) ri.next() else null
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (out == null && li.hasNext) {
+            val l = li.next()
+            val k = l.getLong(lk)
+            advanceRight(k, l.getLong(lt))
+            if (bestRow != null && bestKey == k)
+              out = resultProj(joiner(l, bestRow))
+          }
+          out != null
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = out; out = null; r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Public API: as-of join `left` to `right` on equal keys, matching the
+    * last right row with rightTime ≤ leftTime (rightTime ties → largest
+    * rightTie). Inner semantics: unmatched left rows drop. All five
+    * columns must be BIGINT; output = left columns ++ right columns
+    * (names must not collide). */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, leftTime: String,
+           rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found among ${p.output.map(_.name).mkString(", ")}"))
+    val attrs = Seq(attr(lp, leftKey), attr(lp, leftTime),
+      attr(rp, rightKey), attr(rp, rightTime), attr(rp, rightTie))
+    attrs.foreach(a => require(a.dataType == LongType,
+      s"as-of column ${a.name} must be BIGINT, got ${a.dataType.sql}"))
+    val dup = lp.output.map(_.name).toSet intersect rp.output.map(_.name).toSet
+    require(dup.isEmpty, s"output name collision: ${dup.mkString(", ")}")
+    GraftSqlBridge.ofRows(left.sparkSession,
+      AsOfJoinNode(lp, rp, attrs(0), attrs(1), attrs(2), attrs(3), attrs(4)))
+  }
+}

@@ -13,6 +13,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an analyzed LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * private[sql]) — how graft's custom logical operators (e.g.
+    * graft.plans.AsOfJoinNode) enter the public Dataset API. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
       id: org.apache.spark.sql.catalyst.FunctionIdentifier,

@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** The custom as-of physical operator must (1) actually plan as
+  * AsOfJoinExec with one exchange per side and nothing else, (2) agree
+  * row-for-row with the union+window formulation on real data, and
+  * (3) implement the tie contract (equal right times → largest tie id). */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("plans as AsOfJoinExec with exactly one exchange per side") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "pay")
+    val r = Seq((1L, 5L, 100L), (2L, 6L, 200L)).toDF("rk", "rt", "rid")
+    val j = AsOfJoin.asof(l, r, "k", "t", "rk", "rt", "rid")
+    j.collect() // finalize the adaptive plan
+    // AQE wraps stages in QueryStageExec leaves whose inner plan is not a
+    // child — flatten through them to see the real operators
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(j.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]),
+      s"AsOfJoinExec missing from plan:\n${j.queryExecution.executedPlan}")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles == 2,
+      s"expected 2 exchanges, got $shuffles:\n${j.queryExecution.executedPlan}")
+  }
+
+  test("equals the union+window q_asof formulation on sf0.001") {
+    val viaWindow = graft.olap.OlapQueries.qAsof(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val viaExec = graft.olap.OlapQueries.qAsofPhys(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaExec.nonEmpty)
+    assert(viaExec === viaWindow)
+  }
+
+  test("tie-break: equal right times resolve to the largest tie id") {
+    import spark.implicits._
+    val l = Seq((7L, 100L, 1L), (7L, 70L, 2L), (7L, 50L, 4L), (8L, 100L, 3L))
+      .toDF("k", "t", "lid")
+    val r = Seq(
+      (7L, 100L, 11L), (7L, 100L, 12L), // tie at t=100 → 12 wins
+      (7L, 60L, 13L),
+      (8L, 101L, 14L)) // after the only left row for k=8 → no match
+      .toDF("rk", "rt", "rid")
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt", "rid")
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // lid=4 at t=50 precedes every k=7 order (min rt=60) → unmatched;
+    // lid=2 at t=70 takes rt=60; lid=1 at t=100 takes the (100, max id) tie
+    assert(got === Set((1L, 12L), (2L, 13L)))
+  }
+
+  test("stays correct when a side is pre-aggregated (AQE re-planning)") {
+    import spark.implicits._
+    // right side behind an aggregate: exercises planning under AQE's
+    // stage-wise re-optimization with a non-trivial child plan
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("k", "t")
+    val rRaw = Seq((1L, 5L, 1L), (1L, 5L, 2L), (1L, 15L, 3L), (2L, 30L, 4L))
+      .toDF("rk", "rt0", "x")
+    val r = rRaw.groupBy("rk", "rt0").agg(F.max("x").as("rid"))
+      .select(F.col("rk"), F.col("rt0").as("rt"), F.col("rid"))
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt", "rid")
+      .select("t", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((10L, 2L), (20L, 3L)))
+  }
+}
