@@ -18,8 +18,11 @@ import graft.functions.{FloatMatSignBuckets, FloatMatTopCentroids, FloatVecCosin
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // whole-operator extension (tier c): AsOfJoinNode → AsOfJoinExec
+    // whole-operator extension (tier c): AsOfJoinNode → AsOfJoinExec,
+    // plus column pruning through the custom node (Catalyst's own
+    // ColumnPruning stops at nodes it doesn't know)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
   }
 }
 

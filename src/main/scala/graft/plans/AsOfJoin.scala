@@ -48,6 +48,34 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning THROUGH the custom node (injected by GraftExtensions
+  * as an optimizer rule): Catalyst's own ColumnPruning stops at logical
+  * nodes it doesn't know, so without this a `select(two columns)` over an
+  * as-of join would still scan every column of both parquet sides — the
+  * exact 100 TB failure mode the mandate calls out ("a scan that reads
+  * all columns for a 2-column projection is wrong"). The rule pushes a
+  * Project onto each child keeping only the attributes the parent uses
+  * plus the join's own key/time/tie columns; it converges because a
+  * second pass finds nothing more to drop. */
+object AsOfJoinPruning
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeSet, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList, j: AsOfJoinNode) =>
+      val used = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(Seq(j.lKey, j.lTime, j.rKey, j.rTime, j.rTie))
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val keep: Seq[NamedExpression] = child.output.filter(used.contains)
+        if (keep.length == child.output.length) child else Project(keep, child)
+      }
+      val (nl, nr) = (prune(j.left), prune(j.right))
+      if ((nl eq j.left) && (nr eq j.right)) p
+      else Project(projList, j.copy(left = nl, right = nr))
+  }
+}
+
 /** Plans AsOfJoinNode → AsOfJoinExec (injected by GraftExtensions). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -11,21 +11,24 @@ import graft.SparkSpec
   * (3) implement the tie contract (equal right times → largest tie id). */
 class AsOfJoinSpec extends SparkSpec {
 
+  // AQE wraps stages in QueryStageExec leaves whose inner plan is not a
+  // child — flatten through them to see the real operators
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+  }
+
   test("plans as AsOfJoinExec with exactly one exchange per side") {
     import spark.implicits._
     val l = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "t", "pay")
     val r = Seq((1L, 5L, 100L), (2L, 6L, 200L)).toDF("rk", "rt", "rid")
     val j = AsOfJoin.asof(l, r, "k", "t", "rk", "rt", "rid")
     j.collect() // finalize the adaptive plan
-    // AQE wraps stages in QueryStageExec leaves whose inner plan is not a
-    // child — flatten through them to see the real operators
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-      case q: QueryStageExec => p +: flatten(q.plan)
-      case _ => p +: p.children.flatMap(flatten)
-    }
     val nodes = flatten(j.queryExecution.executedPlan)
     assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]),
       s"AsOfJoinExec missing from plan:\n${j.queryExecution.executedPlan}")
@@ -59,6 +62,32 @@ class AsOfJoinSpec extends SparkSpec {
     // lid=4 at t=50 precedes every k=7 order (min rt=60) → unmatched;
     // lid=2 at t=70 takes rt=60; lid=1 at t=100 takes the (100, max id) tie
     assert(got === Set((1L, 12L), (2L, 13L)))
+  }
+
+  test("column pruning pushes through the custom node to the parquet scans") {
+    // read both sides WIDE from parquet, select only 2 columns after the
+    // join: the injected AsOfJoinPruning rule must narrow both scans
+    val ev = graft.Tables(spark, SF, "events")
+      .select(F.col("event_id"), F.col("user_id"),
+        F.unix_micros(F.col("ts")).as("etu"), F.col("event_type"),
+        F.col("props"))
+    val ord = graft.Tables(spark, SF, "orders")
+      .select(F.col("o_custkey").cast("long").as("ocust"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).as("otu"),
+        F.col("o_orderkey").cast("long").as("okey"),
+        F.col("o_totalprice"), F.col("o_orderpriority"))
+    val j = AsOfJoin.asof(ev, ord, "user_id", "etu", "ocust", "otu", "okey")
+      .select("event_id", "okey")
+    val scans = flatten(j.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.schema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty)
+    val all = scans.flatten.toSet
+    assert(!all.contains("props") && !all.contains("event_type"),
+      s"event columns not pruned: $scans")
+    assert(!all.contains("o_orderpriority") && !all.contains("o_totalprice"),
+      s"order columns not pruned: $scans")
+    assert(j.count() > 0)
   }
 
   test("stays correct when a side is pre-aggregated (AQE re-planning)") {
