@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 import graft.Tables
@@ -317,7 +318,44 @@ object MediaQueries {
       |  AND m.width * 1000000 // m.height BETWEEN 500000 AND 2000000
       |  AND m.n_words >= 20""".stripMargin
 
+  /** m_media_scene_cut: scene segmentation over the sampled frame stream
+    * (the video-pipeline step after frame extraction: split a clip where
+    * consecutive frames differ sharply — here the frame-diff signal is
+    * |Δchecksum| > frame_len·5, i.e. mean per-byte change > 5, on the
+    * SAME deterministic frame stubs m_media_frames gates, so a real
+    * frame-difference metric swaps in without touching the plumbing).
+    * One lag window over the ≤4-frames-per-doc stream + one grouped
+    * rollup: per media, frame count, cut count, and first cut index
+    * (−1 when the clip is one scene). */
+  def mMediaSceneCut(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val cut = F.col("prev").isNotNull &&
+      F.abs(F.col("checksum") - F.col("prev")) > F.col("frame_len") * 5
+    mMediaFrames(s, dir)
+      .withColumn("prev", F.lag("checksum", 1).over(w))
+      .withColumn("cut", cut)
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_frames"),
+        F.sum(F.when(F.col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+        F.coalesce(F.min(F.when(F.col("cut"), F.col("frame_idx"))), F.lit(-1L))
+          .as("first_cut"))
+  }
+
+  val mMediaSceneCutSql: String =
+    s"""WITH fr AS ($mMediaFramesSql),
+       |lagd AS (
+       |  SELECT doc_id, frame_idx, frame_len, checksum,
+       |    lag(checksum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+       |  FROM fr)
+       |SELECT doc_id, COUNT(*) AS n_frames,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(checksum - prev) > frame_len * 5
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  COALESCE(MIN(CASE WHEN prev IS NOT NULL AND abs(checksum - prev) > frame_len * 5
+       |    THEN frame_idx END), -1) AS first_cut
+       |FROM lagd GROUP BY doc_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("m_media_scene_cut", mMediaSceneCut _, Some(mMediaSceneCutSql)),
     ("m_media_clip_pairs", mMediaClipPairs _, Some(mMediaClipPairsSql)),
     ("m_media_phash", mMediaPhash _, Some(mMediaPhashSql)),
     ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)),

@@ -156,7 +156,42 @@ object PackQueries {
       |            - ((84600000 * syllables) // words) AS flesch6
       |FROM m""".stripMargin
 
+  /** d_lm_windows: next-token-prediction training pairs (the data-loader
+    * materialization step of LM pretraining — the batch twin of d_pack's
+    * sequence assembly): for every position past a 4-token context, emit
+    * (context window, target token). Generation is MAP-ONLY — one
+    * codegen'd transform+slice per document, no shuffle anywhere (the
+    * plan's only exchange is whatever the sink needs) — which is the
+    * property that matters when materializing ~10¹² windows at 100 TB.
+    * The oracle builds the same pairs via 4 LAG windows — an independent
+    * relational formulation. */
+  def dLmWindows(s: SparkSession, dir: String): DataFrame = {
+    val K = 4
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("ws"))
+      .select(F.col("doc_id"), F.posexplode(F.expr(
+        s"""transform(slice(ws, ${K + 1}, greatest(size(ws) - $K, 0)),
+           |  (w, i) -> struct(array_join(slice(ws, i + 1, $K), ' ') AS ctx,
+           |                   w AS tgt))""".stripMargin)))
+      .select(F.col("doc_id"), F.col("pos").cast("long").as("pos"),
+        F.col("col.ctx").as("ctx"), F.col("col.tgt").as("tgt"))
+  }
+
+  val dLmWindowsSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS MATERIALIZED (
+      |  SELECT doc_id, UNNEST(ws) AS w, generate_subscripts(ws, 1) AS i FROM toks)
+      |SELECT doc_id, i - 5 AS pos,
+      |  lag(w, 4) OVER win || ' ' || lag(w, 3) OVER win || ' ' ||
+      |  lag(w, 2) OVER win || ' ' || lag(w, 1) OVER win AS ctx,
+      |  w AS tgt
+      |FROM pos
+      |WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |QUALIFY i > 4""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_lm_windows", dLmWindows _, Some(dLmWindowsSql)),
     ("d_pack", dPack _, Some(dPackSql)),
     ("d_tfidf", dTfidf _, Some(dTfidfSql)),
     ("t_readability", tReadability _, Some(tReadabilitySql)))

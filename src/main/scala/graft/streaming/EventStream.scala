@@ -102,6 +102,33 @@ object EventStream {
   def enrichWithDim(events: DataFrame, dim: DataFrame, joinCols: Seq[String]): DataFrame =
     events.join(F.broadcast(dim), joinCols)
 
+  /** Stream-static AS-OF enrichment — the streaming face of the as-of
+    * join (batch: q_asof / graft.plans.AsOfJoinExec): each streaming
+    * event picks the LAST static reference row of its key with
+    * ref_time ≤ event time (ties → largest ref id). The static side is
+    * reduced to ONE sorted (time, id) array per key and broadcast-joined
+    * (the dictGet discipline: the reference must be dimension-sized —
+    * at 100 TB you pre-filter it to the relevant horizon); the pick is a
+    * codegen'd fold over that bounded array per event. STATELESS — no
+    * watermark, no state store: enrichment needs no cross-batch memory,
+    * which is what makes it deployable on an unbounded stream. The spec
+    * proves ≡ the batch as-of semantics on the delivered events. */
+  def asofEnrich(events: DataFrame, ref: DataFrame): DataFrame = {
+    // ref: (k, rt, rid) → per-key time-sorted struct array
+    val packed = ref
+      .select(F.col("k"), F.struct(F.col("rt"), F.col("rid")).as("e"))
+      .groupBy("k").agg(F.sort_array(F.collect_list("e")).as("arr"))
+    events
+      .join(F.broadcast(packed), events("user_id") === packed("k"), "left")
+      .withColumn("asof", F.expr(
+        """aggregate(arr,
+          |  struct(cast(null as bigint) AS rt, cast(null as bigint) AS rid),
+          |  (acc, x) -> IF(x.rt <= unix_micros(ts), struct(x.rt, x.rid), acc),
+          |  acc -> acc)""".stripMargin))
+      .select(F.col("user_id"), F.col("ts"), F.col("event_type"),
+        F.col("asof.rt").as("ref_time"), F.col("asof.rid").as("ref_id"))
+  }
+
   /** Streaming exact dedup by event_id: state keeps one entry per id and
     * evicts it once the watermark passes — bounded state, unlike a plain
     * dropDuplicates on an unbounded stream. */

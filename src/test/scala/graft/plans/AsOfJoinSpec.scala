@@ -90,6 +90,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("randomized: merge agrees with the brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nk = 5 + rnd.nextInt(5)
+      val left = Seq.fill(120)((rnd.nextInt(nk).toLong,
+        rnd.nextInt(40).toLong, rnd.nextLong().abs))
+      val right = Seq.fill(80)((rnd.nextInt(nk).toLong,
+        rnd.nextInt(40).toLong, rnd.nextInt(30).toLong))
+      val got = AsOfJoin.asof(
+        left.toDF("k", "t", "lid"), right.toDF("rk", "rt", "rid"),
+        "k", "t", "rk", "rt", "rid")
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = left.flatMap { case (k, t, lid) =>
+        val m = right.filter(r => r._1 == k && r._2 <= t)
+        if (m.isEmpty) None else Some((lid, m.max(Ordering.by((r: (Long, Long, Long)) => (r._2, r._3)))._3))
+      }.toSet
+      assert(got === expect, s"trial $trial mismatch")
+    }
+  }
+
   test("stays correct when a side is pre-aggregated (AQE re-planning)") {
     import spark.implicits._
     // right side behind an aggregate: exercises planning under AQE's
