@@ -376,6 +376,46 @@ object OlapQueries {
         F.col("o_orderkey"), out2(F.col("o_totalprice")).as("o_totalprice"))
   }
 
+  /** q_asof_left: ClickHouse `ASOF LEFT JOIN` through the custom
+    * operator — events with no order yet surface with sentinel values
+    * instead of dropping (COALESCE on both engines: the driver compare
+    * must not depend on null stringification). Same oracle family as
+    * q_asof, minus the matched-only filter. */
+  def qAsofLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      F.col("event_id"), F.col("user_id"),
+      F.unix_micros(F.col("ts")).as("etu"))
+    val ord = t(s, dir, "orders").select(
+      F.col("o_custkey").cast("long").as("ocust"),
+      F.unix_micros(F.col("o_orderdate").cast("timestamp")).as("otu"),
+      F.col("o_orderkey").cast("long").as("o_orderkey"),
+      F.col("o_totalprice"))
+    graft.plans.AsOfJoin
+      .asof(ev, ord, "user_id", "etu", "ocust", "otu", "o_orderkey",
+        leftOuter = true)
+      .select(F.col("event_id"), F.col("user_id"),
+        F.coalesce(F.col("o_orderkey"), F.lit(-1L)).as("o_orderkey"),
+        out2(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).as("o_totalprice"))
+  }
+
+  val qAsofLeftSql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, epoch_us(ts) AS tu, event_id, 1 AS is_event,
+      |   CAST(NULL AS BIGINT) AS okey, CAST(NULL AS DOUBLE) AS oprice FROM events
+      |  UNION ALL
+      |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS tu, CAST(NULL AS BIGINT) AS event_id, 0 AS is_event,
+      |   o_orderkey AS okey, o_totalprice AS oprice FROM orders
+      |), lv AS (
+      |  SELECT *,
+      |   LAST_VALUE(okey IGNORE NULLS) OVER (PARTITION BY k ORDER BY tu ASC, is_event ASC, okey ASC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_okey,
+      |   LAST_VALUE(oprice IGNORE NULLS) OVER (PARTITION BY k ORDER BY tu ASC, is_event ASC, okey ASC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_oprice
+      |  FROM u)
+      |SELECT event_id, k AS user_id, COALESCE(last_okey, -1) AS o_orderkey,
+      | CAST(CAST(COALESCE(last_oprice, 0) AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |FROM lv WHERE is_event = 1""".stripMargin
+
   def qAsofNear(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .select(F.col("user_id").as("k"), F.unix_micros(F.col("ts")).as("tu"),
@@ -473,6 +513,7 @@ object OlapQueries {
     ("q_grouping_sets", qGroupingSets _, Some(qGroupingSetsSql)),
     ("q_asof", qAsof _, Some(qAsofSql)),
     ("q_asof_phys", qAsofPhys _, Some(qAsofSql)),
+    ("q_asof_left", qAsofLeft _, Some(qAsofLeftSql)),
     ("q_asof_near", qAsofNear _, Some(qAsofNearSql)),
     ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)))
 }

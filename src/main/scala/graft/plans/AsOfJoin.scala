@@ -40,9 +40,14 @@ import org.apache.spark.sql.types.LongType
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         lKey: Attribute, lTime: Attribute,
-                        rKey: Attribute, rTime: Attribute, rTie: Attribute)
+                        rKey: Attribute, rTime: Attribute, rTie: Attribute,
+                        leftOuter: Boolean = false)
   extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // LEFT OUTER emits null right sides — the right attributes must carry
+  // that nullability or downstream null-based optimizations miscompile
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
@@ -79,18 +84,21 @@ object AsOfJoinPruning
 /** Plans AsOfJoinNode → AsOfJoinExec (injected by GraftExtensions). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lt, rk, rt, rb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rb) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, rb, lo) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, rb, lo) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         lKey: Attribute, lTime: Attribute,
-                        rKey: Attribute, rTime: Attribute, rTie: Attribute)
+                        rKey: Attribute, rTime: Attribute, rTie: Attribute,
+                        leftOuter: Boolean = false)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(lKey)) :: ClusteredDistribution(Seq(rKey)) :: Nil
@@ -112,9 +120,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     require(lk >= 0 && lt >= 0 && rk >= 0 && rt >= 0,
       "as-of key/time attributes must come from the join children")
     val schema = output // capture serializable fields, not `this`, in the closure
+    val outer = leftOuter
+    val rWidth = right.output.size
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val joiner = new JoinedRow
       val resultProj = UnsafeProjection.create(schema.map(_.dataType).toArray)
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rWidth)
       new Iterator[InternalRow] {
         // the best (= latest ≤ current left time) right row seen for curKey;
         // right rows are copied when remembered — the child iterator reuses
@@ -145,6 +157,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             advanceRight(k, l.getLong(lt))
             if (bestRow != null && bestKey == k)
               out = resultProj(joiner(l, bestRow))
+            else if (outer)
+              out = resultProj(joiner(l, nullRight))
           }
           out != null
         }
@@ -165,12 +179,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOfJoin {
   /** Public API: as-of join `left` to `right` on equal keys, matching the
     * last right row with rightTime ≤ leftTime (rightTime ties → largest
-    * rightTie). Inner semantics: unmatched left rows drop. All five
-    * columns must be BIGINT; output = left columns ++ right columns
-    * (names must not collide). */
+    * rightTie). Inner semantics by default (unmatched left rows drop);
+    * `leftOuter = true` emits them with a null right side (the ClickHouse
+    * ASOF LEFT JOIN contract). All five columns must be BIGINT; output =
+    * left columns ++ right columns (names must not collide). */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,
-           rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+           rightKey: String, rightTime: String, rightTie: String,
+           leftOuter: Boolean = false): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -184,6 +200,7 @@ object AsOfJoin {
     val dup = lp.output.map(_.name).toSet intersect rp.output.map(_.name).toSet
     require(dup.isEmpty, s"output name collision: ${dup.mkString(", ")}")
     GraftSqlBridge.ofRows(left.sparkSession,
-      AsOfJoinNode(lp, rp, attrs(0), attrs(1), attrs(2), attrs(3), attrs(4)))
+      AsOfJoinNode(lp, rp, attrs(0), attrs(1), attrs(2), attrs(3), attrs(4),
+        leftOuter))
   }
 }

@@ -90,6 +90,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(j.count() > 0)
   }
 
+  test("left-outer: unmatched left rows surface with a null right side") {
+    import spark.implicits._
+    val l = Seq((7L, 100L, 1L), (7L, 10L, 2L), (9L, 50L, 3L))
+      .toDF("k", "t", "lid")
+    val r = Seq((7L, 60L, 13L)).toDF("rk", "rt", "rid")
+    val got = AsOfJoin.asof(l, r, "k", "t", "rk", "rt", "rid", leftOuter = true)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      .toSet
+    assert(got === Set((1L, Some(13L)), (2L, None), (3L, None)))
+  }
+
   test("randomized: merge agrees with the brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
