@@ -105,8 +105,15 @@ object DedupQueries {
     val sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
     val a = rare.select(F.col("doc_id").as("a_id"), F.col("s"))
     val b = rare.select(F.col("doc_id").as("b_id"), F.col("s"))
-    a.join(b, Seq("s")).filter(F.col("a_id") =!= F.col("b_id"))
+    // |∩| is symmetric: score each pair ONCE (a < b) — halving the
+    // posting self-join output and the pair aggregate — then mirror the
+    // aggregated pairs (pairs ≪ postings) for the per-orientation
+    // denominators (the s_knn_graph inline-mirror discipline)
+    val pairs = a.join(b, Seq("s")).filter(F.col("a_id") < F.col("b_id"))
       .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).as("c"))
+    val both = pairs.unionByName(pairs.select(
+      F.col("b_id").as("a_id"), F.col("a_id").as("b_id"), F.col("c")))
+    both
       .join(sizes.select(F.col("doc_id").as("a_id"), F.col("n").as("na")), "a_id")
       .select(F.col("a_id"), F.col("b_id"), F.col("na"),
         F.expr("(1000000 * c) div na").as("cont6"))
