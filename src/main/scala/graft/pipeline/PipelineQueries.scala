@@ -237,8 +237,9 @@ object PipelineQueries {
     * reaches a join or shuffle at scoring time. */
   def dDsir(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").filter(F.length(F.col("text")) >= 3)
-    val modelC = TextQueries.trigramModel(docs)
-    val modelT = TextQueries.trigramModel(docs.filter(F.col("lang") === "en"))
+    // both models from ONE corpus explode (conditional subset counts)
+    val (modelC, modelT) =
+      TextQueries.trigramModels2(docs, F.col("lang") === "en")
     docs
       .select(F.col("doc_id"), F.col("lang"),
         graft.functions.TextFunctions.trigramLmScore(F.col("text"), modelC).as("sc"),

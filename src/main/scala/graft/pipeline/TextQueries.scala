@@ -247,6 +247,36 @@ object TextQueries {
     * table; the model collects to the driver (bounded) for map-only
     * scoring via TrigramLmScore. Shared by t_trigram_lm (corpus model)
     * and d_dsir (corpus + target-domain models). */
+  /** Train the corpus model AND a flagged-subset model from ONE trigram
+    * explode+aggregate (d_dsir needs both; training them separately scans
+    * and explodes the corpus twice). Conditional counts: c3t/c2t are the
+    * subset's trigram/bigram counts, so the subset model is bit-identical
+    * to training on the filtered corpus — trigrams absent from the subset
+    * simply don't appear in its model. */
+  private[pipeline] def trigramModels2(docs: DataFrame,
+      flag: Column): (Seq[(Int, Long)], Seq[(Int, Long)]) = {
+    val c3 = docs
+      .select(flag.as("f"), F.explode(
+        F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
+          i => F.col("text").substr(i, F.lit(3)))).as("tri"))
+      .groupBy("tri").agg(F.count(F.lit(1)).as("c3"),
+        F.sum(F.when(F.col("f"), 1L).otherwise(0L)).as("c3t"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bi")
+    val rows = c3.withColumn("bi", F.col("tri").substr(1, 2))
+      .withColumn("c2", F.sum("c3").over(w))
+      .withColumn("c2t", F.sum("c3t").over(w))
+      .select(F.col("tri"),
+        F.expr("(1000000 * c3) div c2").as("r6"),
+        F.expr("CASE WHEN c3t > 0 THEN (1000000 * c3t) div c2t END").as("r6t"))
+      .collect()
+    def key(t: String) =
+      (t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt
+    val corpus = rows.map(r => (key(r.getString(0)), r.getLong(1))).toSeq
+    val target = rows.filter(!_.isNullAt(2))
+      .map(r => (key(r.getString(0)), r.getLong(2))).toSeq
+    (corpus, target)
+  }
+
   private[pipeline] def trigramModel(docs: DataFrame): Seq[(Int, Long)] = {
     val c3 = docs
       .select(F.explode(
