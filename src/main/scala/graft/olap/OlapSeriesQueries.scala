@@ -582,6 +582,59 @@ object OlapSeriesQueries {
       |FROM rec r JOIN kk ON kk.event_type = r.event_type
       |WHERE r.i = kk.nd""".stripMargin
 
+  /** q_tukey: Tukey-fences outlier detection over each type's daily
+    * series (ClickHouse seriesOutliersDetectTukey / the classic IQR
+    * monitor, q_anomaly_mad's quartile sibling). Exact integers
+    * throughout: type-1 quartiles are rank-selected elements of the
+    * sorted bounded daily array (Q1 at ceil(n/4), Q3 at ceil(3n/4),
+    * 1-based), and the 1.5·IQR fences are compared at 2× scale
+    * (2v < 2Q1 − 3·IQR) so no halves ever materialize. Per-type state is
+    * the day-count-bounded array; one aggregate + a map-only fold. The
+    * oracle rank-selects via ROW_NUMBER — an independent formulation. */
+  def qTukey(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("d"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("event_type", "d").agg(F.sum("vc").as("x"))
+    daily.groupBy("event_type")
+      .agg(F.sort_array(F.collect_list("x")).as("a"),
+        F.count(F.lit(1)).as("nd"))
+      .select(F.col("event_type"), F.col("nd"),
+        F.expr("element_at(a, cast((nd + 3) div 4 as int))").as("q1"),
+        F.expr("element_at(a, cast((3 * nd + 3) div 4 as int))").as("q3"),
+        F.col("a"))
+      .select(F.col("event_type"), F.col("nd"), F.col("q1"), F.col("q3"),
+        (F.col("q3") - F.col("q1")).as("iqr"),
+        F.expr("""cast(size(filter(a,
+            x -> 2 * x < 2 * q1 - 3 * (q3 - q1))) as bigint)""").as("n_out_lo"),
+        F.expr("""cast(size(filter(a,
+            x -> 2 * x > 2 * q3 + 3 * (q3 - q1))) as bigint)""").as("n_out_hi"))
+  }
+
+  val qTukeySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, x,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM daily),
+      |qs AS (
+      |  SELECT event_type, MAX(nd) AS nd,
+      |    MAX(CASE WHEN rn = (nd + 3) // 4 THEN x END) AS q1,
+      |    MAX(CASE WHEN rn = (3 * nd + 3) // 4 THEN x END) AS q3
+      |  FROM ranked GROUP BY 1)
+      |SELECT q.event_type, q.nd, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+      |  CAST(SUM(CASE WHEN 2 * r.x < 2 * q.q1 - 3 * (q.q3 - q.q1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+      |  CAST(SUM(CASE WHEN 2 * r.x > 2 * q.q3 + 3 * (q.q3 - q.q1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+      |FROM qs q JOIN ranked r ON r.event_type = q.event_type
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   /** q_arr_enum: ClickHouse arrayEnumerateUniq — for each user's
     * time-ordered event sequence, the occurrence index of each element
     * among its equals (1st click, 2nd click, …). The engine computes it
@@ -751,6 +804,7 @@ object OlapSeriesQueries {
       |FROM f GROUP BY user_id""".stripMargin
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_tukey", qTukey _, Some(qTukeySql)),
     ("q_arr_enum", qArrEnum _, Some(qArrEnumSql)),
     ("q_mov_median", qMovMedian _, Some(qMovMedianSql)),
     ("q_twa", qTwa _, Some(qTwaSql)),
