@@ -237,6 +237,60 @@ object DedupQueries {
        |)
        |SELECT v AS doc_id, MIN(u) AS keep_id FROM reach GROUP BY v""".stripMargin
 
+  /** d_fuzzy_e2e: the COMPLETE production fuzzy-dedup chain as one
+    * driver-checked composition — MinHash sketches → banded LSH
+    * candidates → exact-Jaccard verify (d_lsh_verified) → connected
+    * components over verified pairs (frontier Pregel, d_dup_groups) →
+    * canonical keep-min removal → per-source accounting of the surviving
+    * corpus. This is the query a 100 TB ingestion actually runs end to
+    * end; each stage is individually oracled elsewhere, and this entry
+    * gates their composition: kept + removed must partition the corpus
+    * exactly as the recursive-CTE closure over the EXACT pair graph says.
+    * No new shuffle shape — the chain's only exchanges are the band join,
+    * the frontier rounds, and the final per-source rollup. */
+  def dFuzzyE2e(s: SparkSession, dir: String): DataFrame = {
+    val groups = dDupGroups(s, dir) // (doc_id, keep_id)
+    val docs = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"),
+        F.size(F.split(F.col("text"), " ")).cast("long").as("n_words"))
+    docs.join(groups, Seq("doc_id"))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.when(F.col("doc_id") === F.col("keep_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        F.sum(F.when(F.col("doc_id") =!= F.col("keep_id"), 1L).otherwise(0L))
+          .as("n_removed"),
+        F.sum(F.when(F.col("doc_id") === F.col("keep_id"), F.col("n_words"))
+          .otherwise(0L)).as("kept_words"))
+  }
+
+  val dFuzzyE2eSql: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+       |sym(s, d) AS (SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.v, e.d FROM reach r JOIN sym e ON e.s = r.u
+       |),
+       |canon AS (SELECT v AS doc_id, MIN(u) AS keep_id FROM reach GROUP BY v)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN d.doc_id = canon.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN d.doc_id <> canon.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(SUM(CASE WHEN d.doc_id = canon.keep_id
+       |    THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT) AS kept_words
+       |FROM documents d JOIN canon ON canon.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
   /** d_simhash: 64-bit SimHash near-dup pairs at hamming ≤ 3 (rows-only;
     * spec-tested). Pair search is blocked by the 4 16-bit chunks of the
     * fingerprint — pigeonhole: hamming ≤ 3 over 4 chunks ⇒ ≥ 1 chunk
@@ -581,6 +635,7 @@ object DedupQueries {
     ("d_minhash_lsh", dMinhashLsh _, None),
     ("d_lsh_verified", dLshVerified _, Some(dJaccardPairsSql)),
     ("d_dup_groups", dDupGroups _, Some(dDupGroupsSql)),
+    ("d_fuzzy_e2e", dFuzzyE2e _, Some(dFuzzyE2eSql)),
     ("d_simhash", dSimhash _, None),
     ("d_semdedup", dSemDedup _, None),
     ("d_embed_dup", dEmbedDup _, Some(dEmbedDupSql)))
