@@ -6,6 +6,15 @@ import graft.SparkSpec
 
 class TextSpec extends SparkSpec {
 
+  test("fused two-model trigram training equals two separate trainings") {
+    val docs = graft.Tables(spark, SF, "documents")
+      .filter(F.length(F.col("text")) >= 3)
+    val flag = F.col("lang") === "en"
+    val (corpus, target) = TextQueries.trigramModels2(docs, flag)
+    assert(corpus.toMap === TextQueries.trigramModel(docs).toMap)
+    assert(target.toMap === TextQueries.trigramModel(docs.filter(flag)).toMap)
+  }
+
   test("fingerprint eligibility is byte-based: short-char multi-byte text keeps its windows") {
     import spark.implicits._
     // 6 chars / 12 UTF-8 bytes: has byte windows, must NOT be skipped;
