@@ -352,8 +352,40 @@ object KVQueries {
       .localCheckpoint(true)
   }
 
+  // previous kv_dsv2_write segment dir (same sweep lifecycle)
+  private var lastWriteSegDir: Option[java.nio.file.Path] = None
+
+  /** kv_dsv2_write: the kv_slice scenario with the store persisted
+    * through the connector's DSv2 WRITE path
+    * (`df.write.format("graft-kv")` — RequiresDistributionAndOrdering
+    * negotiates the range-by-k, (k,c)-sorted segment layout with Spark;
+    * manifest assembled from task commit messages) and read back via the
+    * same manifest-pruned DSv2 read. Shares kv_slice's oracle: the write
+    * protocol is hash-gated end to end. */
+  def kvDsv2Write(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastWriteSegDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val seg = java.nio.file.Files.createTempDirectory("graft_kvsegw")
+    lastWriteSegDir = Some(seg)
+    eventStore(s, dir).write.format("graft-kv")
+      .option("segments", 8).mode("overwrite").save(seg.toString)
+    val store = s.read.format("graft-kv").load(seg.toString)
+      .filter(F.col("k") < encLong(F.lit(10L)))
+    val keys = s.range(0, 10).select(encLong(F.col("id")).as("k"))
+    decoded(slice(store, F.broadcast(keys),
+      colBound("2024-01-10 00:00:00"), colBound("2024-01-20 00:00:00"), 50))
+      .localCheckpoint(true)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("kv_dsv2", kvDsv2 _, Some(kvSliceSql)),
+    ("kv_dsv2_write", kvDsv2Write _, Some(kvSliceSql)),
     ("kv_slice", kvSlice _, Some(kvSliceSql)),
     ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
     ("kv_getkeys", kvGetKeys _, Some(kvGetKeysSql)),

@@ -73,14 +73,22 @@ object KVDataSource {
     }
 }
 
-class KVTable(path: String) extends Table with SupportsRead {
+class KVTable(path: String)
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-kv `$path`"
   override def schema(): StructType = KVDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KVScanBuilder(path)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new KVWriteBuilder(path, info)
 }
 
 class KVScanBuilder(path: String)

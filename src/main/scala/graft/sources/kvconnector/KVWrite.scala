@@ -1,0 +1,153 @@
+package graft.sources.kvconnector
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageTypeParser
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder => VSortOrder, Expression => VExpression}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+
+/** The WRITE half of the graft-kv connector:
+  * `df.write.format("graft-kv").mode("append"|"overwrite").save(dir)`.
+  *
+  * The write DECLARES its layout needs through DSv2's
+  * `RequiresDistributionAndOrdering` — range-distributed by `k`, sorted
+  * (k, c) within partitions — so SPARK plans the exchange+sort that makes
+  * every task emit one key-range, (k,c)-sorted segment: exactly the
+  * MergeTree-part layout KVSegmentStore.write produces imperatively, but
+  * negotiated through the connector contract (any engine-side smarts —
+  * AQE partition sizing, reuse of an existing ordering — apply for free).
+  * Each task writes its parquet segment and reports (file, key-lo,
+  * key-hi, rows) in its commit message; the driver's commit() assembles
+  * the manifest FROM the messages — no second scan of the data, and a
+  * failed/speculative task's file never reaches the manifest (readers go
+  * through the manifest, so uncommitted files are invisible; abort()
+  * additionally deletes them). Overwrite = SupportsTruncate: the commit
+  * sweeps previously-manifested segments after the new manifest lands.
+  */
+class KVWriteBuilder(path: String, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  require(info.schema().fieldNames.sameElements(Array("k", "c", "v")),
+    s"graft-kv write requires (k, c, v) binary columns, got ${info.schema().sql}")
+  // .option("segments", n): exact segment count; default 0 lets Spark
+  // (incl. AQE coalescing) size the range shuffle
+  private val segments = info.options().getInt("segments", 0)
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new KVWrite(path, doTruncate, segments)
+}
+
+class KVWrite(path: String, truncate: Boolean, segments: Int)
+  extends Write with RequiresDistributionAndOrdering {
+
+  private def asc(col: String): VSortOrder = new VSortOrder {
+    override def expression(): VExpression = Expressions.column(col)
+    override def direction(): SortDirection = SortDirection.ASCENDING
+    override def nullOrdering(): NullOrdering = NullOrdering.NULLS_FIRST
+    override def describe(): String = s"$col ASC"
+  }
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(asc("k")))
+  override def requiredOrdering(): Array[VSortOrder] = Array(asc("k"), asc("c"))
+  override def requiredNumPartitions(): Int = segments
+
+  override def toBatch: BatchWrite = new KVBatchWrite(path, truncate)
+}
+
+case class KVCommit(file: String, loHex: String, hiHex: String, rows: Long)
+  extends WriterCommitMessage
+
+class KVBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    KVWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val previous: Seq[String] =
+      if (truncate && Files.exists(dir.resolve(KVSegmentStore.ManifestFile)))
+        KVSegmentStore.readManifest(path).map(_.file.split('/').last)
+      else Seq.empty
+    val fresh = messages.collect { case m: KVCommit if m.rows > 0 => m }
+    val lines = fresh
+      .map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}").sorted
+    Files.write(dir.resolve(KVSegmentStore.ManifestFile),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+    // old segments leave the manifest atomically with the write above;
+    // sweeping their files afterwards is invisible to manifest readers
+    val freshNames = fresh.map(_.file).toSet
+    previous.filterNot(freshNames.contains)
+      .foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case KVCommit(f, _, _, _) =>
+        Files.deleteIfExists(Paths.get(path).resolve(f)): Unit
+      case _ => ()
+    }
+}
+
+case class KVWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KVSegmentWriter(path, partitionId, taskId)
+}
+
+/** One task = one (k,c)-sorted key-range parquet segment, bounds tracked
+  * inline during the write (no re-read). */
+class KVSegmentWriter(path: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val fileName = f"part-$partitionId%05d-$taskId.parquet"
+  private val schema = MessageTypeParser.parseMessageType(
+    "message graft_kv { required binary k; required binary c; required binary v; }")
+  private val factory = new SimpleGroupFactory(schema)
+  private val writer = {
+    val conf = new Configuration()
+    Files.createDirectories(Paths.get(path))
+    ExampleParquetWriter.builder(new Path(path, fileName))
+      .withConf(conf).withType(schema).build()
+  }
+  private var lo: Array[Byte] = _
+  private var hi: Array[Byte] = _
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val k = row.getBinary(0)
+    if (lo == null || util.Arrays.compareUnsigned(k, lo) < 0) lo = k.clone()
+    if (hi == null || util.Arrays.compareUnsigned(k, hi) > 0) hi = k.clone()
+    val g = factory.newGroup()
+    g.append("k", Binary.fromConstantByteArray(k))
+    g.append("c", Binary.fromConstantByteArray(row.getBinary(1)))
+    g.append("v", Binary.fromConstantByteArray(row.getBinary(2)))
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (rows == 0) { // empty partition: no segment, nothing to manifest
+      Files.deleteIfExists(Paths.get(path).resolve(fileName))
+      KVCommit(fileName, "", "", 0L)
+    } else
+      KVCommit(fileName, KVSegmentStore.hex(lo), KVSegmentStore.hex(hi), rows)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    Files.deleteIfExists(Paths.get(path).resolve(fileName)): Unit
+  }
+
+  override def close(): Unit = ()
+}

@@ -25,6 +25,54 @@ class KVDataSourceSpec extends SparkSpec {
     dir
   }
 
+  test("DSV2 write: roundtrip, declared layout, manifest from commit messages") {
+    val dir = Files.createTempDirectory("graft_kvwrite").toString
+    store.write.format("graft-kv").option("segments", 8).mode("append").save(dir)
+    // cell-for-cell roundtrip through the connector's own reader
+    val back = spark.read.format("graft-kv").load(dir)
+      .select(F.hex(F.col("k")), F.hex(F.col("c")), F.col("v").cast("string"))
+      .collect().map(_.toSeq).toSet
+    val src = store
+      .select(F.hex(F.col("k")), F.hex(F.col("c")), F.col("v").cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(back == src && back.size == 2000)
+    // RequiresDistributionAndOrdering produced key-RANGE segments: the
+    // manifested bounds must be pairwise disjoint
+    val segs = KVSegmentStore.readManifest(dir)
+      .sortBy(s => KVSegmentStore.hex(s.lo))
+    assert(segs.size > 1, "expected several range segments")
+    segs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(java.util.Arrays.compareUnsigned(a.hi, b.lo) < 0,
+          s"segments overlap: ${KVSegmentStore.hex(a.hi)} !< ${KVSegmentStore.hex(b.lo)}")
+      case _ => ()
+    }
+    assert(segs.map(_.rows).sum == 2000)
+    // and each segment is (k, c)-sorted on disk
+    val first = spark.read.parquet(segs.head.file)
+      .select(F.hex(F.col("k")), F.hex(F.col("c"))).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(first.sameElements(first.sorted), "segment not (k,c)-sorted")
+  }
+
+  test("DSV2 overwrite replaces the manifest and sweeps old segments") {
+    val dir = Files.createTempDirectory("graft_kvow").toString
+    store.write.format("graft-kv").mode("append").save(dir)
+    val oldFiles = KVSegmentStore.readManifest(dir).map(_.file).toSet
+    val half = store.filter(F.col("k") < KVStore.encLong(F.lit(50L)))
+    half.write.format("graft-kv").mode("overwrite").save(dir)
+    val now = KVSegmentStore.readManifest(dir)
+    assert(now.map(_.rows).sum == 1000)
+    // old segments are gone from disk AND the manifest
+    val nowFiles = now.map(_.file).toSet
+    assert(nowFiles.intersect(oldFiles).isEmpty)
+    oldFiles.foreach(f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+        s"stale segment survived overwrite: $f"))
+    val n = spark.read.format("graft-kv").load(dir).count()
+    assert(n == 1000)
+  }
+
   test("DSV2 read equals the parquet read, cell for cell") {
     val dir = written
     val viaDsv2 = spark.read.format("graft-kv").load(dir)
