@@ -308,7 +308,9 @@ object FreqItems {
         .toAggregateExpression())
     df.agg(agg.as("fi"))
       .select(F.posexplode(F.col("fi")).as(Seq("i", "p")))
-      .select((F.col("i") + 1).as("rnk"),
+      // rnk as LONG at write time: TopKSink.snapSchema declares LongType,
+      // so the snapshot must not rely on parquet int->long widening
+      .select((F.col("i") + 1).cast("long").as("rnk"),
         F.col("p.term").as("term"), F.col("p.cnt").as("w"))
   }
 }

@@ -187,8 +187,18 @@ object AsOfJoin {
            leftKey: String, leftTime: String,
            rightKey: String, rightTime: String, rightTie: String,
            leftOuter: Boolean = false): DataFrame = {
-    val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    // A null key/time would reach InternalRow.getLong as 0 and silently
+    // join under key/time 0. ClickHouse rejects Nullable ASOF columns
+    // outright; graft narrows instead: rows with a null join column are
+    // excluded on BOTH sides before the exec sees them (for inner this
+    // is exactly SQL semantics — null never compares equal; for
+    // leftOuter a null-key left row is likewise non-joinable and drops).
+    import org.apache.spark.sql.functions.col
+    val lf = left.filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+    val rf = right.filter(col(rightKey).isNotNull &&
+      col(rightTime).isNotNull && col(rightTie).isNotNull)
+    val lp = lf.queryExecution.analyzed
+    val rp = rf.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

@@ -1,7 +1,7 @@
 package graft.sources.kvconnector
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 
 import org.apache.hadoop.conf.Configuration
@@ -43,10 +43,11 @@ class KVWriteBuilder(path: String, info: LogicalWriteInfo)
   private val segments = info.options().getInt("segments", 0)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new KVWrite(path, doTruncate, segments)
+  override def build(): Write =
+    new KVWrite(path, doTruncate, segments, info.queryId())
 }
 
-class KVWrite(path: String, truncate: Boolean, segments: Int)
+class KVWrite(path: String, truncate: Boolean, segments: Int, queryId: String)
   extends Write with RequiresDistributionAndOrdering {
 
   private def asc(col: String): VSortOrder = new VSortOrder {
@@ -61,34 +62,49 @@ class KVWrite(path: String, truncate: Boolean, segments: Int)
   override def requiredOrdering(): Array[VSortOrder] = Array(asc("k"), asc("c"))
   override def requiredNumPartitions(): Int = segments
 
-  override def toBatch: BatchWrite = new KVBatchWrite(path, truncate)
+  override def toBatch: BatchWrite = new KVBatchWrite(path, truncate, queryId)
 }
 
 case class KVCommit(file: String, loHex: String, hiHex: String, rows: Long)
   extends WriterCommitMessage
 
-class KVBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
+class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
+  extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KVWriterFactory(path)
+    KVWriterFactory(path, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
+    val manifest = dir.resolve(KVSegmentStore.ManifestFile)
+    // previous manifest lines: under append they are KEPT (append adds
+    // segments, it must never orphan committed ones); under truncate they
+    // name the segments to sweep once the new manifest is live
     val previous: Seq[String] =
-      if (truncate && Files.exists(dir.resolve(KVSegmentStore.ManifestFile)))
-        KVSegmentStore.readManifest(path).map(_.file.split('/').last)
+      if (Files.exists(manifest))
+        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+          .split('\n').toSeq.filter(_.nonEmpty)
       else Seq.empty
     val fresh = messages.collect { case m: KVCommit if m.rows > 0 => m }
-    val lines = fresh
-      .map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}").sorted
-    Files.write(dir.resolve(KVSegmentStore.ManifestFile),
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
-    // old segments leave the manifest atomically with the write above;
-    // sweeping their files afterwards is invisible to manifest readers
-    val freshNames = fresh.map(_.file).toSet
-    previous.filterNot(freshNames.contains)
-      .foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
+    val freshLines =
+      fresh.map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}")
+    val lines = (if (truncate) freshLines.toSeq else previous ++ freshLines).sorted
+    // atomic replacement: stage the full manifest next to the live one,
+    // then rename over it — a crash mid-write leaves the old manifest
+    // intact and a concurrent reader sees either the old or the new list,
+    // never a prefix (same discipline as KVDeltaStore.compact)
+    val tmp = Files.createTempFile(dir, "_graft_manifest", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+    if (truncate) {
+      // old segments left the manifest atomically with the move above;
+      // sweeping their files afterwards is invisible to manifest readers
+      val freshNames = fresh.map(_.file).toSet
+      previous.map(_.split('\t')(0)).filterNot(freshNames.contains)
+        .foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -99,17 +115,20 @@ class KVBatchWrite(path: String, truncate: Boolean) extends BatchWrite {
     }
 }
 
-case class KVWriterFactory(path: String) extends DataWriterFactory {
+case class KVWriterFactory(path: String, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KVSegmentWriter(path, partitionId, taskId)
+    new KVSegmentWriter(path, partitionId, taskId, queryId)
 }
 
 /** One task = one (k,c)-sorted key-range parquet segment, bounds tracked
   * inline during the write (no re-read). */
-class KVSegmentWriter(path: String, partitionId: Int, taskId: Long)
+class KVSegmentWriter(path: String, partitionId: Int, taskId: Long, queryId: String)
   extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.parquet"
+  // (partitionId, taskId) is unique only within one Spark application;
+  // the per-write queryId keeps appends from a LATER application from
+  // colliding with (and clobbering) a committed segment
+  private val fileName = f"part-$partitionId%05d-$taskId-$queryId.parquet"
   private val schema = MessageTypeParser.parseMessageType(
     "message graft_kv { required binary k; required binary c; required binary v; }")
   private val factory = new SimpleGroupFactory(schema)

@@ -55,6 +55,36 @@ class KVDataSourceSpec extends SparkSpec {
     assert(first.sameElements(first.sorted), "segment not (k,c)-sorted")
   }
 
+  test("DSV2 append to a NON-EMPTY store keeps previously committed segments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_kvapp").toString
+    store.write.format("graft-kv").mode("append").save(dir)
+    val oldSegs = KVSegmentStore.readManifest(dir)
+    val oldFiles = oldSegs.map(_.file).toSet
+    // a second batch under DISJOINT keys, from a separate write
+    val more = spark.range(0, 500)
+      .select(
+        KVStore.encLong(F.col("id") % 25 + 1000).as("k"),
+        KVStore.encLong(F.col("id")).as("c"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).cast("binary").as("v"))
+    more.write.format("graft-kv").mode("append").save(dir)
+    val now = KVSegmentStore.readManifest(dir)
+    // previous segments are still manifested (append must not orphan them)
+    assert(oldFiles.subsetOf(now.map(_.file).toSet),
+      s"append dropped committed segments: ${oldFiles.diff(now.map(_.file).toSet)}")
+    assert(now.map(_.rows).sum == 2500)
+    // and BOTH batches are readable through the connector
+    val df = spark.read.format("graft-kv").load(dir)
+    assert(df.count() == 2500)
+    val newKeys = df.select(KVStore.decLong(F.col("k"), 1).as("kk"))
+      .filter(F.col("kk") >= 1000).distinct().count()
+    assert(newKeys == 25)
+    // old segment files survive on disk
+    oldFiles.foreach(f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+        s"append deleted a committed segment: $f"))
+  }
+
   test("DSV2 overwrite replaces the manifest and sweeps old segments") {
     val dir = Files.createTempDirectory("graft_kvow").toString
     store.write.format("graft-kv").mode("append").save(dir)
