@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ColumnPruning stops at nodes it doesn't know)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
+    // ASOF [LEFT] JOIN SQL syntax: token rewrite in the injected parser,
+    // marker-tagged Join → AsOfJoinNode at resolution time (must happen
+    // before the optimizer constant-folds the marker conjunct away)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => graft.plans.ResolveAsofJoin)
     // Scale defaults ride the check-rule builder: it runs once per
     // session, when the session state (analyzer) is first built — i.e.
     // before the first query's optimization/planning reads any of these
@@ -63,6 +68,14 @@ object GraftExtensions {
     }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    // ASOF JOIN plumbing: the marker the SQL rewriter injects and the
+    // tie-column tag — both stripped by ResolveAsofJoin, never evaluated
+    (new FunctionIdentifier("graft_asof_marker"),
+      new ExpressionInfo(classOf[graft.plans.GraftAsofMarker].getName, "graft_asof_marker"),
+      (_: Seq[Expression]) => graft.plans.GraftAsofMarker()),
+    (new FunctionIdentifier("graft_asof_tie"),
+      new ExpressionInfo(classOf[graft.plans.GraftAsofTie].getName, "graft_asof_tie"),
+      (args: Seq[Expression]) => graft.plans.GraftAsofTie(args(0))),
     (new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),

@@ -325,6 +325,29 @@ object OlapQueries {
         F.col("last_okey").as("o_orderkey"), out2(F.col("last_oprice")).as("o_totalprice"))
   }
 
+  /** q_asof_sql: the SAME as-of join typed as SQL — the ClickHouse user's
+    * surface (`ASOF JOIN ... ON k = rk AND t >= rt`), reaching
+    * AsOfJoinExec through GraftExtensions' injected parser + resolution
+    * rule (graft.plans.GraftSqlParser). Shares q_asof's oracle, so the
+    * full parse → resolve → custom-exec pipeline is hash-gated. */
+  def qAsofSqlEntry(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .select(F.col("event_id"), F.col("user_id"),
+        F.unix_micros(F.col("ts")).as("etu"))
+      .createOrReplaceTempView("graft_asof_events")
+    t(s, dir, "orders")
+      .select(F.col("o_custkey").cast("long").as("ocust"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).as("otu"),
+        F.col("o_orderkey").cast("long").as("okey"), F.col("o_totalprice"))
+      .createOrReplaceTempView("graft_asof_orders")
+    s.sql(
+      """SELECT event_id, user_id, okey AS o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM graft_asof_events
+        |ASOF JOIN graft_asof_orders
+        | ON user_id = ocust AND etu >= otu AND graft_asof_tie(okey)""".stripMargin)
+  }
+
   val qAsofSql: String =
     """WITH u AS (
       |  SELECT user_id AS k, epoch_us(ts) AS tu, event_id, 1 AS is_event,
@@ -513,6 +536,7 @@ object OlapQueries {
     ("q_grouping_sets", qGroupingSets _, Some(qGroupingSetsSql)),
     ("q_asof", qAsof _, Some(qAsofSql)),
     ("q_asof_phys", qAsofPhys _, Some(qAsofSql)),
+    ("q_asof_sql", qAsofSqlEntry _, Some(qAsofSql)),
     ("q_asof_left", qAsofLeft _, Some(qAsofLeftSql)),
     ("q_asof_near", qAsofNear _, Some(qAsofNearSql)),
     ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)))

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** The ASOF JOIN SQL surface: the injected parser + resolution rule must
+  * plan `l ASOF [LEFT] JOIN r ON ...` to the same AsOfJoinExec the
+  * Dataset API reaches, with identical semantics (q_asof_sql shares
+  * q_asof's driver oracle; these specs cover the plan shape, the
+  * rewriter's token discipline, and the error paths). */
+class AsofSqlSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // inner-join matches: (1,10)→rid 102 (rt=9), (1,5)→rid 101 (tie at rt=5,
+  // largest rid), (2,30)→rid 103; no match: (1,4) (min rt is 5), (3,9)
+  private def withTables[T](f: => T): T = {
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (1L, 5L, "b"), (1L, 4L, "c"), (2L, 30L, "d"),
+      (3L, 9L, "e"))
+      .toDF("k", "t", "pay").createOrReplaceTempView("asof_l")
+    Seq((1L, 5L, 100L, 1.5), (1L, 5L, 101L, 2.5), (1L, 9L, 102L, 3.5),
+      (2L, 25L, 103L, 4.5))
+      .toDF("rk", "rt", "rid", "price").createOrReplaceTempView("asof_r")
+    f
+  }
+
+  test("ASOF JOIN plans to AsOfJoinExec and matches the Dataset helper") {
+    withTables {
+      val viaSql = spark.sql(
+        """SELECT k, t, pay, rid, price FROM asof_l
+          |ASOF JOIN asof_r ON k = rk AND t >= rt AND graft_asof_tie(rid)
+          |""".stripMargin)
+      assert(planOf(viaSql).contains("AsOfJoin "), planOf(viaSql))
+      val viaApi = AsOfJoin.asof(
+        spark.table("asof_l"), spark.table("asof_r"),
+        "k", "t", "rk", "rt", "rid")
+        .select("k", "t", "pay", "rid", "price")
+      assert(viaSql.collect().map(_.toSeq).toSet ===
+        viaApi.collect().map(_.toSeq).toSet)
+      val rows = viaSql.collect()
+      assert(rows.length == 3)
+      // t=10 matches the latest rt ≤ 10 (rt=9 → rid 102), no tie involved
+      assert(rows.find(_.getLong(1) == 10L).get.getLong(3) == 102L)
+      // t=5: TWO right rows at rt=5 → the largest tie id (101) wins
+      assert(rows.find(_.getLong(1) == 5L).get.getLong(3) == 101L)
+    }
+  }
+
+  test("ASOF LEFT JOIN emits unmatched left rows with nulls") {
+    withTables {
+      import spark.implicits._
+      Seq((3L, 1L, "none")).toDF("k", "t", "pay")
+        .union(spark.table("asof_l")).createOrReplaceTempView("asof_l2")
+      val df = spark.sql(
+        """SELECT k, t, pay, rid FROM asof_l2
+          |ASOF LEFT JOIN asof_r ON k = rk AND t >= rt AND graft_asof_tie(rid)
+          |""".stripMargin)
+      assert(planOf(df).contains("AsOfJoin "))
+      val rows = df.collect()
+      // every left row surfaces; the three non-joinable ones carry nulls
+      assert(rows.length == 6)
+      assert(rows.count(_.isNullAt(3)) == 3)
+      assert(rows.filter(_.getLong(0) == 3L).forall(_.isNullAt(3)))
+    }
+  }
+
+  test("the reversed time bound r.t <= l.t and reversed equality parse too") {
+    withTables {
+      val df = spark.sql(
+        """SELECT k, t, rid FROM asof_l
+          |ASOF JOIN asof_r ON rk = k AND rt <= t AND graft_asof_tie(rid)
+          |""".stripMargin)
+      assert(planOf(df).contains("AsOfJoin "))
+      assert(df.collect().length == 3)
+    }
+  }
+
+  test("rewriter leaves strings, comments, and regular joins alone") {
+    // 'ASOF' in a literal and a line comment must not trigger the rewrite
+    withTables {
+      val df = spark.sql(
+        """SELECT 'ASOF JOIN is a string' AS s, l.k -- ASOF JOIN comment
+          |FROM asof_l l JOIN asof_r r ON l.k = r.rk""".stripMargin)
+      assert(df.collect().forall(_.getString(0) == "ASOF JOIN is a string"))
+      assert(!planOf(df).contains("AsOfJoin "))
+    }
+  }
+
+  test("ASOF join composes inside a larger query (subquery + aggregate)") {
+    withTables {
+      val df = spark.sql(
+        """SELECT k, COUNT(*) AS n, SUM(price) AS sp FROM (
+          |  SELECT l.k, r.price FROM asof_l l
+          |  ASOF JOIN asof_r r ON l.k = r.rk AND l.t >= r.rt AND graft_asof_tie(r.rid)
+          |) GROUP BY k ORDER BY k""".stripMargin)
+      val rows = df.collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((1L, 2L), (2L, 1L)))
+    }
+  }
+
+  test("without graft_asof_tie the right time column is the tie") {
+    withTables {
+      val df = spark.sql(
+        """SELECT k, t, price FROM asof_l
+          |ASOF JOIN asof_r ON k = rk AND t >= rt""".stripMargin)
+      assert(planOf(df).contains("AsOfJoin "))
+      assert(df.collect().length == 3)
+    }
+  }
+
+  test("unsupported shapes fail with a clear message") {
+    withTables {
+      def msg(sql: String): String =
+        intercept[Exception](spark.sql(sql).collect()).getMessage
+      assert(msg(
+        """SELECT * FROM asof_l ASOF JOIN asof_r
+          |ON k = rk AND t >= rt AND price > 1.0""".stripMargin)
+        .contains("unsupported ON conjunct"))
+      assert(msg(
+        "SELECT * FROM asof_l ASOF JOIN asof_r ON t >= rt")
+        .contains("missing key equality"))
+      assert(msg(
+        "SELECT * FROM asof_l ASOF JOIN asof_r ON k = rk")
+        .contains("missing time bound"))
+      // without the explicit check, Spark would read `ASOF` as a table
+      // alias and plan a plain RIGHT join — silently wrong semantics
+      assert(msg(
+        "SELECT * FROM asof_l ASOF RIGHT JOIN asof_r ON k = rk AND t >= rt")
+        .contains("not supported"))
+    }
+  }
+}
