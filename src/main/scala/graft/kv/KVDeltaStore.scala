@@ -73,7 +73,19 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
   def appendMutation(name: String, additions: DataFrame, deletions: DataFrame,
                      wts: Long = System.currentTimeMillis()): Unit = {
     val next = deltaPaths(name).lastOption
-      .map(_.getName.stripPrefix("delta_").toInt + 1).getOrElse(1)
+      .map(_.getName.stripPrefix("delta_").toLong + 1).getOrElse(1L)
+    appendMutationAt(name, next, additions, deletions, wts)
+  }
+
+  /** Append a mutate batch at an EXPLICIT log sequence — the streaming
+    * sink's hook: delta ids derived from the micro-batch id stay stable
+    * across replays (a replayed batch re-targets the same `delta_<seq>`
+    * instead of appending a duplicate behind it). Batch callers should
+    * use appendMutation, which derives the next free sequence. */
+  def appendMutationAt(name: String, seq: Long, additions: DataFrame,
+                       deletions: DataFrame,
+                       wts: Long = System.currentTimeMillis()): Unit = {
+    require(seq > 0, s"delta sequence must be positive (0 is base), got $seq")
     val batch = additions.select(F.col("k"), F.col("c"), F.col("v"),
       F.lit(wts).as("wts"), F.lit(1).as("op"))
       .unionByName(deletions.select(F.col("k"), F.col("c"),
@@ -88,7 +100,17 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
     val n = batch.count()
     val parts = math.max(1L, (n + maxEntriesPerTask - 1) / maxEntriesPerTask).toInt
     batch.repartition(parts).write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(dir(name), f"delta_$next%05d").toString)
+      .parquet(new Path(dir(name), f"delta_$seq%05d").toString)
+  }
+
+  /** Whether `delta_<seq>` exists as a COMPLETE part (parquet _SUCCESS);
+    * an incomplete part (crashed write) is deleted so the caller can
+    * rewrite it — the streaming sink's replay path. */
+  def deltaCompleteOrClear(name: String, seq: Long): Boolean = {
+    val p = new Path(dir(name), f"delta_$seq%05d")
+    if (!fs.exists(p)) false
+    else if (fs.exists(new Path(p, "_SUCCESS"))) true
+    else { fs.delete(p, true); false }
   }
 
   /** The merged view: base ∪ deltas resolved per (k, c) by latest

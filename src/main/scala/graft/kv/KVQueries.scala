@@ -195,6 +195,43 @@ object KVQueries {
     readBackMutated(s, ds.openDatabase("events")).localCheckpoint(true)
   }
 
+  /** kv_streamdelta: the SAME scenario driven through the STREAMING
+    * delta-log sink (KVStreamSink.applyBatchDelta — O(batch) I/O per
+    * micro-batch instead of the snapshot mode's O(store) rewrite):
+    * micro-batch 0 = the full event store as additions, micro-batch 1 =
+    * the deletions+upserts, batch 1 REDELIVERED (replay must be a
+    * no-op), and compactThreshold=2 forces a fold mid-stream (compaction
+    * must be invisible). Shares kv_mutate's oracle — the streaming log
+    * path, the batch log path, and the snapshot path all agree cell for
+    * cell. */
+  def kvStreamDelta(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastDeltaWarehouse.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val whPath = java.nio.file.Files.createTempDirectory("graft_kvdelta")
+    lastDeltaWarehouse = Some(whPath)
+    val wh = whPath.toString
+    def asMutations(adds: DataFrame, dels: DataFrame): DataFrame =
+      adds.withColumn("is_delete", F.lit(false))
+        .unionByName(dels
+          .select(F.col("k"), F.col("c"),
+            F.lit(null).cast("binary").as("v"), F.lit(true).as("is_delete")))
+    val noDel = eventStore(s, dir).select("k", "c").limit(0)
+    val b0 = asMutations(eventStore(s, dir), noDel)
+    val (additions, deletions) = mutationScenario(s, dir)
+    val b1 = asMutations(additions, deletions)
+    KVStreamSink.applyBatchDelta(b0, wh, "events", 0L, compactThreshold = 2)
+    KVStreamSink.applyBatchDelta(b1, wh, "events", 1L, compactThreshold = 2)
+    KVStreamSink.applyBatchDelta(b1, wh, "events", 1L, compactThreshold = 2)
+    readBackMutated(s, KVStreamSink.readDelta(s, wh, "events"))
+      .localCheckpoint(true)
+  }
+
   /** kv_bucket_join: store-to-store CO-LOCATED join driver-checked — the
     * payoff of writeBucketed's MergeTree ORDER BY (k,c) layout: the event
     * store and a per-key rollup store are both persisted bucketed by k,
@@ -392,6 +429,7 @@ object KVQueries {
     ("kv_keyslices", kvKeySlices _, Some(kvKeySlicesSql)),
     ("kv_mutate", kvMutate _, Some(kvMutateSql)),
     ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)),
+    ("kv_streamdelta", kvStreamDelta _, Some(kvMutateSql)),
     ("kv_timetravel", kvTimetravel _, Some(kvTimetravelSql)),
     ("kv_bucket_join", kvBucketJoin _, Some(kvBucketJoinSql)),
     ("kv_compact", kvCompact _, Some(kvMutateSql)),

@@ -85,4 +85,75 @@ object KVStreamSink {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(MutationSchema.fields.take(3)))
     }
+
+  // ---- delta-log mode ------------------------------------------------
+  //
+  // The snapshot mode above rewrites the WHOLE store every micro-batch
+  // (KVStore.mutate folds onto the previous snapshot) — O(store) I/O per
+  // batch, which at 100 TB makes the stream writer the bottleneck. Delta
+  // mode appends each micro-batch as ONE KVDeltaStore delta part —
+  // O(batch) I/O — and lets size-tiered maybeCompact bound the log depth;
+  // readers go through the store's merge-on-read view, where compaction
+  // is invisible by contract.
+  //
+  // Exactly-once across replays:
+  //   - delta ids are derived from the batchId (seq = batchId + 1), so a
+  //     replayed batch re-targets ITS OWN part: complete part → skip;
+  //     incomplete part (crashed write) → deleted and rewritten;
+  //   - compaction deletes folded parts, so part-presence alone cannot
+  //     dedupe a replay whose delta was already folded — the high-water
+  //     mark file (_stream_hwm, atomically renamed into place after each
+  //     applied batch) records the last applied batchId and wins first.
+  //   - a crash between the delta write and the hwm rename replays into
+  //     the complete-part skip; a crash between hwm and maybeCompact
+  //     only defers compaction, which is invisible anyway.
+
+  /** Start delta-log ingestion into `warehouseDir/name` (micro-batch
+    * foreachBatch sink over KVDeltaStore.appendMutationAt). */
+  def startDelta(mutations: DataFrame, warehouseDir: String, name: String,
+                 compactThreshold: Int = 8): StreamingQuery =
+    mutations.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        applyBatchDelta(batch, warehouseDir, name, batchId, compactThreshold))
+      .start()
+
+  /** Append one micro-batch as delta_{batchId+1}. Idempotent by batchId. */
+  def applyBatchDelta(batch: DataFrame, warehouseDir: String, name: String,
+                      batchId: Long, compactThreshold: Int = 8): Unit = {
+    if (readHwm(warehouseDir, name) >= batchId) return // applied (maybe folded)
+    val store = new KVDeltaStore(batch.sparkSession, warehouseDir)
+    val seq = batchId + 1
+    if (!store.deltaCompleteOrClear(name, seq)) {
+      val adds = batch.filter(!F.col("is_delete")).select("k", "c", "v")
+      val dels = batch.filter(F.col("is_delete")).select("k", "c")
+      store.appendMutationAt(name, seq, adds, dels)
+    }
+    writeHwm(warehouseDir, name, batchId)
+    store.maybeCompact(name, compactThreshold): Unit
+  }
+
+  /** The current readable store in delta mode: the merge-on-read view. */
+  def readDelta(spark: SparkSession, warehouseDir: String, name: String): DataFrame =
+    new KVDeltaStore(spark, warehouseDir).openDatabase(name)
+
+  private def hwmFile(warehouseDir: String, name: String) =
+    Paths.get(warehouseDir, name, "_stream_hwm")
+
+  private def readHwm(warehouseDir: String, name: String): Long = {
+    val f = hwmFile(warehouseDir, name)
+    if (Files.exists(f))
+      new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
+  private def writeHwm(warehouseDir: String, name: String, batchId: Long): Unit = {
+    val f = hwmFile(warehouseDir, name)
+    Files.createDirectories(f.getParent)
+    val tmp = Files.createTempFile(f.getParent, "_stream_hwm", ".tmp")
+    Files.write(tmp,
+      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 }
