@@ -389,6 +389,46 @@ object KVQueries {
       .localCheckpoint(true)
   }
 
+  // previous kv_dsv2_multi segment dir (same sweep lifecycle)
+  private var lastMultiSegDir: Option[java.nio.file.Path] = None
+
+  /** kv_dsv2_multi: the kv_multislice key set driven through the DSv2
+    * connector as an IN-set — the reference's multi-key getSlice takes an
+    * EXPLICIT key list (ClickhouseKeyColumnValueStore.java:108), so the
+    * keys are materialized driver-side and pushed as `In("k", keys)`,
+    * which the manifest prunes segment-by-segment at plan time (a narrow
+    * key list against a million-segment store schedules only the
+    * segments that can hold those keys). Shares kv_multislice's oracle.
+    * Scale note: the slice read itself still joins against the key set
+    * as a DataFrame; the IN literal list exists purely to carry the
+    * pushdown — both forms express the same SPI call. */
+  def kvDsv2Multi(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastMultiSegDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val seg = java.nio.file.Files.createTempDirectory("graft_kvsegm")
+    lastMultiSegDir = Some(seg)
+    graft.sources.kvconnector.KVSegmentStore.write(eventStore(s, dir), seg.toString, 8)
+    val keyIds = Tables(s, dir, "events")
+      .select(F.col("user_id")).distinct()
+      .filter(F.col("user_id") % 10 === 0)
+      .collect().map(_.getLong(0)).sorted
+    val enc: Array[Array[Byte]] = keyIds.map(v =>
+      java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    val store = s.read.format("graft-kv").load(seg.toString)
+      .filter(F.col("k").isin(enc.toSeq: _*))
+    val keys = s.createDataset(keyIds.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+      .select(encLong(F.col("value")).as("k"))
+    decoded(slice(store, F.broadcast(keys),
+      colBound("2024-01-10 00:00:00"), colBound("2024-01-11 00:00:00"), 20))
+      .localCheckpoint(true)
+  }
+
   // previous kv_dsv2_write segment dir (same sweep lifecycle)
   private var lastWriteSegDir: Option[java.nio.file.Path] = None
 
@@ -425,6 +465,7 @@ object KVQueries {
     ("kv_dsv2_write", kvDsv2Write _, Some(kvSliceSql)),
     ("kv_slice", kvSlice _, Some(kvSliceSql)),
     ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
+    ("kv_dsv2_multi", kvDsv2Multi _, Some(kvMultiSliceSql)),
     ("kv_getkeys", kvGetKeys _, Some(kvGetKeysSql)),
     ("kv_keyslices", kvKeySlices _, Some(kvKeySlicesSql)),
     ("kv_mutate", kvMutate _, Some(kvMutateSql)),

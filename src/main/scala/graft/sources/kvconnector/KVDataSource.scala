@@ -61,6 +61,13 @@ object KVDataSource {
     f match {
       case EqualTo("k", v: Array[Byte]) =>
         ucmp(seg.lo, v) <= 0 && ucmp(v, seg.hi) <= 0
+      // the SPI's multi-key getSlice shape (an explicit key list): the
+      // segment survives iff ANY key of the IN set falls in its range
+      case org.apache.spark.sql.sources.In("k", vs) =>
+        vs.exists {
+          case v: Array[Byte] => ucmp(seg.lo, v) <= 0 && ucmp(v, seg.hi) <= 0
+          case _ => true // non-binary/null element: prune nothing
+        }
       case GreaterThan("k", v: Array[Byte]) => ucmp(seg.hi, v) > 0
       case GreaterThanOrEqual("k", v: Array[Byte]) => ucmp(seg.hi, v) >= 0
       case LessThan("k", v: Array[Byte]) => ucmp(seg.lo, v) < 0

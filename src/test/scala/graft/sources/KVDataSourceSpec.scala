@@ -132,6 +132,25 @@ class KVDataSourceSpec extends SparkSpec {
     assert(got == Set(10L, 11L, 12L))
   }
 
+  test("an IN key set prunes segments at plan time") {
+    val dir = written
+    // store keys are 0..99 range-partitioned into 8 segments; an IN set
+    // of 3 nearby keys can only touch a couple of them
+    val enc = Array(10L, 11L, 12L).map(v =>
+      java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    val narrow = spark.read.format("graft-kv").load(dir)
+      .filter(F.col("k").isin(enc.toSeq: _*))
+    val plan = narrow.queryExecution.executedPlan.toString
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(2).toInt == 8)
+    assert(m.get.group(1).toInt < 8, s"IN set did not prune: ${m.get.matched}")
+    // and the result is exactly the IN set's rows (filters re-applied)
+    val got = narrow.select(KVStore.decLong(F.col("k"), 1)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L, 12L))
+  }
+
   test("column pruning reaches the reader") {
     val dir = written
     val df = spark.read.format("graft-kv").load(dir).select("k")
