@@ -14,6 +14,22 @@ import graft.Tables
   * the only shuffle is the final per-query top-k. The LSH variant is the
   * 100 TB path: bucket the corpus by random-hyperplane signature and only
   * score within matching buckets.
+  *
+  * ANN trio recall table (recall@10 vs brute force / raw-vector scan
+  * fraction, measured by AnnSpec's "trio" test at sf0.001, n=500,
+  * isotropic synthetic embeddings — ≈0.56 is the random-baseline cap for
+  * a FULL scan's neighbors at this dimensionality, so these beat their
+  * scan fraction, which is the honest claim an index can make; real
+  * clustered embeddings score far higher):
+  *
+  *   - LSH (`s_ann_lsh`): recall 0.625 at 0.385 scan (measured: distinct
+  *     pairs the band join scores / NQueries·(n−1))
+  *   - IVF (`s_ann_ivf`): recall 0.463 at 0.250 scan (NProbe/NCentroids)
+  *   - PQ  (`s_ann_pq`):  recall 0.775 at 0.160 exact re-rank, plus one
+  *     full-corpus pass over 4-bit ADC codes (compressed domain)
+  *
+  * Each path's recall exceeds a random scan of its fraction (whose
+  * expected recall IS the fraction) — asserted in the spec.
   */
 object AnnQueries {
   type Q = (SparkSession, String) => DataFrame

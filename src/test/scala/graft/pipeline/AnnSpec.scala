@@ -82,4 +82,40 @@ class AnnSpec extends SparkSpec {
     // beat that baseline
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
+
+  test("ANN trio recall/scan-fraction table (one place, measured)") {
+    import org.apache.spark.sql.{functions => F}
+    val exact = pairs(AnnQueries.sAnnTopk(spark, SF))
+    val emb = graft.Tables(spark, SF, "embeddings")
+    val n = emb.count()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      (exact & pairs(df)).size.toDouble / exact.size
+    // LSH: MEASURED scan fraction = distinct (query, candidate) pairs the
+    // bucket join actually scores, over the full scan's NQueries*(n-1)
+    val buckets = emb.select(F.col("vec_id"),
+      F.posexplode(AnnQueries.signatures(F.col("embedding"))).as(Seq("t", "bucket")))
+    val q = buckets.filter(F.col("vec_id") < AnnQueries.NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("t"), F.col("bucket"))
+    val lshCand = q.join(buckets, Seq("t", "bucket"))
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select("q_id", "vec_id").distinct().count()
+    val lshFrac = lshCand.toDouble / (AnnQueries.NQueries * (n - 1))
+    val lshRecall = recallOf(AnnQueries.sAnnLsh(spark, SF))
+    // IVF: structural scan fraction = NProbe probed lists of NCentroids
+    val ivfFrac = AnnQueries.NProbe.toDouble / AnnQueries.NCentroids
+    val ivfRecall = recallOf(AnnQueries.sAnnIvf(spark, SF))
+    // PQ: full scan in the COMPRESSED domain (4-bit codes); raw-vector
+    // scan fraction = the exact re-rank depth
+    val pqFrac = AnnQueries.RerankDepth.toDouble / (n - 1)
+    val pqRecall = recallOf(AnnQueries.sAnnPq(spark, SF))
+    info(f"ANN recall@10 / raw-vector scan fraction at $SF%s (n=$n%d):")
+    info(f"  LSH recall=$lshRecall%.3f scan=$lshFrac%.3f (measured bucket join)")
+    info(f"  IVF recall=$ivfRecall%.3f scan=$ivfFrac%.3f (NProbe/NCentroids)")
+    info(f"  PQ  recall=$pqRecall%.3f rerank=$pqFrac%.3f (+full 4-bit ADC pass)")
+    // each path must beat a RANDOM scan of the same fraction, whose
+    // expected recall IS the fraction — the whole point of the index
+    assert(lshRecall > lshFrac, f"LSH $lshRecall%.3f <= random $lshFrac%.3f")
+    assert(ivfRecall > ivfFrac, f"IVF $ivfRecall%.3f <= random $ivfFrac%.3f")
+    assert(pqRecall > pqFrac, f"PQ $pqRecall%.3f <= random rerank $pqFrac%.3f")
+  }
 }

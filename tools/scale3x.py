@@ -21,6 +21,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+# per-copy key offset: picked per RUN as the smallest power of 10 above
+# every key value (a fixed 10^9 overflows int32 key columns once
+# copies*OFF exceeds 2^31 — seen generating the 10x set)
 OFF = 10 ** 9
 KEY_COLS = {
     "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
@@ -58,9 +61,30 @@ def copy_table(t: pa.Table, i: int, name: str) -> pa.Table:
         schema=t.schema)
 
 
+def pick_off(src: str, copies: int) -> int:
+    global OFF
+    import pyarrow.types as pt
+    mx, has32 = 0, False
+    for name in TABLES:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        for field in t.schema:
+            if field.name in KEY_COLS:
+                v = pc.max(t.column(field.name)).as_py()
+                mx = max(mx, v or 0)
+                has32 = has32 or pa.types.is_int32(field.type)
+    off = 10
+    while off <= mx:
+        off *= 10
+    if has32 and (copies - 1) * off + mx > 2**31 - 1:
+        raise SystemExit(f"copies={copies} * off={off} overflows int32 keys")
+    OFF = off
+    print(f"key offset: {off} (max key {mx})")
+
+
 def main(src: str, dst: str, copies: int) -> None:
     import os
     os.makedirs(dst, exist_ok=True)
+    pick_off(src, copies)
     for name in TABLES:
         t = pq.read_table(f"{src}/{name}.parquet")
         out = pa.concat_tables([copy_table(t, i, name) for i in range(copies)])
