@@ -803,7 +803,55 @@ object OlapSeriesQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS has_any
       |FROM f GROUP BY user_id""".stripMargin
 
+  /** q_concurrency: ClickHouse `runningConcurrency(begin, end)` as a
+    * bounded SERIES (q_max_intersections reports only the global peak;
+    * this is the full concurrency profile, downsampled per hour): each
+    * event opens an interval [st, st + 120 + event_id%300), the sweep is
+    * one running sum over (+1 start, -1 end) points ordered (t, d) —
+    * ends close before starts at a tie, matching q_max_intersections —
+    * and each hour bucket reports its peak and trough concurrency.
+    * Tie safety: among equal (t, d) points the MULTISET of running sums
+    * is order-invariant, so per-hour max/min are deterministic even
+    * though per-row values are not. Scale: the sweep partitions by
+    * event_type (each series is sequential, as in ClickHouse); with
+    * bounded interval length a 100 TB deployment sub-partitions the
+    * sweep by day and carries the ≤420 s boundary overlap — same plan,
+    * one more partition key. */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables(s, dir, "events")
+      .select(F.col("event_type"), F.col("event_id"),
+        F.expr("unix_micros(ts) div 1000000").as("st"))
+      .withColumn("en", F.col("st") + 120L + F.col("event_id") % 300L)
+    val pts = iv.select(F.col("event_type"), F.col("st").as("t"), F.lit(1L).as("d"))
+      .unionAll(iv.select(F.col("event_type"), F.col("en").as("t"), F.lit(-1L).as("d")))
+    val sweep = Window.partitionBy("event_type").orderBy(F.col("t").asc, F.col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("run", F.sum("d").over(sweep))
+      .groupBy(F.col("event_type"), F.expr("t div 3600").as("hr"))
+      .agg(F.max("run").as("peak"), F.min("run").as("trough"),
+        F.count(F.lit(1)).as("n_points"))
+  }
+
+  val qConcurrencySql: String =
+    """WITH iv AS (
+      |  SELECT event_type, event_id, epoch_us(ts) // 1000000 AS st,
+      |   epoch_us(ts) // 1000000 + 120 + event_id % 300 AS en
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, st AS t, CAST(1 AS BIGINT) AS d FROM iv
+      |  UNION ALL
+      |  SELECT event_type, en AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+      |sw AS (
+      |  SELECT event_type, t,
+      |   SUM(d) OVER (PARTITION BY event_type ORDER BY t ASC, d ASC
+      |     ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM pts)
+      |SELECT event_type, t // 3600 AS hr, CAST(MAX(run) AS BIGINT) AS peak,
+      | CAST(MIN(run) AS BIGINT) AS trough, COUNT(*) AS n_points
+      |FROM sw GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_concurrency", qConcurrency _, Some(qConcurrencySql)),
     ("q_tukey", qTukey _, Some(qTukeySql)),
     ("q_arr_enum", qArrEnum _, Some(qArrEnumSql)),
     ("q_mov_median", qMovMedian _, Some(qMovMedianSql)),

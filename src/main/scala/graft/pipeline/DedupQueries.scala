@@ -621,7 +621,73 @@ object DedupQueries {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** d_cdc_dedup: CONTENT-DEFINED CHUNKING dedup — the rsync/LBFS
+    * primitive fixed-window dedup can't replicate: chunk boundaries are
+    * placed where a per-word hash hits a target (md5 last hex digit '0'
+    * → mean chunk ≈ 16 words), so an insertion early in a document
+    * shifts only the chunk it lands in — every later chunk re-aligns and
+    * still dedups (a fixed 16-word grid would shift ALL downstream
+    * windows). Per source: chunk count, chunks shared across ≥2 docs,
+    * and the dup fraction in ppm. Plan shape: one explode, one per-doc
+    * running-sum window (partition = doc, bounded by doc length — never
+    * a global sort), chunk-hash groupBys; at 100 TB the chunk-frequency
+    * join is the only corpus-wide shuffle and it carries hashes, not
+    * text. Boundary + chunk hashing are md5 so the DuckDB oracle
+    * reproduces the exact chunking. */
+  def dCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"),
+        F.posexplode(F.split(F.col("text"), " ")).as(Seq("pos", "word")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = words
+      .withColumn("b",
+        F.when(F.substring(F.md5(F.col("word")), 32, 1) === "0", 1).otherwise(0))
+      .withColumn("chunk_no", F.coalesce(F.sum("b").over(w), F.lit(0)))
+      .groupBy(F.col("doc_id"), F.col("source"), F.col("chunk_no"))
+      .agg(F.md5(F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("word")))),
+          x => x("word")),
+        " ")).as("ch"))
+    val freq = chunks.groupBy("ch")
+      .agg(F.count_distinct(F.col("doc_id")).as("nd"))
+    chunks.join(freq, "ch")
+      .groupBy("source")
+      .agg(
+        F.count(F.lit(1)).as("n_chunks"),
+        F.sum(F.when(F.col("nd") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        F.floor(F.lit(1000000L) *
+          F.sum(F.when(F.col("nd") > 1, 1L).otherwise(0L)) /
+          F.count(F.lit(1))).as("dup_ppm"))
+  }
+
+  val dCdcDedupSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source, UNNEST(ws) AS word,
+      |   generate_subscripts(ws, 1) AS pos
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+      |), g AS (
+      |  SELECT doc_id, source, word, pos,
+      |   COALESCE(SUM(CASE WHEN substr(md5(word), 32, 1) = '0' THEN 1 ELSE 0 END)
+      |     OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+      |  FROM f
+      |), c AS (
+      |  SELECT doc_id, source, chunk_no,
+      |   md5(string_agg(word, ' ' ORDER BY pos)) AS ch
+      |  FROM g GROUP BY 1, 2, 3
+      |), fr AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY 1)
+      |SELECT c.source, COUNT(*) AS n_chunks,
+      | CAST(SUM(CASE WHEN fr.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+      | CAST(FLOOR(1000000 * SUM(CASE WHEN fr.nd > 1 THEN 1 ELSE 0 END)
+      |   / COUNT(*)) AS BIGINT) AS dup_ppm
+      |FROM c JOIN fr USING (ch)
+      |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_cdc_dedup", dCdcDedup _, Some(dCdcDedupSql)),
     ("d_url_dedup", dUrlDedup _, Some(dUrlDedupSql)),
     ("d_prefix_dup", dPrefixDup _, Some(dPrefixDupSql)),
     ("d_mix_sampling", dMixSampling _, Some(dMixSamplingSql)),
