@@ -285,7 +285,66 @@ object PipelineQueries {
       |FROM sc JOIN base b USING (doc_id)
       |ORDER BY w6 DESC, doc_id LIMIT 100""".stripMargin
 
+  /** d_span_corrupt: T5/UL2-style SPAN CORRUPTION — the denoising-
+    * objective data transform: mask ~3 of every 10 words as contiguous
+    * spans, emit (input with one sentinel per span, target = sentinel +
+    * masked words). Spans sit on a block grid (one 3-word span per
+    * 10-word block at a hash-chosen offset 0..7), so spans never overlap
+    * or cross blocks BY CONSTRUCTION — no sequential scan, the whole
+    * transform is map-only higher-order expressions (zero shuffles, zero
+    * UDFs) and replays identically on retries (offset = pure function of
+    * (doc_id, block)). The md5-last-hex-digit offset lets the DuckDB
+    * oracle reproduce the exact masking. */
+  def dSpanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val hexpos = "locate(substr(md5(cast(concat(cast(doc_id as string), ':', " +
+      "cast(b as string)) as binary)), 32, 1), '0123456789abcdef') - 1"
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("ws"))
+      .filter(F.expr("size(ws) >= 10"))
+      .withColumn("nb", F.expr("size(ws) div 10"))
+      .withColumn("offs", F.expr(
+        s"transform(sequence(0, nb - 1), b -> ($hexpos) % 8)"))
+      .select(F.col("doc_id"), F.col("nb").as("n_spans"),
+        F.expr(
+          """array_join(filter(transform(ws, (w, i) -> CASE
+            |  WHEN i div 10 < nb AND i % 10 = element_at(offs, cast(i div 10 + 1 as int))
+            |    THEN concat('<X', cast(i div 10 as string), '>')
+            |  WHEN i div 10 < nb AND i % 10 > element_at(offs, cast(i div 10 + 1 as int))
+            |       AND i % 10 <= element_at(offs, cast(i div 10 + 1 as int)) + 2 THEN NULL
+            |  ELSE w END), x -> x IS NOT NULL), ' ')""".stripMargin).as("input"),
+        F.expr(
+          """array_join(transform(sequence(0, nb - 1), b ->
+            |  concat('<X', cast(b as string), '> ',
+            |    array_join(slice(ws, b * 10 + element_at(offs, cast(b + 1 as int)) + 1, 3), ' '))),
+            |  ' ')""".stripMargin).as("target"))
+  }
+
+  val dSpanCorruptSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10),
+      |p AS (SELECT doc_id, ws, len(ws) AS n, len(ws) // 10 AS nb FROM d),
+      |o AS (
+      |  SELECT doc_id, ws, n, nb,
+      |   list_transform(range(0, nb), b ->
+      |     (strpos('0123456789abcdef',
+      |        substr(md5(doc_id || ':' || b), 32, 1)) - 1) % 8) AS offs
+      |  FROM p)
+      |SELECT doc_id, CAST(nb AS BIGINT) AS n_spans,
+      | array_to_string(list_filter(list_transform(range(0, n), i -> CASE
+      |    WHEN i // 10 < nb AND i % 10 = offs[i // 10 + 1]
+      |      THEN '<X' || (i // 10) || '>'
+      |    WHEN i // 10 < nb AND i % 10 > offs[i // 10 + 1]
+      |         AND i % 10 <= offs[i // 10 + 1] + 2 THEN NULL
+      |    ELSE ws[i + 1] END), x -> x IS NOT NULL), ' ') AS input,
+      | array_to_string(list_transform(range(0, nb), b ->
+      |    '<X' || b || '> ' ||
+      |    array_to_string(ws[b * 10 + offs[b + 1] + 1 : b * 10 + offs[b + 1] + 3], ' ')),
+      |  ' ') AS target
+      |FROM o""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_span_corrupt", dSpanCorrupt _, Some(dSpanCorruptSql)),
     ("d_dsir", dDsir _, Some(dDsirSql)),
     ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)),
     ("d_shard_shuffle", dShardShuffle _, Some(dShardShuffleSql)),
