@@ -638,6 +638,52 @@ object GraphQueries {
        |   * 1e6) AS BIGINT) AS assort6
        |FROM m""".stripMargin
 
+  /** g_richclub: rich-club coefficient φ(k) for k = 1..20 — do the
+    * best-connected vertices preferentially link to each other? φ(k) =
+    * 2·E_k / (N_k·(N_k−1)) over the subgraph of vertices with degree
+    * > k. NO per-k subgraph materialization: one degree aggregate, one
+    * per-edge min-endpoint-degree pass, then BOTH reduce to degree
+    * HISTOGRAMS (bounded by max degree), and every k is a suffix sum
+    * over those histograms — the k sweep costs O(maxdeg·K) on
+    * broadcast-sized tables however large the graph. All-integer
+    * (oriented-edge counts are exactly 2·E_k); one terminal ppm
+    * division. */
+  def gRichClub(s: SparkSession, dir: String): DataFrame = {
+    val und = PropertyGraph(s, dir).undirected.localCheckpoint()
+    val deg = und.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("d"))
+    val mh = und
+      .join(deg.select(F.col("v").as("sv"), F.col("d").as("x")), F.col("src") === F.col("sv"))
+      .join(deg.select(F.col("v").as("dv"), F.col("d").as("y")), F.col("dst") === F.col("dv"))
+      .select(F.least(F.col("x"), F.col("y")).as("m"))
+    val eh = mh.groupBy("m").agg(F.count(F.lit(1)).as("ce"))
+    val nh = deg.groupBy("d").agg(F.count(F.lit(1)).as("cn"))
+    val ks = s.range(1, 21).select(F.col("id").as("k"))
+    val nk = ks.join(F.broadcast(nh), F.col("d") > F.col("k"), "left")
+      .groupBy("k").agg(F.coalesce(F.sum("cn"), F.lit(0L)).as("nk"))
+    val ek = ks.join(F.broadcast(eh), F.col("m") > F.col("k"), "left")
+      .groupBy("k").agg(F.coalesce(F.sum("ce"), F.lit(0L)).as("e2"))
+    nk.join(ek, "k").filter(F.col("nk") >= 2)
+      .select(F.col("k"), F.col("nk").as("n_nodes"),
+        F.expr("e2 div 2").as("n_edges"),
+        F.expr("(1000000 * e2) div (nk * (nk - 1))").as("phi_ppm"))
+  }
+
+  val gRichClubSql: String =
+    s"""WITH $sqlPrelude,
+       |deg AS (SELECT src AS v, COUNT(*) AS d FROM uedges GROUP BY 1),
+       |mh AS (
+       |  SELECT least(dx.d, dy.d) AS m FROM uedges e
+       |  JOIN deg dx ON e.src = dx.v JOIN deg dy ON e.dst = dy.v),
+       |eh AS (SELECT m, COUNT(*) AS ce FROM mh GROUP BY 1),
+       |nh AS (SELECT d, COUNT(*) AS cn FROM deg GROUP BY 1),
+       |ks AS (SELECT UNNEST(range(1, 21)) AS k),
+       |nk AS (SELECT k, COALESCE(SUM(cn), 0) AS nk FROM ks LEFT JOIN nh ON d > k GROUP BY 1),
+       |ek AS (SELECT k, COALESCE(SUM(ce), 0) AS e2 FROM ks LEFT JOIN eh ON m > k GROUP BY 1)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(nk AS BIGINT) AS n_nodes,
+       | CAST(e2 // 2 AS BIGINT) AS n_edges,
+       | CAST((1000000 * e2) // (nk * (nk - 1)) AS BIGINT) AS phi_ppm
+       |FROM nk JOIN ek USING (k) WHERE nk >= 2""".stripMargin
+
   /** g_harmonic: landmark harmonic-closeness centrality + eccentricity
     * bound via MS-BFS (GraphAlgs.landmarkCentrality): 8 landmark
     * suppliers ride ONE bitmask frontier loop instead of 8 BFS runs.
@@ -1364,6 +1410,7 @@ object GraphQueries {
     ("g_node2vec", gNode2vec _, Some(gNode2vecSql)),
     ("g_paths", gPaths _, Some(gPathsSql)),
     ("g_assort", gAssort _, Some(gAssortSql)),
+    ("g_richclub", gRichClub _, Some(gRichClubSql)),
     ("g_clustcoef", gClustCoef _, Some(gClustCoefSql)),
     ("g_truss", gTruss _, Some(gTrussSql)),
     ("g_scc", gScc _, Some(gSccSql)),
