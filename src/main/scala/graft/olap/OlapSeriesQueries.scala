@@ -850,7 +850,64 @@ object OlapSeriesQueries {
       | CAST(MIN(run) AS BIGINT) AS trough, COUNT(*) AS n_points
       |FROM sw GROUP BY 1, 2""".stripMargin
 
+  /** q_stl_decompose: seasonal-trend decomposition of the daily value
+    * series per event type (ClickHouse `seriesDecomposeSTL`'s shape,
+    * deterministic-integer instead of LOESS): trend = centered 7-day
+    * moving sum (full windows only) scaled to ×10⁶/7, seasonal =
+    * per-day-of-week mean of the detrended series, residual = value −
+    * trend − seasonal — additive decomposition, exact BIGINT throughout
+    * (value in cents; every division a floor div with a fixed or
+    * aggregated count), so it cross-checks bit-for-bit. Plan: one daily
+    * rollup, one 7-row window per series, one (type, dow) aggregate
+    * joined back broadcast-sized — each series partitions independently
+    * at any scale. */
+  def qStlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("wn", F.count(F.lit(1)).over(w))
+      .withColumn("ws", F.sum("vc").over(w))
+      .filter(F.col("wn") === 7) // full centered windows only
+      .withColumn("t6", F.expr("(1000000 * ws) div 7"))
+      .withColumn("det6", F.expr("1000000 * vc - t6"))
+      .withColumn("dow", F.expr("day % 7"))
+    val seas = trended.groupBy("event_type", "dow")
+      .agg(F.expr("sum(det6) div count(1)").as("s6"))
+    trended.join(F.broadcast(seas), Seq("event_type", "dow"))
+      .select(F.col("event_type"), F.col("day"), F.col("vc"),
+        F.col("t6"), F.col("s6"),
+        F.expr("1000000 * vc - t6 - s6").as("r6"))
+  }
+
+  val qStlDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, day, vc,
+      |   COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+      |   SUM(vc) OVER (PARTITION BY event_type ORDER BY day
+      |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ws
+      |  FROM daily),
+      |t2 AS (
+      |  SELECT event_type, day, vc, (1000000 * ws) // 7 AS t6,
+      |   1000000 * vc - (1000000 * ws) // 7 AS det6, day % 7 AS dow
+      |  FROM tr WHERE wn = 7),
+      |seas AS (
+      |  SELECT event_type, dow, SUM(det6) // COUNT(*) AS s6
+      |  FROM t2 GROUP BY 1, 2)
+      |SELECT t2.event_type, CAST(day AS BIGINT) AS day, CAST(vc AS BIGINT) AS vc,
+      | CAST(t6 AS BIGINT) AS t6, CAST(s6 AS BIGINT) AS s6,
+      | CAST(1000000 * vc - t6 - s6 AS BIGINT) AS r6
+      |FROM t2 JOIN seas USING (event_type, dow)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_stl_decompose", qStlDecompose _, Some(qStlDecomposeSql)),
     ("q_concurrency", qConcurrency _, Some(qConcurrencySql)),
     ("q_tukey", qTukey _, Some(qTukeySql)),
     ("q_arr_enum", qArrEnum _, Some(qArrEnumSql)),
