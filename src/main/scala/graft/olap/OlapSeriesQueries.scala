@@ -906,7 +906,66 @@ object OlapSeriesQueries {
       | CAST(1000000 * vc - t6 - s6 AS BIGINT) AS r6
       |FROM t2 JOIN seas USING (event_type, dow)""".stripMargin
 
+  /** q_double_smooth: Holt DOUBLE exponential smoothing (level + trend)
+    * per event type over the daily cents series — the forecasting
+    * sibling of q_exp_decay's single smoothing. α = β = 1/2 keeps the
+    * whole recursion in BIGINT with truncating halving at every step
+    * (truncation IS the spec — both engines truncate identically, see
+    * q_stl_decompose), so the sequential fold cross-checks bit-for-bit:
+    * l_t = (x_t + l + b) div 2, b_t = (l_t − l + b) div 2; output =
+    * final level/trend + the 7-step linear forecast. The fold runs as
+    * ONE codegen'd `aggregate` over each type's collected daily array
+    * (series length = days, bounded; each series independent — the
+    * 100 TB layout is one fold per series partition); the oracle is a
+    * recursive CTE, NOT list_reduce (DuckDB 1.0 miscomputes some
+    * grouped ~100-element folds — SURVEY §7.2 finding). */
+  def qDoubleSmooth(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+    daily.groupBy("event_type")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("day"), F.col("vc"))))
+        .as("a"))
+      .select(F.col("event_type"),
+        F.expr("size(a)").cast("long").as("n_days"),
+        F.expr(
+          """aggregate(slice(a, 2, size(a) - 1),
+            |  struct(element_at(a, 1).vc AS l, cast(0 as bigint) AS b),
+            |  (acc, x) -> struct(
+            |    (x.vc + acc.l + acc.b) div 2 AS l,
+            |    ((x.vc + acc.l + acc.b) div 2 - acc.l + acc.b) div 2 AS b),
+            |  acc -> acc)""".stripMargin).as("st"))
+      .select(F.col("event_type"), F.col("n_days"),
+        F.col("st.l").as("level"), F.col("st.b").as("trend"),
+        F.expr("st.l + 7 * st.b").as("forecast7"))
+  }
+
+  val qDoubleSmoothSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, vc,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily),
+      |n AS (SELECT event_type, MAX(i) AS mx FROM idx GROUP BY 1),
+      |rec AS (
+      |  SELECT event_type, CAST(1 AS BIGINT) AS i, vc AS l,
+      |   CAST(0 AS BIGINT) AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |   (d.vc + r.l + r.b) // 2,
+      |   ((d.vc + r.l + r.b) // 2 - r.l + r.b) // 2
+      |  FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i + 1)
+      |SELECT r.event_type, CAST(n.mx AS BIGINT) AS n_days, r.l AS level,
+      | r.b AS trend, r.l + 7 * r.b AS forecast7
+      |FROM rec r JOIN n ON n.event_type = r.event_type AND r.i = n.mx""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_double_smooth", qDoubleSmooth _, Some(qDoubleSmoothSql)),
     ("q_stl_decompose", qStlDecompose _, Some(qStlDecomposeSql)),
     ("q_concurrency", qConcurrency _, Some(qConcurrencySql)),
     ("q_tukey", qTukey _, Some(qTukeySql)),
