@@ -118,6 +118,10 @@ object GraftExtensions {
     (new FunctionIdentifier("bitmap_xor_cardinality"),
       new ExpressionInfo(classOf[graft.operators.BitmapXorCardinality].getName, "bitmap_xor_cardinality"),
       (args: Seq[Expression]) => graft.operators.BitmapXorCardinality(args(0), args(1))),
+    (new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[graft.operators.TopKPairs].getName, "topk_pairs"),
+      (args: Seq[Expression]) => graft.operators.TopKPairs(
+        args(0), args(1), intLiteral(args(2), "topk_pairs(score, id, k)"))),
     (new FunctionIdentifier("uniq_up_to"),
       new ExpressionInfo(classOf[graft.operators.UniqUpToAgg].getName, "uniq_up_to"),
       (args: Seq[Expression]) => graft.operators.UniqUpToAgg(args(0), intLiteral(args(1), "uniq_up_to(ids, n)")),

@@ -25,6 +25,22 @@ class TopKSpec extends SparkSpec {
     assert(viaHeap == viaWindow)
   }
 
+  test("topk_pairs works from SQL via GraftExtensions registration") {
+    graft.GraftExtensions.register(spark)
+    graft.Tables(spark, SF, "orders").createOrReplaceTempView("topk_orders")
+    val viaSql = spark.sql(
+      """SELECT o_orderpriority, e.score, e.id
+        |FROM (SELECT o_orderpriority,
+        |        topk_pairs(o_totalprice, o_orderkey, 3) AS tk
+        |      FROM topk_orders GROUP BY 1)
+        |LATERAL VIEW explode(tk) AS e""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val viaApi = TopK.perGroup(graft.Tables(spark, SF, "orders"),
+        Seq("o_orderpriority"), F.col("o_totalprice"), F.col("o_orderkey"), k = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("result is stable under repartitioning (heaps merge associatively)") {
     val orders = graft.Tables(spark, SF, "orders")
     val a = TopK.perGroup(orders.repartition(1), Seq("o_orderpriority"),
