@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plus column pruning through the custom node (Catalyst's own
     // ColumnPruning stops at nodes it doesn't know)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
     // ASOF [LEFT] JOIN SQL syntax: token rewrite in the injected parser,
     // marker-tagged Join → AsOfJoinNode at resolution time (must happen

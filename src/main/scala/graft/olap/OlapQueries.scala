@@ -514,6 +514,29 @@ object OlapQueries {
       .agg(F.count(F.lit(1)).as("n_orders"), out2(F.sum(dec2(F.col("o_totalprice")))).as("total"))
   }
 
+  /** q_range_phys: the SAME band join through graft's custom INTERVAL
+    * JOIN operator (tier c #2, graft.plans.IntervalJoinExec): the
+    * broadcast interval INDEX (sorted lo + prefix-max hi) probes each
+    * order in O(log n + matches) instead of BroadcastNestedLoopJoin's
+    * O(intervals) scan per row, and the fact stream never shuffles.
+    * Prices in exact cents (BIGINT contract); floor(price/10000) ≡
+    * cents ∈ [band·10⁶, (band+1)·10⁶), so this shares q_range_join's
+    * oracle — the custom-plan path is hash-gated end to end. */
+  def qRangePhys(s: SparkSession, dir: String): DataFrame = {
+    val maxBand = t(s, dir, "orders")
+      .agg(F.floor(F.max("o_totalprice") / 10000.0).cast("long")).head().getLong(0)
+    val bands = s.range(0, maxBand + 1).toDF("band")
+      .withColumn("lo", F.col("band") * 1000000L)
+      .withColumn("hi", (F.col("band") + 1) * 1000000L)
+    val pts = t(s, dir, "orders")
+      .select(F.col("o_totalprice"),
+        (dec2(F.col("o_totalprice")) * 100).cast("long").as("vc"))
+    graft.plans.IntervalJoin.join(pts, bands, "vc", "lo", "hi")
+      .groupBy("band")
+      .agg(F.count(F.lit(1)).as("n_orders"),
+        out2(F.sum(dec2(F.col("o_totalprice")))).as("total"))
+  }
+
   val qRangeJoinSql: String =
     """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS band,
       | COUNT(*) AS n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
@@ -539,5 +562,6 @@ object OlapQueries {
     ("q_asof_sql", qAsofSqlEntry _, Some(qAsofSql)),
     ("q_asof_left", qAsofLeft _, Some(qAsofLeftSql)),
     ("q_asof_near", qAsofNear _, Some(qAsofNearSql)),
-    ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)))
+    ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
+    ("q_range_phys", qRangePhys _, Some(qRangeJoinSql)))
 }

@@ -67,17 +67,28 @@ object AsOfJoinPruning
   import org.apache.spark.sql.catalyst.expressions.{AttributeSet, NamedExpression}
   import org.apache.spark.sql.catalyst.plans.logical.Project
 
+  private def pruneChildren(projList: Seq[NamedExpression],
+                            joinAttrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                            l: LogicalPlan, r: LogicalPlan): Option[(LogicalPlan, LogicalPlan)] = {
+    val used = AttributeSet(projList.flatMap(_.references)) ++ AttributeSet(joinAttrs)
+    def prune(child: LogicalPlan): LogicalPlan = {
+      val keep: Seq[NamedExpression] = child.output.filter(used.contains)
+      if (keep.length == child.output.length) child else Project(keep, child)
+    }
+    val (nl, nr) = (prune(l), prune(r))
+    if ((nl eq l) && (nr eq r)) None else Some((nl, nr))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(projList, j: AsOfJoinNode) =>
-      val used = AttributeSet(projList.flatMap(_.references)) ++
-        AttributeSet(Seq(j.lKey, j.lTime, j.rKey, j.rTime, j.rTie))
-      def prune(child: LogicalPlan): LogicalPlan = {
-        val keep: Seq[NamedExpression] = child.output.filter(used.contains)
-        if (keep.length == child.output.length) child else Project(keep, child)
-      }
-      val (nl, nr) = (prune(j.left), prune(j.right))
-      if ((nl eq j.left) && (nr eq j.right)) p
-      else Project(projList, j.copy(left = nl, right = nr))
+      pruneChildren(projList, Seq(j.lKey, j.lTime, j.rKey, j.rTime, j.rTie),
+        j.left, j.right)
+        .map { case (nl, nr) => Project(projList, j.copy(left = nl, right = nr)) }
+        .getOrElse(p)
+    case p @ Project(projList, j: IntervalJoinNode) =>
+      pruneChildren(projList, Seq(j.pVal, j.iLo, j.iHi), j.left, j.right)
+        .map { case (nl, nr) => Project(projList, j.copy(left = nl, right = nr)) }
+        .getOrElse(p)
   }
 }
 

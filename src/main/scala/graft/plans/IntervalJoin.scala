@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.types.LongType
+
+/** INTERVAL (range) JOIN as a first-class operator — the second tier-(c)
+  * whole-operator extension (the mandate's named trio: as-of join ✓,
+  * range join, novel sketch ✓): match each point row to EVERY interval
+  * row with lo ≤ v < hi (half-open; intervals may overlap arbitrarily).
+  *
+  * Why a physical operator: Spark plans a non-equi theta join as
+  * BroadcastNestedLoopJoin — every point row scans EVERY interval row,
+  * O(points × intervals). This exec broadcasts the intervals once and
+  * builds a per-executor INTERVAL INDEX: intervals sorted by lo plus a
+  * running prefix-max of hi. A probe binary-searches the last lo ≤ v,
+  * then walks backward only while the prefix-max-hi still exceeds v —
+  * O(log n + matches) per point for non/lightly-overlapping interval
+  * sets (degrading gracefully to O(overlap depth)), with NO shuffle of
+  * the point side at all: the operator preserves the left child's
+  * partitioning and ordering, so a downstream per-band aggregate
+  * reuses whatever layout the points already had. At 100 TB: the fact
+  * stream passes through map-side untouched; only the (dimension-sized,
+  * but possibly 10⁵–10⁷-row) interval table broadcasts — exactly the
+  * regime where the nested-loop scan per row is the bottleneck and a
+  * shuffle would be waste.
+  *
+  * Contract (AsOfJoin's discipline): v/lo/hi are non-null BIGINTs —
+  * the helper enforces types and narrows nullable inputs; inner
+  * semantics (points matching no interval drop).
+  */
+case class IntervalJoinNode(left: LogicalPlan, right: LogicalPlan,
+                            pVal: Attribute, iLo: Attribute, iHi: Attribute)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case IntervalJoinNode(l, r, v, lo, hi) =>
+      IntervalJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
+                            pVal: Attribute, iLo: Attribute, iHi: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // points stream through map-side: both layout properties survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val vIdx = left.output.indexWhere(_.exprId == pVal.exprId)
+    val loIdx = right.output.indexWhere(_.exprId == iLo.exprId)
+    val hiIdx = right.output.indexWhere(_.exprId == iHi.exprId)
+    require(vIdx >= 0 && loIdx >= 0 && hiIdx >= 0,
+      "interval-join attributes must come from the join children")
+    val schema = output
+    val rel = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { li =>
+      // per-partition index build over the broadcast rows: sort by
+      // (lo, hi) once, prefix-max hi for the backward-walk cutoff
+      val rows = rel.value.sortBy(r => (r.getLong(loIdx), r.getLong(hiIdx)))
+      val n = rows.length
+      val lo = new Array[Long](n)
+      val maxHi = new Array[Long](n)
+      var i = 0
+      var run = Long.MinValue
+      while (i < n) {
+        lo(i) = rows(i).getLong(loIdx)
+        run = math.max(run, rows(i).getLong(hiIdx))
+        maxHi(i) = run
+        i += 1
+      }
+      val joiner = new JoinedRow
+      val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
+      li.flatMap { l =>
+        val v = l.getLong(vIdx)
+        // last index with lo <= v
+        var a = 0; var b = n
+        while (a < b) { val m = (a + b) >>> 1; if (lo(m) <= v) a = m + 1 else b = m }
+        var j = a - 1
+        val out = Iterator.unfold(j) { k =>
+          var p = k
+          while (p >= 0 && maxHi(p) > v && rows(p).getLong(hiIdx) <= v) p -= 1
+          if (p < 0 || maxHi(p) <= v) None
+          else Some((proj(joiner(l, rows(p))), p - 1))
+        }
+        out
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoin {
+  /** Public API: join `points` to every `intervals` row with
+    * lo ≤ v < hi. All three columns BIGINT; output = points columns ++
+    * interval columns (names must not collide); inner semantics. */
+  def join(points: DataFrame, intervals: DataFrame,
+           v: String, lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pf = points.filter(col(v).isNotNull)
+    val rf = intervals.filter(col(lo).isNotNull && col(hi).isNotNull)
+    val lp = pf.queryExecution.analyzed
+    val rp = rf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found among ${p.output.map(_.name).mkString(", ")}"))
+    val attrs = Seq(attr(lp, v), attr(rp, lo), attr(rp, hi))
+    attrs.foreach(a => require(a.dataType == LongType,
+      s"interval-join column ${a.name} must be BIGINT, got ${a.dataType.sql}"))
+    val dup = lp.output.map(_.name).toSet intersect rp.output.map(_.name).toSet
+    require(dup.isEmpty, s"output name collision: ${dup.mkString(", ")}")
+    GraftSqlBridge.ofRows(points.sparkSession,
+      IntervalJoinNode(lp, rp, attrs(0), attrs(1), attrs(2)))
+  }
+}
