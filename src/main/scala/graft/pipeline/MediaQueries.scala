@@ -249,6 +249,65 @@ object MediaQueries {
       .filter(F.col("hamming") <= 3)
   }
 
+  /** m_media_dedup: the full MEDIA near-dup chain — phash band
+    * candidates → verified hamming ≤ 3 pairs (m_media_phash, provably ⊇
+    * threshold pairs by pigeonhole) → connected components via the
+    * frontier Pregel → keep-min canonical per component → per-source
+    * survival accounting: the media sibling of d_fuzzy_e2e, i.e. the
+    * composition a multimodal ingestion actually runs. Oracle = the
+    * all-pairs hamming closure (recursive CTE), so the banded + Pregel
+    * path is hash-gated against the exact transitive closure. */
+  def mMediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mMediaPhash(s, dir).select("a_id", "b_id").localCheckpoint()
+    val sym = pairs.select(F.col("a_id").as("src"), F.col("b_id").as("dst"))
+      .unionByName(pairs.select(F.col("b_id").as("src"), F.col("a_id").as("dst")))
+    val docs = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"))
+    val comp = graft.graph.Pregel.minPropagate(
+      docs.select(F.col("doc_id").as("vid"), F.col("doc_id").as("x")),
+      identity, sym, F.col("x"), maxIter = 10)
+      .select(F.col("vid").as("doc_id"), F.col("x").as("keep_id"))
+    docs.join(comp, Seq("doc_id"))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_media"),
+        F.sum(F.when(F.col("doc_id") === F.col("keep_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        F.sum(F.when(F.col("doc_id") =!= F.col("keep_id"), 1L).otherwise(0L))
+          .as("n_removed"))
+  }
+
+  val mMediaDedupSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS s
+      |  FROM w, UNNEST(range(1, len(ws))) AS u(i) WHERE len(ws) >= 2),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    ((((strpos('0123456789abcdef', substr(md5(s), 2*(j//8)+1, 1)) - 1) * 16
+      |       + strpos('0123456789abcdef', substr(md5(s), 2*(j//8)+2, 1)) - 1)
+      |      >> (j % 8)) & 1) AS bit
+      |  FROM sh, UNNEST(range(0, 64)) AS u(j)),
+      |votes AS (SELECT doc_id, j, SUM(2*bit - 1) AS v FROM bits GROUP BY 1, 2),
+      |h AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN v > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS h_lo,
+      |  CAST(SUM(CASE WHEN v > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS h_hi
+      |  FROM votes GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3),
+      |sym(s, d) AS (SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      |reach(v, u) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.v, e.d FROM reach r JOIN sym e ON e.s = r.u),
+      |canon AS (SELECT v AS doc_id, MIN(u) AS keep_id FROM reach GROUP BY v)
+      |SELECT d.source, COUNT(*) AS n_media,
+      |  CAST(SUM(CASE WHEN d.doc_id = canon.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN d.doc_id <> canon.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      |FROM documents d JOIN canon ON canon.doc_id = d.doc_id
+      |GROUP BY 1""".stripMargin
+
   /** Oracle: identical hash arithmetic (md5 hex digits → digest bytes),
     * then the PLAIN all-pairs hamming join — no band condition, see
     * [[mMediaPhash]]'s pigeonhole argument. */
@@ -358,6 +417,7 @@ object MediaQueries {
     ("m_media_scene_cut", mMediaSceneCut _, Some(mMediaSceneCutSql)),
     ("m_media_clip_pairs", mMediaClipPairs _, Some(mMediaClipPairsSql)),
     ("m_media_phash", mMediaPhash _, Some(mMediaPhashSql)),
+    ("m_media_dedup", mMediaDedup _, Some(mMediaDedupSql)),
     ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)),
     ("m_media_frames", mMediaFrames _, Some(mMediaFramesSql)),
     ("m_media_resize", mMediaResize _, Some(mMediaResizeSql)),
