@@ -686,7 +686,76 @@ object DedupQueries {
       |FROM c JOIN fr USING (ch)
       |GROUP BY 1""".stripMargin
 
+  /** d_winnowing: WINNOWING document fingerprints (Schleimer/Wilkerson/
+    * Aiken — the MOSS plagiarism-detection primitive): hash every 3-word
+    * shingle, slide a w=4 window over the hash sequence, keep each
+    * window's MINIMUM — guarantees any shared run of ≥ w+2 words
+    * produces a shared fingerprint while storing only ~2/(w+1) of the
+    * grams. Hashes are md5 hex STRINGS (lexicographic min is a total
+    * order both engines share — no hex→int conversion needed); per doc:
+    * gram count, fingerprint count (distinct window minima),
+    * compression ppm, and how many of its fingerprints appear in OTHER
+    * docs. Plan: one explode, one per-doc sliding-window min (partition
+    * = doc), one fingerprint-hash groupBy for cross-doc counts — the
+    * d_cdc_dedup shuffle shape. */
+  def dWinnowing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("ws"))
+      .filter(F.expr("size(ws) >= 6")) // 3-gram count >= w
+      .select(F.col("doc_id"),
+        F.posexplode(F.expr(
+          "transform(sequence(1, size(ws) - 2), " +
+            "i -> md5(cast(concat_ws(' ', slice(ws, i, 3)) as binary)))"))
+          .as(Seq("pos", "h")))
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    val fps = grams
+      .withColumn("wn", F.count(F.lit(1)).over(w))
+      .withColumn("wmin", F.min("h").over(w))
+      .filter(F.col("wn") === 4) // full windows only
+      .select(F.col("doc_id"), F.col("wmin").as("fp"))
+      .distinct()
+    val shared = fps.groupBy("fp").agg(F.count_distinct(F.col("doc_id")).as("nd"))
+    val perDoc = fps.join(shared, "fp")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_fp"),
+        F.sum(F.when(F.col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    grams.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_grams"))
+      .join(perDoc, "doc_id")
+      .select(F.col("doc_id"), F.col("n_grams"), F.col("n_fp"),
+        F.expr("(1000000 * n_fp) div n_grams").as("keep_ppm"),
+        F.col("n_shared"))
+  }
+
+  val dWinnowingSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 6),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |   md5(array_to_string(ws[i:i+2], ' ')) AS h
+      |  FROM d, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+      |wm AS (
+      |  SELECT doc_id, pos,
+      |   COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn,
+      |   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM wm WHERE wn = 4),
+      |shared AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fps GROUP BY 1),
+      |per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_fp,
+      |   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |  FROM fps JOIN shared USING (fp) GROUP BY 1),
+      |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      | CAST(n_fp AS BIGINT) AS n_fp,
+      | CAST((1000000 * n_fp) // n_grams AS BIGINT) AS keep_ppm, n_shared
+      |FROM ng JOIN per_doc USING (doc_id)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_winnowing", dWinnowing _, Some(dWinnowingSql)),
     ("d_cdc_dedup", dCdcDedup _, Some(dCdcDedupSql)),
     ("d_url_dedup", dUrlDedup _, Some(dUrlDedupSql)),
     ("d_prefix_dup", dPrefixDup _, Some(dPrefixDupSql)),
