@@ -159,7 +159,68 @@ object OlapGeoQueries {
        |  ${haversineKm("nlat", "nlon", "rlat", "rlon")} AS km
        |FROM n JOIN r ON n_regionkey = r_regionkey""".stripMargin
 
+  /** q_geohash_box: ClickHouse `geohashesInBox` — the precision-2 cells
+    * covering each nation's customer bounding box. The 1024 candidate
+    * cells enumerate from one `range`; each cell id de-interleaves into
+    * (lon5, lat5) by bit sums, its bounds are EXACT integers (lon in the
+    * ×100 space, span 36000/32 = 1125; lat doubled into a ×200 space so
+    * 18000/32 stays integral), and the box intersection is four integer
+    * comparisons — consistent with geohash5's bit layout, so every
+    * point's own gh2 prefix provably lands inside its nation's cover.
+    * 25 bboxes × 1024 cells ride one broadcast nested-loop (bounded by
+    * construction at any SF). */
+  def qGeohashBox(s: SparkSession, dir: String): DataFrame = {
+    val bbox = Tables(s, dir, "customer")
+      .select(F.col("c_nationkey").cast("long").as("nation"),
+        F.expr(CustLat).as("lat100"), F.expr(CustLon).as("lon100"))
+      .groupBy("nation")
+      .agg(F.min("lon100").as("lon_min"), F.max("lon100").as("lon_max"),
+        F.min("lat100").as("lat_min"), F.max("lat100").as("lat_max"))
+    val deint = (off: Int) =>
+      (0 to 4).map(j => s"((c div ${1L << (2 * j + off)}) % 2) * ${1L << j}")
+        .mkString(" + ")
+    val cells = s.range(0, 1024).toDF("c")
+      .withColumn("lon5", F.expr(deint(1)))
+      .withColumn("lat5", F.expr(deint(0)))
+      .withColumn("lon_lo", F.expr("-18000 + lon5 * 1125"))
+      .withColumn("lat_lo200", F.expr("-18000 + lat5 * 1125"))
+      .withColumn("gh2", F.expr(
+        s"concat(substr('$B32', cast(c div 32 as int) + 1, 1), " +
+          s"substr('$B32', cast(c % 32 as int) + 1, 1))"))
+    bbox.join(F.broadcast(cells),
+        F.expr("lon_lo <= lon_max AND lon_lo + 1125 > lon_min AND " +
+          "lat_lo200 <= 2 * lat_max AND lat_lo200 + 1125 > 2 * lat_min"))
+      .groupBy("nation")
+      .agg(F.count(F.lit(1)).as("n_cells"),
+        F.min("gh2").as("min_cell"), F.max("gh2").as("max_cell"))
+  }
+
+  val qGeohashBoxSql: String = {
+    def deint(off: Int) =
+      (0 to 4).map(j => s"((c // ${1L << (2 * j + off)}) % 2) * ${1L << j}")
+        .mkString(" + ")
+    s"""WITH bbox AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |   MIN($CustLon) AS lon_min, MAX($CustLon) AS lon_max,
+       |   MIN($CustLat) AS lat_min, MAX($CustLat) AS lat_max
+       |  FROM customer GROUP BY 1),
+       |cells AS (
+       |  SELECT c, ${deint(1)} AS lon5, ${deint(0)} AS lat5,
+       |   -18000 + (${deint(1)}) * 1125 AS lon_lo,
+       |   -18000 + (${deint(0)}) * 1125 AS lat_lo200,
+       |   substr('$B32', CAST(c // 32 AS INTEGER) + 1, 1) ||
+       |     substr('$B32', CAST(c % 32 AS INTEGER) + 1, 1) AS gh2
+       |  FROM (SELECT UNNEST(range(0, 1024)) AS c))
+       |SELECT nation, COUNT(*) AS n_cells,
+       | MIN(gh2) AS min_cell, MAX(gh2) AS max_cell
+       |FROM bbox JOIN cells
+       |  ON lon_lo <= lon_max AND lon_lo + 1125 > lon_min
+       | AND lat_lo200 <= 2 * lat_max AND lat_lo200 + 1125 > 2 * lat_min
+       |GROUP BY 1""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_geo", qGeo _, Some(qGeoSql)),
+    ("q_geohash_box", qGeohashBox _, Some(qGeohashBoxSql)),
     ("q_geo_dist", qGeoDist _, Some(qGeoDistSql)))
 }
