@@ -964,7 +964,50 @@ object OlapSeriesQueries {
       | r.b AS trend, r.l + 7 * r.b AS forecast7
       |FROM rec r JOIN n ON n.event_type = r.event_type AND r.i = n.mx""".stripMargin
 
+  /** q_active_users: DAU / WAU / MAU per day — the rolling-distinct
+    * engagement rollup. Exact formulation: dedupe to (user, day) once,
+    * then each active day CONTRIBUTES itself to the 7/28 following
+    * report days (explode of a bounded offset sequence — rows = |ud|×28,
+    * never |events|×28) and a distinct-count per report day; report days
+    * restricted to days that exist in the data. At 100 TB the windowed
+    * distinct runs as per-day Roaring bitmaps OR-merged across the
+    * window (graft.operators.BitmapDistinct — same counts, O(days)
+    * bitmap state instead of the fan-out join); the explode form here is
+    * the exactness tier both engines replay. */
+  def qActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val days = ud.select(F.col("day").as("d")).distinct()
+    def rolling(win: Int, name: String) = ud
+      .withColumn("d", F.explode(F.expr(s"sequence(day, day + ${win - 1})")))
+      .join(days, "d")
+      .groupBy("d").agg(F.count_distinct(F.col("user_id")).as(name))
+    val dau = ud.groupBy(F.col("day").as("d"))
+      .agg(F.count_distinct(F.col("user_id")).as("dau"))
+    dau.join(rolling(7, "wau"), "d").join(rolling(28, "mau"), "d")
+  }
+
+  val qActiveUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM ud),
+      |wau AS (
+      |  SELECT day + o AS d, COUNT(DISTINCT user_id) AS wau
+      |  FROM ud, UNNEST(range(0, 7)) AS u(o)
+      |  WHERE day + o IN (SELECT d FROM days) GROUP BY 1),
+      |mau AS (
+      |  SELECT day + o AS d, COUNT(DISTINCT user_id) AS mau
+      |  FROM ud, UNNEST(range(0, 28)) AS u(o)
+      |  WHERE day + o IN (SELECT d FROM days) GROUP BY 1),
+      |dau AS (SELECT day AS d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+      |SELECT CAST(dau.d AS BIGINT) AS d, CAST(dau AS BIGINT) AS dau,
+      | CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau
+      |FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_active_users", qActiveUsers _, Some(qActiveUsersSql)),
     ("q_double_smooth", qDoubleSmooth _, Some(qDoubleSmoothSql)),
     ("q_stl_decompose", qStlDecompose _, Some(qStlDecomposeSql)),
     ("q_concurrency", qConcurrency _, Some(qConcurrencySql)),
