@@ -710,7 +710,70 @@ object OlapExtraQueries {
       |  CAST(COUNT(*) FILTER (WHERE net <= 0) AS BIGINT) AS n_cancelled
       |FROM coll GROUP BY 1""".stripMargin
 
+  /** q_attribution: multi-touch marketing attribution — every purchase
+    * credits the click/view touches of the SAME user in the 7 days
+    * strictly before it: LAST-touch (latest tt, tie → largest event_id),
+    * FIRST-touch (earliest, tie → smallest id), and LINEAR credit
+    * (floor(10⁶/n) ppm per touch — the floor is the spec, so sums are
+    * integer-exact). One per-user temporal join (candidates bounded by
+    * per-user activity in the window — the q_asof family's shuffle
+    * shape, never a global product) + two window ranks per conversion.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val conv = ev.filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("ct"),
+        F.col("event_id").as("cid"))
+    val touch = ev.filter(F.col("event_type").isin("click", "view"))
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("tt"),
+        F.col("event_id").as("tid"), F.col("event_type").as("ttype"))
+    val Win = 7L * 86400L * 1000000L
+    val cand = conv.join(touch, Seq("user_id"))
+      .filter(F.col("tt") < F.col("ct") && F.col("tt") >= F.col("ct") - Win)
+    val wLast = Window.partitionBy("cid")
+      .orderBy(F.col("tt").desc, F.col("tid").desc)
+    val wFirst = Window.partitionBy("cid")
+      .orderBy(F.col("tt").asc, F.col("tid").asc)
+    val wN = Window.partitionBy("cid")
+    cand
+      .withColumn("r_last", F.row_number().over(wLast))
+      .withColumn("r_first", F.row_number().over(wFirst))
+      .withColumn("n", F.count(F.lit(1)).over(wN))
+      .groupBy("ttype")
+      .agg(
+        F.sum(F.when(F.col("r_last") === 1, 1L).otherwise(0L)).as("n_last"),
+        F.sum(F.when(F.col("r_first") === 1, 1L).otherwise(0L)).as("n_first"),
+        F.sum(F.expr("1000000 div n")).as("linear_ppm"),
+        F.count(F.lit(1)).as("n_touches"))
+  }
+
+  val qAttributionSql: String =
+    """WITH conv AS (
+      |  SELECT user_id, epoch_us(ts) AS ct, event_id AS cid
+      |  FROM events WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, epoch_us(ts) AS tt, event_id AS tid,
+      |   event_type AS ttype
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |cand AS (
+      |  SELECT c.cid, t.ttype, t.tt, t.tid
+      |  FROM conv c JOIN touch t ON t.user_id = c.user_id
+      |  WHERE t.tt < c.ct AND t.tt >= c.ct - CAST(604800000000 AS BIGINT)),
+      |ranked AS (
+      |  SELECT ttype,
+      |   ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tt DESC, tid DESC) AS r_last,
+      |   ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tt ASC, tid ASC) AS r_first,
+      |   COUNT(*) OVER (PARTITION BY cid) AS n
+      |  FROM cand)
+      |SELECT ttype,
+      | CAST(SUM(CASE WHEN r_last = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+      | CAST(SUM(CASE WHEN r_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      | CAST(SUM(1000000 // n) AS BIGINT) AS linear_ppm,
+      | COUNT(*) AS n_touches
+      |FROM ranked GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_attribution", qAttribution _, Some(qAttributionSql)),
     ("q_collapsing", qCollapsing _, Some(qCollapsingSql)),
     ("q_dictget", qDictGet _, Some(qDictGetSql)),
     ("q_paste_join", qPasteJoin _, Some(qPasteJoinSql)),
