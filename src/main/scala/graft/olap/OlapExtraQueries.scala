@@ -772,7 +772,70 @@ object OlapExtraQueries {
       | COUNT(*) AS n_touches
       |FROM ranked GROUP BY 1""".stripMargin
 
+  /** q_session_funnel: the funnel WITHIN sessions — sessionize (30-min
+    * inactivity gap, q_sessionize's rule) and score each session's
+    * strict-contiguous funnel depth (q_funnel_strict's step-string
+    * probe), i.e. "did the user click→view→purchase within one visit",
+    * the composition a product-analytics user actually asks for.
+    * Session assignment = one lag + running-sum window per user; the
+    * funnel = one ordered string per (user, session); per-level session
+    * counts. Two window passes + one aggregate — no joins at all. */
+  def qSessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val GapUs = 30L * 60L * 1000000L
+    val ev = Tables(s, dir, "events")
+      .filter(F.col("event_type").isin("click", "view", "purchase"))
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("tu"),
+        F.col("event_id"),
+        F.when(F.col("event_type") === "click", "c")
+          .when(F.col("event_type") === "view", "v")
+          .otherwise("p").as("st"))
+    val wSeq = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    val sessions = ev
+      .withColumn("prev", F.lag("tu", 1).over(wSeq))
+      .withColumn("brk",
+        F.when(F.col("prev").isNull || F.col("tu") - F.col("prev") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", F.sum("brk").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "sess")
+      .agg(F.concat_ws("", F.expr(
+        "transform(sort_array(collect_list(struct(tu, event_id, st))), x -> x.st)"))
+        .as("seq"))
+      .select(
+        F.when(F.instr(F.col("seq"), "cvp") > 0, 3L)
+          .when(F.instr(F.col("seq"), "cv") > 0, 2L)
+          .when(F.instr(F.col("seq"), "c") > 0, 1L)
+          .otherwise(0L).as("level"))
+      .groupBy("level").agg(F.count(F.lit(1)).as("n_sessions"))
+  }
+
+  val qSessionFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+      |    CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' ELSE 'p' END AS st
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |brk AS (
+      |  SELECT user_id, tu, event_id, st,
+      |   CASE WHEN LAG(tu) OVER w IS NULL
+      |         OR tu - LAG(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS b
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+      |sess AS (
+      |  SELECT user_id, st, tu, event_id,
+      |   SUM(b) OVER (PARTITION BY user_id ORDER BY tu, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM brk),
+      |seqs AS (
+      |  SELECT user_id, sess, string_agg(st, '' ORDER BY tu, event_id) AS seq
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT level, COUNT(*) AS n_sessions FROM (
+      |  SELECT CASE WHEN strpos(seq, 'cvp') > 0 THEN 3
+      |              WHEN strpos(seq, 'cv') > 0 THEN 2
+      |              WHEN strpos(seq, 'c') > 0 THEN 1
+      |              ELSE 0 END AS level
+      |  FROM seqs) x GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_session_funnel", qSessionFunnel _, Some(qSessionFunnelSql)),
     ("q_attribution", qAttribution _, Some(qAttributionSql)),
     ("q_collapsing", qCollapsing _, Some(qCollapsingSql)),
     ("q_dictget", qDictGet _, Some(qDictGetSql)),

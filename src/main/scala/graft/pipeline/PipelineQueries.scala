@@ -343,7 +343,80 @@ object PipelineQueries {
       |  ' ') AS target
       |FROM o""".stripMargin
 
+  /** d_data_card: the per-source DATASET CARD — the one-row-per-source
+    * summary a corpus release ships (counts, length stats, predicted
+    * language mix, exact-dup exposure, token budget), assembled in ONE
+    * pass + one content-hash window (no joins between the facets: every
+    * metric is a conditional aggregate over the same scan, so the card
+    * costs what the cheapest of its facets would). Language = t_langid's
+    * marker rule; dup = docs whose exact content hash appears more than
+    * once CORPUS-WIDE (non-canonical copies counted); tokens = the
+    * BPE-ish regex count shared with the e2e pipeline. */
+  def dDataCard(s: SparkSession, dir: String): DataFrame = {
+    val scores = markers.map { case (l, ws) =>
+      F.expr(s"size(filter(w, x -> x IN (${inList(ws)})))").cast("long").as(s"s_$l")
+    }
+    val base = Tables(s, dir, "documents")
+      .select(Seq(F.col("doc_id"), F.col("source"), F.col("text"),
+        F.split(F.col("text"), " ").as("w")): _*)
+      .select(Seq(F.col("doc_id"), F.col("source"),
+        F.size(F.col("w")).cast("long").as("n_words"),
+        F.expr(s"regexp_count(text, '$tokenRe')").cast("long").as("n_tokens"),
+        F.md5(F.col("text").cast("binary")).as("h")) ++ scores: _*)
+    val best = markers.map { case (l, _) => F.col(s"s_$l") }
+      .reduce(F.greatest(_, _))
+    val pred = F.when(best <= 0L, "und")
+      .otherwise(markers.foldRight(F.lit("und"): Column) { case ((l, _), el) =>
+        F.when(F.col(s"s_$l") === best, l).otherwise(el)
+      })
+    val wh = Window.partitionBy("h")
+    base
+      .withColumn("pred_lang", pred)
+      .withColumn("n_copies", F.count(F.lit(1)).over(wh))
+      .withColumn("canon", F.min("doc_id").over(wh))
+      .groupBy("source")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_words").as("n_words"),
+        F.expr("(1000000 * sum(n_words)) div count(1)").as("mean_words6"),
+        F.sum("n_tokens").as("n_tokens"),
+        F.sum(F.when(F.col("pred_lang") === "en", 1L).otherwise(0L))
+          .as("n_en"),
+        F.sum(F.when(F.col("n_copies") > 1 && F.col("doc_id") =!= F.col("canon"), 1L)
+          .otherwise(0L)).as("n_dup_copies"))
+  }
+
+  val dDataCardSql: String = {
+    val scores = markers.map { case (l, ws) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${inList(ws)}))) AS BIGINT) AS s_$l"
+    }.mkString(",\n   ")
+    val best = "greatest(" + markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pick = markers.reverse.foldLeft("'und'") { case (el, (l, _)) =>
+      s"CASE WHEN s_$l = $best THEN '$l' ELSE $el END"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |   CAST(len(regexp_extract_all(text, '$tokenRe')) AS BIGINT) AS n_tokens,
+       |   md5(text) AS h,
+       |   $scores
+       |  FROM documents),
+       |lp AS (
+       |  SELECT *, CASE WHEN $best <= 0 THEN 'und' ELSE $pick END AS pred_lang,
+       |   COUNT(*) OVER (PARTITION BY h) AS n_copies,
+       |   MIN(doc_id) OVER (PARTITION BY h) AS canon
+       |  FROM base)
+       |SELECT source, COUNT(*) AS n_docs,
+       | CAST(SUM(n_words) AS BIGINT) AS n_words,
+       | CAST((1000000 * SUM(n_words)) // COUNT(*) AS BIGINT) AS mean_words6,
+       | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       | CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       | CAST(SUM(CASE WHEN n_copies > 1 AND doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_copies
+       |FROM lp GROUP BY 1""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_data_card", dDataCard _, Some(dDataCardSql)),
     ("d_span_corrupt", dSpanCorrupt _, Some(dSpanCorruptSql)),
     ("d_dsir", dDsir _, Some(dDsirSql)),
     ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)),
