@@ -366,7 +366,39 @@ object OlapCombinatorQueries {
       |SELECT n.user_id, n.n, CAST(COALESCE(m.seq_cnt, 0) AS BIGINT) AS seq_cnt
       |FROM n LEFT JOIN m ON m.user_id = n.user_id""".stripMargin
 
+  /** q_histogram_eqd: EQUI-DEPTH histogram per event type (the
+    * complement of q_histogram's equi-width buckets — bucket BOUNDS are
+    * the signal, counts are equal by construction ±1): ntile(8) over the
+    * total order (value cents, event_id) makes bucket assignment
+    * deterministic; per bucket emit count and exact cents bounds. One
+    * window + one rollup per series. */
+  def qHistogramEqd(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("vc", "event_id")
+    Tables(s, dir, "events")
+      .select(F.col("event_type"), F.col("event_id"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .withColumn("b", F.ntile(8).over(w).cast("long"))
+      .groupBy("event_type", "b")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.min("vc").as("lo_c"), F.max("vc").as("hi_c"))
+  }
+
+  val qHistogramEqdSql: String =
+    """WITH v AS (
+      |  SELECT event_type, event_id,
+      |   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, vc,
+      |   CAST(NTILE(8) OVER (PARTITION BY event_type ORDER BY vc, event_id) AS BIGINT) AS b
+      |  FROM v)
+      |SELECT event_type, b, COUNT(*) AS n,
+      | CAST(MIN(vc) AS BIGINT) AS lo_c, CAST(MAX(vc) AS BIGINT) AS hi_c
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_histogram_eqd", qHistogramEqd _, Some(qHistogramEqdSql)),
     ("q_seq_count", qSeqCount _, Some(qSeqCountSql)),
     ("q_exp_decay", qExpDecay _, Some(qExpDecaySql)),
     ("q_summap", qSumMap _, Some(qSumMapSql)),

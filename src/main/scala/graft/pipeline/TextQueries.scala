@@ -858,7 +858,52 @@ object TextQueries {
       |WHERE c_ab >= 5
       |ORDER BY pmi6 DESC, wa, wb LIMIT 20""".stripMargin
 
+  /** t_code_frac: code-vs-prose detection by symbol statistics — the
+    * cheap gate a Stack/Dolma-style pipeline runs before routing
+    * documents to code vs text processing: per doc, ppm rates of code
+    * indicator characters ({}();=<>[]), digits, and ALL-CAPS words, plus
+    * the resulting is_code flag (indicator ppm over a threshold);
+    * summarized per source. Pure map-only length-difference counting
+    * (the t_char_entropy discipline) + one bounded rollup. */
+  def tCodeFrac(s: SparkSession, dir: String): DataFrame = {
+    val n = F.length(F.col("text"))
+    def rate(re: String) =
+      F.expr(s"(1000000 * (length(text) - length(regexp_replace(text, '$re', '')))) div greatest(length(text), 1)")
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"), n.cast("long").as("n_chars"),
+        rate("[{}();=<>\\\\[\\\\]]").as("code_ppm"),
+        rate("[0-9]").as("digit_ppm"),
+        F.expr("(1000000 * size(filter(split(text, ' '), x -> x = upper(x) AND x <> lower(x)))) div greatest(size(split(text, ' ')), 1)")
+          .as("caps_ppm"))
+      .withColumn("is_code", (F.col("code_ppm") > 20000L).cast("long"))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("is_code").as("n_code"),
+        F.expr("sum(code_ppm) div count(1)").as("mean_code_ppm"),
+        F.expr("sum(digit_ppm) div count(1)").as("mean_digit_ppm"),
+        F.expr("sum(caps_ppm) div count(1)").as("mean_caps_ppm"))
+  }
+
+  val tCodeFracSql: String =
+    """WITH per AS (
+      |  SELECT doc_id, source,
+      |   (1000000 * (length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g'))))
+      |     // greatest(length(text), 1) AS code_ppm,
+      |   (1000000 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))))
+      |     // greatest(length(text), 1) AS digit_ppm,
+      |   (1000000 * len(list_filter(string_split(text, ' '),
+      |      x -> x = upper(x) AND x <> lower(x))))
+      |     // greatest(len(string_split(text, ' ')), 1) AS caps_ppm
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN code_ppm > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+      | CAST(SUM(code_ppm) // COUNT(*) AS BIGINT) AS mean_code_ppm,
+      | CAST(SUM(digit_ppm) // COUNT(*) AS BIGINT) AS mean_digit_ppm,
+      | CAST(SUM(caps_ppm) // COUNT(*) AS BIGINT) AS mean_caps_ppm
+      |FROM per GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_code_frac", tCodeFrac _, Some(tCodeFracSql)),
     ("t_char_entropy", tCharEntropy _, Some(tCharEntropySql)),
     ("t_kn_lm", tKnLm _, Some(tKnLmSql)),
     ("t_cooc", tCooc _, Some(tCoocSql)),
