@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+import graft.streaming.SessionFunnelStream.{SessionLevel, SfEv}
+
+class SessionFunnelStreamSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  private def run(evs: Seq[SfEv], chunks: Int): Seq[SessionLevel] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[SfEv]
+    val q = SessionFunnelStream.levels(
+        in.toDF().withColumnRenamed("ts", "ts"))
+      .writeStream.format("memory").queryName("sf_levels")
+      .outputMode("append").start()
+    try {
+      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      val per = math.max(1, sorted.size / chunks)
+      sorted.grouped(per).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val maxT = evs.map(_.ts.getTime).max
+      // three far-future sentinels: advance the watermark past end+gap
+      // and fire the close timeouts armed when those batches complete
+      (1 to 3).foreach { i =>
+        in.addData(SfEv(-1, ts(maxT + i * 7_200_000L), -i, "click"))
+        q.processAllAvailable()
+      }
+      spark.table("sf_levels").as[SessionLevel].collect().toSeq
+        .filter(_.user_id >= 0)
+    } finally q.stop()
+  }
+
+  /** Batch replica: global (t, id) sort per user, gap fold, cvp probe. */
+  private def expected(evs: Seq[SfEv]): Seq[SessionLevel] =
+    evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = sorted.foldLeft(Vector.empty[Vector[SfEv]]) { (acc, e) =>
+        if (acc.nonEmpty &&
+            e.ts.getTime - acc.last.last.ts.getTime <= SessionFunnelStream.GapMs)
+          acc.init :+ (acc.last :+ e)
+        else acc :+ Vector(e)
+      }
+      sessions.map { ses =>
+        val seq = ses.map(e => e.event_type match {
+          case "click" => "c"; case "view" => "v"; case _ => "p"
+        }).mkString
+        val lvl = if (seq.contains("cvp")) 3L else if (seq.contains("cv")) 2L
+          else if (seq.contains("c")) 1L else 0L
+        SessionLevel(u, ses.head.ts.getTime, ses.last.ts.getTime,
+          ses.size.toLong, lvl)
+      }
+    }
+
+  test("unit scenario: levels, gap splits, timeout close") {
+    val base = 1_700_000_000_000L
+    val G = SessionFunnelStream.GapMs
+    val evs = Seq(
+      SfEv(1, ts(base), 1, "click"), SfEv(1, ts(base + 60_000), 2, "view"),
+      SfEv(1, ts(base + 120_000), 3, "purchase"),        // session 1 → level 3
+      SfEv(1, ts(base + 120_000 + G + 1), 4, "view"),    // session 2 → level 0
+      SfEv(2, ts(base), 5, "click"), SfEv(2, ts(base + 1_000), 6, "view")) // level 2
+    val got = run(evs, chunks = 2)
+    assert(got.toSet === expected(evs).toSet, got.sortBy(_.start_ms))
+    assert(got.find(s => s.user_id == 1 && s.n_events == 3).get.level == 3L)
+    assert(got.find(s => s.user_id == 1 && s.n_events == 1).get.level == 0L)
+    assert(got.find(_.user_id == 2).get.level == 2L)
+  }
+
+  test("replayed sf0.001 history matches the batch sessionize+funnel replica") {
+    val evs = graft.Tables(spark, SF, "events")
+      .filter(F.col("event_type").isin("click", "view", "purchase"))
+      .select("user_id", "ts", "event_id", "event_type")
+      .limit(800).collect()
+      .map(r => SfEv(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val got = run(evs, chunks = 5)
+    val exp = expected(evs)
+    assert(got.size == exp.size, s"${got.size} sessions vs ${exp.size}")
+    assert(got.toSet === exp.toSet)
+    // and the LEVEL HISTOGRAM matches the batch q_session_funnel shape
+    val hist = got.groupBy(_.level).view.mapValues(_.size).toMap
+    val ehist = exp.groupBy(_.level).view.mapValues(_.size).toMap
+    assert(hist == ehist)
+  }
+}
