@@ -754,7 +754,67 @@ object DedupQueries {
       | CAST((1000000 * n_fp) // n_grams AS BIGINT) AS keep_ppm, n_shared
       |FROM ng JOIN per_doc USING (doc_id)""".stripMargin
 
+  /** d_dup_threshold_sweep: the THRESHOLD-TUNING CURVE — near-dup pair
+    * and affected-doc counts at Jaccard ≥ 0.5/0.6/0.7/0.8/0.9, all from
+    * ONE LSH-verified intersection pass (the ≥ 0.5 candidate set
+    * provably contains every higher-threshold pair): what a data
+    * engineer plots before picking the dedup cutoff. Jaccard carried as
+    * integer ppm (floor of one division of exact counts), so the
+    * threshold compares are engine-exact. */
+  def dDupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val sh = wordShingles(docs).localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
+    val inter = dMinhashLsh(s, dir)
+      .join(sh.select(F.col("doc_id").as("a_id"), F.col("s")), "a_id")
+      .join(sh.select(F.col("doc_id").as("b_id"), F.col("s")), Seq("b_id", "s"))
+      .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).as("c"))
+    val scored = inter
+      .join(sizes.select(F.col("doc_id").as("a_id"), F.col("n").as("na")), "a_id")
+      .join(sizes.select(F.col("doc_id").as("b_id"), F.col("n").as("nb")), "b_id")
+      .select(F.col("a_id"), F.col("b_id"),
+        F.expr("(1000000 * c) div (na + nb - c)").as("jac6"))
+      .filter(F.col("jac6") >= 500000L)
+      .localCheckpoint() // both aggregates below reread the scored pairs
+    val swept = scored.withColumn("t",
+      F.explode(F.typedlit(Seq(500000L, 600000L, 700000L, 800000L, 900000L))))
+      .filter(F.col("jac6") >= F.col("t"))
+    val nPairs = swept.groupBy("t").agg(F.count(F.lit(1)).as("n_pairs"))
+    val nDocs = swept
+      .select(F.col("t"), F.explode(F.array(F.col("a_id"), F.col("b_id"))).as("d"))
+      .groupBy("t").agg(F.count_distinct(F.col("d")).as("n_docs"))
+    nPairs.join(nDocs, "t")
+  }
+
+  val dDupThresholdSweepSql: String =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT a_id, b_id,
+       |   (1000000 * c) // (sa.n + sb.n - c) AS jac6
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE (1000000 * c) // (sa.n + sb.n - c) >= 500000),
+       |swept AS (
+       |  SELECT t, a_id, b_id FROM scored,
+       |   UNNEST([500000, 600000, 700000, 800000, 900000]) AS u(t)
+       |  WHERE jac6 >= t),
+       |np AS (SELECT t, COUNT(*) AS n_pairs FROM swept GROUP BY 1),
+       |nd AS (
+       |  SELECT t, COUNT(DISTINCT d) AS n_docs FROM (
+       |    SELECT t, a_id AS d FROM swept
+       |    UNION ALL SELECT t, b_id FROM swept) x GROUP BY 1)
+       |SELECT CAST(np.t AS BIGINT) AS t, CAST(n_pairs AS BIGINT) AS n_pairs,
+       | CAST(n_docs AS BIGINT) AS n_docs
+       |FROM np JOIN nd USING (t)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_dup_threshold_sweep", dDupThresholdSweep _, Some(dDupThresholdSweepSql)),
     ("d_winnowing", dWinnowing _, Some(dWinnowingSql)),
     ("d_cdc_dedup", dCdcDedup _, Some(dCdcDedupSql)),
     ("d_url_dedup", dUrlDedup _, Some(dUrlDedupSql)),

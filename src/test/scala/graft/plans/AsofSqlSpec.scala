@@ -114,6 +114,28 @@ class AsofSqlSpec extends SparkSpec {
     }
   }
 
+  test("TWO asof joins in one query both plan to the custom exec") {
+    withTables {
+      import spark.implicits._
+      Seq((1L, 7L, 500L), (2L, 24L, 501L))
+        .toDF("rk2", "rt2", "rid2").createOrReplaceTempView("asof_r2")
+      val df = spark.sql(
+        """SELECT k, t, rid, rid2 FROM asof_l
+          |ASOF JOIN asof_r ON k = rk AND t >= rt AND graft_asof_tie(rid)
+          |ASOF JOIN asof_r2 ON k = rk2 AND t >= rt2 AND graft_asof_tie(rid2)
+          |""".stripMargin)
+      val plan = planOf(df)
+      assert("AsOfJoin ".r.findAllIn(plan).size >= 2, plan)
+      val rows = df.collect()
+      // inner semantics twice: (1,10)→rid 102 & rid2 500 and
+      // (2,30)→103 & 501 survive; (1,5) drops at the SECOND join
+      // (rt2=7 > 5), (1,4) and (3,9) drop at the first
+      assert(rows.length == 2)
+      assert(rows.find(_.getLong(1) == 10L).get.getLong(3) == 500L)
+      assert(rows.find(_.getLong(1) == 30L).get.getLong(3) == 501L)
+    }
+  }
+
   test("unsupported shapes fail with a clear message") {
     withTables {
       def msg(sql: String): String =
