@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ColumnPruning stops at nodes it doesn't know)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AutoIntervalJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
     // ASOF [LEFT] JOIN SQL syntax: token rewrite in the injected parser,
     // marker-tagged Join → AsOfJoinNode at resolution time (must happen

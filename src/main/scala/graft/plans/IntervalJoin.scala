@@ -114,6 +114,75 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** OPT-IN auto-selection (`spark.graft.autoIntervalJoin=true`): a PLAIN
+  * inner join whose whole condition is the band sandwich
+  * `v >= lo AND v < hi` (BIGINT attributes, one side the point, the
+  * other the interval) plans straight to [[IntervalJoinExec]] — the user
+  * writes the declarative theta join, the planner picks the indexed
+  * operator instead of BroadcastNestedLoopJoin. Fires only on the exact
+  * two-conjunct shape (anything else falls through to Spark's own
+  * planning untouched); null semantics preserved by IsNotNull filters
+  * on both children (a null in any band column excludes the row in the
+  * plain join too). Default OFF — an auto-rewrite that changes physical
+  * strategy is something a user should turn on knowingly. */
+object AutoIntervalJoinStrategy extends SparkStrategy
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And => EAnd, Attribute => EAttr, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(l, r, Inner, Some(cond), _)
+        if org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.autoIntervalJoin", "false") == "true" =>
+      val conj = splitConjunctivePredicates(cond)
+      if (conj.size != 2) return Nil
+      // normalize each conjunct to (v, bound, isLowerBound)
+      def norm(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Option[(EAttr, EAttr, Boolean)] = e match {
+        case GreaterThanOrEqual(v: EAttr, lo: EAttr) => Some((v, lo, true))
+        case LessThanOrEqual(lo: EAttr, v: EAttr) => Some((v, lo, true))
+        case LessThan(v: EAttr, hi: EAttr) => Some((v, hi, false))
+        case GreaterThan(hi: EAttr, v: EAttr) => Some((v, hi, false))
+        case _ => None
+      }
+      (norm(conj(0)), norm(conj(1))) match {
+        case (Some((v1, lo, true)), Some((v2, hi, false)))
+            if v1.exprId == v2.exprId =>
+          build(l, r, v1, lo, hi)
+        case (Some((v1, hi, false)), Some((v2, lo, true)))
+            if v1.exprId == v2.exprId =>
+          build(l, r, v2, lo, hi)
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+
+  private def build(l: LogicalPlan, r: LogicalPlan,
+                    v: EAttr, lo: EAttr, hi: EAttr): Seq[SparkPlan] = {
+    val allLong = Seq(v, lo, hi).forall(_.dataType == LongType)
+    val fromL = l.outputSet.contains(v) &&
+      r.outputSet.contains(lo) && r.outputSet.contains(hi)
+    val fromR = r.outputSet.contains(v) &&
+      l.outputSet.contains(lo) && l.outputSet.contains(hi)
+    if (!allLong || (!fromL && !fromR)) return Nil
+    def narrowed(p: LogicalPlan, as: Seq[EAttr]) =
+      Filter(as.map(IsNotNull(_): org.apache.spark.sql.catalyst.expressions.Expression)
+        .reduce(EAnd(_, _)), p)
+    if (fromL)
+      IntervalJoinExec(planLater(narrowed(l, Seq(v))),
+        planLater(narrowed(r, Seq(lo, hi))), v, lo, hi) :: Nil
+    else {
+      // v lives on the RIGHT: run the exec points-first, then restore
+      // the join's (left ++ right) column order
+      val exec = IntervalJoinExec(planLater(narrowed(r, Seq(v))),
+        planLater(narrowed(l, Seq(lo, hi))), v, lo, hi)
+      org.apache.spark.sql.execution.ProjectExec(
+        (l.output ++ r.output).map(a => a), exec) :: Nil
+    }
+  }
+}
+
 object IntervalJoin {
   /** Public API: join `points` to every `intervals` row with
     * lo ≤ v < hi. All three columns BIGINT; output = points columns ++

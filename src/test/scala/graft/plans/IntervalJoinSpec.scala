@@ -72,6 +72,48 @@ class IntervalJoinSpec extends SparkSpec {
     assert(viaExec.nonEmpty)
   }
 
+  test("auto mode: a PLAIN band join plans to IntervalJoinExec when enabled") {
+    import spark.implicits._
+    val pts = Seq((5L, 1L), (15L, 2L), (25L, 3L)).toDF("vc", "pid")
+    val ivs = Seq((0L, 10L, 100L), (10L, 20L, 200L)).toDF("lo", "hi", "iid")
+    def run() = pts.join(ivs, F.col("vc") >= F.col("lo") && F.col("vc") < F.col("hi"))
+      .select("pid", "iid")
+    val prev = spark.conf.getOption("spark.graft.autoIntervalJoin")
+    try {
+      spark.conf.set("spark.graft.autoIntervalJoin", "true")
+      val on = run()
+      on.collect()
+      assert(flatten(on.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[IntervalJoinExec]),
+        on.queryExecution.executedPlan.toString)
+      assert(on.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 100L), (2L, 200L)))
+      // swapped sides: points on the RIGHT still work, column order kept
+      val swapped = ivs.join(pts, F.col("vc") >= F.col("lo") && F.col("vc") < F.col("hi"))
+      swapped.collect()
+      assert(flatten(swapped.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[IntervalJoinExec]))
+      assert(swapped.columns.toSeq == Seq("lo", "hi", "iid", "vc", "pid"))
+      assert(swapped.collect().map(r => (r.getLong(2), r.getLong(4))).toSet ==
+        Set((100L, 1L), (200L, 2L)))
+      // a NON-band condition is left to Spark's own planning
+      val other = pts.join(ivs, F.col("vc") >= F.col("lo"))
+      other.collect()
+      assert(!flatten(other.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[IntervalJoinExec]))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.autoIntervalJoin", v)
+        case None => spark.conf.unset("spark.graft.autoIntervalJoin")
+      }
+    }
+    // and with the flag off (default), the plain join stays Spark-planned
+    val off = run()
+    off.collect()
+    assert(!flatten(off.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[IntervalJoinExec]))
+  }
+
   test("q_range_phys equals q_range_join on sf0.001") {
     val a = graft.olap.OlapQueries.qRangeJoin(spark, SF)
       .collect().map(_.toSeq).toSet
