@@ -249,6 +249,84 @@ object MediaQueries {
       .filter(F.col("hamming") <= 3)
   }
 
+  final case class AudioFrame(doc_id: Long, f: Long, e: Long)
+
+  /** DETERMINISTIC DECODE STUB — stands in for an audio decoder: the
+    * blob's bytes ARE the PCM samples, framed 20 samples per frame,
+    * frame energy = sum of unsigned byte values. A real deployment swaps
+    * only this function (decode → PCM → per-frame energy). */
+  def stubAudioFrames(m: MediaBlob): Iterator[AudioFrame] = {
+    val nf = m.blob.length / 20
+    (0 until nf).iterator.map { i =>
+      var e = 0L
+      var j = 20 * i
+      while (j < 20 * (i + 1)) { e += m.blob(j) & 0xFF; j += 1 }
+      AudioFrame(m.doc_id, i.toLong, e)
+    }
+  }
+
+  /** m_media_vad: energy-threshold VOICE-ACTIVITY segmentation — the
+    * audio-shaped member of the multimodal family (meta/frames/resize/
+    * features cover images, scene_cut video): per-partition decode to
+    * frame energies (stub), voiced = energy > 2000, maximal same-flag
+    * runs via the gaps-and-islands window; per doc: frame/voiced
+    * counts, segment count, longest voiced run. The segmentation runs
+    * per-doc-partitioned windows — bounded by clip length, never corpus
+    * size. */
+  def mMediaVad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+      .filter(F.expr("length(blob) >= 20"))
+      .mapPartitions(_.flatMap(stubAudioFrames)).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("f")
+    val seg = frames
+      .withColumn("voiced", (F.col("e") > 2000L).cast("long"))
+      .withColumn("brk",
+        F.when(F.lag("voiced", 1).over(w).isNull ||
+          F.lag("voiced", 1).over(w) =!= F.col("voiced"), 1L).otherwise(0L))
+      .withColumn("sid", F.sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = seg.groupBy("doc_id", "sid")
+      .agg(F.max("voiced").as("voiced"), F.count(F.lit(1)).as("len"))
+    runs.groupBy("doc_id")
+      .agg(F.sum("len").as("n_frames"),
+        F.sum(F.when(F.col("voiced") === 1L, F.col("len")).otherwise(0L))
+          .as("n_voiced"),
+        F.max("sid").as("n_segments"),
+        F.coalesce(F.max(F.when(F.col("voiced") === 1L, F.col("len"))), F.lit(0L))
+          .as("max_voiced_run"))
+  }
+
+  val mMediaVadSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) // 20 AS nf FROM documents
+      |  WHERE length(text) >= 20),
+      |fr AS (
+      |  SELECT doc_id, i AS f, SUM(ord(substr(text, 20 * i + j + 1, 1))) AS e
+      |  FROM d, UNNEST(range(0, nf)) AS u(i), UNNEST(range(0, 20)) AS v(j)
+      |  GROUP BY 1, 2),
+      |vv AS (
+      |  SELECT doc_id, f, CASE WHEN e > 2000 THEN 1 ELSE 0 END AS voiced FROM fr),
+      |runs AS (
+      |  SELECT doc_id, f, voiced,
+      |   CASE WHEN LAG(voiced) OVER w IS NULL
+      |         OR LAG(voiced) OVER w <> voiced THEN 1 ELSE 0 END AS brk
+      |  FROM vv WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+      |segd AS (
+      |  SELECT doc_id, voiced,
+      |   SUM(brk) OVER (PARTITION BY doc_id ORDER BY f ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM runs),
+      |per AS (
+      |  SELECT doc_id, sid, MAX(voiced) AS voiced, COUNT(*) AS len
+      |  FROM segd GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_frames,
+      | CAST(SUM(CASE WHEN voiced = 1 THEN len ELSE 0 END) AS BIGINT) AS n_voiced,
+      | CAST(MAX(sid) AS BIGINT) AS n_segments,
+      | CAST(COALESCE(MAX(CASE WHEN voiced = 1 THEN len END), 0) AS BIGINT) AS max_voiced_run
+      |FROM per GROUP BY 1""".stripMargin
+
   /** m_media_dedup: the full MEDIA near-dup chain — phash band
     * candidates → verified hamming ≤ 3 pairs (m_media_phash, provably ⊇
     * threshold pairs by pigeonhole) → connected components via the
@@ -418,6 +496,7 @@ object MediaQueries {
     ("m_media_clip_pairs", mMediaClipPairs _, Some(mMediaClipPairsSql)),
     ("m_media_phash", mMediaPhash _, Some(mMediaPhashSql)),
     ("m_media_dedup", mMediaDedup _, Some(mMediaDedupSql)),
+    ("m_media_vad", mMediaVad _, Some(mMediaVadSql)),
     ("m_media_meta", mMediaMeta _, Some(mMediaMetaSql)),
     ("m_media_frames", mMediaFrames _, Some(mMediaFramesSql)),
     ("m_media_resize", mMediaResize _, Some(mMediaResizeSql)),
