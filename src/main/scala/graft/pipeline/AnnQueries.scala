@@ -95,6 +95,40 @@ object AnnQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rnk FROM p)
        |WHERE rnk <= $TopK""".stripMargin
 
+  /** s_ann_range: RADIUS search — all corpus neighbors with cosine ≥
+    * 0.35 per query (the other half of the ANN API surface: top-k asks
+    * "the best k", range asks "everything this similar", the primitive
+    * under near-dup thresholds and recall sweeps). Same broadcast
+    * map-only scoring pass as s_ann_topk; the threshold compare runs on
+    * the bit-exact single-division cosine, output carries the
+    * floor-scaled cs6 and the per-query hit count. */
+  def sAnnRange(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val q = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    F.broadcast(q).crossJoin(e)
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+      .filter(F.col("cs") >= 0.35)
+      .select(F.col("q_id"), F.col("n_id"),
+        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"),
+        F.count(F.lit(1)).over(w).as("n_hits"))
+  }
+
+  val sAnnRangeSql: String =
+    s"""WITH n AS ($normSql),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cs
+       |  FROM n q JOIN n d ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT q_id, n_id, CAST(floor(cs * 1e6) AS BIGINT) AS cs6,
+       | COUNT(*) OVER (PARTITION BY q_id) AS n_hits
+       |FROM p WHERE cs >= 0.35""".stripMargin
+
   /** s_ann_l2: brute-force EUCLIDEAN top-k — the metric variant of
     * s_ann_topk (d² = |q|² + |x|² − 2·q·x from the precomputed norms and
     * one dot, cheaper than a per-pair difference fold). Rank by (d² ASC,
@@ -491,6 +525,7 @@ object AnnQueries {
     ("s_ann_pq", sAnnPq _, None),
     ("s_class_scatter", sClassScatter _, Some(sClassScatterSql)),
     ("s_ann_topk", sAnnTopk _, Some(sAnnTopkSql)),
+    ("s_ann_range", sAnnRange _, Some(sAnnRangeSql)),
     ("s_ann_l2", sAnnL2 _, Some(sAnnL2Sql)),
     ("s_ann_lsh", sAnnLsh _, None),
     ("s_ann_ivf", sAnnIvf _, None))
