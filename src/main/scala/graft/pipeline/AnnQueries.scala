@@ -129,6 +129,66 @@ object AnnQueries {
        | COUNT(*) OVER (PARTITION BY q_id) AS n_hits
        |FROM p WHERE cs >= 0.35""".stripMargin
 
+  /** s_label_sim: the DOMAIN SIMILARITY MATRIX — cosine between
+    * per-label embedding centroids (which classes/domains of the corpus
+    * are near-duplicates of each other; the statistic behind mixture
+    * design and domain-transfer planning). Determinism discipline:
+    * per-dimension component sums run in exact DECIMAL (no float
+    * accumulation order), centroids quantize to ×10⁶ BIGINTs, and the
+    * pairwise dot/norm sums are pure BIGINT (64 dims × 10¹² fits
+    * comfortably) with ONE terminal double division per pair — the
+    * 45-row matrix is bit-stable across engines and partitionings. Cost:
+    * one explode + one (label, dim) aggregate (640 groups), the pairwise
+    * stage is label²·dims on a broadcast-sized table. */
+  def sLabelSim(s: SparkSession, dir: String): DataFrame = {
+    val cent = Tables(s, dir, "embeddings")
+      .select(F.col("label").cast("long").as("label"),
+        F.posexplode(F.col("embedding")).as(Seq("dim", "v")))
+      // quantize each COMPONENT before any aggregation: floor(v·10⁶) is
+      // one deterministic IEEE multiply + floor (identical on both
+      // engines), and everything after is pure BIGINT — float→decimal
+      // casts drift between engines at the last digit over thousands of
+      // terms (seen at sf0.1), per-component quantization cannot
+      .groupBy("label", "dim")
+      .agg(F.sum(F.floor(F.col("v").cast("double") * 1e6).cast("long")).as("sv6"),
+        F.count(F.lit(1)).as("n"))
+      .select(F.col("label"), F.col("dim"),
+        F.expr("sv6 div n").as("c6"))
+    val a = cent.select(F.col("label").as("la"), F.col("dim"), F.col("c6").as("ca"))
+    val b = cent.select(F.col("label").as("lb"), F.col("dim"), F.col("c6").as("cb"))
+    a.join(b, Seq("dim")).filter(F.col("la") < F.col("lb"))
+      .groupBy("la", "lb")
+      .agg(F.sum(F.col("ca") * F.col("cb")).as("dot"),
+        F.sum(F.col("ca") * F.col("ca")).as("na"),
+        F.sum(F.col("cb") * F.col("cb")).as("nb"))
+      .select(F.col("la"), F.col("lb"),
+        F.floor(F.col("dot").cast("double") /
+          (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+          * 1e6).cast("long").as("cos6"))
+  }
+
+  val sLabelSimSql: String =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |   generate_subscripts(embedding, 1) - 1 AS dim, UNNEST(embedding) AS v
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, dim,
+      |   CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+      |     // COUNT(*) AS c6
+      |  FROM e GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |   CAST(SUM(a.c6 * b.c6) AS BIGINT) AS dot,
+      |   CAST(SUM(a.c6 * a.c6) AS BIGINT) AS na,
+      |   CAST(SUM(b.c6 * b.c6) AS BIGINT) AS nb
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT la, lb,
+      | CAST(floor(CAST(dot AS DOUBLE)
+      |   / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1e6) AS BIGINT) AS cos6
+      |FROM p""".stripMargin
+
   /** s_ann_l2: brute-force EUCLIDEAN top-k — the metric variant of
     * s_ann_topk (d² = |q|² + |x|² − 2·q·x from the precomputed norms and
     * one dot, cheaper than a per-pair difference fold). Rank by (d² ASC,
@@ -526,6 +586,7 @@ object AnnQueries {
     ("s_class_scatter", sClassScatter _, Some(sClassScatterSql)),
     ("s_ann_topk", sAnnTopk _, Some(sAnnTopkSql)),
     ("s_ann_range", sAnnRange _, Some(sAnnRangeSql)),
+    ("s_label_sim", sLabelSim _, Some(sLabelSimSql)),
     ("s_ann_l2", sAnnL2 _, Some(sAnnL2Sql)),
     ("s_ann_lsh", sAnnLsh _, None),
     ("s_ann_ivf", sAnnIvf _, None))
