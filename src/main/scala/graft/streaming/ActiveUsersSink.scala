@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.BitmapDistinct
+
+/** Incrementally-maintained DAU/WAU/MAU — q_active_users' documented
+  * scale path made live: the maintained state is ONE Roaring bitmap of
+  * user ids PER DAY (exact distinct sets, compressed), each micro-batch
+  * folds as bitmap-build of the batch OR-merged with the previous
+  * snapshot per day, and the read derives every rolling window by
+  * OR-merging 7/28 daily bitmaps — no raw history is ever re-read, and
+  * a day's state size is the compressed user set, independent of event
+  * volume. Exactly-once follows the RollupSink scheme: versioned
+  * `_SUCCESS`-gated snapshots, replayed batchIds skipped, each batch
+  * folding onto the latest complete snapshot before it.
+  */
+object ActiveUsersSink {
+
+  /** Start maintenance: events must carry (user_id, ts). */
+  def start(events: DataFrame, dir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) => applyBatch(batch, dir, batchId))
+      .start()
+
+  /** Fold one micro-batch into days_v{batchId}. Idempotent. */
+  def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val target = Paths.get(dir, s"days_v$batchId")
+    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
+    val s = batch.sparkSession
+    val partial = batch
+      .select(F.expr("unix_micros(ts) div 86400000000").as("day"),
+        F.col("user_id"))
+      .groupBy("day")
+      .agg(BitmapDistinct.buildAgg(F.col("user_id")).as("bm"))
+    val merged = latest(dir, batchId) match {
+      case Some(p) => s.read.parquet(p).unionByName(partial)
+        .groupBy("day").agg(BitmapDistinct.orAgg(F.col("bm")).as("bm"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(target.toString)
+  }
+
+  /** The maintained rolling counts: per day present in the state,
+    * DAU / WAU (7-day) / MAU (28-day) — each window an OR-merge of the
+    * daily bitmaps, bitmap algebra only. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val days = latest(dir, Long.MaxValue) match {
+      case Some(p) => spark.read.parquet(p)
+      case None => return spark.emptyDataFrame
+    }
+    val present = days.select(F.col("day").as("d")).distinct()
+    def rolling(win: Int, name: String) = days
+      .withColumn("d", F.explode(F.expr(s"sequence(day, day + ${win - 1})")))
+      .join(present, "d")
+      .groupBy("d")
+      .agg(BitmapDistinct.cardinality(
+        BitmapDistinct.orAgg(F.col("bm"))).as(name))
+    val dau = days.select(F.col("day").as("d"),
+      BitmapDistinct.cardinality(F.col("bm")).as("dau"))
+    dau.join(rolling(7, "wau"), "d").join(rolling(28, "mau"), "d")
+  }
+
+  private def latest(dir: String, beforeId: Long): Option[String] = {
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) return None
+    val listing = Files.list(d)
+    val versions =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("days_v"))
+        .filter(p => Files.exists(p.resolve("_SUCCESS")))
+        .map(p => p.getFileName.toString.stripPrefix("days_v").toLong)
+        .filter(_ < beforeId)
+        .toSeq
+      finally listing.close()
+    if (versions.isEmpty) None
+    else Some(Paths.get(dir, s"days_v${versions.max}").toString)
+  }
+}
