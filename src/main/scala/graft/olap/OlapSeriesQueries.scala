@@ -1006,8 +1006,44 @@ object OlapSeriesQueries {
       | CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau
       |FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d""".stripMargin
 
+  // previous q_active_users_inc snapshot dir (swept on next invocation —
+  // the kv-entry lifecycle discipline)
+  private var lastAuDir: Option[java.nio.file.Path] = None
+
+  /** q_active_users_inc: the INCREMENTALLY-MAINTAINED DAU/WAU/MAU
+    * (graft.streaming.ActiveUsersSink — one Roaring bitmap per day,
+    * OR-merged per micro-batch) driven as a driver entry: the event
+    * history replays as three micro-batches split by time, batch 1 is
+    * REDELIVERED (must be a no-op), and the maintained read is
+    * hash-gated under q_active_users' own oracle — the bitmap-algebra
+    * maintenance path and the batch explode path must agree count for
+    * count. */
+  def qActiveUsersInc(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastAuDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val snap = java.nio.file.Files.createTempDirectory("graft_ausnap")
+    lastAuDir = Some(snap)
+    val ev = Tables(s, dir, "events").select("user_id", "ts")
+    val Array(lo, hi) = ev.stat.approxQuantile("user_id", Array(0.33, 0.66), 0.0)
+    val b0 = ev.filter(F.col("user_id") <= lo)
+    val b1 = ev.filter(F.col("user_id") > lo && F.col("user_id") <= hi)
+    val b2 = ev.filter(F.col("user_id") > hi)
+    graft.streaming.ActiveUsersSink.applyBatch(b0, snap.toString, 0L)
+    graft.streaming.ActiveUsersSink.applyBatch(b1, snap.toString, 1L)
+    graft.streaming.ActiveUsersSink.applyBatch(b1, snap.toString, 1L) // replay
+    graft.streaming.ActiveUsersSink.applyBatch(b2, snap.toString, 2L)
+    graft.streaming.ActiveUsersSink.read(s, snap.toString).localCheckpoint(true)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_active_users", qActiveUsers _, Some(qActiveUsersSql)),
+    ("q_active_users_inc", qActiveUsersInc _, Some(qActiveUsersSql)),
     ("q_double_smooth", qDoubleSmooth _, Some(qDoubleSmoothSql)),
     ("q_stl_decompose", qStlDecompose _, Some(qStlDecomposeSql)),
     ("q_concurrency", qConcurrency _, Some(qConcurrencySql)),
