@@ -78,6 +78,9 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_asof_tie"),
       new ExpressionInfo(classOf[graft.plans.GraftAsofTie].getName, "graft_asof_tie"),
       (args: Seq[Expression]) => graft.plans.GraftAsofTie(args(0))),
+    (new FunctionIdentifier("graft_asof_using"),
+      new ExpressionInfo(classOf[graft.plans.GraftAsofUsing].getName, "graft_asof_using"),
+      (args: Seq[Expression]) => graft.plans.GraftAsofUsing(args)),
     (new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),

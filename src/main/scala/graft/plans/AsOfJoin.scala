@@ -192,8 +192,11 @@ object AsOfJoin {
     * last right row with rightTime ≤ leftTime (rightTime ties → largest
     * rightTie). Inner semantics by default (unmatched left rows drop);
     * `leftOuter = true` emits them with a null right side (the ClickHouse
-    * ASOF LEFT JOIN contract). All five columns must be BIGINT; output =
-    * left columns ++ right columns (names must not collide). */
+    * ASOF LEFT JOIN contract) — including left rows whose key/time is
+    * NULL: non-joinable, but left-outer retention keeps them null-padded
+    * (they are routed around the exec and unioned back). All five
+    * columns must be BIGINT; output = left columns ++ right columns
+    * (names must not collide). */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,
            rightKey: String, rightTime: String, rightTie: String,
@@ -203,7 +206,7 @@ object AsOfJoin {
     // outright; graft narrows instead: rows with a null join column are
     // excluded on BOTH sides before the exec sees them (for inner this
     // is exactly SQL semantics — null never compares equal; for
-    // leftOuter a null-key left row is likewise non-joinable and drops).
+    // leftOuter they re-enter through the union below).
     import org.apache.spark.sql.functions.col
     val lf = left.filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
     val rf = right.filter(col(rightKey).isNotNull &&
@@ -220,8 +223,22 @@ object AsOfJoin {
       s"as-of column ${a.name} must be BIGINT, got ${a.dataType.sql}"))
     val dup = lp.output.map(_.name).toSet intersect rp.output.map(_.name).toSet
     require(dup.isEmpty, s"output name collision: ${dup.mkString(", ")}")
-    GraftSqlBridge.ofRows(left.sparkSession,
+    val joined = GraftSqlBridge.ofRows(left.sparkSession,
       AsOfJoinNode(lp, rp, attrs(0), attrs(1), attrs(2), attrs(3), attrs(4),
         leftOuter))
+    val keyNullable = left.schema(leftKey).nullable ||
+      left.schema(leftTime).nullable
+    if (!leftOuter || !keyNullable) joined
+    else {
+      // left-outer retention for null-key/null-time left rows: they can
+      // never match, so they bypass the exec and union back null-padded
+      import org.apache.spark.sql.functions.lit
+      val nullLeft = left.filter(col(leftKey).isNull || col(leftTime).isNull)
+      val padded = nullLeft.select(
+        left.columns.map(col).toIndexedSeq ++
+          right.schema.fields.toIndexedSeq.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
+      joined.unionByName(padded)
+    }
   }
 }

@@ -1,20 +1,25 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, LeafExpression, LessThanOrEqual, UnaryExpression, Unevaluable}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, LeafExpression, LessThanOrEqual, Literal, UnaryExpression, Unevaluable}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructType}
 
 /** SQL syntax for the as-of operator (VERDICT r5 #1 gap: ClickHouse users
   * TYPE `ASOF JOIN`; graft's whole-operator path was Dataset-API-only):
   *
   * {{{
-  *   SELECT ... FROM l ASOF [LEFT|INNER] JOIN r
+  *   SELECT ... FROM l ASOF [LEFT [OUTER]|INNER] JOIN r
   *     ON l.k = r.k AND l.t >= r.t [AND graft_asof_tie(r.c)]
+  *   SELECT ... FROM l ASOF [LEFT [OUTER]|INNER] JOIN r USING (k, t)
   * }}}
+  *
+  * The USING spelling (ClickHouse's leading form) takes the last column
+  * as the as-of inequality column and drops the right side's USING
+  * columns from the output (merged-column convention).
   *
   * plans to [[AsOfJoinExec]] — for each left row, the LAST right row of
   * the same key with r.t ≤ l.t; among equal r.t the largest tie column
@@ -74,6 +79,22 @@ case class GraftAsofTie(child: Expression) extends UnaryExpression with Unevalua
     copy(child = newChild)
 }
 
+/** `graft_asof_using('k', 't')`: tag produced by the rewriter for the
+  * ClickHouse-leading `ASOF JOIN r USING (k, t)` spelling; carries the
+  * column NAMES (string literals), resolved against both join sides by
+  * [[ResolveAsofJoin]]. The last name is the as-of (inequality) column;
+  * the right side's using-named columns are dropped from the output,
+  * matching USING's merged-column convention. */
+case class GraftAsofUsing(children: Seq[Expression]) extends Expression
+    with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_asof_using"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GraftAsofUsing =
+    copy(children = newChildren)
+}
+
 object AsofSqlRewriter {
   /** Word (or paren) token with its depth; `(` carries the depth OUTSIDE
     * the paren, `)` the depth AFTER closing — so a `)` with depth < d
@@ -120,29 +141,39 @@ object AsofSqlRewriter {
 
   /** Rewrite the FIRST `ASOF [LEFT|INNER] JOIN ... ON cond`; None if no
     * ASOF join pattern present. */
-  private def rewriteFirst(sql: String): Option[String] = {
-    val toks = tokenize(sql)
-    // `ASOF RIGHT/FULL/... JOIN` must not silently degrade: without this
-    // check Spark would read `l ASOF RIGHT JOIN r` as a table ALIAS named
-    // ASOF plus a plain right join
-    toks.indices.foreach { i =>
-      if (toks(i).word == "ASOF" && i + 2 < toks.length &&
-          Set("RIGHT", "FULL", "CROSS", "SEMI", "ANTI")(toks(i + 1).word) &&
-          toks(i + 2).word == "JOIN")
-        throw new IllegalArgumentException(
-          s"ASOF ${toks(i + 1).word} JOIN is not supported (INNER or LEFT): $sql")
-    }
-    val at = toks.indices.find { i =>
-      toks(i).word == "ASOF" && i + 1 < toks.length && {
-        val next = toks(i + 1).word
-        next == "JOIN" ||
-          ((next == "LEFT" || next == "INNER") &&
-            i + 2 < toks.length && toks(i + 2).word == "JOIN")
+  private val Modifiers = Set(
+    "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS", "SEMI", "ANTI",
+    "NATURAL")
+
+  /** Index of this ASOF's JOIN keyword if `ASOF modifier* JOIN` starts at
+    * i; rejects any modifier sequence that is not one of the supported
+    * spellings — without the guard Spark would read `l ASOF RIGHT JOIN r`
+    * (or `ASOF LEFT OUTER JOIN`, pre-r7) as a table ALIAS named ASOF plus
+    * a plain join: silently wrong results instead of an error. */
+  private def joinIdxAt(toks: Vector[Tok], i: Int, sql: String): Option[Int] = {
+    var j = i + 1
+    while (j < toks.length && Modifiers(toks(j).word)) j += 1
+    if (j >= toks.length || toks(j).word != "JOIN") None
+    else {
+      val mods = (i + 1 until j).map(toks(_).word).toList
+      mods match {
+        case Nil | List("INNER") | List("LEFT") | List("LEFT", "OUTER") =>
+          Some(j)
+        case _ => throw new IllegalArgumentException(
+          s"ASOF ${mods.mkString(" ")} JOIN is not supported " +
+            s"(INNER or LEFT [OUTER]): $sql")
       }
     }
-    at.map { i =>
+  }
+
+  private def rewriteFirst(sql: String): Option[String] = {
+    val toks = tokenize(sql)
+    val at = toks.indices.flatMap { i =>
+      if (toks(i).word == "ASOF") joinIdxAt(toks, i, sql).map(j => (i, j))
+      else None
+    }.headOption
+    at.map { case (i, joinIdx) =>
       val d = toks(i).depth
-      val joinIdx = if (toks(i + 1).word == "JOIN") i + 1 else i + 2
       // the ON of THIS join: first depth-d ON after the JOIN keyword
       val onIdx = (joinIdx + 1 until toks.length).find { j =>
         val t = toks(j)
@@ -151,27 +182,52 @@ object AsofSqlRewriter {
           (t.word == ")" && t.depth < d)
       }.getOrElse(throw new IllegalArgumentException(
         s"ASOF JOIN requires an ON condition: $sql"))
-      if (toks(onIdx).word != "ON")
-        throw new IllegalArgumentException(
-          s"ASOF JOIN requires ON (USING is not supported): $sql")
-      // end of the ON expression: next boundary word at depth d (not a
-      // function call — LEFT(x,1) etc.), or the `)` closing our scope,
-      // or end of input
-      val endPos = (onIdx + 1 until toks.length).find { j =>
-        val t = toks(j)
-        (t.word == ")" && t.depth < d) ||
-          (t.depth == d && Boundary.contains(t.word) &&
-            !(j + 1 < toks.length && toks(j + 1).word == "(" &&
-              toks(j + 1).start == t.end))
-      }.map(j => toks(j).start).getOrElse(sql.length)
-      val b = new java.lang.StringBuilder
-      b.append(sql, 0, toks(i).start)            // drop the ASOF token
-      b.append(sql, toks(i).end, toks(onIdx).end) // keep "[LEFT|INNER] JOIN ... ON"
-      b.append(" graft_asof_marker() AND (")
-      b.append(sql, toks(onIdx).end, endPos)
-      b.append(") ")
-      b.append(sql, endPos, sql.length)
-      b.toString
+      if (toks(onIdx).word == "USING") {
+        // ClickHouse's leading spelling: USING (k1, ..., kn, t) — the
+        // LAST column is the as-of (inequality) column, the rest equi
+        // keys. Rewritten to ON graft_asof_using('k1', ..., 't'); the
+        // names resolve against both sides in ResolveAsofJoin. Plain
+        // (unquoted) identifiers only.
+        val open = onIdx + 1
+        if (open >= toks.length || toks(open).word != "(")
+          throw new IllegalArgumentException(
+            s"ASOF JOIN USING requires a (col, ...) list: $sql")
+        val close = (open + 1 until toks.length).find(j =>
+          toks(j).word == ")" && toks(j).depth == d).getOrElse(
+          throw new IllegalArgumentException(s"unclosed USING list: $sql"))
+        val cols = (open + 1 until close).map(toks(_))
+          .filter(t => t.word != "(" && t.word != ")")
+          .map(t => sql.substring(t.start, t.end))
+        if (cols.size < 2) throw new IllegalArgumentException(
+          s"ASOF JOIN USING needs at least (key, time): $sql")
+        val b = new java.lang.StringBuilder
+        b.append(sql, 0, toks(i).start)             // drop the ASOF token
+        b.append(sql, toks(i).end, toks(onIdx).start)
+        b.append(" ON graft_asof_using(")
+        b.append(cols.map(c => "'" + c + "'").mkString(", "))
+        b.append(") ")
+        b.append(sql, toks(close).end, sql.length)
+        b.toString
+      } else {
+        // end of the ON expression: next boundary word at depth d (not a
+        // function call — LEFT(x,1) etc.), or the `)` closing our scope,
+        // or end of input
+        val endPos = (onIdx + 1 until toks.length).find { j =>
+          val t = toks(j)
+          (t.word == ")" && t.depth < d) ||
+            (t.depth == d && Boundary.contains(t.word) &&
+              !(j + 1 < toks.length && toks(j + 1).word == "(" &&
+                toks(j + 1).start == t.end))
+        }.map(j => toks(j).start).getOrElse(sql.length)
+        val b = new java.lang.StringBuilder
+        b.append(sql, 0, toks(i).start)            // drop the ASOF token
+        b.append(sql, toks(i).end, toks(onIdx).end) // keep "[LEFT|INNER] JOIN ... ON"
+        b.append(" graft_asof_marker() AND (")
+        b.append(sql, toks(onIdx).end, endPos)
+        b.append(") ")
+        b.append(sql, endPos, sql.length)
+        b.toString
+      }
     }
   }
 
@@ -194,7 +250,64 @@ object ResolveAsofJoin extends Rule[LogicalPlan]
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"ASOF JOIN: $msg")
 
+  import org.apache.spark.sql.catalyst.expressions.{Alias, IsNull, Or}
+  import org.apache.spark.sql.catalyst.plans.logical.Union
+
+  /** Shared tail: type-check, null-narrow both sides, build the node —
+    * and for LEFT [OUTER] with a nullable left key/time, route those left
+    * rows AROUND the exec and union them back null-padded (SQL left-outer
+    * retention: a null-key left row is non-joinable but must survive;
+    * inside the exec a null would read as 0 through getLong). */
+  private def build(l: LogicalPlan, r: LogicalPlan,
+                    lk: Attribute, lt: Attribute, rk: Attribute,
+                    rt: Attribute, rtie: Attribute,
+                    leftOuter: Boolean): LogicalPlan = {
+    Seq(lk, lt, rk, rt, rtie).foreach(a =>
+      if (a.dataType != LongType)
+        fail(s"column ${a.name} must be BIGINT, got ${a.dataType.sql} (CAST it)"))
+    val lf = Filter(And(IsNotNull(lk), IsNotNull(lt)), l)
+    val rConds = (Seq(rk, rt) ++ (if (rtie == rt) Nil else Seq(rtie)))
+      .map(IsNotNull(_): Expression).reduce(And(_, _))
+    val rf = Filter(rConds, r)
+    val node = AsOfJoinNode(lf, rf, lk, lt, rk, rt, rtie, leftOuter)
+    if (leftOuter && (lk.nullable || lt.nullable)) {
+      val nullLeft = Filter(Or(IsNull(lk), IsNull(lt)), l)
+      val padded = Project(
+        l.output ++ node.output.drop(l.output.size).map(a =>
+          Alias(Literal(null, a.dataType), a.name)()),
+        nullLeft)
+      Union(Seq(node, padded))
+    } else node
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case j @ Join(l, r, jt, Some(u: GraftAsofUsing), _) if j.resolved =>
+      val leftOuter = jt match {
+        case Inner => false
+        case LeftOuter => true
+        case other => fail(s"join type ${other.sql} not supported (INNER or LEFT)")
+      }
+      val names = u.children.map {
+        case Literal(v, _: StringType) if v != null => v.toString
+        case other => fail(s"graft_asof_using arguments must be string " +
+          s"literals, got ${other.sql}")
+      }
+      if (names.size != 2)
+        fail("USING supports exactly (key, time): one equi key plus the " +
+          "as-of column (use the ON form for other shapes)")
+      def one(p: LogicalPlan, n: String, side: String): Attribute =
+        p.output.filter(a => conf.resolver(a.name, n)) match {
+          case Seq(a) => a
+          case Seq() => fail(s"USING column $n not found on the $side side " +
+            s"(${p.output.map(_.name).mkString(", ")})")
+          case _ => fail(s"USING column $n is ambiguous on the $side side")
+        }
+      val (lk, rk) = (one(l, names(0), "left"), one(r, names(0), "right"))
+      val (lt, rt) = (one(l, names(1), "left"), one(r, names(1), "right"))
+      val joined = build(l, r, lk, lt, rk, rt, rt, leftOuter)
+      // USING's merged-column convention: right's using columns drop
+      Project(joined.output.filterNot(a =>
+        a.exprId == rk.exprId || a.exprId == rt.exprId), joined)
     case j @ Join(l, r, jt, Some(cond), _)
         if j.resolved && cond.exists(_.isInstanceOf[GraftAsofMarker]) =>
       val leftOuter = jt match {
@@ -235,15 +348,6 @@ object ResolveAsofJoin extends Rule[LogicalPlan]
       val (lk, rk) = key.getOrElse(fail("missing key equality l.k = r.k"))
       val (lt, rt) = time.getOrElse(fail("missing time bound l.t >= r.t"))
       val rtie = tie.getOrElse(rt)
-      Seq(lk, lt, rk, rt, rtie).foreach(a =>
-        if (a.dataType != LongType)
-          fail(s"column ${a.name} must be BIGINT, got ${a.dataType.sql} (CAST it)"))
-      // same narrowing as AsOfJoin.asof: a null key/time would reach
-      // getLong as 0; null rows are non-joinable on either side
-      val lf = Filter(And(IsNotNull(lk), IsNotNull(lt)), l)
-      val rConds = (Seq(rk, rt) ++ (if (rtie == rt) Nil else Seq(rtie)))
-        .map(IsNotNull(_): Expression).reduce(And(_, _))
-      val rf = Filter(rConds, r)
-      AsOfJoinNode(lf, rf, lk, lt, rk, rt, rtie, leftOuter)
+      build(l, r, lk, lt, rk, rt, rtie, leftOuter)
   }
 }

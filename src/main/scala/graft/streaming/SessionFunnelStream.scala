@@ -14,11 +14,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Unlike plain sessionization (O(1) open-session state), the funnel
   * depends on the session's events in FINAL (t, id) order, and events
   * inside one session may arrive out of order within the watermark
-  * delay — so the state buffers the open session's (t, id, step)
-  * triples and sorts at close. State per user = one open session's
-  * events (bounded by per-session activity, never stream length); the
-  * step string is scored by the same cvp-substring probe as the batch
-  * query, so both paths share the contract by construction.
+  * delay — so the state buffers (t, id, step) triples and sorts at
+  * close. A session is emitted ONLY once the watermark passes
+  * `end + GapMs`: any still-admissible event has t > watermark, so
+  * nothing can merge into (or extend) a session the watermark has
+  * cleared, while an earlier "close on the first live event past the
+  * gap" rule would let an admissible out-of-order event near a gap
+  * boundary split one true session into two. Until then candidate
+  * sessions stay buffered (state is bounded by the watermark delay +
+  * gap of activity, never stream length); the step string is scored by
+  * the same cvp-substring probe as the batch query, so both paths
+  * share the contract by construction.
   */
 object SessionFunnelStream {
 
@@ -53,40 +59,34 @@ object SessionFunnelStream {
       .flatMapGroupsWithState[SfState, SessionLevel](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[SfEv], state: GroupState[SfState]) =>
-          val closed = Seq.newBuilder[SessionLevel]
-          var open: Seq[(Long, Long, String)] =
-            state.getOption.map(_.evs).getOrElse(Nil)
-          def startMs = open.map(_._1).min
-          def endMs = open.map(_._1).max
-          val arrivals = it.toSeq.map { e =>
+          val wm = state.getCurrentWatermarkMs()
+          val arrivals = it.map { e =>
             val st = e.event_type match {
               case "click" => "c"; case "view" => "v"; case _ => "p"
             }
             (e.ts.getTime, e.event_id, st)
-          }.sorted
-          arrivals.foreach { ev =>
-            if (open.isEmpty) open = Seq(ev)
-            else if (ev._1 > endMs + GapMs) {
-              // past the gap: the open session is complete
-              closed += level(open).copy(user_id = user)
-              open = Seq(ev)
-            } else if (ev._1 < startMs - GapMs) {
-              // out-of-order singleton BEFORE the open session's reach:
-              // a distinct, already-ended session (sessionize's rule)
-              closed += level(Seq(ev)).copy(user_id = user)
-            } else open :+= ev
-          }
-          if (state.hasTimedOut && open.nonEmpty &&
-              state.getCurrentWatermarkMs() > endMs + GapMs) {
-            closed += level(open).copy(user_id = user)
-            open = Nil
-          }
-          if (open.isEmpty) { if (state.exists) state.remove() }
+          }.toSeq
+          val buf = (state.getOption.map(_.evs).getOrElse(Nil) ++ arrivals)
+            .sorted
+          val sessions =
+            buf.foldLeft(Vector.empty[Vector[(Long, Long, String)]]) {
+              (acc, ev) =>
+                if (acc.nonEmpty && ev._1 - acc.last.last._1 <= GapMs)
+                  acc.init :+ (acc.last :+ ev)
+                else acc :+ Vector(ev)
+            }
+          // Final iff the watermark cleared end+gap: every admissible
+          // future event has t > wm > end+gap, so it cannot merge here,
+          // and anything before the session start is already below wm.
+          val (done, pending) =
+            sessions.partition(s => wm > s.last._1 + GapMs)
+          if (pending.isEmpty) { if (state.exists) state.remove() }
           else {
-            state.update(SfState(open))
-            state.setTimeoutTimestamp(endMs + GapMs + 1)
+            state.update(SfState(pending.flatten))
+            // earliest pending close; > wm holds since wm <= end+gap
+            state.setTimeoutTimestamp(pending.head.last._1 + GapMs + 1)
           }
-          closed.result().iterator
+          done.iterator.map(s => level(s).copy(user_id = user))
       }
   }
 }

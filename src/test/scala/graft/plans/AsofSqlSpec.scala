@@ -69,6 +69,63 @@ class AsofSqlSpec extends SparkSpec {
     }
   }
 
+  test("ASOF LEFT OUTER JOIN spelling rewrites too (r6 silently degraded it)") {
+    withTables {
+      val df = spark.sql(
+        """SELECT k, t, pay, rid FROM asof_l
+          |ASOF LEFT OUTER JOIN asof_r
+          |ON k = rk AND t >= rt AND graft_asof_tie(rid)""".stripMargin)
+      assert(planOf(df).contains("AsOfJoin "), planOf(df))
+      val rows = df.collect()
+      assert(rows.length == 5)
+      assert(rows.count(_.isNullAt(3)) == 2) // (1,4) and (3,9)
+    }
+  }
+
+  test("ASOF LEFT JOIN keeps left rows with a NULL key/time, null-padded") {
+    withTables {
+      spark.sql(
+        """CREATE OR REPLACE TEMP VIEW asof_ln AS
+          |SELECT * FROM VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT), 'a'),
+          |  (CAST(NULL AS BIGINT), CAST(3 AS BIGINT), 'nullk'),
+          |  (CAST(2 AS BIGINT), CAST(NULL AS BIGINT), 'nullt')
+          |AS v(k, t, pay)""".stripMargin)
+      val df = spark.sql(
+        """SELECT k, t, pay, rid FROM asof_ln
+          |ASOF LEFT JOIN asof_r ON k = rk AND t >= rt AND graft_asof_tie(rid)
+          |""".stripMargin)
+      val rows = df.collect()
+      assert(rows.length == 3, rows.mkString("; "))
+      assert(rows.count(_.isNullAt(3)) == 2)
+      assert(rows.find(r => !r.isNullAt(0) && r.getLong(0) == 1L)
+        .get.getLong(3) == 102L)
+      // Dataset API parity: same retention through AsOfJoin.asof
+      val api = AsOfJoin.asof(spark.table("asof_ln"), spark.table("asof_r"),
+        "k", "t", "rk", "rt", "rid", leftOuter = true)
+        .select("k", "t", "pay", "rid")
+      assert(api.collect().map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+    }
+  }
+
+  test("ASOF JOIN ... USING (k, t) — the ClickHouse-leading spelling") {
+    withTables {
+      import spark.implicits._
+      Seq((1L, 5L, 100L, 1.5), (1L, 5L, 101L, 2.5), (1L, 9L, 102L, 3.5),
+        (2L, 25L, 103L, 4.5))
+        .toDF("k", "t", "rid", "price").createOrReplaceTempView("asof_ru")
+      val df = spark.sql("SELECT * FROM asof_l ASOF JOIN asof_ru USING (k, t)")
+      assert(planOf(df).contains("AsOfJoin "), planOf(df))
+      // merged-column convention: right's k and t drop from the output
+      assert(df.columns.toSeq === Seq("k", "t", "pay", "rid", "price"))
+      val rows = df.collect()
+      assert(rows.length == 3)
+      assert(rows.find(_.getLong(1) == 10L).get.getLong(3) == 102L)
+      val lo = spark.sql(
+        "SELECT * FROM asof_l ASOF LEFT JOIN asof_ru USING (k, t)").collect()
+      assert(lo.length == 5 && lo.count(_.isNullAt(3)) == 2)
+    }
+  }
+
   test("the reversed time bound r.t <= l.t and reversed equality parse too") {
     withTables {
       val df = spark.sql(
@@ -155,6 +212,13 @@ class AsofSqlSpec extends SparkSpec {
       assert(msg(
         "SELECT * FROM asof_l ASOF RIGHT JOIN asof_r ON k = rk AND t >= rt")
         .contains("not supported"))
+      assert(msg(
+        "SELECT * FROM asof_l ASOF FULL OUTER JOIN asof_r ON k = rk AND t >= rt")
+        .contains("not supported"))
+      assert(msg("SELECT * FROM asof_l ASOF JOIN asof_r USING (k)")
+        .contains("at least (key, time)"))
+      assert(msg("SELECT * FROM asof_l ASOF JOIN asof_r USING (rk, rid, rt)")
+        .contains("exactly (key, time)"))
     }
   }
 }

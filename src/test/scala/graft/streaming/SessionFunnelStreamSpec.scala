@@ -13,6 +13,13 @@ class SessionFunnelStreamSpec extends SparkSpec {
   private def ts(ms: Long) = new Timestamp(ms)
 
   private def run(evs: Seq[SfEv], chunks: Int): Seq[SessionLevel] = {
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val per = math.max(1, sorted.size / chunks)
+    runBatches(sorted.grouped(per).toSeq)
+  }
+
+  /** Feed explicit batches (arrival order ≠ time order allowed). */
+  private def runBatches(batches: Seq[Seq[SfEv]]): Seq[SessionLevel] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[SfEv]
@@ -21,10 +28,8 @@ class SessionFunnelStreamSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sf_levels")
       .outputMode("append").start()
     try {
-      val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
-      val per = math.max(1, sorted.size / chunks)
-      sorted.grouped(per).foreach { g => in.addData(g: _*); q.processAllAvailable() }
-      val maxT = evs.map(_.ts.getTime).max
+      batches.foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val maxT = batches.flatten.map(_.ts.getTime).max
       // three far-future sentinels: advance the watermark past end+gap
       // and fire the close timeouts armed when those batches complete
       (1 to 3).foreach { i =>
@@ -33,7 +38,7 @@ class SessionFunnelStreamSpec extends SparkSpec {
       }
       spark.table("sf_levels").as[SessionLevel].collect().toSeq
         .filter(_.user_id >= 0)
-    } finally q.stop()
+    } finally { q.stop(); spark.catalog.dropTempView("sf_levels") }
   }
 
   /** Batch replica: global (t, id) sort per user, gap fold, cvp probe. */
@@ -71,6 +76,27 @@ class SessionFunnelStreamSpec extends SparkSpec {
     assert(got.find(s => s.user_id == 1 && s.n_events == 1).get.level == 0L)
     assert(got.find(_.user_id == 2).get.level == 2L)
   }
+
+  test("cross-batch out-of-order event near a gap boundary still merges") {
+    val base = 1_700_000_000_000L
+    val G = SessionFunnelStream.GapMs
+    // batch 2's event sits past the gap from batch 1's session; batch 3
+    // then delivers an ADMISSIBLE out-of-order event (t > watermark,
+    // within the gap of both) that bridges everything into ONE session.
+    // A close-on-live-arrival rule would have already emitted batch 1's
+    // session and wrongly produced two (or three) sessions.
+    val b1 = Seq(SfEv(1, ts(base), 1, "click"), SfEv(1, ts(base + 60_000), 2, "view"))
+    val b2 = Seq(SfEv(1, ts(base + 60_000 + G + 120_000), 3, "purchase"))
+    // watermark after b2 = (base+60_000+G+120_000) - 30min = base+180_000
+    val b3 = Seq(SfEv(1, ts(base + 200_000), 4, "view"))
+    val got = run2 (b1, b2, b3)
+    val exp = expected(b1 ++ b2 ++ b3)
+    assert(exp.size == 1 && exp.head.n_events == 4L, exp)
+    assert(got.toSet === exp.toSet, got.sortBy(_.start_ms))
+  }
+
+  private def run2(batches: Seq[SfEv]*): Seq[SessionLevel] =
+    runBatches(batches.toSeq)
 
   test("replayed sf0.001 history matches the batch sessionize+funnel replica") {
     val evs = graft.Tables(spark, SF, "events")
