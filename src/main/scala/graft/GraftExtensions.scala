@@ -54,20 +54,38 @@ object GraftExtensions {
     * sorts the whole fact stream (measured: s_knn_graph 44.8 s → 19.7 s
     * at 3×·sf0.1 when raised). A conf the user set explicitly (via
     * --conf / the session builder, i.e. present in the SparkConf) wins.
-    */
+    *
+    * SESSION-WIDE SIDE EFFECT, deliberately bounded: the conf is global
+    * to the session, and a user query running an UNBOUNDED
+    * TypedImperativeAggregate (collect_list / percentile over millions
+    * of groups) holds that many groups in the hash map before falling
+    * back to sort. Merely loading the extensions therefore raises the
+    * threshold only to 65536 (64 Ki bounded-state groups ≈ a few MB;
+    * even pathological 1 KB-per-group user state stays under ~64 MB
+    * per task). graft's own mains (Bench/Verify), whose aggregates are
+    * all bounded-state, set the full 1000000 in their builders; other
+    * deployments opt in the same way, or via
+    * `spark.graft.scaleDefaults=full` in the SparkConf. */
   /** (key, graft default, Spark's own default). A user value — set in the
     * SparkConf, or session-set to anything but Spark's default before the
     * first query — is left alone. */
   val scaleDefaults: Seq[(String, String, String)] = Seq(
     ("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "1000000", "128"))
+      "65536", "128"))
 
-  def applyScaleDefaults(session: SparkSession): Unit =
+  /** Full-throttle value for sessions running only bounded-state
+    * aggregates (graft's mains; opt-in via spark.graft.scaleDefaults=full). */
+  val fullFallbackThreshold = "1000000"
+
+  def applyScaleDefaults(session: SparkSession): Unit = {
+    val full =
+      session.sparkContext.getConf.get("spark.graft.scaleDefaults", "") == "full"
     scaleDefaults.foreach { case (k, v, sparkDefault) =>
       if (!session.sparkContext.getConf.contains(k) &&
           session.conf.get(k, sparkDefault) == sparkDefault)
-        session.conf.set(k, v)
+        session.conf.set(k, if (full) fullFallbackThreshold else v)
     }
+  }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     // ASOF JOIN plumbing: the marker the SQL rewriter injects and the

@@ -756,18 +756,23 @@ object DedupQueries {
 
   /** d_dup_threshold_sweep: the THRESHOLD-TUNING CURVE — near-dup pair
     * and affected-doc counts at Jaccard ≥ 0.5/0.6/0.7/0.8/0.9, all from
-    * ONE LSH-verified intersection pass (the ≥ 0.5 candidate set
-    * provably contains every higher-threshold pair): what a data
-    * engineer plots before picking the dedup cutoff. Jaccard carried as
-    * integer ppm (floor of one division of exact counts), so the
-    * threshold compares are engine-exact. */
+    * ONE intersection pass over the EXACT shingle-equality candidate
+    * join (a pair with J ≥ 0.5 must share at least one shingle, so this
+    * candidate set provably contains every swept pair — LSH banding
+    * does NOT: 16 bands of 4 capture only ~64% of J=0.5 pairs, which
+    * would undercount vs the exact oracle; the LSH tier stays the scale
+    * path for dedup itself via d_minhash_lsh / d_lsh_verified, while
+    * the sweep is a diagnostic run on a sample or corpus slice): what a
+    * data engineer plots before picking the dedup cutoff. Jaccard
+    * carried as integer ppm (floor of one division of exact counts), so
+    * the threshold compares are engine-exact. */
   def dDupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val sh = wordShingles(docs).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n"))
-    val inter = dMinhashLsh(s, dir)
-      .join(sh.select(F.col("doc_id").as("a_id"), F.col("s")), "a_id")
-      .join(sh.select(F.col("doc_id").as("b_id"), F.col("s")), Seq("b_id", "s"))
+    val inter = sh.select(F.col("doc_id").as("a_id"), F.col("s"))
+      .join(sh.select(F.col("doc_id").as("b_id"), F.col("s")), "s")
+      .filter(F.col("a_id") < F.col("b_id"))
       .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).as("c"))
     val scored = inter
       .join(sizes.select(F.col("doc_id").as("a_id"), F.col("n").as("na")), "a_id")

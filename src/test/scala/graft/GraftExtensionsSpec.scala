@@ -12,10 +12,14 @@ package graft
 class GraftExtensionsSpec extends SparkSpec {
 
   test("a bare withExtensions session gets the bounded-state hash-agg threshold") {
-    // trigger session-state build (the check-rule hook) with any query
+    // trigger session-state build (the check-rule hook) with any query.
+    // 65536, not the mains' 1000000: the conf is session-global, and an
+    // unbounded user aggregate (collect_list over many groups) would
+    // hold that many groups in memory — the full value is opt-in
+    // (spark.graft.scaleDefaults=full, or set it like Bench/Verify do).
     spark.sql("SELECT 1").collect()
     assert(spark.conf.get(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "1000000")
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "65536")
   }
 
   test("a user value set before the first query is respected") {
