@@ -1,13 +1,13 @@
 package graft.kv
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{BinaryType, BooleanType, StructField, StructType}
 import org.apache.spark.sql.{functions => F}
+
+import graft.GraftFs
 
 /** Streaming mutation ingestion for the KV store — the reference's
   * `mutateMany` (ClickhouseStoreManager.java:49) fed from an unbounded
@@ -44,10 +44,11 @@ object KVStreamSink {
 
   /** Fold one micro-batch into snapshot_v{batchId}. Idempotent. */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    val target = Paths.get(dir, s"snapshot_v$batchId")
-    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
     val s = batch.sparkSession
-    val store = latestSnapshot(dir, batchId) match {
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"snapshot_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
+    val store = latestSnapshot(conf, dir, batchId) match {
       case Some(p) => s.read.parquet(p)
       case None => s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -56,30 +57,19 @@ object KVStreamSink {
     val adds = batch.filter(!F.col("is_delete")).select("k", "c", "v")
     val dels = batch.filter(F.col("is_delete")).select("k", "c")
     KVStore.mutate(store, adds, dels)
-      .write.mode("overwrite").parquet(target.toString)
+      .write.mode("overwrite").parquet(target)
   }
 
   /** The latest complete snapshot (strictly before `beforeId` when the
     * caller is batch `beforeId` computing its own input). */
-  private def latestSnapshot(dir: String, beforeId: Long): Option[String] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return None
-    val listing = Files.list(d)
-    val versions =
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("snapshot_v"))
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-        .map(p => p.getFileName.toString.stripPrefix("snapshot_v").toLong)
-        .filter(_ < beforeId)
-        .toSeq
-      finally listing.close()
-    if (versions.isEmpty) None
-    else Some(Paths.get(dir, s"snapshot_v${versions.max}").toString)
-  }
+  private def latestSnapshot(conf: Configuration, dir: String,
+                             beforeId: Long): Option[String] =
+    GraftFs.latest(conf, dir, "snapshot_v", beforeId)
 
   /** The current readable store: latest complete snapshot. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    latestSnapshot(dir, Long.MaxValue) match {
+    latestSnapshot(spark.sparkContext.hadoopConfiguration, dir,
+        Long.MaxValue) match {
       case Some(p) => spark.read.parquet(p)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -120,7 +110,9 @@ object KVStreamSink {
   /** Append one micro-batch as delta_{batchId+1}. Idempotent by batchId. */
   def applyBatchDelta(batch: DataFrame, warehouseDir: String, name: String,
                       batchId: Long, compactThreshold: Int = 8): Unit = {
-    if (readHwm(warehouseDir, name) >= batchId) return // applied (maybe folded)
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    if (readHwm(conf, warehouseDir, name) >= batchId)
+      return // applied (maybe folded)
     val store = new KVDeltaStore(batch.sparkSession, warehouseDir)
     val seq = batchId + 1
     if (!store.deltaCompleteOrClear(name, seq)) {
@@ -128,7 +120,7 @@ object KVStreamSink {
       val dels = batch.filter(F.col("is_delete")).select("k", "c")
       store.appendMutationAt(name, seq, adds, dels)
     }
-    writeHwm(warehouseDir, name, batchId)
+    writeHwm(conf, warehouseDir, name, batchId)
     store.maybeCompact(name, compactThreshold): Unit
   }
 
@@ -136,24 +128,16 @@ object KVStreamSink {
   def readDelta(spark: SparkSession, warehouseDir: String, name: String): DataFrame =
     new KVDeltaStore(spark, warehouseDir).openDatabase(name)
 
-  private def hwmFile(warehouseDir: String, name: String) =
-    Paths.get(warehouseDir, name, "_stream_hwm")
+  private def hwmFile(warehouseDir: String, name: String): String =
+    GraftFs.child(GraftFs.child(warehouseDir, name), "_stream_hwm")
 
-  private def readHwm(warehouseDir: String, name: String): Long = {
-    val f = hwmFile(warehouseDir, name)
-    if (Files.exists(f))
-      new String(Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    else -1L
-  }
+  private def readHwm(conf: Configuration, warehouseDir: String,
+                      name: String): Long =
+    GraftFs.readText(conf, hwmFile(warehouseDir, name))
+      .map(_.trim.toLong).getOrElse(-1L)
 
-  private def writeHwm(warehouseDir: String, name: String, batchId: Long): Unit = {
-    val f = hwmFile(warehouseDir, name)
-    Files.createDirectories(f.getParent)
-    val tmp = Files.createTempFile(f.getParent, "_stream_hwm", ".tmp")
-    Files.write(tmp,
-      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-  }
+  private def writeHwm(conf: Configuration, warehouseDir: String,
+                       name: String, batchId: Long): Unit =
+    GraftFs.writeTextAtomic(conf, hwmFile(warehouseDir, name),
+      batchId.toString)
 }

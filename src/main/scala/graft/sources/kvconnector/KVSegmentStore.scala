@@ -1,10 +1,11 @@
 package graft.sources.kvconnector
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.{functions => F}
+
+import graft.GraftFs
 
 /** Segment layout for the graft-kv connector: the KV `(k, c, v)` table
   * persisted as key-range parquet segments plus a manifest of per-segment
@@ -41,13 +42,22 @@ object KVSegmentStore {
       val name = r.getString(0).split('/').last
       s"$name\t${hex(r.getAs[Array[Byte]](1))}\t${hex(r.getAs[Array[Byte]](2))}\t${r.getLong(3)}"
     }.sorted
-    Files.write(Paths.get(path, ManifestFile),
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+    GraftFs.writeTextAtomic(store.sparkSession.sparkContext.hadoopConfiguration,
+      GraftFs.child(path, ManifestFile), lines.mkString("\n"))
   }
 
+  /** Driver-side manifest reads resolve the warehouse path's FileSystem
+    * through the active session's Hadoop conf (scan planning always runs
+    * with one); bare Configuration() covers non-Spark callers. */
+  private[kvconnector] def activeConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   def readManifest(path: String): Seq[Segment] = {
-    val raw = new String(Files.readAllBytes(Paths.get(path, ManifestFile)),
-      StandardCharsets.UTF_8)
+    val raw = GraftFs.readText(activeConf, GraftFs.child(path, ManifestFile))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"$path/$ManifestFile"))
     raw.split('\n').toSeq.filter(_.nonEmpty).map { line =>
       val Array(f, lo, hi, n) = line.split('\t')
       Segment(s"$path/$f", unhex(lo), unhex(hi), n.toLong)

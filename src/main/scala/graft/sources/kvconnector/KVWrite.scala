@@ -1,10 +1,7 @@
 package graft.sources.kvconnector
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -15,6 +12,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder => VSortOrder, Expression => VExpression}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.GraftFs
 
 /** The WRITE half of the graft-kv connector:
   * `df.write.format("graft-kv").mode("append"|"overwrite").save(dir)`.
@@ -71,58 +71,60 @@ case class KVCommit(file: String, loHex: String, hiHex: String, rows: Long)
 class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
   extends BatchWrite {
 
+  // captured on the DRIVER at write-plan time: the session's Hadoop conf
+  // carries the warehouse scheme's credentials/impl (s3a, hdfs) and ships
+  // to executors inside the writer factory
+  private val confW = new SerializableConfiguration(KVSegmentStore.activeConf)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KVWriterFactory(path, queryId)
+    KVWriterFactory(path, queryId, confW)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(path)
-    Files.createDirectories(dir)
-    val manifest = dir.resolve(KVSegmentStore.ManifestFile)
+    val conf = confW.value
+    GraftFs.mkdirs(conf, path)
+    val manifest = GraftFs.child(path, KVSegmentStore.ManifestFile)
     // previous manifest lines: under append they are KEPT (append adds
     // segments, it must never orphan committed ones); under truncate they
     // name the segments to sweep once the new manifest is live
-    val previous: Seq[String] =
-      if (Files.exists(manifest))
-        new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-          .split('\n').toSeq.filter(_.nonEmpty)
-      else Seq.empty
+    val previous: Seq[String] = GraftFs.readText(conf, manifest)
+      .map(_.split('\n').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     val fresh = messages.collect { case m: KVCommit if m.rows > 0 => m }
     val freshLines =
       fresh.map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}")
     val lines = (if (truncate) freshLines.toSeq else previous ++ freshLines).sorted
     // atomic replacement: stage the full manifest next to the live one,
-    // then rename over it — a crash mid-write leaves the old manifest
-    // intact and a concurrent reader sees either the old or the new list,
-    // never a prefix (same discipline as KVDeltaStore.compact)
-    val tmp = Files.createTempFile(dir, "_graft_manifest", ".tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING): Unit
+    // then overwrite-rename it into place — a crash mid-write leaves the
+    // old manifest intact and a concurrent reader sees either the old or
+    // the new list, never a prefix (same discipline as KVDeltaStore.compact)
+    GraftFs.writeTextAtomic(conf, manifest, lines.mkString("\n"))
     if (truncate) {
-      // old segments left the manifest atomically with the move above;
+      // old segments left the manifest atomically with the rename above;
       // sweeping their files afterwards is invisible to manifest readers
       val freshNames = fresh.map(_.file).toSet
       previous.map(_.split('\t')(0)).filterNot(freshNames.contains)
-        .foreach(f => Files.deleteIfExists(dir.resolve(f)): Unit)
+        .foreach(f => GraftFs.delete(conf, GraftFs.child(path, f)))
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case KVCommit(f, _, _, _) =>
-        Files.deleteIfExists(Paths.get(path).resolve(f)): Unit
+        GraftFs.delete(confW.value, GraftFs.child(path, f))
       case _ => ()
     }
 }
 
-case class KVWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+case class KVWriterFactory(path: String, queryId: String,
+                           confW: SerializableConfiguration)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KVSegmentWriter(path, partitionId, taskId, queryId)
+    new KVSegmentWriter(path, partitionId, taskId, queryId, confW)
 }
 
 /** One task = one (k,c)-sorted key-range parquet segment, bounds tracked
   * inline during the write (no re-read). */
-class KVSegmentWriter(path: String, partitionId: Int, taskId: Long, queryId: String)
+class KVSegmentWriter(path: String, partitionId: Int, taskId: Long,
+                      queryId: String, confW: SerializableConfiguration)
   extends DataWriter[InternalRow] {
 
   // (partitionId, taskId) is unique only within one Spark application;
@@ -133,10 +135,9 @@ class KVSegmentWriter(path: String, partitionId: Int, taskId: Long, queryId: Str
     "message graft_kv { required binary k; required binary c; required binary v; }")
   private val factory = new SimpleGroupFactory(schema)
   private val writer = {
-    val conf = new Configuration()
-    Files.createDirectories(Paths.get(path))
+    GraftFs.mkdirs(confW.value, path)
     ExampleParquetWriter.builder(new Path(path, fileName))
-      .withConf(conf).withType(schema).build()
+      .withConf(confW.value).withType(schema).build()
   }
   private var lo: Array[Byte] = _
   private var hi: Array[Byte] = _
@@ -157,7 +158,7 @@ class KVSegmentWriter(path: String, partitionId: Int, taskId: Long, queryId: Str
   override def commit(): WriterCommitMessage = {
     writer.close()
     if (rows == 0) { // empty partition: no segment, nothing to manifest
-      Files.deleteIfExists(Paths.get(path).resolve(fileName))
+      GraftFs.delete(confW.value, GraftFs.child(path, fileName))
       KVCommit(fileName, "", "", 0L)
     } else
       KVCommit(fileName, KVSegmentStore.hex(lo), KVSegmentStore.hex(hi), rows)
@@ -165,7 +166,7 @@ class KVSegmentWriter(path: String, partitionId: Int, taskId: Long, queryId: Str
 
   override def abort(): Unit = {
     writer.close()
-    Files.deleteIfExists(Paths.get(path).resolve(fileName)): Unit
+    GraftFs.delete(confW.value, GraftFs.child(path, fileName))
   }
 
   override def close(): Unit = ()

@@ -1,13 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{functions => F}
 
+import graft.GraftFs
 import graft.operators.BitmapDistinct
 
 /** Incrementally-maintained DAU/WAU/MAU — q_active_users' documented
@@ -31,27 +28,29 @@ object ActiveUsersSink {
 
   /** Fold one micro-batch into days_v{batchId}. Idempotent. */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    val target = Paths.get(dir, s"days_v$batchId")
-    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
     val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"days_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
     val partial = batch
       .select(F.expr("unix_micros(ts) div 86400000000").as("day"),
         F.col("user_id"))
       .groupBy("day")
       .agg(BitmapDistinct.buildAgg(F.col("user_id")).as("bm"))
-    val merged = latest(dir, batchId) match {
+    val merged = GraftFs.latest(conf, dir, "days_v", batchId) match {
       case Some(p) => s.read.parquet(p).unionByName(partial)
         .groupBy("day").agg(BitmapDistinct.orAgg(F.col("bm")).as("bm"))
       case None => partial
     }
-    merged.write.mode("overwrite").parquet(target.toString)
+    merged.write.mode("overwrite").parquet(target)
   }
 
   /** The maintained rolling counts: per day present in the state,
     * DAU / WAU (7-day) / MAU (28-day) — each window an OR-merge of the
     * daily bitmaps, bitmap algebra only. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val days = latest(dir, Long.MaxValue) match {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val days = GraftFs.latest(conf, dir, "days_v", Long.MaxValue) match {
       case Some(p) => spark.read.parquet(p)
       case None => return spark.emptyDataFrame
     }
@@ -65,21 +64,5 @@ object ActiveUsersSink {
     val dau = days.select(F.col("day").as("d"),
       BitmapDistinct.cardinality(F.col("bm")).as("dau"))
     dau.join(rolling(7, "wau"), "d").join(rolling(28, "mau"), "d")
-  }
-
-  private def latest(dir: String, beforeId: Long): Option[String] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return None
-    val listing = Files.list(d)
-    val versions =
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("days_v"))
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-        .map(p => p.getFileName.toString.stripPrefix("days_v").toLong)
-        .filter(_ < beforeId)
-        .toSeq
-      finally listing.close()
-    if (versions.isEmpty) None
-    else Some(Paths.get(dir, s"days_v${versions.max}").toString)
   }
 }

@@ -1,12 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{functions => F}
+
+import graft.GraftFs
 
 /** Incrementally-maintained CUSUM change-detection monitor — the streaming
   * form of q_cusum (OlapSeriesQueries.cusumOverDaily): an unbounded event
@@ -41,25 +39,27 @@ object CusumSink {
 
   /** Fold one micro-batch of raw events into daily_v{batchId}. */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    val target = Paths.get(dir, s"daily_v$batchId")
-    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
     val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"daily_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
     val partial = batch
       .select(F.col("event_type"),
         F.expr("unix_micros(ts) div 86400000000").as("d"),
         F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("vc"))
       .groupBy("event_type", "d").agg(F.sum("vc").as("x"))
-    val merged = latest(dir, batchId) match {
+    val merged = GraftFs.latest(conf, dir, "daily_v", batchId) match {
       case Some(p) => s.read.parquet(p).unionByName(partial)
         .groupBy("event_type", "d").agg(F.sum("x").as("x"))
       case None => partial
     }
-    merged.write.mode("overwrite").parquet(target.toString)
+    merged.write.mode("overwrite").parquet(target)
   }
 
   /** The maintained daily series: latest complete snapshot. */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    latest(dir, Long.MaxValue) match {
+    GraftFs.latest(spark.sparkContext.hadoopConfiguration, dir, "daily_v",
+        Long.MaxValue) match {
       case Some(p) => spark.read.parquet(p)
       case None => spark.emptyDataFrame
     }
@@ -69,20 +69,4 @@ object CusumSink {
     * current. */
   def monitor(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.olap.OlapSeriesQueries.cusumOverDaily(read(spark, dir))
-
-  private def latest(dir: String, beforeId: Long): Option[String] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return None
-    val listing = Files.list(d)
-    val versions =
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("daily_v"))
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-        .map(p => p.getFileName.toString.stripPrefix("daily_v").toLong)
-        .filter(_ < beforeId)
-        .toSeq
-      finally listing.close()
-    if (versions.isEmpty) None
-    else Some(Paths.get(dir, s"daily_v${versions.max}").toString)
-  }
 }

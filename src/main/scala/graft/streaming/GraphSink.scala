@@ -1,12 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{functions => F}
+
+import graft.GraftFs
 
 import graft.graph.GraphAlgs
 
@@ -36,11 +34,12 @@ object GraphSink {
 
   /** Fold one micro-batch of new edges into cc_v{batchId}. */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    val target = Paths.get(dir, s"cc_v$batchId")
-    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
     val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"cc_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
     val newEdges = batch.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    val carried = latest(dir, batchId) match {
+    val carried = GraftFs.latest(conf, dir, "cc_v", batchId) match {
       case Some(p) =>
         val prev = s.read.parquet(p)
         prev.select(F.col("vid").as("src"), F.col("comp").as("dst"))
@@ -52,29 +51,14 @@ object GraphSink {
       union.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
     val vertices = undirected.select(F.col("src").as("vid")).distinct()
     GraphAlgs.connectedComponents(vertices, undirected)
-      .write.mode("overwrite").parquet(target.toString)
+      .write.mode("overwrite").parquet(target)
   }
 
   /** The current readable labeling: latest complete snapshot. */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    latest(dir, Long.MaxValue) match {
+    GraftFs.latest(spark.sparkContext.hadoopConfiguration, dir, "cc_v",
+        Long.MaxValue) match {
       case Some(p) => spark.read.parquet(p)
       case None => spark.emptyDataFrame
     }
-
-  private def latest(dir: String, beforeId: Long): Option[String] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return None
-    val listing = Files.list(d)
-    val versions =
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("cc_v"))
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-        .map(p => p.getFileName.toString.stripPrefix("cc_v").toLong)
-        .filter(_ < beforeId)
-        .toSeq
-      finally listing.close()
-    if (versions.isEmpty) None
-    else Some(Paths.get(dir, s"cc_v${versions.max}").toString)
-  }
 }

@@ -1,13 +1,12 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{functions => F}
 
+import graft.GraftFs
 import graft.graph.GraphAlgs
 
 /** Incrementally-maintained PageRank over streaming edge ingestion — the
@@ -44,22 +43,23 @@ object RankSink {
 
   /** Fold one micro-batch of new edges into pr_v{batchId}. */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    val target = Paths.get(dir, s"pr_v$batchId")
-    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
     val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"pr_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
     // land the delta first (idempotent: per-batch directory)
-    val edgeDir = Paths.get(dir, s"edges_v$batchId")
-    if (!Files.exists(edgeDir.resolve("_SUCCESS")))
+    val edgeDir = GraftFs.child(dir, s"edges_v$batchId")
+    if (!GraftFs.complete(conf, edgeDir))
       batch.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .write.mode("overwrite").parquet(edgeDir.toString)
+        .write.mode("overwrite").parquet(edgeDir)
     val edges = s.read.parquet(
-      edgeDirs(dir, batchId).map(_.toString): _*)
+      GraftFs.versioned(conf, dir, "edges_v", batchId).map(_._2): _*)
     val vertices = edges.select(F.col("src").as("vid"))
       .unionByName(edges.select(F.col("dst").as("vid"))).distinct()
     val n = vertices.count()
     val init = 1000000000000L / n
     // previous fixed point where known; uniform mass for new vertices
-    val (pr0, iters) = latest(dir, batchId) match {
+    val (pr0, iters) = latest(conf, dir, batchId) match {
       case Some(p) =>
         val prev = s.read.parquet(p).select(F.col("vid"), F.col("pr").as("prev"))
         (vertices.join(prev, Seq("vid"), "left")
@@ -68,29 +68,17 @@ object RankSink {
       case None => (vertices.select(F.col("vid"), F.lit(init).as("pr")), ColdIters)
     }
     GraphAlgs.pagerankFrom(vertices, pr0, edges.select("src", "dst"), iters)
-      .write.mode("overwrite").parquet(target.toString)
+      .write.mode("overwrite").parquet(target)
   }
 
   /** The current readable ranking: latest complete snapshot. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    latest(dir, Long.MaxValue) match {
+    latest(spark.sparkContext.hadoopConfiguration, dir, Long.MaxValue) match {
       case Some(p) => spark.read.parquet(p)
       case None => spark.emptyDataFrame
     }
 
-  private def edgeDirs(dir: String, upTo: Long): Seq[java.nio.file.Path] =
-    versioned(dir, "edges_v", upTo)
-
-  private def latest(dir: String, before: Long): Option[String] =
-    versioned(dir, "pr_v", before - 1).lastOption.map(_.toString)
-
-  /** Complete (`_SUCCESS`-marked) versioned children `prefix{0..upTo}`,
-    * version-ascending. */
-  private def versioned(dir: String, prefix: String, upTo: Long): Seq[java.nio.file.Path] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(prefix))
-      .filter(p => Files.exists(p.resolve("_SUCCESS")))
-      .map(p => (p.getFileName.toString.stripPrefix(prefix).toLong, p))
-      .filter(_._1 <= upTo)
-      .toSeq.sortBy(_._1).map(_._2)
+  private def latest(conf: Configuration, dir: String,
+                     before: Long): Option[String] =
+    GraftFs.latest(conf, dir, "pr_v", before)
 }

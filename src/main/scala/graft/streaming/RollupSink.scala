@@ -1,12 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{functions => F}
+
+import graft.GraftFs
 
 /** Incrementally-maintained materialized aggregate — the ClickHouse
   * `MATERIALIZED VIEW ... AggregatingMergeTree` analogue: an unbounded
@@ -35,43 +33,29 @@ object RollupSink {
 
   /** Fold one micro-batch of raw events into rollup_v{batchId}. */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
-    val target = Paths.get(dir, s"rollup_v$batchId")
-    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
     val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"rollup_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
     val partial = batch
       .select(F.col("event_type"),
         F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("vc"))
       .groupBy("event_type")
       .agg(F.count(F.lit(1)).as("n"), F.sum("vc").as("sum_c"))
-    val merged = latest(dir, batchId) match {
+    val merged = GraftFs.latest(conf, dir, "rollup_v", batchId) match {
       case Some(p) => s.read.parquet(p).unionByName(partial)
         .groupBy("event_type")
         .agg(F.sum("n").as("n"), F.sum("sum_c").as("sum_c"))
       case None => partial
     }
-    merged.write.mode("overwrite").parquet(target.toString)
+    merged.write.mode("overwrite").parquet(target)
   }
 
   /** The current readable rollup: latest complete snapshot. */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    latest(dir, Long.MaxValue) match {
+    GraftFs.latest(spark.sparkContext.hadoopConfiguration, dir, "rollup_v",
+        Long.MaxValue) match {
       case Some(p) => spark.read.parquet(p)
       case None => spark.emptyDataFrame
     }
-
-  private def latest(dir: String, beforeId: Long): Option[String] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return None
-    val listing = Files.list(d)
-    val versions =
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("rollup_v"))
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-        .map(p => p.getFileName.toString.stripPrefix("rollup_v").toLong)
-        .filter(_ < beforeId)
-        .toSeq
-      finally listing.close()
-    if (versions.isEmpty) None
-    else Some(Paths.get(dir, s"rollup_v${versions.max}").toString)
-  }
 }

@@ -1,13 +1,11 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{functions => F}
+
+import graft.GraftFs
 
 /** Incrementally-maintained GLOBAL heavy hitters — the stream-lifetime
   * topK (the windowed Misra-Gries aggregate in EventStream covers
@@ -44,12 +42,13 @@ object TopKSink {
   /** Fold one micro-batch of raw events into topk_v{batchId}. */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long,
                  capacity: Int): Unit = {
-    val target = Paths.get(dir, s"topk_v$batchId")
-    if (Files.exists(target.resolve("_SUCCESS"))) return // replayed batch
     val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"topk_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
     val incoming = batch
       .select(F.col("user_id").cast("string").as("term"), F.lit(1L).as("w"))
-    val prev = latest(dir, batchId) match {
+    val prev = GraftFs.latest(conf, dir, "topk_v", batchId) match {
       case Some(p) => s.read.schema(snapSchema).parquet(p).select("term", "w")
       case None => s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -57,29 +56,14 @@ object TopKSink {
     }
     graft.operators.FreqItems
       .globalWeighted(incoming.unionByName(prev), F.col("term"), F.col("w"), capacity)
-      .write.mode("overwrite").parquet(target.toString)
+      .write.mode("overwrite").parquet(target)
   }
 
   /** The current heavy-hitter list: (rnk, term, w) by weight DESC. */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    latest(dir, Long.MaxValue) match {
+    GraftFs.latest(spark.sparkContext.hadoopConfiguration, dir, "topk_v",
+        Long.MaxValue) match {
       case Some(p) => spark.read.schema(snapSchema).parquet(p)
       case None => spark.emptyDataFrame
     }
-
-  private def latest(dir: String, beforeId: Long): Option[String] = {
-    val d = Paths.get(dir)
-    if (!Files.exists(d)) return None
-    val listing = Files.list(d)
-    val versions =
-      try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("topk_v"))
-        .filter(p => Files.exists(p.resolve("_SUCCESS")))
-        .map(p => p.getFileName.toString.stripPrefix("topk_v").toLong)
-        .filter(_ < beforeId)
-        .toSeq
-      finally listing.close()
-    if (versions.isEmpty) None
-    else Some(Paths.get(dir, s"topk_v${versions.max}").toString)
-  }
 }
