@@ -384,6 +384,33 @@ object OlapCombinatorQueries {
         F.min("vc").as("lo_c"), F.max("vc").as("hi_c"))
   }
 
+  /** SCALE TIER for q_histogram_eqd (SURVEY §5): equi-depth bucket CUTS
+    * from approx_percentile — per-type rank error ≤ n/accuracy — instead
+    * of ntile's per-type GLOBAL sort (one task sorts one type's whole
+    * history, the r6 VERDICT's #2 weak plan). The cuts aggregate is
+    * map-side-combined (GK sketch per partition), the assignment a
+    * broadcast compare, and the only shuffle the final (type, bucket)
+    * rollup; counts/bounds per bucket stay EXACT — only the cut
+    * placement is approximate, off by at most the sketch's rank error.
+    * The ntile form above remains the exactness/oracle tier;
+    * HistogramEqdCutsSpec proves each cut lands within rank tolerance
+    * of its exact target. */
+  def qHistogramEqdCuts(s: SparkSession, dir: String, buckets: Int = 8,
+                        accuracy: Int = 10000): DataFrame = {
+    val v = Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = v.groupBy("event_type")
+      .agg(F.percentile_approx(F.col("vc"), F.typedlit(fracs),
+        F.lit(accuracy)).as("cuts"))
+    v.join(F.broadcast(cuts), "event_type")
+      .withColumn("b", F.expr("1 + cast(size(filter(cuts, c -> c < vc)) as long)"))
+      .groupBy("event_type", "b")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.min("vc").as("lo_c"), F.max("vc").as("hi_c"))
+  }
+
   val qHistogramEqdSql: String =
     """WITH v AS (
       |  SELECT event_type, event_id,

@@ -72,4 +72,37 @@ class OlapSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_concurrency's sweep window partitions by (event_type, day)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val df = OlapSeriesQueries.qConcurrency(spark, SF)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    // two windows total: the per-(type, day) local sweep over the fat
+    // point stream and the per-type carry over the TINY daily aggregate
+    assert(windows.size == 2, windows.mkString("\n"))
+    val partKeys = windows.map(_.partitionSpec.collect {
+      case a: AttributeReference => a.name
+    }.toSet)
+    assert(partKeys.contains(Set("event_type", "day")),
+      s"the fat sweep must sub-partition by day: $partKeys")
+    // cross-day carry is exact: spot-check against the single-partition
+    // formulation on sf0.001
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(F.col("t").asc, F.col("d").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val iv = Tables(spark, SF, "events")
+      .select(F.col("event_type"), F.col("event_id"),
+        F.expr("unix_micros(ts) div 1000000").as("st"))
+      .withColumn("en", F.col("st") + 120L + F.col("event_id") % 300L)
+    val pts = iv.select(F.col("event_type"), F.col("st").as("t"), F.lit(1L).as("d"))
+      .unionAll(iv.select(F.col("event_type"), F.col("en").as("t"), F.lit(-1L).as("d")))
+    val naive = pts.withColumn("run", F.sum("d").over(w))
+      .groupBy(F.col("event_type"), F.expr("t div 3600").as("hr"))
+      .agg(F.max("run").as("peak"), F.min("run").as("trough"),
+        F.count(F.lit(1)).as("n_points"))
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet === naive)
+  }
 }
