@@ -77,6 +77,21 @@ object KVQueries {
        |    AND epoch_us(ts) >= $usLo AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-11 00:00:00')) x
        |WHERE rn <= 20""".stripMargin
 
+  /** kv_dsv2_multi's oracle: kv_multislice's query with the same
+    * first-64-keys cap the Spark side applies. */
+  val kvDsv2MultiSql: String =
+    s"""SELECT user_id, us, event_id, CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str
+       |FROM (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+       |  FROM events
+       |  WHERE user_id IN (
+       |    SELECT user_id FROM (
+       |      SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+       |      ORDER BY user_id LIMIT 64))
+       |    AND epoch_us(ts) >= $usLo AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-11 00:00:00')) x
+       |WHERE rn <= 20""".stripMargin
+
   /** kv_getkeys: ordered distinct-key scan over key range [50, 100). */
   def kvGetKeys(s: SparkSession, dir: String): DataFrame =
     keyScan(eventStore(s, dir), encLong(F.lit(50L)), encLong(F.lit(100L)))
@@ -398,10 +413,15 @@ object KVQueries {
     * keys are materialized driver-side and pushed as `In("k", keys)`,
     * which the manifest prunes segment-by-segment at plan time (a narrow
     * key list against a million-segment store schedules only the
-    * segments that can hold those keys). Shares kv_multislice's oracle.
-    * Scale note: the slice read itself still joins against the key set
-    * as a DataFrame; the IN literal list exists purely to carry the
-    * pushdown — both forms express the same SPI call. */
+    * segments that can hold those keys). The key list is CAPPED at the
+    * first 64 keys by value — an explicit driver-side key list must be
+    * driver-bounded at any SF (the reference's multi-key getSlice takes
+    * whatever finite list the caller built; an UNBOUNDED collect would
+    * scale with the table) — so the entry has its own oracle applying
+    * the same cap. Scale note: the slice read itself still joins
+    * against the key set as a DataFrame; the IN literal list exists
+    * purely to carry the pushdown — both forms express the same SPI
+    * call. */
   def kvDsv2Multi(s: SparkSession, dir: String): DataFrame = synchronized {
     lastMultiSegDir.foreach { d =>
       val walk = java.nio.file.Files.walk(d)
@@ -417,7 +437,8 @@ object KVQueries {
     val keyIds = Tables(s, dir, "events")
       .select(F.col("user_id")).distinct()
       .filter(F.col("user_id") % 10 === 0)
-      .collect().map(_.getLong(0)).sorted
+      .orderBy("user_id").limit(64)
+      .collect().map(_.getLong(0))
     val enc: Array[Array[Byte]] = keyIds.map(v =>
       java.nio.ByteBuffer.allocate(8).putLong(v).array())
     val store = s.read.format("graft-kv").load(seg.toString)
@@ -465,7 +486,7 @@ object KVQueries {
     ("kv_dsv2_write", kvDsv2Write _, Some(kvSliceSql)),
     ("kv_slice", kvSlice _, Some(kvSliceSql)),
     ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
-    ("kv_dsv2_multi", kvDsv2Multi _, Some(kvMultiSliceSql)),
+    ("kv_dsv2_multi", kvDsv2Multi _, Some(kvDsv2MultiSql)),
     ("kv_getkeys", kvGetKeys _, Some(kvGetKeysSql)),
     ("kv_keyslices", kvKeySlices _, Some(kvKeySlicesSql)),
     ("kv_mutate", kvMutate _, Some(kvMutateSql)),

@@ -44,6 +44,69 @@ case class IntervalJoinNode(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** The probe-side index: intervals sorted by (lo, hi) with a prefix-max
+  * of hi. The SORT happens ONCE, driver-side, inside the broadcast
+  * exchange ([[IntervalIndexMode]] — its payload must stay
+  * Array[InternalRow]: BroadcastExchangeExec rejects any other type);
+  * the two prefix arrays are an O(n) scan rebuilt at most once per
+  * executor through [[IntervalIndexCache]]. Pre-r7 every task re-sorted
+  * the raw broadcast array — at 32 partitions × 10⁶ intervals that was
+  * 32 redundant O(n log n) sorts per stage, now zero (micro: the sf0.1
+  * q_range_phys probe stage drops the per-task sort entirely; only the
+  * first task per executor pays the linear prefix scan). */
+class IntervalIndex(val rows: Array[InternalRow], val lo: Array[Long],
+                    val maxHi: Array[Long]) extends Serializable
+
+object IntervalIndex {
+  /** Prefix arrays over rows ALREADY sorted by (lo, hi). */
+  def fromSorted(rows: Array[InternalRow], loIdx: Int,
+                 hiIdx: Int): IntervalIndex = {
+    val n = rows.length
+    val lo = new Array[Long](n)
+    val maxHi = new Array[Long](n)
+    var i = 0
+    var run = Long.MinValue
+    while (i < n) {
+      lo(i) = rows(i).getLong(loIdx)
+      run = math.max(run, rows(i).getLong(hiIdx))
+      maxHi(i) = run
+      i += 1
+    }
+    new IntervalIndex(rows, lo, maxHi)
+  }
+}
+
+/** Per-executor memo of the prefix arrays, keyed by broadcast id: tasks
+  * after the first reuse the built index; SoftReferences let the JVM
+  * reclaim indexes of finished queries under pressure. */
+object IntervalIndexCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int, Int), java.lang.ref.SoftReference[IntervalIndex]]()
+  def get(bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+          loIdx: Int, hiIdx: Int): IntervalIndex = {
+    val key = (bc.id, loIdx, hiIdx)
+    Option(cache.get(key)).flatMap(r => Option(r.get())).getOrElse {
+      val built = IntervalIndex.fromSorted(bc.value, loIdx, hiIdx)
+      cache.put(key, new java.lang.ref.SoftReference(built))
+      built
+    }
+  }
+}
+
+/** BroadcastMode that sorts the collected interval rows by (lo, hi)
+  * inside the BroadcastExchange — once, before the broadcast — so
+  * executors receive a probe-ready array. */
+case class IntervalIndexMode(loIdx: Int, hiIdx: Int)
+  extends org.apache.spark.sql.catalyst.plans.physical.BroadcastMode {
+  override def transform(rows: Array[InternalRow]): Array[InternalRow] =
+    transform(rows.iterator, None)
+  override def transform(rows: Iterator[InternalRow],
+                         sizeHint: Option[Long]): Array[InternalRow] =
+    rows.toArray.sortBy(r => (r.getLong(loIdx), r.getLong(hiIdx)))
+  override def canonicalized: org.apache.spark.sql.catalyst.plans.physical.BroadcastMode =
+    this
+}
+
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case IntervalJoinNode(l, r, v, lo, hi) =>
@@ -58,9 +121,12 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
+  private def loIdx = right.output.indexWhere(_.exprId == iLo.exprId)
+  private def hiIdx = right.output.indexWhere(_.exprId == iHi.exprId)
+
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution ::
-      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+      BroadcastDistribution(IntervalIndexMode(loIdx, hiIdx)) :: Nil
 
   // points stream through map-side: both layout properties survive
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -69,27 +135,21 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
 
   protected override def doExecute(): RDD[InternalRow] = {
     val vIdx = left.output.indexWhere(_.exprId == pVal.exprId)
-    val loIdx = right.output.indexWhere(_.exprId == iLo.exprId)
-    val hiIdx = right.output.indexWhere(_.exprId == iHi.exprId)
-    require(vIdx >= 0 && loIdx >= 0 && hiIdx >= 0,
+    val hIdx = hiIdx
+    require(vIdx >= 0 && loIdx >= 0 && hIdx >= 0,
       "interval-join attributes must come from the join children")
     val schema = output
+    val lIdx = loIdx
     val rel = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { li =>
-      // per-partition index build over the broadcast rows: sort by
-      // (lo, hi) once, prefix-max hi for the backward-walk cutoff
-      val rows = rel.value.sortBy(r => (r.getLong(loIdx), r.getLong(hiIdx)))
+      // rows arrive (lo, hi)-sorted from the broadcast exchange; the
+      // prefix arrays build at most once per executor via the cache
+      val idx = IntervalIndexCache.get(rel, lIdx, hIdx)
+      val rows = idx.rows
+      val lo = idx.lo
+      val maxHi = idx.maxHi
       val n = rows.length
-      val lo = new Array[Long](n)
-      val maxHi = new Array[Long](n)
-      var i = 0
-      var run = Long.MinValue
-      while (i < n) {
-        lo(i) = rows(i).getLong(loIdx)
-        run = math.max(run, rows(i).getLong(hiIdx))
-        maxHi(i) = run
-        i += 1
-      }
+      val hiIdx = hIdx
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
       li.flatMap { l =>
