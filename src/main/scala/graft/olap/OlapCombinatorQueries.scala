@@ -424,7 +424,36 @@ object OlapCombinatorQueries {
       | CAST(MIN(vc) AS BIGINT) AS lo_c, CAST(MAX(vc) AS BIGINT) AS hi_c
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** q_hist_pow2: power-of-two (log₂-scaled) value histogram per event
+    * type — the classic latency/size-histogram shape every monitoring
+    * stack ships (ClickHouse dashboards typically emulate it with
+    * exp2 buckets): bucket = the cents value's binary digit count,
+    * computed as length(bin(vc)) — bin() renders positive BIGINTs
+    * without leading zeros identically in Spark and DuckDB, so the
+    * bucketing is engine-exact with zero arithmetic. Pure map +
+    * (type, bucket) aggregate: nothing here changes shape at any
+    * scale. */
+  def qHistPow2(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .filter(F.col("vc") > 0)
+      .withColumn("b", F.length(F.expr("bin(vc)")).cast("long"))
+      .groupBy("event_type", "b")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.min("vc").as("lo_c"), F.max("vc").as("hi_c"))
+
+  val qHistPow2Sql: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events)
+      |SELECT event_type, CAST(length(bin(vc)) AS BIGINT) AS b, COUNT(*) AS n,
+      | CAST(MIN(vc) AS BIGINT) AS lo_c, CAST(MAX(vc) AS BIGINT) AS hi_c
+      |FROM v WHERE vc > 0 GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_hist_pow2", qHistPow2 _, Some(qHistPow2Sql)),
     ("q_histogram_eqd", qHistogramEqd _, Some(qHistogramEqdSql)),
     ("q_seq_count", qSeqCount _, Some(qSeqCountSql)),
     ("q_exp_decay", qExpDecay _, Some(qExpDecaySql)),

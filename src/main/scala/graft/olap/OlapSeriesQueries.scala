@@ -1061,7 +1061,102 @@ object OlapSeriesQueries {
     graft.streaming.ActiveUsersSink.read(s, snap.toString).localCheckpoint(true)
   }
 
+  /** q_trend_mk: the Mann-Kendall trend test over each event type's
+    * daily cents-sum series (the standard nonparametric "is this metric
+    * drifting" monitor; ClickHouse ships its cousins mannWhitneyUTest /
+    * rankCorr): S = Σ_{i<j} sign(x_j − x_i) over day-ordered values,
+    * with the positive/negative pair split. Exact BIGINT end to end —
+    * sign compares only. The pair self-join is |days|² PER TYPE:
+    * bounded by the calendar (n_days² ≈ 10⁴ at a year), never by event
+    * volume — the daily rollup is the only pass over the fact table. */
+  def qTrendMk(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+    val a = daily.select(F.col("event_type"), F.col("day").as("di"),
+      F.col("vc").as("xi"))
+    val b = daily.select(F.col("event_type"), F.col("day").as("dj"),
+      F.col("vc").as("xj"))
+    a.join(b, "event_type").filter(F.col("di") < F.col("dj"))
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_pairs"),
+        F.sum(F.when(F.col("xj") > F.col("xi"), 1L)
+          .when(F.col("xj") < F.col("xi"), -1L).otherwise(0L)).as("s_stat"),
+        F.sum(F.when(F.col("xj") > F.col("xi"), 1L).otherwise(0L)).as("n_pos"),
+        F.sum(F.when(F.col("xj") < F.col("xi"), 1L).otherwise(0L)).as("n_neg"))
+  }
+
+  val qTrendMkSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, COUNT(*) AS n_pairs,
+      | CAST(SUM(CASE WHEN b.vc > a.vc THEN 1 WHEN b.vc < a.vc THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+      | CAST(SUM(CASE WHEN b.vc > a.vc THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      | CAST(SUM(CASE WHEN b.vc < a.vc THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      |FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+      |GROUP BY 1""".stripMargin
+
+  /** q_autocorr: lag-1 and lag-7 autocorrelation of the daily series per
+    * event type, as EXACT integer numerator/denominator pairs (the float
+    * division is the caller's one lossy step): values are mean-centered
+    * with a floor-div mean and scaled to kilocents (both floor divs —
+    * identical on both engines), then num(k) = Σ c_t·c_{t+k} over
+    * day-adjacent pairs (t+k present), den = Σ c_t² over the series.
+    * Kilocent squares keep products < 2⁶³ through 100× data. One daily
+    * rollup, one broadcast mean join, one small self-join per lag. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+      .localCheckpoint()
+    val mean = daily.groupBy("event_type")
+      .agg(F.expr("sum(vc) div count(1)").as("mu"))
+    val cent = daily.join(F.broadcast(mean), "event_type")
+      .select(F.col("event_type"), F.col("day"),
+        F.expr("(vc - mu) div 1000").as("c"))
+    val lags = cent.withColumn("lag", F.explode(F.typedlit(Seq(1L, 7L))))
+    val shifted = cent.select(F.col("event_type"), F.col("day").as("dk"),
+      F.col("c").as("ck"))
+    val num = lags.join(shifted,
+        lags("event_type") === shifted("event_type") &&
+          lags("day") + lags("lag") === shifted("dk"))
+      .groupBy(lags("event_type"), F.col("lag"))
+      .agg(F.sum(F.col("c") * F.col("ck")).as("num"), F.count(F.lit(1)).as("n_pairs"))
+    val den = cent.groupBy("event_type")
+      .agg(F.sum(F.col("c") * F.col("c")).as("den"))
+    num.join(F.broadcast(den), "event_type")
+      .select("event_type", "lag", "n_pairs", "num", "den")
+  }
+
+  val qAutocorrSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |mu AS (SELECT event_type, CAST(SUM(vc) // COUNT(*) AS BIGINT) AS mu
+      |  FROM daily GROUP BY 1),
+      |cent AS (
+      |  SELECT d.event_type, d.day, CAST((d.vc - mu.mu) // 1000 AS BIGINT) AS c
+      |  FROM daily d JOIN mu ON d.event_type = mu.event_type),
+      |den AS (SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS den
+      |  FROM cent GROUP BY 1),
+      |num AS (
+      |  SELECT a.event_type, l.lag, COUNT(*) AS n_pairs,
+      |   CAST(SUM(a.c * b.c) AS BIGINT) AS num
+      |  FROM cent a
+      |  CROSS JOIN (SELECT UNNEST([1, 7]) AS lag) l
+      |  JOIN cent b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+      |  GROUP BY 1, 2)
+      |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.n_pairs, n.num, d.den
+      |FROM num n JOIN den d ON n.event_type = d.event_type""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_trend_mk", qTrendMk _, Some(qTrendMkSql)),
+    ("q_autocorr", qAutocorr _, Some(qAutocorrSql)),
     ("q_active_users", qActiveUsers _, Some(qActiveUsersSql)),
     ("q_active_users_inc", qActiveUsersInc _, Some(qActiveUsersSql)),
     ("q_double_smooth", qDoubleSmooth _, Some(qDoubleSmoothSql)),

@@ -339,7 +339,53 @@ object HygieneQueries {
        |  CAST(COALESCE(a.n_contam, 0) AS BIGINT) AS n_contam
        |FROM es LEFT JOIN agg a ON a.eval_id = es.eval_id""".stripMargin
 
+  /** d_contam_frac: the per-document CONTAMINATION REPORT behind
+    * d_decontam's boolean — for every training doc, what fraction of
+    * its distinct 8-gram shingles also appears in the benchmark set
+    * (doc_id % 97 == 0 plays the held-out benchmark, as in d_decontam).
+    * The standard decontamination write-up reports exactly this ppm
+    * distribution before choosing the drop threshold. Same plan shape
+    * as d_decontam — one shingle explode, the benchmark side broadcast
+    * — plus one per-doc aggregate; the division is one floor div of
+    * exact counts. */
+  def dContamFrac(s: SparkSession, dir: String): DataFrame = {
+    val ws = F.split(F.col("text"), " ")
+    val sh = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), ws.as("w"))
+      .filter(F.size(F.col("w")) >= 8)
+      .select(F.col("doc_id"), F.explode(F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size(F.col("w")) - 7),
+          i => F.concat_ws(" ", F.slice(F.col("w"), i, F.lit(8)))))).as("sh"))
+      .localCheckpoint()
+    val bench = sh.filter(F.col("doc_id") % 97 === 0).select("sh").distinct()
+    val train = sh.filter(F.col("doc_id") % 97 =!= 0)
+    val hits = train.join(F.broadcast(bench), "sh", "left_semi")
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("n_hit"))
+    train.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0L)))
+      .withColumn("hit_ppm", F.expr("(1000000 * n_hit) div n_sh"))
+  }
+
+  val dContamFracSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 8),
+      |   UNNEST(range(1, len(w) - 6)) AS u(i)),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_hit FROM train
+      |  WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+      |SELECT t.doc_id, COUNT(*) AS n_sh,
+      | CAST(COALESCE(ANY_VALUE(h.n_hit), 0) AS BIGINT) AS n_hit,
+      | CAST((1000000 * COALESCE(ANY_VALUE(h.n_hit), 0)) // COUNT(*) AS BIGINT) AS hit_ppm
+      |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_contam_frac", dContamFrac _, Some(dContamFracSql)),
     ("d_fuzzy_decontam", dFuzzyDecontam _, Some(dFuzzyDecontamSql)),
     ("d_substr_scrub", dSubstrScrub _, Some(dSubstrScrubSql)),
     ("d_bloom_decontam", dBloomDecontam _, Some(dDecontamSql)),

@@ -190,9 +190,69 @@ object PackQueries {
       |WINDOW win AS (PARTITION BY doc_id ORDER BY i)
       |QUALIFY i > 4""".stripMargin
 
+  /** t_bm25: BM25 relevance of every document against the corpus's
+    * top-3 terms (the retrieval scorer behind dedup-aware data curation
+    * and search-style quality filters; k1 = 1.2, b = 0.75), with
+    * d_tfidf's integer-surrogate discipline: idf6 = (10⁶·N) div df
+    * replaces the log idf (ln drifts between engines at the last ulp),
+    * the length norm is norm6 = 250000 + (750000·dl·N) div Σdl, and a
+    * term's score6 = (idf6·tf·2200000) div (10⁶·tf + (12·norm6) div 10)
+    * — every division a floor div of nonnegative BIGINTs, so both
+    * engines agree bit for bit. Query terms are the most COMMON words
+    * by construction, so df ≳ N/10 bounds idf6 ≈ 10⁷ and the widest
+    * product idf6·tf·2.2·10⁶ stays far under 2⁶³ at any corpus size.
+    * Plan: one explode pass feeds doc lengths, the top-3 term pick, and
+    * the per-(doc, term) tf; df/terms/corpus stats all broadcast. */
+  def tBm25(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).as("word"))
+      .localCheckpoint() // feeds four consumers below
+    val dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).as("dl"))
+    val stats = dl.agg(F.count(F.lit(1)).as("n"), F.sum("dl").as("total"))
+    val terms = w.groupBy("word").agg(F.count(F.lit(1)).as("c"))
+      .orderBy(F.col("c").desc, F.col("word")).limit(3).select("word")
+    val wt = w.join(F.broadcast(terms), "word")
+    val df = wt.groupBy("word").agg(F.count_distinct(F.col("doc_id")).as("df"))
+    val tf = wt.groupBy("doc_id", "word").agg(F.count(F.lit(1)).as("tf"))
+    tf.join(F.broadcast(df), "word").join(dl, "doc_id")
+      .crossJoin(F.broadcast(stats))
+      .select(F.col("doc_id"),
+        F.expr("(1000000 * n) div df").as("idf6"), F.col("tf"),
+        F.expr("250000 + (750000 * dl * n) div total").as("norm6"))
+      .select(F.col("doc_id"),
+        F.expr("(idf6 * tf * 2200000) div (1000000 * tf + (12 * norm6) div 10)")
+          .as("ts6"))
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_terms"), F.sum("ts6").as("score6"))
+  }
+
+  val tBm25Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, u.word AS word
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(word)),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+      |terms AS (SELECT word FROM (
+      |  SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+      |  ORDER BY c DESC, word LIMIT 3)),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w
+      |  WHERE word IN (SELECT word FROM terms) GROUP BY 1),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+      |  WHERE word IN (SELECT word FROM terms) GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |   (1000000 * s.n) // df.df AS idf6, tf.tf,
+      |   250000 + (750000 * dl.dl * s.n) // s.total AS norm6
+      |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats s)
+      |SELECT doc_id, COUNT(*) AS n_terms,
+      | CAST(SUM((idf6 * tf * 2200000) // (1000000 * tf + (12 * norm6) // 10)) AS BIGINT) AS score6
+      |FROM scored GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("d_lm_windows", dLmWindows _, Some(dLmWindowsSql)),
     ("d_pack", dPack _, Some(dPackSql)),
     ("d_tfidf", dTfidf _, Some(dTfidfSql)),
+    ("t_bm25", tBm25 _, Some(tBm25Sql)),
     ("t_readability", tReadability _, Some(tReadabilitySql)))
 }
