@@ -537,6 +537,81 @@ object OlapQueries {
         out2(F.sum(dec2(F.col("o_totalprice")))).as("total"))
   }
 
+  /** q_asof_tol: q_asof_phys's scenario with a STALENESS TOLERANCE —
+    * a match older than the tolerance no longer "explains" the event
+    * (kdb wj / QuestDB ASOF TOLERANCE semantics). The testdata's
+    * event-to-order gaps span ≈26–32 years (TPC-H dates vs 2024
+    * events), so a 27-year tolerance genuinely SPLITS the match set:
+    * recent-order matches survive, older ones drop. One codegen'd
+    * post-filter over the exec's at-most-one match per left row; the
+    * join's shuffle/sort shape is unchanged. */
+  def qAsofTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      F.col("event_id"), F.col("user_id"),
+      F.unix_micros(F.col("ts")).as("etu"))
+    val ord = t(s, dir, "orders").select(
+      F.col("o_custkey").cast("long").as("ocust"),
+      F.unix_micros(F.col("o_orderdate").cast("timestamp")).as("otu"),
+      F.col("o_orderkey").cast("long").as("o_orderkey"),
+      F.col("o_totalprice"))
+    graft.plans.AsOfJoin.asofTolerance(ev, ord,
+        "user_id", "etu", "ocust", "otu", "o_orderkey",
+        tolerance = 852000000000000L) // ≈27 years in micros
+      .select(F.col("event_id"), F.col("user_id"),
+        F.col("o_orderkey"), out2(F.col("o_totalprice")).as("o_totalprice"))
+  }
+
+  val qAsofTolSql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, epoch_us(ts) AS tu, event_id, 1 AS is_event,
+      |   CAST(NULL AS BIGINT) AS okey, CAST(NULL AS DOUBLE) AS oprice,
+      |   CAST(NULL AS BIGINT) AS otu FROM events
+      |  UNION ALL
+      |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS tu, CAST(NULL AS BIGINT) AS event_id, 0 AS is_event,
+      |   o_orderkey AS okey, o_totalprice AS oprice,
+      |   epoch_us(o_orderdate) AS otu FROM orders
+      |), lv AS (
+      |  SELECT *,
+      |   LAST_VALUE(okey IGNORE NULLS) OVER (PARTITION BY k ORDER BY tu ASC, is_event ASC, okey ASC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_okey,
+      |   LAST_VALUE(oprice IGNORE NULLS) OVER (PARTITION BY k ORDER BY tu ASC, is_event ASC, okey ASC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_oprice,
+      |   LAST_VALUE(otu IGNORE NULLS) OVER (PARTITION BY k ORDER BY tu ASC, is_event ASC, okey ASC NULLS LAST
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_otu
+      |  FROM u)
+      |SELECT event_id, k AS user_id, last_okey AS o_orderkey,
+      | CAST(CAST(last_oprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |FROM lv WHERE is_event = 1 AND last_okey IS NOT NULL
+      |  AND tu - last_otu <= 852000000000000""".stripMargin
+
+  /** q_range_sql: the band join written as a PLAIN declarative SQL
+    * theta join, planned to IntervalJoinExec by the opt-in
+    * `spark.graft.autoIntervalJoin` strategy — the SQL-visible face of
+    * the interval operator (shares q_range_join's oracle; the conf is
+    * set only around plan materialization and restored after). */
+  def qRangeSql(s: SparkSession, dir: String): DataFrame = {
+    val maxBand = t(s, dir, "orders")
+      .agg(F.floor(F.max("o_totalprice") / 10000.0).cast("long")).head().getLong(0)
+    s.range(0, maxBand + 1).toDF("band")
+      .withColumn("lo", F.col("band") * 1000000L)
+      .withColumn("hi", (F.col("band") + 1) * 1000000L)
+      .createOrReplaceTempView("rsql_bands")
+    t(s, dir, "orders")
+      .select(F.col("o_totalprice"),
+        (dec2(F.col("o_totalprice")) * 100).cast("long").as("vc"))
+      .createOrReplaceTempView("rsql_pts")
+    val prev = s.conf.get("spark.graft.autoIntervalJoin", "false")
+    s.conf.set("spark.graft.autoIntervalJoin", "true")
+    try
+      s.sql(
+        """SELECT band, COUNT(*) AS n_orders,
+          |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+          |FROM rsql_pts JOIN rsql_bands ON vc >= lo AND vc < hi
+          |GROUP BY band""".stripMargin)
+        .localCheckpoint(true) // materialize while the auto conf is on
+    finally s.conf.set("spark.graft.autoIntervalJoin", prev)
+  }
+
   val qRangeJoinSql: String =
     """SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS band,
       | COUNT(*) AS n_orders, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
@@ -563,5 +638,7 @@ object OlapQueries {
     ("q_asof_left", qAsofLeft _, Some(qAsofLeftSql)),
     ("q_asof_near", qAsofNear _, Some(qAsofNearSql)),
     ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
-    ("q_range_phys", qRangePhys _, Some(qRangeJoinSql)))
+    ("q_range_phys", qRangePhys _, Some(qRangeJoinSql)),
+    ("q_range_sql", qRangeSql _, Some(qRangeJoinSql)),
+    ("q_asof_tol", qAsofTol _, Some(qAsofTolSql)))
 }

@@ -230,15 +230,45 @@ object AsOfJoin {
       left.schema(leftTime).nullable
     if (!leftOuter || !keyNullable) joined
     else {
-      // left-outer retention for null-key/null-time left rows: they can
-      // never match, so they bypass the exec and union back null-padded
-      import org.apache.spark.sql.functions.lit
-      val nullLeft = left.filter(col(leftKey).isNull || col(leftTime).isNull)
-      val padded = nullLeft.select(
-        left.columns.map(col).toIndexedSeq ++
-          right.schema.fields.toIndexedSeq.map(f =>
-            lit(null).cast(f.dataType).as(f.name)): _*)
-      joined.unionByName(padded)
+      padNullLeft(joined, left, right, leftKey, leftTime)
     }
+  }
+
+  /** As-of join with a STALENESS TOLERANCE (kdb `wj`/QuestDB ASOF
+    * TOLERANCE semantics; ClickHouse users emulate it with a post-
+    * filter): a match older than `tolerance` time units does not count.
+    * Composed over the exec — the merge already yields AT MOST ONE
+    * match per left row, so tolerance is one codegen'd projection:
+    * inner drops stale-match rows, leftOuter null-pads their right
+    * side (retention). No change to the join's shuffle/sort shape. */
+  def asofTolerance(left: DataFrame, right: DataFrame,
+                    leftKey: String, leftTime: String,
+                    rightKey: String, rightTime: String, rightTie: String,
+                    tolerance: Long, leftOuter: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(tolerance >= 0, s"tolerance must be nonnegative, got $tolerance")
+    val joined = asof(left, right, leftKey, leftTime, rightKey, rightTime,
+      rightTie, leftOuter)
+    val fresh = col(rightTime).isNotNull &&
+      col(leftTime) - col(rightTime) <= tolerance
+    if (!leftOuter) joined.filter(fresh)
+    else joined.select(
+      left.columns.toIndexedSeq.map(col) ++
+        right.columns.toIndexedSeq.map(c =>
+          when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
+  /** Left-outer retention for null-key/null-time left rows: they can
+    * never match, so they bypass the exec and union back null-padded. */
+  private def padNullLeft(joined: DataFrame, left: DataFrame,
+                          right: DataFrame, leftKey: String,
+                          leftTime: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val nullLeft = left.filter(col(leftKey).isNull || col(leftTime).isNull)
+    val padded = nullLeft.select(
+      left.columns.map(col).toIndexedSeq ++
+        right.schema.fields.toIndexedSeq.map(f =>
+          lit(null).cast(f.dataType).as(f.name)): _*)
+    joined.unionByName(padded)
   }
 }

@@ -137,4 +137,24 @@ class AsOfJoinSpec extends SparkSpec {
       .select("t", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(got === Set((10L, 2L), (20L, 3L)))
   }
+
+  test("tolerance: stale matches drop (inner) or null-pad (left outer)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a"), (1L, 110L, "b"), (2L, 100L, "c"))
+      .toDF("k", "t", "pay")
+    // k=1 has a match at rt=95: fresh for t=100 (gap 5), STALE for t=110
+    // (gap 15 > tol 10); k=2's only match is at rt=50 (gap 50, stale)
+    val r = Seq((1L, 95L, 7L), (2L, 50L, 8L)).toDF("rk", "rt", "rid")
+    val inner = AsOfJoin.asofTolerance(l, r, "k", "t", "rk", "rt", "rid",
+        tolerance = 10L)
+      .select("pay", "rid").collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(inner.toSet === Set(("a", 7L)))
+    val outer = AsOfJoin.asofTolerance(l, r, "k", "t", "rk", "rt", "rid",
+        tolerance = 10L, leftOuter = true)
+      .select("pay", "rid").collect()
+    assert(outer.length == 3)
+    assert(outer.filter(_.getString(0) == "a").head.getLong(1) == 7L)
+    assert(outer.filter(r => r.getString(0) == "b" || r.getString(0) == "c")
+      .forall(_.isNullAt(1)), "stale matches must null-pad under leftOuter")
+  }
 }
