@@ -1394,7 +1394,49 @@ object GraphQueries {
        |UNION ALL SELECT a, b, CAST(3 AS BIGINT) AS r FROM mt3""".stripMargin
   }
 
+  /** g_ecc: per-landmark ECCENTRICITY — the max BFS distance from each
+    * of the three landmark suppliers over its reachable set (the
+    * sampled-landmark diameter/radius estimate a graph report leads
+    * with; JanusGraph users run it as repeated OLAP BFS). Spark-first
+    * shape: ONE frontier loop over a landmark-replicated id space
+    * (vid' = landmark·10⁹ + vid) — landmark count is a fixed constant,
+    * so replication is a bounded ×3 of the edge volume and the loop is
+    * the same src-partitioned frontier Pregel as g_bfs_multi; the
+    * per-landmark max is one aggregate over the decoded distances. */
+  def gEcc(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val OFF = 1000000000L
+    val INF = Int.MaxValue.toLong
+    val lands = s.createDataset(Seq(0L, 1L, 2L, 3L).map(_ * 4 + 1))(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("l0")
+    val state = g.vertices.select("vid").crossJoin(F.broadcast(lands))
+      .select((F.col("l0") * OFF + F.col("vid")).as("vid"),
+        F.when(F.col("vid") === F.col("l0"), 0L).otherwise(INF).as("x"))
+    val edges = g.undirected.select("src", "dst").crossJoin(F.broadcast(lands))
+      .select((F.col("l0") * OFF + F.col("src")).as("src"),
+        (F.col("l0") * OFF + F.col("dst")).as("dst"))
+    Pregel.minPropagate(state, _.filter(F.col("x") < INF), edges,
+        F.col("x") + 1L, maxIter = 12)
+      .filter(F.col("x") < INF)
+      .groupBy(F.expr("vid div 1000000000").as("source"))
+      .agg(F.count(F.lit(1)).as("n_reach"), F.max("x").as("ecc"))
+  }
+
+  val gEccSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |bfse(s0, vid, d) AS (
+       |  SELECT CAST(s_suppkey*4+1 AS BIGINT), CAST(s_suppkey*4+1 AS BIGINT),
+       |   CAST(0 AS BIGINT) FROM supplier WHERE s_suppkey <= 3
+       |  UNION
+       |  SELECT b.s0, e.dst, b.d + 1 FROM bfse b
+       |  JOIN uedges e ON e.src = b.vid WHERE b.d < 12
+       |),
+       |dist AS (SELECT s0, vid, MIN(d) AS d FROM bfse GROUP BY 1, 2)
+       |SELECT s0 AS source, COUNT(*) AS n_reach, CAST(MAX(d) AS BIGINT) AS ecc
+       |FROM dist GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_ecc", gEcc _, Some(gEccSql)),
     ("g_mis", gMis _, Some(gMisSql)),
     ("g_louvain", gLouvain _, Some(gLouvainSql)),
     ("g_matching", gMatching _, Some(gMatchingSql)),

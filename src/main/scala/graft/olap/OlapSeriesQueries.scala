@@ -1154,7 +1154,64 @@ object OlapSeriesQueries {
       |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.n_pairs, n.num, d.den
       |FROM num n JOIN den d ON n.event_type = d.event_type""".stripMargin
 
+  /** q_runs_test: the Wald–Wolfowitz runs test over each event type's
+    * daily series — runs of above/below-median days plus the above
+    * count (the classic "is this series random or clustered" check
+    * next to q_trend_mk's monotonic-trend probe). Median is the
+    * deterministic ((n+1) div 2)-th value in (vc, day) order, so the
+    * whole statistic is integer compares — engine-exact. All windows
+    * run over the per-type DAILY aggregate (calendar-bounded), never
+    * the fact table. */
+  def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+      .localCheckpoint()
+    val wOrd = Window.partitionBy("event_type").orderBy("vc", "day")
+    val med = daily
+      .withColumn("rn", F.row_number().over(wOrd))
+      .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+      .filter(F.col("rn") === F.expr("(n + 1) div 2"))
+      .select(F.col("event_type"), F.col("vc").as("med"))
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    daily.join(F.broadcast(med), "event_type")
+      .select(F.col("event_type"), F.col("day"),
+        (F.col("vc") > F.col("med")).cast("long").as("above"))
+      .withColumn("prev", F.lag("above", 1).over(wDay))
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_days"),
+        F.sum("above").as("n_above"),
+        F.sum(F.when(F.col("prev").isNull ||
+          F.col("prev") =!= F.col("above"), 1L).otherwise(0L)).as("n_runs"))
+  }
+
+  val qRunsTestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, day, vc,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vc, day) AS rn,
+      |   COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily),
+      |med AS (SELECT event_type, vc AS med FROM rk WHERE rn = (n + 1) // 2),
+      |flag AS (
+      |  SELECT d.event_type, d.day,
+      |   CASE WHEN d.vc > m.med THEN 1 ELSE 0 END AS above
+      |  FROM daily d JOIN med m USING (event_type)),
+      |lagd AS (
+      |  SELECT event_type, above,
+      |   LAG(above) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM flag)
+      |SELECT event_type, COUNT(*) AS n_days,
+      | CAST(SUM(above) AS BIGINT) AS n_above,
+      | CAST(SUM(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      |FROM lagd GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_runs_test", qRunsTest _, Some(qRunsTestSql)),
     ("q_trend_mk", qTrendMk _, Some(qTrendMkSql)),
     ("q_autocorr", qAutocorr _, Some(qAutocorrSql)),
     ("q_active_users", qActiveUsers _, Some(qActiveUsersSql)),
