@@ -579,7 +579,129 @@ object AnnQueries {
        |FROM t JOIN t u ON u.q_id = t.n_id AND u.n_id = t.q_id
        |WHERE t.q_id < t.n_id""".stripMargin
 
+  /** s_mmr: Maximal Marginal Relevance — DIVERSIFIED top-k (the
+    * standard re-ranker between raw similarity search and what a data-
+    * curation/retrieval pipeline actually keeps: relevance minus a
+    * redundancy penalty, λ = 0.7). Per query: candidates = brute-force
+    * top-32 by cosine; greedily pick 8, each step maximizing
+    * 7·cs6(q,c) − 3·max_{s∈picked} cs6(c,s) with an n_id tie-break.
+    * All cosines are the bit-exact single-division form floor-scaled to
+    * cs6 BIGINTs, so the greedy argmax chain is integer-deterministic
+    * and ORACLE-EXACT — the DuckDB side unrolls the same 8 greedy steps
+    * (generated SQL, one argmax CTE per step). Plan shape: one
+    * broadcast scoring pass for candidates, one 32×32-per-query pair
+    * scoring, then a cogroup whose per-query greedy touches ≤ 32·32
+    * integers — candidate count, not corpus size, bounds the
+    * sequential part at any scale. */
+  def sMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MmrCand = 32
+    val MmrK = 8
+    val e = withNorm(Tables(s, dir, "embeddings"))
+    val q = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"))
+    val scored = F.broadcast(q).crossJoin(e)
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+    val cand = graft.operators.TopK
+      .perGroup(scored, Seq("q_id"), F.col("cs"), F.col("n_id"), MmrCand)
+      .select(F.col("q_id"), F.col("id").as("n_id"),
+        F.floor(F.col("score") * 1e6).cast("long").as("csq6"))
+      .localCheckpoint() // feeds the pair join twice + the cogroup
+    val cv = cand.select(F.col("q_id"), F.col("n_id"))
+      .join(e, F.col("n_id") === F.col("vec_id"))
+      .select(F.col("q_id"), F.col("n_id"), F.col("embedding"), F.col("nrm"))
+    val pair = cv.select(F.col("q_id"), F.col("n_id").as("a_id"),
+        F.col("embedding").as("ea"), F.col("nrm").as("na"))
+      .join(cv.select(F.col("q_id"), F.col("n_id").as("b_id"),
+        F.col("embedding").as("eb"), F.col("nrm").as("nb")), "q_id")
+      .filter(F.col("a_id") =!= F.col("b_id"))
+      .select(F.col("q_id"), F.col("a_id"), F.col("b_id"),
+        F.floor(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) * 1e6)
+          .cast("long").as("cs6"))
+    val candG = cand.as[(Long, Long, Long)].groupByKey(_._1)
+    val pairG = pair.as[(Long, Long, Long, Long)].groupByKey(_._1)
+    candG.cogroup(pairG) { (qid, cIt, pIt) =>
+      val cs = cIt.map(t => (t._2, t._3)).toArray
+      val sim = pIt.map(t => ((t._2, t._3), t._4)).toMap
+      val picked = scala.collection.mutable.ArrayBuffer[Long]()
+      val maxSim = scala.collection.mutable.HashMap[Long, Long]()
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var rnk = 1L
+      while (rnk <= math.min(MmrK, cs.length) && cs.nonEmpty) {
+        val best = cs.iterator.filterNot(c => picked.contains(c._1)).maxBy {
+          case (id, csq6) =>
+            val obj = if (picked.isEmpty) csq6
+              else 7L * csq6 - 3L * maxSim.getOrElse(id, Long.MinValue / 8)
+            (obj, -id) // obj DESC, id ASC
+        }
+        picked += best._1
+        out += ((qid, rnk, best._1))
+        cs.foreach { case (id, _) =>
+          if (!picked.contains(id)) {
+            val s2 = sim.getOrElse((id, best._1), Long.MinValue / 8)
+            if (s2 > maxSim.getOrElse(id, Long.MinValue)) maxSim(id) = s2
+          }
+        }
+        rnk += 1
+      }
+      out.result().iterator
+    }.toDF("q_id", "rnk", "n_id")
+  }
+
+  val sMmrSql: String = {
+    val MmrK = 8
+    def ps(i: Int) = (1 to i).map(j => s"p$j").mkString(", ")
+    val steps = (2 to MmrK).map { i =>
+      val pairJoins = (1 until i).map(j =>
+        s"  JOIN pair pj$j ON pj$j.q_id = c.q_id AND pj$j.a_id = c.n_id AND pj$j.b_id = s.p$j").mkString("\n")
+      val notIn = (1 until i).map(j => s"c.n_id <> s.p$j").mkString(" AND ")
+      val greatest =
+        if (i == 2) "pj1.cs6"
+        else s"GREATEST(${(1 until i).map(j => s"pj$j.cs6").mkString(", ")})"
+      s"""s$i AS (
+         |  SELECT q_id, ${ps(i)} FROM (
+         |    SELECT s.q_id, ${(1 until i).map(j => s"s.p$j").mkString(", ")}, c.n_id AS p$i,
+         |     ROW_NUMBER() OVER (PARTITION BY s.q_id
+         |       ORDER BY 7 * c.csq6 - 3 * $greatest DESC, c.n_id) AS r
+         |    FROM s${i - 1} s
+         |    JOIN cand c ON c.q_id = s.q_id
+         |$pairJoins
+         |    WHERE $notIn)
+         |  WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to MmrK).map(j =>
+      s"SELECT q_id, CAST($j AS BIGINT) AS rnk, p$j AS n_id FROM s$MmrK")
+      .mkString("\nUNION ALL\n")
+    s"""WITH n AS ($normSql),
+       |cand AS (
+       |  SELECT q_id, n_id, CAST(floor(cs * 1e6) AS BIGINT) AS csq6 FROM (
+       |    SELECT q_id, n_id, cs,
+       |     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS r
+       |    FROM (
+       |      SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |        ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cs
+       |      FROM n q JOIN n d ON d.vec_id <> q.vec_id
+       |      WHERE q.vec_id < $NQueries))
+       |  WHERE r <= 32),
+       |pair AS (
+       |  SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+       |   CAST(floor(${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) * 1e6) AS BIGINT) AS cs6
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+       |  JOIN n ea ON ea.vec_id = a.n_id JOIN n eb ON eb.vec_id = b.n_id),
+       |s1 AS (
+       |  SELECT q_id, n_id AS p1 FROM (
+       |    SELECT q_id, n_id,
+       |     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csq6 DESC, n_id) AS r
+       |    FROM cand) WHERE r = 1),
+       |$steps
+       |$finalSel""".stripMargin
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_mmr", sMmr _, Some(sMmrSql)),
     ("s_knn_graph", sKnnGraph _, Some(sKnnGraphSql)),
     ("s_ann_filtered", sAnnFiltered _, Some(sAnnFilteredSql)),
     ("s_ann_pq", sAnnPq _, None),
