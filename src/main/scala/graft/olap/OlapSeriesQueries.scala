@@ -1210,7 +1210,48 @@ object OlapSeriesQueries {
       | CAST(SUM(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
       |FROM lagd GROUP BY 1""".stripMargin
 
+  /** q_movers: period-over-period MOVER detection — the top-10 users by
+    * absolute spend change between the observed range's first and
+    * second half (the "biggest movers" panel of every metrics
+    * dashboard). The midpoint is (min_day + max_day + 1) div 2 from a
+    * broadcast bounds aggregate, both halves are conditional sums in
+    * ONE pass over the facts, and the ranking is
+    * TakeOrderedAndProject(10) on (|Δ| desc, user_id) — exact cents
+    * BIGINTs throughout. */
+  def qMovers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+    val bounds = ev.agg(F.min("day").as("mn"), F.max("day").as("mx"))
+    ev.crossJoin(F.broadcast(bounds))
+      .withColumn("mid", F.expr("(mn + mx + 1) div 2"))
+      .groupBy("user_id")
+      .agg(F.sum(F.when(F.col("day") < F.col("mid"), F.col("vc"))
+          .otherwise(0L)).as("c1"),
+        F.sum(F.when(F.col("day") >= F.col("mid"), F.col("vc"))
+          .otherwise(0L)).as("c2"))
+      .withColumn("delta", F.col("c2") - F.col("c1"))
+      .orderBy(F.abs(F.col("delta")).desc, F.col("user_id"))
+      .limit(10)
+  }
+
+  val qMoversSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM ev),
+      |agg AS (
+      |  SELECT user_id,
+      |   CAST(SUM(CASE WHEN day < b.mid THEN vc ELSE 0 END) AS BIGINT) AS c1,
+      |   CAST(SUM(CASE WHEN day >= b.mid THEN vc ELSE 0 END) AS BIGINT) AS c2
+      |  FROM ev CROSS JOIN b GROUP BY user_id, b.mid)
+      |SELECT user_id, c1, c2, c2 - c1 AS delta
+      |FROM agg ORDER BY abs(c2 - c1) DESC, user_id LIMIT 10""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_movers", qMovers _, Some(qMoversSql)),
     ("q_runs_test", qRunsTest _, Some(qRunsTestSql)),
     ("q_trend_mk", qTrendMk _, Some(qTrendMkSql)),
     ("q_autocorr", qAutocorr _, Some(qAutocorrSql)),

@@ -217,6 +217,18 @@ object DedupQueries {
       .select(F.col("vid").as("doc_id"), F.col("x").as("keep_id"))
   }
 
+  /** d_dedup_stats: the CLUSTER-SIZE HISTOGRAM of d_dup_groups'
+    * connected duplicate clusters — every dedup report leads with it
+    * (how many exact/near-dup clusters of each size, how many docs
+    * survive keep-one-per-cluster). One tiny aggregate pair over the
+    * group labeling; the oracle extends d_dup_groups' recursive-CTE
+    * oracle with the same two aggregates. */
+  def dDedupStats(s: SparkSession, dir: String): DataFrame =
+    dDupGroups(s, dir)
+      .groupBy("keep_id").agg(F.count(F.lit(1)).as("cluster_sz"))
+      .groupBy("cluster_sz").agg(F.count(F.lit(1)).as("n_clusters"),
+        F.sum("cluster_sz").as("n_docs"))
+
   val dDupGroupsSql: String =
     s"""WITH RECURSIVE $shinglesSql,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -236,6 +248,16 @@ object DedupQueries {
        |  SELECT r.v, e.d FROM reach r JOIN sym e ON e.s = r.u
        |)
        |SELECT v AS doc_id, MIN(u) AS keep_id FROM reach GROUP BY v""".stripMargin
+
+  /** d_dup_groups' oracle with its final select folded into CTEs plus
+    * the histogram aggregates. */
+  val dDedupStatsSql: String = dDupGroupsSql.replace(
+    "SELECT v AS doc_id, MIN(u) AS keep_id FROM reach GROUP BY v",
+    """, grp AS (SELECT v AS doc_id, MIN(u) AS keep_id FROM reach GROUP BY v),
+      |szs AS (SELECT keep_id, COUNT(*) AS cluster_sz FROM grp GROUP BY 1)
+      |SELECT cluster_sz, COUNT(*) AS n_clusters,
+      | CAST(SUM(cluster_sz) AS BIGINT) AS n_docs
+      |FROM szs GROUP BY 1""".stripMargin)
 
   /** d_fuzzy_e2e: the COMPLETE production fuzzy-dedup chain as one
     * driver-checked composition — MinHash sketches → banded LSH
@@ -835,6 +857,7 @@ object DedupQueries {
     ("d_minhash_lsh", dMinhashLsh _, None),
     ("d_lsh_verified", dLshVerified _, Some(dJaccardPairsSql)),
     ("d_dup_groups", dDupGroups _, Some(dDupGroupsSql)),
+    ("d_dedup_stats", dDedupStats _, Some(dDedupStatsSql)),
     ("d_fuzzy_e2e", dFuzzyE2e _, Some(dFuzzyE2eSql)),
     ("d_simhash", dSimhash _, None),
     ("d_semdedup", dSemDedup _, None),
