@@ -1250,7 +1250,52 @@ object OlapSeriesQueries {
       |SELECT user_id, c1, c2, c2 - c1 AS delta
       |FROM agg ORDER BY abs(c2 - c1) DESC, user_id LIMIT 10""".stripMargin
 
+  /** q_rfm: RFM (recency / frequency / monetary) customer segmentation
+    * — the classic CRM rollup: per user, days since last activity,
+    * event count, cents spend, each bucketed on a LOG₂ scale (binary
+    * digit count, the q_hist_pow2 trick — engine-exact, and crucially
+    * NO global quantile sort: the conventional quintile form needs a
+    * corpus-wide ranking; log buckets keep the whole plan one
+    * per-user aggregate + one map). rfm_code = r·10000 + f·100 + m;
+    * output is the segment histogram. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+    val bounds = ev.agg(F.max("day").as("mxd"))
+    ev.crossJoin(F.broadcast(bounds))
+      .groupBy("user_id")
+      .agg(F.min(F.col("mxd") - F.col("day")).as("recency"),
+        F.count(F.lit(1)).as("freq"), F.sum("vc").as("cents"))
+      .select(F.col("user_id"),
+        F.expr("length(bin(recency + 1))").cast("long").as("r"),
+        F.expr("length(bin(freq))").cast("long").as("f"),
+        F.expr("length(bin(greatest(cents, 1)))").cast("long").as("m"))
+      .groupBy(F.expr("r * 10000 + f * 100 + m").as("rfm_code"))
+      .agg(F.count(F.lit(1)).as("n_users"))
+  }
+
+  val qRfmSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |b AS (SELECT MAX(day) AS mxd FROM ev),
+      |u AS (
+      |  SELECT user_id, MIN(b.mxd - day) AS recency, COUNT(*) AS freq,
+      |   CAST(SUM(vc) AS BIGINT) AS cents
+      |  FROM ev CROSS JOIN b GROUP BY user_id),
+      |c AS (
+      |  SELECT length(bin(recency + 1)) AS r, length(bin(freq)) AS f,
+      |   length(bin(greatest(cents, 1))) AS m
+      |  FROM u)
+      |SELECT CAST(r * 10000 + f * 100 + m AS BIGINT) AS rfm_code,
+      | COUNT(*) AS n_users
+      |FROM c GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_rfm", qRfm _, Some(qRfmSql)),
     ("q_movers", qMovers _, Some(qMoversSql)),
     ("q_runs_test", qRunsTest _, Some(qRunsTestSql)),
     ("q_trend_mk", qTrendMk _, Some(qTrendMkSql)),

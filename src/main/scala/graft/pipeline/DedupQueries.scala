@@ -217,6 +217,34 @@ object DedupQueries {
       .select(F.col("vid").as("doc_id"), F.col("x").as("keep_id"))
   }
 
+  /** d_novelty: per-doc NOVELTY — what fraction (ppm) of a document's
+    * distinct 3-gram shingles was already seen in an EARLIER doc
+    * (doc_id order stands in for ingestion order). The corpus-growth
+    * redundancy curve: plot mean novelty by doc_id decile and you see
+    * the dedup payoff accumulate. First-seen attribution is one
+    * min-aggregate over the shingle table keyed by shingle — same
+    * exchange the dedup family already pays — then one broadcast-free
+    * equi-join back and a per-doc rollup. */
+  def dNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(Tables(s, dir, "documents")).localCheckpoint()
+    val firstSeen = sh.groupBy("s").agg(F.min("doc_id").as("first_id"))
+    sh.join(firstSeen, "s")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_sh"),
+        F.sum(F.when(F.col("first_id") < F.col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .withColumn("seen_ppm", F.expr("(1000000 * n_seen) div n_sh"))
+  }
+
+  val dNoveltySql: String =
+    s"""WITH $shinglesSql,
+       |fs AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY 1)
+       |SELECT sh.doc_id, COUNT(*) AS n_sh,
+       | CAST(SUM(CASE WHEN fs.first_id < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       | CAST((1000000 * SUM(CASE WHEN fs.first_id < sh.doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS seen_ppm
+       |FROM sh JOIN fs ON fs.s = sh.s
+       |GROUP BY 1""".stripMargin
+
   /** d_dedup_stats: the CLUSTER-SIZE HISTOGRAM of d_dup_groups'
     * connected duplicate clusters — every dedup report leads with it
     * (how many exact/near-dup clusters of each size, how many docs
@@ -858,6 +886,7 @@ object DedupQueries {
     ("d_lsh_verified", dLshVerified _, Some(dJaccardPairsSql)),
     ("d_dup_groups", dDupGroups _, Some(dDupGroupsSql)),
     ("d_dedup_stats", dDedupStats _, Some(dDedupStatsSql)),
+    ("d_novelty", dNovelty _, Some(dNoveltySql)),
     ("d_fuzzy_e2e", dFuzzyE2e _, Some(dFuzzyE2eSql)),
     ("d_simhash", dSimhash _, None),
     ("d_semdedup", dSemDedup _, None),
