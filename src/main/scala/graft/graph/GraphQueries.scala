@@ -1435,7 +1435,43 @@ object GraphQueries {
        |SELECT s0 AS source, COUNT(*) AS n_reach, CAST(MAX(d) AS BIGINT) AS ecc
        |FROM dist GROUP BY 1""".stripMargin
 
+  /** g_mixing: the label MIXING MATRIX — edge counts and corpus shares
+    * by (source label, destination label, edge label). Newman's mixing
+    * matrix is the property-graph health report behind assortativity
+    * (g_assort summarizes it to one number; this is the full table a
+    * JanusGraph operator actually inspects). Two dimension joins on the
+    * vertex-label map + one aggregate; the share is an exact integer
+    * ppm against a broadcast total. */
+  def gMixing(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    val vl = g.vertices.select(F.col("vid"), F.col("vlabel"))
+    val lab = g.edges
+      .join(vl.select(F.col("vid").as("src"), F.col("vlabel").as("src_label")), "src")
+      .join(vl.select(F.col("vid").as("dst"), F.col("vlabel").as("dst_label")), "dst")
+      .groupBy("src_label", "dst_label", "elabel")
+      .agg(F.count(F.lit(1)).as("n_edges"))
+    val total = lab.agg(F.sum("n_edges").as("total"))
+    lab.crossJoin(F.broadcast(total))
+      .select(F.col("src_label"), F.col("dst_label"), F.col("elabel"),
+        F.col("n_edges"), F.expr("(1000000 * n_edges) div total").as("frac_ppm"))
+  }
+
+  val gMixingSql: String =
+    s"""WITH $sqlPrelude,
+       |lab AS (
+       |  SELECT sv.vlabel AS src_label, dv.vlabel AS dst_label, e.elabel,
+       |   COUNT(*) AS n_edges
+       |  FROM edges e
+       |  JOIN verts sv ON sv.vid = e.src
+       |  JOIN verts dv ON dv.vid = e.dst
+       |  GROUP BY 1, 2, 3),
+       |tot AS (SELECT SUM(n_edges) AS total FROM lab)
+       |SELECT src_label, dst_label, elabel, n_edges,
+       | CAST((1000000 * n_edges) // total AS BIGINT) AS frac_ppm
+       |FROM lab CROSS JOIN tot""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_mixing", gMixing _, Some(gMixingSql)),
     ("g_ecc", gEcc _, Some(gEccSql)),
     ("g_mis", gMis _, Some(gMisSql)),
     ("g_louvain", gLouvain _, Some(gLouvainSql)),

@@ -1294,7 +1294,45 @@ object OlapSeriesQueries {
       | COUNT(*) AS n_users
       |FROM c GROUP BY 1""".stripMargin
 
+  /** q_markov: the event-type TRANSITION MATRIX over per-user event
+    * sequences (the Markov/Sankey panel of product analytics;
+    * generalizes q_seq_next_node's single lookup to the full matrix):
+    * consecutive-pair counts via one per-user lead window — partitioned
+    * by user, so the sort is per-user history, never global — then
+    * row-normalized transition probabilities as exact integer ppm
+    * against the broadcast row totals. */
+  def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(F.col("tu").asc, F.col("event_id").asc)
+    val pairs = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.unix_micros(F.col("ts")).as("tu"),
+        F.col("event_id"), F.col("event_type"))
+      .withColumn("next_type", F.lead("event_type", 1).over(w))
+      .filter(F.col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(F.count(F.lit(1)).as("n"))
+    val rowTot = pairs.groupBy("event_type").agg(F.sum("n").as("rt"))
+    pairs.join(F.broadcast(rowTot), "event_type")
+      .select(F.col("event_type"), F.col("next_type"), F.col("n"),
+        F.expr("(1000000 * n) div rt").as("p_ppm"))
+  }
+
+  val qMarkovSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |   LEAD(event_type) OVER (PARTITION BY user_id
+      |     ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type, next_type, COUNT(*) AS n FROM seq
+      |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT event_type, SUM(n) AS rt FROM pairs GROUP BY 1)
+      |SELECT p.event_type, p.next_type, p.n,
+      | CAST((1000000 * p.n) // r.rt AS BIGINT) AS p_ppm
+      |FROM pairs p JOIN rt r ON r.event_type = p.event_type""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_markov", qMarkov _, Some(qMarkovSql)),
     ("q_rfm", qRfm _, Some(qRfmSql)),
     ("q_movers", qMovers _, Some(qMoversSql)),
     ("q_runs_test", qRunsTest _, Some(qRunsTestSql)),
