@@ -99,6 +99,9 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_asof_using"),
       new ExpressionInfo(classOf[graft.plans.GraftAsofUsing].getName, "graft_asof_using"),
       (args: Seq[Expression]) => graft.plans.GraftAsofUsing(args)),
+    (new FunctionIdentifier("graft_asof_tolerance"),
+      new ExpressionInfo(classOf[graft.plans.GraftAsofTolerance].getName, "graft_asof_tolerance"),
+      (args: Seq[Expression]) => graft.plans.GraftAsofTolerance(args(0))),
     (new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),

@@ -79,6 +79,21 @@ case class GraftAsofTie(child: Expression) extends UnaryExpression with Unevalua
     copy(child = newChild)
 }
 
+/** `graft_asof_tolerance(n)`: staleness bound for an ASOF join's ON
+  * condition (BIGINT literal, same time unit as the join's time
+  * columns): a match with l.t − r.t > n no longer counts — dropped
+  * under INNER, null-padded under LEFT [OUTER]. The SQL face of
+  * [[AsOfJoin.asofTolerance]]. */
+case class GraftAsofTolerance(child: Expression) extends UnaryExpression
+    with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_asof_tolerance"
+  override protected def withNewChildInternal(
+      newChild: Expression): GraftAsofTolerance =
+    copy(child = newChild)
+}
+
 /** `graft_asof_using('k', 't')`: tag produced by the rewriter for the
   * ClickHouse-leading `ASOF JOIN r USING (k, t)` spelling; carries the
   * column NAMES (string literals), resolved against both join sides by
@@ -261,7 +276,9 @@ object ResolveAsofJoin extends Rule[LogicalPlan]
   private def build(l: LogicalPlan, r: LogicalPlan,
                     lk: Attribute, lt: Attribute, rk: Attribute,
                     rt: Attribute, rtie: Attribute,
-                    leftOuter: Boolean): LogicalPlan = {
+                    leftOuter: Boolean,
+                    tolerance: Option[Long] = None): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{If, LessThanOrEqual, Subtract}
     Seq(lk, lt, rk, rt, rtie).foreach(a =>
       if (a.dataType != LongType)
         fail(s"column ${a.name} must be BIGINT, got ${a.dataType.sql} (CAST it)"))
@@ -270,7 +287,7 @@ object ResolveAsofJoin extends Rule[LogicalPlan]
       .map(IsNotNull(_): Expression).reduce(And(_, _))
     val rf = Filter(rConds, r)
     val node = AsOfJoinNode(lf, rf, lk, lt, rk, rt, rtie, leftOuter)
-    if (leftOuter && (lk.nullable || lt.nullable)) {
+    val joined = if (leftOuter && (lk.nullable || lt.nullable)) {
       val nullLeft = Filter(Or(IsNull(lk), IsNull(lt)), l)
       val padded = Project(
         l.output ++ node.output.drop(l.output.size).map(a =>
@@ -278,6 +295,22 @@ object ResolveAsofJoin extends Rule[LogicalPlan]
         nullLeft)
       Union(Seq(node, padded))
     } else node
+    tolerance match {
+      case None => joined
+      case Some(t) =>
+        // the merge yields AT MOST ONE match per left row, so the
+        // staleness bound is one projection/filter over the join
+        val rtOut = joined.output.find(_.exprId == rt.exprId).get
+        val fresh = And(IsNotNull(rtOut),
+          LessThanOrEqual(Subtract(lt, rtOut), Literal(t)))
+        if (!leftOuter) Filter(fresh, joined)
+        else Project(
+          joined.output.take(l.output.size) ++
+            joined.output.drop(l.output.size).map(a =>
+              Alias(If(fresh, a, Literal(null, a.dataType)), a.name)(
+                exprId = a.exprId)),
+          joined)
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
@@ -320,6 +353,7 @@ object ResolveAsofJoin extends Rule[LogicalPlan]
       var key: Option[(Attribute, Attribute)] = None
       var time: Option[(Attribute, Attribute)] = None
       var tie: Option[Attribute] = None
+      var tol: Option[Long] = None
       splitConjunctivePredicates(cond)
         .filterNot(_.isInstanceOf[GraftAsofMarker]).foreach {
           case EqualTo(a: Attribute, b: Attribute)
@@ -341,13 +375,26 @@ object ResolveAsofJoin extends Rule[LogicalPlan]
           case GraftAsofTie(a: Attribute) if rset.contains(a) =>
             if (tie.isDefined) fail("at most one graft_asof_tie is supported")
             tie = Some(a)
+          case GraftAsofTolerance(lit: Literal) if lit.value != null &&
+              (lit.dataType == LongType ||
+                lit.dataType == org.apache.spark.sql.types.IntegerType) =>
+            if (tol.isDefined) fail("at most one graft_asof_tolerance is supported")
+            val v = lit.value match {
+              case i: java.lang.Integer => i.longValue()
+              case l: java.lang.Long => l.longValue()
+            }
+            if (v < 0) fail(s"graft_asof_tolerance must be nonnegative, got $v")
+            tol = Some(v)
+          case GraftAsofTolerance(other) => fail(
+            s"graft_asof_tolerance takes an integer literal, got ${other.sql}")
           case other => fail(
             s"unsupported ON conjunct ${other.sql}; expected l.k = r.k, " +
-              "l.t >= r.t (or r.t <= l.t), optional graft_asof_tie(r.c)")
+              "l.t >= r.t (or r.t <= l.t), optional graft_asof_tie(r.c), " +
+              "optional graft_asof_tolerance(n)")
         }
       val (lk, rk) = key.getOrElse(fail("missing key equality l.k = r.k"))
       val (lt, rt) = time.getOrElse(fail("missing time bound l.t >= r.t"))
       val rtie = tie.getOrElse(rt)
-      build(l, r, lk, lt, rk, rt, rtie, leftOuter)
+      build(l, r, lk, lt, rk, rt, rtie, leftOuter, tol)
   }
 }

@@ -126,6 +126,33 @@ class AsofSqlSpec extends SparkSpec {
     }
   }
 
+  test("graft_asof_tolerance bounds staleness in SQL (inner and left)") {
+    withTables {
+      // matches: (1,10)→rt 9 (gap 1), (1,5)→rt 5 (gap 0), (2,30)→rt 25
+      // (gap 5 — STALE at tolerance 3)
+      val inner = spark.sql(
+        """SELECT k, t, rid FROM asof_l
+          |ASOF JOIN asof_r ON k = rk AND t >= rt AND graft_asof_tie(rid)
+          |  AND graft_asof_tolerance(3)""".stripMargin).collect()
+      assert(inner.length == 2, inner.mkString("; "))
+      assert(inner.forall(r => r.getLong(1) - 0 >= 0 && !r.isNullAt(2)))
+      assert(!inner.exists(_.getLong(0) == 2L), "stale match must drop")
+      val left = spark.sql(
+        """SELECT k, t, rid FROM asof_l
+          |ASOF LEFT JOIN asof_r ON k = rk AND t >= rt AND graft_asof_tie(rid)
+          |  AND graft_asof_tolerance(3)""".stripMargin).collect()
+      assert(left.length == 5)
+      assert(left.count(_.isNullAt(2)) == 3, // (1,4), (3,9) and stale (2,30)
+        left.mkString("; "))
+      def msg(sql: String): String =
+        intercept[Exception](spark.sql(sql).collect()).getMessage
+      assert(msg(
+        """SELECT * FROM asof_l ASOF JOIN asof_r
+          |ON k = rk AND t >= rt AND graft_asof_tolerance(rk)""".stripMargin)
+        .contains("integer literal"))
+    }
+  }
+
   test("the reversed time bound r.t <= l.t and reversed equality parse too") {
     withTables {
       val df = spark.sql(
