@@ -1074,6 +1074,7 @@ object OlapSeriesQueries {
       .groupBy(F.col("event_type"),
         F.expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(F.sum((Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+      .localCheckpoint() // calendar-sized; feeds both pair-join sides
     val a = daily.select(F.col("event_type"), F.col("day").as("di"),
       F.col("vc").as("xi"))
     val b = daily.select(F.col("event_type"), F.col("day").as("dj"),
@@ -1311,6 +1312,7 @@ object OlapSeriesQueries {
       .filter(F.col("next_type").isNotNull)
       .groupBy("event_type", "next_type")
       .agg(F.count(F.lit(1)).as("n"))
+      .localCheckpoint() // |types|² rows; feeds row totals AND the join
     val rowTot = pairs.groupBy("event_type").agg(F.sum("n").as("rt"))
     pairs.join(F.broadcast(rowTot), "event_type")
       .select(F.col("event_type"), F.col("next_type"), F.col("n"),
