@@ -1333,7 +1333,89 @@ object OlapSeriesQueries {
       | CAST((1000000 * p.n) // r.rt AS BIGINT) AS p_ppm
       |FROM pairs p JOIN rt r ON r.event_type = p.event_type""".stripMargin
 
+  /** q_ohlc: daily OHLC bars per event type — open/close = the value at
+    * the deterministic (tu, event_id) order's endpoints, high/low/count
+    * exact aggregates (the candlestick rollup every time-series store
+    * ships). Open/close pick via rank-1 markers from a (type, day)-
+    * partitioned window pair — keyed by day, so partitions stay bounded
+    * at any scale — folded into ONE aggregate. */
+  def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    val wAsc = Window.partitionBy("event_type", "day")
+      .orderBy(F.col("tu").asc, F.col("event_id").asc)
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(F.col("tu").desc, F.col("event_id").desc)
+    Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"),
+        F.unix_micros(F.col("ts")).as("tu"), F.col("event_id"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .withColumn("rna", F.row_number().over(wAsc))
+      .withColumn("rnd", F.row_number().over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(F.max(F.when(F.col("rna") === 1, F.col("vc"))).as("open_c"),
+        F.max("vc").as("high_c"), F.min("vc").as("low_c"),
+        F.max(F.when(F.col("rnd") === 1, F.col("vc"))).as("close_c"),
+        F.count(F.lit(1)).as("n"))
+  }
+
+  val qOhlcSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   epoch_us(ts) AS tu, event_id,
+      |   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |rk AS (
+      |  SELECT *,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |     ORDER BY tu ASC, event_id ASC) AS rna,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |     ORDER BY tu DESC, event_id DESC) AS rnd
+      |  FROM ev)
+      |SELECT event_type, day,
+      | CAST(MAX(CASE WHEN rna = 1 THEN vc END) AS BIGINT) AS open_c,
+      | CAST(MAX(vc) AS BIGINT) AS high_c, CAST(MIN(vc) AS BIGINT) AS low_c,
+      | CAST(MAX(CASE WHEN rnd = 1 THEN vc END) AS BIGINT) AS close_c,
+      | COUNT(*) AS n
+      |FROM rk GROUP BY 1, 2""".stripMargin
+
+  /** q_benford: first-significant-digit distribution of the cents
+    * values per event type vs Benford's law — the standard forensic
+    * screen over financial-ish columns. First digit via the decimal
+    * string's head (identical rendering of positive BIGINTs in both
+    * engines — zero arithmetic); expected Benford ppm from a broadcast
+    * 9-row literal table; counts and shares exact integers. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .filter(F.col("vc") > 0)
+      .withColumn("d", F.expr("cast(substring(cast(vc as string), 1, 1) as bigint)"))
+      .groupBy("event_type", "d")
+      .agg(F.count(F.lit(1)).as("n"))
+    val tot = counts.groupBy("event_type").agg(F.sum("n").as("tot"))
+    counts.join(F.broadcast(tot), "event_type")
+      .select(F.col("event_type"), F.col("d"), F.col("n"),
+        F.expr("(1000000 * n) div tot").as("obs_ppm"))
+  }
+
+  val qBenfordSql: String =
+    """WITH v AS (
+      |  SELECT event_type,
+      |   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |   CAST(substring(CAST(vc AS VARCHAR), 1, 1) AS BIGINT) AS d,
+      |   COUNT(*) AS n
+      |  FROM v WHERE vc > 0 GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.event_type, c.d, c.n,
+      | CAST((1000000 * c.n) // t.tot AS BIGINT) AS obs_ppm
+      |FROM c JOIN t ON t.event_type = c.event_type""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ohlc", qOhlc _, Some(qOhlcSql)),
+    ("q_benford", qBenford _, Some(qBenfordSql)),
     ("q_markov", qMarkov _, Some(qMarkovSql)),
     ("q_rfm", qRfm _, Some(qRfmSql)),
     ("q_movers", qMovers _, Some(qMoversSql)),
