@@ -1413,7 +1413,43 @@ object OlapSeriesQueries {
       | CAST((1000000 * c.n) // t.tot AS BIGINT) AS obs_ppm
       |FROM c JOIN t ON t.event_type = c.event_type""".stripMargin
 
+  /** q_backtest: seasonal-naive FORECAST BACKTEST per event type —
+    * predict each day's total by the value 7 days earlier and report
+    * the exact error mass (Σ|err| in cents and Σ per-row APE as
+    * integer ppm): the baseline every forecasting deployment must
+    * beat, and the metric STL/Holt outputs get judged against. One
+    * daily rollup + one per-type lag window (calendar-bounded). */
+  def qBacktest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+      .withColumn("pred", F.lag("vc", 7).over(w))
+      .filter(F.col("pred").isNotNull)
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.abs(F.col("vc") - F.col("pred"))).as("sae_c"),
+        F.sum(F.expr("(1000000 * abs(vc - pred)) div greatest(abs(vc), 1)"))
+          .as("sape6"))
+  }
+
+  val qBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, vc,
+      |   LAG(vc, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+      |  FROM daily)
+      |SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(abs(vc - pred)) AS BIGINT) AS sae_c,
+      | CAST(SUM((1000000 * abs(vc - pred)) // greatest(abs(vc), 1)) AS BIGINT) AS sape6
+      |FROM p WHERE pred IS NOT NULL GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_backtest", qBacktest _, Some(qBacktestSql)),
     ("q_ohlc", qOhlc _, Some(qOhlcSql)),
     ("q_benford", qBenford _, Some(qBenfordSql)),
     ("q_markov", qMarkov _, Some(qMarkovSql)),

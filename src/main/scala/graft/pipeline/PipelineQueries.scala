@@ -235,6 +235,71 @@ object PipelineQueries {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** d_token_budget: DATA SELECTION UNDER A TOKEN BUDGET — per source,
+    * admit documents in (quality desc, doc_id) order until the source's
+    * token budget (5000 × sources' share here) is exhausted; report per
+    * source the kept docs/tokens and the admission-cutoff score. The
+    * curation step between scoring and training: "best docs first,
+    * stop at the budget". All windows partition by SOURCE (the corpus's
+    * natural shards), never globally; tokens = whitespace word count;
+    * quality = t_quality's stopword share as integer ppm (the CCNet-
+    * style naturalness proxy, exact ints). A doc is kept iff the
+    * cumulative tokens THROUGH it stay ≤ budget (first-fit prefix —
+    * deterministic, no partial docs). */
+  def dTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 5000L
+    val scored = TextQueries.tQuality(s, dir)
+      .select(F.col("doc_id"),
+        F.expr("(1000000 * n_stop) div n_words").as("score"))
+    val docs = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("source"),
+        F.size(F.split(F.col("text"), " ")).cast("long").as("toks"))
+    val w = Window.partitionBy("source")
+      .orderBy(F.col("score").desc, F.col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(scored, "doc_id")
+      .withColumn("cum", F.sum("toks").over(w))
+      .filter(F.col("cum") <= Budget)
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_kept"), F.sum("toks").as("kept_toks"),
+        F.min("score").as("cutoff_score"))
+  }
+
+  val dTokenBudgetSql: String =
+    s"""WITH qq AS (${TextQueries.tQualitySql}),
+       |q AS (SELECT doc_id, (1000000 * n_stop) // n_words AS score FROM qq),
+       |d AS (
+       |  SELECT doc_id, source,
+       |   CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT d.source, d.toks, q.score,
+       |   SUM(d.toks) OVER (PARTITION BY d.source
+       |     ORDER BY q.score DESC, d.doc_id
+       |     ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d JOIN q ON q.doc_id = d.doc_id)
+       |SELECT source, COUNT(*) AS n_kept,
+       | CAST(SUM(toks) AS BIGINT) AS kept_toks,
+       | CAST(MIN(score) AS BIGINT) AS cutoff_score
+       |FROM c WHERE cum <= 5000 GROUP BY 1""".stripMargin
+
+  /** d_kanon: k-ANONYMITY SUPPRESSION over the (source, lang) release
+    * cells — cells with fewer than k=5 documents report -1 instead of
+    * their count (the minimum-cell-size rule every data-release
+    * checklist applies before publishing corpus composition tables).
+    * One aggregate + one codegen'd projection. */
+  def dKanon(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(F.count(F.lit(1)).as("n_raw"))
+      .select(F.col("source"), F.col("lang"),
+        F.when(F.col("n_raw") >= 5, F.col("n_raw")).otherwise(-1L).as("n_released"))
+
+  val dKanonSql: String =
+    """SELECT source, lang,
+      | CAST(CASE WHEN COUNT(*) >= 5 THEN COUNT(*) ELSE -1 END AS BIGINT) AS n_released
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   val dPplBucketSql: String =
     s"""WITH lm AS (${TextQueries.tTrigramLmSql}),
        |b AS (
@@ -444,6 +509,8 @@ object PipelineQueries {
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_token_budget", dTokenBudget _, Some(dTokenBudgetSql)),
+    ("d_kanon", dKanon _, Some(dKanonSql)),
     ("d_data_card", dDataCard _, Some(dDataCardSql)),
     ("d_span_corrupt", dSpanCorrupt _, Some(dSpanCorruptSql)),
     ("d_dsir", dDsir _, Some(dDsirSql)),
