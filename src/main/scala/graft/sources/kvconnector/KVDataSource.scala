@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -99,10 +99,18 @@ class KVTable(path: String)
 }
 
 class KVScanBuilder(path: String)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = KVDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  // PARTIAL push (isPartiallyPushed default true): each segment reader
+  // stops after `limit` rows — a point lookup over a million-segment
+  // store decodes at most limit rows PER SEGMENT instead of every
+  // matching row — and Spark's own Limit still applies globally.
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -113,10 +121,11 @@ class KVScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KVScan(path, required, pushed)
+  override def build(): Scan = new KVScan(path, required, pushed, limit)
 }
 
-class KVScan(path: String, required: StructType, pushed: Array[Filter])
+class KVScan(path: String, required: StructType, pushed: Array[Filter],
+             limit: Int = -1)
   extends Scan with Batch {
 
   private val all = KVSegmentStore.readManifest(path)
@@ -126,15 +135,17 @@ class KVScan(path: String, required: StructType, pushed: Array[Filter])
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-kv $path segments=${kept.size}/${all.size} " +
-      s"pushed=[${pushed.mkString(", ")}]"
+      s"pushed=[${pushed.mkString(", ")}] limit=$limit"
 
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(seg => KVSegmentPartition(seg.file, required.fieldNames)).toArray
+    kept.map(seg =>
+      KVSegmentPartition(seg.file, required.fieldNames, limit)).toArray
   override def createReaderFactory(): PartitionReaderFactory = KVReaderFactory
 }
 
-case class KVSegmentPartition(file: String, columns: Array[String]) extends InputPartition
+case class KVSegmentPartition(file: String, columns: Array[String],
+                              limit: Int = -1) extends InputPartition
 
 object KVReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -163,9 +174,12 @@ class KVSegmentReader(p: KVSegmentPartition) extends PartitionReader[InternalRow
     ParquetReader.builder(new GroupReadSupport(), new Path(p.file)).withConf(conf).build()
 
   private var current: org.apache.parquet.example.data.Group = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    if (p.limit >= 0 && emitted >= p.limit) return false // pushed limit
     current = reader.read()
+    if (current != null) emitted += 1
     current != null
   }
 

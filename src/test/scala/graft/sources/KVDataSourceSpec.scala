@@ -169,4 +169,25 @@ class KVDataSourceSpec extends SparkSpec {
     assert(slice(spark.read.format("graft-kv").load(dir)) ==
       slice(spark.read.parquet(dir)))
   }
+
+  test("LIMIT pushes into the scan and bounds per-segment decoding") {
+    val dir = written
+    val df = spark.read.format("graft-kv").load(dir).limit(5)
+    assert(df.count() == 5)
+    // the pushed limit reaches the scan description (partial push: each
+    // segment reader stops at 5; Spark's Limit still applies globally)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.nonEmpty)
+    assert(scan.head.scan.description().contains("limit=5"),
+      scan.head.scan.description())
+    // unlimited scans advertise limit=-1
+    val noLimit = spark.read.format("graft-kv").load(dir)
+    noLimit.collect()
+    val scan2 = noLimit.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan2.head.scan.description().contains("limit=-1"))
+  }
 }
