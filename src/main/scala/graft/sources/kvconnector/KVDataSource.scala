@@ -11,10 +11,11 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => VSortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `spark.read.format("graft-kv").load(dir)` — a DataSourceV2 connector
@@ -100,7 +101,8 @@ class KVTable(path: String)
 
 class KVScanBuilder(path: String)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+  with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var required: StructType = KVDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -111,6 +113,44 @@ class KVScanBuilder(path: String)
   // store decodes at most limit rows PER SEGMENT instead of every
   // matching row — and Spark's own Limit still applies globally.
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // both SupportsPushDownLimit and SupportsPushDownTopN declare this
+  // default; Scala demands an explicit tiebreak — partial push always
+  override def isPartiallyPushed(): Boolean = true
+
+  // TOP-N on the segment order: segments are (k, c)-sorted by the write
+  // contract, so ORDER BY k [, c] LIMIT n is served by each reader's
+  // FIRST n rows (its n smallest) — the ClickHouse
+  // optimize_read_in_order analog. Partial push: Spark still merges and
+  // applies the final sort+limit; each partition just stops early.
+  override def pushTopN(orders: Array[VSortOrder], n: Int): Boolean = {
+    val fields = orders.map { o =>
+      o.expression() match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+            if o.direction() == SortDirection.ASCENDING =>
+          f.fieldNames().mkString(".")
+        case _ => return false
+      }
+    }.toSeq
+    val ok = fields == Seq("k") || fields == Seq("k", "c")
+    if (ok) limit = n
+    ok
+  }
+
+  // COUNT(*) with no predicates is served from the MANIFEST row counts
+  // (the MergeTree count-from-parts-metadata analog): zero data files
+  // opened. Spark only attempts aggregate pushdown when every filter
+  // was consumed by the scan; this connector reports all filters as
+  // residual, so any filtered count automatically takes the row path.
+  private var countStar = false
+  private def canPushAgg(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushAgg(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (canPushAgg(agg)) { countStar = true; true } else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -121,7 +161,38 @@ class KVScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KVScan(path, required, pushed, limit)
+  override def build(): Scan =
+    if (countStar) new KVCountScan(path)
+    else new KVScan(path, required, pushed, limit)
+}
+
+/** COUNT(*) served from the manifest: one row, zero segment files
+  * opened — counts are per-segment exacts recorded at commit, so the
+  * result equals what a full row scan of the committed store sees. */
+class KVCountScan(path: String) extends Scan with Batch {
+  private val total = KVSegmentStore.readManifest(path).map(_.rows).sum
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def description(): String =
+    s"graft-kv $path count-from-manifest=$total"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KVCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory =
+    KVCountReaderFactory
+}
+
+case class KVCountPartition(total: Long) extends InputPartition
+
+object KVCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val total = partition.asInstanceOf[KVCountPartition].total
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](total))
+      override def close(): Unit = ()
+    }
 }
 
 class KVScan(path: String, required: StructType, pushed: Array[Filter],

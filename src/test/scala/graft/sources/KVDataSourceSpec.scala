@@ -190,4 +190,46 @@ class KVDataSourceSpec extends SparkSpec {
     }
     assert(scan2.head.scan.description().contains("limit=-1"))
   }
+
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.description()
+  }
+
+  test("ORDER BY k LIMIT n pushes as TopN (segments are (k,c)-sorted)") {
+    val dir = written
+    val df = spark.read.format("graft-kv").load(dir)
+      .orderBy("k").limit(7)
+    val viaParquet = spark.read.parquet(dir).orderBy("k").limit(7)
+      .select(F.hex(F.col("k"))).collect().map(_.getString(0))
+    assert(df.select(F.hex(F.col("k"))).collect().map(_.getString(0)).toSeq
+      === viaParquet.toSeq)
+    // the pushed top-n reaches the scan as its limit
+    assert(scanDesc(df).contains("limit=7"), scanDesc(df))
+    // DESC must NOT push (segment order is ascending): limit stays -1
+    val desc = spark.read.format("graft-kv").load(dir)
+      .orderBy(F.col("k").desc).limit(3)
+    assert(scanDesc(desc).contains("limit=-1"), scanDesc(desc))
+    assert(desc.count() == 3)
+  }
+
+  test("COUNT(*) with no predicates is served from the manifest") {
+    val dir = written
+    val df = spark.read.format("graft-kv").load(dir)
+    val expected = spark.read.parquet(dir).count()
+    val cnt = df.count()
+    assert(cnt == expected)
+    val agg = df.groupBy().count()
+    assert(agg.collect().head.getLong(0) == expected)
+    assert(scanDesc(agg).contains("count-from-manifest"), scanDesc(agg))
+    // a FILTERED count must take the row path (filters are residual
+    // here, so Spark refuses the aggregate push) and stay correct
+    val filtered = df.filter(F.col("k") < KVStore.encLong(F.lit(5L)))
+    val fCnt = filtered.count()
+    assert(fCnt == spark.read.parquet(dir)
+      .filter(F.col("k") < KVStore.encLong(F.lit(5L))).count())
+    assert(fCnt < expected)
+  }
 }
