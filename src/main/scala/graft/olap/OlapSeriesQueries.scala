@@ -1448,8 +1448,44 @@ object OlapSeriesQueries {
       | CAST(SUM((1000000 * abs(vc - pred)) // greatest(abs(vc), 1)) AS BIGINT) AS sape6
       |FROM p WHERE pred IS NOT NULL GROUP BY 1""".stripMargin
 
+  // previous q_markov_inc snapshot dir (same sweep lifecycle as
+  // q_active_users_inc)
+  private var lastMkDir: Option[java.nio.file.Path] = None
+
+  /** q_markov_inc: the transition matrix MAINTAINED incrementally
+    * (MarkovSink) and gated under q_markov's own batch oracle — events
+    * replayed as three TIME-SPLIT batches (so per-user sequences SPAN
+    * batch boundaries and the per-user last-event carry is exercised),
+    * with one batch replayed to prove idempotence. */
+  def qMarkovInc(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastMkDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val snap = java.nio.file.Files.createTempDirectory("graft_mksnap")
+    lastMkDir = Some(snap)
+    val ev = Tables(s, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+    val Array(lo, hi) = ev.select(F.unix_micros(F.col("ts")).as("tu"))
+      .stat.approxQuantile("tu", Array(0.33, 0.66), 0.0)
+    val b0 = ev.filter(F.unix_micros(F.col("ts")) <= lo)
+    val b1 = ev.filter(F.unix_micros(F.col("ts")) > lo &&
+      F.unix_micros(F.col("ts")) <= hi)
+    val b2 = ev.filter(F.unix_micros(F.col("ts")) > hi)
+    graft.streaming.MarkovSink.applyBatch(b0, snap.toString, 0L)
+    graft.streaming.MarkovSink.applyBatch(b1, snap.toString, 1L)
+    graft.streaming.MarkovSink.applyBatch(b1, snap.toString, 1L) // replay
+    graft.streaming.MarkovSink.applyBatch(b2, snap.toString, 2L)
+    graft.streaming.MarkovSink.read(s, snap.toString).localCheckpoint(true)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_backtest", qBacktest _, Some(qBacktestSql)),
+    ("q_markov_inc", qMarkovInc _, Some(qMarkovSql)),
     ("q_ohlc", qOhlc _, Some(qOhlcSql)),
     ("q_benford", qBenford _, Some(qBenfordSql)),
     ("q_markov", qMarkov _, Some(qMarkovSql)),
