@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => VSortOrder, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
@@ -136,21 +136,38 @@ class KVScanBuilder(path: String)
     ok
   }
 
-  // COUNT(*) with no predicates is served from the MANIFEST row counts
-  // (the MergeTree count-from-parts-metadata analog): zero data files
-  // opened. Spark only attempts aggregate pushdown when every filter
-  // was consumed by the scan; this connector reports all filters as
-  // residual, so any filtered count automatically takes the row path.
-  private var countStar = false
-  private def canPushAgg(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canPushAgg(agg)
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    if (canPushAgg(agg)) { countStar = true; true } else false
+  // COUNT(*) / MIN(k) / MAX(k) with no predicates are served from the
+  // MANIFEST (the MergeTree count/bounds-from-parts-metadata analog):
+  // zero data files opened — counts are per-segment exacts recorded at
+  // commit, key bounds the committed segments' lo/hi (unsigned byte
+  // order, matching Spark's BinaryType ordering). Spark only attempts
+  // aggregate pushdown when every filter was consumed by the scan; this
+  // connector reports all filters as residual, so any filtered
+  // aggregate automatically takes the row path.
+  private var aggToks: Seq[String] = Nil
+  private def classify(agg: Aggregation): Option[Seq[String]] = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames().toSeq == Seq("k")
+        case _ => false
+      }
+    val toks = agg.aggregateExpressions().map {
+      case _: CountStar => "count"
+      case m: Min if keyRef(m.column()) => "min"
+      case m: Max if keyRef(m.column()) => "max"
+      case _ => return None
+    }
+    if (toks.isEmpty) None else Some(toks.toSeq)
   }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    classify(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    classify(agg) match {
+      case Some(t) => aggToks = t; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -162,35 +179,47 @@ class KVScanBuilder(path: String)
     required = requiredSchema
 
   override def build(): Scan =
-    if (countStar) new KVCountScan(path)
+    if (aggToks.nonEmpty) new KVAggScan(path, aggToks)
     else new KVScan(path, required, pushed, limit)
 }
 
-/** COUNT(*) served from the manifest: one row, zero segment files
-  * opened — counts are per-segment exacts recorded at commit, so the
-  * result equals what a full row scan of the committed store sees. */
-class KVCountScan(path: String) extends Scan with Batch {
-  private val total = KVSegmentStore.readManifest(path).map(_.rows).sum
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count", LongType, nullable = false)))
+/** COUNT(*) / MIN(k) / MAX(k) served from the manifest: ONE row, zero
+  * segment files opened — equal to what a full row scan of the
+  * committed store computes, because the manifest records exact
+  * per-segment row counts and key bounds at commit time. */
+class KVAggScan(path: String, toks: Seq[String]) extends Scan with Batch {
+  private val segs = KVSegmentStore.readManifest(path)
+  private val values: Array[Any] = toks.map {
+    case "count" => segs.map(_.rows).sum: java.lang.Long
+    case "min" =>
+      if (segs.isEmpty) null
+      else segs.map(_.lo).min(java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte]))
+    case "max" =>
+      if (segs.isEmpty) null
+      else segs.map(_.hi).max(java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte]))
+  }.toArray
+  override def readSchema(): StructType = StructType(toks.map {
+    case "count" => StructField("count", LongType, nullable = false)
+    case t => StructField(t, BinaryType, nullable = true)
+  })
   override def description(): String =
-    s"graft-kv $path count-from-manifest=$total"
+    s"graft-kv $path agg-from-manifest=[${toks.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(KVCountPartition(total))
+    Array(KVAggPartition(values))
   override def createReaderFactory(): PartitionReaderFactory =
-    KVCountReaderFactory
+    KVAggReaderFactory
 }
 
-case class KVCountPartition(total: Long) extends InputPartition
+case class KVAggPartition(values: Array[Any]) extends InputPartition
 
-object KVCountReaderFactory extends PartitionReaderFactory {
+object KVAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val total = partition.asInstanceOf[KVCountPartition].total
+      private val values = partition.asInstanceOf[KVAggPartition].values
       private var done = false
       override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](total))
+      override def get(): InternalRow = new GenericInternalRow(values)
       override def close(): Unit = ()
     }
 }

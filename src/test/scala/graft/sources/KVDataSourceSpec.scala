@@ -223,7 +223,7 @@ class KVDataSourceSpec extends SparkSpec {
     assert(cnt == expected)
     val agg = df.groupBy().count()
     assert(agg.collect().head.getLong(0) == expected)
-    assert(scanDesc(agg).contains("count-from-manifest"), scanDesc(agg))
+    assert(scanDesc(agg).contains("agg-from-manifest=[count]"), scanDesc(agg))
     // a FILTERED count must take the row path (filters are residual
     // here, so Spark refuses the aggregate push) and stay correct
     val filtered = df.filter(F.col("k") < KVStore.encLong(F.lit(5L)))
@@ -231,5 +231,18 @@ class KVDataSourceSpec extends SparkSpec {
     assert(fCnt == spark.read.parquet(dir)
       .filter(F.col("k") < KVStore.encLong(F.lit(5L))).count())
     assert(fCnt < expected)
+  }
+
+  test("MIN(k)/MAX(k) are served from the manifest key bounds") {
+    val dir = written
+    val df = spark.read.format("graft-kv").load(dir)
+      .agg(F.min("k").as("mn"), F.max("k").as("mx"), F.count(F.lit(1)).as("n"))
+    val got = df.collect().head
+    val exp = spark.read.parquet(dir)
+      .agg(F.min("k"), F.max("k"), F.count(F.lit(1))).collect().head
+    assert(got.getAs[Array[Byte]](0).toSeq == exp.getAs[Array[Byte]](0).toSeq)
+    assert(got.getAs[Array[Byte]](1).toSeq == exp.getAs[Array[Byte]](1).toSeq)
+    assert(got.getLong(2) == exp.getLong(2))
+    assert(scanDesc(df).contains("agg-from-manifest"), scanDesc(df))
   }
 }
