@@ -1470,7 +1470,35 @@ object GraphQueries {
        | CAST((1000000 * n_edges) // total AS BIGINT) AS frac_ppm
        |FROM lab CROSS JOIN tot""".stripMargin
 
+  /** g_reciprocity: the fraction (ppm) of directed edges whose reverse
+    * edge also exists — the classic directed-graph symmetry measure
+    * (here it cleanly separates the symmetric `peer` edges from the
+    * hierarchical in_nation/in_region ones). One self-join on the
+    * reversed key pair + exact integer ppm; per-edge-label breakdown
+    * included. */
+  def gReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val e = PropertyGraph(s, dir).edges.select("src", "dst", "elabel")
+      .localCheckpoint()
+    val rev = e.select(F.col("dst").as("src"), F.col("src").as("dst"))
+      .distinct()
+    e.join(rev.withColumn("has_rev", F.lit(1L)), Seq("src", "dst"), "left_outer")
+      .groupBy("elabel")
+      .agg(F.count(F.lit(1)).as("n_edges"),
+        F.sum(F.coalesce(F.col("has_rev"), F.lit(0L))).as("n_recip"))
+      .withColumn("recip_ppm", F.expr("(1000000 * n_recip) div n_edges"))
+  }
+
+  val gReciprocitySql: String =
+    s"""WITH $sqlPrelude,
+       |rev AS (SELECT DISTINCT dst AS src, src AS dst FROM edges)
+       |SELECT e.elabel, COUNT(*) AS n_edges,
+       | CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+       | CAST((1000000 * SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS recip_ppm
+       |FROM edges e LEFT JOIN rev r ON r.src = e.src AND r.dst = e.dst
+       |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_reciprocity", gReciprocity _, Some(gReciprocitySql)),
     ("g_mixing", gMixing _, Some(gMixingSql)),
     ("g_ecc", gEcc _, Some(gEccSql)),
     ("g_mis", gMis _, Some(gMisSql)),

@@ -1483,7 +1483,58 @@ object OlapSeriesQueries {
     graft.streaming.MarkovSink.read(s, snap.toString).localCheckpoint(true)
   }
 
+  /** q_spc: STATISTICAL PROCESS CONTROL breaches — per event type, days
+    * whose daily total deviates more than 3σ from the type's mean (the
+    * Shewhart control-chart screen). Exact integer algebra: deviations
+    * mean-centered with a floor-div mean and scaled to kilocents
+    * (engine-identical floor divs), then a day breaches iff
+    * n·cd² > 9·Σcd² — both sides exact BIGINTs (kilocent squares stay
+    * under 2⁶³ through 100×). One daily rollup + one broadcast mean +
+    * one broadcast variance join. */
+  def qSpc(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+      .localCheckpoint()
+    val mean = daily.groupBy("event_type")
+      .agg(F.expr("sum(vc) div count(1)").as("mu"), F.count(F.lit(1)).as("n"))
+    val cent = daily.join(F.broadcast(mean), "event_type")
+      .select(F.col("event_type"), F.col("day"), F.col("n"),
+        F.expr("(vc - mu) div 1000").as("cd"))
+    val varSum = cent.groupBy("event_type")
+      .agg(F.sum(F.col("cd") * F.col("cd")).as("ss"))
+    cent.join(F.broadcast(varSum), "event_type")
+      .groupBy("event_type")
+      .agg(F.max("n").as("n_days"),
+        F.sum(F.when(F.col("n") * F.col("cd") * F.col("cd") > F.lit(9L) * F.col("ss")
+            && F.col("cd") > 0, 1L).otherwise(0L)).as("n_breach_hi"),
+        F.sum(F.when(F.col("n") * F.col("cd") * F.col("cd") > F.lit(9L) * F.col("ss")
+            && F.col("cd") < 0, 1L).otherwise(0L)).as("n_breach_lo"))
+  }
+
+  val qSpcSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |mu AS (
+      |  SELECT event_type, CAST(SUM(vc) // COUNT(*) AS BIGINT) AS mu,
+      |   COUNT(*) AS n
+      |  FROM daily GROUP BY 1),
+      |cent AS (
+      |  SELECT d.event_type, mu.n, CAST((d.vc - mu.mu) // 1000 AS BIGINT) AS cd
+      |  FROM daily d JOIN mu ON d.event_type = mu.event_type),
+      |ss AS (SELECT event_type, CAST(SUM(cd * cd) AS BIGINT) AS ss
+      |  FROM cent GROUP BY 1)
+      |SELECT c.event_type, CAST(MAX(c.n) AS BIGINT) AS n_days,
+      | CAST(SUM(CASE WHEN c.n * c.cd * c.cd > 9 * s.ss AND c.cd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_hi,
+      | CAST(SUM(CASE WHEN c.n * c.cd * c.cd > 9 * s.ss AND c.cd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_lo
+      |FROM cent c JOIN ss s ON s.event_type = c.event_type
+      |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_spc", qSpc _, Some(qSpcSql)),
     ("q_backtest", qBacktest _, Some(qBacktestSql)),
     ("q_markov_inc", qMarkovInc _, Some(qMarkovSql)),
     ("q_ohlc", qOhlc _, Some(qOhlcSql)),

@@ -902,7 +902,26 @@ object TextQueries {
       | CAST(SUM(caps_ppm) // COUNT(*) AS BIGINT) AS mean_caps_ppm
       |FROM per GROUP BY 1""".stripMargin
 
+  /** t_ttr: per-document TYPE-TOKEN RATIO (distinct words / words, as
+    * integer ppm) — the lexical-diversity quality signal next to
+    * t_quality's ratios (low TTR flags repetitive/templated text before
+    * any n-gram pass). One map + per-doc distinct count, exact ints. */
+  def tTtr(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("w"))
+      .select(F.col("doc_id"), F.size(F.col("w")).cast("long").as("n_tokens"),
+        F.size(F.array_distinct(F.col("w"))).cast("long").as("n_types"))
+      .withColumn("ttr_ppm", F.expr("(1000000 * n_types) div n_tokens"))
+
+  val tTtrSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+      | CAST((1000000 * len(list_distinct(string_split(text, ' ')))) // len(string_split(text, ' ')) AS BIGINT) AS ttr_ppm
+      |FROM documents""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_ttr", tTtr _, Some(tTtrSql)),
     ("t_code_frac", tCodeFrac _, Some(tCodeFracSql)),
     ("t_char_entropy", tCharEntropy _, Some(tCharEntropySql)),
     ("t_kn_lm", tKnLm _, Some(tKnLmSql)),
