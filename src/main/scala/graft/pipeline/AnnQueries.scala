@@ -700,7 +700,64 @@ object AnnQueries {
        |$finalSel""".stripMargin
   }
 
+  /** s_emb_drift: EMBEDDING DRIFT per label — the cosine between the
+    * label's centroid over the even-vec_id cohort and over the odd
+    * cohort (two production snapshots stand-in; a healthy embedding
+    * space scores ≈ 10⁶ ppm, a drifted/contaminated one visibly less —
+    * the model-ops monitor next to d_psi_drift's scalar features).
+    * s_label_sim's exactness discipline: per-component floor(v·10⁶)
+    * quantization BEFORE any aggregation, BIGINT centroids, one final
+    * double division+sqrt pair. */
+  def sEmbDrift(s: SparkSession, dir: String): DataFrame = {
+    val cent = Tables(s, dir, "embeddings")
+      .select(F.col("label").cast("long").as("label"),
+        (F.col("vec_id") % 2).cast("long").as("half"),
+        F.posexplode(F.col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "half", "dim")
+      .agg(F.sum(F.floor(F.col("v").cast("double") * 1e6).cast("long")).as("sv6"),
+        F.count(F.lit(1)).as("n"))
+      .select(F.col("label"), F.col("half"), F.col("dim"),
+        F.expr("sv6 div n").as("c6"))
+    val a = cent.filter(F.col("half") === 0)
+      .select(F.col("label"), F.col("dim"), F.col("c6").as("ca"))
+    val b = cent.filter(F.col("half") === 1)
+      .select(F.col("label"), F.col("dim"), F.col("c6").as("cb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(F.sum(F.col("ca") * F.col("cb")).as("dot"),
+        F.sum(F.col("ca") * F.col("ca")).as("na"),
+        F.sum(F.col("cb") * F.col("cb")).as("nb"))
+      .select(F.col("label"),
+        F.floor(F.col("dot").cast("double") /
+          (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+          * 1e6).cast("long").as("cos6"))
+  }
+
+  val sEmbDriftSql: String =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS half,
+      |   generate_subscripts(embedding, 1) - 1 AS dim, UNNEST(embedding) AS v
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, half, dim,
+      |   CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+      |     // COUNT(*) AS c6
+      |  FROM e GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT a.label,
+      |   CAST(SUM(a.c6 * b.c6) AS BIGINT) AS dot,
+      |   CAST(SUM(a.c6 * a.c6) AS BIGINT) AS na,
+      |   CAST(SUM(b.c6 * b.c6) AS BIGINT) AS nb
+      |  FROM cent a JOIN cent b
+      |    ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+      |  GROUP BY 1)
+      |SELECT label,
+      | CAST(floor(CAST(dot AS DOUBLE)
+      |   / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1e6) AS BIGINT) AS cos6
+      |FROM p""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_emb_drift", sEmbDrift _, Some(sEmbDriftSql)),
     ("s_mmr", sMmr _, Some(sMmrSql)),
     ("s_knn_graph", sKnnGraph _, Some(sKnnGraphSql)),
     ("s_ann_filtered", sAnnFiltered _, Some(sAnnFilteredSql)),
