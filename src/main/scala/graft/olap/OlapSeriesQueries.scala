@@ -1533,7 +1533,55 @@ object OlapSeriesQueries {
       |FROM cent c JOIN ss s ON s.event_type = c.event_type
       |GROUP BY 1""".stripMargin
 
+  /** q_bounce_rate: per-day session quality — sessions starting that
+    * day, single-event (bounce) sessions, and the bounce ppm (the web
+    * analytics headline over q_sessionize's 30-min-gap sessions — same
+    * gap fold, one more rollup keyed by start day). */
+  def qBounceRate(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(F.col("us").asc, F.col("event_id").asc)
+    val cum = Window.partitionBy("user_id")
+      .orderBy(F.col("us").asc, F.col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables(s, dir, "events")
+      .withColumn("us", F.unix_micros(F.col("ts")))
+      .withColumn("prev_us", F.lag("us", 1).over(byUser))
+      .withColumn("new_sess", F.when(F.col("prev_us").isNull ||
+        F.col("us") - F.col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_idx", F.sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_idx")
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.expr("min(us) div 86400000000").as("day"))
+    sessions.groupBy("day")
+      .agg(F.count(F.lit(1)).as("n_sessions"),
+        F.sum(F.when(F.col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_ppm", F.expr("(1000000 * n_bounce) div n_sessions"))
+  }
+
+  val qBounceRateSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM (SELECT *, LAG(us) OVER (PARTITION BY user_id
+      |    ORDER BY us ASC, event_id ASC) AS prev_us FROM ev) x),
+      |sess AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY us ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, sess_idx, COUNT(*) AS n_events,
+      |   MIN(us) // 86400000000 AS day
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT day, COUNT(*) AS n_sessions,
+      | CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      | CAST((1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS bounce_ppm
+      |FROM agg GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_bounce_rate", qBounceRate _, Some(qBounceRateSql)),
     ("q_spc", qSpc _, Some(qSpcSql)),
     ("q_backtest", qBacktest _, Some(qBacktestSql)),
     ("q_markov_inc", qMarkovInc _, Some(qMarkovSql)),

@@ -245,6 +245,43 @@ object DedupQueries {
        |FROM sh JOIN fs ON fs.s = sh.s
        |GROUP BY 1""".stripMargin
 
+  /** d_dup_sources: the CROSS-SOURCE duplication matrix — near-dup
+    * pairs (exact Jaccard ≥ 0.5) counted by unordered source pair: the
+    * report that tells a curation team WHICH feeds copy from which
+    * (within-source dup is boilerplate, cross-source dup is syndication
+    * or scraping overlap). One dimension join over d_jaccard_pairs'
+    * pair set; source pair normalized (least, greatest) so the matrix
+    * is triangular. */
+  def dDupSources(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables(s, dir, "documents").select("doc_id", "source")
+    dJaccardPairs(s, dir).select("a_id", "b_id")
+      .join(src.select(F.col("doc_id").as("a_id"), F.col("source").as("sa")), "a_id")
+      .join(src.select(F.col("doc_id").as("b_id"), F.col("source").as("sb")), "b_id")
+      .select(F.least(F.col("sa"), F.col("sb")).as("src_lo"),
+        F.greatest(F.col("sa"), F.col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(F.count(F.lit(1)).as("n_pairs"))
+  }
+
+  val dDupSourcesSql: String =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5)
+       |SELECT least(da.source, db.source) AS src_lo,
+       | greatest(da.source, db.source) AS src_hi, COUNT(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = a_id
+       |JOIN documents db ON db.doc_id = b_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** d_dedup_stats: the CLUSTER-SIZE HISTOGRAM of d_dup_groups'
     * connected duplicate clusters — every dedup report leads with it
     * (how many exact/near-dup clusters of each size, how many docs
@@ -886,6 +923,7 @@ object DedupQueries {
     ("d_lsh_verified", dLshVerified _, Some(dJaccardPairsSql)),
     ("d_dup_groups", dDupGroups _, Some(dDupGroupsSql)),
     ("d_dedup_stats", dDedupStats _, Some(dDedupStatsSql)),
+    ("d_dup_sources", dDupSources _, Some(dDupSourcesSql)),
     ("d_novelty", dNovelty _, Some(dNoveltySql)),
     ("d_fuzzy_e2e", dFuzzyE2e _, Some(dFuzzyE2eSql)),
     ("d_simhash", dSimhash _, None),
