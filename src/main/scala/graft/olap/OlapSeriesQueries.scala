@@ -1580,7 +1580,78 @@ object OlapSeriesQueries {
       | CAST((1000000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS bounce_ppm
       |FROM agg GROUP BY 1""".stripMargin
 
+  /** q_growth_acct: GROWTH ACCOUNTING of daily actives — each active
+    * user-day classified as new (first day ever), retained (also active
+    * the previous day) or resurrected (active before, but not
+    * yesterday), plus churned (active yesterday, silent today); the
+    * standard product decomposition satisfying
+    * ΔDAU = new + resurrected − churned. One distinct (user, day)
+    * pass, one per-user lag/lead window (user-keyed, bounded by a
+    * user's active days), two day-keyed rollups joined full-outer. */
+  def qGrowthAcct(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().localCheckpoint() // feeds classify + churn + max-day
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val classified = ud
+      .withColumn("prev", F.lag("day", 1).over(w))
+      .withColumn("kind",
+        F.when(F.col("prev").isNull, "new")
+          .when(F.col("prev") === F.col("day") - 1, "retained")
+          .otherwise("resurrected"))
+      .groupBy("day")
+      .agg(F.count(F.lit(1)).as("n_active"),
+        F.sum(F.when(F.col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        F.sum(F.when(F.col("kind") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        F.sum(F.when(F.col("kind") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val maxDay = ud.agg(F.max("day").as("mxd"))
+    val churn = ud
+      .withColumn("next", F.lead("day", 1).over(w))
+      .filter(F.col("next").isNull || F.col("next") > F.col("day") + 1)
+      .select((F.col("day") + 1).as("day"))
+      .crossJoin(F.broadcast(maxDay))
+      .filter(F.col("day") <= F.col("mxd"))
+      .groupBy("day").agg(F.count(F.lit(1)).as("n_churned"))
+    classified.join(churn, Seq("day"), "full_outer")
+      .select(F.col("day"),
+        F.coalesce(F.col("n_active"), F.lit(0L)).as("n_active"),
+        F.coalesce(F.col("n_new"), F.lit(0L)).as("n_new"),
+        F.coalesce(F.col("n_retained"), F.lit(0L)).as("n_retained"),
+        F.coalesce(F.col("n_resurrected"), F.lit(0L)).as("n_resurrected"),
+        F.coalesce(F.col("n_churned"), F.lit(0L)).as("n_churned"))
+  }
+
+  val qGrowthAcctSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |cls AS (
+      |  SELECT day,
+      |   COUNT(*) AS n_active,
+      |   SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+      |   SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS n_retained,
+      |   SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS n_resurrected
+      |  FROM (SELECT *, LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |        FROM ud) x
+      |  GROUP BY 1),
+      |mx AS (SELECT MAX(day) AS mxd FROM ud),
+      |ch AS (
+      |  SELECT day + 1 AS day, COUNT(*) AS n_churned
+      |  FROM (SELECT *, LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+      |        FROM ud) x CROSS JOIN mx
+      |  WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= mxd
+      |  GROUP BY 1)
+      |SELECT COALESCE(cls.day, ch.day) AS day,
+      | CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
+      | CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+      | CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+      | CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+      | CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+      |FROM cls FULL OUTER JOIN ch ON ch.day = cls.day""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_growth_acct", qGrowthAcct _, Some(qGrowthAcctSql)),
     ("q_bounce_rate", qBounceRate _, Some(qBounceRateSql)),
     ("q_spc", qSpc _, Some(qSpcSql)),
     ("q_backtest", qBacktest _, Some(qBacktestSql)),
