@@ -1497,7 +1497,29 @@ object GraphQueries {
        |FROM edges e LEFT JOIN rev r ON r.src = e.src AND r.dst = e.dst
        |GROUP BY 1""".stripMargin
 
+  /** g_degree_hist: the log₂-binned DEGREE DISTRIBUTION (undirected) —
+    * the first plot of every graph characterization (power-law eyeball
+    * test): bucket = binary digit count of the degree (q_hist_pow2's
+    * engine-exact bin-length trick), per bucket the vertex count and
+    * exact min/max degree. One degree aggregate + one map. */
+  def gDegreeHist(s: SparkSession, dir: String): DataFrame =
+    PropertyGraph(s, dir).undirected
+      .groupBy(F.col("src").as("vid")).agg(F.count(F.lit(1)).as("deg"))
+      .withColumn("b", F.length(F.expr("bin(deg)")).cast("long"))
+      .groupBy("b")
+      .agg(F.count(F.lit(1)).as("n_vertices"),
+        F.min("deg").as("min_deg"), F.max("deg").as("max_deg"))
+
+  val gDegreeHistSql: String =
+    s"""WITH $sqlPrelude,
+       |deg AS (SELECT src AS vid, COUNT(*) AS deg FROM uedges GROUP BY 1)
+       |SELECT CAST(length(bin(deg)) AS BIGINT) AS b,
+       | COUNT(*) AS n_vertices,
+       | CAST(MIN(deg) AS BIGINT) AS min_deg, CAST(MAX(deg) AS BIGINT) AS max_deg
+       |FROM deg GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_degree_hist", gDegreeHist _, Some(gDegreeHistSql)),
     ("g_reciprocity", gReciprocity _, Some(gReciprocitySql)),
     ("g_mixing", gMixing _, Some(gMixingSql)),
     ("g_ecc", gEcc _, Some(gEccSql)),

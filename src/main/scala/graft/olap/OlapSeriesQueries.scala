@@ -1650,7 +1650,42 @@ object OlapSeriesQueries {
       | CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
       |FROM cls FULL OUTER JOIN ch ON ch.day = cls.day""".stripMargin
 
+  /** q_lifespan: user LIFETIME distribution — per user the active span
+    * (last − first active day + 1) and active-day count, rolled into a
+    * log₂-binned span histogram with engagement density (active days /
+    * span, ppm) per bucket — the retention-shape companion to
+    * q_growth_acct. One per-user aggregate + one map; no quantile
+    * sorts. */
+  def qLifespan(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.col("user_id"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .groupBy("user_id")
+      .agg((F.max("day") - F.min("day") + 1L).as("span"),
+        F.count(F.lit(1)).as("active_days"))
+      .withColumn("b", F.length(F.expr("bin(span)")).cast("long"))
+      .groupBy("b")
+      .agg(F.count(F.lit(1)).as("n_users"),
+        F.sum("span").as("sum_span"), F.sum("active_days").as("sum_active"))
+      .withColumn("density_ppm", F.expr("(1000000 * sum_active) div sum_span"))
+
+  val qLifespanSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, MAX(day) - MIN(day) + 1 AS span,
+      |   COUNT(*) AS active_days
+      |  FROM ud GROUP BY 1)
+      |SELECT CAST(length(bin(span)) AS BIGINT) AS b, COUNT(*) AS n_users,
+      | CAST(SUM(span) AS BIGINT) AS sum_span,
+      | CAST(SUM(active_days) AS BIGINT) AS sum_active,
+      | CAST((1000000 * SUM(active_days)) // SUM(span) AS BIGINT) AS density_ppm
+      |FROM u GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_lifespan", qLifespan _, Some(qLifespanSql)),
     ("q_growth_acct", qGrowthAcct _, Some(qGrowthAcctSql)),
     ("q_bounce_rate", qBounceRate _, Some(qBounceRateSql)),
     ("q_spc", qSpc _, Some(qSpcSql)),

@@ -920,7 +920,32 @@ object TextQueries {
       | CAST((1000000 * len(list_distinct(string_split(text, ' ')))) // len(string_split(text, ' ')) AS BIGINT) AS ttr_ppm
       |FROM documents""".stripMargin
 
+  /** t_hapax: hapax legomena share per source — the fraction (ppm) of
+    * a source's vocabulary occurring exactly once (corpus linguistics'
+    * quick vocabulary-richness/OCR-noise screen: natural text ≈ 40-60%,
+    * templated text far less, noisy text far more). One word-count
+    * aggregate per (source, word) + one source rollup. */
+  def tHapax(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(F.col("source"), F.explode(F.split(F.col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_vocab"),
+        F.sum(F.when(F.col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_ppm", F.expr("(1000000 * n_hapax) div n_vocab"))
+
+  val tHapaxSql: String =
+    """WITH wc AS (
+      |  SELECT source, u.word AS word, COUNT(*) AS c
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+      |  GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_vocab,
+      | CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      | CAST((1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS hapax_ppm
+      |FROM wc GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("t_hapax", tHapax _, Some(tHapaxSql)),
     ("t_ttr", tTtr _, Some(tTtrSql)),
     ("t_code_frac", tCodeFrac _, Some(tCodeFracSql)),
     ("t_char_entropy", tCharEntropy _, Some(tCharEntropySql)),
