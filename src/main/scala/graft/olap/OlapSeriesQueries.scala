@@ -1684,7 +1684,42 @@ object OlapSeriesQueries {
       | CAST((1000000 * SUM(active_days)) // SUM(span) AS BIGINT) AS density_ppm
       |FROM u GROUP BY 1""".stripMargin
 
+  /** q_seasonal_strength: Hyndman's seasonal-strength statistic per
+    * event type over the STL parts — Fs = max(0, 1 − SS(remainder) /
+    * SS(seasonal + remainder)) as integer ppm (≈ 10⁶ means the weekly
+    * pattern explains the detrended series; ≈ 0 means noise).
+    * Components rescaled from micro-cents to deca-cents (one floor div,
+    * both engines truncate toward zero) so the squares' sums stay under
+    * 2⁶³ through 100× data; the one division is a floor div of exact
+    * sums. */
+  def qSeasonalStrength(s: SparkSession, dir: String): DataFrame =
+    qStlDecompose(s, dir)
+      .select(F.col("event_type"),
+        F.expr("s6 div 10000000000").as("sk"),
+        F.expr("r6 div 10000000000").as("rk"))
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_days"),
+        F.sum(F.expr("rk * rk")).as("ssr"),
+        F.sum(F.expr("(sk + rk) * (sk + rk)")).as("sssr"))
+      .withColumn("strength_ppm", F.expr(
+        "greatest(0, 1000000 - (1000000 * ssr) div greatest(sssr, 1))"))
+
+  val qSeasonalStrengthSql: String =
+    s"""WITH stl AS ($qStlDecomposeSql),
+       |k AS (
+       |  SELECT event_type, s6 // 10000000000 AS sk, r6 // 10000000000 AS rk
+       |  FROM stl),
+       |a AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |   CAST(SUM(rk * rk) AS BIGINT) AS ssr,
+       |   CAST(SUM((sk + rk) * (sk + rk)) AS BIGINT) AS sssr
+       |  FROM k GROUP BY 1)
+       |SELECT event_type, n_days, ssr, sssr,
+       | CAST(greatest(0, 1000000 - (1000000 * ssr) // greatest(sssr, 1)) AS BIGINT) AS strength_ppm
+       |FROM a""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_seasonal_strength", qSeasonalStrength _, Some(qSeasonalStrengthSql)),
     ("q_lifespan", qLifespan _, Some(qLifespanSql)),
     ("q_growth_acct", qGrowthAcct _, Some(qGrowthAcctSql)),
     ("q_bounce_rate", qBounceRate _, Some(qBounceRateSql)),
