@@ -450,6 +450,38 @@ object KVQueries {
       .localCheckpoint(true)
   }
 
+  // previous kv_topn segment dir (same sweep lifecycle)
+  private var lastTopnSegDir: Option[java.nio.file.Path] = None
+
+  /** kv_topn: the smallest 100 cells of the whole store in (k, c) order
+    * through the DSv2 connector's TopN PUSHDOWN — `ORDER BY k, c LIMIT
+    * 100` rides the (k, c)-sorted segment layout (each reader returns
+    * its first 100 rows, Spark merges: the read-in-order optimization),
+    * so the scan decodes ≤ 100 rows per segment at any store size. */
+  def kvTopn(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastTopnSegDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val seg = java.nio.file.Files.createTempDirectory("graft_kvsegt")
+    lastTopnSegDir = Some(seg)
+    graft.sources.kvconnector.KVSegmentStore.write(eventStore(s, dir), seg.toString, 8)
+    decoded(s.read.format("graft-kv").load(seg.toString)
+        .orderBy(F.col("k").asc, F.col("c").asc).limit(100))
+      .localCheckpoint(true)
+  }
+
+  val kvTopnSql: String =
+    """SELECT user_id, epoch_us(ts) AS us, event_id,
+      | CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str
+      |FROM events
+      |ORDER BY user_id ASC, epoch_us(ts) ASC, event_id ASC
+      |LIMIT 100""".stripMargin
+
   // previous kv_dsv2_write segment dir (same sweep lifecycle)
   private var lastWriteSegDir: Option[java.nio.file.Path] = None
 
@@ -484,6 +516,7 @@ object KVQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("kv_dsv2", kvDsv2 _, Some(kvSliceSql)),
     ("kv_dsv2_write", kvDsv2Write _, Some(kvSliceSql)),
+    ("kv_topn", kvTopn _, Some(kvTopnSql)),
     ("kv_slice", kvSlice _, Some(kvSliceSql)),
     ("kv_multislice", kvMultiSlice _, Some(kvMultiSliceSql)),
     ("kv_dsv2_multi", kvDsv2Multi _, Some(kvDsv2MultiSql)),
