@@ -7,6 +7,7 @@ object SparkEntry {
   /** Every module contributes (name, query, Option[oracleSql]) triples. */
   private def all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     graft.olap.OlapQueries.entries ++
+      graft.olap.OlapBizQueries.entries ++
       graft.olap.OlapExtraQueries.entries ++
       graft.olap.OlapCombinatorQueries.entries ++
       graft.olap.OlapStatQueries.entries ++

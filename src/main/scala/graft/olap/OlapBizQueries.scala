@@ -1,0 +1,280 @@
+package graft.olap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.Tables
+
+/** Business-analytics staples of the ClickHouse deployment surface that
+  * were still missing from §2C: revenue concentration (Pareto/ABC),
+  * time-to-convert distribution, top session journeys, and the Theil–Sen
+  * robust trend slope. Every query is exact BIGINT end to end (cents /
+  * epoch seconds / ppm floor-divs) so the DuckDB oracle compares
+  * bit-for-bit, and every heavy window is partitioned by a key whose
+  * per-partition row count is bounded by something other than data volume
+  * (value-range buckets, the calendar, or a per-user stream).
+  */
+object OlapBizQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (Tables.dec2(c) * 100).cast("long")
+
+  /** q_pareto: revenue concentration over customers — how many customers
+    * produce 50/80/90% of revenue, and what share the top 1%/10% hold
+    * (the ABC / 80-20 dashboard ClickHouse analysts build from
+    * `sum() OVER (ORDER BY rev DESC)`). The naive spelling is ONE global
+    * ordered window over all customers — a single-task sort at scale —
+    * so this uses the q_concurrency two-level exact prefix sum instead:
+    * customers bucket by a $10k revenue range (bucket order refines
+    * revenue order, ties never cross buckets), each bucket computes its
+    * local prefix in parallel, and a bucket-level carry (|value range| /
+    * $10k rows — bounded by the price domain, NOT by customer count) is
+    * broadcast back. cum(c) = carry(bucket) + local(c) by associativity.
+    * ppm terms stay in BIGINT: cum ≤ total ≤ ~2e12 cents at sf0.1, so
+    * cum×1e6 < 2^63; a 100 TB deployment would move the ppm scaling into
+    * DECIMAL(38,0) — noted in SURVEY §5. */
+  def qPareto(s: SparkSession, dir: String): DataFrame = {
+    val rc = Tables(s, dir, "orders")
+      .groupBy(F.col("o_custkey"))
+      .agg(F.sum(cents(F.col("o_totalprice"))).as("rc"))
+      .withColumn("bkt", F.expr("rc div 1000000"))
+    // bucket-level exclusive prefix (carry): tiny (price-domain bounded)
+    val carryW = Window.partitionBy(F.pmod(F.col("bkt"), F.lit(1)))
+      .orderBy(F.col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rc.groupBy("bkt")
+      .agg(F.sum("rc").as("bsum"), F.count(F.lit(1)).as("bn"))
+      .withColumn("csum", F.coalesce(F.sum("bsum").over(carryW), F.lit(0L)))
+      .withColumn("cn", F.coalesce(F.sum("bn").over(carryW), F.lit(0L)))
+      .select("bkt", "csum", "cn")
+    val localW = Window.partitionBy("bkt")
+      .orderBy(F.col("rc").desc, F.col("o_custkey").asc)
+    val tot = rc.agg(F.sum("rc").as("total_c"), F.count(F.lit(1)).as("nc"))
+    rc.withColumn("lcum", F.sum("rc").over(
+        localW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lrn", F.row_number().over(localW).cast("long"))
+      .join(F.broadcast(carry), Seq("bkt"))
+      .withColumn("cum", F.col("csum") + F.col("lcum"))
+      .withColumn("rn", F.col("cn") + F.col("lrn"))
+      .crossJoin(F.broadcast(tot))
+      .agg(
+        F.max("nc").as("n_cust"),
+        F.max("total_c").as("total_c"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("total_c") * 50, F.col("rn"))).as("c50"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("total_c") * 80, F.col("rn"))).as("c80"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("total_c") * 90, F.col("rn"))).as("c90"),
+        F.max(F.when(F.col("rn") === F.expr("(nc + 99) div 100"),
+          F.expr("(cum * 1000000) div total_c"))).as("top1_ppm"),
+        F.max(F.when(F.col("rn") === F.expr("(nc + 9) div 10"),
+          F.expr("(cum * 1000000) div total_c"))).as("top10_ppm"))
+  }
+
+  val qParetoSql: String =
+    """WITH rc AS (
+      |  SELECT o_custkey,
+      |   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS rc
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT rc,
+      |   SUM(rc) OVER (ORDER BY rc DESC, o_custkey ASC ROWS UNBOUNDED PRECEDING) AS cum,
+      |   ROW_NUMBER() OVER (ORDER BY rc DESC, o_custkey ASC) AS rn
+      |  FROM rc),
+      |t AS (SELECT CAST(SUM(rc) AS BIGINT) AS total_c, COUNT(*) AS nc FROM rc)
+      |SELECT MAX(nc) AS n_cust, MAX(total_c) AS total_c,
+      | CAST(MIN(CASE WHEN cum*100 >= total_c*50 THEN rn END) AS BIGINT) AS c50,
+      | CAST(MIN(CASE WHEN cum*100 >= total_c*80 THEN rn END) AS BIGINT) AS c80,
+      | CAST(MIN(CASE WHEN cum*100 >= total_c*90 THEN rn END) AS BIGINT) AS c90,
+      | CAST(MAX(CASE WHEN rn = (nc+99)//100 THEN (cum*1000000)//total_c END) AS BIGINT) AS top1_ppm,
+      | CAST(MAX(CASE WHEN rn = (nc+9)//10 THEN (cum*1000000)//total_c END) AS BIGINT) AS top10_ppm
+      |FROM r, t""".stripMargin
+
+  /** q_funnel_time: the time-to-convert distribution (first 'view' →
+    * first subsequent 'purchase') per first-view-day cohort — min / max /
+    * sum / avg×100 / discrete median seconds. The median avoids any
+    * per-row global sort: it folds the per-(day, sec) COUNT histogram
+    * cumulatively, so the window's partition rows are bounded by the
+    * number of DISTINCT second values (the calendar / gap range), never
+    * by converter count — the same histogram-not-rows shape as the
+    * equi-depth scale tier. Lower median: smallest sec with
+    * cum ≥ (n+1) div 2. */
+  def qFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_type"),
+        F.unix_micros(F.col("ts")).as("us"))
+    val fv = ev.filter(F.col("event_type") === "view")
+      .groupBy("user_id").agg(F.min("us").as("fv"))
+    val conv = ev.filter(F.col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(F.col("us") >= F.col("fv"))
+      .groupBy("user_id", "fv").agg(F.min("us").as("fp"))
+      .select(F.expr("fv div 86400000000").as("day"),
+        F.expr("(fp - fv) div 1000000").as("sec"))
+    val agg = conv.groupBy("day").agg(
+      F.count(F.lit(1)).as("n_conv"),
+      F.min("sec").as("min_sec"), F.max("sec").as("max_sec"),
+      F.sum("sec").as("sum_sec"))
+    val cw = Window.partitionBy("day").orderBy(F.col("sec").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = conv.groupBy("day", "sec").agg(F.count(F.lit(1)).as("c"))
+      .withColumn("cum", F.sum("c").over(cw))
+      .join(agg.select("day", "n_conv"), Seq("day"))
+      .groupBy("day")
+      .agg(F.min(F.when(F.col("cum") >= F.expr("(n_conv + 1) div 2"), F.col("sec"))).as("med_sec"))
+    agg.join(med, Seq("day"))
+      .select(F.col("day"), F.col("n_conv"), F.col("min_sec"), F.col("max_sec"),
+        F.col("sum_sec"),
+        F.expr("(100 * sum_sec) div n_conv").as("avg_sec_x100"),
+        F.col("med_sec"))
+  }
+
+  val qFunnelTimeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |fv AS (
+      |  SELECT user_id, MIN(us) AS fv FROM ev WHERE event_type='view' GROUP BY 1),
+      |conv AS (
+      |  SELECT fv // 86400000000 AS day, (MIN(e.us) - fv) // 1000000 AS sec
+      |  FROM ev e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type='purchase' AND e.us >= fv.fv
+      |  GROUP BY e.user_id, fv.fv),
+      |agg AS (
+      |  SELECT day, COUNT(*) AS n_conv, MIN(sec) AS min_sec, MAX(sec) AS max_sec,
+      |   CAST(SUM(sec) AS BIGINT) AS sum_sec
+      |  FROM conv GROUP BY 1),
+      |hist AS (SELECT day, sec, COUNT(*) AS c FROM conv GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT day, sec, SUM(c) OVER (PARTITION BY day ORDER BY sec ASC
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM hist),
+      |med AS (
+      |  SELECT c.day, MIN(c.sec) AS med_sec
+      |  FROM cum c JOIN agg a ON c.day = a.day
+      |  WHERE c.cum >= (a.n_conv + 1) // 2 GROUP BY 1)
+      |SELECT a.day, a.n_conv, CAST(a.min_sec AS BIGINT) AS min_sec,
+      | CAST(a.max_sec AS BIGINT) AS max_sec, a.sum_sec,
+      | CAST((100 * a.sum_sec) // a.n_conv AS BIGINT) AS avg_sec_x100,
+      | CAST(m.med_sec AS BIGINT) AS med_sec
+      |FROM agg a JOIN med m ON a.day = m.day""".stripMargin
+
+  /** q_journey: the top-20 session journeys — the first three event
+    * types of each 30-min-gap session joined as 'a>b>c' (ClickHouse's
+    * sequence / path analysis reporting). Sessionization is the shared
+    * q_sessionize spelling (both windows key on user_id: one shuffle);
+    * the final top-20 is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def qJourney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.col("user_id"), F.col("event_id"), F.col("event_type"),
+        F.unix_micros(F.col("ts")).as("us"))
+    val byU = Window.partitionBy("user_id").orderBy(F.col("us").asc, F.col("event_id").asc)
+    val cum = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("prev_us", F.lag("us", 1).over(byU))
+      .withColumn("new_sess",
+        F.when(F.col("prev_us").isNull || F.col("us") - F.col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", F.sum("new_sess").over(cum))
+    val bySess = Window.partitionBy("user_id", "sess_idx")
+      .orderBy(F.col("us").asc, F.col("event_id").asc)
+    sess.withColumn("rn", F.row_number().over(bySess))
+      .filter(F.col("rn") <= 3)
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        F.min(F.when(F.col("rn") === 1, F.col("event_type"))).as("s1"),
+        F.min(F.when(F.col("rn") === 2, F.col("event_type"))).as("s2"),
+        F.min(F.when(F.col("rn") === 3, F.col("event_type"))).as("s3"))
+      .withColumn("path", F.concat_ws(">", F.col("s1"), F.col("s2"), F.col("s3")))
+      .groupBy("path").agg(F.count(F.lit(1)).as("n_sess"))
+      .orderBy(F.col("n_sess").desc, F.col("path").asc)
+      .limit(20)
+  }
+
+  val qJourneySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM (SELECT *, LAG(us) OVER (PARTITION BY user_id
+      |          ORDER BY us ASC, event_id ASC) AS prev_us FROM ev) x),
+      |sess AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY us ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM flagged),
+      |rn AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_idx
+      |    ORDER BY us ASC, event_id ASC) AS rn
+      |  FROM sess),
+      |paths AS (
+      |  SELECT user_id, sess_idx,
+      |   CONCAT_WS('>',
+      |     MIN(CASE WHEN rn = 1 THEN event_type END),
+      |     MIN(CASE WHEN rn = 2 THEN event_type END),
+      |     MIN(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |  FROM rn WHERE rn <= 3 GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sess
+      |FROM paths GROUP BY 1
+      |ORDER BY n_sess DESC, path ASC LIMIT 20""".stripMargin
+
+  /** q_theil_sen: the Theil–Sen robust trend estimator over each event
+    * type's daily cents-sum series — the discrete median of all pairwise
+    * slopes (the robust cousin of q_linreg's OLS slope and the
+    * estimator usually reported next to the q_trend_mk Mann-Kendall
+    * test). Slopes are BIGINT ppm floor-divs (num×1e6 div Δdays; both
+    * engines truncate toward zero). The |days|² pair join is bounded by
+    * the CALENDAR per type, never by event volume — the daily rollup is
+    * the only pass over the fact table, same contract as q_trend_mk. */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum(cents(F.col("value"))).as("vc"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        F.col("a.event_type") === F.col("b.event_type") &&
+          F.col("a.day") < F.col("b.day"))
+      .select(F.col("a.event_type").as("event_type"),
+        F.expr("((b.vc - a.vc) * 1000000) div (b.day - a.day)").as("slope_ppm"),
+        F.col("a.day").as("d1"), F.col("b.day").as("d2"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(F.col("slope_ppm").asc, F.col("d1").asc, F.col("d2").asc)
+    val nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).as("n_days"))
+    pairs
+      .withColumn("rn", F.row_number().over(w).cast("long"))
+      .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+      .join(nd, Seq("event_type"))
+      .groupBy("event_type", "n_days")
+      .agg(F.max("cnt").as("n_pairs"),
+        F.min(F.when(F.col("rn") === F.expr("(cnt + 1) div 2"), F.col("slope_ppm"))).as("slope_med_ppm"))
+  }
+
+  val qTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type, ((b.vc - a.vc) * 1000000) // (b.day - a.day) AS slope_ppm,
+      |   a.day AS d1, b.day AS d2
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |r AS (
+      |  SELECT event_type, slope_ppm,
+      |   ROW_NUMBER() OVER (PARTITION BY event_type
+      |     ORDER BY slope_ppm ASC, d1 ASC, d2 ASC) AS rn,
+      |   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM p),
+      |nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1)
+      |SELECT r.event_type, nd.n_days, CAST(MAX(r.cnt) AS BIGINT) AS n_pairs,
+      | CAST(MIN(CASE WHEN rn = (cnt+1)//2 THEN slope_ppm END) AS BIGINT) AS slope_med_ppm
+      |FROM r JOIN nd ON r.event_type = nd.event_type
+      |GROUP BY 1, 2""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_pareto", qPareto _, Some(qParetoSql)),
+    ("q_funnel_time", qFunnelTime _, Some(qFunnelTimeSql)),
+    ("q_journey", qJourney _, Some(qJourneySql)),
+    ("q_theil_sen", qTheilSen _, Some(qTheilSenSql)))
+}

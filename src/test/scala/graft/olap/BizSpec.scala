@@ -1,0 +1,105 @@
+package graft.olap
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+
+/** The business-analytics batch (OlapBizQueries): the two-level Pareto
+  * prefix sum must equal the naive global-window spelling exactly, the
+  * funnel-time median must satisfy the discrete-median property, journeys
+  * must be valid ≤3-step paths, and the Theil–Sen median must be an
+  * actual pairwise slope. */
+class BizSpec extends SparkSpec {
+
+  test("q_pareto two-level prefix sum equals the naive global window") {
+    val got = OlapBizQueries.qPareto(spark, SF).collect().head
+    // naive: ONE global ordered window (the plan shape we refuse at scale)
+    val rc = graft.Tables(spark, SF, "orders")
+      .groupBy("o_custkey")
+      .agg(F.sum((graft.Tables.dec2(F.col("o_totalprice")) * 100).cast("long")).as("rc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, v) => (-v, k) }
+    val total = rc.map(_._2).sum
+    val n = rc.size
+    var cum = 0L
+    var c50 = -1L; var c80 = -1L; var c90 = -1L
+    var top1 = -1L; var top10 = -1L
+    rc.zipWithIndex.foreach { case ((_, v), i) =>
+      cum += v
+      val rn = i + 1L
+      if (c50 < 0 && cum * 100 >= total * 50) c50 = rn
+      if (c80 < 0 && cum * 100 >= total * 80) c80 = rn
+      if (c90 < 0 && cum * 100 >= total * 90) c90 = rn
+      if (rn == (n + 99) / 100) top1 = cum * 1000000L / total
+      if (rn == (n + 9) / 10) top10 = cum * 1000000L / total
+    }
+    assert(got.getLong(0) == n && got.getLong(1) == total)
+    assert(got.getLong(2) == c50 && got.getLong(3) == c80 && got.getLong(4) == c90)
+    assert(got.getLong(5) == top1 && got.getLong(6) == top10)
+    assert(c50 <= c80 && c80 <= c90 && c90 <= n)
+  }
+
+  test("q_funnel_time median satisfies the discrete-median property") {
+    val rows = OlapBizQueries.qFunnelTime(spark, SF).collect()
+    assert(rows.nonEmpty)
+    // recompute per-day conversion seconds the straightforward way
+    val ev = graft.Tables(spark, SF, "events")
+      .select(F.col("user_id"), F.col("event_type"), F.unix_micros(F.col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fv = ev.filter(_._2 == "view").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val secs = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) => fv.get(u).filter(us >= _).map(f => (u, f, us)) }
+      .groupBy(t => (t._1, t._2)).values
+      .map { g => val f = g.head._2; (f / 86400000000L, (g.map(_._3).min - f) / 1000000L) }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      val xs = secs(day).toIndexedSeq
+      assert(r.getLong(1) == xs.size)
+      assert(r.getLong(2) == xs.min && r.getLong(3) == xs.max)
+      assert(r.getLong(6) == xs((xs.size + 1) / 2 - 1), s"day $day lower median")
+    }
+  }
+
+  test("q_journey emits valid ordered ≤3-step paths, top-20 by count") {
+    val rows = OlapBizQueries.qJourney(spark, SF).collect()
+    assert(rows.length == 20)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val segs = r.getString(0).split(">")
+      assert(segs.nonEmpty && segs.length <= 3 && segs.forall(types))
+    }
+    // sorted by n_sess desc then path asc
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) > b.getLong(1) ||
+          (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+      case _ => ()
+    }
+  }
+
+  test("q_theil_sen median is an actual pairwise slope with full pair count") {
+    val daily = graft.Tables(spark, SF, "events")
+      .groupBy(F.col("event_type"), F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((graft.Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val rows = OlapBizQueries.qTheilSen(spark, SF).collect()
+    assert(rows.length == daily.size)
+    rows.foreach { r =>
+      val series = daily(r.getString(0)).sortBy(_._2)
+      val n = series.size
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == n.toLong * (n - 1) / 2)
+      val slopes = (for {
+        i <- series.indices; j <- (i + 1) until n
+      } yield {
+        val num = (series(j)._3 - series(i)._3) * 1000000L
+        val den = series(j)._2 - series(i)._2
+        num / den // both operands: / on Long truncates toward zero, same as div
+      }).sorted
+      assert(r.getLong(3) == slopes((slopes.size + 1) / 2 - 1), s"${r.getString(0)} median slope")
+    }
+  }
+}
