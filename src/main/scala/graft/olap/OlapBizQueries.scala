@@ -272,9 +272,131 @@ object OlapBizQueries {
       |FROM r JOIN nd ON r.event_type = nd.event_type
       |GROUP BY 1, 2""".stripMargin
 
+  /** q_prop_ztest: ClickHouse `proportionsZTest` — two-sample z-test on
+    * the share of above-global-mean purchasers between the even and odd
+    * user-id cohorts. Counts are exact BIGINT; the z statistic is the
+    * one double expression both engines evaluate from those integers
+    * (identical expression text → identical float64 bits), floor-scaled
+    * ×1e6 — the q_ttest discipline. One user rollup + one 2-group
+    * aggregate: no shuffles beyond the user groupBy at any scale. */
+  def qPropZtest(s: SparkSession, dir: String): DataFrame = {
+    // success = "above-global-mean purchaser" (np·n_users > Σnp): interior
+    // proportions by construction — every-user-converts would zero the
+    // pooled variance and the z denominator (ANSI divide-by-zero)
+    val np = Tables(s, dir, "events")
+      .groupBy(F.col("user_id"))
+      .agg(F.sum(F.when(F.col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+    val tot = np.agg(F.sum("np").as("tot_np"), F.count(F.lit(1)).as("n_users"))
+    val u = np.crossJoin(F.broadcast(tot))
+      .select(F.pmod(F.col("user_id"), F.lit(2L)).as("g"),
+        F.when(F.col("np") * F.col("n_users") > F.col("tot_np"), 1L).otherwise(0L).as("conv"))
+    val agg = u.agg(
+      F.count(F.when(F.col("g") === 0, 1)).as("n1"),
+      F.sum(F.when(F.col("g") === 0, F.col("conv")).otherwise(0L)).as("x1"),
+      F.count(F.when(F.col("g") === 1, 1)).as("n2"),
+      F.sum(F.when(F.col("g") === 1, F.col("conv")).otherwise(0L)).as("x2"))
+    def d(c: String) = F.col(c).cast("double")
+    val p1 = d("x1") / d("n1"); val p2 = d("x2") / d("n2")
+    val p = (d("x1") + d("x2")) / (d("n1") + d("n2"))
+    agg.filter(F.col("n1") > 0L && F.col("n2") > 0L)
+      .select(F.col("n1"), F.col("x1"), F.col("n2"), F.col("x2"),
+        F.expr("(1000000 * x1) div n1").as("p1_ppm"),
+        F.expr("(1000000 * x2) div n2").as("p2_ppm"),
+        F.floor((p1 - p2) /
+          F.sqrt(p * (F.lit(1.0) - p) * (F.lit(1.0) / d("n1") + F.lit(1.0) / d("n2"))) * 1e6)
+          .as("z6"))
+  }
+
+  val qPropZtestSql: String =
+    """WITH np AS (
+      |  SELECT user_id,
+      |   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM events GROUP BY user_id),
+      |t AS (SELECT CAST(SUM(np) AS BIGINT) AS tot_np, COUNT(*) AS n_users FROM np),
+      |u AS (
+      |  SELECT user_id % 2 AS g,
+      |   CASE WHEN np * n_users > tot_np THEN 1 ELSE 0 END AS conv
+      |  FROM np, t),
+      |m AS (
+      |  SELECT
+      |   COUNT(CASE WHEN g = 0 THEN 1 END) AS n1,
+      |   CAST(SUM(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+      |   COUNT(CASE WHEN g = 1 THEN 1 END) AS n2,
+      |   CAST(SUM(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2
+      |  FROM u)
+      |SELECT n1, x1, n2, x2,
+      | CAST((1000000 * x1) // n1 AS BIGINT) AS p1_ppm,
+      | CAST((1000000 * x2) // n2 AS BIGINT) AS p2_ppm,
+      | CAST(FLOOR((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |  / SQRT((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |    * (1.0 - (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+      |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) * 1e6) AS BIGINT) AS z6
+      |FROM m WHERE n1 > 0 AND n2 > 0""".stripMargin
+
+  /** q_period_detect: dominant-period detection over each event type's
+    * daily series (ClickHouse `seriesPeriodDetectFFT`'s job, done as the
+    * exact autocorrelation argmax over lags 1..14 instead of an FFT —
+    * deterministic and cross-engine checkable). Reuses q_autocorr's
+    * integer centering (floor-div mean, kilocent scale); the per-lag
+    * score is (Σ c·c₊lag × 1000) div n_pairs, all BIGINT, and the argmax
+    * breaks ties on the smaller lag. The lag fan-out and the 14-row
+    * per-type window are calendar-bounded — the daily rollup is the only
+    * pass over the fact table. */
+  def qPeriodDetect(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum(cents(F.col("value"))).as("vc"))
+      .localCheckpoint()
+    val mean = daily.groupBy("event_type")
+      .agg(F.expr("sum(vc) div count(1)").as("mu"))
+    val cent = daily.join(F.broadcast(mean), "event_type")
+      .select(F.col("event_type"), F.col("day"), F.expr("(vc - mu) div 1000").as("c"))
+    val lags = cent.withColumn("lag", F.explode(F.typedlit((1L to 14L).toSeq)))
+    val shifted = cent.select(F.col("event_type").as("et2"), F.col("day").as("dk"),
+      F.col("c").as("ck"))
+    val scored = lags.join(shifted,
+        lags("event_type") === F.col("et2") && lags("day") + lags("lag") === F.col("dk"))
+      .groupBy(lags("event_type"), F.col("lag"))
+      .agg(F.sum(F.col("c") * F.col("ck")).as("num"), F.count(F.lit(1)).as("n_pairs"))
+      .withColumn("score", F.expr("(num * 1000) div n_pairs"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(F.col("score").desc, F.col("lag").asc)
+    scored.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") === 1)
+      .select(F.col("event_type"), F.col("lag").as("best_lag"),
+        F.col("score"), F.col("n_pairs"))
+  }
+
+  val qPeriodDetectSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS vc
+      |  FROM events GROUP BY 1, 2),
+      |mu AS (SELECT event_type, CAST(SUM(vc) // COUNT(*) AS BIGINT) AS mu
+      |  FROM daily GROUP BY 1),
+      |cent AS (
+      |  SELECT d.event_type, d.day, CAST((d.vc - mu.mu) // 1000 AS BIGINT) AS c
+      |  FROM daily d JOIN mu ON d.event_type = mu.event_type),
+      |scored AS (
+      |  SELECT a.event_type, l.lag, COUNT(*) AS n_pairs,
+      |   CAST((CAST(SUM(a.c * b.c) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS score
+      |  FROM cent a
+      |  CROSS JOIN (SELECT UNNEST(generate_series(1, 14)) AS lag) l
+      |  JOIN cent b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY score DESC, lag ASC) AS rn
+      |  FROM scored)
+      |SELECT event_type, CAST(lag AS BIGINT) AS best_lag, score, n_pairs
+      |FROM r WHERE rn = 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_pareto", qPareto _, Some(qParetoSql)),
     ("q_funnel_time", qFunnelTime _, Some(qFunnelTimeSql)),
     ("q_journey", qJourney _, Some(qJourneySql)),
+    ("q_prop_ztest", qPropZtest _, Some(qPropZtestSql)),
+    ("q_period_detect", qPeriodDetect _, Some(qPeriodDetectSql)),
     ("q_theil_sen", qTheilSen _, Some(qTheilSenSql)))
 }

@@ -756,7 +756,51 @@ object AnnQueries {
       |   / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1e6) AS BIGINT) AS cos6
       |FROM p""".stripMargin
 
+  /** s_vec_quantize: int8 scalar quantization QA — the compression stage
+    * a 100 TB embedding store runs before ANN indexing (4× smaller than
+    * float32). Each vector quantizes symmetrically against its own
+    * absolute max (q_i = floor(x_i/amax·127), explicit floor: Spark's
+    * double→int cast truncates while DuckDB's ROUNDS, so the cast is
+    * never used for this), and the per-vector L1 reconstruction error is
+    * floor-scaled to BIGINT ×1e9 BEFORE the per-label aggregate — the
+    * quantize-per-element-then-aggregate determinism rule. Map-only over
+    * vectors; the only shuffle is the label rollup. */
+  def sVecQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("amax", F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .filter(F.col("amax") > 0.0)
+      .withColumn("e9", F.expr(
+        """CAST(FLOOR(aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (a, x) -> a + abs(CAST(x AS DOUBLE)
+          |    - FLOOR(CAST(x AS DOUBLE) / amax * 127.0) * amax / 127.0)) * 1000000000) AS BIGINT)""".stripMargin))
+      .groupBy("label")
+      .agg(F.count(F.lit(1)).as("n_vecs"),
+        F.sum("e9").as("sum_err_e9"),
+        F.max("e9").as("max_err_e9"),
+        F.expr("sum(e9) div count(1)").as("avg_err_e9"))
+
+  val sVecQuantizeSql: String =
+    """WITH a AS (
+      |  SELECT label, embedding,
+      |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |     list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+      |    (a, x) -> greatest(a, x)) AS amax
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT label,
+      |   CAST(FLOOR(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |     list_transform(embedding, x -> abs(CAST(x AS DOUBLE)
+      |       - FLOOR(CAST(x AS DOUBLE) / amax * 127.0) * amax / 127.0))),
+      |    (a, x) -> a + x) * 1000000000) AS BIGINT) AS e9
+      |  FROM a WHERE amax > 0)
+      |SELECT label, COUNT(*) AS n_vecs, CAST(SUM(e9) AS BIGINT) AS sum_err_e9,
+      | CAST(MAX(e9) AS BIGINT) AS max_err_e9,
+      | CAST(SUM(e9) // COUNT(*) AS BIGINT) AS avg_err_e9
+      |FROM e GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_vec_quantize", sVecQuantize _, Some(sVecQuantizeSql)),
     ("s_emb_drift", sEmbDrift _, Some(sEmbDriftSql)),
     ("s_mmr", sMmr _, Some(sMmrSql)),
     ("s_knn_graph", sKnnGraph _, Some(sKnnGraphSql)),

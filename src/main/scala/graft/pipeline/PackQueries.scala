@@ -249,7 +249,58 @@ object PackQueries {
       | CAST(SUM((idf6 * tf * 2200000) // (1000000 * tf + (12 * norm6) // 10)) AS BIGINT) AS score6
       |FROM scored GROUP BY 1""".stripMargin
 
+  /** d_chunk: RAG-style overlapping chunking — every document splits
+    * into fixed 480-char windows at a 400-char stride (80-char overlap),
+    * the retrieval-index sibling of d_lm_windows' token windows. Chunk
+    * counts/spans derive from the precomputed `n_chars` column in closed
+    * form (NEVER from length(text): Spark counts UTF-16 units, DuckDB
+    * codepoints — n_chars is the engine-neutral length), and the chunk
+    * fan-out is a map-only explode(sequence(...)): zero shuffles until
+    * the final per-ordinal rollup. Output is one row per chunk ordinal
+    * (bounded by max doc length / stride, not corpus size): doc count,
+    * summed chunk/overlap lengths, min/max chunk length. */
+  def dChunk(s: SparkSession, dir: String): DataFrame = {
+    val W = 480L; val S = 400L
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("n_chars").cast("long").as("len"))
+      .filter(F.col("len") > 0L)
+      .withColumn("n_chunks",
+        F.expr(s"CASE WHEN len <= $W THEN CAST(1 AS BIGINT) ELSE (len - $W + ${S - 1}) div $S + 1 END"))
+      .withColumn("chunk_no", F.explode(F.expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")))
+      .withColumn("st", F.expr(s"chunk_no * $S"))
+      .withColumn("en", F.expr(s"least(st + $W, len)"))
+      .withColumn("ov", F.expr(
+        s"CASE WHEN chunk_no = 0 THEN CAST(0 AS BIGINT) ELSE least((chunk_no - 1) * $S + $W, len) - st END"))
+      .groupBy("chunk_no")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("en") - F.col("st")).as("sum_len"),
+        F.sum("ov").as("sum_ov"),
+        F.min(F.col("en") - F.col("st")).as("min_len"),
+        F.max(F.col("en") - F.col("st")).as("max_len"))
+  }
+
+  val dChunkSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len FROM documents WHERE n_chars > 0),
+      |n AS (
+      |  SELECT doc_id, len,
+      |   CASE WHEN len <= 480 THEN 1 ELSE (len - 480 + 399) // 400 + 1 END AS n_chunks
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, len, UNNEST(generate_series(0, n_chunks - 1)) AS chunk_no FROM n),
+      |ch AS (
+      |  SELECT chunk_no, chunk_no * 400 AS st, LEAST(chunk_no * 400 + 480, len) AS en, len
+      |  FROM c)
+      |SELECT CAST(chunk_no AS BIGINT) AS chunk_no, COUNT(*) AS n_docs,
+      | CAST(SUM(en - st) AS BIGINT) AS sum_len,
+      | CAST(SUM(CASE WHEN chunk_no = 0 THEN 0
+      |   ELSE LEAST((chunk_no - 1) * 400 + 480, len) - st END) AS BIGINT) AS sum_ov,
+      | CAST(MIN(en - st) AS BIGINT) AS min_len,
+      | CAST(MAX(en - st) AS BIGINT) AS max_len
+      |FROM ch GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_chunk", dChunk _, Some(dChunkSql)),
     ("d_lm_windows", dLmWindows _, Some(dLmWindowsSql)),
     ("d_pack", dPack _, Some(dPackSql)),
     ("d_tfidf", dTfidf _, Some(dTfidfSql)),

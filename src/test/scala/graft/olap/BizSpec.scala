@@ -79,6 +79,50 @@ class BizSpec extends SparkSpec {
     }
   }
 
+  test("q_prop_ztest matches the recomputed z on interior proportions") {
+    val r = OlapBizQueries.qPropZtest(spark, SF).collect().head
+    val (n1, x1, n2, x2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // recompute cohorts from events
+    val np = graft.Tables(spark, SF, "events")
+      .groupBy("user_id")
+      .agg(F.sum(F.when(F.col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val tot = np.map(_._2).sum
+    val nu = np.length
+    val conv = np.map { case (u, c) => (u % 2, if (c * nu > tot) 1L else 0L) }
+    assert(n1 == conv.count(_._1 == 0) && x1 == conv.filter(_._1 == 0).map(_._2).sum)
+    assert(n2 == conv.count(_._1 == 1) && x2 == conv.filter(_._1 == 1).map(_._2).sum)
+    // interior proportions: the construction guarantees 0 < p < 1 pooled
+    assert(x1 + x2 > 0 && x1 + x2 < n1 + n2)
+    assert(r.getLong(4) == 1000000L * x1 / n1 && r.getLong(5) == 1000000L * x2 / n2)
+    val p1 = x1.toDouble / n1; val p2 = x2.toDouble / n2
+    val p = (x1 + x2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    assert(r.getLong(6) == math.floor(z * 1e6).toLong)
+  }
+
+  test("q_period_detect picks the argmax autocorrelation lag") {
+    val daily = graft.Tables(spark, SF, "events")
+      .groupBy(F.col("event_type"), F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.sum((graft.Tables.dec2(F.col("value")) * 100).cast("long")).as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val rows = OlapBizQueries.qPeriodDetect(spark, SF).collect()
+    assert(rows.length == daily.size)
+    rows.foreach { r =>
+      val series = daily(r.getString(0)).map(t => (t._2, t._3)).toMap
+      val mu = series.values.sum / series.size
+      val cent = series.view.mapValues(v => (v - mu) / 1000).toMap
+      val scored = (1L to 14L).flatMap { lag =>
+        val pairs = cent.keys.toSeq.flatMap(d => cent.get(d + lag).map(ck => cent(d) * ck))
+        if (pairs.isEmpty) None
+        else Some((lag, pairs.sum * 1000 / pairs.size, pairs.size.toLong))
+      }
+      val best = scored.minBy { case (lag, sc, _) => (-sc, lag) }
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == best, r.getString(0))
+    }
+  }
+
   test("q_theil_sen median is an actual pairwise slope with full pair count") {
     val daily = graft.Tables(spark, SF, "events")
       .groupBy(F.col("event_type"), F.expr("unix_micros(ts) div 86400000000").as("day"))
