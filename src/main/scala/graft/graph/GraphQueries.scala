@@ -129,6 +129,38 @@ object GraphQueries {
        |SELECT count(*) AS n_triangles
        |FROM adj x JOIN adj y ON x.b = y.a JOIN adj z ON z.a = x.a AND z.b = y.b""".stripMargin
 
+  /** g_squares: global 4-cycle (rectangle) census — the quadrilateral
+    * sibling of g_triangles. Count via diagonals: for every vertex pair
+    * (u < w), c = |N(u) ∩ N(w)| common neighbors contribute C(c, 2)
+    * cycles through that diagonal, and each 4-cycle owns exactly two
+    * diagonals → n_squares = Σ C(c, 2) / 2 (integer-exact: the sum is
+    * even by construction). Wedge enumeration through middles is the
+    * standard Σ deg(m)² rectangle-count bound — one equi-join on the
+    * middle + one (u, w) hash aggregate, no per-node state; at 100 TB
+    * the hub mitigation is Chiba–Nishizeki degeneracy ordering (only
+    * enumerate from the lower-degree endpoint), same join shape. */
+  def gSquares(s: SparkSession, dir: String): DataFrame = {
+    val und = PropertyGraph(s, dir).undirected
+    val wedges = und.select(F.col("src").as("m"), F.col("dst").as("u"))
+      .join(und.select(F.col("src").as("m2"), F.col("dst").as("w")),
+        F.col("m") === F.col("m2") && F.col("u") < F.col("w"))
+      .groupBy("u", "w").agg(F.count(F.lit(1)).as("c"))
+    wedges.filter(F.col("c") >= 2L)
+      .agg(F.count(F.lit(1)).as("n_diag_pairs"),
+        // coalesce: a square-free graph (possible at tiny SF) must read 0
+        F.expr("coalesce(sum((c * (c - 1)) div 2) div 2, CAST(0 AS BIGINT))").as("n_squares"))
+  }
+
+  val gSquaresSql: String =
+    s"""WITH $sqlPrelude,
+       |wdg AS (
+       |  SELECT e1.dst AS u, e2.dst AS w, COUNT(*) AS c
+       |  FROM uedges e1 JOIN uedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  GROUP BY 1, 2)
+       |SELECT COUNT(*) AS n_diag_pairs,
+       | CAST(COALESCE(SUM((c * (c - 1)) // 2) // 2, 0) AS BIGINT) AS n_squares
+       |FROM wdg WHERE c >= 2""".stripMargin
+
   /** g_cc: connected components, min-vid label. */
   def gCc(s: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph(s, dir)
@@ -1555,6 +1587,7 @@ object GraphQueries {
     ("g_twohop", gTwoHop _, Some(gTwoHopSql)),
     ("g_motif", gMotif _, Some(gMotifSql)),
     ("g_triangles", gTriangles _, Some(gTrianglesSql)),
+    ("g_squares", gSquares _, Some(gSquaresSql)),
     ("g_cc", gCc _, Some(gCcSql)),
     ("g_pagerank", gPagerank _, Some(gPagerankSql)),
     ("g_sssp", gSssp _, Some(gSsspSql)))

@@ -35,11 +35,16 @@ object OlapBizQueries {
     * ppm terms stay in BIGINT: cum ≤ total ≤ ~2e12 cents at sf0.1, so
     * cum×1e6 < 2^63; a 100 TB deployment would move the ppm scaling into
     * DECIMAL(38,0) — noted in SURVEY §5. */
-  def qPareto(s: SparkSession, dir: String): DataFrame = {
-    val rc = Tables(s, dir, "orders")
+  def qPareto(s: SparkSession, dir: String): DataFrame =
+    concentrate(Tables(s, dir, "orders")
       .groupBy(F.col("o_custkey"))
-      .agg(F.sum(cents(F.col("o_totalprice"))).as("rc"))
-      .withColumn("bkt", F.expr("rc div 1000000"))
+      .agg(F.sum(cents(F.col("o_totalprice"))).as("rc")))
+
+  /** The concentration fold over a (o_custkey, rc) per-customer revenue
+    * frame — shared by the batch entry and the ParetoSink-maintained
+    * q_pareto_inc read. */
+  def concentrate(perCust: DataFrame): DataFrame = {
+    val rc = perCust.withColumn("bkt", F.expr("rc div 1000000"))
     // bucket-level exclusive prefix (carry): tiny (price-domain bounded)
     val carryW = Window.partitionBy(F.pmod(F.col("bkt"), F.lit(1)))
       .orderBy(F.col("bkt").desc)
@@ -69,6 +74,38 @@ object OlapBizQueries {
           F.expr("(cum * 1000000) div total_c"))).as("top1_ppm"),
         F.max(F.when(F.col("rn") === F.expr("(nc + 9) div 10"),
           F.expr("(cum * 1000000) div total_c"))).as("top10_ppm"))
+  }
+
+  private var lastParetoDir: Option[java.nio.file.Path] = None
+
+  /** q_pareto_inc: the SAME concentration answer, but the per-customer
+    * revenue state is MAINTAINED incrementally (ParetoSink) instead of
+    * recomputed — orders arrive as three micro-batches (one replayed to
+    * prove exactly-once), each folding mergeable per-customer partials
+    * onto versioned `_SUCCESS`-gated snapshots; the read runs the shared
+    * two-level concentrate over the snapshot. Gated under q_pareto's own
+    * batch oracle: maintained state must equal the batch groupBy. */
+  def qParetoInc(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastParetoDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val snap = java.nio.file.Files.createTempDirectory("graft_pareto")
+    lastParetoDir = Some(snap)
+    val o = Tables(s, dir, "orders").select("o_custkey", "o_totalprice")
+    val b0 = o.filter(F.pmod(F.col("o_custkey"), F.lit(3L)) === 0L)
+    val b1 = o.filter(F.pmod(F.col("o_custkey"), F.lit(3L)) === 1L)
+    val b2 = o.filter(F.pmod(F.col("o_custkey"), F.lit(3L)) === 2L)
+    graft.streaming.ParetoSink.applyBatch(b0, snap.toString, 0L)
+    graft.streaming.ParetoSink.applyBatch(b1, snap.toString, 1L)
+    graft.streaming.ParetoSink.applyBatch(b1, snap.toString, 1L) // replay
+    graft.streaming.ParetoSink.applyBatch(b2, snap.toString, 2L)
+    concentrate(graft.streaming.ParetoSink.read(s, snap.toString))
+      .localCheckpoint(true)
   }
 
   val qParetoSql: String =
@@ -394,6 +431,7 @@ object OlapBizQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_pareto", qPareto _, Some(qParetoSql)),
+    ("q_pareto_inc", qParetoInc _, Some(qParetoSql)),
     ("q_funnel_time", qFunnelTime _, Some(qFunnelTimeSql)),
     ("q_journey", qJourney _, Some(qJourneySql)),
     ("q_prop_ztest", qPropZtest _, Some(qPropZtestSql)),

@@ -61,6 +61,32 @@ object TextQueries {
        |FROM scored""".stripMargin
   }
 
+  /** t_lang_confusion: the language-ID confusion matrix — declared
+    * `lang` column vs t_langid's prediction, with each cell's share of
+    * its declared-language row (ppm). The QA view a corpus curator reads
+    * before trusting the classifier on a mixture: diagonal = recall per
+    * language, off-diagonal = systematic confusions. One doc-id join of
+    * two map-only frames + a (lang, pred) aggregate; the share window
+    * partitions over ≤ |langs|² grouped rows. */
+  def tLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    Tables(s, dir, "documents").select("doc_id", "lang")
+      .join(tLangid(s, dir).select("doc_id", "pred_lang"), Seq("doc_id"))
+      .groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).as("n"))
+      .withColumn("tot", F.sum("n").over(w))
+      .select(F.col("lang"), F.col("pred_lang"), F.col("n"),
+        F.expr("(1000000 * n) div tot").as("share_ppm"))
+  }
+
+  val tLangConfusionSql: String =
+    s"""WITH m AS (
+       |  SELECT d.lang, p.pred_lang, COUNT(*) AS n
+       |  FROM documents d JOIN ($tLangidSql) p ON d.doc_id = p.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n,
+       | CAST((1000000 * n) // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+       |FROM m""".stripMargin
+
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -964,6 +990,7 @@ object TextQueries {
     ("t_trigram_lm", tTrigramLm _, Some(tTrigramLmSql)),
     ("t_clean", tClean _, Some(tCleanSql)),
     ("t_langid", tLangid _, Some(tLangidSql)),
+    ("t_lang_confusion", tLangConfusion _, Some(tLangConfusionSql)),
     ("t_quality", tQuality _, Some(tQualitySql)),
     ("t_tokens", tTokens _, Some(tTokensSql)),
     ("t_fingerprint", tFingerprint _, None),
