@@ -32,22 +32,24 @@ object TopKSink {
     StructField("rnk", LongType), StructField("term", StringType),
     StructField("w", LongType)))
 
-  /** Start the maintenance query: events must carry `user_id` (the term). */
-  def start(events: DataFrame, dir: String, capacity: Int = 64): StreamingQuery =
+  /** Start the maintenance query; `termCol` names the heavy-hitter term
+    * column (default `user_id` — JourneyStream composes with "path"). */
+  def start(events: DataFrame, dir: String, capacity: Int = 64,
+            termCol: String = "user_id"): StreamingQuery =
     events.writeStream
       .foreachBatch((batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, dir, batchId, capacity))
+        applyBatch(batch, dir, batchId, capacity, termCol))
       .start()
 
   /** Fold one micro-batch of raw events into topk_v{batchId}. */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long,
-                 capacity: Int): Unit = {
+                 capacity: Int, termCol: String = "user_id"): Unit = {
     val s = batch.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
     val target = GraftFs.child(dir, s"topk_v$batchId")
     if (GraftFs.complete(conf, target)) return // replayed batch
     val incoming = batch
-      .select(F.col("user_id").cast("string").as("term"), F.lit(1L).as("w"))
+      .select(F.col(termCol).cast("string").as("term"), F.lit(1L).as("w"))
     val prev = GraftFs.latest(conf, dir, "topk_v", batchId) match {
       case Some(p) => s.read.schema(snapSchema).parquet(p).select("term", "w")
       case None => s.createDataFrame(
