@@ -429,7 +429,85 @@ object OlapBizQueries {
       |SELECT event_type, CAST(lag AS BIGINT) AS best_lag, score, n_pairs
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** q_basket_pairs: market-basket co-occurrence mining — the top-20
+    * part pairs ordered together (ClickHouse retail dashboards build
+    * this from a self-join on the order key). The pair fan-out is
+    * per-order: Σ (parts per order)² with TPC-H's ~4 lineitems/order is
+    * LINEAR in orders at any scale (the quadratic term is bounded by the
+    * basket size, a domain constant, not data volume); the top-20 is
+    * TakeOrderedAndProject. DISTINCT parts per order first so repeated
+    * lineitems of one part count a pair once. */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables(s, dir, "lineitem")
+      .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
+      .distinct()
+    op.as("a").join(op.as("b"),
+        F.col("a.ok") === F.col("b.ok") && F.col("a.pk") < F.col("b.pk"))
+      .groupBy(F.col("a.pk").as("p1"), F.col("b.pk").as("p2"))
+      .agg(F.count(F.lit(1)).as("n_orders"))
+      .orderBy(F.col("n_orders").desc, F.col("p1").asc, F.col("p2").asc)
+      .limit(20)
+  }
+
+  val qBasketPairsSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_orders
+      |FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
+
+  /** q_time_matrix: the day-of-week × hour activity heatmap (events,
+    * distinct users, exact cents) — the operational dashboard slice
+    * next to q_datetime_suite's month×dow rollup. One aggregate over
+    * ≤ 168 cells; distinct users per cell is the only expensive term
+    * and keys the shuffle. */
+  def qTimeMatrix(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").as("hr"),
+        F.col("user_id"), cents(F.col("value")).as("vc"))
+      .groupBy("dow", "hr")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count_distinct(F.col("user_id")).as("n_users"),
+        F.sum("vc").as("sum_c"))
+
+  val qTimeMatrixSql: String =
+    """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      | (epoch_us(ts) // 3600000000) % 24 AS hr,
+      | COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_c
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q_repeat_rate: weekly repeat-purchase rate — per ISO-ish week
+    * (epoch-day div 7): purchasing users, repeat purchasers (≥ 2
+    * purchases that week), and the repeat share in ppm. Two exact
+    * aggregates (user-week rollup, then week rollup); the ppm is one
+    * integer floor-div. */
+  def qRepeatRate(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .groupBy(F.expr("unix_micros(ts) div 604800000000").as("week"),
+        F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("np"))
+      .groupBy("week")
+      .agg(F.count(F.lit(1)).as("n_purchasers"),
+        F.sum(F.when(F.col("np") >= 2L, 1L).otherwise(0L)).as("n_repeat"))
+      .withColumn("repeat_ppm", F.expr("(1000000 * n_repeat) div n_purchasers"))
+
+  val qRepeatRateSql: String =
+    """WITH uw AS (
+      |  SELECT epoch_us(ts) // 604800000000 AS week, user_id, COUNT(*) AS np
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT week, COUNT(*) AS n_purchasers,
+      | CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+      | CAST((1000000 * SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS repeat_ppm
+      |FROM uw GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_basket_pairs", qBasketPairs _, Some(qBasketPairsSql)),
+    ("q_time_matrix", qTimeMatrix _, Some(qTimeMatrixSql)),
+    ("q_repeat_rate", qRepeatRate _, Some(qRepeatRateSql)),
     ("q_pareto", qPareto _, Some(qParetoSql)),
     ("q_pareto_inc", qParetoInc _, Some(qParetoSql)),
     ("q_funnel_time", qFunnelTime _, Some(qFunnelTimeSql)),

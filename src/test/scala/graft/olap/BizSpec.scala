@@ -79,6 +79,39 @@ class BizSpec extends SparkSpec {
     }
   }
 
+  test("q_basket_pairs equals brute-force per-order pair counts") {
+    val items = graft.Tables(spark, SF, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val counts = items.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expTop = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    val got = OlapBizQueries.qBasketPairs(spark, SF).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSeq
+    assert(got == expTop)
+  }
+
+  test("q_time_matrix covers every event once within the 7x24 grid") {
+    val rows = OlapBizQueries.qTimeMatrix(spark, SF).collect()
+    val nEvents = graft.Tables(spark, SF, "events").count()
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 7 && r.getLong(1) >= 0 && r.getLong(1) < 24)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(2)) // users ≤ events
+    }
+  }
+
+  test("q_repeat_rate ppm is the exact floor share of repeat purchasers") {
+    val rows = OlapBizQueries.qRepeatRate(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == 1000000L * r.getLong(2) / r.getLong(1))
+    }
+  }
+
   test("q_prop_ztest matches the recomputed z on interior proportions") {
     val r = OlapBizQueries.qPropZtest(spark, SF).collect().head
     val (n1, x1, n2, x2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
