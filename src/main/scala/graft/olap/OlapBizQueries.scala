@@ -457,6 +457,48 @@ object OlapBizQueries {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
 
+  /** q_basket_lift: association rules over the top co-ordered pairs —
+    * confidence(p1→p2) and lift in exact ppm (ClickHouse retail
+    * affinity analysis; the relational version of what q_assoc_suite
+    * computes over event types). Same bounded pair fan-out as
+    * q_basket_pairs; the per-part order counts join back BROADCAST
+    * (|parts| ≪ |lineitem|). lift_ppm = (n12·N·1e6) div (n1·n2) — all
+    * BIGINT, n1·n2 ≤ N² keeps products < 2⁶³ through sf100. */
+  def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    val op = Tables(s, dir, "lineitem")
+      .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
+      .distinct()
+    val partN = op.groupBy(F.col("pk")).agg(F.count(F.lit(1)).as("np"))
+    val tot = op.select(F.count_distinct(F.col("ok")).as("n_ord"))
+    op.as("a").join(op.as("b"),
+        F.col("a.ok") === F.col("b.ok") && F.col("a.pk") < F.col("b.pk"))
+      .groupBy(F.col("a.pk").as("p1"), F.col("b.pk").as("p2"))
+      .agg(F.count(F.lit(1)).as("n12"))
+      .join(F.broadcast(partN.select(F.col("pk").as("p1"), F.col("np").as("n1"))), Seq("p1"))
+      .join(F.broadcast(partN.select(F.col("pk").as("p2"), F.col("np").as("n2"))), Seq("p2"))
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("p1"), F.col("p2"), F.col("n12"), F.col("n1"), F.col("n2"),
+        F.expr("(1000000 * n12) div n1").as("conf_ppm"),
+        F.expr("(n12 * n_ord * 1000000) div (n1 * n2)").as("lift_ppm"))
+      .orderBy(F.col("n12").desc, F.col("p1").asc, F.col("p2").asc)
+      .limit(20)
+  }
+
+  val qBasketLiftSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pn AS (SELECT pk, COUNT(*) AS np FROM op GROUP BY 1),
+      |t AS (SELECT COUNT(DISTINCT ok) AS n_ord FROM op),
+      |p AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n12
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT p1, p2, n12, n1.np AS n1, n2.np AS n2,
+      | CAST((1000000 * n12) // n1.np AS BIGINT) AS conf_ppm,
+      | CAST((n12 * t.n_ord * 1000000) // (n1.np * n2.np) AS BIGINT) AS lift_ppm
+      |FROM p JOIN pn n1 ON p.p1 = n1.pk JOIN pn n2 ON p.p2 = n2.pk, t
+      |ORDER BY n12 DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
+
   /** q_time_matrix: the day-of-week × hour activity heatmap (events,
     * distinct users, exact cents) — the operational dashboard slice
     * next to q_datetime_suite's month×dow rollup. One aggregate over
@@ -506,6 +548,7 @@ object OlapBizQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_basket_pairs", qBasketPairs _, Some(qBasketPairsSql)),
+    ("q_basket_lift", qBasketLift _, Some(qBasketLiftSql)),
     ("q_time_matrix", qTimeMatrix _, Some(qTimeMatrixSql)),
     ("q_repeat_rate", qRepeatRate _, Some(qRepeatRateSql)),
     ("q_pareto", qPareto _, Some(qParetoSql)),

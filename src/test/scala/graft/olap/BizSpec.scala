@@ -93,6 +93,28 @@ class BizSpec extends SparkSpec {
     assert(got == expTop)
   }
 
+  test("q_basket_lift confidence and lift recompute from brute-force counts") {
+    val items = graft.Tables(spark, SF, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrd = items.map(_._1).distinct.length.toLong
+    val perPart = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = items.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = OlapBizQueries.qBasketLift(spark, SF).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val (p1, p2) = (r.getLong(0), r.getLong(1))
+      val n12 = pairCounts((p1, p2))
+      assert(r.getLong(2) == n12)
+      assert(r.getLong(3) == perPart(p1) && r.getLong(4) == perPart(p2))
+      assert(r.getLong(5) == 1000000L * n12 / perPart(p1))
+      assert(r.getLong(6) == n12 * nOrd * 1000000L / (perPart(p1) * perPart(p2)))
+    }
+  }
+
   test("q_time_matrix covers every event once within the 7x24 grid") {
     val rows = OlapBizQueries.qTimeMatrix(spark, SF).collect()
     val nEvents = graft.Tables(spark, SF, "events").count()
