@@ -73,6 +73,15 @@ object KVDataSource {
       case GreaterThanOrEqual("k", v: Array[Byte]) => ucmp(seg.hi, v) >= 0
       case LessThan("k", v: Array[Byte]) => ucmp(seg.lo, v) < 0
       case LessThanOrEqual("k", v: Array[Byte]) => ucmp(seg.lo, v) <= 0
+      // qualifier zone map (the SPI's column-slice bounds,
+      // KeySliceQuery(sliceStart, sliceEnd)): present only on manifests
+      // written with c-bounds — a null zone map prunes nothing
+      case EqualTo("c", v: Array[Byte]) if seg.cLo != null =>
+        ucmp(seg.cLo, v) <= 0 && ucmp(v, seg.cHi) <= 0
+      case GreaterThan("c", v: Array[Byte]) if seg.cHi != null => ucmp(seg.cHi, v) > 0
+      case GreaterThanOrEqual("c", v: Array[Byte]) if seg.cHi != null => ucmp(seg.cHi, v) >= 0
+      case LessThan("c", v: Array[Byte]) if seg.cLo != null => ucmp(seg.cLo, v) < 0
+      case LessThanOrEqual("c", v: Array[Byte]) if seg.cLo != null => ucmp(seg.cLo, v) <= 0
       case org.apache.spark.sql.sources.And(l, r) =>
         mayMatch(seg, l) && mayMatch(seg, r)
       case org.apache.spark.sql.sources.Or(l, r) =>

@@ -22,7 +22,12 @@ import graft.GraftFs
 object KVSegmentStore {
   val ManifestFile = "_graft_manifest.txt"
 
-  final case class Segment(file: String, lo: Array[Byte], hi: Array[Byte], rows: Long)
+  /** Per-segment bounds. `cLo`/`cHi` (qualifier zone map, the MergeTree
+    * minmax-index analog for the SPI's column-slice predicates) are null
+    * on manifests written before the field existed — null prunes
+    * nothing, so old stores stay readable. */
+  final case class Segment(file: String, lo: Array[Byte], hi: Array[Byte], rows: Long,
+                           cLo: Array[Byte] = null, cHi: Array[Byte] = null)
 
   def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
   def unhex(s: String): Array[Byte] =
@@ -36,11 +41,13 @@ object KVSegmentStore {
       .write.mode("overwrite").parquet(path)
     val bounds = store.sparkSession.read.parquet(path)
       .groupBy(F.input_file_name().as("f"))
-      .agg(F.min("k").as("lo"), F.max("k").as("hi"), F.count(F.lit(1)).as("n"))
+      .agg(F.min("k").as("lo"), F.max("k").as("hi"), F.count(F.lit(1)).as("n"),
+        F.min("c").as("clo"), F.max("c").as("chi"))
       .collect()
     val lines = bounds.map { r =>
       val name = r.getString(0).split('/').last
-      s"$name\t${hex(r.getAs[Array[Byte]](1))}\t${hex(r.getAs[Array[Byte]](2))}\t${r.getLong(3)}"
+      s"$name\t${hex(r.getAs[Array[Byte]](1))}\t${hex(r.getAs[Array[Byte]](2))}\t${r.getLong(3)}" +
+        s"\t${hex(r.getAs[Array[Byte]](4))}\t${hex(r.getAs[Array[Byte]](5))}"
     }.sorted
     GraftFs.writeTextAtomic(store.sparkSession.sparkContext.hadoopConfiguration,
       GraftFs.child(path, ManifestFile), lines.mkString("\n"))
@@ -59,8 +66,14 @@ object KVSegmentStore {
       .getOrElse(throw new java.io.FileNotFoundException(
         s"$path/$ManifestFile"))
     raw.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-      val Array(f, lo, hi, n) = line.split('\t')
-      Segment(s"$path/$f", unhex(lo), unhex(hi), n.toLong)
+      line.split('\t') match {
+        case Array(f, lo, hi, n) => // pre-zone-map manifest line
+          Segment(s"$path/$f", unhex(lo), unhex(hi), n.toLong)
+        case Array(f, lo, hi, n, clo, chi) =>
+          Segment(s"$path/$f", unhex(lo), unhex(hi), n.toLong, unhex(clo), unhex(chi))
+        case other => throw new IllegalStateException(
+          s"malformed manifest line (${other.length} fields): $line")
+      }
     }
   }
 }

@@ -65,7 +65,8 @@ class KVWrite(path: String, truncate: Boolean, segments: Int, queryId: String)
   override def toBatch: BatchWrite = new KVBatchWrite(path, truncate, queryId)
 }
 
-case class KVCommit(file: String, loHex: String, hiHex: String, rows: Long)
+case class KVCommit(file: String, loHex: String, hiHex: String, rows: Long,
+                    cLoHex: String = "", cHiHex: String = "")
   extends WriterCommitMessage
 
 class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
@@ -90,7 +91,7 @@ class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
       .map(_.split('\n').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     val fresh = messages.collect { case m: KVCommit if m.rows > 0 => m }
     val freshLines =
-      fresh.map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}")
+      fresh.map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}\t${m.cLoHex}\t${m.cHiHex}")
     val lines = (if (truncate) freshLines.toSeq else previous ++ freshLines).sorted
     // atomic replacement: stage the full manifest next to the live one,
     // then overwrite-rename it into place — a crash mid-write leaves the
@@ -108,8 +109,8 @@ class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case KVCommit(f, _, _, _) =>
-        GraftFs.delete(confW.value, GraftFs.child(path, f))
+      case m: KVCommit =>
+        GraftFs.delete(confW.value, GraftFs.child(path, m.file))
       case _ => ()
     }
 }
@@ -141,15 +142,20 @@ class KVSegmentWriter(path: String, partitionId: Int, taskId: Long,
   }
   private var lo: Array[Byte] = _
   private var hi: Array[Byte] = _
+  private var cLo: Array[Byte] = _
+  private var cHi: Array[Byte] = _
   private var rows = 0L
 
   override def write(row: InternalRow): Unit = {
     val k = row.getBinary(0)
+    val c = row.getBinary(1)
     if (lo == null || util.Arrays.compareUnsigned(k, lo) < 0) lo = k.clone()
     if (hi == null || util.Arrays.compareUnsigned(k, hi) > 0) hi = k.clone()
+    if (cLo == null || util.Arrays.compareUnsigned(c, cLo) < 0) cLo = c.clone()
+    if (cHi == null || util.Arrays.compareUnsigned(c, cHi) > 0) cHi = c.clone()
     val g = factory.newGroup()
     g.append("k", Binary.fromConstantByteArray(k))
-    g.append("c", Binary.fromConstantByteArray(row.getBinary(1)))
+    g.append("c", Binary.fromConstantByteArray(c))
     g.append("v", Binary.fromConstantByteArray(row.getBinary(2)))
     writer.write(g)
     rows += 1
@@ -161,7 +167,8 @@ class KVSegmentWriter(path: String, partitionId: Int, taskId: Long,
       GraftFs.delete(confW.value, GraftFs.child(path, fileName))
       KVCommit(fileName, "", "", 0L)
     } else
-      KVCommit(fileName, KVSegmentStore.hex(lo), KVSegmentStore.hex(hi), rows)
+      KVCommit(fileName, KVSegmentStore.hex(lo), KVSegmentStore.hex(hi), rows,
+        KVSegmentStore.hex(cLo), KVSegmentStore.hex(cHi))
   }
 
   override def abort(): Unit = {

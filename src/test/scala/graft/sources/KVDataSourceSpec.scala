@@ -151,6 +151,55 @@ class KVDataSourceSpec extends SparkSpec {
     assert(got == Set(10L, 11L, 12L))
   }
 
+  test("qualifier zone map prunes segments for c-slice predicates") {
+    // a store where the qualifier correlates with the key range (the
+    // timestamp-qualifier layout of a time-series KCV store): k buckets
+    // of 250 ids, c = id — each key-range segment holds a narrow c range
+    val dir = Files.createTempDirectory("graft_kvczm").toString
+    val corr = spark.range(0, 2000)
+      .select(
+        KVStore.encLong(F.expr("id div 250")).as("k"),
+        KVStore.encLong(F.col("id")).as("c"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).cast("binary").as("v"))
+    KVSegmentStore.write(corr, dir, numSegments = 8)
+    val segs = KVSegmentStore.readManifest(dir)
+    assert(segs.forall(s => s.cLo != null && s.cHi != null), "c bounds missing")
+    val narrow = spark.read.format("graft-kv").load(dir)
+      .filter(F.col("c") < KVStore.encLong(F.lit(250L)))
+    val plan = narrow.queryExecution.executedPlan.toString
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"c-slice did not prune: ${m.get.matched}")
+    // correctness: Spark re-applies the residual filter
+    assert(narrow.count() == 250)
+  }
+
+  test("pre-zone-map manifests (4 fields) stay readable and prune on k only") {
+    val dir = written
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = graft.GraftFs.child(dir, KVSegmentStore.ManifestFile)
+    val legacy = graft.GraftFs.readText(conf, manifest).get
+      .split('\n').map(_.split('\t').take(4).mkString("\t")).mkString("\n")
+    graft.GraftFs.writeTextAtomic(conf, manifest, legacy)
+    val segs = KVSegmentStore.readManifest(dir)
+    assert(segs.forall(s => s.cLo == null && s.cHi == null))
+    // c filters prune nothing but still return correct rows
+    val viaC = spark.read.format("graft-kv").load(dir)
+      .filter(F.col("c") < KVStore.encLong(F.lit(100L)))
+    val plan = viaC.queryExecution.executedPlan.toString
+    val m = "segments=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1) == m.get.group(2), plan)
+    assert(viaC.count() == 100)
+    // k filters still prune as before
+    val viaK = spark.read.format("graft-kv").load(dir)
+      .filter(F.col("k") >= KVStore.encLong(F.lit(10L)) &&
+        F.col("k") < KVStore.encLong(F.lit(13L)))
+    val mk = "segments=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(viaK.queryExecution.executedPlan.toString)
+    assert(mk.isDefined && mk.get.group(1).toInt < mk.get.group(2).toInt)
+  }
+
   test("column pruning reaches the reader") {
     val dir = written
     val df = spark.read.format("graft-kv").load(dir).select("k")
