@@ -521,6 +521,70 @@ object OlapBizQueries {
       | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_c
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q_audience_overlap: pairwise event-type audience overlap — exact
+    * |types|×|types| Jaccard matrix over user sets (the "which behaviors
+    * share an audience" product view; the exact sibling of the
+    * theta-sketch set algebra). Per-user type fan-out is ≤ |types|²
+    * (domain constant), so the pair join is linear in distinct
+    * (user, type) rows at any scale. jaccard_ppm = (1e6·n12) div
+    * (n1 + n2 − n12), all BIGINT. */
+  def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(s, dir, "events")
+      .select(F.col("user_id").as("u"), F.col("event_type").as("t"))
+      .distinct()
+    val perType = ut.groupBy(F.col("t")).agg(F.count(F.lit(1)).as("nt"))
+    ut.as("a").join(ut.as("b"),
+        F.col("a.u") === F.col("b.u") && F.col("a.t") < F.col("b.t"))
+      .groupBy(F.col("a.t").as("t1"), F.col("b.t").as("t2"))
+      .agg(F.count(F.lit(1)).as("n12"))
+      .join(F.broadcast(perType.select(F.col("t").as("t1"), F.col("nt").as("n1"))), Seq("t1"))
+      .join(F.broadcast(perType.select(F.col("t").as("t2"), F.col("nt").as("n2"))), Seq("t2"))
+      .select(F.col("t1"), F.col("t2"), F.col("n12"), F.col("n1"), F.col("n2"),
+        F.expr("(1000000 * n12) div (n1 + n2 - n12)").as("jaccard_ppm"))
+  }
+
+  val qAudienceOverlapSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+      |pt AS (SELECT t, COUNT(*) AS nt FROM ut GROUP BY 1),
+      |p AS (
+      |  SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n12
+      |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+      |  GROUP BY 1, 2)
+      |SELECT p.t1, p.t2, p.n12, n1.nt AS n1, n2.nt AS n2,
+      | CAST((1000000 * p.n12) // (n1.nt + n2.nt - p.n12) AS BIGINT) AS jaccard_ppm
+      |FROM p JOIN pt n1 ON p.t1 = n1.t JOIN pt n2 ON p.t2 = n2.t""".stripMargin
+
+  /** q_discount_lift: quantity response to discount depth — per integer
+    * discount point (discount×100): lineitems, exact summed quantity,
+    * avg qty ×100, and the lift of that average over the zero-discount
+    * baseline in ppm. Two exact aggregates + a broadcast baseline join;
+    * all BIGINT floor-divs (the TPC-H Q6 "what if" read as an observed
+    * elasticity table). */
+  def qDiscountLift(s: SparkSession, dir: String): DataFrame = {
+    val byD = Tables(s, dir, "lineitem")
+      .groupBy((Tables.dec2(F.col("l_discount")) * 100).cast("long").as("dpct"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("l_quantity").cast("long")).as("sum_qty"))
+      .withColumn("avg_qty_x100", F.expr("(100 * sum_qty) div n"))
+    val base = byD.filter(F.col("dpct") === 0L)
+      .select(F.col("avg_qty_x100").as("base_x100"))
+    byD.crossJoin(F.broadcast(base))
+      .select(F.col("dpct"), F.col("n"), F.col("sum_qty"), F.col("avg_qty_x100"),
+        F.expr("(1000000 * avg_qty_x100) div base_x100").as("lift_ppm"))
+  }
+
+  val qDiscountLiftSql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT) AS dpct,
+      |   COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY 1),
+      |e AS (SELECT dpct, n, sum_qty, CAST((100 * sum_qty) // n AS BIGINT) AS avg_qty_x100 FROM d),
+      |b AS (SELECT avg_qty_x100 AS base_x100 FROM e WHERE dpct = 0)
+      |SELECT dpct, n, sum_qty, avg_qty_x100,
+      | CAST((1000000 * avg_qty_x100) // base_x100 AS BIGINT) AS lift_ppm
+      |FROM e, b""".stripMargin
+
   /** q_repeat_rate: weekly repeat-purchase rate — per ISO-ish week
     * (epoch-day div 7): purchasing users, repeat purchasers (≥ 2
     * purchases that week), and the repeat share in ppm. Two exact
@@ -550,6 +614,8 @@ object OlapBizQueries {
     ("q_basket_pairs", qBasketPairs _, Some(qBasketPairsSql)),
     ("q_basket_lift", qBasketLift _, Some(qBasketLiftSql)),
     ("q_time_matrix", qTimeMatrix _, Some(qTimeMatrixSql)),
+    ("q_audience_overlap", qAudienceOverlap _, Some(qAudienceOverlapSql)),
+    ("q_discount_lift", qDiscountLift _, Some(qDiscountLiftSql)),
     ("q_repeat_rate", qRepeatRate _, Some(qRepeatRateSql)),
     ("q_pareto", qPareto _, Some(qParetoSql)),
     ("q_pareto_inc", qParetoInc _, Some(qParetoSql)),

@@ -125,6 +125,34 @@ class BizSpec extends SparkSpec {
     }
   }
 
+  test("q_audience_overlap is the exact Jaccard over per-type user sets") {
+    val ut = graft.Tables(spark, SF, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val sets = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val rows = OlapBizQueries.qAudienceOverlap(spark, SF).collect()
+    val types = sets.keys.toSeq.sorted
+    assert(rows.length == types.size * (types.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (sets(r.getString(0)), sets(r.getString(1)))
+      val n12 = (a intersect b).size.toLong
+      assert(r.getLong(2) == n12 && r.getLong(3) == a.size && r.getLong(4) == b.size)
+      assert(r.getLong(5) == 1000000L * n12 / (a.size + b.size - n12))
+    }
+  }
+
+  test("q_discount_lift baseline row reads exactly 1e6 ppm") {
+    val rows = OlapBizQueries.qDiscountLift(spark, SF).collect()
+    val base = rows.find(_.getLong(0) == 0L).get
+    assert(base.getLong(4) == 1000000L)
+    val totalN = graft.Tables(spark, SF, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == totalN, "every lineitem in one bucket")
+    rows.foreach { r =>
+      assert(r.getLong(3) == 100L * r.getLong(2) / r.getLong(1))
+      assert(r.getLong(4) == 1000000L * r.getLong(3) / base.getLong(3))
+    }
+  }
+
   test("q_repeat_rate ppm is the exact floor share of repeat purchasers") {
     val rows = OlapBizQueries.qRepeatRate(spark, SF).collect()
     assert(rows.nonEmpty)
