@@ -521,6 +521,106 @@ object OlapBizQueries {
       | CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS sum_c
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q_ltv_curve: cohort lifetime-value curve — users cohorted by first
+    * purchase week; per (cohort, age-in-weeks): exact cohort revenue,
+    * its running cumulative, and LTV-per-user ×100 against the FIXED
+    * cohort size. The cumulative window partitions by cohort and walks
+    * ages — calendar-bounded rows per partition; absent ages contribute
+    * zero so the cumulative at present ages is exact. */
+  def qLtvCurve(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"),
+        F.expr("unix_micros(ts) div 604800000000").as("week"),
+        cents(F.col("value")).as("vc"))
+    val cohort = p.groupBy("user_id").agg(F.min("week").as("cohort"))
+    val cn = cohort.groupBy("cohort").agg(F.count(F.lit(1)).as("cohort_n"))
+    val byAge = p.join(cohort, Seq("user_id"))
+      .groupBy(F.col("cohort"), (F.col("week") - F.col("cohort")).as("age"))
+      .agg(F.sum("vc").as("rev_c"))
+    val w = Window.partitionBy("cohort").orderBy(F.col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge.withColumn("cum_rev_c", F.sum("rev_c").over(w))
+      .join(F.broadcast(cn), Seq("cohort"))
+      .select(F.col("cohort"), F.col("age"), F.col("rev_c"), F.col("cum_rev_c"),
+        F.col("cohort_n"),
+        F.expr("(100 * cum_rev_c) div cohort_n").as("ltv_x100"))
+  }
+
+  val qLtvCurveSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, MIN(week) AS cohort FROM p GROUP BY 1),
+      |cn AS (SELECT cohort, COUNT(*) AS cohort_n FROM c GROUP BY 1),
+      |a AS (
+      |  SELECT c.cohort, p.week - c.cohort AS age, CAST(SUM(p.vc) AS BIGINT) AS rev_c
+      |  FROM p JOIN c ON p.user_id = c.user_id GROUP BY 1, 2),
+      |r AS (
+      |  SELECT cohort, age, rev_c,
+      |   SUM(rev_c) OVER (PARTITION BY cohort ORDER BY age ASC
+      |     ROWS UNBOUNDED PRECEDING) AS cum_rev_c
+      |  FROM a)
+      |SELECT r.cohort, r.age, r.rev_c, CAST(r.cum_rev_c AS BIGINT) AS cum_rev_c,
+      | cn.cohort_n, CAST((100 * r.cum_rev_c) // cn.cohort_n AS BIGINT) AS ltv_x100
+      |FROM r JOIN cn ON r.cohort = cn.cohort""".stripMargin
+
+  /** q_purchase_gap: the global inter-purchase-time distribution — one
+    * row: gap count, min/max, avg ×100, and the discrete median in
+    * seconds. Per-user gaps come from ONE user-keyed window; the median
+    * folds the per-second COUNT histogram, whose row count is bounded by
+    * the time domain (distinct gap seconds ≤ the stream's span), so the
+    * single-partition cumulative walks a calendar-bounded frame —
+    * q_funnel_time's histogram-not-rows shape, global edition. */
+  def qPurchaseGap(s: SparkSession, dir: String): DataFrame = {
+    val byU = Window.partitionBy("user_id").orderBy(F.col("us").asc, F.col("event_id").asc)
+    val gaps = Tables(s, dir, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.col("event_id"), F.unix_micros(F.col("ts")).as("us"))
+      .withColumn("prev", F.lag("us", 1).over(byU))
+      .filter(F.col("prev").isNotNull)
+      .select(F.expr("(us - prev) div 1000000").as("gap"))
+    val agg = gaps.agg(F.count(F.lit(1)).as("n_gaps"),
+      F.min("gap").as("min_sec"), F.max("gap").as("max_sec"),
+      F.sum("gap").as("sum_gap"))
+    val cw = Window.partitionBy(F.pmod(F.col("gap"), F.lit(1)))
+      .orderBy(F.col("gap").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = gaps.groupBy("gap").agg(F.count(F.lit(1)).as("c"))
+      .withColumn("cum", F.sum("c").over(cw))
+      .crossJoin(F.broadcast(agg.select("n_gaps")))
+      .agg(F.min(F.when(F.col("cum") >= F.expr("(n_gaps + 1) div 2"), F.col("gap"))).as("med_sec"))
+    agg.crossJoin(F.broadcast(med))
+      .select(F.col("n_gaps"), F.col("min_sec"), F.col("max_sec"),
+        F.expr("(100 * sum_gap) div n_gaps").as("avg_sec_x100"), F.col("med_sec"))
+  }
+
+  val qPurchaseGapSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT (us - prev) // 1000000 AS gap
+      |  FROM (SELECT *, LAG(us) OVER (PARTITION BY user_id
+      |          ORDER BY us ASC, event_id ASC) AS prev FROM p) x
+      |  WHERE prev IS NOT NULL),
+      |a AS (
+      |  SELECT COUNT(*) AS n_gaps, MIN(gap) AS min_sec, MAX(gap) AS max_sec,
+      |   CAST(SUM(gap) AS BIGINT) AS sum_gap
+      |  FROM g),
+      |h AS (SELECT gap, COUNT(*) AS c FROM g GROUP BY 1),
+      |cum AS (
+      |  SELECT gap, SUM(c) OVER (ORDER BY gap ASC ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM h),
+      |m AS (
+      |  SELECT MIN(gap) AS med_sec FROM cum, a WHERE cum.cum >= (a.n_gaps + 1) // 2)
+      |SELECT a.n_gaps, CAST(a.min_sec AS BIGINT) AS min_sec,
+      | CAST(a.max_sec AS BIGINT) AS max_sec,
+      | CAST((100 * a.sum_gap) // a.n_gaps AS BIGINT) AS avg_sec_x100,
+      | CAST(m.med_sec AS BIGINT) AS med_sec
+      |FROM a, m""".stripMargin
+
   /** q_audience_overlap: pairwise event-type audience overlap — exact
     * |types|×|types| Jaccard matrix over user sets (the "which behaviors
     * share an audience" product view; the exact sibling of the
@@ -615,6 +715,8 @@ object OlapBizQueries {
     ("q_basket_lift", qBasketLift _, Some(qBasketLiftSql)),
     ("q_time_matrix", qTimeMatrix _, Some(qTimeMatrixSql)),
     ("q_audience_overlap", qAudienceOverlap _, Some(qAudienceOverlapSql)),
+    ("q_ltv_curve", qLtvCurve _, Some(qLtvCurveSql)),
+    ("q_purchase_gap", qPurchaseGap _, Some(qPurchaseGapSql)),
     ("q_discount_lift", qDiscountLift _, Some(qDiscountLiftSql)),
     ("q_repeat_rate", qRepeatRate _, Some(qRepeatRateSql)),
     ("q_pareto", qPareto _, Some(qParetoSql)),

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 import graft.Tables
@@ -86,6 +87,57 @@ object TextQueries {
        |SELECT lang, pred_lang, n,
        | CAST((1000000 * n) // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
        |FROM m""".stripMargin
+
+  /** t_heaps: the Heaps'-law vocabulary-growth curve — the corpus in ten
+    * doc-id deciles: tokens ingested, NEW vocabulary introduced, and the
+    * cumulative of both. New vocab per decile = words whose FIRST
+    * occurrence (min doc_id over one explode) lands there, so the whole
+    * curve costs one word-level aggregate — never a per-decile rescan —
+    * and the cumulative walks ≤ 10 rows. The curator's diminishing-
+    * returns read: a flattening curve says more of the same corpus buys
+    * few new types (pairs with d_vocab_coverage's fixed-vocab view). */
+  def tHeaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("ws"))
+    val mx = docs.agg((F.max("doc_id") + 1).as("mx"))
+    val withB = docs.crossJoin(F.broadcast(mx))
+      .withColumn("bucket", F.expr("(doc_id * 10) div mx"))
+    val perB = withB.groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.size(F.col("ws")).cast("long")).as("tokens"))
+    val vocabNew = withB
+      .select(F.col("bucket"), F.explode(F.col("ws")).as("w"))
+      .groupBy("w").agg(F.min("bucket").as("bucket"))
+      .groupBy("bucket").agg(F.count(F.lit(1)).as("new_vocab"))
+    val cw = Window.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
+      .orderBy(F.col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // LEFT join: a decile can introduce NO new types (a tiny vocabulary
+    // saturates in decile 0) and must still appear with new_vocab = 0
+    perB.join(vocabNew, Seq("bucket"), "left")
+      .withColumn("new_vocab", F.coalesce(F.col("new_vocab"), F.lit(0L)))
+      .withColumn("cum_tokens", F.sum("tokens").over(cw))
+      .withColumn("cum_vocab", F.sum("new_vocab").over(cw))
+  }
+
+  val tHeapsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |mx AS (SELECT MAX(doc_id) + 1 AS mx FROM d),
+      |b AS (SELECT doc_id, ws, (doc_id * 10) // mx AS bucket FROM d, mx),
+      |pb AS (
+      |  SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS BIGINT) AS tokens
+      |  FROM b GROUP BY 1),
+      |vn AS (
+      |  SELECT bucket, COUNT(*) AS new_vocab FROM (
+      |    SELECT w, MIN(bucket) AS bucket
+      |    FROM (SELECT bucket, UNNEST(ws) AS w FROM b) x GROUP BY 1) f
+      |  GROUP BY 1)
+      |SELECT pb.bucket, pb.n_docs, pb.tokens,
+      | CAST(COALESCE(vn.new_vocab, 0) AS BIGINT) AS new_vocab,
+      | CAST(SUM(pb.tokens) OVER (ORDER BY pb.bucket ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+      | CAST(SUM(COALESCE(vn.new_vocab, 0)) OVER (ORDER BY pb.bucket ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      |FROM pb LEFT JOIN vn ON pb.bucket = vn.bucket""".stripMargin
 
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
@@ -991,6 +1043,7 @@ object TextQueries {
     ("t_clean", tClean _, Some(tCleanSql)),
     ("t_langid", tLangid _, Some(tLangidSql)),
     ("t_lang_confusion", tLangConfusion _, Some(tLangConfusionSql)),
+    ("t_heaps", tHeaps _, Some(tHeapsSql)),
     ("t_quality", tQuality _, Some(tQualitySql)),
     ("t_tokens", tTokens _, Some(tTokensSql)),
     ("t_fingerprint", tFingerprint _, None),

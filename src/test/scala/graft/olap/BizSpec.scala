@@ -206,6 +206,47 @@ class BizSpec extends SparkSpec {
     }
   }
 
+  test("q_ltv_curve cumulative is monotone and matches the flat recompute") {
+    val rows = OlapBizQueries.qLtvCurve(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val p = graft.Tables(spark, SF, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.expr("unix_micros(ts) div 604800000000").as("week"),
+        (graft.Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohort = p.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byCA = p.groupBy(t => (cohort(t._1), t._2 - cohort(t._1))).view.mapValues(_.map(_._3).sum).toMap
+    val cohortN = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).foreach { case (c, ages) =>
+      val sortedAges = ages.sortBy(_._2)
+      var cum = 0L
+      sortedAges.foreach { a =>
+        assert(a._3 == byCA((c, a._2)), s"cohort $c age ${a._2} rev")
+        cum += a._3
+        assert(a._4 == cum && a._5 == cohortN(c))
+        assert(a._6 == 100L * cum / cohortN(c))
+      }
+    }
+  }
+
+  test("q_purchase_gap median satisfies the discrete-median property") {
+    val r = OlapBizQueries.qPurchaseGap(spark, SF).collect().head
+    val p = graft.Tables(spark, SF, "events")
+      .filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.col("event_id"), F.unix_micros(F.col("ts")).as("us"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val gaps = p.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._2))
+      s.sliding(2).collect { case Array(a, b) => (b._3 - a._3) / 1000000L }
+    }.toSeq.sorted
+    assert(r.getLong(0) == gaps.size)
+    assert(r.getLong(1) == gaps.min && r.getLong(2) == gaps.max)
+    assert(r.getLong(3) == 100L * gaps.sum / gaps.size)
+    assert(r.getLong(4) == gaps((gaps.size + 1) / 2 - 1))
+  }
+
   test("q_theil_sen median is an actual pairwise slope with full pair count") {
     val daily = graft.Tables(spark, SF, "events")
       .groupBy(F.col("event_type"), F.expr("unix_micros(ts) div 86400000000").as("day"))

@@ -22,4 +22,21 @@ class LangConfusionSpec extends SparkSpec {
     val preds = rows.map(_._2).toSet
     assert(preds.subsetOf(Set("en", "de", "es", "fr", "und")))
   }
+
+  test("t_heaps deciles tile the corpus and cumulative vocab is total vocab") {
+    val rows = TextQueries.tHeaps(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L).toSeq)
+    val docs = graft.Tables(spark, SF, "documents")
+      .select("text").collect().map(_.getString(0))
+    assert(rows.map(_._2).sum == docs.length)
+    val totTokens = docs.map(_.split(" ", -1).length.toLong).sum
+    assert(rows.map(_._3).sum == totTokens && rows.last._5 == totTokens)
+    val vocab = docs.flatMap(_.split(" ", -1)).toSet.size.toLong
+    assert(rows.last._6 == vocab)
+    // cumulative columns are the running sums of the per-decile columns
+    var ct = 0L; var cv = 0L
+    rows.foreach { r => ct += r._3; cv += r._4; assert(r._5 == ct && r._6 == cv) }
+  }
 }
