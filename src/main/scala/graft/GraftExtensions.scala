@@ -141,6 +141,9 @@ object GraftExtensions {
     (new FunctionIdentifier("bitmap_andnot_cardinality"),
       new ExpressionInfo(classOf[graft.operators.BitmapAndNotCardinality].getName, "bitmap_andnot_cardinality"),
       (args: Seq[Expression]) => graft.operators.BitmapAndNotCardinality(args(0), args(1))),
+    (new FunctionIdentifier("bitmap_andnot"),
+      new ExpressionInfo(classOf[graft.operators.BitmapAndNot].getName, "bitmap_andnot"),
+      (args: Seq[Expression]) => graft.operators.BitmapAndNot(args(0), args(1))),
     (new FunctionIdentifier("bitmap_xor_cardinality"),
       new ExpressionInfo(classOf[graft.operators.BitmapXorCardinality].getName, "bitmap_xor_cardinality"),
       (args: Seq[Expression]) => graft.operators.BitmapXorCardinality(args(0), args(1))),

@@ -1029,6 +1029,37 @@ object OlapSeriesQueries {
   // previous q_active_users_inc snapshot dir (swept on next invocation —
   // the kv-entry lifecycle discipline)
   private var lastAuDir: Option[java.nio.file.Path] = None
+  private var lastCohortDir: Option[java.nio.file.Path] = None
+
+  /** q_cohort_inc: the cohort-retention matrix MAINTAINED incrementally —
+    * the SAME per-day Roaring-bitmap state ActiveUsersSink already keeps
+    * for DAU/WAU/MAU serves the retention read too (no second
+    * maintenance pipeline): weekly bitmaps OR-fold member days,
+    * first-seen = bitmap_andnot against the OR of earlier weeks, each
+    * cell one AND-cardinality. Gated under q_cohort_matrix's batch
+    * oracle with time-split batches + a replayed batch. */
+  def qCohortInc(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastCohortDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val snap = java.nio.file.Files.createTempDirectory("graft_cohort")
+    lastCohortDir = Some(snap)
+    val ev = Tables(s, dir, "events").select("user_id", "ts")
+    val Array(lo, hi) = ev.stat.approxQuantile("user_id", Array(0.33, 0.66), 0.0)
+    val b0 = ev.filter(F.col("user_id") <= lo)
+    val b1 = ev.filter(F.col("user_id") > lo && F.col("user_id") <= hi)
+    val b2 = ev.filter(F.col("user_id") > hi)
+    graft.streaming.ActiveUsersSink.applyBatch(b0, snap.toString, 0L)
+    graft.streaming.ActiveUsersSink.applyBatch(b1, snap.toString, 1L)
+    graft.streaming.ActiveUsersSink.applyBatch(b1, snap.toString, 1L) // replay
+    graft.streaming.ActiveUsersSink.applyBatch(b2, snap.toString, 2L)
+    graft.streaming.ActiveUsersSink.cohortRead(s, snap.toString).localCheckpoint(true)
+  }
 
   /** q_active_users_inc: the INCREMENTALLY-MAINTAINED DAU/WAU/MAU
     * (graft.streaming.ActiveUsersSink — one Roaring bitmap per day,
@@ -1747,6 +1778,7 @@ object OlapSeriesQueries {
     ("q_cusum", qCusum _, Some(qCusumSql)),
     ("q_islands", qIslands _, Some(qIslandsSql)),
     ("q_cohort_matrix", qCohortMatrix _, Some(qCohortMatrixSql)),
+    ("q_cohort_inc", qCohortInc _, Some(qCohortMatrixSql)),
     ("q_arr_cumsum", qArrCumsum _, Some(qArrCumsumSql)),
     ("q_datetime_suite", qDatetimeSuite _, Some(qDatetimeSuiteSql)),
     ("q_first_last", qFirstLast _, Some(qFirstLastSql)),

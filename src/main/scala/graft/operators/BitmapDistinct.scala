@@ -146,6 +146,33 @@ case class BitmapAndNotCardinality(left: Expression, right: Expression)
   override def prettyName: String = "bitmap_andnot_cardinality"
 }
 
+/** A \ B as a SERIALIZED BITMAP — ClickHouse `bitmapAndnot` (the
+  * value-returning sibling of BitmapAndNotCardinality): composes with
+  * further bitmap algebra, e.g. the maintained retention read's
+  * "first-seen this week" = week \ (OR of earlier weeks). */
+case class BitmapAndNot(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bitmap_andnot requires two serialized bitmaps (BINARY)")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val bm = BitmapDistinct.fromBytes(a.asInstanceOf[Array[Byte]])
+    bm.andNot(BitmapDistinct.fromBytes(b.asInstanceOf[Array[Byte]]))
+    val bos = new ByteArrayOutputStream()
+    bm.serialize(new DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapAndNot =
+    copy(left = l, right = r)
+  override def prettyName: String = "bitmap_andnot"
+}
+
 /** |A △ B| — ClickHouse `bitmapXorCardinality`: symmetric difference
   * (members in exactly one of the two audiences). */
 case class BitmapXorCardinality(left: Expression, right: Expression)
@@ -246,6 +273,11 @@ object BitmapDistinct {
 
   def andNotCardinality(a: Column, b: Column): Column =
     GraftSqlBridge.column(BitmapAndNotCardinality(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** A \ B as a serialized bitmap (composable set algebra). */
+  def andNot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(BitmapAndNot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def xorCardinality(a: Column, b: Column): Column =

@@ -65,4 +65,41 @@ object ActiveUsersSink {
       BitmapDistinct.cardinality(F.col("bm")).as("dau"))
     dau.join(rolling(7, "wau"), "d").join(rolling(28, "mau"), "d")
   }
+
+  /** The maintained COHORT-RETENTION matrix (q_cohort_matrix live) from
+    * the same per-day bitmap state — no second maintenance query:
+    * weekly bitmaps OR-fold the 7 member days (epoch-week = day div 7
+    * exactly), "first seen in week w" = w's bitmap AND NOT the OR of all
+    * earlier weeks (bitmap_andnot keeps it set algebra), and every cell
+    * (cohort, offset) is one AND-cardinality of two weekly bitmaps. All
+    * joins/fan-outs are |weeks|² — calendar-bounded, never user- or
+    * event-bounded; per-week state is one compressed user set. */
+  def cohortRead(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val days = GraftFs.latest(conf, dir, "days_v", Long.MaxValue) match {
+      case Some(p) => spark.read.parquet(p)
+      case None => return spark.emptyDataFrame
+    }
+    val wk = days.withColumn("wk", F.expr("day div 7"))
+      .groupBy("wk").agg(BitmapDistinct.orAgg(F.col("bm")).as("wbm"))
+      .localCheckpoint()
+    val prior = wk.select(F.col("wk").as("pw"), F.col("wbm").as("pbm"))
+    // left join: the earliest week has no priors — orAgg skips the null
+    // and yields the EMPTY bitmap, so andNot passes wbm through unchanged
+    val newbm = wk.join(prior, F.col("pw") < F.col("wk"), "left")
+      .groupBy(F.col("wk").as("cw"), F.col("wbm"))
+      .agg(BitmapDistinct.orAgg(F.col("pbm")).as("pall"))
+      .select(F.col("cw"),
+        BitmapDistinct.andNot(F.col("wbm"), F.col("pall")).as("nbm"))
+    val cells = newbm.join(wk, F.col("wk") >= F.col("cw"))
+      .select(F.col("cw"), (F.col("wk") - F.col("cw")).as("off"),
+        BitmapDistinct.andCardinality(F.col("nbm"), F.col("wbm")).as("n_users"))
+      .filter(F.col("n_users") > 0L)
+    val base = cells.filter(F.col("off") === 0L)
+      .select(F.col("cw"), F.col("n_users").as("cohort_size"))
+    cells.join(base, "cw")
+      .select(F.col("cw").as("cohort_week"), F.col("off"), F.col("n_users"),
+        F.col("cohort_size"),
+        F.expr("n_users * 1000000 div cohort_size").as("ret_ppm"))
+  }
 }

@@ -60,4 +60,39 @@ class ActiveUsersSinkSpec extends SparkSpec {
     assert(snap.count() == 2 && snap.groupBy("day").count()
       .filter(F.col("count") > 1).count() == 0)
   }
+
+  test("bitmap_andnot returns a composable serialized difference bitmap") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (2L, 1L), (4L, 1L)).toDF("id", "g")
+      .groupBy("g").agg(graft.operators.BitmapDistinct.buildAgg(F.col("id")).as("bm"))
+    val Array(a, b) = df.orderBy("g").collect().map(_.getAs[Array[Byte]]("bm"))
+    val diff = Seq((a, b)).toDF("a", "b")
+      .select(graft.operators.BitmapDistinct.cardinality(
+        graft.operators.BitmapDistinct.andNot(F.col("a"), F.col("b"))).as("n"),
+        graft.operators.BitmapDistinct.andCardinality(
+          graft.operators.BitmapDistinct.andNot(F.col("a"), F.col("b")), F.col("a")).as("sub"))
+      .collect().head
+    assert(diff.getLong(0) == 2L) // {1,3}
+    assert(diff.getLong(1) == 2L) // difference is a subset of a, still composable
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT bitmap_cardinality(bitmap_andnot(bitmap_build(id), bitmap_build(id2))) AS n " +
+        "FROM VALUES (1L, 2L), (2L, 3L), (3L, 9L) t(id, id2)").collect().head.getLong(0)
+    assert(viaSql == 1L) // {1,2,3} \ {2,3,9} = {1}
+  }
+
+  test("the maintained cohort matrix equals the batch q_cohort_matrix") {
+    val dir = Files.createTempDirectory("au_cohort").toString
+    val ev = graft.Tables(spark, SF, "events").select("user_id", "ts")
+    val b0 = ev.filter(F.pmod(F.col("user_id"), F.lit(2L)) === 0L)
+    val b1 = ev.filter(F.pmod(F.col("user_id"), F.lit(2L)) === 1L)
+    ActiveUsersSink.applyBatch(b0, dir, 0L)
+    ActiveUsersSink.applyBatch(b1, dir, 1L)
+    ActiveUsersSink.applyBatch(b1, dir, 1L) // replay
+    val got = ActiveUsersSink.cohortRead(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val exp = graft.olap.OlapSeriesQueries.qCohortMatrix(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == exp)
+  }
 }
