@@ -161,6 +161,39 @@ object GraphQueries {
        | CAST(COALESCE(SUM((c * (c - 1)) // 2) // 2, 0) AS BIGINT) AS n_squares
        |FROM wdg WHERE c >= 2""".stripMargin
 
+  /** g_square_nodes: per-vertex 4-cycle participation — every square
+    * containing v has a unique OPPOSITE vertex w, so squares(v) =
+    * Σ_w C(codeg(v, w), 2) with NO double counting (no final /2): one
+    * extra endpoint rollup over g_squares' diagonal frame. Top-20
+    * vertices via TakeOrderedAndProject. */
+  def gSquareNodes(s: SparkSession, dir: String): DataFrame = {
+    val und = PropertyGraph(s, dir).undirected
+    val wedges = und.select(F.col("src").as("m"), F.col("dst").as("u"))
+      .join(und.select(F.col("src").as("m2"), F.col("dst").as("w")),
+        F.col("m") === F.col("m2") && F.col("u") < F.col("w"))
+      .groupBy("u", "w").agg(F.count(F.lit(1)).as("c"))
+      .filter(F.col("c") >= 2L)
+      .withColumn("sq", F.expr("(c * (c - 1)) div 2"))
+    wedges.select(F.col("u").as("vid"), F.col("sq"))
+      .unionAll(wedges.select(F.col("w").as("vid"), F.col("sq")))
+      .groupBy("vid").agg(F.sum("sq").as("n_squares"))
+      .orderBy(F.col("n_squares").desc, F.col("vid").asc)
+      .limit(20)
+  }
+
+  val gSquareNodesSql: String =
+    s"""WITH $sqlPrelude,
+       |wdg AS (
+       |  SELECT e1.dst AS u, e2.dst AS w, COUNT(*) AS c
+       |  FROM uedges e1 JOIN uedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  GROUP BY 1, 2),
+       |sq AS (SELECT u, w, (c * (c - 1)) // 2 AS sq FROM wdg WHERE c >= 2),
+       |pn AS (
+       |  SELECT u AS vid, sq FROM sq UNION ALL SELECT w AS vid, sq FROM sq)
+       |SELECT vid, CAST(SUM(sq) AS BIGINT) AS n_squares
+       |FROM pn GROUP BY 1
+       |ORDER BY n_squares DESC, vid ASC LIMIT 20""".stripMargin
+
   /** g_cc: connected components, min-vid label. */
   def gCc(s: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph(s, dir)
@@ -1588,6 +1621,7 @@ object GraphQueries {
     ("g_motif", gMotif _, Some(gMotifSql)),
     ("g_triangles", gTriangles _, Some(gTrianglesSql)),
     ("g_squares", gSquares _, Some(gSquaresSql)),
+    ("g_square_nodes", gSquareNodes _, Some(gSquareNodesSql)),
     ("g_cc", gCc _, Some(gCcSql)),
     ("g_pagerank", gPagerank _, Some(gPagerankSql)),
     ("g_sssp", gSssp _, Some(gSsspSql)))

@@ -21,5 +21,23 @@ class SquaresSpec extends SparkSpec {
     val r = GraphQueries.gSquares(spark, SF).collect().head
     assert(cyc2 % 2 == 0, "each square owns exactly two diagonals")
     assert(r.getLong(0) == pairs && r.getLong(1) == cyc2 / 2)
+
+    // per-node attribution: squares(v) = Σ_w C(codeg(v,w), 2); the sum
+    // over all vertices must equal 4 × total squares (4 vertices each),
+    // and the emitted top list must match the brute-force per-node counts
+    val perNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      c = (adj(nodes(i)) intersect adj(nodes(j))).size.toLong
+      if c >= 2
+    } {
+      val sq = c * (c - 1) / 2
+      perNode(nodes(i)) += sq; perNode(nodes(j)) += sq
+    }
+    assert(perNode.values.sum == 4 * (cyc2 / 2))
+    val gotNodes = GraphQueries.gSquareNodes(spark, SF).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val expTop = perNode.toSeq.sortBy { case (v, n) => (-n, v) }.take(20)
+    assert(gotNodes.toSeq == expTop)
   }
 }
