@@ -139,16 +139,31 @@ object GraphQueries {
     * middle + one (u, w) hash aggregate, no per-node state; at 100 TB
     * the hub mitigation is Chiba–Nishizeki degeneracy ordering (only
     * enumerate from the lower-degree endpoint), same join shape. */
-  def gSquares(s: SparkSession, dir: String): DataFrame = {
-    val und = PropertyGraph(s, dir).undirected
-    val wedges = und.select(F.col("src").as("m"), F.col("dst").as("u"))
-      .join(und.select(F.col("src").as("m2"), F.col("dst").as("w")),
-        F.col("m") === F.col("m2") && F.col("u") < F.col("w"))
-      .groupBy("u", "w").agg(F.count(F.lit(1)).as("c"))
-    wedges.filter(F.col("c") >= 2L)
+  def gSquares(s: SparkSession, dir: String): DataFrame =
+    squareDiagonals(s, dir)
       .agg(F.count(F.lit(1)).as("n_diag_pairs"),
         // coalesce: a square-free graph (possible at tiny SF) must read 0
         F.expr("coalesce(sum((c * (c - 1)) div 2) div 2, CAST(0 AS BIGINT))").as("n_squares"))
+
+  /** The (u < w, codeg ≥ 2) diagonal frame shared by g_squares and
+    * g_square_nodes. EXACT degree-1 pruning: a wedge endpoint with
+    * degree 1 has N(u) = {m}, so codeg(u, w) ≤ 1 for EVERY partner —
+    * it can never reach the ≥ 2 filter, and dropping its wedge rows
+    * before the pair aggregate changes nothing. On the hub-and-spoke
+    * side of this graph that removes the C(customers-per-nation, 2)
+    * customer-pair bulk of the Σdeg² wedge volume (the pair measured
+    * 10.5 s → 3.2 s at sf0.1 REPS=3); the deg ≥ 2 vertex list is
+    * dimension-sized and broadcasts. */
+  private def squareDiagonals(s: SparkSession, dir: String): DataFrame = {
+    val und = PropertyGraph(s, dir).undirected
+    val deg2 = und.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("dg"))
+      .filter(F.col("dg") >= 2L).select("v")
+    val e = und.join(F.broadcast(deg2), und("dst") === deg2("v")).drop("v")
+    e.select(F.col("src").as("m"), F.col("dst").as("u"))
+      .join(e.select(F.col("src").as("m2"), F.col("dst").as("w")),
+        F.col("m") === F.col("m2") && F.col("u") < F.col("w"))
+      .groupBy("u", "w").agg(F.count(F.lit(1)).as("c"))
+      .filter(F.col("c") >= 2L)
   }
 
   val gSquaresSql: String =
@@ -167,12 +182,7 @@ object GraphQueries {
     * extra endpoint rollup over g_squares' diagonal frame. Top-20
     * vertices via TakeOrderedAndProject. */
   def gSquareNodes(s: SparkSession, dir: String): DataFrame = {
-    val und = PropertyGraph(s, dir).undirected
-    val wedges = und.select(F.col("src").as("m"), F.col("dst").as("u"))
-      .join(und.select(F.col("src").as("m2"), F.col("dst").as("w")),
-        F.col("m") === F.col("m2") && F.col("u") < F.col("w"))
-      .groupBy("u", "w").agg(F.count(F.lit(1)).as("c"))
-      .filter(F.col("c") >= 2L)
+    val wedges = squareDiagonals(s, dir)
       .withColumn("sq", F.expr("(c * (c - 1)) div 2"))
     wedges.select(F.col("u").as("vid"), F.col("sq"))
       .unionAll(wedges.select(F.col("w").as("vid"), F.col("sq")))
