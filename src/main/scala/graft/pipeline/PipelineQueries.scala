@@ -508,7 +508,73 @@ object PipelineQueries {
        |FROM lp GROUP BY 1""".stripMargin
   }
 
+  /** d_source_divergence: Jensen–Shannon divergence between every pair
+    * of sources' word distributions (+1-smoothed over the union
+    * vocabulary) — the corpus-mixture drift monitor next to the value-
+    * level PSI and embedding-level s_emb_drift. Determinism follows the
+    * q_psi_drift discipline: each word's JS term is computed in double
+    * from exact integer counts by one shared expression and
+    * floor(·×1e9 + 0.5)-quantized BEFORE the BIGINT sum (per-element
+    * quantization — float sums never cross rows). Fan-out is
+    * |source pairs| × |vocab| — linear in vocabulary, the word-count
+    * rollup is the only pass over text. */
+  def dSourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(F.col("source"), F.explode(F.split(F.col("text"), " ")).as("w"))
+    val wc = words.groupBy("source", "w").agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint()
+    val ns = wc.groupBy("source").agg(F.sum("c").as("n"))
+    val vocab = wc.select("w").distinct()
+    val vsize = vocab.agg(F.count(F.lit(1)).as("v"))
+    val pairs = ns.as("a").join(ns.as("b"), F.col("a.source") < F.col("b.source"))
+      .select(F.col("a.source").as("s1"), F.col("a.n").as("n1"),
+        F.col("b.source").as("s2"), F.col("b.n").as("n2"))
+    val j = pairs.crossJoin(vocab)
+      .join(wc.select(F.col("source").as("s1"), F.col("w"), F.col("c").as("c1")),
+        Seq("s1", "w"), "left")
+      .join(wc.select(F.col("source").as("s2"), F.col("w"), F.col("c").as("c2")),
+        Seq("s2", "w"), "left")
+      .na.fill(0L, Seq("c1", "c2"))
+      .crossJoin(F.broadcast(vsize))
+    val p = (F.col("c1") + 1L).cast("double") / (F.col("n1") + F.col("v")).cast("double")
+    val q = (F.col("c2") + 1L).cast("double") / (F.col("n2") + F.col("v")).cast("double")
+    val m = (p + q) / 2.0
+    val term = F.floor((p * F.log(p / m) * 0.5 + q * F.log(q / m) * 0.5) * 1e9 + 0.5)
+    j.groupBy("s1", "s2", "n1", "n2", "v").agg(F.sum(term).as("js9"))
+  }
+
+  val dSourceDivergenceSql: String =
+    """WITH w AS (
+      |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT source, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+      |vocab AS (SELECT DISTINCT w FROM wc),
+      |vs AS (SELECT COUNT(*) AS v FROM vocab),
+      |pairs AS (
+      |  SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+      |  FROM ns a JOIN ns b ON a.source < b.source),
+      |j AS (
+      |  SELECT pairs.s1, pairs.s2, pairs.n1, pairs.n2, vs.v,
+      |   COALESCE(w1.c, 0) AS c1, COALESCE(w2.c, 0) AS c2
+      |  FROM pairs CROSS JOIN vocab CROSS JOIN vs
+      |  LEFT JOIN wc w1 ON w1.source = pairs.s1 AND w1.w = vocab.w
+      |  LEFT JOIN wc w2 ON w2.source = pairs.s2 AND w2.w = vocab.w),
+      |t AS (
+      |  SELECT s1, s2, n1, n2, v,
+      |   FLOOR((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)
+      |      * LN((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE))
+      |        / ((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)
+      |           + CAST(c2 + 1 AS DOUBLE) / CAST(n2 + v AS DOUBLE)) / 2.0)) * 0.5
+      |    + CAST(c2 + 1 AS DOUBLE) / CAST(n2 + v AS DOUBLE)
+      |      * LN((CAST(c2 + 1 AS DOUBLE) / CAST(n2 + v AS DOUBLE))
+      |        / ((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)
+      |           + CAST(c2 + 1 AS DOUBLE) / CAST(n2 + v AS DOUBLE)) / 2.0)) * 0.5) * 1e9 + 0.5) AS term
+      |  FROM j)
+      |SELECT s1, s2, n1, n2, v, CAST(SUM(term) AS BIGINT) AS js9
+      |FROM t GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("d_source_divergence", dSourceDivergence _, Some(dSourceDivergenceSql)),
     ("d_token_budget", dTokenBudget _, Some(dTokenBudgetSql)),
     ("d_kanon", dKanon _, Some(dKanonSql)),
     ("d_data_card", dDataCard _, Some(dDataCardSql)),

@@ -23,6 +23,34 @@ class LangConfusionSpec extends SparkSpec {
     assert(preds.subsetOf(Set("en", "de", "es", "fr", "und")))
   }
 
+  test("d_source_divergence matches a plain-Scala smoothed JS replica") {
+    val rows = PipelineQueries.dSourceDivergence(spark, SF).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val docs = graft.Tables(spark, SF, "documents")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val wc = docs.flatMap { case (s, t) => t.split(" ", -1).map(w => (s, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bySrc = wc.groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, w), c) => (w, c) }.toMap).toMap
+    val vocab = wc.keys.map(_._2).toSet
+    val v = vocab.size.toLong
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(rows.size == srcs.size * (srcs.size - 1) / 2)
+    for (i <- srcs.indices; j <- (i + 1) until srcs.size) {
+      val (s1, s2) = (srcs(i), srcs(j))
+      val n1 = bySrc(s1).values.sum; val n2 = bySrc(s2).values.sum
+      val js9 = vocab.toSeq.map { w =>
+        val p = (bySrc(s1).getOrElse(w, 0L) + 1).toDouble / (n1 + v)
+        val q = (bySrc(s2).getOrElse(w, 0L) + 1).toDouble / (n2 + v)
+        val m = (p + q) / 2.0
+        math.floor((p * math.log(p / m) * 0.5 + q * math.log(q / m) * 0.5) * 1e9 + 0.5).toLong
+      }.sum
+      assert(rows((s1, s2)) == (n1, n2, v, js9), s"$s1/$s2")
+      assert(js9 >= 0, "JS divergence is non-negative")
+    }
+  }
+
   test("t_heaps deciles tile the corpus and cumulative vocab is total vocab") {
     val rows = TextQueries.tHeaps(spark, SF).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
