@@ -99,10 +99,25 @@ object GraftFs {
       fc.rename(tmp, path, Options.Rename.OVERWRITE)
     } catch { case e: IOException =>
       // schemes without a FileContext binding or an atomic rename
-      // (object stores, custom FS impls): fall back to delete + rename
-      f.delete(path, false)
-      if (!f.rename(tmp, path))
+      // (object stores, custom FS impls): non-atomic replace, but keep
+      // the previous content recoverable — move it ASIDE (never delete
+      // first), swing the new file in, then drop the backup. A crash in
+      // the window leaves `.<name>.old` on disk instead of nothing,
+      // which for the kv manifest means every committed segment stays
+      // reachable by restoring the backup.
+      System.err.println(
+        s"GraftFs: atomic rename unavailable for $path " +
+          s"(${e.getMessage}); using backup-then-rename replace")
+      val bak = new Path(parent, s".${path.getName}.old")
+      f.delete(bak, false)
+      val hadOld = f.exists(path)
+      if (hadOld && !f.rename(path, bak))
+        throw new IOException(s"moving $path aside to $bak failed", e)
+      if (!f.rename(tmp, path)) {
+        if (hadOld) f.rename(bak, path) // restore; best effort
         throw new IOException(s"replacing $path via $tmp failed", e)
+      }
+      if (hadOld) f.delete(bak, false)
     }
   }
 

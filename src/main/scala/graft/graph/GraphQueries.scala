@@ -1482,6 +1482,9 @@ object GraphQueries {
     val g = PropertyGraph(s, dir)
     val OFF = 1000000000L
     val INF = Int.MaxValue.toLong
+    // suppliers 0..3 (vid = suppkey*4+1), exactly the oracle's
+    // `s_suppkey <= 3` seed set — this corpus's suppkeys START AT 0
+    // (min(s_suppkey)=0 in every SF), so all four replicas are live
     val lands = s.createDataset(Seq(0L, 1L, 2L, 3L).map(_ * 4 + 1))(
       org.apache.spark.sql.Encoders.scalaLong).toDF("l0")
     val state = g.vertices.select("vid").crossJoin(F.broadcast(lands))

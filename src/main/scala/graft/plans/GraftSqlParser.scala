@@ -197,6 +197,9 @@ object AsofSqlRewriter {
           (t.word == ")" && t.depth < d)
       }.getOrElse(throw new IllegalArgumentException(
         s"ASOF JOIN requires an ON condition: $sql"))
+      // the scope's closing `)` matched: the join has no ON/USING at all
+      if (toks(onIdx).word == ")") throw new IllegalArgumentException(
+        s"ASOF JOIN requires an ON condition: $sql")
       if (toks(onIdx).word == "USING") {
         // ClickHouse's leading spelling: USING (k1, ..., kn, t) — the
         // LAST column is the as-of (inequality) column, the rest equi

@@ -84,6 +84,11 @@ object IntervalIndexCache {
     (Long, Int, Int), java.lang.ref.SoftReference[IntervalIndex]]()
   def get(bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
           loIdx: Int, hiIdx: Int): IntervalIndex = {
+    // purge GC-cleared entries on access: SoftReferences free the index
+    // payloads, but without this sweep the (broadcastId, lo, hi) keys and
+    // dead references would accumulate for the executor's lifetime
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.get() eq null) it.remove()
     val key = (bc.id, loIdx, hiIdx)
     Option(cache.get(key)).flatMap(r => Option(r.get())).getOrElse {
       val built = IntervalIndex.fromSorted(bc.value, loIdx, hiIdx)

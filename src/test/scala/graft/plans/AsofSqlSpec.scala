@@ -244,6 +244,14 @@ class AsofSqlSpec extends SparkSpec {
         .contains("not supported"))
       assert(msg("SELECT * FROM asof_l ASOF JOIN asof_r USING (k)")
         .contains("at least (key, time)"))
+      // no ON/USING at all, with the join scope closed by a ')': the
+      // boundary token must trigger the descriptive error, not garbled
+      // spliced SQL surfacing as an opaque Spark parse failure
+      assert(msg(
+        "SELECT * FROM (SELECT * FROM asof_l ASOF JOIN asof_r) x")
+        .contains("requires an ON"))
+      assert(msg("SELECT * FROM asof_l ASOF JOIN asof_r")
+        .contains("requires an ON"))
       assert(msg("SELECT * FROM asof_l ASOF JOIN asof_r USING (rk, rid, rt)")
         .contains("exactly (key, time)"))
     }
