@@ -130,40 +130,54 @@ object GraphQueries {
        |FROM adj x JOIN adj y ON x.b = y.a JOIN adj z ON z.a = x.a AND z.b = y.b""".stripMargin
 
   /** g_squares: global 4-cycle (rectangle) census — the quadrilateral
-    * sibling of g_triangles. Count via diagonals: for every vertex pair
-    * (u < w), c = |N(u) ∩ N(w)| common neighbors contribute C(c, 2)
-    * cycles through that diagonal, and each 4-cycle owns exactly two
-    * diagonals → n_squares = Σ C(c, 2) / 2 (integer-exact: the sum is
-    * even by construction). Wedge enumeration through middles is the
-    * standard Σ deg(m)² rectangle-count bound — one equi-join on the
-    * middle + one (u, w) hash aggregate, no per-node state; at 100 TB
-    * the hub mitigation is Chiba–Nishizeki degeneracy ordering (only
-    * enumerate from the lower-degree endpoint), same join shape. */
+    * sibling of g_triangles. DEGENERACY-ORDERED (Chiba–Nishizeki)
+    * decomposition: under the total order rank(v) = (deg(v), vid),
+    * every 4-cycle has a unique rank-MAXIMUM vertex u and a unique
+    * vertex w opposite it, and its two middles are common neighbors of
+    * (u, w) ranked below u — so n_squares = Σ_{(u,w)} C(c', 2) with
+    * c'(u, w) = |{m ∈ N(u) ∩ N(w) : m ≺ u}|, w ≺ u, each cycle counted
+    * exactly once (no /2). The wedge enumeration u–m–w keeps only
+    * u ≻ m: a middle's fan-out is its count of HIGHER-ranked neighbors
+    * (≤ √(2·|E|) vertices outrank a hub by degree), so total wedge
+    * volume is O(|E|^1.5) instead of the naive Σ deg(m)² — a 10⁷-degree
+    * hub middle contributes O(deg·√E), not C(10⁷, 2). The oracle stays
+    * the NAIVE full-codegree formula: hash equality is the proof the
+    * oriented decomposition is exact. */
   def gSquares(s: SparkSession, dir: String): DataFrame =
-    squareDiagonals(s, dir)
-      .agg(F.count(F.lit(1)).as("n_diag_pairs"),
-        // coalesce: a square-free graph (possible at tiny SF) must read 0
-        F.expr("coalesce(sum((c * (c - 1)) div 2) div 2, CAST(0 AS BIGINT))").as("n_squares"))
-
-  /** The (u < w, codeg ≥ 2) diagonal frame shared by g_squares and
-    * g_square_nodes. EXACT degree-1 pruning: a wedge endpoint with
-    * degree 1 has N(u) = {m}, so codeg(u, w) ≤ 1 for EVERY partner —
-    * it can never reach the ≥ 2 filter, and dropping its wedge rows
-    * before the pair aggregate changes nothing. On the hub-and-spoke
-    * side of this graph that removes the C(customers-per-nation, 2)
-    * customer-pair bulk of the Σdeg² wedge volume (the pair measured
-    * 10.5 s → 3.2 s at sf0.1 REPS=3); the deg ≥ 2 vertex list is
-    * dimension-sized and broadcasts. */
-  private def squareDiagonals(s: SparkSession, dir: String): DataFrame = {
-    val und = PropertyGraph(s, dir).undirected
-    val deg2 = und.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("dg"))
-      .filter(F.col("dg") >= 2L).select("v")
-    val e = und.join(F.broadcast(deg2), und("dst") === deg2("v")).drop("v")
-    e.select(F.col("src").as("m"), F.col("dst").as("u"))
-      .join(e.select(F.col("src").as("m2"), F.col("dst").as("w")),
-        F.col("m") === F.col("m2") && F.col("u") < F.col("w"))
+    orientedWedges(s, dir)
       .groupBy("u", "w").agg(F.count(F.lit(1)).as("c"))
       .filter(F.col("c") >= 2L)
+      // coalesce: a square-free graph (possible at tiny SF) must read 0
+      .agg(F.expr("coalesce(sum((c * (c - 1)) div 2), CAST(0 AS BIGINT))")
+        .as("n_squares"))
+
+  /** The oriented wedge frame (m, u, w) shared by g_squares and
+    * g_square_nodes: u ≻ m by rank = (degree, vid), w ≺ u, both
+    * endpoints degree ≥ 2 (EXACT pruning: a degree-1 endpoint can never
+    * reach c' ≥ 2, and at this corpus's hub-and-spoke shape the filter
+    * removes the C(customers-per-nation, 2) bulk — measured 10.5 → 3.2 s
+    * at sf0.1 when first introduced). Degrees are annotated by two plain
+    * joins (AQE picks broadcast at small SF, shuffle at scale — no O(V)
+    * driver-side broadcast hint), and the rank comparison rides on the
+    * middle equi-join as residual lexicographic predicates, so no
+    * encoded rank column can overflow. */
+  private def orientedWedges(s: SparkSession, dir: String): DataFrame = {
+    val und = PropertyGraph(s, dir).undirected
+    val deg = und.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("dg"))
+    val ed = und
+      .join(deg, und("src") === deg("v")).withColumnRenamed("dg", "dm").drop("v")
+      .join(deg, und("dst") === deg("v")).withColumnRenamed("dg", "dx").drop("v")
+    val uSide = ed
+      .filter(F.col("dx") >= 2L &&
+        (F.col("dx") > F.col("dm") ||
+          (F.col("dx") === F.col("dm") && F.col("dst") > F.col("src"))))
+      .select(F.col("src").as("m"), F.col("dst").as("u"), F.col("dx").as("du"))
+    val wSide = ed.filter(F.col("dx") >= 2L)
+      .select(F.col("src").as("m2"), F.col("dst").as("w"), F.col("dx").as("dw"))
+    uSide.join(wSide, F.col("m") === F.col("m2") &&
+        (F.col("dw") < F.col("du") ||
+          (F.col("dw") === F.col("du") && F.col("w") < F.col("u"))))
+      .select("m", "u", "w")
   }
 
   val gSquaresSql: String =
@@ -172,20 +186,28 @@ object GraphQueries {
        |  SELECT e1.dst AS u, e2.dst AS w, COUNT(*) AS c
        |  FROM uedges e1 JOIN uedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
        |  GROUP BY 1, 2)
-       |SELECT COUNT(*) AS n_diag_pairs,
-       | CAST(COALESCE(SUM((c * (c - 1)) // 2) // 2, 0) AS BIGINT) AS n_squares
+       |SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2) // 2, 0) AS BIGINT) AS n_squares
        |FROM wdg WHERE c >= 2""".stripMargin
 
-  /** g_square_nodes: per-vertex 4-cycle participation — every square
-    * containing v has a unique OPPOSITE vertex w, so squares(v) =
-    * Σ_w C(codeg(v, w), 2) with NO double counting (no final /2): one
-    * extra endpoint rollup over g_squares' diagonal frame. Top-20
-    * vertices via TakeOrderedAndProject. */
+  /** g_square_nodes: per-vertex 4-cycle participation — squares(v) =
+    * Σ_w C(codeg(v, w), 2) (every square containing v has a unique
+    * opposite, so no double counting). Computed off the ORIENTED frame:
+    * the anchor endpoints u and w each own C(c', 2) squares, and each
+    * wedge's middle m owns (c' − 1) — pairing with every other middle
+    * of its anchor — which reproduces the naive per-diagonal attribution
+    * exactly (the unchanged naive oracle is the proof). Top-20 via
+    * TakeOrderedAndProject. */
   def gSquareNodes(s: SparkSession, dir: String): DataFrame = {
-    val wedges = squareDiagonals(s, dir)
+    val wedges = orientedWedges(s, dir).localCheckpoint()
+    val diag = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).as("c"))
+      .filter(F.col("c") >= 2L)
       .withColumn("sq", F.expr("(c * (c - 1)) div 2"))
-    wedges.select(F.col("u").as("vid"), F.col("sq"))
-      .unionAll(wedges.select(F.col("w").as("vid"), F.col("sq")))
+      .localCheckpoint()
+    val endpoints = diag.select(F.col("u").as("vid"), F.col("sq"))
+      .unionAll(diag.select(F.col("w").as("vid"), F.col("sq")))
+    val middles = wedges.join(diag.select("u", "w", "c"), Seq("u", "w"))
+      .select(F.col("m").as("vid"), (F.col("c") - 1L).as("sq"))
+    endpoints.unionAll(middles)
       .groupBy("vid").agg(F.sum("sq").as("n_squares"))
       .orderBy(F.col("n_squares").desc, F.col("vid").asc)
       .limit(20)
