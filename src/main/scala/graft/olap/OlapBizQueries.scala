@@ -32,9 +32,10 @@ object OlapBizQueries {
     * local prefix in parallel, and a bucket-level carry (|value range| /
     * $10k rows — bounded by the price domain, NOT by customer count) is
     * broadcast back. cum(c) = carry(bucket) + local(c) by associativity.
-    * ppm terms stay in BIGINT: cum ≤ total ≤ ~2e12 cents at sf0.1, so
-    * cum×1e6 < 2^63; a 100 TB deployment would move the ppm scaling into
-    * DECIMAL(38,0) — noted in SURVEY §5. */
+    * The ppm terms run in DECIMAL(38,0) (cum×1e6 would overflow BIGINT
+    * past ~sf40's ~9.2e12 total cents); everything else stays BIGINT —
+    * the percent-threshold products cum×100 hold to ~sf400k. Output
+    * columns remain BIGINT (the div). Per-product headroom: SURVEY §5. */
   def qPareto(s: SparkSession, dir: String): DataFrame =
     concentrate(Tables(s, dir, "orders")
       .groupBy(F.col("o_custkey"))
@@ -70,10 +71,14 @@ object OlapBizQueries {
         F.min(F.when(F.col("cum") * 100 >= F.col("total_c") * 50, F.col("rn"))).as("c50"),
         F.min(F.when(F.col("cum") * 100 >= F.col("total_c") * 80, F.col("rn"))).as("c80"),
         F.min(F.when(F.col("cum") * 100 >= F.col("total_c") * 90, F.col("rn"))).as("c90"),
+        // ppm terms in DECIMAL(38,0): cum×1e6 overflows BIGINT once total
+        // revenue passes ~9.2e12 cents (≈ sf40); div still emits BIGINT,
+        // and ppm ≤ 1e6 always fits. Oracle mirrors with HUGEINT — NOT
+        // decimal: DuckDB's decimal `//` rounds where div truncates.
         F.max(F.when(F.col("rn") === F.expr("(nc + 99) div 100"),
-          F.expr("(cum * 1000000) div total_c"))).as("top1_ppm"),
+          F.expr("(cast(cum as decimal(38,0)) * 1000000) div total_c"))).as("top1_ppm"),
         F.max(F.when(F.col("rn") === F.expr("(nc + 9) div 10"),
-          F.expr("(cum * 1000000) div total_c"))).as("top10_ppm"))
+          F.expr("(cast(cum as decimal(38,0)) * 1000000) div total_c"))).as("top10_ppm"))
   }
 
   private var lastParetoDir: Option[java.nio.file.Path] = None
@@ -123,8 +128,8 @@ object OlapBizQueries {
       | CAST(MIN(CASE WHEN cum*100 >= total_c*50 THEN rn END) AS BIGINT) AS c50,
       | CAST(MIN(CASE WHEN cum*100 >= total_c*80 THEN rn END) AS BIGINT) AS c80,
       | CAST(MIN(CASE WHEN cum*100 >= total_c*90 THEN rn END) AS BIGINT) AS c90,
-      | CAST(MAX(CASE WHEN rn = (nc+99)//100 THEN (cum*1000000)//total_c END) AS BIGINT) AS top1_ppm,
-      | CAST(MAX(CASE WHEN rn = (nc+9)//10 THEN (cum*1000000)//total_c END) AS BIGINT) AS top10_ppm
+      | CAST(MAX(CASE WHEN rn = (nc+99)//100 THEN (CAST(cum AS HUGEINT)*1000000)//total_c END) AS BIGINT) AS top1_ppm,
+      | CAST(MAX(CASE WHEN rn = (nc+9)//10 THEN (CAST(cum AS HUGEINT)*1000000)//total_c END) AS BIGINT) AS top10_ppm
       |FROM r, t""".stripMargin
 
   /** q_funnel_time: the time-to-convert distribution (first 'view' →
@@ -462,8 +467,11 @@ object OlapBizQueries {
     * affinity analysis; the relational version of what q_assoc_suite
     * computes over event types). Same bounded pair fan-out as
     * q_basket_pairs; the per-part order counts join back BROADCAST
-    * (|parts| ≪ |lineitem|). lift_ppm = (n12·N·1e6) div (n1·n2) — all
-    * BIGINT, n1·n2 ≤ N² keeps products < 2⁶³ through sf100. */
+    * (|parts| ≪ |lineitem|). lift_ppm = (n12·N·1e6) div (n1·n2), with
+    * BOTH the numerator and the n1·n2 divisor in DECIMAL(38,0) (HUGEINT
+    * oracle): in BIGINT the numerator dies once n12·N > 9.2e12 and the
+    * divisor once N > 3e9 orders — both realistic at 100 TB. The emitted
+    * lift_ppm ≤ 1e6·N stays a BIGINT to ~9.2e12 orders. */
   def qBasketLift(s: SparkSession, dir: String): DataFrame = {
     val op = Tables(s, dir, "lineitem")
       .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
@@ -479,7 +487,8 @@ object OlapBizQueries {
       .crossJoin(F.broadcast(tot))
       .select(F.col("p1"), F.col("p2"), F.col("n12"), F.col("n1"), F.col("n2"),
         F.expr("(1000000 * n12) div n1").as("conf_ppm"),
-        F.expr("(n12 * n_ord * 1000000) div (n1 * n2)").as("lift_ppm"))
+        F.expr("(cast(n12 as decimal(38,0)) * n_ord * 1000000) " +
+          "div (cast(n1 as decimal(38,0)) * n2)").as("lift_ppm"))
       .orderBy(F.col("n12").desc, F.col("p1").asc, F.col("p2").asc)
       .limit(20)
   }
@@ -495,7 +504,7 @@ object OlapBizQueries {
       |  GROUP BY 1, 2)
       |SELECT p1, p2, n12, n1.np AS n1, n2.np AS n2,
       | CAST((1000000 * n12) // n1.np AS BIGINT) AS conf_ppm,
-      | CAST((n12 * t.n_ord * 1000000) // (n1.np * n2.np) AS BIGINT) AS lift_ppm
+      | CAST((CAST(n12 AS HUGEINT) * t.n_ord * 1000000) // (CAST(n1.np AS HUGEINT) * n2.np) AS BIGINT) AS lift_ppm
       |FROM p JOIN pn n1 ON p.p1 = n1.pk JOIN pn n2 ON p.p2 = n2.pk, t
       |ORDER BY n12 DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
 
