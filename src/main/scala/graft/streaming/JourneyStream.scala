@@ -2,17 +2,26 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.GraftFs
 
 /** STREAMING session journeys — q_journey live: sessionize each user's
   * event stream by the 30-minute inactivity gap and emit the session's
   * journey path (its first three event types in final (t, id) order,
   * joined 'a>b>c') when the session closes.
   *
+  * All ordering and gap arithmetic is in MICROSECONDS — the exact
+  * contract of the batch q_journey (this corpus's event timestamps are
+  * sub-millisecond almost everywhere, so a millisecond-rounded sort or
+  * gap test can split or merge sessions differently than the oracle).
+  *
   * Emission follows SessionFunnelStream's watermark-gated rule: a
-  * session is final ONLY once the watermark passes `end + GapMs` —
+  * session is final ONLY once the watermark passes `end + GapUs` —
   * a close-on-live-arrival rule would let an admissible out-of-order
   * event near a gap boundary split one true session in two (and corrupt
   * its path prefix). Candidate sessions buffer in state bounded by the
@@ -22,17 +31,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * "path") maintains the stream-lifetime top journeys — the live
   * version of the q_journey top-20 — exact whenever lifetime distinct
   * paths ≤ the sketch capacity (journey alphabets are tiny: ≤ |types|³
-  * distinct paths), Misra-Gries-bounded otherwise.
+  * distinct paths), Misra-Gries-bounded otherwise. [[applyBatch]] is
+  * the foreachBatch-driven DataFrame fold of the same close rule
+  * (buffer + derived watermark snapshots, the MarkovSink shape) that
+  * [[start]] wires to feed TopKSink per micro-batch; q_journey_inc
+  * gates the whole composition under q_journey's batch oracle.
   */
 object JourneyStream {
 
   final case class JEv(user_id: Long, ts: Timestamp, event_id: Long,
                        event_type: String)
-  final case class SessionPath(user_id: Long, start_ms: Long, end_ms: Long,
+  final case class SessionPath(user_id: Long, start_us: Long, end_us: Long,
                                n_events: Long, path: String)
   final case class JState(evs: Seq[(Long, Long, String)])
 
   val GapMs: Long = 30 * 60 * 1000L
+  val GapUs: Long = GapMs * 1000L
+
+  /** Watermark delay for the applyBatch fold (the readStream variant
+    * inherits Spark's own `withWatermark` 30 minutes). */
+  val DefaultDelayMs: Long = 30 * 60 * 1000L
+
+  /** Timestamp → epoch micros (getTime is ms-rounded; the µs live in
+    * getNanos). */
+  private def usOf(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   def paths(events: DataFrame): Dataset[SessionPath] = {
     import events.sparkSession.implicits._
@@ -45,23 +68,26 @@ object JourneyStream {
       .flatMapGroupsWithState[JState, SessionPath](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[JEv], state: GroupState[JState]) =>
-          val wm = state.getCurrentWatermarkMs()
-          val arrivals = it.map(e => (e.ts.getTime, e.event_id, e.event_type)).toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val arrivals = it.map(e => (usOf(e.ts), e.event_id, e.event_type)).toSeq
           val buf = (state.getOption.map(_.evs).getOrElse(Nil) ++ arrivals).sorted
           val sessions =
             buf.foldLeft(Vector.empty[Vector[(Long, Long, String)]]) {
               (acc, ev) =>
-                if (acc.nonEmpty && ev._1 - acc.last.last._1 <= GapMs)
+                if (acc.nonEmpty && ev._1 - acc.last.last._1 <= GapUs)
                   acc.init :+ (acc.last :+ ev)
                 else acc :+ Vector(ev)
             }
           // final iff the watermark cleared end+gap (see scaladoc)
           val (done, pending) =
-            sessions.partition(s => wm > s.last._1 + GapMs)
+            sessions.partition(s => wmUs > s.last._1 + GapUs)
           if (pending.isEmpty) { if (state.exists) state.remove() }
           else {
             state.update(JState(pending.flatten))
-            state.setTimeoutTimestamp(pending.head.last._1 + GapMs + 1)
+            // timeout is in ms; round UP so it never fires before wmUs
+            // actually clears the earliest pending close
+            state.setTimeoutTimestamp(
+              math.floorDiv(pending.head.last._1 + GapUs, 1000L) + 2L)
           }
           done.iterator.map { s =>
             SessionPath(user, s.head._1, s.last._1, s.size.toLong,
@@ -69,4 +95,96 @@ object JourneyStream {
           }
       }
   }
+
+  private val bufSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("us", LongType),
+    StructField("event_id", LongType), StructField("event_type", StringType)))
+
+  /** Start the composed maintenance: per micro-batch, fold sessions
+    * (journey state under `dir`) and feed the batch's closed paths to
+    * TopKSink under `topkDir`. */
+  def start(events: DataFrame, dir: String, topkDir: String,
+            capacity: Int = 512,
+            delayMs: Long = DefaultDelayMs): StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, dir, batchId, topkDir, capacity, delayMs))
+      .start()
+
+  /** Fold one micro-batch into journey_v{batchId} and feed the closed
+    * paths to TopKSink. Idempotent (both folds skip replayed ids).
+    *
+    * State per snapshot: the still-open event buffer plus the
+    * high-watermark (persisted in the `_SUCCESS` marker text — the
+    * buffer's max µs can shrink when sessions close, so the watermark
+    * needs its own carry). A session closes once
+    * `wm > end + GapUs` with wm = max(µs seen) − delay: any admissible
+    * future event has t ≥ wm > end + gap, so nothing can extend or
+    * merge into it — the same rule as the flatMapGroupsWithState
+    * variant, so both paths share the oracle by construction. Arrivals
+    * behind the PREVIOUS watermark are dropped (they may belong to an
+    * already-emitted session); in-order replays drop nothing. */
+  def applyBatch(batch: DataFrame, dir: String, batchId: Long,
+                 topkDir: String, capacity: Int = 512,
+                 delayMs: Long = DefaultDelayMs): Unit = {
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"journey_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
+    val arrivals = batch.select(F.col("user_id").cast("long"),
+      F.unix_micros(F.col("ts")).as("us"), F.col("event_id").cast("long"),
+      F.col("event_type"))
+    val (prevBuf, prevWm) = GraftFs.latest(conf, dir, "journey_v", batchId) match {
+      case Some(p) => (
+        s.read.schema(bufSchema).parquet(GraftFs.child(p, "buf")),
+        GraftFs.readText(conf, GraftFs.child(p, "_SUCCESS"))
+          .flatMap(_.trim.toLongOption).getOrElse(Long.MinValue))
+      case None => (
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          bufSchema), Long.MinValue)
+    }
+    val pool = arrivals.filter(F.col("us") >= prevWm)
+      .unionByName(prevBuf).localCheckpoint()
+    val maxUs = Option(pool.agg(F.max("us")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+    val wm = math.max(prevWm, maxUs - delayMs * 1000L)
+    // q_journey's exact sessionize spelling over the pooled buffer
+    val byU = Window.partitionBy("user_id")
+      .orderBy(F.col("us").asc, F.col("event_id").asc)
+    val sess = pool
+      .withColumn("prev_us", F.lag("us", 1).over(byU))
+      .withColumn("new_sess",
+        F.when(F.col("prev_us").isNull ||
+          F.col("us") - F.col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", F.sum("new_sess").over(
+        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("end_us", F.max("us").over(
+        Window.partitionBy("user_id", "sess_idx")))
+      .localCheckpoint()
+    val closed = sess.filter(F.col("end_us") + GapUs < wm)
+    val open = sess.filter(F.col("end_us") + GapUs >= wm)
+    val bySess = Window.partitionBy("user_id", "sess_idx")
+      .orderBy(F.col("us").asc, F.col("event_id").asc)
+    val closedPaths = closed.withColumn("rn", F.row_number().over(bySess))
+      .filter(F.col("rn") <= 3)
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        F.min(F.when(F.col("rn") === 1, F.col("event_type"))).as("s1"),
+        F.min(F.when(F.col("rn") === 2, F.col("event_type"))).as("s2"),
+        F.min(F.when(F.col("rn") === 3, F.col("event_type"))).as("s3"))
+      .select(F.concat_ws(">", F.col("s1"), F.col("s2"), F.col("s3")).as("path"))
+    TopKSink.applyBatch(closedPaths, topkDir, batchId, capacity, "path")
+    open.select("user_id", "us", "event_id", "event_type")
+      .write.mode("overwrite").parquet(GraftFs.child(target, "buf"))
+    // marker AFTER both folds; carries the watermark
+    GraftFs.writeTextAtomic(conf, GraftFs.child(target, "_SUCCESS"), wm.toString)
+  }
+
+  /** The maintained top journeys in q_journey's output shape. Exact
+    * whenever lifetime distinct paths ≤ the TopKSink capacity. */
+  def readTop(spark: SparkSession, topkDir: String, k: Int = 20): DataFrame =
+    TopKSink.read(spark, topkDir)
+      .select(F.col("term").as("path"), F.col("w").as("n_sess"))
+      .orderBy(F.col("n_sess").desc, F.col("path").asc)
+      .limit(k)
 }
