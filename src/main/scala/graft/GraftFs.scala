@@ -67,18 +67,37 @@ object GraftFs {
              beforeId: Long): Option[String] =
     versioned(conf, dir, prefix, beforeId - 1).lastOption.map(_._2)
 
+  /** Read a small text file. If `p` is absent but the non-atomic
+    * replace's `.<name>.old` backup survives (a crash landed between
+    * moving the old file aside and swinging the new one in —
+    * [[writeTextAtomic]]'s fallback window), the backup is served and
+    * restored, so kv-manifest recovery is automatic instead of manual. */
   def readText(conf: Configuration, p: String): Option[String] = {
     val path = new Path(p)
     val f = path.getFileSystem(conf)
-    if (!f.exists(path)) None
-    else {
-      val in = f.open(path)
+    val target =
+      if (f.exists(path)) Some(path)
+      else {
+        val bak = new Path(path.getParent, s".${path.getName}.old")
+        if (f.exists(bak)) {
+          System.err.println(
+            s"GraftFs: $path missing but backup $bak exists " +
+              "(crash mid-replace); serving and restoring the backup")
+          if (!f.rename(bak, path)) {
+            System.err.println(s"GraftFs: restoring $bak to $path failed; " +
+              "serving the backup in place")
+            Some(bak)
+          } else Some(path)
+        } else None
+      }
+    target.map { t =>
+      val in = f.open(t)
       try {
         val bytes = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
     }
   }
@@ -114,7 +133,9 @@ object GraftFs {
       if (hadOld && !f.rename(path, bak))
         throw new IOException(s"moving $path aside to $bak failed", e)
       if (!f.rename(tmp, path)) {
-        if (hadOld) f.rename(bak, path) // restore; best effort
+        if (hadOld && !f.rename(bak, path)) // restore; best effort
+          System.err.println(s"GraftFs: restore of $bak to $path failed " +
+            "after replace failure; readText serves the backup")
         throw new IOException(s"replacing $path via $tmp failed", e)
       }
       if (hadOld) f.delete(bak, false)

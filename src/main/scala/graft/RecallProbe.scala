@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{AnnQueries => A, DedupQueries => D}
+
+/** Diagnostic: print the live recall_ppm of every approximate similarity
+  * path against its in-plan exact baseline at a given SF dir — the
+  * numbers the driver-gated floors in AnnQueries are set under.
+  *
+  *   sbt "runMain graft.RecallProbe /root/testdata/sf0.01"
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val probes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("s_ann_lsh", () => A.recallOf(A.sAnnLsh(spark, dir),
+        A.sAnnTopk(spark, dir), Seq("q_id", "n_id"))),
+      ("s_ann_ivf", () => A.recallOf(A.sAnnIvf(spark, dir),
+        A.sAnnTopk(spark, dir), Seq("q_id", "n_id"))),
+      ("s_ann_pq", () => A.recallOf(A.sAnnPq(spark, dir),
+        A.sAnnTopk(spark, dir), Seq("q_id", "n_id"))),
+      ("s_knn_graph_lsh", () => A.recallOf(A.sKnnGraphLsh(spark, dir),
+        A.sKnnGraph(spark, dir), Seq("src", "dst"))),
+      ("d_embed_dup_lsh", () => A.recallOf(D.dEmbedDupLsh(spark, dir),
+        D.dEmbedDup(spark, dir), Seq("a_id", "b_id"))))
+    probes.foreach { case (name, f) =>
+      val r = f().collect()(0)
+      println(f"[recall] $name%-18s n_exact=${r.getLong(0)}%-6d " +
+        f"n_hit=${r.getLong(1)}%-6d recall_ppm=${r.getLong(2)}")
+    }
+    spark.stop()
+  }
+}

@@ -261,6 +261,54 @@ object OlapBizQueries {
       |FROM paths GROUP BY 1
       |ORDER BY n_sess DESC, path ASC LIMIT 20""".stripMargin
 
+  private var lastJourneyDir: Option[java.nio.file.Path] = None
+
+  /** q_journey_inc: the SAME top-20 journeys, but MAINTAINED by the
+    * JourneyStream.applyBatch → TopKSink composition instead of
+    * recomputed — events replayed as three TIME-SPLIT batches (so
+    * sessions span batch boundaries and the watermark-buffered close
+    * rule is exercised), with one batch replayed to prove idempotence
+    * and the last 15 minutes of the middle slice DELAYED into the final
+    * batch (an in-delay out-of-order arrival that must re-pool with its
+    * still-open session, not split it). Gated under q_journey's own
+    * batch oracle: closed top-k counts + the open-buffer tail fold must
+    * equal the batch sessionization exactly (5-type journey alphabet
+    * ≤ 155 distinct paths ≪ the 512 sketch capacity, so Misra-Gries is
+    * in its exact regime). */
+  def qJourneyInc(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastJourneyDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val snap = java.nio.file.Files.createTempDirectory("graft_journey")
+    lastJourneyDir = Some(snap)
+    val jDir = snap.resolve("journey").toString
+    val tDir = snap.resolve("topk").toString
+    val ev = Tables(s, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+    val us = F.unix_micros(F.col("ts"))
+    val Array(lo, hi) = ev.select(us.as("tu"))
+      .stat.approxQuantile("tu", Array(0.33, 0.66), 0.0)
+    // the (hi−15min, hi] slice arrives one batch late: behind b1's max
+    // but ahead of its derived watermark (delay 30min), so nothing
+    // drops (max(lo,·) keeps the three slices disjoint on a corpus
+    // whose 33rd–66th percentile span is under 15 minutes)
+    val lateLo = math.max(lo, hi - 900e6)
+    val b0 = ev.filter(us <= lo)
+    val b1 = ev.filter(us > lo && us <= lateLo)
+    val b2 = ev.filter(us > hi || (us > lateLo && us <= hi))
+    graft.streaming.JourneyStream.applyBatch(b0, jDir, 0L, tDir)
+    graft.streaming.JourneyStream.applyBatch(b1, jDir, 1L, tDir)
+    graft.streaming.JourneyStream.applyBatch(b1, jDir, 1L, tDir) // replay
+    graft.streaming.JourneyStream.applyBatch(b2, jDir, 2L, tDir)
+    graft.streaming.JourneyStream.readTop(s, jDir, tDir, 20)
+      .localCheckpoint(true)
+  }
+
   /** q_theil_sen: the Theil–Sen robust trend estimator over each event
     * type's daily cents-sum series — the discrete median of all pairwise
     * slopes (the robust cousin of q_linreg's OLS slope and the
@@ -732,6 +780,7 @@ object OlapBizQueries {
     ("q_pareto_inc", qParetoInc _, Some(qParetoSql)),
     ("q_funnel_time", qFunnelTime _, Some(qFunnelTimeSql)),
     ("q_journey", qJourney _, Some(qJourneySql)),
+    ("q_journey_inc", qJourneyInc _, Some(qJourneySql)),
     ("q_prop_ztest", qPropZtest _, Some(qPropZtestSql)),
     ("q_period_detect", qPeriodDetect _, Some(qPeriodDetectSql)),
     ("q_theil_sen", qTheilSen _, Some(qTheilSenSql)))

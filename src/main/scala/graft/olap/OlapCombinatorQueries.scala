@@ -411,6 +411,54 @@ object OlapCombinatorQueries {
         F.min("vc").as("lo_c"), F.max("vc").as("hi_c"))
   }
 
+  /** DRIVER GATE for the [[qHistogramEqdCuts]] scale tier (the plan a
+    * 100 TB deployment actually runs): per (event_type, cut), emit
+    * ok = 1 iff the GK sketch cut's feasible rank interval
+    * [count(<cut)+1, count(≤cut)] intersects the exact target rank
+    * i·n/buckets within the sketch tolerance n/accuracy (+2 rounding
+    * slack) — the literal guarantee percentile_approx ships. The oracle
+    * is the all-ones frame over types × cuts, so ANY out-of-tolerance
+    * cut hash-breaks the gate; the check is exact BIGINT throughout
+    * (ranks scaled by `buckets` instead of dividing n). Plan shape: the
+    * same map-side-combined cuts aggregate as the tier itself, one
+    * broadcast of the |types|-row cuts frame, per-cut rank counts as
+    * columnar conditional sums in ONE (event_type) aggregate — no row
+    * multiplication, no window, no global sort. */
+  def qHistogramEqdCutsCheck(s: SparkSession, dir: String, buckets: Int = 8,
+                             accuracy: Int = 10000): DataFrame = {
+    val b = buckets.toLong
+    val v = Tables(s, dir, "events")
+      .select(F.col("event_type"),
+        (Tables.dec2(F.col("value")) * 100).cast("long").as("vc"))
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val cuts = v.groupBy("event_type")
+      .agg(F.percentile_approx(F.col("vc"), F.typedlit(fracs),
+        F.lit(accuracy)).as("cuts"))
+    val vj = v.join(F.broadcast(cuts), "event_type")
+    val aggs = (0 until buckets - 1).flatMap { i =>
+      Seq(F.sum(F.when(F.col("vc") < F.expr(s"cuts[$i]"), 1L).otherwise(0L))
+          .as(s"lt$i"),
+        F.sum(F.when(F.col("vc") <= F.expr(s"cuts[$i]"), 1L).otherwise(0L))
+          .as(s"le$i"))
+    } :+ F.count(F.lit(1)).as("n")
+    val g = vj.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+    val tol = F.expr(s"n div $accuracy") + F.lit(2L)
+    (1 until buckets).map { i =>
+      g.select(F.col("event_type"), F.lit(i.toLong).as("cut_idx"),
+        F.when(
+          F.lit(b) * F.col(s"le${i - 1}") >=
+            F.lit(i.toLong) * F.col("n") - F.lit(b) * tol &&
+          F.lit(b) * (F.col(s"lt${i - 1}") + F.lit(1L)) <=
+            F.lit(i.toLong) * F.col("n") + F.lit(b) * tol,
+          1L).otherwise(0L).as("ok"))
+    }.reduce(_ unionByName _)
+  }
+
+  val qHistogramEqdCutsCheckSql: String =
+    """SELECT t.event_type, i.i AS cut_idx, CAST(1 AS BIGINT) AS ok
+      |FROM (SELECT DISTINCT event_type FROM events) t
+      |CROSS JOIN (SELECT CAST(UNNEST(generate_series(1, 7)) AS BIGINT) AS i) i""".stripMargin
+
   val qHistogramEqdSql: String =
     """WITH v AS (
       |  SELECT event_type, event_id,
@@ -455,6 +503,8 @@ object OlapCombinatorQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_hist_pow2", qHistPow2 _, Some(qHistPow2Sql)),
     ("q_histogram_eqd", qHistogramEqd _, Some(qHistogramEqdSql)),
+    ("q_histogram_eqd_cuts", ((s: SparkSession, dir: String) =>
+      qHistogramEqdCutsCheck(s, dir)): Q, Some(qHistogramEqdCutsCheckSql)),
     ("q_seq_count", qSeqCount _, Some(qSeqCountSql)),
     ("q_exp_decay", qExpDecay _, Some(qExpDecaySql)),
     ("q_summap", qSumMap _, Some(qSumMapSql)),

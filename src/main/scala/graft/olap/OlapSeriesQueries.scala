@@ -1487,7 +1487,12 @@ object OlapSeriesQueries {
     * (MarkovSink) and gated under q_markov's own batch oracle — events
     * replayed as three TIME-SPLIT batches (so per-user sequences SPAN
     * batch boundaries and the per-user last-event carry is exercised),
-    * with one batch replayed to prove idempotence. */
+    * with one batch replayed to prove idempotence and a final
+    * BEYOND-DELAY redelivery batch (already-sealed events arriving
+    * again in a NEW batchId) that the sealed-frontier drop rule must
+    * discard wholesale — counted nowhere rather than double-counted,
+    * which pins the watermark drop semantics under the hash gate, not
+    * just in MarkovSinkSpec. */
   def qMarkovInc(s: SparkSession, dir: String): DataFrame = synchronized {
     lastMkDir.foreach { d =>
       val walk = java.nio.file.Files.walk(d)
@@ -1501,8 +1506,8 @@ object OlapSeriesQueries {
     lastMkDir = Some(snap)
     val ev = Tables(s, dir, "events")
       .select("user_id", "ts", "event_id", "event_type")
-    val Array(lo, hi) = ev.select(F.unix_micros(F.col("ts")).as("tu"))
-      .stat.approxQuantile("tu", Array(0.33, 0.66), 0.0)
+    val Array(lo, hi, top) = ev.select(F.unix_micros(F.col("ts")).as("tu"))
+      .stat.approxQuantile("tu", Array(0.33, 0.66, 1.0), 0.0)
     val b0 = ev.filter(F.unix_micros(F.col("ts")) <= lo)
     val b1 = ev.filter(F.unix_micros(F.col("ts")) > lo &&
       F.unix_micros(F.col("ts")) <= hi)
@@ -1511,6 +1516,12 @@ object OlapSeriesQueries {
     graft.streaming.MarkovSink.applyBatch(b1, snap.toString, 1L)
     graft.streaming.MarkovSink.applyBatch(b1, snap.toString, 1L) // replay
     graft.streaming.MarkovSink.applyBatch(b2, snap.toString, 2L)
+    // beyond-delay redelivery: everything here is ≥ 2 delays behind the
+    // stream max, hence SEALED and at-or-behind its user's frontier —
+    // the drop rule must discard all of it or the oracle hash breaks
+    val bLate = ev.filter(F.unix_micros(F.col("ts")) <=
+      math.min(lo, top - 2 * graft.streaming.MarkovSink.DefaultDelayMs * 1000.0))
+    graft.streaming.MarkovSink.applyBatch(bLate, snap.toString, 3L)
     graft.streaming.MarkovSink.read(s, snap.toString).localCheckpoint(true)
   }
 

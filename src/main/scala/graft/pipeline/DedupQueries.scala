@@ -433,6 +433,50 @@ object DedupQueries {
        |SELECT a_id, b_id, CAST(floor(cs * 1e6) AS BIGINT) AS cs6
        |FROM p WHERE cs >= 0.4""".stripMargin
 
+  /** SCALE TIER for d_embed_dup: candidate pairs from the hyperplane-LSH
+    * bucket equality join (s_ann_lsh's signatures, both sides the full
+    * corpus — a shuffle join on (table, bucket), never n²), then the
+    * SAME exact-cosine ≥ 0.4 verification, so every emitted pair is a
+    * true near-dup (precision 1 by construction — output ⊆ the exact
+    * tier's); only recall is approximate. */
+  def dEmbedDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
+    val buckets = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
+        F.posexplode(AnnQueries.signatures(F.col("embedding")))
+          .as(Seq("t", "bucket")))
+      .localCheckpoint()
+    val a = buckets.select(F.col("t"), F.col("bucket"),
+      F.col("vec_id").as("a_id"), F.col("embedding").as("ea"),
+      F.col("nrm").as("na"))
+    val b = buckets.select(F.col("t"), F.col("bucket"),
+      F.col("vec_id").as("b_id"), F.col("embedding").as("eb"),
+      F.col("nrm").as("nb"))
+    a.join(b, Seq("t", "bucket")).filter(F.col("a_id") < F.col("b_id"))
+      .select(F.col("a_id"), F.col("b_id"),
+        (AnnQueries.dot(F.col("ea"), F.col("eb"))
+          / (F.col("na") * F.col("nb"))).as("cs"))
+      .filter(F.col("cs") >= 0.4)
+      .select(F.col("a_id"), F.col("b_id"),
+        F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** d_embed_dup_lsh driver gate: the exact near-dup pair count under
+    * the oracle hash PLUS a recall floor for the banded tier (its output
+    * is a subset of the exact tier's, so recall = n_lsh/n_exact) —
+    * proving the 100 TB candidate swap end-to-end, per the r8 verdict. */
+  def dEmbedDupLshGate(s: SparkSession, dir: String): DataFrame =
+    AnnQueries.recallStats(dEmbedDupLsh(s, dir), dEmbedDup(s, dir),
+        Seq("a_id", "b_id"))
+      .select(F.col("n_exact").as("n_pairs"),
+        F.when(F.lit(1000000L) * F.col("n_hit") >=
+          F.lit(AnnQueries.EmbedLshRecallFloorPpm) * F.col("n_exact"), 1L)
+          .otherwise(0L).as("ok"))
+
+  val dEmbedDupLshGateSql: String =
+    s"""SELECT COUNT(*) AS n_pairs, CAST(1 AS BIGINT) AS ok
+       |FROM ($dEmbedDupSql)""".stripMargin
+
   /** d_semdedup: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
     * semantic dedup through embedding clusters: k-means|| clusters the
     * corpus (KMeansTrainer, the same sample-bounded trainer as IVF),
@@ -928,5 +972,6 @@ object DedupQueries {
     ("d_fuzzy_e2e", dFuzzyE2e _, Some(dFuzzyE2eSql)),
     ("d_simhash", dSimhash _, None),
     ("d_semdedup", dSemDedup _, None),
-    ("d_embed_dup", dEmbedDup _, Some(dEmbedDupSql)))
+    ("d_embed_dup", dEmbedDup _, Some(dEmbedDupSql)),
+    ("d_embed_dup_lsh", dEmbedDupLshGate _, Some(dEmbedDupLshGateSql)))
 }

@@ -246,6 +246,35 @@ object PipelineQueries {
     * style naturalness proxy, exact ints). A doc is kept iff the
     * cumulative tokens THROUGH it stay ≤ budget (first-fit prefix —
     * deterministic, no partial docs). */
+  /** DRIVER GATE for the [[dPplBucketCuts]] scale tier: per language,
+    * ok = 1 iff the cuts tier's head/middle/tail assignment differs
+    * from the exact ntile tercile on at most n/50 + 4 documents (each
+    * of the 2 GK cuts may shift assignments only within its rank
+    * tolerance plus tie mass at the cut value — EqdCutsSpec's bound,
+    * here integer-exact as 50·diff ≤ n + 200). Oracle = the literal
+    * per-language all-ones frame with exact doc counts, so excess
+    * disagreement hash-breaks the gate. Runs both tiers once each:
+    * the scale tier's broadcast-compare plan AND the exactness tier it
+    * is graded against. */
+  def dPplBucketCutsCheck(s: SparkSession, dir: String): DataFrame = {
+    val exact = dPplBucket(s, dir).select(F.col("doc_id"), F.col("lang"),
+      F.col("ppl_bucket").as("b_exact"))
+    val approx = dPplBucketCuts(s, dir).select(F.col("doc_id"),
+      F.col("ppl_bucket").as("b_cuts"))
+    exact.join(approx, "doc_id")
+      .groupBy("lang")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("b_exact") =!= F.col("b_cuts"), 1L).otherwise(0L))
+          .as("diff"))
+      .select(F.col("lang"), F.col("n"),
+        F.when(F.lit(50L) * F.col("diff") <= F.col("n") + F.lit(200L), 1L)
+          .otherwise(0L).as("ok"))
+  }
+
+  val dPplBucketCutsCheckSql: String =
+    """SELECT lang, COUNT(*) AS n, CAST(1 AS BIGINT) AS ok
+      |FROM documents GROUP BY 1""".stripMargin
+
   def dTokenBudget(s: SparkSession, dir: String): DataFrame = {
     val Budget = 5000L
     val scored = TextQueries.tQuality(s, dir)
@@ -347,12 +376,15 @@ object PipelineQueries {
   }
 
   val dDsirSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
       |tris AS (
       |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
       |  FROM base, UNNEST(range(1, length(text) - 1)) AS u(i)),
       |c3 AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY 1),
+      |kept AS (SELECT tri, c3 FROM c3
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY c3 DESC, tri)
+      |    <= ${TextQueries.TrigramModelTopK}),
       |c2 AS (SELECT substr(tri, 1, 2) AS bi, COUNT(*) AS c2 FROM tris GROUP BY 1),
       |trisT AS (
       |  SELECT t.doc_id, t.tri FROM tris t
@@ -361,13 +393,15 @@ object PipelineQueries {
       |c2t AS (SELECT substr(tri, 1, 2) AS bi, COUNT(*) AS c2t FROM trisT GROUP BY 1),
       |rt AS (
       |  SELECT c3t.tri, (1000000 * c3t.c3t) // c2t.c2t AS r6t
-      |  FROM c3t JOIN c2t ON c2t.bi = substr(c3t.tri, 1, 2)),
+      |  FROM c3t
+      |  JOIN kept USING (tri)
+      |  JOIN c2t ON c2t.bi = substr(c3t.tri, 1, 2)),
       |sc AS (
       |  SELECT tris.doc_id, COUNT(*) AS n,
-      |    SUM((1000000 * c3.c3) // c2.c2) AS sum_c,
+      |    SUM((1000000 * kept.c3) // c2.c2) AS sum_c,
       |    SUM(COALESCE(rt.r6t, 0)) AS sum_t
       |  FROM tris
-      |  JOIN c3 USING (tri)
+      |  JOIN kept USING (tri)
       |  JOIN c2 ON c2.bi = substr(tris.tri, 1, 2)
       |  LEFT JOIN rt ON rt.tri = tris.tri
       |  GROUP BY 1)
@@ -515,32 +549,55 @@ object PipelineQueries {
     * q_psi_drift discipline: each word's JS term is computed in double
     * from exact integer counts by one shared expression and
     * floor(·×1e9 + 0.5)-quantized BEFORE the BIGINT sum (per-element
-    * quantization — float sums never cross rows). Fan-out is
-    * |source pairs| × |vocab| — linear in vocabulary, the word-count
-    * rollup is the only pass over text. */
+    * quantization — float sums never cross rows).
+    *
+    * SPARSE formulation (r9, replacing the dense |pairs|×|vocab| frame):
+    * a word absent from BOTH pair members contributes the same
+    * closed-form constant term0 = term(c1=0, c2=0) — a function of
+    * (n1, n2, v) only — so the frame carries only words PRESENT in at
+    * least one member (each wc row fans out to its S−1 pairs) and the
+    * absent mass lands as (v − n_present)·term0, bit-identical to the
+    * dense sum because term0 rides the identical quantized expression.
+    * The oracle stays the dense spelling — the hash gate proves the
+    * sparse+constant decomposition exact. Fan-out: Σ|union vocab per
+    * pair| ≤ (S−1)·|wc| instead of |pairs|·|vocab|. */
   def dSourceDivergence(s: SparkSession, dir: String): DataFrame = {
     val words = Tables(s, dir, "documents")
       .select(F.col("source"), F.explode(F.split(F.col("text"), " ")).as("w"))
     val wc = words.groupBy("source", "w").agg(F.count(F.lit(1)).as("c"))
       .localCheckpoint()
     val ns = wc.groupBy("source").agg(F.sum("c").as("n"))
-    val vocab = wc.select("w").distinct()
-    val vsize = vocab.agg(F.count(F.lit(1)).as("v"))
+    val vsize = wc.select("w").distinct().agg(F.count(F.lit(1)).as("v"))
     val pairs = ns.as("a").join(ns.as("b"), F.col("a.source") < F.col("b.source"))
       .select(F.col("a.source").as("s1"), F.col("a.n").as("n1"),
         F.col("b.source").as("s2"), F.col("b.n").as("n2"))
-    val j = pairs.crossJoin(vocab)
-      .join(wc.select(F.col("source").as("s1"), F.col("w"), F.col("c").as("c1")),
-        Seq("s1", "w"), "left")
-      .join(wc.select(F.col("source").as("s2"), F.col("w"), F.col("c").as("c2")),
-        Seq("s2", "w"), "left")
-      .na.fill(0L, Seq("c1", "c2"))
+    // each (source, w, c) row joins the S−1 pairs containing its source,
+    // carrying its count on the matching side — present-words-only frame
+    val sided = wc.crossJoin(F.broadcast(ns.select(F.col("source").as("o"))))
+      .filter(F.col("source") =!= F.col("o"))
+      .select(
+        F.when(F.col("source") < F.col("o"), F.col("source")).otherwise(F.col("o")).as("s1"),
+        F.when(F.col("source") < F.col("o"), F.col("o")).otherwise(F.col("source")).as("s2"),
+        F.col("w"),
+        F.when(F.col("source") < F.col("o"), F.col("c")).otherwise(F.lit(0L)).as("c1"),
+        F.when(F.col("source") < F.col("o"), F.lit(0L)).otherwise(F.col("c")).as("c2"))
+    val present = sided.groupBy("s1", "s2", "w")
+      .agg(F.sum("c1").as("c1"), F.sum("c2").as("c2"))
+    def jsTerm(c1: Column, c2: Column): Column = {
+      val p = (c1 + 1L).cast("double") / (F.col("n1") + F.col("v")).cast("double")
+      val q = (c2 + 1L).cast("double") / (F.col("n2") + F.col("v")).cast("double")
+      val m = (p + q) / 2.0
+      F.floor((p * F.log(p / m) * 0.5 + q * F.log(q / m) * 0.5) * 1e9 + 0.5)
+    }
+    present.join(F.broadcast(pairs), Seq("s1", "s2"))
       .crossJoin(F.broadcast(vsize))
-    val p = (F.col("c1") + 1L).cast("double") / (F.col("n1") + F.col("v")).cast("double")
-    val q = (F.col("c2") + 1L).cast("double") / (F.col("n2") + F.col("v")).cast("double")
-    val m = (p + q) / 2.0
-    val term = F.floor((p * F.log(p / m) * 0.5 + q * F.log(q / m) * 0.5) * 1e9 + 0.5)
-    j.groupBy("s1", "s2", "n1", "n2", "v").agg(F.sum(term).as("js9"))
+      .groupBy("s1", "s2", "n1", "n2", "v")
+      .agg(F.sum(jsTerm(F.col("c1"), F.col("c2"))).as("js_present"),
+        F.count(F.lit(1)).as("n_present"))
+      .select(F.col("s1"), F.col("s2"), F.col("n1"), F.col("n2"), F.col("v"),
+        (F.col("js_present") +
+          (F.col("v") - F.col("n_present")) * jsTerm(F.lit(0L), F.lit(0L)))
+          .as("js9"))
   }
 
   val dSourceDivergenceSql: String =
@@ -583,5 +640,6 @@ object PipelineQueries {
     ("d_e2e_pipeline", dE2ePipeline _, Some(dE2ePipelineSql)),
     ("d_shard_shuffle", dShardShuffle _, Some(dShardShuffleSql)),
     ("d_ppl_bucket", dPplBucket _, Some(dPplBucketSql)),
+    ("d_ppl_bucket_cuts", dPplBucketCutsCheck _, Some(dPplBucketCutsCheckSql)),
     ("d_vocab_coverage", dVocabCoverage _, Some(dVocabCoverageSql)))
 }

@@ -331,6 +331,18 @@ object TextQueries {
     * subset's trigram/bigram counts, so the subset model is bit-identical
     * to training on the filtered corpus — trigrams absent from the subset
     * simply don't appear in its model. */
+  /** Driver-side model bound: keep only the TopK most frequent trigrams
+    * (ties → lexical order) — CCNet-style frequency pruning that makes
+    * the collect CORPUS-INDEPENDENT (O(TopK)) instead of charset³, the
+    * r8 verdict's open-vocabulary fix. Probabilities (c3/c2, c3t/c2t)
+    * are computed over the FULL counts first; pruning only shrinks the
+    * model's support, and an absent trigram is simply unscored (the
+    * codegen'd scorer's inner-join semantics, mirrored by the oracles'
+    * join through the `kept` CTE). 256 < this corpus's 377 distinct
+    * trigrams, so the rule BITES at every SF and stays oracle-pinned;
+    * a production run would raise it to taste (the bound is the knob). */
+  val TrigramModelTopK = 256
+
   private[pipeline] def trigramModels2(docs: DataFrame,
       flag: Column): (Seq[(Int, Long)], Seq[(Int, Long)]) = {
     val c3 = docs
@@ -343,9 +355,13 @@ object TextQueries {
     val rows = c3.withColumn("bi", F.col("tri").substr(1, 2))
       .withColumn("c2", F.sum("c3").over(w))
       .withColumn("c2t", F.sum("c3t").over(w))
-      .select(F.col("tri"),
+      .select(F.col("tri"), F.col("c3"),
         F.expr("(1000000 * c3) div c2").as("r6"),
         F.expr("CASE WHEN c3t > 0 THEN (1000000 * c3t) div c2t END").as("r6t"))
+      // bounded-heap top-K (TakeOrderedAndProject): the ONLY driver
+      // collect is the pruned model, at any vocabulary size
+      .orderBy(F.col("c3").desc, F.col("tri")).limit(TrigramModelTopK)
+      .drop("c3")
       .collect()
     def key(t: String) =
       (t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt
@@ -355,7 +371,8 @@ object TextQueries {
     (corpus, target)
   }
 
-  private[pipeline] def trigramModel(docs: DataFrame): Seq[(Int, Long)] = {
+  private[pipeline] def trigramModel(docs: DataFrame,
+      topK: Int = TrigramModelTopK): Seq[(Int, Long)] = {
     val c3 = docs
       .select(F.explode(
         F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
@@ -364,7 +381,10 @@ object TextQueries {
     c3.withColumn("bi", F.col("tri").substr(1, 2))
       .withColumn("c2", F.sum("c3").over(
         org.apache.spark.sql.expressions.Window.partitionBy("bi")))
-      .select(F.col("tri"), F.expr("(1000000 * c3) div c2").as("r6"))
+      .select(F.col("tri"), F.col("c3"), F.expr("(1000000 * c3) div c2").as("r6"))
+      // corpus-independent driver bound (see TrigramModelTopK)
+      .orderBy(F.col("c3").desc, F.col("tri")).limit(topK)
+      .select("tri", "r6")
       .collect().map { r =>
         val t = r.getString(0)
         ((t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt,
@@ -384,16 +404,18 @@ object TextQueries {
   }
 
   val tTrigramLmSql: String =
-    """WITH tris AS (
+    s"""WITH tris AS (
       |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
       |  FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)
       |  WHERE length(text) >= 3),
       |c3 AS (SELECT tri, COUNT(*) AS c3 FROM tris GROUP BY 1),
+      |kept AS (SELECT tri, c3 FROM c3
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY c3 DESC, tri) <= $TrigramModelTopK),
       |c2 AS (SELECT substr(tri, 1, 2) AS bi, COUNT(*) AS c2 FROM tris GROUP BY 1)
       |SELECT doc_id, COUNT(*) AS n_tris,
-      | CAST(SUM((1000000 * c3.c3) // c2.c2) // COUNT(*) AS BIGINT) AS score6
+      | CAST(SUM((1000000 * kept.c3) // c2.c2) // COUNT(*) AS BIGINT) AS score6
       |FROM tris
-      |JOIN c3 USING (tri)
+      |JOIN kept USING (tri)
       |JOIN c2 ON c2.bi = substr(tris.tri, 1, 2)
       |GROUP BY 1""".stripMargin
 

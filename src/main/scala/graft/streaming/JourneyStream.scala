@@ -111,6 +111,38 @@ object JourneyStream {
         applyBatch(batch, dir, batchId, topkDir, capacity, delayMs))
       .start()
 
+  /** q_journey's exact sessionize spelling over a pooled buffer:
+    * per-user µs-exact (us, event_id) order, 30-min gap fold, per-row
+    * sess_idx + the session's constant end_us (so a closed/open split
+    * keeps sessions atomic). */
+  private def sessionized(pool: DataFrame): DataFrame = {
+    val byU = Window.partitionBy("user_id")
+      .orderBy(F.col("us").asc, F.col("event_id").asc)
+    pool
+      .withColumn("prev_us", F.lag("us", 1).over(byU))
+      .withColumn("new_sess",
+        F.when(F.col("prev_us").isNull ||
+          F.col("us") - F.col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", F.sum("new_sess").over(
+        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("end_us", F.max("us").over(
+        Window.partitionBy("user_id", "sess_idx")))
+  }
+
+  /** One 'a>b>c' path row per session of a [[sessionized]] frame. */
+  private def pathsOf(sess: DataFrame): DataFrame = {
+    val bySess = Window.partitionBy("user_id", "sess_idx")
+      .orderBy(F.col("us").asc, F.col("event_id").asc)
+    sess.withColumn("rn", F.row_number().over(bySess))
+      .filter(F.col("rn") <= 3)
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        F.min(F.when(F.col("rn") === 1, F.col("event_type"))).as("s1"),
+        F.min(F.when(F.col("rn") === 2, F.col("event_type"))).as("s2"),
+        F.min(F.when(F.col("rn") === 3, F.col("event_type"))).as("s3"))
+      .select(F.concat_ws(">", F.col("s1"), F.col("s2"), F.col("s3")).as("path"))
+  }
+
   /** Fold one micro-batch into journey_v{batchId} and feed the closed
     * paths to TopKSink. Idempotent (both folds skip replayed ids).
     *
@@ -123,7 +155,10 @@ object JourneyStream {
     * merge into it — the same rule as the flatMapGroupsWithState
     * variant, so both paths share the oracle by construction. Arrivals
     * behind the PREVIOUS watermark are dropped (they may belong to an
-    * already-emitted session); in-order replays drop nothing. */
+    * already-emitted session); in-order replays drop nothing. An EMPTY
+    * pool keeps wm = prevWm (the watermark only moves when a max
+    * exists — deriving it from a defaulted Long.MinValue max would
+    * underflow to ~+2⁶³ and seal the stream forever). */
   def applyBatch(batch: DataFrame, dir: String, batchId: Long,
                  topkDir: String, capacity: Int = 512,
                  delayMs: Long = DefaultDelayMs): Unit = {
@@ -145,46 +180,44 @@ object JourneyStream {
     }
     val pool = arrivals.filter(F.col("us") >= prevWm)
       .unionByName(prevBuf).localCheckpoint()
-    val maxUs = Option(pool.agg(F.max("us")).collect()(0).get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-    val wm = math.max(prevWm, maxUs - delayMs * 1000L)
-    // q_journey's exact sessionize spelling over the pooled buffer
-    val byU = Window.partitionBy("user_id")
-      .orderBy(F.col("us").asc, F.col("event_id").asc)
-    val sess = pool
-      .withColumn("prev_us", F.lag("us", 1).over(byU))
-      .withColumn("new_sess",
-        F.when(F.col("prev_us").isNull ||
-          F.col("us") - F.col("prev_us") > GapUs, 1L).otherwise(0L))
-      .withColumn("sess_idx", F.sum("new_sess").over(
-        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("end_us", F.max("us").over(
-        Window.partitionBy("user_id", "sess_idx")))
-      .localCheckpoint()
+    // bounded reduction: one MAX row to the driver
+    val maxUsOpt = Option(pool.agg(F.max("us")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long])
+    val wm = maxUsOpt.map(m => math.max(prevWm, m - delayMs * 1000L))
+      .getOrElse(prevWm)
+    val sess = sessionized(pool).localCheckpoint()
     val closed = sess.filter(F.col("end_us") + GapUs < wm)
     val open = sess.filter(F.col("end_us") + GapUs >= wm)
-    val bySess = Window.partitionBy("user_id", "sess_idx")
-      .orderBy(F.col("us").asc, F.col("event_id").asc)
-    val closedPaths = closed.withColumn("rn", F.row_number().over(bySess))
-      .filter(F.col("rn") <= 3)
-      .groupBy("user_id", "sess_idx")
-      .agg(
-        F.min(F.when(F.col("rn") === 1, F.col("event_type"))).as("s1"),
-        F.min(F.when(F.col("rn") === 2, F.col("event_type"))).as("s2"),
-        F.min(F.when(F.col("rn") === 3, F.col("event_type"))).as("s3"))
-      .select(F.concat_ws(">", F.col("s1"), F.col("s2"), F.col("s3")).as("path"))
-    TopKSink.applyBatch(closedPaths, topkDir, batchId, capacity, "path")
+    TopKSink.applyBatch(pathsOf(closed), topkDir, batchId, capacity, "path")
     open.select("user_id", "us", "event_id", "event_type")
       .write.mode("overwrite").parquet(GraftFs.child(target, "buf"))
     // marker AFTER both folds; carries the watermark
     GraftFs.writeTextAtomic(conf, GraftFs.child(target, "_SUCCESS"), wm.toString)
   }
 
-  /** The maintained top journeys in q_journey's output shape. Exact
-    * whenever lifetime distinct paths ≤ the TopKSink capacity. */
-  def readTop(spark: SparkSession, topkDir: String, k: Int = 20): DataFrame =
-    TopKSink.read(spark, topkDir)
+  /** The maintained top journeys in q_journey's output shape: TopKSink's
+    * closed-session counts merged with an on-the-fly session fold of the
+    * still-open buffer (MarkovSink.read's residual-tail rule), so the
+    * served answer equals the batch q_journey over everything received
+    * while the durable top-k only ever holds seal-finalized sessions.
+    * Exact whenever lifetime distinct paths ≤ the TopKSink capacity
+    * (journey alphabets are ≤ |types|+|types|²+|types|³). */
+  def readTop(spark: SparkSession, dir: String, topkDir: String,
+              k: Int = 20): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val closed = TopKSink.read(spark, topkDir)
       .select(F.col("term").as("path"), F.col("w").as("n_sess"))
+    val tail = GraftFs.latest(conf, dir, "journey_v", Long.MaxValue) match {
+      case Some(p) =>
+        val buf = spark.read.schema(bufSchema)
+          .parquet(GraftFs.child(p, "buf"))
+        pathsOf(sessionized(buf))
+          .groupBy("path").agg(F.count(F.lit(1)).as("n_sess"))
+      case None => closed.limit(0)
+    }
+    closed.unionByName(tail)
+      .groupBy("path").agg(F.sum("n_sess").as("n_sess"))
       .orderBy(F.col("n_sess").desc, F.col("path").asc)
       .limit(k)
+  }
 }

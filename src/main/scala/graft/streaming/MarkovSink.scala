@@ -30,9 +30,13 @@ import graft.GraftFs
   * pre-r8 gap): an event disordered by ≤ delay arrives while its true
   * neighbors are still buffered, so the sort places it correctly before
   * any pair involving it is counted — the same buffered-watermark
-  * pattern as SessionFunnelStream. The per-user max never seals
-  * (tu_max < tu_max − delay is false), so the watermark derived from
-  * the pooled buffer is monotone with no extra state. [[read]] folds
+  * pattern as SessionFunnelStream. The GLOBAL max never seals
+  * (tu_max < tu_max − delay is false), so the pooled buffer is never
+  * empty once non-empty and the watermark derived from it is monotone
+  * with no extra state; a USER's max event does seal whenever another
+  * user advances the watermark past it — per-user correctness then
+  * rests on the sealed-frontier drop, not on any per-user buffering.
+  * [[read]] folds
   * the residual buffer on the fly, so the served matrix equals the
   * batch q_markov answer over everything received, while the durable
   * pair counts only ever contain seal-finalized history.

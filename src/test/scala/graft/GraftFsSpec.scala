@@ -46,6 +46,23 @@ class GraftFsSpec extends SparkSpec {
       .get.endsWith("snap_v2"))
   }
 
+  test("readText serves and restores the .old backup after a crash mid-replace") {
+    val dir = freshDir("bak")
+    val p = GraftFs.child(dir, "manifest")
+    GraftFs.writeTextAtomic(conf, p, "v1")
+    // simulate the non-atomic fallback crashing between moving the old
+    // file aside and swinging the new one in: only `.manifest.old` left
+    val fs = GraftFs.fs(dir, conf)
+    val path = new org.apache.hadoop.fs.Path(p)
+    val bak = new org.apache.hadoop.fs.Path(path.getParent, ".manifest.old")
+    assert(fs.rename(path, bak))
+    assert(!fs.exists(path) && fs.exists(bak))
+    // recovery is automatic: the backup is served AND restored
+    assert(GraftFs.readText(conf, p) === Some("v1"))
+    assert(fs.exists(path) && !fs.exists(bak))
+    assert(GraftFs.readText(conf, p) === Some("v1"))
+  }
+
   test("RollupSink maintains state on a non-default scheme end-to-end") {
     import spark.implicits._
     val dir = freshDir("rollup")

@@ -49,6 +49,15 @@ class LangConfusionSpec extends SparkSpec {
       assert(rows((s1, s2)) == (n1, n2, v, js9), s"$s1/$s2")
       assert(js9 >= 0, "JS divergence is non-negative")
     }
+    // the r9 sparse formulation only carries words PRESENT in a pair's
+    // union (+ the closed-form absent constant); assert sparsity BITES
+    // on this corpus, i.e. the dense pairs×vocab frame it replaced was
+    // genuinely larger than the union-vocab frame
+    val unionSum = (for (i <- srcs.indices; j <- (i + 1) until srcs.size)
+      yield vocab.count(w => bySrc(srcs(i)).contains(w) ||
+        bySrc(srcs(j)).contains(w)).toLong).sum
+    assert(unionSum < srcs.size * (srcs.size - 1) / 2 * v,
+      s"every word present in every pair union ($unionSum) — sparse tier moot")
   }
 
   test("t_heaps deciles tile the corpus and cumulative vocab is total vocab") {

@@ -12,7 +12,19 @@ class TextSpec extends SparkSpec {
     val flag = F.col("lang") === "en"
     val (corpus, target) = TextQueries.trigramModels2(docs, flag)
     assert(corpus.toMap === TextQueries.trigramModel(docs).toMap)
-    assert(target.toMap === TextQueries.trigramModel(docs.filter(flag)).toMap)
+    // both fused models prune support by CORPUS frequency rank (one
+    // shared top-K — the d_dsir contract), so the separate-training
+    // equivalent of the target model is the UNPRUNED subset training
+    // restricted to the pruned corpus model's keys; r6t ratios are
+    // untouched by pruning (probabilities precede the support cut)
+    val corpusKeys = corpus.map(_._1).toSet
+    val sep = TextQueries.trigramModel(docs.filter(flag),
+        topK = Int.MaxValue).toMap
+    assert(target.toMap ===
+      sep.view.filterKeys(corpusKeys.contains).toMap)
+    // the pruning BITES on this corpus (otherwise the bound is untested)
+    assert(corpus.size == TextQueries.TrigramModelTopK)
+    assert(sep.size > target.size)
   }
 
   test("fingerprint eligibility is byte-based: short-char multi-byte text keeps its windows") {
