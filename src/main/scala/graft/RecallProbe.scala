@@ -32,12 +32,26 @@ object RecallProbe {
       ("s_knn_graph_lsh", () => A.recallOf(A.sKnnGraphLsh(spark, dir),
         A.sKnnGraph(spark, dir), Seq("src", "dst"))),
       ("d_embed_dup_lsh", () => A.recallOf(D.dEmbedDupLsh(spark, dir),
-        D.dEmbedDup(spark, dir), Seq("a_id", "b_id"))))
+        D.dEmbedDup(spark, dir), Seq("a_id", "b_id"))),
+      ("d_semdedup_drops", () => {
+        import org.apache.spark.sql.{functions => F}
+        A.recallOf(
+          D.dSemDedup(spark, dir).filter(F.col("keep") === 0L)
+            .select(F.col("vec_id")),
+          D.dEmbedDup(spark, dir).select(F.col("b_id").as("vec_id")).distinct(),
+          Seq("vec_id"))
+      }))
     probes.foreach { case (name, f) =>
       val r = f().collect()(0)
       println(f"[recall] $name%-18s n_exact=${r.getLong(0)}%-6d " +
         f"n_hit=${r.getLong(1)}%-6d recall_ppm=${r.getLong(2)}")
     }
+    // per-source training accuracy (floor source for d_quality_model_gate)
+    graft.pipeline.QualityModel.dQualityModel(spark, dir).collect()
+      .foreach { r =>
+        println(f"[recall] quality_acc:${r.getString(0)}%-14s " +
+          f"n=${r.getLong(1)}%-6d acc_pct=${100L * r.getLong(3) / r.getLong(1)}")
+      }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.olap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
@@ -119,6 +119,49 @@ object OlapExtraQueries {
       .agg(
         F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000)).as("ap50"),
         F.percentile_approx(F.col("l_extendedprice"), F.lit(0.9), F.lit(10000)).as("ap90"))
+
+  /** q_approx_pct_err: the sketch-percentile path under the HASH GATE
+    * (q_histogram_eqd_cuts' rank-feasibility rule): per group, ok = 1
+    * iff the GK value's feasible rank interval [count(<x)+1, count(≤x)]
+    * meets the exact target p·n within the sketch tolerance n/accuracy
+    * (+2 rounding slack) — exact BIGINT via p-scaled ranks (p=0.5 → ×2,
+    * p=0.9 → ×10). Runs on integer cents so both the sketch input and
+    * the rank counts are engine-exact; the group's exact row count rides
+    * the oracle hash. One pass for the cuts + one broadcast-join
+    * conditional-sum pass — no sort, no window. */
+  def qApproxPctErr(s: SparkSession, dir: String): DataFrame = {
+    val accuracy = 10000
+    val v = Tables(s, dir, "lineitem")
+      .select(F.col("l_returnflag"),
+        (Tables.dec2(F.col("l_extendedprice")) * 100).cast("long").as("vc"))
+    val ap = v.groupBy("l_returnflag").agg(
+      F.percentile_approx(F.col("vc"), F.lit(0.5), F.lit(accuracy)).as("ap50"),
+      F.percentile_approx(F.col("vc"), F.lit(0.9), F.lit(accuracy)).as("ap90"))
+    v.join(F.broadcast(ap), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("vc") < F.col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        F.sum(F.when(F.col("vc") <= F.col("ap50"), 1L).otherwise(0L)).as("le50"),
+        F.sum(F.when(F.col("vc") < F.col("ap90"), 1L).otherwise(0L)).as("lt90"),
+        F.sum(F.when(F.col("vc") <= F.col("ap90"), 1L).otherwise(0L)).as("le90"))
+      .select(F.col("l_returnflag"), F.col("n"),
+        F.when(
+          F.lit(2L) * F.col("le50") >= F.col("n") - F.lit(2L) * tolC(accuracy) &&
+          F.lit(2L) * (F.col("lt50") + 1L) <= F.col("n") + F.lit(2L) * tolC(accuracy) + 2L,
+          1L).otherwise(0L).as("ok50"),
+        F.when(
+          F.lit(10L) * F.col("le90") >= F.lit(9L) * F.col("n") - F.lit(10L) * tolC(accuracy) &&
+          F.lit(10L) * (F.col("lt90") + 1L) <= F.lit(9L) * F.col("n") + F.lit(10L) * tolC(accuracy) + 10L,
+          1L).otherwise(0L).as("ok90"))
+  }
+
+  private def tolC(accuracy: Int): Column =
+    F.expr(s"n div $accuracy") + F.lit(2L)
+
+  val qApproxPctErrSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n, CAST(1 AS BIGINT) AS ok50,
+      | CAST(1 AS BIGINT) AS ok90
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** q_funnel: ClickHouse `windowFunnel` — deepest click→view→purchase
     * sequence per user completed within 1 hour of the first click, then
@@ -860,6 +903,7 @@ object OlapExtraQueries {
     ("q_json", qJson _, Some(qJsonSql)),
     ("q_cube", qCube _, Some(qCubeSql)),
     ("q_approx_pct", qApproxPct _, None),
+    ("q_approx_pct_err", qApproxPctErr _, Some(qApproxPctErrSql)),
     ("q_funnel", qFunnel _, Some(qFunnelSql)),
     ("q_funnel_strict", qFunnelStrict _, Some(qFunnelStrictSql)),
     ("q_funnel_dedup", qFunnelDedup _, Some(qFunnelDedupSql)),

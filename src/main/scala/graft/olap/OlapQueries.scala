@@ -231,11 +231,31 @@ object OlapQueries {
       |FROM events GROUP BY event_type""".stripMargin
 
   /** HLL approximate distinct per group (sketch values are engine-specific:
-    * rows-only check; exactness covered by qDistinct). */
+    * rows-only check; exactness covered by qDistinct; error DRIVER-GATED
+    * via q_approx_distinct_err). */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(F.approx_count_distinct(F.col("user_id"), 0.01).as("approx_users"))
+
+  /** q_approx_distinct_err: the HLL path under the HASH GATE — per group,
+    * ok = 1 iff |approx − exact| ≤ 4% of exact (HLL rsd 0.01, gate at
+    * 4σ; the sketch is deterministic for fixed data, so the flag is
+    * stable). The exact count rides the oracle hash, so the gate proves
+    * both the exact twin AND the sketch's error bound in one entry. */
+  def qApproxDistinctErr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(F.countDistinct(F.col("user_id")).as("n_users"),
+        F.approx_count_distinct(F.col("user_id"), 0.01).as("a"))
+      .select(F.col("event_type"), F.col("n_users"),
+        F.when(F.abs(F.col("a") - F.col("n_users")) * 100L <=
+          F.col("n_users") * 4L, 1L).otherwise(0L).as("ok"))
+
+  val qApproxDistinctErrSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      | CAST(1 AS BIGINT) AS ok
+      |FROM events GROUP BY 1""".stripMargin
 
   /** Exact percentiles (p50/p90) by deterministic row selection — identical
     * semantics both engines, no interpolation-formula drift. */
@@ -629,6 +649,7 @@ object OlapQueries {
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_distinct", qDistinct _, Some(qDistinctSql)),
     ("q_approx_distinct", qApproxDistinct _, None),
+    ("q_approx_distinct_err", qApproxDistinctErr _, Some(qApproxDistinctErrSql)),
     ("q_percentile", qPercentile _, Some(qPercentileSql)),
     ("q_rollup", qRollup _, Some(qRollupSql)),
     ("q_grouping_sets", qGroupingSets _, Some(qGroupingSetsSql)),

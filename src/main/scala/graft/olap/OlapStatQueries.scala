@@ -578,8 +578,79 @@ object OlapStatQueries {
           .as("n_also_purchase_est"))
   }
 
+  /** q_theta_sketch_err: the KMV path under the HASH GATE — per type,
+    * ok flags for the audience estimate and the union-with-purchase
+    * estimate vs their exact twins (KMV K=256 → rsd 1/√(K−1) ≈ 6.3%;
+    * gate at 20% ≈ 3σ; below-capacity groups are exact so their flag is
+    * trivially true), and an intersection flag at the looser
+    * |est − exact| ≤ 30% of the exact UNION (inclusion-exclusion
+    * compounds the union's absolute error — relative-to-intersection
+    * bounds don't exist for small overlaps). The exact audience /
+    * union / intersection counts ride the oracle hash. Everything is
+    * one grouped pass over events (sketch + exact sets together) plus
+    * one broadcast of the purchase row. */
+  def qThetaSketchErr(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ThetaSketch
+    val K = 256
+    val ev = Tables(s, dir, "events")
+    val sk = ev.groupBy("event_type")
+      .agg(ThetaSketch.agg(F.col("user_id"), K).as("sk"))
+    val psk = sk.filter(F.col("event_type") === "purchase")
+      .select(F.col("sk").as("psk"))
+    // exact twins from the DISTINCT (type, user) frame — one distinct
+    // shuffle + one broadcast purchase-membership join, never a
+    // collected per-group user set
+    val tu = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    val pu = tu.filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id")).withColumn("isp", F.lit(1))
+    val np = pu.agg(F.count(F.lit(1)).as("np"))
+    val exact = tu.join(pu.drop("event_type"), Seq("user_id"), "left")
+      .groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("n_users"),
+        F.sum(F.when(F.col("isp").isNotNull, 1L).otherwise(0L))
+          .as("n_also_purchase"))
+      .crossJoin(F.broadcast(np))
+      .select(F.col("event_type"), F.col("n_users"),
+        (F.col("n_users") + F.col("np") - F.col("n_also_purchase")).as("n_union"),
+        F.col("n_also_purchase"))
+    exact.join(sk, "event_type")
+      .join(F.broadcast(psk), F.lit(true), "left")
+      .select(F.col("event_type"), F.col("n_users"), F.col("n_union"),
+        F.col("n_also_purchase"),
+        ThetaSketch.estimateCol(F.col("sk"), K).as("e"),
+        F.coalesce(ThetaSketch.unionEstimateCol(F.col("sk"), F.col("psk"), K),
+          F.lit(0L)).as("eu"),
+        F.coalesce(ThetaSketch.intersectEstimateCol(F.col("sk"), F.col("psk"), K),
+          F.lit(0L)).as("ei"))
+      .select(F.col("event_type"), F.col("n_users"), F.col("n_union"),
+        F.col("n_also_purchase"),
+        F.when(F.abs(F.col("e") - F.col("n_users")) * 100L <=
+          F.col("n_users") * 20L, 1L).otherwise(0L).as("ok_est"),
+        F.when(F.abs(F.col("eu") - F.col("n_union")) * 100L <=
+          F.col("n_union") * 20L, 1L).otherwise(0L).as("ok_union"),
+        F.when(F.abs(F.col("ei") - F.col("n_also_purchase")) * 100L <=
+          F.col("n_union") * 30L, 1L).otherwise(0L).as("ok_inter"))
+  }
+
+  val qThetaSketchErrSql: String =
+    """WITH a AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT e.event_type,
+      |   COUNT(DISTINCT CASE WHEN p.user_id IS NOT NULL THEN e.user_id END) AS n_inter
+      |  FROM events e LEFT JOIN p ON p.user_id = e.user_id GROUP BY 1),
+      |np AS (SELECT COUNT(*) AS np FROM p)
+      |SELECT a.event_type, a.n_users,
+      | CAST(a.n_users + np.np - u.n_inter AS BIGINT) AS n_union,
+      | CAST(u.n_inter AS BIGINT) AS n_also_purchase,
+      | CAST(1 AS BIGINT) AS ok_est, CAST(1 AS BIGINT) AS ok_union,
+      | CAST(1 AS BIGINT) AS ok_inter
+      |FROM a JOIN u ON u.event_type = a.event_type CROSS JOIN np""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_theta_sketch", qThetaSketch _, None),
+    ("q_theta_sketch_err", qThetaSketchErr _, Some(qThetaSketchErrSql)),
     ("q_sql_bitmap", qSqlBitmap _, Some(qBitmapSql)),
     ("q_cramers_v", qCramersV _, Some(qCramersVSql)),
     ("q_salted", qSalted _, Some(qSaltedSql)),

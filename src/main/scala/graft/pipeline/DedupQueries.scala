@@ -406,6 +406,38 @@ object DedupQueries {
       .filter(F.col("hamming") <= 3)
   }
 
+  /** d_simhash_gate: the pigeonhole-blocked SimHash pair search under
+    * the HASH GATE — the 4×16-bit chunk blocking is EXACT for
+    * hamming ≤ 3 (≥ 1 chunk must be untouched), so the blocked join's
+    * pair set must EQUAL the brute-force all-pairs XOR-popcount scan;
+    * ok = 1 iff the symmetric difference is empty. The brute tier is
+    * n²/2 popcounts over 64-bit longs (ids+fingerprints only — no text
+    * crosses the join), run here solely because proving exactness needs
+    * the baseline; the corpus doc count rides the oracle hash. */
+  def dSimhashGate(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        graft.functions.TextFunctions.wordSimHash(F.col("text")).as("fp"))
+      .localCheckpoint()
+    val blocked = dSimhash(s, dir).select("a_id", "b_id")
+    val brute = fp.select(F.col("doc_id").as("a_id"), F.col("fp").as("fa"))
+      .crossJoin(fp.select(F.col("doc_id").as("b_id"), F.col("fp").as("fb")))
+      .filter(F.col("a_id") < F.col("b_id") &&
+        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= 3)
+      .select("a_id", "b_id")
+    val diff = blocked.withColumn("s", F.lit(1L))
+      .unionByName(brute.withColumn("s", F.lit(-1L)))
+      .groupBy("a_id", "b_id").agg(F.sum("s").as("d"))
+      .filter(F.col("d") =!= 0L)
+    fp.agg(F.count(F.lit(1)).as("n_docs"))
+      .crossJoin(F.broadcast(diff.agg(F.count(F.lit(1)).as("n_diff"))))
+      .select(F.col("n_docs"),
+        F.when(F.col("n_diff") === 0L, 1L).otherwise(0L).as("ok"))
+  }
+
+  val dSimhashGateSql: String =
+    "SELECT COUNT(*) AS n_docs, CAST(1 AS BIGINT) AS ok FROM documents"
+
   /** d_embed_dup: exact embedding-cosine near-dup pairs (cos ≥ 0.4).
     * Dot/norm are ordered left folds over the vector (Spark `aggregate`
     * ≡ DuckDB `list_reduce` after the same float→double casts) so the
@@ -518,6 +550,40 @@ object DedupQueries {
         F.element_at(F.col("cids"), 1).cast("long").as("cid"),
         F.when(F.col("dropped").isNotNull, 0L).otherwise(1L).as("keep"))
   }
+
+  /** d_semdedup_gate: the SemDeDup drop set under the HASH GATE —
+    * precision must be EXACTLY 1 (every semantic drop has a true
+    * smaller-id cos ≥ 0.4 neighbor: n_bad = 0 rides the oracle hash,
+    * with the exact keep-min drop count) and drop recall vs the exact
+    * all-pairs rule must clear its floor. Runs both tiers once each,
+    * like the other r9 scale-tier gates. */
+  def dSemDedupGate(s: SparkSession, dir: String): DataFrame = {
+    val exactDrops = dEmbedDup(s, dir)
+      .select(F.col("b_id").as("vec_id")).distinct()
+    val semDrops = dSemDedup(s, dir).filter(F.col("keep") === 0L)
+      .select("vec_id")
+    val prec = semDrops
+      .join(exactDrops.withColumn("x", F.lit(1)), Seq("vec_id"), "left")
+      .agg(F.sum(F.when(F.col("x").isNull, 1L).otherwise(0L)).as("n_bad"))
+    val rec = exactDrops
+      .join(semDrops.withColumn("h", F.lit(1)), Seq("vec_id"), "left")
+      .agg(F.count(F.lit(1)).as("n_drops"),
+        F.sum(F.when(F.col("h").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+    rec.crossJoin(prec)
+      .select(F.col("n_drops"), F.col("n_bad"),
+        F.when(F.lit(1000000L) * F.col("n_hit") >=
+          F.lit(SemDedupRecallFloorPpm) * F.col("n_drops"), 1L)
+          .otherwise(0L).as("ok"))
+  }
+
+  /** Measured drop recall 596774..792452 ppm across sf0.001/0.01/0.1
+    * (graft.RecallProbe); floor set under the minimum. */
+  val SemDedupRecallFloorPpm = 500000L
+
+  val dSemDedupGateSql: String =
+    s"""SELECT COUNT(DISTINCT b_id) AS n_drops, CAST(0 AS BIGINT) AS n_bad,
+       | CAST(1 AS BIGINT) AS ok
+       |FROM ($dEmbedDupSql)""".stripMargin
 
   /** d_sample: deterministic content-hash sampling — keep a document iff
     * its md5 prefix falls under the threshold. The split is a pure
@@ -973,5 +1039,7 @@ object DedupQueries {
     ("d_simhash", dSimhash _, None),
     ("d_semdedup", dSemDedup _, None),
     ("d_embed_dup", dEmbedDup _, Some(dEmbedDupSql)),
-    ("d_embed_dup_lsh", dEmbedDupLshGate _, Some(dEmbedDupLshGateSql)))
+    ("d_embed_dup_lsh", dEmbedDupLshGate _, Some(dEmbedDupLshGateSql)),
+    ("d_semdedup_gate", dSemDedupGate _, Some(dSemDedupGateSql)),
+    ("d_simhash_gate", dSimhashGate _, Some(dSimhashGateSql)))
 }

@@ -115,6 +115,30 @@ object QualityModel {
           .cast("long").as("n_correct"))
   }
 
+  /** Accuracy floor for [[dQualityGate]], percent: measured per-source
+    * training accuracy across sf0.001/0.01/0.1 sits at 92-100% everywhere
+    * (graft.RecallProbe prints the live minima); last-ulp IRLS jitter
+    * can flip only docs with z ≈ 0, which moves accuracy by ±1 doc —
+    * harmless against the floored margin. */
+  val QualityAccFloorPct = 80L
+
+  /** d_quality_model_gate: the trained quality classifier under the
+    * HASH GATE — per source, ok = 1 iff training accuracy clears the
+    * floor (the classifier must beat the floor everywhere it will be
+    * applied; coefficients themselves are float and stay rows-only).
+    * Per-source doc counts ride the oracle hash. */
+  def dQualityGate(s: SparkSession, dir: String): DataFrame =
+    dQualityModel(s, dir)
+      .select(F.col("source"), F.col("n_docs"),
+        F.when(F.lit(100L) * F.col("n_correct") >=
+          F.lit(QualityAccFloorPct) * F.col("n_docs"), 1L)
+          .otherwise(0L).as("ok"))
+
+  val dQualityGateSql: String =
+    """SELECT source, COUNT(*) AS n_docs, CAST(1 AS BIGINT) AS ok
+      |FROM documents GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("d_quality_model", dQualityModel _, None))
+    ("d_quality_model", dQualityModel _, None),
+    ("d_quality_model_gate", dQualityGate _, Some(dQualityGateSql)))
 }

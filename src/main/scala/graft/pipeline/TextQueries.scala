@@ -203,6 +203,30 @@ object TextQueries {
         graft.functions.TextFunctions.rollingMinHash(F.col("text"), 8, 4)
           .getItem(i).as(s"fp$i")): _*)
 
+  /** t_fingerprint_gate: the rolling-MinHash document fingerprint under
+    * the HASH GATE — the sketch values themselves have no SQL oracle,
+    * but the operator's CONTRACT does: every byte-eligible doc
+    * (octet_length ≥ 8) gets exactly one row, and the fingerprint is a
+    * pure function of text (identical texts ⇒ identical 4-sketch
+    * tuples). ok = 1 iff no text maps to two distinct tuples; the
+    * eligible-doc count rides the oracle hash. */
+  def tFingerprintGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val fp = tFingerprint(s, dir)
+    val perText = fp.join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy("text")
+      .agg(F.countDistinct(F.struct("fp0", "fp1", "fp2", "fp3")).as("nd"))
+      .agg(F.max("nd").as("max_nd"))
+    fp.agg(F.count(F.lit(1)).as("n_docs"))
+      .crossJoin(F.broadcast(perText))
+      .select(F.col("n_docs"),
+        F.when(F.col("max_nd") === 1L, 1L).otherwise(0L).as("ok"))
+  }
+
+  val tFingerprintGateSql: String =
+    """SELECT COUNT(*) AS n_docs, CAST(1 AS BIGINT) AS ok
+      |FROM documents WHERE strlen(text) >= 8""".stripMargin
+
   /** t_zipf: Zipf rank-frequency fit — the corpus-health diagnostic
     * (natural corpora have log-log slope ≈ −1; pathological/boilerplate
     * corpora drift): OLS slope of ln(freq) vs ln(rank) over the top-100
@@ -1069,5 +1093,6 @@ object TextQueries {
     ("t_quality", tQuality _, Some(tQualitySql)),
     ("t_tokens", tTokens _, Some(tTokensSql)),
     ("t_fingerprint", tFingerprint _, None),
+    ("t_fingerprint_gate", tFingerprintGate _, Some(tFingerprintGateSql)),
     ("t_topterms", tTopTerms _, Some(tTopTermsSql)))
 }
