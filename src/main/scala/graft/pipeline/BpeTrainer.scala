@@ -180,8 +180,101 @@ object BpeTrainer {
   def train(words: DataFrame): Seq[(Int, String, String, Long)] =
     train(words, Merges)
 
+  /** t_bpe_train_gate: the learned merge table's DRIVER-checkable core —
+    * round 1 is a single SQL argmax (most frequent adjacent symbol pair
+    * of the raw word-frequency table, ties lexical), so its (left,
+    * right, freq) rides the oracle hash; later rounds depend on
+    * iterative rewrites (spec-proven vs the plain-Scala replica) and are
+    * summarized by ok = 1 iff the table's ranks are exactly 1..n with
+    * positive frequencies. */
+  def tBpeTrainGate(s: SparkSession, dir: String): DataFrame = {
+    val t = tBpeTrain(s, dir)
+    val first = t.filter(F.col("rank") === 1L)
+      .select(F.col("left"), F.col("right"), F.col("freq"))
+    val okRanks = t.agg(F.count(F.lit(1)).as("n"),
+        F.max("rank").as("mx"), F.min("rank").as("mn"),
+        F.countDistinct("rank").as("nd"), F.min("freq").as("mf"))
+      .select(F.when(F.col("mx") === F.col("n") && F.col("mn") === 1L &&
+        F.col("nd") === F.col("n") && F.col("mf") > 0L, 1L)
+        .otherwise(0L).as("ok"))
+    first.crossJoin(F.broadcast(okRanks))
+  }
+
+  val tBpeTrainGateSql: String =
+    """WITH w AS (
+      |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (
+      |  SELECT word, COUNT(*) AS freq FROM w
+      |  WHERE regexp_full_match(word, '[a-z]+') GROUP BY 1),
+      |pairs AS (
+      |  SELECT substring(word, CAST(i AS INTEGER), 1) AS l,
+      |   substring(word, CAST(i AS INTEGER) + 1, 1) AS r,
+      |   CAST(SUM(freq) AS BIGINT) AS c
+      |  FROM wf, UNNEST(range(1, length(word))) AS t(i)
+      |  GROUP BY 1, 2)
+      |SELECT l AS "left", r AS "right", c AS freq, CAST(1 AS BIGINT) AS ok
+      |FROM pairs ORDER BY c DESC, l, r LIMIT 1""".stripMargin
+
+  /** t_bpe_apply_gate: the tokenizer under the HASH GATE via its
+    * LOSSLESSNESS contract — BPE merges only fuse adjacent symbols, so
+    * joining a word's tokens must reconstruct the word exactly; ok = 1
+    * per doc iff every in-domain word round-trips. Catches any
+    * corruption in the replace-chain spelling (quote escaping, marker
+    * collisions); per-doc word counts ride the oracle hash. */
+  def tBpeApplyGate(s: SparkSession, dir: String): DataFrame = {
+    val merges = train(wordFreqs(s, dir), Merges)
+    val tok = tokenizeExpr("w", merges)
+    Tables(s, dir, "documents")
+      .select(F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").as("n_words"),
+        F.expr(
+          s"""CASE WHEN forall(split(text, ' '),
+             |  w -> w NOT RLIKE '^[a-z]+$$' OR array_join($tok, '') = w)
+             |THEN 1L ELSE 0L END""".stripMargin).as("ok"))
+  }
+
+  val tBpeApplyGateSql: String =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      | CAST(1 AS BIGINT) AS ok
+      |FROM documents""".stripMargin
+
+  /** d_tokenize_pack_gate: the packing invariants under the HASH GATE —
+    * per source: every doc packed exactly once (count rides the oracle
+    * hash), no bin overfilled (offset + n ≤ cap unless the doc opens its
+    * bin), bins contiguous from 0, and offsets equal the running fill in
+    * (hash, doc_id) order. One window pass over the packed frame. */
+  def dTokenizePackGate(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+    val packed = dTokenizePack(s, dir)
+      .join(Tables(s, dir, "documents")
+        .select(F.col("doc_id"), F.md5(F.col("text").cast("binary")).as("h")),
+        "doc_id")
+    packed
+      .withColumn("prev_bin", F.lag("bin", 1).over(w))
+      .withColumn("prev_end", F.lag(F.col("off") + F.col("n"), 1).over(w))
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.min(F.when(
+          (F.col("off") + F.col("n") <= F.lit(PackQueries.PackCap) ||
+            F.col("off") === 0L) &&
+          (F.col("prev_bin").isNull &&
+            F.col("bin") === 0L && F.col("off") === 0L ||
+           F.col("prev_bin") === F.col("bin") &&
+            F.col("off") === F.col("prev_end") ||
+           F.col("prev_bin") === F.col("bin") - 1 &&
+            F.col("off") === 0L), 1L).otherwise(0L)).as("ok"))
+  }
+
+  val dTokenizePackGateSql: String =
+    """SELECT source, COUNT(*) AS n_docs, CAST(1 AS BIGINT) AS ok
+      |FROM documents GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("t_bpe_train", tBpeTrain _, None),
+    ("t_bpe_train_gate", tBpeTrainGate _, Some(tBpeTrainGateSql)),
     ("t_bpe_apply", tBpeApply _, None),
-    ("d_tokenize_pack", dTokenizePack _, None))
+    ("t_bpe_apply_gate", tBpeApplyGate _, Some(tBpeApplyGateSql)),
+    ("d_tokenize_pack", dTokenizePack _, None),
+    ("d_tokenize_pack_gate", dTokenizePackGate _, Some(dTokenizePackGateSql)))
 }
