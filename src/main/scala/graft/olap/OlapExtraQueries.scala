@@ -859,6 +859,45 @@ object OlapExtraQueries {
       .groupBy("level").agg(F.count(F.lit(1)).as("n_sessions"))
   }
 
+  private var lastFunnelDir: Option[java.nio.file.Path] = None
+
+  /** q_session_funnel_inc: the SAME per-level session histogram, but
+    * MAINTAINED by SessionFunnelStream.applyBatch (watermark-buffered
+    * close rule, durable per-level counts, open-buffer tail folded at
+    * read) — events replayed as three TIME-SPLIT batches with one batch
+    * replayed and the last 15 minutes of the middle slice DELAYED into
+    * the final batch (the q_journey_inc scenario exactly). Gated under
+    * q_session_funnel's own batch oracle. */
+  def qSessionFunnelInc(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastFunnelDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val snap = java.nio.file.Files.createTempDirectory("graft_funnel")
+    lastFunnelDir = Some(snap)
+    val fDir = snap.resolve("funnel").toString
+    val ev = Tables(s, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+    val us = F.unix_micros(F.col("ts"))
+    val Array(lo, hi) = ev.select(us.as("tu"))
+      .stat.approxQuantile("tu", Array(0.33, 0.66), 0.0)
+    val lateLo = math.max(lo, hi - 900e6)
+    graft.streaming.SessionFunnelStream.applyBatch(
+      ev.filter(us <= lo), fDir, 0L)
+    graft.streaming.SessionFunnelStream.applyBatch(
+      ev.filter(us > lo && us <= lateLo), fDir, 1L)
+    graft.streaming.SessionFunnelStream.applyBatch(
+      ev.filter(us > lo && us <= lateLo), fDir, 1L) // replay
+    graft.streaming.SessionFunnelStream.applyBatch(
+      ev.filter(us > hi || (us > lateLo && us <= hi)), fDir, 2L)
+    graft.streaming.SessionFunnelStream.readLevels(s, fDir)
+      .localCheckpoint(true)
+  }
+
   val qSessionFunnelSql: String =
     """WITH ev AS (
       |  SELECT user_id, epoch_us(ts) AS tu, event_id,
@@ -886,6 +925,7 @@ object OlapExtraQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_session_funnel", qSessionFunnel _, Some(qSessionFunnelSql)),
+    ("q_session_funnel_inc", qSessionFunnelInc _, Some(qSessionFunnelSql)),
     ("q_attribution", qAttribution _, Some(qAttributionSql)),
     ("q_collapsing", qCollapsing _, Some(qCollapsingSql)),
     ("q_dictget", qDictGet _, Some(qDictGetSql)),

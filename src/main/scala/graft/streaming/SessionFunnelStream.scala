@@ -2,9 +2,13 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.GraftFs
 
 /** STREAMING session funnel — q_session_funnel live: sessionize each
   * user's click/view/purchase stream by a 30-minute inactivity gap and
@@ -88,5 +92,115 @@ object SessionFunnelStream {
           }
           done.iterator.map(s => level(s).copy(user_id = user))
       }
+  }
+
+  // ── foreachBatch fold (q_session_funnel_inc) ─────────────────────────
+  //
+  // The DataFrame sibling of [[levels]], maintained RollupSink-style:
+  // snapshot = the durable per-level session histogram + the still-open
+  // event buffer + the `_SUCCESS`-carried watermark (JourneyStream's
+  // scheme exactly — the buffer's max µs can shrink when sessions close,
+  // and an empty pool must keep wm rather than underflow it). Works in
+  // MICROSECONDS like the batch q_session_funnel (the streaming variant
+  // above keeps ms for its own spec lineage).
+
+  val GapUs: Long = GapMs * 1000L
+  val DefaultDelayMs: Long = 30 * 60 * 1000L
+
+  private val bufSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("us", LongType),
+    StructField("event_id", LongType), StructField("st", StringType)))
+  private val cntSchema = StructType(Seq(
+    StructField("level", LongType), StructField("n_sessions", LongType)))
+
+  /** q_session_funnel's exact sessionize spelling over a pooled buffer. */
+  private def sessionized(pool: DataFrame): DataFrame = {
+    val byU = Window.partitionBy("user_id")
+      .orderBy(F.col("us").asc, F.col("event_id").asc)
+    pool
+      .withColumn("prev_us", F.lag("us", 1).over(byU))
+      .withColumn("new_sess",
+        F.when(F.col("prev_us").isNull ||
+          F.col("us") - F.col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", F.sum("new_sess").over(
+        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("end_us", F.max("us").over(
+        Window.partitionBy("user_id", "sess_idx")))
+  }
+
+  /** Per-session funnel level histogram of a [[sessionized]] frame —
+    * the identical cvp-substring probe as the batch query. */
+  private def levelCounts(sess: DataFrame): DataFrame =
+    sess.groupBy("user_id", "sess_idx")
+      .agg(F.concat_ws("", F.expr(
+        "transform(sort_array(collect_list(struct(us, event_id, st))), x -> x.st)"))
+        .as("seq"))
+      .select(
+        F.when(F.instr(F.col("seq"), "cvp") > 0, 3L)
+          .when(F.instr(F.col("seq"), "cv") > 0, 2L)
+          .when(F.instr(F.col("seq"), "c") > 0, 1L)
+          .otherwise(0L).as("level"))
+      .groupBy("level").agg(F.count(F.lit(1)).as("n_sessions"))
+
+  /** Fold one micro-batch into funnel_v{batchId}. Idempotent; arrivals
+    * behind the previous watermark drop (they may belong to an
+    * already-counted session); an empty pool keeps wm = prevWm. */
+  def applyBatch(batch: DataFrame, dir: String, batchId: Long,
+                 delayMs: Long = DefaultDelayMs): Unit = {
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = GraftFs.child(dir, s"funnel_v$batchId")
+    if (GraftFs.complete(conf, target)) return // replayed batch
+    val arrivals = batch
+      .filter(F.col("event_type").isin("click", "view", "purchase"))
+      .select(F.col("user_id").cast("long"),
+        F.unix_micros(F.col("ts")).as("us"), F.col("event_id").cast("long"),
+        F.when(F.col("event_type") === "click", "c")
+          .when(F.col("event_type") === "view", "v")
+          .otherwise("p").as("st"))
+    def empty(schema: StructType) = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val (prevCnt, prevBuf, prevWm) =
+      GraftFs.latest(conf, dir, "funnel_v", batchId) match {
+        case Some(p) => (
+          s.read.schema(cntSchema).parquet(GraftFs.child(p, "counts")),
+          s.read.schema(bufSchema).parquet(GraftFs.child(p, "buf")),
+          GraftFs.readText(conf, GraftFs.child(p, "_SUCCESS"))
+            .flatMap(_.trim.toLongOption).getOrElse(Long.MinValue))
+        case None => (empty(cntSchema), empty(bufSchema), Long.MinValue)
+      }
+    val pool = arrivals.filter(F.col("us") >= prevWm)
+      .unionByName(prevBuf).localCheckpoint()
+    val maxUsOpt = Option(pool.agg(F.max("us")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long])
+    val wm = maxUsOpt.map(m => math.max(prevWm, m - delayMs * 1000L))
+      .getOrElse(prevWm)
+    val sess = sessionized(pool).localCheckpoint()
+    val closed = sess.filter(F.col("end_us") + GapUs < wm)
+    val open = sess.filter(F.col("end_us") + GapUs >= wm)
+    val counts = prevCnt.unionByName(levelCounts(closed))
+      .groupBy("level").agg(F.sum("n_sessions").as("n_sessions"))
+    counts.write.mode("overwrite").parquet(GraftFs.child(target, "counts"))
+    open.select("user_id", "us", "event_id", "st")
+      .write.mode("overwrite").parquet(GraftFs.child(target, "buf"))
+    GraftFs.writeTextAtomic(conf, GraftFs.child(target, "_SUCCESS"), wm.toString)
+  }
+
+  /** The maintained funnel histogram in q_session_funnel's output shape:
+    * durable counts + an on-the-fly fold of the still-open buffer
+    * (MarkovSink.read's residual-tail rule), so the served answer equals
+    * the batch query over everything received. */
+  def readLevels(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraftFs.latest(conf, dir, "funnel_v", Long.MaxValue) match {
+      case Some(p) =>
+        val durable = spark.read.schema(cntSchema)
+          .parquet(GraftFs.child(p, "counts"))
+        val buf = spark.read.schema(bufSchema)
+          .parquet(GraftFs.child(p, "buf"))
+        durable.unionByName(levelCounts(sessionized(buf)))
+          .groupBy("level").agg(F.sum("n_sessions").as("n_sessions"))
+      case None => spark.emptyDataFrame
+    }
   }
 }

@@ -98,6 +98,51 @@ class SessionFunnelStreamSpec extends SparkSpec {
   private def run2(batches: Seq[SfEv]*): Seq[SessionLevel] =
     runBatches(batches.toSeq)
 
+  // ── applyBatch (foreachBatch DataFrame fold) ──────────────────────────
+
+  private def readHist(dir: String): Map[Long, Long] =
+    SessionFunnelStream.readLevels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  private def histOf(evs: Seq[SfEv]): Map[Long, Long] =
+    expected(evs).groupBy(_.level).view.mapValues(_.size.toLong).toMap
+
+  test("applyBatch: empty first batch, unit levels, replay stay exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sfinc").toString
+    val base = 1_700_000_000_000L
+    val G = SessionFunnelStream.GapMs
+    val b1 = Seq(
+      SfEv(1, ts(base), 1, "click"), SfEv(1, ts(base + 60_000), 2, "view"),
+      SfEv(1, ts(base + 120_000), 3, "purchase"),
+      SfEv(2, ts(base), 5, "click"), SfEv(2, ts(base + 1_000), 6, "view"))
+    // far-future sentinel CLOSES b1's sessions; also its own level-1 row
+    val b2 = Seq(SfEv(3, ts(base + 3 * G), 7, "click"))
+    SessionFunnelStream.applyBatch(Seq.empty[SfEv].toDF(), dir, 0L)
+    SessionFunnelStream.applyBatch(b1.toDF(), dir, 1L)
+    SessionFunnelStream.applyBatch(b1.toDF(), dir, 1L) // replayed: no-op
+    SessionFunnelStream.applyBatch(b2.toDF(), dir, 2L)
+    assert(readHist(dir) == histOf(b1 ++ b2))
+  }
+
+  test("applyBatch over sf0.001 slices (replay + delayed slice) equals the batch q_session_funnel") {
+    val ev = graft.Tables(spark, SF, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+    val us = F.unix_micros(F.col("ts"))
+    val Array(lo, hi) = ev.select(us.as("tu"))
+      .stat.approxQuantile("tu", Array(0.33, 0.66), 0.0)
+    val lateLo = math.max(lo, hi - 900e6)
+    val dir = java.nio.file.Files.createTempDirectory("sfinc_sf").toString
+    SessionFunnelStream.applyBatch(ev.filter(us <= lo), dir, 0L)
+    SessionFunnelStream.applyBatch(ev.filter(us > lo && us <= lateLo), dir, 1L)
+    SessionFunnelStream.applyBatch(ev.filter(us > lo && us <= lateLo), dir, 1L)
+    SessionFunnelStream.applyBatch(
+      ev.filter(us > hi || (us > lateLo && us <= hi)), dir, 2L)
+    val batch = graft.olap.OlapExtraQueries.qSessionFunnel(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(readHist(dir) == batch)
+  }
+
   test("replayed sf0.001 history matches the batch sessionize+funnel replica") {
     val evs = graft.Tables(spark, SF, "events")
       .filter(F.col("event_type").isin("click", "view", "purchase"))
