@@ -513,7 +513,58 @@ object KVQueries {
       .localCheckpoint(true)
   }
 
+  private var lastBloomDir: Option[java.nio.file.Path] = None
+
+  /** kv_bloom_skip: the per-segment key BLOOM skip index end-to-end
+    * under the HASH GATE — the store holds only EVEN user ids, and a
+    * 20-key IN probe (10 present, 10 absent-but-inside-the-key-range —
+    * the gap the minmax zone map cannot close) must return exactly the
+    * even keys' rows with zero rows for the odd keys: a false-negative
+    * bloom would zero a present key, an unsound prune would drop rows,
+    * and either breaks the oracle hash. The odd keys' segments are
+    * skipped at PLAN time (KVBloomSpec asserts kept.isEmpty on the
+    * same shape). */
+  def kvBloomSkip(s: SparkSession, dir: String): DataFrame = synchronized {
+    lastBloomDir.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    val seg = java.nio.file.Files.createTempDirectory("graft_kvbloom")
+    lastBloomDir = Some(seg)
+    graft.sources.kvconnector.KVSegmentStore.write(
+      Tables(s, dir, "events")
+        .filter(F.pmod(F.col("user_id"), F.lit(2L)) === 0L)
+        .select(encLong(F.col("user_id")).as("k"),
+          F.concat(encLong(F.unix_micros(F.col("ts"))),
+            encLong(F.col("event_id"))).as("c"),
+          dec2(F.col("value")).cast("string").cast("binary").as("v")),
+      seg.toString, 8)
+    def beLong(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val hit = s.read.format("graft-kv").load(seg.toString)
+      .filter(F.col("k").isin((0L until 20L).map(beLong): _*))
+      .select(decLong(F.col("k"), 1).as("user_id"))
+      .groupBy("user_id").agg(F.count(F.lit(1)).as("n_rows"))
+    s.range(0, 20).select(F.col("id").as("user_id"))
+      .join(hit, Seq("user_id"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .localCheckpoint(true)
+  }
+
+  val kvBloomSkipSql: String =
+    """WITH probes AS (
+      |  SELECT CAST(UNNEST(generate_series(0, 19)) AS BIGINT) AS user_id)
+      |SELECT p.user_id, CAST(COUNT(e.user_id) AS BIGINT) AS n_rows
+      |FROM probes p
+      |LEFT JOIN events e ON e.user_id = p.user_id AND e.user_id % 2 = 0
+      |GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("kv_bloom_skip", kvBloomSkip _, Some(kvBloomSkipSql)),
     ("kv_dsv2", kvDsv2 _, Some(kvSliceSql)),
     ("kv_dsv2_write", kvDsv2Write _, Some(kvSliceSql)),
     ("kv_topn", kvTopn _, Some(kvTopnSql)),

@@ -202,10 +202,15 @@ object PipelineQueries {
   def dPplBucket(s: SparkSession, dir: String): DataFrame = {
     val scored = TextQueries.tTrigramLm(s, dir)
     val docs = Tables(s, dir, "documents").select("doc_id", "lang")
+    pplTercilesExact(scored.join(docs, "doc_id"))
+  }
+
+  /** The exact ntile tercile spelling over a scored (doc_id, lang,
+    * score6) frame — shared with the cuts-tier driver gate. */
+  private def pplTercilesExact(sc: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(F.col("score6").desc, F.col("doc_id"))
-    scored.join(docs, "doc_id")
-      .withColumn("t", F.ntile(3).over(w))
+    sc.withColumn("t", F.ntile(3).over(w))
       .select(F.col("doc_id"), F.col("lang"), F.col("score6"),
         F.when(F.col("t") === 1, "head")
           .when(F.col("t") === 2, "middle")
@@ -224,7 +229,13 @@ object PipelineQueries {
                      accuracy: Int = 10000): DataFrame = {
     val scored = TextQueries.tTrigramLm(s, dir)
     val docs = Tables(s, dir, "documents").select("doc_id", "lang")
-    val sc = scored.join(docs, "doc_id")
+    pplTercilesCuts(scored.join(docs, "doc_id"), accuracy)
+  }
+
+  /** The approx-percentile cuts spelling over a scored frame — shared
+    * with the driver gate. */
+  private def pplTercilesCuts(sc: DataFrame,
+                              accuracy: Int = 10000): DataFrame = {
     val cuts = sc.groupBy("lang")
       .agg(F.percentile_approx(F.col("score6"),
         F.typedlit(Seq(1.0 / 3, 2.0 / 3)), F.lit(accuracy)).as("cuts"))
@@ -257,9 +268,15 @@ object PipelineQueries {
     * the scale tier's broadcast-compare plan AND the exactness tier it
     * is graded against. */
   def dPplBucketCutsCheck(s: SparkSession, dir: String): DataFrame = {
-    val exact = dPplBucket(s, dir).select(F.col("doc_id"), F.col("lang"),
+    // ONE trigram-LM scoring pass feeds BOTH tiers (each tier's public
+    // entry trains its own model; the check would otherwise pay the
+    // corpus explode + model collect twice)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang")
+    val sc = TextQueries.tTrigramLm(s, dir).join(docs, "doc_id")
+      .localCheckpoint()
+    val exact = pplTercilesExact(sc).select(F.col("doc_id"), F.col("lang"),
       F.col("ppl_bucket").as("b_exact"))
-    val approx = dPplBucketCuts(s, dir).select(F.col("doc_id"),
+    val approx = pplTercilesCuts(sc).select(F.col("doc_id"),
       F.col("ppl_bucket").as("b_cuts"))
     exact.join(approx, "doc_id")
       .groupBy("lang")

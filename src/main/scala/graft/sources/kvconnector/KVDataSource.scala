@@ -88,6 +88,43 @@ object KVDataSource {
         mayMatch(seg, l) || mayMatch(seg, r)
       case _ => true
     }
+
+  /** Does any filter contain a point/IN key probe the Bloom skip index
+    * can answer? Gate on this before touching sidecars: range-only
+    * scans never pay a bloom read. */
+  private[kvconnector] def hasKeyProbe(f: Filter): Boolean = f match {
+    case EqualTo("k", _) => true
+    case org.apache.spark.sql.sources.In("k", _) => true
+    case org.apache.spark.sql.sources.And(l, r) => hasKeyProbe(l) || hasKeyProbe(r)
+    case org.apache.spark.sql.sources.Or(l, r) => hasKeyProbe(l) || hasKeyProbe(r)
+    case _ => false
+  }
+
+  /** [[mayMatch]] strengthened by the segment's key Bloom (the skip
+    * index): a point/IN probe whose key the bloom DEFINITIVELY excludes
+    * prunes the segment even inside its key range. Recursion mirrors
+    * mayMatch so And/Or compose identically; every other filter defers
+    * to the range logic. */
+  private[kvconnector] def mayMatchBloom(seg: KVSegmentStore.Segment,
+      bloom: Option[(Array[Long], Int)], f: Filter): Boolean = f match {
+    case EqualTo("k", v: Array[Byte]) =>
+      mayMatch(seg, f) && bloom.forall { case (bits, h) =>
+        graft.operators.KeyBloom.mightContain(bits, h, v)
+      }
+    case org.apache.spark.sql.sources.In("k", vs) =>
+      vs.exists {
+        case v: Array[Byte] =>
+          mayMatch(seg, EqualTo("k", v)) && bloom.forall { case (bits, h) =>
+            graft.operators.KeyBloom.mightContain(bits, h, v)
+          }
+        case _ => true
+      }
+    case org.apache.spark.sql.sources.And(l, r) =>
+      mayMatchBloom(seg, bloom, l) && mayMatchBloom(seg, bloom, r)
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      mayMatchBloom(seg, bloom, l) || mayMatchBloom(seg, bloom, r)
+    case _ => mayMatch(seg, f)
+  }
 }
 
 class KVTable(path: String)
@@ -238,8 +275,17 @@ class KVScan(path: String, required: StructType, pushed: Array[Filter],
   extends Scan with Batch {
 
   private val all = KVSegmentStore.readManifest(path)
-  private[kvconnector] val kept =
-    all.filter(seg => pushed.forall(KVDataSource.mayMatch(seg, _)))
+  private[kvconnector] val kept = {
+    // range/zone-map pruning first (manifest-only); Bloom sidecars are
+    // read ONLY for point/IN key probes and only for range survivors
+    val ranged = all.filter(seg => pushed.forall(KVDataSource.mayMatch(seg, _)))
+    if (pushed.exists(KVDataSource.hasKeyProbe))
+      ranged.filter { seg =>
+        val bloom = KVSegmentStore.readBloom(seg.file)
+        pushed.forall(KVDataSource.mayMatchBloom(seg, bloom, _))
+      }
+    else ranged
+  }
 
   override def readSchema(): StructType = required
   override def description(): String =

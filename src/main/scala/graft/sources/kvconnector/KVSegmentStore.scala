@@ -21,6 +21,7 @@ import graft.GraftFs
   */
 object KVSegmentStore {
   val ManifestFile = "_graft_manifest.txt"
+  val BloomDir = "_graft_bloom"
 
   /** Per-segment bounds. `cLo`/`cHi` (qualifier zone map, the MergeTree
     * minmax-index analog for the SPI's column-slice predicates) are null
@@ -34,7 +35,13 @@ object KVSegmentStore {
     s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   /** Range-partition `store` into `numSegments` parquet segments sorted by
-    * (k, c) within each, and write the key-bounds manifest. */
+    * (k, c) within each, and write the key-bounds manifest plus one
+    * `_graft_bloom/<segment>` KEY Bloom sidecar per segment (the
+    * bloom_filter skip index — see graft.operators.KeyBloom): bounds,
+    * counts, zone maps AND blooms all come from ONE read-back aggregate
+    * pass over the written files. Sidecars are segment-sized metadata
+    * (16 KB each), never manifest lines — a million-segment parts list
+    * stays a parts list. */
   def write(store: DataFrame, path: String, numSegments: Int): Unit = {
     store.repartitionByRange(numSegments, F.col("k"))
       .sortWithinPartitions("k", "c")
@@ -42,15 +49,30 @@ object KVSegmentStore {
     val bounds = store.sparkSession.read.parquet(path)
       .groupBy(F.input_file_name().as("f"))
       .agg(F.min("k").as("lo"), F.max("k").as("hi"), F.count(F.lit(1)).as("n"),
-        F.min("c").as("clo"), F.max("c").as("chi"))
+        F.min("c").as("clo"), F.max("c").as("chi"),
+        graft.operators.KeyBloom.agg(F.col("k")).as("bloom"))
       .collect()
+    val conf = store.sparkSession.sparkContext.hadoopConfiguration
     val lines = bounds.map { r =>
       val name = r.getString(0).split('/').last
+      GraftFs.writeTextAtomic(conf,
+        GraftFs.child(GraftFs.child(path, BloomDir), name),
+        hex(r.getAs[Array[Byte]](6)))
       s"$name\t${hex(r.getAs[Array[Byte]](1))}\t${hex(r.getAs[Array[Byte]](2))}\t${r.getLong(3)}" +
         s"\t${hex(r.getAs[Array[Byte]](4))}\t${hex(r.getAs[Array[Byte]](5))}"
     }.sorted
-    GraftFs.writeTextAtomic(store.sparkSession.sparkContext.hadoopConfiguration,
+    GraftFs.writeTextAtomic(conf,
       GraftFs.child(path, ManifestFile), lines.mkString("\n"))
+  }
+
+  /** The segment's key Bloom, if its sidecar exists (absent on stores
+    * written before the index — absent prunes nothing). */
+  def readBloom(segFile: String): Option[(Array[Long], Int)] = {
+    val name = segFile.split('/').last
+    val dir = segFile.stripSuffix("/" + name)
+    GraftFs.readText(activeConf,
+        GraftFs.child(GraftFs.child(dir, BloomDir), name))
+      .map(t => graft.operators.KeyBloom.deserialize(unhex(t.trim)))
   }
 
   /** Driver-side manifest reads resolve the warehouse path's FileSystem

@@ -100,10 +100,15 @@ class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
     GraftFs.writeTextAtomic(conf, manifest, lines.mkString("\n"))
     if (truncate) {
       // old segments left the manifest atomically with the rename above;
-      // sweeping their files afterwards is invisible to manifest readers
+      // sweeping their files (and bloom sidecars) afterwards is
+      // invisible to manifest readers
       val freshNames = fresh.map(_.file).toSet
       previous.map(_.split('\t')(0)).filterNot(freshNames.contains)
-        .foreach(f => GraftFs.delete(conf, GraftFs.child(path, f)))
+        .foreach { f =>
+          GraftFs.delete(conf, GraftFs.child(path, f))
+          GraftFs.delete(conf,
+            GraftFs.child(GraftFs.child(path, KVSegmentStore.BloomDir), f))
+        }
     }
   }
 
@@ -145,6 +150,11 @@ class KVSegmentWriter(path: String, partitionId: Int, taskId: Long,
   private var cLo: Array[Byte] = _
   private var cHi: Array[Byte] = _
   private var rows = 0L
+  // the segment's KEY Bloom skip index, built inline during the write
+  // (no re-read — the imperative KVSegmentStore.write path pays one
+  // read-back aggregate instead)
+  private val bloomBits =
+    new Array[Long](graft.operators.KeyBloom.DefaultBits / 64)
 
   override def write(row: InternalRow): Unit = {
     val k = row.getBinary(0)
@@ -153,6 +163,8 @@ class KVSegmentWriter(path: String, partitionId: Int, taskId: Long,
     if (hi == null || util.Arrays.compareUnsigned(k, hi) > 0) hi = k.clone()
     if (cLo == null || util.Arrays.compareUnsigned(c, cLo) < 0) cLo = c.clone()
     if (cHi == null || util.Arrays.compareUnsigned(c, cHi) > 0) cHi = c.clone()
+    graft.operators.KeyBloom.add(bloomBits,
+      graft.operators.KeyBloom.DefaultHashes, k)
     val g = factory.newGroup()
     g.append("k", Binary.fromConstantByteArray(k))
     g.append("c", Binary.fromConstantByteArray(c))
@@ -161,19 +173,30 @@ class KVSegmentWriter(path: String, partitionId: Int, taskId: Long,
     rows += 1
   }
 
+  private def bloomPath: String =
+    GraftFs.child(GraftFs.child(path, KVSegmentStore.BloomDir), fileName)
+
   override def commit(): WriterCommitMessage = {
     writer.close()
     if (rows == 0) { // empty partition: no segment, nothing to manifest
       GraftFs.delete(confW.value, GraftFs.child(path, fileName))
       KVCommit(fileName, "", "", 0L)
-    } else
+    } else {
+      // sidecar lands with the task; readers only consult it for
+      // segments the manifest names, so an aborted task's sidecar is
+      // invisible (and swept by abort())
+      GraftFs.writeTextAtomic(confW.value, bloomPath,
+        KVSegmentStore.hex(graft.operators.KeyBloom.serialize(bloomBits,
+          graft.operators.KeyBloom.DefaultHashes)))
       KVCommit(fileName, KVSegmentStore.hex(lo), KVSegmentStore.hex(hi), rows,
         KVSegmentStore.hex(cLo), KVSegmentStore.hex(cHi))
+    }
   }
 
   override def abort(): Unit = {
     writer.close()
     GraftFs.delete(confW.value, GraftFs.child(path, fileName))
+    GraftFs.delete(confW.value, bloomPath)
   }
 
   override def close(): Unit = ()
