@@ -40,20 +40,33 @@ class KVBloomSpec extends SparkSpec {
     spark.read.format("graft-kv").load(dir)
       .filter(F.col("k") === KVStore.encLong(F.lit(key)))
 
+  /** An ODD (hence absent) key guaranteed INSIDE some segment's [lo, hi]
+    * — picking a literal like 51 can flake: range-partition boundaries
+    * sometimes leave odd keys in the GAP between segments, where range
+    * pruning alone already yields zero segments. */
+  private def absentInRange(dir: String): Long = {
+    val segs = KVSegmentStore.readManifest(dir)
+    segs.iterator
+      .filter(g => java.util.Arrays.compareUnsigned(g.lo, g.hi) < 0)
+      .map(g => java.nio.ByteBuffer.wrap(g.lo).getLong + 1)
+      .next()
+  }
+
   test("absent key inside the range schedules zero segments; present key keeps its rows") {
     val dir = Files.createTempDirectory("graft_kvbloom").toString
     KVSegmentStore.write(store, dir, numSegments = 8)
-    // odd key 51 sits inside some segment's [lo, hi] but is NOT stored
-    assert(scanOf(probe(dir, 51L)).kept.isEmpty,
-      "bloom must prune every segment for an absent key")
-    assert(probe(dir, 51L).count() == 0)
+    // an odd key inside a segment's [lo, hi] but NOT stored
+    val absent = absentInRange(dir)
+    assert(scanOf(probe(dir, absent)).kept.isEmpty,
+      s"bloom must prune every segment for absent key $absent")
+    assert(probe(dir, absent).count() == 0)
     // present key: segments survive and the rows come back
     assert(scanOf(probe(dir, 50L)).kept.nonEmpty)
     assert(probe(dir, 50L).count() == 20) // 2000/100 ids share each key
     // IN probe with one present + one absent key keeps the present
     // key's rows
     val in = spark.read.format("graft-kv").load(dir)
-      .filter(F.col("k").isin(beLong(50L), beLong(51L)))
+      .filter(F.col("k").isin(beLong(50L), beLong(absent)))
     assert(in.count() == 20)
   }
 
@@ -63,7 +76,7 @@ class KVBloomSpec extends SparkSpec {
     val segs = KVSegmentStore.readManifest(dir)
     assert(segs.forall(s => KVSegmentStore.readBloom(s.file).isDefined),
       "every committed segment must have a bloom sidecar")
-    assert(scanOf(probe(dir, 51L)).kept.isEmpty)
+    assert(scanOf(probe(dir, absentInRange(dir))).kept.isEmpty)
     assert(probe(dir, 50L).count() == 20)
     // truncate replaces segments AND sweeps the old sidecars
     val oldFiles = segs.map(_.file.split('/').last).toSet
@@ -83,9 +96,10 @@ class KVBloomSpec extends SparkSpec {
     graft.GraftFs.delete(spark.sparkContext.hadoopConfiguration,
       graft.GraftFs.child(dir, KVSegmentStore.BloomDir))
     // absent-but-in-range key: range pruning alone keeps its segment...
-    assert(scanOf(probe(dir, 51L)).kept.nonEmpty)
+    val absent = absentInRange(dir)
+    assert(scanOf(probe(dir, absent)).kept.nonEmpty)
     // ...and the residual filter still yields zero rows
-    assert(probe(dir, 51L).count() == 0)
+    assert(probe(dir, absent).count() == 0)
     // pure range predicate never consults sidecars (they're gone): scan
     // still plans and rows return
     val ranged = spark.read.format("graft-kv").load(dir)
