@@ -530,8 +530,9 @@ object AnnQueries {
     * (element products commute, fold order is the index order), so the
     * forward score is THE edge score. The all-pairs scoring is the
     * exactness tier — by design, like d_embed_dup; at 100 TB the
-    * candidate generation swaps to the LSH/IVF bucketing of
-    * s_ann_lsh/s_ann_ivf with identical downstream mutuality. */
+    * candidate generation swaps to the LSH bucketing of
+    * [[sKnnGraphLsh]] (driver-gated for edge recall as
+    * s_knn_graph_lsh) with identical downstream mutuality. */
   def sKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables(s, dir, "embeddings"))
     val l = e.select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),

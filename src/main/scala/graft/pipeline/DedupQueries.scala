@@ -443,7 +443,8 @@ object DedupQueries {
     * ≡ DuckDB `list_reduce` after the same float→double casts) so the
     * doubles are bit-identical; cosine is emitted floor-scaled to 1e-6
     * as a belt-and-suspenders integer. Exact all-pairs is the baseline
-    * the LSH path (s_ann_lsh) replaces at scale. */
+    * the banded scale tier ([[dEmbedDupLsh]], driver-gated as
+    * d_embed_dup_lsh) replaces at 100 TB. */
   def dEmbedDup(s: SparkSession, dir: String): DataFrame = {
     val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
     val a = e.select(F.col("vec_id").as("a_id"), F.col("embedding").as("ea"), F.col("nrm").as("na"))
