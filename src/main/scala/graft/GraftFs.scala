@@ -70,8 +70,14 @@ object GraftFs {
   /** Read a small text file. If `p` is absent but the non-atomic
     * replace's `.<name>.old` backup survives (a crash landed between
     * moving the old file aside and swinging the new one in —
-    * [[writeTextAtomic]]'s fallback window), the backup is served and
-    * restored, so kv-manifest recovery is automatic instead of manual. */
+    * [[writeTextAtomic]]'s fallback window), the backup's CONTENT is
+    * served, so kv-manifest recovery is automatic instead of manual.
+    * Deliberately read-only: renaming the backup back from the READ
+    * path would race a concurrent fallback-scheme writer mid-replace
+    * (its rename(tmp, path) would find the destination re-occupied and
+    * its own bak already consumed — a previously-succeeding write
+    * would fail). The next writeTextAtomic replaces the file and drops
+    * the backup anyway. */
   def readText(conf: Configuration, p: String): Option[String] = {
     val path = new Path(p)
     val f = path.getFileSystem(conf)
@@ -82,12 +88,8 @@ object GraftFs {
         if (f.exists(bak)) {
           System.err.println(
             s"GraftFs: $path missing but backup $bak exists " +
-              "(crash mid-replace); serving and restoring the backup")
-          if (!f.rename(bak, path)) {
-            System.err.println(s"GraftFs: restoring $bak to $path failed; " +
-              "serving the backup in place")
-            Some(bak)
-          } else Some(path)
+              "(crash mid-replace); serving the backup's content")
+          Some(bak)
         } else None
       }
     target.map { t =>

@@ -187,15 +187,7 @@ object KVQueries {
     // The merged view reads its files lazily, so the CURRENT warehouse
     // must outlive this call; the previous invocation's (fully consumed
     // by now) is swept, bounding accumulation at one warehouse per JVM.
-    lastDeltaWarehouse.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val whPath = java.nio.file.Files.createTempDirectory("graft_kvdelta")
+    val whPath = graft.ScenarioDirs.fresh("graft_kvdelta", lastDeltaWarehouse)
     lastDeltaWarehouse = Some(whPath)
     val ds = new KVDeltaStore(s, whPath.toString)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
@@ -220,15 +212,7 @@ object KVQueries {
     * path, the batch log path, and the snapshot path all agree cell for
     * cell. */
   def kvStreamDelta(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastDeltaWarehouse.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val whPath = java.nio.file.Files.createTempDirectory("graft_kvdelta")
+    val whPath = graft.ScenarioDirs.fresh("graft_kvdelta", lastDeltaWarehouse)
     lastDeltaWarehouse = Some(whPath)
     val wh = whPath.toString
     def asMutations(adds: DataFrame, dels: DataFrame): DataFrame =
@@ -302,15 +286,7 @@ object KVQueries {
     * cell (while kv_deltalog gates the post-mutation view of the very
     * same log). */
   def kvTimetravel(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastTravelWarehouse.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val whPath = java.nio.file.Files.createTempDirectory("graft_kvtravel")
+    val whPath = graft.ScenarioDirs.fresh("graft_kvtravel", lastTravelWarehouse)
     lastTravelWarehouse = Some(whPath)
     val ds = new KVDeltaStore(s, whPath.toString)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
@@ -339,15 +315,7 @@ object KVQueries {
     * 0..19 must see precisely the young half. Oracle = the plain time
     * filter, so expiry exactness is hash-gated cell for cell. */
   def kvTtl(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastTtlWarehouse.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val whPath = java.nio.file.Files.createTempDirectory("graft_kvttl")
+    val whPath = graft.ScenarioDirs.fresh("graft_kvttl", lastTtlWarehouse)
     lastTtlWarehouse = Some(whPath)
     val ds = new KVDeltaStore(s, whPath.toString)
     val es = eventStore(s, dir)
@@ -385,15 +353,7 @@ object KVQueries {
     * oracle: the connector path must reproduce the direct path cell for
     * cell. */
   def kvDsv2(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastSegmentDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val seg = java.nio.file.Files.createTempDirectory("graft_kvseg")
+    val seg = graft.ScenarioDirs.fresh("graft_kvseg", lastSegmentDir)
     lastSegmentDir = Some(seg)
     graft.sources.kvconnector.KVSegmentStore.write(eventStore(s, dir), seg.toString, 8)
     val store = s.read.format("graft-kv").load(seg.toString)
@@ -423,15 +383,7 @@ object KVQueries {
     * purely to carry the pushdown — both forms express the same SPI
     * call. */
   def kvDsv2Multi(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastMultiSegDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val seg = java.nio.file.Files.createTempDirectory("graft_kvsegm")
+    val seg = graft.ScenarioDirs.fresh("graft_kvsegm", lastMultiSegDir)
     lastMultiSegDir = Some(seg)
     graft.sources.kvconnector.KVSegmentStore.write(eventStore(s, dir), seg.toString, 8)
     val keyIds = Tables(s, dir, "events")
@@ -459,15 +411,7 @@ object KVQueries {
     * its first 100 rows, Spark merges: the read-in-order optimization),
     * so the scan decodes ≤ 100 rows per segment at any store size. */
   def kvTopn(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastTopnSegDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val seg = java.nio.file.Files.createTempDirectory("graft_kvsegt")
+    val seg = graft.ScenarioDirs.fresh("graft_kvsegt", lastTopnSegDir)
     lastTopnSegDir = Some(seg)
     graft.sources.kvconnector.KVSegmentStore.write(eventStore(s, dir), seg.toString, 8)
     decoded(s.read.format("graft-kv").load(seg.toString)
@@ -493,15 +437,7 @@ object KVQueries {
     * same manifest-pruned DSv2 read. Shares kv_slice's oracle: the write
     * protocol is hash-gated end to end. */
   def kvDsv2Write(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastWriteSegDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val seg = java.nio.file.Files.createTempDirectory("graft_kvsegw")
+    val seg = graft.ScenarioDirs.fresh("graft_kvsegw", lastWriteSegDir)
     lastWriteSegDir = Some(seg)
     eventStore(s, dir).write.format("graft-kv")
       .option("segments", 8).mode("overwrite").save(seg.toString)
@@ -525,15 +461,7 @@ object KVQueries {
     * skipped at PLAN time (KVBloomSpec asserts kept.isEmpty on the
     * same shape). */
   def kvBloomSkip(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastBloomDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val seg = java.nio.file.Files.createTempDirectory("graft_kvbloom")
+    val seg = graft.ScenarioDirs.fresh("graft_kvbloom", lastBloomDir)
     lastBloomDir = Some(seg)
     graft.sources.kvconnector.KVSegmentStore.write(
       Tables(s, dir, "events")

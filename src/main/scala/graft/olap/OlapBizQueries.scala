@@ -91,15 +91,7 @@ object OlapBizQueries {
     * two-level concentrate over the snapshot. Gated under q_pareto's own
     * batch oracle: maintained state must equal the batch groupBy. */
   def qParetoInc(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastParetoDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val snap = java.nio.file.Files.createTempDirectory("graft_pareto")
+    val snap = graft.ScenarioDirs.fresh("graft_pareto", lastParetoDir)
     lastParetoDir = Some(snap)
     val o = Tables(s, dir, "orders").select("o_custkey", "o_totalprice")
     val b0 = o.filter(F.pmod(F.col("o_custkey"), F.lit(3L)) === 0L)
@@ -276,15 +268,7 @@ object OlapBizQueries {
     * ≤ 155 distinct paths ≪ the 512 sketch capacity, so Misra-Gries is
     * in its exact regime). */
   def qJourneyInc(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastJourneyDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val snap = java.nio.file.Files.createTempDirectory("graft_journey")
+    val snap = graft.ScenarioDirs.fresh("graft_journey", lastJourneyDir)
     lastJourneyDir = Some(snap)
     val jDir = snap.resolve("journey").toString
     val tDir = snap.resolve("topk").toString

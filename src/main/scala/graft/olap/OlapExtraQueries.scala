@@ -869,15 +869,7 @@ object OlapExtraQueries {
     * the final batch (the q_journey_inc scenario exactly). Gated under
     * q_session_funnel's own batch oracle. */
   def qSessionFunnelInc(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastFunnelDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val snap = java.nio.file.Files.createTempDirectory("graft_funnel")
+    val snap = graft.ScenarioDirs.fresh("graft_funnel", lastFunnelDir)
     lastFunnelDir = Some(snap)
     val fDir = snap.resolve("funnel").toString
     val ev = Tables(s, dir, "events")

@@ -1039,15 +1039,7 @@ object OlapSeriesQueries {
     * cell one AND-cardinality. Gated under q_cohort_matrix's batch
     * oracle with time-split batches + a replayed batch. */
   def qCohortInc(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastCohortDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val snap = java.nio.file.Files.createTempDirectory("graft_cohort")
+    val snap = graft.ScenarioDirs.fresh("graft_cohort", lastCohortDir)
     lastCohortDir = Some(snap)
     val ev = Tables(s, dir, "events").select("user_id", "ts")
     val Array(lo, hi) = ev.stat.approxQuantile("user_id", Array(0.33, 0.66), 0.0)
@@ -1070,15 +1062,7 @@ object OlapSeriesQueries {
     * maintenance path and the batch explode path must agree count for
     * count. */
   def qActiveUsersInc(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastAuDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val snap = java.nio.file.Files.createTempDirectory("graft_ausnap")
+    val snap = graft.ScenarioDirs.fresh("graft_ausnap", lastAuDir)
     lastAuDir = Some(snap)
     val ev = Tables(s, dir, "events").select("user_id", "ts")
     val Array(lo, hi) = ev.stat.approxQuantile("user_id", Array(0.33, 0.66), 0.0)
@@ -1494,15 +1478,7 @@ object OlapSeriesQueries {
     * which pins the watermark drop semantics under the hash gate, not
     * just in MarkovSinkSpec. */
   def qMarkovInc(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastMkDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val snap = java.nio.file.Files.createTempDirectory("graft_mksnap")
+    val snap = graft.ScenarioDirs.fresh("graft_mksnap", lastMkDir)
     lastMkDir = Some(snap)
     val ev = Tables(s, dir, "events")
       .select("user_id", "ts", "event_id", "event_type")

@@ -266,7 +266,11 @@ object PipelineQueries {
     * per-language all-ones frame with exact doc counts, so excess
     * disagreement hash-breaks the gate. Runs both tiers once each:
     * the scale tier's broadcast-compare plan AND the exactness tier it
-    * is graded against. */
+    * is graded against. The oracle counts ALL documents per language,
+    * which assumes every length≥3 doc scores under the pruned trigram
+    * model (true here — min kept-hits is 40; a corpus violating it
+    * breaks this gate LOUDLY via the row-count mismatch, never
+    * silently). */
   def dPplBucketCutsCheck(s: SparkSession, dir: String): DataFrame = {
     // ONE trigram-LM scoring pass feeds BOTH tiers (each tier's public
     // entry trains its own model; the check would otherwise pay the
@@ -389,6 +393,9 @@ object PipelineQueries {
         F.expr("element_at(st, 2) div element_at(sc, 1)").as("score_t6"),
         F.expr("element_at(st, 2) div element_at(sc, 1) - element_at(sc, 2) div element_at(sc, 1)")
           .as("w6"))
+      // drop all-pruned (unscorable) docs — the oracle's kept-join rule,
+      // same contract as tTrigramLm
+      .filter(F.col("n_tris") > 0)
       .orderBy(F.col("w6").desc, F.col("doc_id")).limit(100)
   }
 

@@ -425,6 +425,13 @@ object TextQueries {
       .select(F.col("doc_id"),
         F.element_at(F.col("sc"), 1).as("n_tris"),
         F.expr("element_at(sc, 2) div element_at(sc, 1)").as("score6"))
+      // a doc whose every trigram was PRUNED from the top-K model is
+      // unscorable — drop it, matching the oracle's inner join through
+      // the `kept` CTE (without this, Spark would emit n_tris=0 with a
+      // NULL div-by-zero score while the SQL emits no row; impossible
+      // on this corpus — min kept-hits is 40 — but the contract must
+      // not depend on that)
+      .filter(F.col("n_tris") > 0)
   }
 
   val tTrigramLmSql: String =

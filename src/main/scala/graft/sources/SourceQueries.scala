@@ -26,15 +26,7 @@ object SourceQueries {
 
   private def roundtrip(s: SparkSession, dir: String,
                         fmt: TableSource.Format): DataFrame = synchronized {
-    lastDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_${fmt.name}")
+    val tmp = graft.ScenarioDirs.fresh(s"graft_${fmt.name}", lastDir)
     lastDir = Some(tmp)
     val subset = Tables(s, dir, "lineitem")
       .filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
@@ -72,15 +64,7 @@ object SourceQueries {
     * Oracle = the same filter+aggregate straight off the unpartitioned
     * table: pruning must be result-invisible. */
   def qPartitionPrune(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+    val tmp = graft.ScenarioDirs.fresh("graft_part", lastDir)
     lastDir = Some(tmp)
     Tables(s, dir, "lineitem")
       .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
@@ -128,15 +112,7 @@ object SourceQueries {
     * pattern that lets a 100 TB daily pipeline maintain pre-aggregated
     * state and serve final aggregates from state-sized scans. */
   def qStateMerge(s: SparkSession, dir: String): DataFrame = synchronized {
-    lastStateDir.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } finally walk.close()
-    }
-    val tmp = java.nio.file.Files.createTempDirectory("graft_state")
+    val tmp = graft.ScenarioDirs.fresh("graft_state", lastStateDir)
     lastStateDir = Some(tmp)
     val partials = Tables(s, dir, "events")
       .select(F.col("event_type"),

@@ -116,6 +116,10 @@ class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
     messages.foreach {
       case m: KVCommit =>
         GraftFs.delete(confW.value, GraftFs.child(path, m.file))
+        // a committed TASK already wrote its bloom sidecar; a job-level
+        // abort must sweep it too or failed writes leak sidecars
+        GraftFs.delete(confW.value,
+          GraftFs.child(GraftFs.child(path, KVSegmentStore.BloomDir), m.file))
       case _ => ()
     }
 }

@@ -45,12 +45,12 @@ object JourneyStream {
                                n_events: Long, path: String)
   final case class JState(evs: Seq[(Long, Long, String)])
 
-  val GapMs: Long = 30 * 60 * 1000L
-  val GapUs: Long = GapMs * 1000L
+  val GapMs: Long = SessionFold.GapMs
+  val GapUs: Long = SessionFold.GapUs
 
   /** Watermark delay for the applyBatch fold (the readStream variant
     * inherits Spark's own `withWatermark` 30 minutes). */
-  val DefaultDelayMs: Long = 30 * 60 * 1000L
+  val DefaultDelayMs: Long = SessionFold.DefaultDelayMs
 
   /** Timestamp → epoch micros (getTime is ms-rounded; the µs live in
     * getNanos). */
@@ -111,25 +111,8 @@ object JourneyStream {
         applyBatch(batch, dir, batchId, topkDir, capacity, delayMs))
       .start()
 
-  /** q_journey's exact sessionize spelling over a pooled buffer:
-    * per-user µs-exact (us, event_id) order, 30-min gap fold, per-row
-    * sess_idx + the session's constant end_us (so a closed/open split
-    * keeps sessions atomic). */
-  private def sessionized(pool: DataFrame): DataFrame = {
-    val byU = Window.partitionBy("user_id")
-      .orderBy(F.col("us").asc, F.col("event_id").asc)
-    pool
-      .withColumn("prev_us", F.lag("us", 1).over(byU))
-      .withColumn("new_sess",
-        F.when(F.col("prev_us").isNull ||
-          F.col("us") - F.col("prev_us") > GapUs, 1L).otherwise(0L))
-      .withColumn("sess_idx", F.sum("new_sess").over(
-        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("end_us", F.max("us").over(
-        Window.partitionBy("user_id", "sess_idx")))
-  }
-
-  /** One 'a>b>c' path row per session of a [[sessionized]] frame. */
+  /** One 'a>b>c' path row per session of a [[SessionFold.sessionized]]
+    * frame. */
   private def pathsOf(sess: DataFrame): DataFrame = {
     val bySess = Window.partitionBy("user_id", "sess_idx")
       .orderBy(F.col("us").asc, F.col("event_id").asc)
@@ -178,14 +161,9 @@ object JourneyStream {
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           bufSchema), Long.MinValue)
     }
-    val pool = arrivals.filter(F.col("us") >= prevWm)
-      .unionByName(prevBuf).localCheckpoint()
-    // bounded reduction: one MAX row to the driver
-    val maxUsOpt = Option(pool.agg(F.max("us")).collect()(0).get(0))
-      .map(_.asInstanceOf[Long])
-    val wm = maxUsOpt.map(m => math.max(prevWm, m - delayMs * 1000L))
-      .getOrElse(prevWm)
-    val sess = sessionized(pool).localCheckpoint()
+    val (pool, wm) =
+      SessionFold.poolAndWatermark(arrivals, prevBuf, prevWm, delayMs)
+    val sess = SessionFold.sessionized(pool).localCheckpoint()
     val closed = sess.filter(F.col("end_us") + GapUs < wm)
     val open = sess.filter(F.col("end_us") + GapUs >= wm)
     TopKSink.applyBatch(pathsOf(closed), topkDir, batchId, capacity, "path")
@@ -211,7 +189,7 @@ object JourneyStream {
       case Some(p) =>
         val buf = spark.read.schema(bufSchema)
           .parquet(GraftFs.child(p, "buf"))
-        pathsOf(sessionized(buf))
+        pathsOf(SessionFold.sessionized(buf))
           .groupBy("path").agg(F.count(F.lit(1)).as("n_sess"))
       case None => closed.limit(0)
     }

@@ -104,8 +104,8 @@ object SessionFunnelStream {
   // MICROSECONDS like the batch q_session_funnel (the streaming variant
   // above keeps ms for its own spec lineage).
 
-  val GapUs: Long = GapMs * 1000L
-  val DefaultDelayMs: Long = 30 * 60 * 1000L
+  val GapUs: Long = SessionFold.GapUs
+  val DefaultDelayMs: Long = SessionFold.DefaultDelayMs
 
   private val bufSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("us", LongType),
@@ -113,23 +113,9 @@ object SessionFunnelStream {
   private val cntSchema = StructType(Seq(
     StructField("level", LongType), StructField("n_sessions", LongType)))
 
-  /** q_session_funnel's exact sessionize spelling over a pooled buffer. */
-  private def sessionized(pool: DataFrame): DataFrame = {
-    val byU = Window.partitionBy("user_id")
-      .orderBy(F.col("us").asc, F.col("event_id").asc)
-    pool
-      .withColumn("prev_us", F.lag("us", 1).over(byU))
-      .withColumn("new_sess",
-        F.when(F.col("prev_us").isNull ||
-          F.col("us") - F.col("prev_us") > GapUs, 1L).otherwise(0L))
-      .withColumn("sess_idx", F.sum("new_sess").over(
-        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("end_us", F.max("us").over(
-        Window.partitionBy("user_id", "sess_idx")))
-  }
-
-  /** Per-session funnel level histogram of a [[sessionized]] frame —
-    * the identical cvp-substring probe as the batch query. */
+  /** Per-session funnel level histogram of a
+    * [[SessionFold.sessionized]] frame — the identical cvp-substring
+    * probe as the batch query. */
   private def levelCounts(sess: DataFrame): DataFrame =
     sess.groupBy("user_id", "sess_idx")
       .agg(F.concat_ws("", F.expr(
@@ -169,13 +155,9 @@ object SessionFunnelStream {
             .flatMap(_.trim.toLongOption).getOrElse(Long.MinValue))
         case None => (empty(cntSchema), empty(bufSchema), Long.MinValue)
       }
-    val pool = arrivals.filter(F.col("us") >= prevWm)
-      .unionByName(prevBuf).localCheckpoint()
-    val maxUsOpt = Option(pool.agg(F.max("us")).collect()(0).get(0))
-      .map(_.asInstanceOf[Long])
-    val wm = maxUsOpt.map(m => math.max(prevWm, m - delayMs * 1000L))
-      .getOrElse(prevWm)
-    val sess = sessionized(pool).localCheckpoint()
+    val (pool, wm) =
+      SessionFold.poolAndWatermark(arrivals, prevBuf, prevWm, delayMs)
+    val sess = SessionFold.sessionized(pool).localCheckpoint()
     val closed = sess.filter(F.col("end_us") + GapUs < wm)
     val open = sess.filter(F.col("end_us") + GapUs >= wm)
     val counts = prevCnt.unionByName(levelCounts(closed))
@@ -198,9 +180,11 @@ object SessionFunnelStream {
           .parquet(GraftFs.child(p, "counts"))
         val buf = spark.read.schema(bufSchema)
           .parquet(GraftFs.child(p, "buf"))
-        durable.unionByName(levelCounts(sessionized(buf)))
+        durable.unionByName(levelCounts(SessionFold.sessionized(buf)))
           .groupBy("level").agg(F.sum("n_sessions").as("n_sessions"))
-      case None => spark.emptyDataFrame
+      case None => // keep the (level, n_sessions) schema even pre-snapshot
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cntSchema)
     }
   }
 }

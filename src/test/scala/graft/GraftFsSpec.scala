@@ -46,7 +46,7 @@ class GraftFsSpec extends SparkSpec {
       .get.endsWith("snap_v2"))
   }
 
-  test("readText serves and restores the .old backup after a crash mid-replace") {
+  test("readText serves the .old backup's content after a crash mid-replace") {
     val dir = freshDir("bak")
     val p = GraftFs.child(dir, "manifest")
     GraftFs.writeTextAtomic(conf, p, "v1")
@@ -57,10 +57,15 @@ class GraftFsSpec extends SparkSpec {
     val bak = new org.apache.hadoop.fs.Path(path.getParent, ".manifest.old")
     assert(fs.rename(path, bak))
     assert(!fs.exists(path) && fs.exists(bak))
-    // recovery is automatic: the backup is served AND restored
+    // recovery is automatic for READERS (content served), but the read
+    // path must NOT rename the backup back — that would race a
+    // concurrent fallback-scheme writer mid-replace
     assert(GraftFs.readText(conf, p) === Some("v1"))
-    assert(fs.exists(path) && !fs.exists(bak))
+    assert(!fs.exists(path) && fs.exists(bak), "read path must not mutate")
     assert(GraftFs.readText(conf, p) === Some("v1"))
+    // the next write replaces the file and drops the stale backup
+    GraftFs.writeTextAtomic(conf, p, "v2")
+    assert(GraftFs.readText(conf, p) === Some("v2"))
   }
 
   test("RollupSink maintains state on a non-default scheme end-to-end") {
