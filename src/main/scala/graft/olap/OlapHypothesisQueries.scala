@@ -639,7 +639,157 @@ object OlapHypothesisQueries {
       | CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pc_nulls
       |FROM lineitem""".stripMargin
 
+  /** q_anova: one-way ANOVA (ClickHouse `analysisOfVariance`) of
+    * value-cents across ALL event types, per day-of-week cohort — the
+    * k-sample generalization of q_ttest/q_studentt. Aggregation state is
+    * exact: per (cohort, type) cell one pass yields n/Σv/Σv² in BIGINT
+    * (the q_ttest headroom argument), the between/within sums of squares
+    * come from per-cell floor divisions tᵢ = sᵢ² div nᵢ done in
+    * DECIMAL(38,0)/HUGEINT and floored to BIGINT BEFORE the cell sum (so
+    * the sum is order-invariant and engine-identical; each floor loses
+    * < 1 cent², deterministic on both engines): SSB = Σtᵢ − S² div N,
+    * SSW = Σqᵢ − Σtᵢ. η²-ppm is a pure integer division; only the final
+    * F-statistic runs in doubles — one fixed IEEE tree over exact
+    * integers (the file-header discipline), floor-scaled ×1e6. */
+  def qAnova(s: SparkSession, dir: String): DataFrame = {
+    val cell = Tables(s, dir, "events")
+      .select(F.expr("unix_micros(ts) div 86400000000 % 7").as("g"),
+        F.col("event_type").as("et"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+      .groupBy("g", "et")
+      .agg(F.count(F.lit(1)).as("cn"), F.sum("vc").as("sv"),
+        F.sum(F.col("vc") * F.col("vc")).as("qv"))
+    cell.groupBy("g")
+      .agg(F.count(F.lit(1)).as("k"), F.sum("cn").as("n"),
+        F.sum("sv").as("sv"), F.sum("qv").as("qv"),
+        F.sum(F.expr("cast(sv as decimal(38,0)) * sv div cn")).as("t"))
+      .filter(F.col("k") > 1L && F.col("n") > F.col("k"))
+      .select(F.col("g"), F.col("k"), F.col("n"),
+        (F.col("t") - F.expr("cast(sv as decimal(38,0)) * sv div n")).as("ssb"),
+        (F.col("qv") - F.col("t")).as("ssw"))
+      .select(F.col("g"), F.col("k"), F.col("n"), F.col("ssb"), F.col("ssw"),
+        F.expr("cast(ssb as decimal(38,0)) * 1000000 div (ssb + ssw)").as("eta6"),
+        F.floor(d("ssb") * (d("n") - d("k")) / (d("ssw") * (d("k") - F.lit(1.0)))
+          * 1e6).as("f6"))
+  }
+
+  val qAnovaSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 % 7 AS g, event_type AS et,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events),
+      |cell AS (
+      |  SELECT g, et, COUNT(*) AS cn, CAST(SUM(vc) AS BIGINT) AS sv,
+      |   CAST(SUM(vc*vc) AS BIGINT) AS qv
+      |  FROM ev GROUP BY 1, 2),
+      |a AS (
+      |  SELECT g, COUNT(*) AS k, CAST(SUM(cn) AS BIGINT) AS n,
+      |   CAST(SUM(sv) AS BIGINT) AS sv, CAST(SUM(qv) AS BIGINT) AS qv,
+      |   CAST(SUM(CAST((CAST(sv AS HUGEINT) * sv) // cn AS BIGINT)) AS BIGINT) AS t
+      |  FROM cell GROUP BY 1
+      |  HAVING COUNT(*) > 1 AND SUM(cn) > COUNT(*)),
+      |ss AS (
+      |  SELECT g, k, n,
+      |   CAST(t - CAST((CAST(sv AS HUGEINT) * sv) // n AS BIGINT) AS BIGINT) AS ssb,
+      |   CAST(qv - t AS BIGINT) AS ssw
+      |  FROM a)
+      |SELECT g, k, n, ssb, ssw,
+      | CAST((CAST(ssb AS HUGEINT) * 1000000) // (ssb + ssw) AS BIGINT) AS eta6,
+      | CAST(floor(CAST(ssb AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+      |   / (CAST(ssw AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)) * 1e6) AS BIGINT) AS f6
+      |FROM ss""".stripMargin
+
+  /** q_kendall: Kendall rank correlation between the DAILY cents series
+    * of every unordered event-type pair — the concordance companion to
+    * q_rankcorr (Spearman) and q_trend_mk (whose S statistic is Kendall
+    * vs time). The day×type grid is calendar-complete (absent cells
+    * COALESCE to 0 so both engines see the same series); the day-pair
+    * fan-out is |types|²/2 × |days|²/2 — CALENDAR-bounded like
+    * q_trend_mk's pair join, never fact-table-sized (at multi-year scale
+    * the same per-year sub-partition refinement applies). Concordant /
+    * discordant / tie counts are exact BIGINT sign compares; τ-a is a
+    * pure integer floor-div (both engines truncate toward zero on the
+    * possibly-negative numerator); τ-b's square root runs as one fixed
+    * IEEE tree over the exact tie-adjusted counts, floor-scaled ×1e6. */
+  def qKendall(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(F.expr("unix_micros(ts) div 86400000000").as("day"),
+        F.col("event_type").as("et"),
+        (dec2(F.col("value")) * 100).cast("long").as("vc"))
+    // ONE fact-table pass: the day/type domains come off the daily
+    // rollup (calendar × type sized), not a second events scan
+    val daily = ev.groupBy("day", "et").agg(F.sum("vc").as("c")).localCheckpoint()
+    val grid = daily.select("day").distinct()
+      .crossJoin(daily.select("et").distinct())
+      .join(daily, Seq("day", "et"), "left")
+      .select(F.col("day"), F.col("et"),
+        F.coalesce(F.col("c"), F.lit(0L)).as("c"))
+    val cells = grid.as("a").join(grid.as("b"),
+        F.col("a.day") === F.col("b.day") && F.col("a.et") < F.col("b.et"))
+      .select(F.col("a.et").as("t1"), F.col("b.et").as("t2"),
+        F.col("a.day").as("day"), F.col("a.c").as("x"), F.col("b.c").as("y"))
+    val pp = cells.as("i").join(cells.as("j"),
+        F.col("i.t1") === F.col("j.t1") && F.col("i.t2") === F.col("j.t2") &&
+          F.col("i.day") < F.col("j.day"))
+      .select(F.col("i.t1").as("t1"), F.col("i.t2").as("t2"),
+        (F.col("j.x") - F.col("i.x")).as("dx"),
+        (F.col("j.y") - F.col("i.y")).as("dy"))
+    pp.groupBy("t1", "t2")
+      .agg(F.count(F.lit(1)).as("np"),
+        F.sum(F.when((F.col("dx") > 0L && F.col("dy") > 0L)
+          || (F.col("dx") < 0L && F.col("dy") < 0L), 1L).otherwise(0L)).as("conc"),
+        F.sum(F.when((F.col("dx") > 0L && F.col("dy") < 0L)
+          || (F.col("dx") < 0L && F.col("dy") > 0L), 1L).otherwise(0L)).as("disc"),
+        F.sum(F.when(F.col("dx") === 0L && F.col("dy") =!= 0L, 1L).otherwise(0L)).as("tx"),
+        F.sum(F.when(F.col("dy") === 0L && F.col("dx") =!= 0L, 1L).otherwise(0L)).as("ty"),
+        F.sum(F.when(F.col("dx") === 0L && F.col("dy") === 0L, 1L).otherwise(0L)).as("txy"))
+      .filter(F.col("np") > (F.col("tx") + F.col("txy"))
+        && F.col("np") > (F.col("ty") + F.col("txy")))
+      .select(F.col("t1"), F.col("t2"), F.col("np"), F.col("conc"),
+        F.col("disc"), F.col("tx"), F.col("ty"), F.col("txy"),
+        F.expr("(1000000 * (conc - disc)) div np").as("taua6"),
+        F.floor((d("conc") - d("disc"))
+          / F.sqrt((d("np") - d("tx") - d("txy")) * (d("np") - d("ty") - d("txy")))
+          * 1e6).as("taub6"))
+  }
+
+  val qKendallSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type AS et,
+      |   CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS vc
+      |  FROM events),
+      |daily AS (SELECT day, et, CAST(SUM(vc) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.day, t.et, COALESCE(daily.c, 0) AS c
+      |  FROM (SELECT DISTINCT day FROM ev) d
+      |  CROSS JOIN (SELECT DISTINCT et FROM ev) t
+      |  LEFT JOIN daily ON daily.day = d.day AND daily.et = t.et),
+      |cells AS (
+      |  SELECT a.et AS t1, b.et AS t2, a.day AS day, a.c AS x, b.c AS y
+      |  FROM grid a JOIN grid b ON a.day = b.day AND a.et < b.et),
+      |pp AS (
+      |  SELECT i.t1, i.t2, j.x - i.x AS dx, j.y - i.y AS dy
+      |  FROM cells i JOIN cells j
+      |   ON i.t1 = j.t1 AND i.t2 = j.t2 AND i.day < j.day),
+      |k AS (
+      |  SELECT t1, t2, COUNT(*) AS np,
+      |   CAST(SUM(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0) THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+      |   CAST(SUM(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0) THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+      |   CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |   CAST(SUM(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+      |   CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS txy
+      |  FROM pp GROUP BY 1, 2)
+      |SELECT t1, t2, np, conc, disc, tx, ty, txy,
+      | (1000000 * (conc - disc)) // np AS taua6,
+      | CAST(floor((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+      |   / sqrt((CAST(np AS DOUBLE) - CAST(tx AS DOUBLE) - CAST(txy AS DOUBLE))
+      |     * (CAST(np AS DOUBLE) - CAST(ty AS DOUBLE) - CAST(txy AS DOUBLE))) * 1e6) AS BIGINT) AS taub6
+      |FROM k
+      |WHERE np > tx + txy AND np > ty + txy""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_anova", qAnova _, Some(qAnovaSql)),
+    ("q_kendall", qKendall _, Some(qKendallSql)),
     ("q_table_stats", qTableStats _, Some(qTableStatsSql)),
     ("q_covar_suite", qCovarSuite _, Some(qCovarSuiteSql)),
     ("q_meanztest", qMeanZTest _, Some(qMeanZTestSql)),
