@@ -25,9 +25,27 @@ object Bench {
     * interesting ones) with an "omitted" count, until it fits. Per-family
     * subtotals and any errored query names ride ahead of the per-query map,
     * so they survive the truncation. */
+  /** Machine-load context at bench start — so a contended driver window
+    * (runs inside a long sbt session right after the full verify) is
+    * detectable from the artifact instead of costing a judge re-run
+    * (r7 ±8%, r9 phantom +38%). */
+  private[graft] def loadStamp(): (String, Long) = {
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(1).mkString
+      catch { case _: Throwable => "?" }
+    val rssMb =
+      try scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmRSS:"))
+        .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    (load, rssMb)
+  }
+
   private def renderLine(total: Double, reps: Int, nq: Int, sfDir: String,
                          entries: Seq[(String, Double)],
-                         errors: Seq[String]): String = {
+                         errors: Seq[String], warmErrs: Seq[String],
+                         load: String, rssMb: Long): String = {
     val budget = 1800
     val fams = entries.groupBy { case (k, _) => family(k) }
       .map { case (f, es) => f -> es.map(_._2).sum }.toSeq.sortBy(-_._2)
@@ -35,11 +53,18 @@ object Bench {
     val errs =
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    // warmup failures are LOUD (r9 verdict #4): a query that silently
+    // stopped warming would otherwise just look slow. Cap at 8 names so
+    // a systemic failure can't blow the line budget.
+    val wErrs =
+      if (warmErrs.isEmpty) ""
+      else warmErrs.take(8).map("\"" + _ + "\"")
+        .mkString(s""","warm_errs_n":${warmErrs.size},"warm_errs":[""", ",", "]")
     def build(dec: Int, kept: Seq[(String, Double)]): String = {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val omitted = if (kept.size < nq) s""","omitted":${nq - kept.size}""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq$errs,"families":$fams$omitted,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq,"load":"$load","rss_mb":$rssMb$errs$wErrs,"families":$fams$omitted,"queries":$qs,"sf":"$sfDir"}"""
     }
     val bySlowest = entries.sortBy(-_._2)
     var dec = 3
@@ -89,10 +114,17 @@ object Bench {
     // exact classes the timed pass reuses (Janino + C2). The timed pass
     // then measures steady-state execution at the target SF, not one-time
     // JVM/codegen setup no long-lived cluster pays per query.
+    val (load0, rss0) = loadStamp()
+    val warmErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try { fn(spark, warmDir).count() }
+        catch {
+          case e: Throwable =>
+            warmErrs(name) = e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160)
+        }
       }
     // optional comma-separated subset for local A/B timing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -139,15 +171,27 @@ object Bench {
     // Full-precision per-query detail (the printed line is budget-trimmed).
     val detail = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
-    val errDetail = errors
-      .map { case (k, m) => s"""  "$k": "${m.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
+    def errJson(m: scala.collection.Map[String, String]): String = m
+      .map { case (k, v) => s"""  "$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
       .mkString("{\n", ",\n", "\n}")
+    val (load1, rss1) = loadStamp()
+    val detailJson =
+      s"""{"total": $total, "reps": $reps, "sf": "$sfDir", "load_start": "$load0", "load_end": "$load1", "rss_mb_start": $rss0, "rss_mb_end": $rss1, "warm_errors": ${errJson(warmErrs)}, "errors": ${errJson(errors)}, "queries": $detail}"""
     try {
+      // latest-run pointer + a stamped copy for FULL runs, so a later
+      // (possibly contended) driver run can't overwrite a committed
+      // isolated artifact (r9 verdict #4)
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      w.println(s"""{"total": $total, "reps": $reps, "sf": "$sfDir", "errors": $errDetail, "queries": $detail}""")
-      w.close()
+      w.println(detailJson); w.close()
+      if (only.isEmpty) {
+        val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+          .format(new java.util.Date())
+        val w2 = new java.io.PrintWriter(s"BENCH_DETAIL_$ts.json")
+        w2.println(detailJson); w2.close()
+      }
     } catch { case _: Throwable => () }
-    println(renderLine(total, reps, picked.size, sfDir, results.toSeq, errors.keys.toSeq))
+    println(renderLine(total, reps, picked.size, sfDir, results.toSeq,
+      errors.keys.toSeq, warmErrs.keys.toSeq, load0, rss0))
     spark.stop()
   }
 }

@@ -306,12 +306,18 @@ object OlapBizQueries {
       .groupBy(F.col("event_type"),
         F.expr("unix_micros(ts) div 86400000000").as("day"))
       .agg(F.sum(cents(F.col("value"))).as("vc"))
-    val pairs = daily.as("a").join(daily.as("b"),
-        F.col("a.event_type") === F.col("b.event_type") &&
-          F.col("a.day") < F.col("b.day"))
-      .select(F.col("a.event_type").as("event_type"),
-        F.expr("((b.vc - a.vc) * 1000000) div (b.day - a.day)").as("slope_ppm"),
-        F.col("a.day").as("d1"), F.col("b.day").as("d2"))
+    // b-side columns RENAMED before the self-join: the .as("a")/.as("b")
+    // alias form resolves both sides of `a.event_type === b.event_type`
+    // to the SAME attribute id (Spark logs a "trivially true predicate"
+    // WARN and drops the equality from the join condition's hash keys)
+    val bSide = daily.select(F.col("event_type").as("event_type_b"),
+      F.col("day").as("day_b"), F.col("vc").as("vc_b"))
+    val pairs = daily.join(bSide,
+        F.col("event_type") === F.col("event_type_b") &&
+          F.col("day") < F.col("day_b"))
+      .select(F.col("event_type"),
+        F.expr("((vc_b - vc) * 1000000) div (day_b - day)").as("slope_ppm"),
+        F.col("day").as("d1"), F.col("day_b").as("d2"))
     val w = Window.partitionBy("event_type")
       .orderBy(F.col("slope_ppm").asc, F.col("d1").asc, F.col("d2").asc)
     val nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).as("n_days"))
@@ -478,9 +484,11 @@ object OlapBizQueries {
     val op = Tables(s, dir, "lineitem")
       .select(F.col("l_orderkey").as("ok"), F.col("l_partkey").as("pk"))
       .distinct()
-    op.as("a").join(op.as("b"),
-        F.col("a.ok") === F.col("b.ok") && F.col("a.pk") < F.col("b.pk"))
-      .groupBy(F.col("a.pk").as("p1"), F.col("b.pk").as("p2"))
+    // b-side renamed before the self-join (the alias form resolves the
+    // equality to one attribute id → "trivially true predicate" WARN)
+    val bSide = op.select(F.col("ok"), F.col("pk").as("pk2"))
+    op.join(bSide, Seq("ok")).filter(F.col("pk") < F.col("pk2"))
+      .groupBy(F.col("pk").as("p1"), F.col("pk2").as("p2"))
       .agg(F.count(F.lit(1)).as("n_orders"))
       .orderBy(F.col("n_orders").desc, F.col("p1").asc, F.col("p2").asc)
       .limit(20)
@@ -510,9 +518,10 @@ object OlapBizQueries {
       .distinct()
     val partN = op.groupBy(F.col("pk")).agg(F.count(F.lit(1)).as("np"))
     val tot = op.select(F.count_distinct(F.col("ok")).as("n_ord"))
-    op.as("a").join(op.as("b"),
-        F.col("a.ok") === F.col("b.ok") && F.col("a.pk") < F.col("b.pk"))
-      .groupBy(F.col("a.pk").as("p1"), F.col("b.pk").as("p2"))
+    // b-side renamed before the self-join (same WARN fix as q_basket_pairs)
+    val bSide = op.select(F.col("ok"), F.col("pk").as("pk2"))
+    op.join(bSide, Seq("ok")).filter(F.col("pk") < F.col("pk2"))
+      .groupBy(F.col("pk").as("p1"), F.col("pk2").as("p2"))
       .agg(F.count(F.lit(1)).as("n12"))
       .join(F.broadcast(partN.select(F.col("pk").as("p1"), F.col("np").as("n1"))), Seq("p1"))
       .join(F.broadcast(partN.select(F.col("pk").as("p2"), F.col("np").as("n2"))), Seq("p2"))
@@ -674,9 +683,10 @@ object OlapBizQueries {
       .select(F.col("user_id").as("u"), F.col("event_type").as("t"))
       .distinct()
     val perType = ut.groupBy(F.col("t")).agg(F.count(F.lit(1)).as("nt"))
-    ut.as("a").join(ut.as("b"),
-        F.col("a.u") === F.col("b.u") && F.col("a.t") < F.col("b.t"))
-      .groupBy(F.col("a.t").as("t1"), F.col("b.t").as("t2"))
+    // b-side renamed before the self-join (same WARN fix as q_basket_pairs)
+    val bSide = ut.select(F.col("u"), F.col("t").as("t_b"))
+    ut.join(bSide, Seq("u")).filter(F.col("t") < F.col("t_b"))
+      .groupBy(F.col("t").as("t1"), F.col("t_b").as("t2"))
       .agg(F.count(F.lit(1)).as("n12"))
       .join(F.broadcast(perType.select(F.col("t").as("t1"), F.col("nt").as("n1"))), Seq("t1"))
       .join(F.broadcast(perType.select(F.col("t").as("t2"), F.col("nt").as("n2"))), Seq("t2"))

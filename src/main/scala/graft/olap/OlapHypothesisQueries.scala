@@ -724,16 +724,21 @@ object OlapHypothesisQueries {
       .join(daily, Seq("day", "et"), "left")
       .select(F.col("day"), F.col("et"),
         F.coalesce(F.col("c"), F.lit(0L)).as("c"))
-    val cells = grid.as("a").join(grid.as("b"),
-        F.col("a.day") === F.col("b.day") && F.col("a.et") < F.col("b.et"))
-      .select(F.col("a.et").as("t1"), F.col("b.et").as("t2"),
-        F.col("a.day").as("day"), F.col("a.c").as("x"), F.col("b.c").as("y"))
-    val pp = cells.as("i").join(cells.as("j"),
-        F.col("i.t1") === F.col("j.t1") && F.col("i.t2") === F.col("j.t2") &&
-          F.col("i.day") < F.col("j.day"))
-      .select(F.col("i.t1").as("t1"), F.col("i.t2").as("t2"),
-        (F.col("j.x") - F.col("i.x")).as("dx"),
-        (F.col("j.y") - F.col("i.y")).as("dy"))
+    // both self-joins rename one side's columns first (the .as alias form
+    // resolves equality keys to one attribute id → trivially-true WARN)
+    val gridB = grid.select(F.col("day"), F.col("et").as("et_b"),
+      F.col("c").as("c_b"))
+    val cells = grid.join(gridB, Seq("day"))
+      .filter(F.col("et") < F.col("et_b"))
+      .select(F.col("et").as("t1"), F.col("et_b").as("t2"),
+        F.col("day"), F.col("c").as("x"), F.col("c_b").as("y"))
+    val cellsJ = cells.select(F.col("t1"), F.col("t2"),
+      F.col("day").as("day_j"), F.col("x").as("x_j"), F.col("y").as("y_j"))
+    val pp = cells.join(cellsJ, Seq("t1", "t2"))
+      .filter(F.col("day") < F.col("day_j"))
+      .select(F.col("t1"), F.col("t2"),
+        (F.col("x_j") - F.col("x")).as("dx"),
+        (F.col("y_j") - F.col("y")).as("dy"))
     pp.groupBy("t1", "t2")
       .agg(F.count(F.lit(1)).as("np"),
         F.sum(F.when((F.col("dx") > 0L && F.col("dy") > 0L)

@@ -592,9 +592,10 @@ object PipelineQueries {
       .localCheckpoint()
     val ns = wc.groupBy("source").agg(F.sum("c").as("n"))
     val vsize = wc.select("w").distinct().agg(F.count(F.lit(1)).as("v"))
-    val pairs = ns.as("a").join(ns.as("b"), F.col("a.source") < F.col("b.source"))
-      .select(F.col("a.source").as("s1"), F.col("a.n").as("n1"),
-        F.col("b.source").as("s2"), F.col("b.n").as("n2"))
+    val nsB = ns.select(F.col("source").as("s2"), F.col("n").as("n2"))
+    val pairs = ns.crossJoin(nsB).filter(F.col("source") < F.col("s2"))
+      .select(F.col("source").as("s1"), F.col("n").as("n1"),
+        F.col("s2"), F.col("n2"))
     // each (source, w, c) row joins the S−1 pairs containing its source,
     // carrying its count on the matching side — present-words-only frame
     val sided = wc.crossJoin(F.broadcast(ns.select(F.col("source").as("o"))))
