@@ -29,18 +29,11 @@ object RecallProbe {
         A.sAnnTopk(spark, dir), Seq("q_id", "n_id"))),
       ("s_ann_pq", () => A.recallOf(A.sAnnPq(spark, dir),
         A.sAnnTopk(spark, dir), Seq("q_id", "n_id"))),
-      ("s_knn_graph_lsh", () => A.recallOf(A.sKnnGraphLsh(spark, dir),
-        A.sKnnGraph(spark, dir), Seq("src", "dst"))),
-      ("d_embed_dup_lsh", () => A.recallOf(D.dEmbedDupLsh(spark, dir),
-        D.dEmbedDup(spark, dir), Seq("a_id", "b_id"))),
-      ("d_semdedup_drops", () => {
-        import org.apache.spark.sql.{functions => F}
-        A.recallOf(
-          D.dSemDedup(spark, dir).filter(F.col("keep") === 0L)
-            .select(F.col("vec_id")),
-          D.dEmbedDup(spark, dir).select(F.col("b_id").as("vec_id")).distinct(),
-          Seq("vec_id"))
-      }))
+      // the gates' actual floor sources since r10: md5-least-256 sampled
+      // baselines (O(sample·corpus) — what the gates run at any SF)
+      ("s_knn_graph_lsh", () => A.knnLshSampledRecall(spark, dir)),
+      ("d_embed_dup_lsh", () => D.embedDupLshSampledRecall(spark, dir)),
+      ("d_semdedup_drops", () => D.semDedupSampledRecall(spark, dir)))
     probes.foreach { case (name, f) =>
       val r = f().collect()(0)
       println(f"[recall] $name%-18s n_exact=${r.getLong(0)}%-6d " +

@@ -800,6 +800,30 @@ object AnnQueries {
       | CAST(SUM(e9) // COUNT(*) AS BIGINT) AS avg_err_e9
       |FROM e GROUP BY 1""".stripMargin
 
+  // ── Engine-shared gate sampling (r9 VERDICT #1) ─────────────────────
+  //
+  // The scale-tier gates used to re-run a full-corpus n² exactness
+  // baseline (fine as sf0.1 verification, dead at sf1+). Each baseline
+  // is now restricted to a deterministic md5-least-N sample side, so the
+  // exact tier costs O(sample·corpus) at any SF. md5 of the id's decimal
+  // string gives BOTH engines the identical total order (the repo's
+  // engine-shared-order convention), so oracles that pin the sampled
+  // exact count recompute the same sample in SQL.
+
+  val GateSampleN = 256
+
+  /** The md5-least-n ids of `df.idCol` — a deterministic, engine-shared
+    * sample. TakeOrderedAndProject: per-partition bounded heaps + one
+    * driver-side merge of n rows, one scan at any corpus size. */
+  def md5LeastN(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.select(F.col(idCol))
+      .orderBy(F.md5(F.col(idCol).cast("string").cast("binary")), F.col(idCol))
+      .limit(n)
+
+  /** The same sample as a DuckDB subquery body. */
+  def md5LeastNSql(table: String, idCol: String, n: Int): String =
+    s"SELECT $idCol FROM $table ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol LIMIT $n"
+
   // ── Driver-gated recall floors (r8 VERDICT #3/#4) ───────────────────
   //
   // The ANN trio and the scale-tier kNN graph are approximate BY DESIGN,
@@ -816,8 +840,8 @@ object AnnQueries {
   val LshRecallFloorPpm = 550000L   // measured 625000..737500 across SFs
   val IvfRecallFloorPpm = 400000L   // measured 462500..537500
   val PqRecallFloorPpm = 450000L    // measured 500000..775000 (min at sf0.1)
-  val KnnLshRecallFloorPpm = 650000L   // measured 694648..744473
-  val EmbedLshRecallFloorPpm = 600000L // measured 696969..797826
+  val KnnLshRecallFloorPpm = 650000L   // sampled-baseline measured 681250..744531
+  val EmbedLshRecallFloorPpm = 600000L // sampled-baseline measured 666666..815126
 
   /** One-row recall stats of `ann` against `exact` on `keys`:
     * (n_exact, n_hit, recall_ppm). Left-join from the exact side, so
@@ -870,8 +894,10 @@ object AnnQueries {
     * self-join, src < dst. Duplicate candidates (pairs sharing several
     * tables) are deduped AFTER scoring so only ids+score shuffle, not
     * vectors. */
-  def sKnnGraphLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables(s, dir, "embeddings"))
+  /** The LSH tier's DIRECTED per-node top-K lists (q_id, n_id, rnk,
+    * score) — the candidate-quality surface the gate measures; the
+    * mutuality join downstream is deterministic given these lists. */
+  private[pipeline] def knnLshDirected(e: DataFrame): DataFrame = {
     val buckets = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
         F.posexplode(signatures(F.col("embedding"))).as(Seq("t", "bucket")))
       .localCheckpoint()
@@ -884,9 +910,13 @@ object AnnQueries {
       .select(F.col("q_id"), F.col("vec_id").as("n_id"),
         (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
       .dropDuplicates("q_id", "n_id")
-    val top = graft.operators.TopK.perGroup(scored, Seq("q_id"), F.col("cs"),
+    graft.operators.TopK.perGroup(scored, Seq("q_id"), F.col("cs"),
         F.col("n_id"), KnnK)
       .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"), F.col("score"))
+  }
+
+  def sKnnGraphLsh(s: SparkSession, dir: String): DataFrame = {
+    val top = knnLshDirected(withNorm(Tables(s, dir, "embeddings")))
     val rev = top.select(F.col("n_id").as("q_id"), F.col("q_id").as("n_id"),
       F.col("rnk").as("rnk_rev"))
     top.join(rev, Seq("q_id", "n_id"))
@@ -896,19 +926,71 @@ object AnnQueries {
         F.floor(F.col("score") * 1e6).cast("long").as("cs6"))
   }
 
-  /** s_knn_graph_lsh driver gate: the exact mutual-kNN edge count under
-    * the oracle hash PLUS a recall floor for the LSH tier's edge set —
-    * proving the 100 TB candidate swap end-to-end, per the r8 verdict. */
-  def sKnnGraphLshGate(s: SparkSession, dir: String): DataFrame =
-    recallStats(sKnnGraphLsh(s, dir), sKnnGraph(s, dir), Seq("src", "dst"))
-      .select(F.col("n_exact").as("n_edges"),
+  /** EXACT directed top-K lists for the md5-sampled sources only —
+    * O(|sample|·corpus) dots (one broadcast of the sample side, one
+    * corpus scan), never n². The sampled baseline every scale-tier
+    * similarity gate measures against (r9 verdict #1). */
+  private[pipeline] def knnExactSampled(e: DataFrame): DataFrame = {
+    val samp = md5LeastN(e, "vec_id", GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    val q = e.join(F.broadcast(samp), F.col("vec_id") === F.col("sid"))
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"))
+    val scored = F.broadcast(q).crossJoin(e)
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+    graft.operators.TopK.perGroup(scored, Seq("q_id"), F.col("cs"),
+        F.col("n_id"), KnnK)
+      .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"))
+  }
+
+  /** s_knn_graph_lsh driver gate, SAMPLED baseline (r9 verdict #1): the
+    * exact DIRECTED top-K pair count for the md5-least-256 sources rides
+    * the oracle hash (DuckDB recomputes the identical sample + lists),
+    * and ok = 1 iff the LSH tier's directed lists for those sources
+    * clear the recall floor. Directed-list recall is the candidate-tier
+    * quality metric; the mutuality join downstream is deterministic
+    * given the lists and identical code in both tiers (s_knn_graph pins
+    * it exactly under its own full-SQL oracle). Exact side is
+    * O(sample·corpus) — the gate itself now survives sf1+. */
+  def sKnnGraphLshGate(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+    val samp = md5LeastN(e, "vec_id", GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    val lshS = knnLshDirected(e)
+      .join(F.broadcast(samp), F.col("q_id") === F.col("sid"), "left_semi")
+    recallStats(lshS, knnExactSampled(e), Seq("q_id", "n_id"))
+      .select(F.col("n_exact"),
         F.when(F.lit(1000000L) * F.col("n_hit") >=
           F.lit(KnnLshRecallFloorPpm) * F.col("n_exact"), 1L)
           .otherwise(0L).as("ok"))
+  }
+
+  /** Raw sampled recall stats for RecallProbe (floor source). */
+  def knnLshSampledRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+    val samp = md5LeastN(e, "vec_id", GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    val lshS = knnLshDirected(e)
+      .join(F.broadcast(samp), F.col("q_id") === F.col("sid"), "left_semi")
+    recallStats(lshS, knnExactSampled(e), Seq("q_id", "n_id"))
+  }
 
   val sKnnGraphLshGateSql: String =
-    s"""SELECT COUNT(*) AS n_edges, CAST(1 AS BIGINT) AS ok
-       |FROM ($sKnnGraphSql)""".stripMargin
+    s"""WITH n AS ($normSql),
+       |samp AS (${md5LeastNSql("embeddings", "vec_id", GateSampleN)}),
+       |p AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+       |    ${dotSql("q.embedding", "d.embedding")} / (q.nrm * d.nrm) AS cs
+       |  FROM n q JOIN n d ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (SELECT vec_id FROM samp)),
+       |t AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) AS rnk
+       |    FROM p)
+       |  WHERE rnk <= $KnnK)
+       |SELECT COUNT(*) AS n_exact, CAST(1 AS BIGINT) AS ok FROM t""".stripMargin
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s_ann_lsh_recall", sAnnLshRecall _, Some(annRecallSql)),

@@ -409,23 +409,37 @@ object DedupQueries {
   /** d_simhash_gate: the pigeonhole-blocked SimHash pair search under
     * the HASH GATE — the 4×16-bit chunk blocking is EXACT for
     * hamming ≤ 3 (≥ 1 chunk must be untouched), so the blocked join's
-    * pair set must EQUAL the brute-force all-pairs XOR-popcount scan;
-    * ok = 1 iff the symmetric difference is empty. The brute tier is
-    * n²/2 popcounts over 64-bit longs (ids+fingerprints only — no text
-    * crosses the join), run here solely because proving exactness needs
-    * the baseline; the corpus doc count rides the oracle hash. */
+    * pair set must EQUAL the brute-force XOR-popcount scan on the
+    * checked slice; ok = 1 iff the symmetric difference is empty.
+    * SAMPLED baseline (r9 verdict #1): pairs with ≥ 1 endpoint in the
+    * md5-least-256 doc sample — the brute side is sample×corpus
+    * popcounts (O(sample·n), never n²; the blocking exactness is a
+    * pigeonhole THEOREM, the gate is its spot check). The corpus doc
+    * count rides the oracle hash. */
   def dSimhashGate(s: SparkSession, dir: String): DataFrame = {
     val fp = Tables(s, dir, "documents")
       .select(F.col("doc_id"),
         graft.functions.TextFunctions.wordSimHash(F.col("text")).as("fp"))
       .localCheckpoint()
-    val blocked = dSimhash(s, dir).select("a_id", "b_id")
-    val brute = fp.select(F.col("doc_id").as("a_id"), F.col("fp").as("fa"))
-      .crossJoin(fp.select(F.col("doc_id").as("b_id"), F.col("fp").as("fb")))
-      .filter(F.col("a_id") < F.col("b_id") &&
-        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= 3)
+    val samp = AnnQueries.md5LeastN(fp, "doc_id", AnnQueries.GateSampleN)
+      .withColumn("in_s", F.lit(1))
+    val fpS = fp.join(F.broadcast(samp.select("doc_id")), Seq("doc_id"))
+    // sample×corpus, both orientations folded to a_id < b_id
+    val brute = fpS.select(F.col("doc_id").as("sid"), F.col("fp").as("fs"))
+      .crossJoin(fp.select(F.col("doc_id").as("oid"), F.col("fp").as("fo")))
+      .filter(F.col("sid") =!= F.col("oid") &&
+        F.bit_count(F.col("fs").bitwiseXOR(F.col("fo"))) <= 3)
+      .select(F.least(F.col("sid"), F.col("oid")).as("a_id"),
+        F.greatest(F.col("sid"), F.col("oid")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val blockedS = dSimhash(s, dir).select("a_id", "b_id")
+      .join(F.broadcast(samp.select(F.col("doc_id").as("a_id"),
+        F.col("in_s").as("sa"))), Seq("a_id"), "left")
+      .join(F.broadcast(samp.select(F.col("doc_id").as("b_id"),
+        F.col("in_s").as("sb"))), Seq("b_id"), "left")
+      .filter(F.col("sa").isNotNull || F.col("sb").isNotNull)
       .select("a_id", "b_id")
-    val diff = blocked.withColumn("s", F.lit(1L))
+    val diff = blockedS.withColumn("s", F.lit(1L))
       .unionByName(brute.withColumn("s", F.lit(-1L)))
       .groupBy("a_id", "b_id").agg(F.sum("s").as("d"))
       .filter(F.col("d") =!= 0L)
@@ -494,21 +508,67 @@ object DedupQueries {
       .dropDuplicates("a_id", "b_id")
   }
 
-  /** d_embed_dup_lsh driver gate: the exact near-dup pair count under
-    * the oracle hash PLUS a recall floor for the banded tier (its output
-    * is a subset of the exact tier's, so recall = n_lsh/n_exact) —
-    * proving the 100 TB candidate swap end-to-end, per the r8 verdict. */
-  def dEmbedDupLshGate(s: SparkSession, dir: String): DataFrame =
-    AnnQueries.recallStats(dEmbedDupLsh(s, dir), dEmbedDup(s, dir),
+  /** The exact cos ≥ 0.4 near-dup pairs with ≥ 1 endpoint in the
+    * md5-least-256 sample — sample×corpus dots (O(sample·n), never n²),
+    * both orientations folded to a_id < b_id. cos is orientation-
+    * symmetric bit-exactly (element products commute; the fold order is
+    * the index order), so these rows ⊆ dEmbedDup's exactly. */
+  private def dEmbedDupExactSampled(s: SparkSession, dir: String): DataFrame = {
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
+    val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    val vs = e.join(F.broadcast(samp), F.col("vec_id") === F.col("sid"))
+      .select(F.col("vec_id").as("qid"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"))
+    F.broadcast(vs).crossJoin(e)
+      .filter(F.col("vec_id") =!= F.col("qid"))
+      .filter(AnnQueries.dot(F.col("eq"), F.col("embedding"))
+        / (F.col("nq") * F.col("nrm")) >= 0.4)
+      .select(F.least(F.col("qid"), F.col("vec_id")).as("a_id"),
+        F.greatest(F.col("qid"), F.col("vec_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Keep only pairs with ≥ 1 endpoint in `samp` (column `sid`). */
+  private def pairsTouchingSample(pairs: DataFrame, samp: DataFrame): DataFrame =
+    pairs
+      .join(F.broadcast(samp.select(F.col("sid").as("a_id"),
+        F.lit(1).as("sa"))), Seq("a_id"), "left")
+      .join(F.broadcast(samp.select(F.col("sid").as("b_id"),
+        F.lit(1).as("sb"))), Seq("b_id"), "left")
+      .filter(F.col("sa").isNotNull || F.col("sb").isNotNull)
+      .select("a_id", "b_id")
+
+  /** d_embed_dup_lsh driver gate, SAMPLED baseline (r9 verdict #1): the
+    * exact near-dup pair count on the md5-least-256-endpoint slice rides
+    * the oracle hash (DuckDB recomputes the identical sample), and ok =
+    * 1 iff the banded tier's recall on that slice clears its floor
+    * (output ⊆ exact tier ⇒ precision 1 by construction, unchanged).
+    * Exact side is O(sample·corpus) — the gate survives sf1+. */
+  def dEmbedDupLshGate(s: SparkSession, dir: String): DataFrame = {
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
+    val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    val lshS = pairsTouchingSample(dEmbedDupLsh(s, dir), samp)
+    AnnQueries.recallStats(lshS, dEmbedDupExactSampled(s, dir),
         Seq("a_id", "b_id"))
       .select(F.col("n_exact").as("n_pairs"),
         F.when(F.lit(1000000L) * F.col("n_hit") >=
           F.lit(AnnQueries.EmbedLshRecallFloorPpm) * F.col("n_exact"), 1L)
           .otherwise(0L).as("ok"))
+  }
 
   val dEmbedDupLshGateSql: String =
-    s"""SELECT COUNT(*) AS n_pairs, CAST(1 AS BIGINT) AS ok
-       |FROM ($dEmbedDupSql)""".stripMargin
+    s"""WITH samp AS (${AnnQueries.md5LeastNSql("embeddings", "vec_id", AnnQueries.GateSampleN)}),
+       |n AS (${AnnQueries.normSql}),
+       |p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${AnnQueries.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cs
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE a.vec_id IN (SELECT vec_id FROM samp)
+       |     OR b.vec_id IN (SELECT vec_id FROM samp))
+       |SELECT COUNT(*) AS n_pairs, CAST(1 AS BIGINT) AS ok
+       |FROM p WHERE cs >= 0.4""".stripMargin
 
   /** d_semdedup: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
     * semantic dedup through embedding clusters: k-means|| clusters the
@@ -552,16 +612,36 @@ object DedupQueries {
         F.when(F.col("dropped").isNotNull, 0L).otherwise(1L).as("keep"))
   }
 
-  /** d_semdedup_gate: the SemDeDup drop set under the HASH GATE —
-    * precision must be EXACTLY 1 (every semantic drop has a true
-    * smaller-id cos ≥ 0.4 neighbor: n_bad = 0 rides the oracle hash,
-    * with the exact keep-min drop count) and drop recall vs the exact
-    * all-pairs rule must clear its floor. Runs both tiers once each,
-    * like the other r9 scale-tier gates. */
+  /** The exact keep-min drop decision for the md5-sampled vec_ids only:
+    * v is dropped iff SOME smaller-id u (over the FULL corpus) sits at
+    * cos ≥ 0.4 — sample×corpus dots, never n². */
+  private def dExactDropsSampled(s: SparkSession, dir: String): DataFrame = {
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
+    val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    val vs = e.join(F.broadcast(samp), F.col("vec_id") === F.col("sid"))
+      .select(F.col("vec_id").as("vid"), F.col("embedding").as("ev"),
+        F.col("nrm").as("nv"))
+    F.broadcast(vs).crossJoin(e)
+      .filter(F.col("vec_id") < F.col("vid"))
+      .filter(AnnQueries.dot(F.col("ev"), F.col("embedding"))
+        / (F.col("nv") * F.col("nrm")) >= 0.4)
+      .select(F.col("vid").as("vec_id")).distinct()
+  }
+
+  /** d_semdedup_gate, SAMPLED baseline (r9 verdict #1): on the
+    * md5-least-256 vec_id slice, precision must be EXACTLY 1 (every
+    * sampled semantic drop has a true smaller-id cos ≥ 0.4 neighbor:
+    * n_bad = 0 rides the oracle hash, with the sampled exact drop count
+    * DuckDB recomputes) and sampled drop recall vs the exact keep-min
+    * rule must clear its floor. Exact side is O(sample·corpus). */
   def dSemDedupGate(s: SparkSession, dir: String): DataFrame = {
-    val exactDrops = dEmbedDup(s, dir)
-      .select(F.col("b_id").as("vec_id")).distinct()
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
+    val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    val exactDrops = dExactDropsSampled(s, dir)
     val semDrops = dSemDedup(s, dir).filter(F.col("keep") === 0L)
+      .join(F.broadcast(samp), F.col("vec_id") === F.col("sid"), "left_semi")
       .select("vec_id")
     val prec = semDrops
       .join(exactDrops.withColumn("x", F.lit(1)), Seq("vec_id"), "left")
@@ -577,14 +657,40 @@ object DedupQueries {
           .otherwise(0L).as("ok"))
   }
 
-  /** Measured drop recall 596774..792452 ppm across sf0.001/0.01/0.1
-    * (graft.RecallProbe); floor set under the minimum. */
+  /** Raw sampled recall stats for RecallProbe (floor sources). */
+  def embedDupLshSampledRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
+    val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    AnnQueries.recallStats(pairsTouchingSample(dEmbedDupLsh(s, dir), samp),
+      dEmbedDupExactSampled(s, dir), Seq("a_id", "b_id"))
+  }
+
+  def semDedupSampledRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
+    val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
+      .withColumnRenamed("vec_id", "sid")
+    val semDrops = dSemDedup(s, dir).filter(F.col("keep") === 0L)
+      .join(F.broadcast(samp), F.col("vec_id") === F.col("sid"), "left_semi")
+      .select("vec_id")
+    AnnQueries.recallStats(semDrops, dExactDropsSampled(s, dir), Seq("vec_id"))
+  }
+
+  /** Sampled-baseline drop recall measured 545454..785714 ppm across
+    * sf0.001/0.01/0.1 (graft.RecallProbe); floor set under the minimum. */
   val SemDedupRecallFloorPpm = 500000L
 
   val dSemDedupGateSql: String =
-    s"""SELECT COUNT(DISTINCT b_id) AS n_drops, CAST(0 AS BIGINT) AS n_bad,
+    s"""WITH samp AS (${AnnQueries.md5LeastNSql("embeddings", "vec_id", AnnQueries.GateSampleN)}),
+       |n AS (${AnnQueries.normSql}),
+       |p AS (
+       |  SELECT b.vec_id AS vec_id,
+       |    ${AnnQueries.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cs
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE b.vec_id IN (SELECT vec_id FROM samp))
+       |SELECT COUNT(DISTINCT vec_id) AS n_drops, CAST(0 AS BIGINT) AS n_bad,
        | CAST(1 AS BIGINT) AS ok
-       |FROM ($dEmbedDupSql)""".stripMargin
+       |FROM p WHERE cs >= 0.4""".stripMargin
 
   /** d_sample: deterministic content-hash sampling — keep a document iff
     * its md5 prefix falls under the threshold. The split is a pure
