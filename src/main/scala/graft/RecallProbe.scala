@@ -39,8 +39,18 @@ object RecallProbe {
       println(f"[recall] $name%-18s n_exact=${r.getLong(0)}%-6d " +
         f"n_hit=${r.getLong(1)}%-6d recall_ppm=${r.getLong(2)}")
     }
+    // per-query ANN hit counts (floor sources for the r10 per-query
+    // entry gates: *PerQueryMinHits)
+    Seq(("lsh", A.sAnnLsh _), ("ivf", A.sAnnIvf _), ("pq", A.sAnnPq _))
+      .foreach { case (nm, f) =>
+        val hits = A.recallPerQuery(f(spark, dir), A.sAnnTopk(spark, dir))
+          .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+        println(s"[recall] ann_perq:$nm " +
+          hits.map { case (q, h) => s"q$q=$h" }.mkString(" ") +
+          s" min=${hits.map(_._2).min}")
+      }
     // per-source training accuracy (floor source for d_quality_model_gate)
-    graft.pipeline.QualityModel.dQualityModel(spark, dir).collect()
+    graft.pipeline.QualityModel.dQualityAudit(spark, dir).collect()
       .foreach { r =>
         println(f"[recall] quality_acc:${r.getString(0)}%-14s " +
           f"n=${r.getLong(1)}%-6d acc_pct=${100L * r.getLong(3) / r.getLong(1)}")

@@ -110,15 +110,43 @@ object OlapExtraQueries {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
   /** q_approx_pct: sketch-based percentiles (ClickHouse quantileTDigest
-    * shape) — rows-only (sketch internals are engine-specific); the spec
-    * bounds error vs the exact q_percentile. Mergeable sketches keep this
-    * one partial-agg pass at any scale. */
-  def qApproxPct(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000)).as("ap50"),
-        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.9), F.lit(10000)).as("ap90"))
+    * shape), ORACLE-BACKED since r10 (r9 verdict #2) at the FINER
+    * (l_returnflag, l_linestatus) granularity than q_approx_pct_err:
+    * per cell, the GK sketch's p50/p90 values must sit in their exact
+    * rank-feasible interval (same p-scaled BIGINT rule as the err gate)
+    * and the cell's exact row count rides the oracle hash. Mergeable
+    * sketches keep this one partial-agg pass at any scale; the rank
+    * check adds one broadcast join + one conditional-sum pass. */
+  def qApproxPct(s: SparkSession, dir: String): DataFrame = {
+    val accuracy = 10000
+    val v = Tables(s, dir, "lineitem")
+      .select(F.col("l_returnflag"), F.col("l_linestatus"),
+        (Tables.dec2(F.col("l_extendedprice")) * 100).cast("long").as("vc"))
+    val ap = v.groupBy("l_returnflag", "l_linestatus").agg(
+      F.percentile_approx(F.col("vc"), F.lit(0.5), F.lit(accuracy)).as("ap50"),
+      F.percentile_approx(F.col("vc"), F.lit(0.9), F.lit(accuracy)).as("ap90"))
+    v.join(F.broadcast(ap), Seq("l_returnflag", "l_linestatus"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("vc") < F.col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        F.sum(F.when(F.col("vc") <= F.col("ap50"), 1L).otherwise(0L)).as("le50"),
+        F.sum(F.when(F.col("vc") < F.col("ap90"), 1L).otherwise(0L)).as("lt90"),
+        F.sum(F.when(F.col("vc") <= F.col("ap90"), 1L).otherwise(0L)).as("le90"))
+      .select(F.col("l_returnflag"), F.col("l_linestatus"), F.col("n"),
+        F.when(
+          F.lit(2L) * F.col("le50") >= F.col("n") - F.lit(2L) * tolC(accuracy) &&
+          F.lit(2L) * (F.col("lt50") + 1L) <= F.col("n") + F.lit(2L) * tolC(accuracy) + 2L,
+          1L).otherwise(0L).as("ok50"),
+        F.when(
+          F.lit(10L) * F.col("le90") >= F.lit(9L) * F.col("n") - F.lit(10L) * tolC(accuracy) &&
+          F.lit(10L) * (F.col("lt90") + 1L) <= F.lit(9L) * F.col("n") + F.lit(10L) * tolC(accuracy) + 10L,
+          1L).otherwise(0L).as("ok90"))
+  }
+
+  val qApproxPctSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok90
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
 
   /** q_approx_pct_err: the sketch-percentile path under the HASH GATE
     * (q_histogram_eqd_cuts' rank-feasibility rule): per group, ok = 1
@@ -934,7 +962,7 @@ object OlapExtraQueries {
     ("q_semi_anti", qSemiAnti _, Some(qSemiAntiSql)),
     ("q_json", qJson _, Some(qJsonSql)),
     ("q_cube", qCube _, Some(qCubeSql)),
-    ("q_approx_pct", qApproxPct _, None),
+    ("q_approx_pct", qApproxPct _, Some(qApproxPctSql)),
     ("q_approx_pct_err", qApproxPctErr _, Some(qApproxPctErrSql)),
     ("q_funnel", qFunnel _, Some(qFunnelSql)),
     ("q_funnel_strict", qFunnelStrict _, Some(qFunnelStrictSql)),

@@ -230,13 +230,26 @@ object OlapQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** HLL approximate distinct per group (sketch values are engine-specific:
-    * rows-only check; exactness covered by qDistinct; error DRIVER-GATED
-    * via q_approx_distinct_err). */
+  /** HLL approximate distinct users per (event_type, day) — the sketch
+    * path at dashboard granularity, ORACLE-BACKED since r10 (r9 verdict
+    * #2): the exact per-cell twin rides the oracle hash and ok = 1 iff
+    * |HLL − exact| ≤ 4%·exact + 2 (rsd 0.01 gated at 4σ, plus small-cell
+    * slack; the register-max sketch is deterministic for fixed data).
+    * Complements the coarser per-type q_approx_distinct_err. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy("event_type")
-      .agg(F.approx_count_distinct(F.col("user_id"), 0.01).as("approx_users"))
+      .groupBy(F.col("event_type"),
+        F.expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(F.countDistinct(F.col("user_id")).as("n_users"),
+        F.approx_count_distinct(F.col("user_id"), 0.01).as("a"))
+      .select(F.col("event_type"), F.col("day"), F.col("n_users"),
+        F.when(F.abs(F.col("a") - F.col("n_users")) * 100L <=
+          F.col("n_users") * 4L + 200L, 1L).otherwise(0L).as("ok"))
+
+  val qApproxDistinctSql: String =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      | COUNT(DISTINCT user_id) AS n_users, CAST(1 AS BIGINT) AS ok
+      |FROM events GROUP BY 1, 2""".stripMargin
 
   /** q_approx_distinct_err: the HLL path under the HASH GATE — per group,
     * ok = 1 iff |approx − exact| ≤ 4% of exact (HLL rsd 0.01, gate at
@@ -648,7 +661,7 @@ object OlapQueries {
     ("q_hop", qHop _, Some(qHopSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_distinct", qDistinct _, Some(qDistinctSql)),
-    ("q_approx_distinct", qApproxDistinct _, None),
+    ("q_approx_distinct", qApproxDistinct _, Some(qApproxDistinctSql)),
     ("q_approx_distinct_err", qApproxDistinctErr _, Some(qApproxDistinctErrSql)),
     ("q_percentile", qPercentile _, Some(qPercentileSql)),
     ("q_rollup", qRollup _, Some(qRollupSql)),

@@ -270,11 +270,100 @@ object BpeTrainer {
     """SELECT source, COUNT(*) AS n_docs, CAST(1 AS BIGINT) AS ok
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ── Oracle-backed driver wrappers (r9 verdict #2: zero rows-only) ────
+
+  /** t_bpe_train driver entry: the full training loop runs, and the
+    * learned table is emitted as per-merge invariant flags — ranks
+    * 1..Merges (the row SET rides the oracle hash: DuckDB generates
+    * exactly Merges ranks, so an early-stopped or over-long table is
+    * red), every merge has a positive selection-time count, non-empty
+    * sides, and the argmax count sequence is NON-INCREASING by rank (a
+    * new pair (x, lr) occurs at most as often as the (x, l) it replaces,
+    * so each round's max ≤ the previous round's). Round 1's (left,
+    * right, freq) stays pinned exactly by t_bpe_train_gate; ranks > 1
+    * are spec-proven against the plain-Scala replica. */
+  def tBpeTrainChecked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the merge table is a driver-side Seq (train collects one argmax
+    // row per round); the per-rank flags are plain Scala over its
+    // Merges entries — no window, no extra job
+    val merges = train(wordFreqs(s, dir), Merges)
+    merges.zipWithIndex.map { case ((rank, l, r, c), i) =>
+      val ok = c > 0 && l.nonEmpty && r.nonEmpty &&
+        (i == 0 || c <= merges(i - 1)._4)
+      (rank.toLong, if (ok) 1L else 0L)
+    }.toDF("rank", "ok")
+  }
+
+  val tBpeTrainCheckedSql: String =
+    s"""SELECT CAST(r AS BIGINT) AS rank, CAST(1 AS BIGINT) AS ok
+       |FROM range(1, ${Merges + 1}) t(r)""".stripMargin
+
+  /** t_bpe_apply driver entry: the tokenizer runs over the corpus and
+    * every doc's TRUE token count is gated by its exact sandwich bound —
+    * n_words ≤ n_tokens ≤ Σ(in-domain ? word length : 1) (each in-domain
+    * word yields between 1 and len(word) tokens; OOV words count 1) —
+    * with both bounds riding the oracle hash (DuckDB recomputes them
+    * from the text). Round-trip losslessness stays pinned per doc by
+    * t_bpe_apply_gate; exact counts are spec-proven vs the replica. */
+  def tBpeApplyChecked(s: SparkSession, dir: String): DataFrame =
+    tBpeApply(s, dir)
+      .join(Tables(s, dir, "documents").select(F.col("doc_id"),
+        F.expr(
+          """aggregate(transform(split(text, ' '),
+            |  w -> CASE WHEN w RLIKE '^[a-z]+$' THEN length(w) ELSE 1 END),
+            |  0L, (a, x) -> a + CAST(x AS BIGINT))""".stripMargin).as("tok_ub")),
+        "doc_id")
+      .select(F.col("doc_id"), F.col("n_words"), F.col("tok_ub"),
+        F.when(F.col("n_tokens") >= F.col("n_words") &&
+          F.col("n_tokens") <= F.col("tok_ub"), 1L).otherwise(0L).as("ok"))
+
+  val tBpeApplyCheckedSql: String =
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      | CAST(list_reduce(list_prepend(0,
+      |   list_transform(string_split(text, ' '),
+      |     w -> CASE WHEN regexp_full_match(w, '[a-z]+')
+      |          THEN strlen(w) ELSE 1 END)),
+      |   (a, x) -> a + x) AS BIGINT) AS tok_ub,
+      | CAST(1 AS BIGINT) AS ok
+      |FROM documents""".stripMargin
+
+  /** d_tokenize_pack driver entry: the end-to-end train→tokenize→pack
+    * capstone runs, and every packed SLOT is gated per doc (finer than
+    * d_tokenize_pack_gate's per-source min): bin never overfilled
+    * (off + n ≤ cap unless the doc opens its bin), bins contiguous from
+    * 0, offsets equal to the running fill in (hash, doc_id) order. The
+    * (doc_id, source) row set rides the oracle hash — every document
+    * packed exactly once. */
+  def dTokenizePackChecked(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+    dTokenizePack(s, dir)
+      .join(Tables(s, dir, "documents")
+        .select(F.col("doc_id"), F.md5(F.col("text").cast("binary")).as("h")),
+        "doc_id")
+      .withColumn("prev_bin", F.lag("bin", 1).over(w))
+      .withColumn("prev_end", F.lag(F.col("off") + F.col("n"), 1).over(w))
+      .select(F.col("doc_id"), F.col("source"),
+        F.when(
+          (F.col("off") + F.col("n") <= F.lit(PackQueries.PackCap) ||
+            F.col("off") === 0L) &&
+          (F.col("prev_bin").isNull &&
+            F.col("bin") === 0L && F.col("off") === 0L ||
+           F.col("prev_bin") === F.col("bin") &&
+            F.col("off") === F.col("prev_end") ||
+           F.col("prev_bin") === F.col("bin") - 1 &&
+            F.col("off") === 0L), 1L).otherwise(0L).as("ok"))
+  }
+
+  val dTokenizePackCheckedSql: String =
+    """SELECT doc_id, source, CAST(1 AS BIGINT) AS ok FROM documents""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("t_bpe_train", tBpeTrain _, None),
+    ("t_bpe_train", tBpeTrainChecked _, Some(tBpeTrainCheckedSql)),
     ("t_bpe_train_gate", tBpeTrainGate _, Some(tBpeTrainGateSql)),
-    ("t_bpe_apply", tBpeApply _, None),
+    ("t_bpe_apply", tBpeApplyChecked _, Some(tBpeApplyCheckedSql)),
     ("t_bpe_apply_gate", tBpeApplyGate _, Some(tBpeApplyGateSql)),
-    ("d_tokenize_pack", dTokenizePack _, None),
+    ("d_tokenize_pack", dTokenizePackChecked _, Some(dTokenizePackCheckedSql)),
     ("d_tokenize_pack_gate", dTokenizePackGate _, Some(dTokenizePackGateSql)))
 }

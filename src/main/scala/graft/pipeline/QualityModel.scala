@@ -98,10 +98,10 @@ object QualityModel {
     finally cached.unpersist(false)
   }
 
-  /** d_quality_model: fitted coefficients + per-source scoring audit
-    * (docs, predicted-keep count, correct predictions) — the quality
-    * gate a pipeline would then apply map-only. Rows-only + spec. */
-  def dQualityModel(s: SparkSession, dir: String): DataFrame = {
+  /** Per-source scoring audit of the trained classifier: docs,
+    * predicted-keep count, correct predictions (the frame RecallProbe
+    * and the specs read; the driver entry wraps it oracle-backed). */
+  def dQualityAudit(s: SparkSession, dir: String): DataFrame = {
     val feats = features(s, dir)
     val beta = train(feats)
     val z = F.lit(beta(0)) + F.col("x1") * beta(1) +
@@ -112,8 +112,32 @@ object QualityModel {
       .agg(F.count(F.lit(1)).as("n_docs"),
         F.sum(F.col("keep")).cast("long").as("n_keep"),
         F.sum((F.col("keep") === F.col("y").cast("int")).cast("int"))
-          .cast("long").as("n_correct"))
+          .cast("long").as("n_correct"),
+        F.sum(F.col("y")).cast("long").as("n_pos"))
   }
+
+  /** d_quality_model: the trained classifier's per-source audit,
+    * ORACLE-BACKED since r10 (r9 verdict #2): the per-source doc count
+    * AND the label-rule positive count ride the oracle hash (the marker
+    * rule is SQL — DuckDB recomputes y itself, pinning the training
+    * labels end-to-end), and ok = 1 iff training accuracy clears the
+    * same floor d_quality_model_gate holds (coefficients stay float and
+    * spec-checked; last-ulp IRLS jitter can flip only z ≈ 0 docs,
+    * harmless against the floored margin). */
+  def dQualityModel(s: SparkSession, dir: String): DataFrame =
+    dQualityAudit(s, dir)
+      .select(F.col("source"), F.col("n_docs"), F.col("n_pos"),
+        F.when(F.lit(100L) * F.col("n_correct") >=
+          F.lit(QualityAccFloorPct) * F.col("n_docs"), 1L)
+          .otherwise(0L).as("ok"))
+
+  val dQualityModelSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+      |   x -> x IN ('the', 'a', 'fast', 'slow'))) > 0
+      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      | CAST(1 AS BIGINT) AS ok
+      |FROM documents GROUP BY 1""".stripMargin
 
   /** Accuracy floor for [[dQualityGate]], percent: measured per-source
     * training accuracy across sf0.001/0.01/0.1 sits at 92-100% everywhere
@@ -128,7 +152,7 @@ object QualityModel {
     * applied; coefficients themselves are float and stay rows-only).
     * Per-source doc counts ride the oracle hash. */
   def dQualityGate(s: SparkSession, dir: String): DataFrame =
-    dQualityModel(s, dir)
+    dQualityAudit(s, dir)
       .select(F.col("source"), F.col("n_docs"),
         F.when(F.lit(100L) * F.col("n_correct") >=
           F.lit(QualityAccFloorPct) * F.col("n_docs"), 1L)
@@ -139,6 +163,6 @@ object QualityModel {
       |FROM documents GROUP BY 1""".stripMargin
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("d_quality_model", dQualityModel _, None),
+    ("d_quality_model", dQualityModel _, Some(dQualityModelSql)),
     ("d_quality_model_gate", dQualityGate _, Some(dQualityGateSql)))
 }

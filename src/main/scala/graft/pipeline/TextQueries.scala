@@ -203,6 +203,40 @@ object TextQueries {
         graft.functions.TextFunctions.rollingMinHash(F.col("text"), 8, 4)
           .getItem(i).as(s"fp$i")): _*)
 
+  /** t_fingerprint driver entry (ORACLE-BACKED since r10, r9 verdict
+    * #2): the one-pass RollingMinHash expression must equal the explode
+    * formulation BIT-FOR-BIT per document — 8-byte window substrings →
+    * xxhash64 → four seeded re-hash minima — with the per-doc window
+    * count (octet_length − 7; the corpus is ASCII so DuckDB's strlen
+    * agrees) riding the oracle hash. The production sketch runs AND its
+    * independent reconstruction must agree on every doc, which is the
+    * strongest engine-checkable contract for an engine-specific hash. */
+  def tFingerprintChecked(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(s, dir, "documents")
+      .filter(F.octet_length(F.col("text")) >= 8)
+      .select(F.col("doc_id"),
+        (F.octet_length(F.col("text")) - 7).cast("long").as("n_win"),
+        F.explode(F.expr(
+          "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))"))
+          .as("g"))
+      .select(F.col("doc_id"), F.col("n_win"), F.xxhash64(F.col("g")).as("h"))
+      .groupBy("doc_id", "n_win")
+      .agg(F.min(F.xxhash64(F.lit(0), F.col("h"))).as("e0"),
+        F.min(F.xxhash64(F.lit(1), F.col("h"))).as("e1"),
+        F.min(F.xxhash64(F.lit(2), F.col("h"))).as("e2"),
+        F.min(F.xxhash64(F.lit(3), F.col("h"))).as("e3"))
+    tFingerprint(s, dir).join(ex, "doc_id")
+      .select(F.col("doc_id"), F.col("n_win"),
+        F.when(F.col("fp0") === F.col("e0") && F.col("fp1") === F.col("e1") &&
+          F.col("fp2") === F.col("e2") && F.col("fp3") === F.col("e3"), 1L)
+          .otherwise(0L).as("ok"))
+  }
+
+  val tFingerprintCheckedSql: String =
+    """SELECT doc_id, CAST(strlen(text) - 7 AS BIGINT) AS n_win,
+      | CAST(1 AS BIGINT) AS ok
+      |FROM documents WHERE strlen(text) >= 8""".stripMargin
+
   /** t_fingerprint_gate: the rolling-MinHash document fingerprint under
     * the HASH GATE — the sketch values themselves have no SQL oracle,
     * but the operator's CONTRACT does: every byte-eligible doc
@@ -1099,7 +1133,7 @@ object TextQueries {
     ("t_heaps", tHeaps _, Some(tHeapsSql)),
     ("t_quality", tQuality _, Some(tQualitySql)),
     ("t_tokens", tTokens _, Some(tTokensSql)),
-    ("t_fingerprint", tFingerprint _, None),
+    ("t_fingerprint", tFingerprintChecked _, Some(tFingerprintCheckedSql)),
     ("t_fingerprint_gate", tFingerprintGate _, Some(tFingerprintGateSql)),
     ("t_topterms", tTopTerms _, Some(tTopTermsSql)))
 }

@@ -86,18 +86,22 @@ class ThetaSketchSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
-  test("q_theta_sketch runs and the estimates bound the exact counts") {
+  test("q_theta_sketch pins exact twins and its in-plan gates hold") {
     val dir = "/root/testdata/sf0.001"
     val est = graft.olap.OlapStatQueries.qThetaSketch(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
     val exact = graft.Tables(spark, dir, "events")
       .groupBy("event_type").agg(F.count_distinct(F.col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est.nonEmpty)
-    for ((et, (n, u, i)) <- est) {
-      // sf0.001 has 15 users — far below k, so everything is exact
+    for ((et, (n, only, okEst, okDiff)) <- est) {
       assert(n == exact(et), s"$et users")
-      assert(i <= n && u >= n, s"$et algebra sanity")
+      assert(only >= 0 && only <= n, s"$et difference bounds")
+      // sf0.001 has 15 users — far below k, so everything is exact and
+      // both gates must hold trivially
+      assert(okEst == 1L && okDiff == 1L, s"$et gates")
     }
   }
 }

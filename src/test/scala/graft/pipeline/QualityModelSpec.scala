@@ -41,7 +41,7 @@ class QualityModelSpec extends SparkSpec {
         s"beta($i): got=${got(i)} expect=${expect(i)}")
     // the gate must at least match always-predict-majority (strictly
     // beating it depends on feature/label correlation in the corpus)
-    val audit = QualityModel.dQualityModel(spark, SF).collect()
+    val audit = QualityModel.dQualityAudit(spark, SF).collect()
     val n = audit.map(_.getLong(1)).sum
     val correct = audit.map(_.getLong(3)).sum
     val pos = rows.count(_._1 > 0.5).toLong
