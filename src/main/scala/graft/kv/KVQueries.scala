@@ -483,6 +483,68 @@ object KVQueries {
       .localCheckpoint(true)
   }
 
+  private var lastZLinDir: Option[java.nio.file.Path] = None
+  private var lastZOrdDir: Option[java.nio.file.Path] = None
+
+  /** kv_zorder: the Z-ORDER segment layout end-to-end under the HASH
+    * GATE (r9 verdict #5) — the SAME event rows written twice through
+    * the DSv2 writer, linear (range-by-k, the MergeTree ORDER BY (k,c))
+    * and Morton (layout=zorder via KVZOrder: width-bucketed (user_id,
+    * µs) coordinates interleaved, curve-run segments). A (key-range ×
+    * time-range) probe — the bottom half of the key space × ONE day of
+    * thirty — must (a) return exactly the oracle's rows from the zorder
+    * store (layout changes placement, never content: rows ride the
+    * hash) and (b) schedule STRICTLY FEWER segments at plan time than
+    * the linear layout (ok = 1): linear's key-stripes each span all
+    * thirty days so the time predicate prunes nothing, while zorder's
+    * rectangles cut both ways. */
+  def kvZorder(s: SparkSession, dir: String): DataFrame = synchronized {
+    val lin = graft.ScenarioDirs.fresh("graft_kvzlin", lastZLinDir)
+    lastZLinDir = Some(lin)
+    val zo = graft.ScenarioDirs.fresh("graft_kvzord", lastZOrdDir)
+    lastZOrdDir = Some(zo)
+    val ev = Tables(s, dir, "events")
+    eventStore(s, dir).write.format("graft-kv")
+      .option("segments", 16).mode("overwrite").save(lin.toString)
+    graft.sources.kvconnector.KVZOrder.write(
+      ev.select(
+        encLong(F.col("user_id")).as("k"),
+        F.concat(encLong(F.unix_micros(F.col("ts"))),
+          encLong(F.col("event_id"))).as("c"),
+        dec2(F.col("value")).cast("string").cast("binary").as("v"),
+        F.col("user_id").as("zka"),
+        F.unix_micros(F.col("ts")).as("zca")),
+      F.col("zka"), F.col("zca"), zo.toString, 16)
+    def beLong(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def usOf(t: String): Long =
+      java.time.LocalDateTime.parse(t)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val kHi = ev.agg(F.expr("max(user_id) div 2")).collect()(0).getLong(0)
+    val cLo = beLong(usOf("2024-01-10T00:00:00")) ++ beLong(0L)
+    val cHi = beLong(usOf("2024-01-11T00:00:00")) ++ beLong(0L)
+    val nLin = graft.sources.kvconnector.KVZOrder.scheduledSegments(
+      lin.toString, beLong(0L), beLong(kHi), cLo, cHi)
+    val nZo = graft.sources.kvconnector.KVZOrder.scheduledSegments(
+      zo.toString, beLong(0L), beLong(kHi), cLo, cHi)
+    decoded(s.read.format("graft-kv").load(zo.toString)
+        .filter(F.col("k") >= F.lit(beLong(0L)) &&
+          F.col("k") <= F.lit(beLong(kHi)) &&
+          F.col("c") >= F.lit(cLo) && F.col("c") < F.lit(cHi)))
+      .withColumn("ok", F.lit(if (nZo < nLin) 1L else 0L))
+      .localCheckpoint(true)
+  }
+
+  val kvZorderSql: String =
+    """WITH mx AS (SELECT max(user_id) // 2 AS kh FROM events)
+      |SELECT user_id, epoch_us(ts) AS us, event_id,
+      | CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS v_str,
+      | CAST(1 AS BIGINT) AS ok
+      |FROM events, mx
+      |WHERE user_id <= mx.kh
+      |  AND epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+      |  AND epoch_us(ts) <  epoch_us(TIMESTAMP '2024-01-11 00:00:00')""".stripMargin
+
   val kvBloomSkipSql: String =
     """WITH probes AS (
       |  SELECT CAST(UNNEST(generate_series(0, 19)) AS BIGINT) AS user_id)
@@ -492,6 +554,7 @@ object KVQueries {
       |GROUP BY 1""".stripMargin
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("kv_zorder", kvZorder _, Some(kvZorderSql)),
     ("kv_bloom_skip", kvBloomSkip _, Some(kvBloomSkipSql)),
     ("kv_dsv2", kvDsv2 _, Some(kvSliceSql)),
     ("kv_dsv2_write", kvDsv2Write _, Some(kvSliceSql)),

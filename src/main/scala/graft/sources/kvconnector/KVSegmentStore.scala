@@ -22,6 +22,7 @@ import graft.GraftFs
 object KVSegmentStore {
   val ManifestFile = "_graft_manifest.txt"
   val BloomDir = "_graft_bloom"
+  val LayoutFile = "_graft_layout"
 
   /** Per-segment bounds. `cLo`/`cHi` (qualifier zone map, the MergeTree
     * minmax-index analog for the SPI's column-slice predicates) are null
@@ -82,6 +83,13 @@ object KVSegmentStore {
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
+
+  /** The store's declared layout: "zorder" when the marker exists,
+    * "linear" otherwise (legacy stores have no marker — linear was the
+    * only layout before it existed). */
+  def readLayout(path: String): String =
+    GraftFs.readText(activeConf, GraftFs.child(path, LayoutFile))
+      .map(_.trim).filter(_.nonEmpty).getOrElse("linear")
 
   def readManifest(path: String): Seq[Segment] = {
     val raw = GraftFs.readText(activeConf, GraftFs.child(path, ManifestFile))

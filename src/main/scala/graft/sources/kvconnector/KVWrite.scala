@@ -41,13 +41,20 @@ class KVWriteBuilder(path: String, info: LogicalWriteInfo)
   // .option("segments", n): exact segment count; default 0 lets Spark
   // (incl. AQE coalescing) size the range shuffle
   private val segments = info.options().getInt("segments", 0)
+  // .option("layout", "zorder"): the MergeTree multi-column ORDER BY
+  // analogue (ref QueryHelper.java:57 ORDER BY (k,c)) laid out along the
+  // Morton curve of (k, c) instead of lexicographically — see KVZOrder
+  private val layout = Option(info.options().get("layout")).getOrElse("linear")
+  require(layout == "linear" || layout == "zorder",
+    s"graft-kv layout must be linear|zorder, got $layout")
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write =
-    new KVWrite(path, doTruncate, segments, info.queryId())
+    new KVWrite(path, doTruncate, segments, layout, info.queryId())
 }
 
-class KVWrite(path: String, truncate: Boolean, segments: Int, queryId: String)
+class KVWrite(path: String, truncate: Boolean, segments: Int, layout: String,
+              queryId: String)
   extends Write with RequiresDistributionAndOrdering {
 
   private def asc(col: String): VSortOrder = new VSortOrder {
@@ -57,19 +64,30 @@ class KVWrite(path: String, truncate: Boolean, segments: Int, queryId: String)
     override def describe(): String = s"$col ASC"
   }
 
+  // linear: range-distributed by k, (k, c)-sorted within — every task
+  // emits one key-range segment. zorder: the DSv2 contract cannot spell
+  // a Morton expression over two binary columns (no function catalog on
+  // a path-based table), so the write ACCEPTS the caller's arrangement
+  // (KVZOrder.write pre-partitions by z) and declares no requirement —
+  // segment bounds recorded at write time make pruning correct for ANY
+  // arrangement; layout only changes how TIGHT the rectangles are.
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(Array(asc("k")))
-  override def requiredOrdering(): Array[VSortOrder] = Array(asc("k"), asc("c"))
-  override def requiredNumPartitions(): Int = segments
+    if (layout == "zorder") Distributions.unspecified()
+    else Distributions.ordered(Array(asc("k")))
+  override def requiredOrdering(): Array[VSortOrder] =
+    if (layout == "zorder") Array.empty else Array(asc("k"), asc("c"))
+  override def requiredNumPartitions(): Int =
+    if (layout == "zorder") 0 else segments
 
-  override def toBatch: BatchWrite = new KVBatchWrite(path, truncate, queryId)
+  override def toBatch: BatchWrite = new KVBatchWrite(path, truncate, layout, queryId)
 }
 
 case class KVCommit(file: String, loHex: String, hiHex: String, rows: Long,
                     cLoHex: String = "", cHiHex: String = "")
   extends WriterCommitMessage
 
-class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
+class KVBatchWrite(path: String, truncate: Boolean, layout: String,
+                   queryId: String)
   extends BatchWrite {
 
   // captured on the DRIVER at write-plan time: the session's Hadoop conf
@@ -98,6 +116,16 @@ class KVBatchWrite(path: String, truncate: Boolean, queryId: String)
     // old manifest intact and a concurrent reader sees either the old or
     // the new list, never a prefix (same discipline as KVDeltaStore.compact)
     GraftFs.writeTextAtomic(conf, manifest, lines.mkString("\n"))
+    // layout marker: zorder segments are NOT (k, c)-sorted inside, so
+    // the read side must decline the TopN read-in-order pushdown for
+    // them. Written/cleared only on truncate (a full relayout); appends
+    // keep the store's declared layout — and an append in the OTHER
+    // layout degrades the marker to zorder's weaker contract.
+    val layoutFile = GraftFs.child(path, KVSegmentStore.LayoutFile)
+    if (layout == "zorder")
+      GraftFs.writeTextAtomic(conf, layoutFile, "zorder")
+    else if (truncate)
+      GraftFs.delete(conf, layoutFile)
     if (truncate) {
       // old segments left the manifest atomically with the rename above;
       // sweeping their files (and bloom sidecars) afterwards is

@@ -1,0 +1,75 @@
+package graft.sources.kvconnector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Z-ORDER layout for the graft-kv store — the MergeTree multi-column
+  * ORDER BY analogue (ref `QueryHelper.java:57` `ORDER BY (k, c)`) laid
+  * out along the Morton curve instead of lexicographically, wiring
+  * [[graft.sources.ZOrder]] into the DSv2 write path (r9 verdict #5).
+  *
+  * The linear layout makes key-range pruning perfect and qualifier
+  * pruning useless (every key-range segment spans the full qualifier
+  * range); the z layout gives every segment a RECTANGLE of (k, c) space,
+  * so the manifest's existing per-segment (key-bounds × qualifier-zone-
+  * map) pruning — already applied by [[KVDataSource.mayMatch]] — bites on
+  * BOTH dimensions. A (key-range × qualifier-range) probe then schedules
+  * ~area-fraction of segments instead of ~key-fraction: at a
+  * million-segment store that is the difference between touching every
+  * key-stripe of a narrow time window and touching its rectangles only.
+  *
+  * Coordinates: the curve needs per-dimension CELL ids, not raw binary
+  * values, so callers pass the numeric projections of k and c (the same
+  * values they encoded) and each is width-bucketed into 2^bits cells
+  * between its own min/max — one extra aggregate pass, driver-sized
+  * state, the Delta/Iceberg OPTIMIZE ZORDER shape. Writes go through
+  * `format("graft-kv").option("layout", "zorder")`: the writer accepts
+  * the pre-arranged partitioning (the DSv2 contract cannot spell a
+  * Morton expression over binary columns on a path-based table), tasks
+  * record exact (k, c) bounds + Bloom sidecars as always, and the commit
+  * drops a `_graft_layout` marker so the read side declines the
+  * (k, c)-read-in-order TopN push that only the linear layout honors.
+  */
+object KVZOrder {
+
+  /** Write `df` (columns k, c, v + whatever `ka`/`ca` reference) as a
+    * z-ordered graft-kv store: bucket the two numeric curve coordinates,
+    * Morton-interleave, range-partition into `segments` curve runs, and
+    * write through the DSv2 path. */
+  def write(df: DataFrame, ka: Column, ca: Column, path: String,
+            segments: Int, bits: Int = 16): Unit = {
+    val b = df.agg(
+      F.min(ka).cast("double").as("kl"), F.max(ka).cast("double").as("kh"),
+      F.min(ca).cast("double").as("cl"), F.max(ca).cast("double").as("ch"))
+      .collect()(0)
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      if (!(hi > lo)) F.lit(0L) // degenerate/empty dimension: one cell
+      else F.least(F.lit((1L << bits) - 1L),
+        F.floor((c.cast("double") - F.lit(lo)) / F.lit(hi - lo)
+          * F.lit((1L << bits).toDouble)).cast("long"))
+    val z = graft.sources.ZOrder.zValue(
+      bucket(ka, b.getDouble(0), b.getDouble(1)),
+      bucket(ca, b.getDouble(2), b.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(segments, F.col("__z"))
+      .sortWithinPartitions(F.col("__z"), F.col("k"), F.col("c"))
+      .select("k", "c", "v")
+      .write.format("graft-kv")
+      .option("layout", "zorder").option("segments", segments)
+      .mode("overwrite").save(path)
+  }
+
+  /** PLAN-TIME probe: how many segments a (key-range × qualifier-range)
+    * predicate schedules — exactly the DSv2 scan's manifest pruning
+    * (range + zone map; no bloom: range probes never consult sidecars).
+    * The gate that proves the layout pays (kv_zorder) compares this
+    * count across layouts of the same rows. */
+  def scheduledSegments(path: String, kLo: Array[Byte], kHi: Array[Byte],
+                        cLo: Array[Byte], cHi: Array[Byte]): Int = {
+    import org.apache.spark.sql.sources._
+    val fs: Array[Filter] = Array(
+      GreaterThanOrEqual("k", kLo), LessThanOrEqual("k", kHi),
+      GreaterThanOrEqual("c", cLo), LessThan("c", cHi))
+    new KVScan(path, KVDataSource.Schema, fs).kept.size
+  }
+}
