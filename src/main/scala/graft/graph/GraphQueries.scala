@@ -1375,8 +1375,49 @@ object GraphQueries {
     val r2 = scored.groupBy("v")
       .agg(F.min(F.struct((-F.col("score")).as("ns"), F.col("c"))).as("p"))
       .select(F.col("v"), F.col("p.c").as("c2"))
-    c1.join(r2, Seq("v"))
-      .select(F.col("v").as("vid"), F.col("c").as("c1"), F.col("c2"))
+    val cf = c1.join(r2, Seq("v")).localCheckpoint()
+    // ── MULTI-LEVEL round (r10, r9 verdict #6): contract the round-2
+    // partition into a WEIGHTED quotient graph (node = community, Σtot =
+    // its weighted degree incl. self-loops), then merge DISJOINT
+    // mutual-best positive-gain community pairs and project back.
+    // Mutual-best matching — not another synchronized per-node move
+    // round — because simultaneous moves can DECREASE modularity
+    // (measured on this corpus: the naive quotient move round lost
+    // 1247660 → 1189614 in ×(2m)² units at sf0.01 — the known parallel-
+    // Louvain oscillation). Merging a DISJOINT pair set changes Q by
+    // exactly the sum of the pairs' gains (no interaction terms), so
+    // ΔQ×(2m)²/2 = Σ (2m·w(C,D) − Σtot(C)·Σtot(D)) > 0 term by term:
+    // non-decrease is a theorem here, asserted by GraphSpec. Work: one
+    // c2-keyed edge contraction (the labelprop exchange) + community-
+    // count-sized joins — the quotient is ≤ |V| and shrinks per level,
+    // the Blondel et al. design.
+    val qe = ue
+      .join(cf.select(F.col("v").as("src"), F.col("c2").as("qs")), Seq("src"))
+      .join(cf.select(F.col("v").as("dst"), F.col("c2").as("qd")), Seq("dst"))
+      .groupBy("qs", "qd").agg(F.count(F.lit(1)).as("w"))
+      .localCheckpoint()
+    val qdeg = qe.groupBy(F.col("qs").as("q")).agg(F.sum("w").as("qk"))
+    // merge gain of adjacent communities (self-loops are interiors, not
+    // merge candidates); w is the directed-symmetric count so the gain
+    // is symmetric: gain(q,d) = 2m·w − Σtot(q)·Σtot(d)
+    val prop = qe.filter(F.col("qs") =!= F.col("qd"))
+      .select(F.col("qs").as("q"), F.col("qd").as("d"), F.col("w"))
+      .join(qdeg, Seq("q"))
+      .join(qdeg.select(F.col("q").as("d"), F.col("qk").as("kd")), Seq("d"))
+      .select(F.col("q"), F.col("d"),
+        (F.lit(m2) * F.col("w") - F.col("qk") * F.col("kd")).as("gain"))
+      .filter(F.col("gain") > 0L)
+      .groupBy("q")
+      .agg(F.min(F.struct((-F.col("gain")).as("ng"), F.col("d"))).as("p"))
+      .select(F.col("q"), F.col("p.d").as("d"))
+    val mutual = prop
+      .join(prop.select(F.col("d").as("q"), F.col("q").as("d2")), Seq("q"))
+      .filter(F.col("d") === F.col("d2"))
+      .select(F.col("q"), F.least(F.col("q"), F.col("d")).as("c3q"))
+    cf.join(mutual.withColumnRenamed("q", "c2"), Seq("c2"), "left")
+      .select(F.col("v").as("vid"), F.col("c").as("c1"), F.col("c2"),
+        // unmatched (or edgeless) communities keep their label
+        F.coalesce(F.col("c3q"), F.col("c2")).as("c3"))
   }
 
   val gLouvainSql: String =
@@ -1415,9 +1456,33 @@ object GraphQueries {
        |r2 AS MATERIALIZED (
        |  SELECT v, c AS c2,
        |    ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
-       |  FROM scored)
-       |SELECT c1.v AS vid, c1.c AS c1, r2.c2
-       |FROM c1 JOIN r2 ON r2.v = c1.v AND r2.rn = 1""".stripMargin
+       |  FROM scored),
+       |cf AS MATERIALIZED (
+       |  SELECT c1.v, c1.c AS c1c, r2.c2
+       |  FROM c1 JOIN r2 ON r2.v = c1.v AND r2.rn = 1),
+       |qe AS MATERIALIZED (
+       |  SELECT cs.c2 AS qs, cd.c2 AS qd, COUNT(*) AS w
+       |  FROM uedges e
+       |  JOIN cf cs ON cs.v = e.src JOIN cf cd ON cd.v = e.dst
+       |  GROUP BY 1, 2),
+       |qdeg AS MATERIALIZED (SELECT qs AS q, CAST(SUM(w) AS BIGINT) AS qk FROM qe GROUP BY 1),
+       |gains AS MATERIALIZED (
+       |  SELECT e.qs AS q, e.qd AS d,
+       |    (SELECT m2 FROM tm) * e.w - dq.qk * sd.qk AS gain
+       |  FROM qe e
+       |  JOIN qdeg dq ON dq.q = e.qs JOIN qdeg sd ON sd.q = e.qd
+       |  WHERE e.qs <> e.qd),
+       |prop AS MATERIALIZED (
+       |  SELECT q, d FROM (
+       |    SELECT q, d,
+       |      ROW_NUMBER() OVER (PARTITION BY q ORDER BY gain DESC, d ASC) AS rn
+       |    FROM gains WHERE gain > 0)
+       |  WHERE rn = 1),
+       |mutual AS MATERIALIZED (
+       |  SELECT a.q, LEAST(a.q, a.d) AS c3q
+       |  FROM prop a JOIN prop b ON b.q = a.d AND b.d = a.q)
+       |SELECT cf.v AS vid, cf.c1c AS c1, cf.c2, COALESCE(mu.c3q, cf.c2) AS c3
+       |FROM cf LEFT JOIN mutual mu ON mu.q = cf.c2""".stripMargin
 
   /** g_matching: deterministic distributed maximal matching (the
     * Israeli-Itai 1986 / parallel-greedy shape — the classic

@@ -363,4 +363,36 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(m.toSet == m2.toSet)
   }
+
+  test("multi-level louvain: contraction round does not decrease modularity") {
+    // sf0.001's round 3 only label-swaps (Q unchanged); sf0.01 genuinely
+    // merges communities (78 → 60 measured), so check both
+    for (sf <- Seq(SF, "/root/testdata/sf0.01")) {
+      val g = PropertyGraph(spark, sf)
+      val und = g.undirected.select("src", "dst").localCheckpoint()
+      val m2 = und.count()
+      val part = GraphQueries.gLouvain(spark, sf).localCheckpoint()
+      assert(part.count() == g.vertices.count())
+      // c3 refines c2 through the quotient: equal c2 ⇒ equal c3
+      assert(part.select("c2", "c3").distinct().groupBy("c2")
+        .agg(F.countDistinct("c3").as("n")).filter(F.col("n") > 1).count() == 0)
+      // modularity ×(2m)² of a partition column: Σ_c (2m·within_c − degsum_c²)
+      def q(col: String): Long = {
+        val labels = part.select(F.col("vid"), F.col(col).as("lbl"))
+        val within = und
+          .join(labels.select(F.col("vid").as("src"), F.col("lbl").as("ls")), "src")
+          .join(labels.select(F.col("vid").as("dst"), F.col("lbl").as("ld")), "dst")
+          .filter(F.col("ls") === F.col("ld")).count()
+        val deg = und.groupBy("src").agg(F.count(F.lit(1)).as("d"))
+        val degsum2 = labels
+          .join(deg, labels("vid") === deg("src"), "left")
+          .groupBy("lbl").agg(F.sum(F.coalesce(F.col("d"), F.lit(0L))).as("ds"))
+          .agg(F.sum(F.col("ds") * F.col("ds"))).collect()(0).getLong(0)
+        m2 * within - degsum2
+      }
+      val (q2, q3) = (q("c2"), q("c3"))
+      info(s"$sf modularity x(2m)^2: c2=$q2 c3=$q3")
+      assert(q3 >= q2, s"$sf contraction round decreased modularity: $q2 -> $q3")
+    }
+  }
 }
