@@ -89,6 +89,59 @@ class KVDeltaStoreSpec extends SparkSpec {
     assert(decode(ds.openDatabase("s")) == expected)
   }
 
+  test("crash mid-compaction at log depth > 2 replays to the same view") {
+    // maybeCompact fires at depth 4; compact deletes folded deltas in
+    // ASCENDING order, so a crash mid-sweep leaves the NEWEST deltas on
+    // a fresh base. Those re-resolve idempotently (their content is
+    // already folded in): reads must be unchanged in the crashed state,
+    // and a recovery maybeCompact must fold the leftovers away — the
+    // whole point of the ascending order (descending could resurrect a
+    // cell a newer delta had deleted).
+    val wh = java.nio.file.Files.createTempDirectory("kvdelta_midsweep")
+    val ds = new KVDeltaStore(spark, wh.toString)
+    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((1, 1, 11))), kcv(Nil).select("k", "c")) // resurrect k=1
+    ds.appendMutation("s", kcv(Seq((4, 1, 40))), kcv(Seq((2, 1, 0))).select("k", "c"))
+    assert(ds.logDepth("s") == 4)
+    val expected = Set((1L, 1L, 11L), (3L, 1L, 30L), (4L, 1L, 40L))
+    assert(decode(ds.openDatabase("s")) == expected)
+
+    // stage the crash: copy the NEWEST two deltas aside, compact (which
+    // also sweeps them), then restore the copies — the exact state a
+    // crash after deleting delta_00001/00002 but before 00003/00004
+    // leaves behind
+    def cp(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    val sdir = wh.resolve("s")
+    val stash = java.nio.file.Files.createTempDirectory("kvdelta_stash")
+    cp(sdir.resolve("delta_00003"), stash.resolve("delta_00003"))
+    cp(sdir.resolve("delta_00004"), stash.resolve("delta_00004"))
+    assert(ds.maybeCompact("s", threshold = 4))
+    assert(ds.logDepth("s") == 0)
+    cp(stash.resolve("delta_00003"), sdir.resolve("delta_00003"))
+    cp(stash.resolve("delta_00004"), sdir.resolve("delta_00004"))
+    assert(ds.logDepth("s") == 2)
+
+    // the crashed state reads identically (idempotent re-resolution)...
+    assert(decode(ds.openDatabase("s")) == expected)
+    // ...a below-threshold trigger leaves it alone...
+    assert(!ds.maybeCompact("s", threshold = 4))
+    assert(ds.logDepth("s") == 2)
+    // ...and a recovery compaction folds the leftovers, same view
+    assert(ds.maybeCompact("s", threshold = 2))
+    assert(ds.logDepth("s") == 0)
+    assert(decode(ds.openDatabase("s")) == expected)
+    // the store stays fully writable after recovery
+    ds.appendMutation("s", kcv(Seq((9, 9, 99))), kcv(Nil).select("k", "c"))
+    assert(decode(ds.openDatabase("s")) == expected + ((9L, 9L, 99L)))
+  }
+
   test("maxEntriesPerTask bounds per-task rows even for one hot key") {
     import org.apache.spark.sql.{functions => FF}
     val wh = java.nio.file.Files.createTempDirectory("kvdelta_hot")
