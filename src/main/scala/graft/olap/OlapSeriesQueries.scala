@@ -1135,12 +1135,14 @@ object OlapSeriesQueries {
       .select(F.col("event_type"), F.col("day"),
         F.expr("(vc - mu) div 1000").as("c"))
     val lags = cent.withColumn("lag", F.explode(F.typedlit(Seq(1L, 7L))))
-    val shifted = cent.select(F.col("event_type"), F.col("day").as("dk"),
-      F.col("c").as("ck"))
+    // shifted side fully renamed before the self-join (same-attribute
+    // equality logs a "trivially true predicate" WARN)
+    val shifted = cent.select(F.col("event_type").as("et_k"),
+      F.col("day").as("dk"), F.col("c").as("ck"))
     val num = lags.join(shifted,
-        lags("event_type") === shifted("event_type") &&
-          lags("day") + lags("lag") === shifted("dk"))
-      .groupBy(lags("event_type"), F.col("lag"))
+        F.col("event_type") === F.col("et_k") &&
+          F.col("day") + F.col("lag") === F.col("dk"))
+      .groupBy("event_type", "lag")
       .agg(F.sum(F.col("c") * F.col("ck")).as("num"), F.count(F.lit(1)).as("n_pairs"))
     val den = cent.groupBy("event_type")
       .agg(F.sum(F.col("c") * F.col("c")).as("den"))

@@ -886,17 +886,13 @@ object AnnQueries {
     "SELECT CAST(8 AS BIGINT) AS n_q, CAST(10 AS BIGINT) AS k, " +
       "CAST(1 AS BIGINT) AS ok"
 
-  /** SCALE TIER for s_knn_graph (the plan that survives 100 TB):
-    * candidate pairs from the hyperplane-LSH bucket equality join —
-    * BOTH sides the full corpus, a shuffle join on (table, bucket),
-    * never n² — then the identical downstream as the exact tier:
-    * per-node bounded-heap top-KnnK over candidates, mutuality
-    * self-join, src < dst. Duplicate candidates (pairs sharing several
-    * tables) are deduped AFTER scoring so only ids+score shuffle, not
-    * vectors. */
   /** The LSH tier's DIRECTED per-node top-K lists (q_id, n_id, rnk,
-    * score) — the candidate-quality surface the gate measures; the
-    * mutuality join downstream is deterministic given these lists. */
+    * score): candidate pairs from the hyperplane-LSH bucket equality
+    * join — BOTH sides the full corpus, a shuffle join on (table,
+    * bucket), never n². Duplicate candidates (pairs sharing several
+    * tables) are deduped AFTER scoring so only ids+score shuffle, not
+    * vectors. This is the candidate-quality surface the gate measures;
+    * the mutuality join downstream is deterministic given these lists. */
   private[pipeline] def knnLshDirected(e: DataFrame): DataFrame = {
     val buckets = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
         F.posexplode(signatures(F.col("embedding"))).as(Seq("t", "bucket")))
@@ -915,6 +911,9 @@ object AnnQueries {
       .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"), F.col("score"))
   }
 
+  /** SCALE TIER for s_knn_graph (the plan that survives 100 TB): the
+    * LSH directed lists + the identical mutuality downstream as the
+    * exact tier (v ∈ topk(u) ∧ u ∈ topk(v), emitted once src < dst). */
   def sKnnGraphLsh(s: SparkSession, dir: String): DataFrame = {
     val top = knnLshDirected(withNorm(Tables(s, dir, "embeddings")))
     val rev = top.select(F.col("n_id").as("q_id"), F.col("q_id").as("n_id"),
