@@ -117,31 +117,8 @@ object OlapExtraQueries {
     * and the cell's exact row count rides the oracle hash. Mergeable
     * sketches keep this one partial-agg pass at any scale; the rank
     * check adds one broadcast join + one conditional-sum pass. */
-  def qApproxPct(s: SparkSession, dir: String): DataFrame = {
-    val accuracy = 10000
-    val v = Tables(s, dir, "lineitem")
-      .select(F.col("l_returnflag"), F.col("l_linestatus"),
-        (Tables.dec2(F.col("l_extendedprice")) * 100).cast("long").as("vc"))
-    val ap = v.groupBy("l_returnflag", "l_linestatus").agg(
-      F.percentile_approx(F.col("vc"), F.lit(0.5), F.lit(accuracy)).as("ap50"),
-      F.percentile_approx(F.col("vc"), F.lit(0.9), F.lit(accuracy)).as("ap90"))
-    v.join(F.broadcast(ap), Seq("l_returnflag", "l_linestatus"))
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(F.count(F.lit(1)).as("n"),
-        F.sum(F.when(F.col("vc") < F.col("ap50"), 1L).otherwise(0L)).as("lt50"),
-        F.sum(F.when(F.col("vc") <= F.col("ap50"), 1L).otherwise(0L)).as("le50"),
-        F.sum(F.when(F.col("vc") < F.col("ap90"), 1L).otherwise(0L)).as("lt90"),
-        F.sum(F.when(F.col("vc") <= F.col("ap90"), 1L).otherwise(0L)).as("le90"))
-      .select(F.col("l_returnflag"), F.col("l_linestatus"), F.col("n"),
-        F.when(
-          F.lit(2L) * F.col("le50") >= F.col("n") - F.lit(2L) * tolC(accuracy) &&
-          F.lit(2L) * (F.col("lt50") + 1L) <= F.col("n") + F.lit(2L) * tolC(accuracy) + 2L,
-          1L).otherwise(0L).as("ok50"),
-        F.when(
-          F.lit(10L) * F.col("le90") >= F.lit(9L) * F.col("n") - F.lit(10L) * tolC(accuracy) &&
-          F.lit(10L) * (F.col("lt90") + 1L) <= F.lit(9L) * F.col("n") + F.lit(10L) * tolC(accuracy) + 10L,
-          1L).otherwise(0L).as("ok90"))
-  }
+  def qApproxPct(s: SparkSession, dir: String): DataFrame =
+    gkRankGate(s, dir, Seq("l_returnflag", "l_linestatus"))
 
   val qApproxPctSql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -157,22 +134,31 @@ object OlapExtraQueries {
     * the rank counts are engine-exact; the group's exact row count rides
     * the oracle hash. One pass for the cuts + one broadcast-join
     * conditional-sum pass — no sort, no window. */
-  def qApproxPctErr(s: SparkSession, dir: String): DataFrame = {
+  def qApproxPctErr(s: SparkSession, dir: String): DataFrame =
+    gkRankGate(s, dir, Seq("l_returnflag"))
+
+  /** The GK rank-feasibility gate, parameterized on the grouping keys —
+    * ONE body for q_approx_pct (per (flag, status) cell) and
+    * q_approx_pct_err (per flag): the p-scaled BIGINT inequalities and
+    * the n/accuracy+2 tolerance live in exactly one place. */
+  private def gkRankGate(s: SparkSession, dir: String,
+                         groups: Seq[String]): DataFrame = {
     val accuracy = 10000
+    val gcols = groups.map(F.col)
     val v = Tables(s, dir, "lineitem")
-      .select(F.col("l_returnflag"),
-        (Tables.dec2(F.col("l_extendedprice")) * 100).cast("long").as("vc"))
-    val ap = v.groupBy("l_returnflag").agg(
+      .select(gcols :+
+        (Tables.dec2(F.col("l_extendedprice")) * 100).cast("long").as("vc"): _*)
+    val ap = v.groupBy(gcols: _*).agg(
       F.percentile_approx(F.col("vc"), F.lit(0.5), F.lit(accuracy)).as("ap50"),
       F.percentile_approx(F.col("vc"), F.lit(0.9), F.lit(accuracy)).as("ap90"))
-    v.join(F.broadcast(ap), "l_returnflag")
-      .groupBy("l_returnflag")
+    v.join(F.broadcast(ap), groups)
+      .groupBy(gcols: _*)
       .agg(F.count(F.lit(1)).as("n"),
         F.sum(F.when(F.col("vc") < F.col("ap50"), 1L).otherwise(0L)).as("lt50"),
         F.sum(F.when(F.col("vc") <= F.col("ap50"), 1L).otherwise(0L)).as("le50"),
         F.sum(F.when(F.col("vc") < F.col("ap90"), 1L).otherwise(0L)).as("lt90"),
         F.sum(F.when(F.col("vc") <= F.col("ap90"), 1L).otherwise(0L)).as("le90"))
-      .select(F.col("l_returnflag"), F.col("n"),
+      .select(gcols ++ Seq(F.col("n"),
         F.when(
           F.lit(2L) * F.col("le50") >= F.col("n") - F.lit(2L) * tolC(accuracy) &&
           F.lit(2L) * (F.col("lt50") + 1L) <= F.col("n") + F.lit(2L) * tolC(accuracy) + 2L,
@@ -180,7 +166,7 @@ object OlapExtraQueries {
         F.when(
           F.lit(10L) * F.col("le90") >= F.lit(9L) * F.col("n") - F.lit(10L) * tolC(accuracy) &&
           F.lit(10L) * (F.col("lt90") + 1L) <= F.lit(9L) * F.col("n") + F.lit(10L) * tolC(accuracy) + 10L,
-          1L).otherwise(0L).as("ok90"))
+          1L).otherwise(0L).as("ok90")): _*)
   }
 
   private def tolC(accuracy: Int): Column =

@@ -953,20 +953,16 @@ object AnnQueries {
     * given the lists and identical code in both tiers (s_knn_graph pins
     * it exactly under its own full-SQL oracle). Exact side is
     * O(sample·corpus) — the gate itself now survives sf1+. */
-  def sKnnGraphLshGate(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
-    val samp = md5LeastN(e, "vec_id", GateSampleN)
-      .withColumnRenamed("vec_id", "sid")
-    val lshS = knnLshDirected(e)
-      .join(F.broadcast(samp), F.col("q_id") === F.col("sid"), "left_semi")
-    recallStats(lshS, knnExactSampled(e), Seq("q_id", "n_id"))
+  def sKnnGraphLshGate(s: SparkSession, dir: String): DataFrame =
+    knnLshSampledRecall(s, dir) // the gate IS the probe, floored
       .select(F.col("n_exact"),
         F.when(F.lit(1000000L) * F.col("n_hit") >=
           F.lit(KnnLshRecallFloorPpm) * F.col("n_exact"), 1L)
           .otherwise(0L).as("ok"))
-  }
 
-  /** Raw sampled recall stats for RecallProbe (floor source). */
+  /** Sampled recall stats of the LSH directed lists — the gate's single
+    * source of truth AND RecallProbe's floor source (one body: the gate
+    * and the probe cannot drift apart). */
   def knnLshSampledRecall(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
     val samp = md5LeastN(e, "vec_id", GateSampleN)

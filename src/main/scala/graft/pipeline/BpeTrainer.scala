@@ -238,24 +238,23 @@ object BpeTrainer {
       | CAST(1 AS BIGINT) AS ok
       |FROM documents""".stripMargin
 
-  /** d_tokenize_pack_gate: the packing invariants under the HASH GATE —
-    * per source: every doc packed exactly once (count rides the oracle
-    * hash), no bin overfilled (offset + n ≤ cap unless the doc opens its
-    * bin), bins contiguous from 0, and offsets equal the running fill in
-    * (hash, doc_id) order. One window pass over the packed frame. */
-  def dTokenizePackGate(s: SparkSession, dir: String): DataFrame = {
+  /** Per-SLOT packing invariants — ONE body serving both the per-doc
+    * entry and the per-source gate (a fix to the invariant cannot make
+    * them disagree): per slot, the bin is never overfilled (offset + n ≤
+    * cap unless the doc opens its bin), bins are contiguous from 0, and
+    * offsets equal the running fill in (hash, doc_id) order. One window
+    * pass over the packed frame. Returns (doc_id, source, ok). */
+  private def packSlotOk(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
-    val packed = dTokenizePack(s, dir)
+    dTokenizePack(s, dir)
       .join(Tables(s, dir, "documents")
         .select(F.col("doc_id"), F.md5(F.col("text").cast("binary")).as("h")),
         "doc_id")
-    packed
       .withColumn("prev_bin", F.lag("bin", 1).over(w))
       .withColumn("prev_end", F.lag(F.col("off") + F.col("n"), 1).over(w))
-      .groupBy("source")
-      .agg(F.count(F.lit(1)).as("n_docs"),
-        F.min(F.when(
+      .select(F.col("doc_id"), F.col("source"),
+        F.when(
           (F.col("off") + F.col("n") <= F.lit(PackQueries.PackCap) ||
             F.col("off") === 0L) &&
           (F.col("prev_bin").isNull &&
@@ -263,8 +262,15 @@ object BpeTrainer {
            F.col("prev_bin") === F.col("bin") &&
             F.col("off") === F.col("prev_end") ||
            F.col("prev_bin") === F.col("bin") - 1 &&
-            F.col("off") === 0L), 1L).otherwise(0L)).as("ok"))
+            F.col("off") === 0L), 1L).otherwise(0L).as("ok"))
   }
+
+  /** d_tokenize_pack_gate: the per-slot invariants rolled up per source
+    * (count rides the oracle hash, ok = the slots' minimum). */
+  def dTokenizePackGate(s: SparkSession, dir: String): DataFrame =
+    packSlotOk(s, dir)
+      .groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_docs"), F.min("ok").as("ok"))
 
   val dTokenizePackGateSql: String =
     """SELECT source, COUNT(*) AS n_docs, CAST(1 AS BIGINT) AS ok
@@ -330,31 +336,11 @@ object BpeTrainer {
 
   /** d_tokenize_pack driver entry: the end-to-end train→tokenize→pack
     * capstone runs, and every packed SLOT is gated per doc (finer than
-    * d_tokenize_pack_gate's per-source min): bin never overfilled
-    * (off + n ≤ cap unless the doc opens its bin), bins contiguous from
-    * 0, offsets equal to the running fill in (hash, doc_id) order. The
-    * (doc_id, source) row set rides the oracle hash — every document
-    * packed exactly once. */
-  def dTokenizePackChecked(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
-    dTokenizePack(s, dir)
-      .join(Tables(s, dir, "documents")
-        .select(F.col("doc_id"), F.md5(F.col("text").cast("binary")).as("h")),
-        "doc_id")
-      .withColumn("prev_bin", F.lag("bin", 1).over(w))
-      .withColumn("prev_end", F.lag(F.col("off") + F.col("n"), 1).over(w))
-      .select(F.col("doc_id"), F.col("source"),
-        F.when(
-          (F.col("off") + F.col("n") <= F.lit(PackQueries.PackCap) ||
-            F.col("off") === 0L) &&
-          (F.col("prev_bin").isNull &&
-            F.col("bin") === 0L && F.col("off") === 0L ||
-           F.col("prev_bin") === F.col("bin") &&
-            F.col("off") === F.col("prev_end") ||
-           F.col("prev_bin") === F.col("bin") - 1 &&
-            F.col("off") === 0L), 1L).otherwise(0L).as("ok"))
-  }
+    * d_tokenize_pack_gate's per-source min; same [[packSlotOk]] body).
+    * The (doc_id, source) row set rides the oracle hash — every
+    * document packed exactly once. */
+  def dTokenizePackChecked(s: SparkSession, dir: String): DataFrame =
+    packSlotOk(s, dir)
 
   val dTokenizePackCheckedSql: String =
     """SELECT doc_id, source, CAST(1 AS BIGINT) AS ok FROM documents""".stripMargin

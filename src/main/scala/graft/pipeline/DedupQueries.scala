@@ -479,8 +479,12 @@ object DedupQueries {
     val samp = AnnQueries.md5LeastN(fp, "doc_id", AnnQueries.GateSampleN)
       .withColumn("in_s", F.lit(1))
     val fpS = fp.join(F.broadcast(samp.select("doc_id")), Seq("doc_id"))
-    // sample×corpus, both orientations folded to a_id < b_id
-    val brute = fpS.select(F.col("doc_id").as("sid"), F.col("fp").as("fs"))
+    // sample×corpus, both orientations folded to a_id < b_id; the
+    // sampled side is broadcast EXPLICITLY (like every sibling sampled
+    // baseline) — without the hint, stats at large SFs tip the planner
+    // into CartesianProductExec and the quadratic scheduling returns
+    val brute = F.broadcast(
+        fpS.select(F.col("doc_id").as("sid"), F.col("fp").as("fs")))
       .crossJoin(fp.select(F.col("doc_id").as("oid"), F.col("fp").as("fo")))
       .filter(F.col("sid") =!= F.col("oid") &&
         F.bit_count(F.col("fs").bitwiseXOR(F.col("fo"))) <= 3)
@@ -632,18 +636,12 @@ object DedupQueries {
     * 1 iff the banded tier's recall on that slice clears its floor
     * (output ⊆ exact tier ⇒ precision 1 by construction, unchanged).
     * Exact side is O(sample·corpus) — the gate survives sf1+. */
-  def dEmbedDupLshGate(s: SparkSession, dir: String): DataFrame = {
-    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
-    val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
-      .withColumnRenamed("vec_id", "sid")
-    val lshS = pairsTouchingSample(dEmbedDupLsh(s, dir), samp)
-    AnnQueries.recallStats(lshS, dEmbedDupExactSampled(s, dir),
-        Seq("a_id", "b_id"))
+  def dEmbedDupLshGate(s: SparkSession, dir: String): DataFrame =
+    embedDupLshSampledRecall(s, dir) // the gate IS the probe, floored
       .select(F.col("n_exact").as("n_pairs"),
         F.when(F.lit(1000000L) * F.col("n_hit") >=
           F.lit(AnnQueries.EmbedLshRecallFloorPpm) * F.col("n_exact"), 1L)
           .otherwise(0L).as("ok"))
-  }
 
   val dEmbedDupLshGateSql: String =
     s"""WITH samp AS (${AnnQueries.md5LeastNSql("embeddings", "vec_id", AnnQueries.GateSampleN)}),
@@ -722,25 +720,29 @@ object DedupQueries {
     * n_bad = 0 rides the oracle hash, with the sampled exact drop count
     * DuckDB recomputes) and sampled drop recall vs the exact keep-min
     * rule must clear its floor. Exact side is O(sample·corpus). */
-  def dSemDedupGate(s: SparkSession, dir: String): DataFrame = {
+  /** The sampled slice of d_semdedup's drop set — one body shared by
+    * the gate and the RecallProbe floor source. */
+  private def semDropsSampled(s: SparkSession, dir: String): DataFrame = {
     val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
     val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
       .withColumnRenamed("vec_id", "sid")
-    val exactDrops = dExactDropsSampled(s, dir)
-    val semDrops = dSemDedup(s, dir).filter(F.col("keep") === 0L)
+    dSemDedup(s, dir).filter(F.col("keep") === 0L)
       .join(F.broadcast(samp), F.col("vec_id") === F.col("sid"), "left_semi")
       .select("vec_id")
+  }
+
+  def dSemDedupGate(s: SparkSession, dir: String): DataFrame = {
+    // both sides feed two joins each (precision + recall): pin them
+    val exactDrops = dExactDropsSampled(s, dir).localCheckpoint()
+    val semDrops = semDropsSampled(s, dir).localCheckpoint()
     val prec = semDrops
       .join(exactDrops.withColumn("x", F.lit(1)), Seq("vec_id"), "left")
       .agg(F.sum(F.when(F.col("x").isNull, 1L).otherwise(0L)).as("n_bad"))
-    val rec = exactDrops
-      .join(semDrops.withColumn("h", F.lit(1)), Seq("vec_id"), "left")
-      .agg(F.count(F.lit(1)).as("n_drops"),
-        F.sum(F.when(F.col("h").isNotNull, 1L).otherwise(0L)).as("n_hit"))
-    rec.crossJoin(prec)
-      .select(F.col("n_drops"), F.col("n_bad"),
+    AnnQueries.recallStats(semDrops, exactDrops, Seq("vec_id"))
+      .crossJoin(F.broadcast(prec))
+      .select(F.col("n_exact").as("n_drops"), F.col("n_bad"),
         F.when(F.lit(1000000L) * F.col("n_hit") >=
-          F.lit(SemDedupRecallFloorPpm) * F.col("n_drops"), 1L)
+          F.lit(SemDedupRecallFloorPpm) * F.col("n_exact"), 1L)
           .otherwise(0L).as("ok"))
   }
 
@@ -773,15 +775,9 @@ object DedupQueries {
       dEmbedDupExactSampled(s, dir), Seq("a_id", "b_id"))
   }
 
-  def semDedupSampledRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
-    val samp = AnnQueries.md5LeastN(e, "vec_id", AnnQueries.GateSampleN)
-      .withColumnRenamed("vec_id", "sid")
-    val semDrops = dSemDedup(s, dir).filter(F.col("keep") === 0L)
-      .join(F.broadcast(samp), F.col("vec_id") === F.col("sid"), "left_semi")
-      .select("vec_id")
-    AnnQueries.recallStats(semDrops, dExactDropsSampled(s, dir), Seq("vec_id"))
-  }
+  def semDedupSampledRecall(s: SparkSession, dir: String): DataFrame =
+    AnnQueries.recallStats(semDropsSampled(s, dir),
+      dExactDropsSampled(s, dir), Seq("vec_id"))
 
   /** Sampled-baseline drop recall measured 545454..785714 ppm across
     * sf0.001/0.01/0.1 (graft.RecallProbe); floor set under the minimum. */

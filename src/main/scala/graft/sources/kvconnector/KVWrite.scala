@@ -111,20 +111,25 @@ class KVBatchWrite(path: String, truncate: Boolean, layout: String,
     val freshLines =
       fresh.map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}\t${m.cLoHex}\t${m.cHiHex}")
     val lines = (if (truncate) freshLines.toSeq else previous ++ freshLines).sorted
+    // layout marker BEFORE the manifest: zorder segments are NOT
+    // (k, c)-sorted inside, so the read side must decline the TopN
+    // read-in-order pushdown for them — and a missing marker means
+    // "linear", so the marker must be LIVE before any Morton-ordered
+    // segment becomes readable (a crash or a concurrent planner between
+    // the two writes would otherwise serve wrong TopN rows under the
+    // linear assumption; degrading EARLY merely declines a pushdown).
+    // The linear-truncate delete stays AFTER the manifest for the same
+    // reason, mirrored: keep declining until the linear segments are
+    // the live ones.
+    val layoutFile = GraftFs.child(path, KVSegmentStore.LayoutFile)
+    if (layout == "zorder")
+      GraftFs.writeTextAtomic(conf, layoutFile, "zorder")
     // atomic replacement: stage the full manifest next to the live one,
     // then overwrite-rename it into place — a crash mid-write leaves the
     // old manifest intact and a concurrent reader sees either the old or
     // the new list, never a prefix (same discipline as KVDeltaStore.compact)
     GraftFs.writeTextAtomic(conf, manifest, lines.mkString("\n"))
-    // layout marker: zorder segments are NOT (k, c)-sorted inside, so
-    // the read side must decline the TopN read-in-order pushdown for
-    // them. Written/cleared only on truncate (a full relayout); appends
-    // keep the store's declared layout — and an append in the OTHER
-    // layout degrades the marker to zorder's weaker contract.
-    val layoutFile = GraftFs.child(path, KVSegmentStore.LayoutFile)
-    if (layout == "zorder")
-      GraftFs.writeTextAtomic(conf, layoutFile, "zorder")
-    else if (truncate)
+    if (layout != "zorder" && truncate)
       GraftFs.delete(conf, layoutFile)
     if (truncate) {
       // old segments left the manifest atomically with the rename above;

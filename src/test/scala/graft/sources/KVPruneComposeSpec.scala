@@ -39,8 +39,10 @@ class KVPruneComposeSpec extends SparkSpec {
 
   /** An ODD (absent) key strictly inside a non-degenerate segment whose
     * qualifier zone map SURVIVES `cLo` — the segment only the Bloom can
-    * kill. Derived from the manifest, not hardcoded: range-partition
-    * boundaries move with the sampler (the KVBloomSpec lesson). */
+    * kill. Derived from the manifest, not hardcoded (range-partition
+    * boundaries move with the sampler — the KVBloomSpec lesson), AND
+    * pre-checked against the segment's actual Bloom so a false positive
+    * on one candidate just moves to the next instead of flaking. */
   private def bloomOnlyVictim(segs: Seq[KVSegmentStore.Segment],
                               cLo: Array[Byte], present: Long): Option[Long] =
     segs.iterator
@@ -48,8 +50,16 @@ class KVPruneComposeSpec extends SparkSpec {
       // not the present key's own segment (that one is legitimately kept)
       .filter(g => !(ucmp(g.lo, beLong(present)) <= 0 &&
         ucmp(beLong(present), g.hi) <= 0))
-      .map(g => java.nio.ByteBuffer.wrap(g.lo).getLong + 1)
-      .find(_ % 2 == 1)
+      .flatMap { g =>
+        val lo = java.nio.ByteBuffer.wrap(g.lo).getLong
+        val hi = java.nio.ByteBuffer.wrap(g.hi).getLong
+        val bloom = KVSegmentStore.readBloom(g.file)
+        ((lo + 1) until hi).iterator.filter(_ % 2 == 1).find(k =>
+          bloom.exists { case (bits, h) =>
+            !graft.operators.KeyBloom.mightContain(bits, h, beLong(k))
+          })
+      }
+      .nextOption()
 
   test("range, zone map and bloom each prune a segment the others keep") {
     val dir = Files.createTempDirectory("graft_kvcompose").toString
