@@ -10,6 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Purge JUnit XMLs before each test run: sbt's built-in listener only
+// overwrites XMLs for suites that RAN, so a renamed/deleted suite leaves
+// a stale (possibly red) artifact behind forever — r8/r9/r10 verdicts all
+// tripped on one. A clean slate makes "the XMLs on disk" ≡ "this run".
+Test / testOptions += Tests.Setup { () =>
+  val dir = file("target/test-reports")
+  Option(dir.listFiles()).getOrElse(Array.empty)
+    .filter(_.getName.endsWith(".xml")).foreach(_.delete())
+}
 run / fork := true
 // Inherit stdout in forked runs: without this sbt prefixes every line
 // with [info], which breaks machine parsing of Bench's JSON output line

@@ -53,6 +53,10 @@ object Bench {
     val errs =
       if (errors.isEmpty) ""
       else errors.map("\"" + _ + "\"").mkString(""","errors":[""", ",", "]")
+    // r10 verdict: the stamps exist, act on them — a bench that started on
+    // a loaded box says so on the metric line instead of costing a re-run
+    val contended =
+      if (load.toDoubleOption.exists(_ > 4.0)) ""","contended":true""" else ""
     // warmup failures are LOUD (r9 verdict #4): a query that silently
     // stopped warming would otherwise just look slow. Cap at 8 names so
     // a systemic failure can't blow the line budget.
@@ -64,7 +68,7 @@ object Bench {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val omitted = if (kept.size < nq) s""","omitted":${nq - kept.size}""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq,"load":"$load","rss_mb":$rssMb$errs$wErrs,"families":$fams$omitted,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq,"load":"$load"$contended,"rss_mb":$rssMb$errs$wErrs,"families":$fams$omitted,"queries":$qs,"sf":"$sfDir"}"""
     }
     val bySlowest = entries.sortBy(-_._2)
     var dec = 3
@@ -114,7 +118,6 @@ object Bench {
     // exact classes the timed pass reuses (Janino + C2). The timed pass
     // then measures steady-state execution at the target SF, not one-time
     // JVM/codegen setup no long-lived cluster pays per query.
-    val (load0, rss0) = loadStamp()
     val warmErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
@@ -126,6 +129,20 @@ object Bench {
               Option(e.getMessage).getOrElse("").replace('\n', ' ').take(160)
         }
       }
+    // Quiet-window wait (r10 verdict #8): the timed pass starts only after
+    // 1-min loadavg drops under 2, or after 120 s of waiting — whichever
+    // comes first. Our own warmup jobs inflate loadavg, so the wait sits
+    // BETWEEN warmup and the timed pass where idling is free, and the
+    // stamp taken after the wait is the one the metric line carries.
+    def waitQuiet(): (String, Long) = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var stamp = loadStamp()
+      while (stamp._1.toDoubleOption.exists(_ > 2.0) && System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+        stamp = loadStamp()
+      }
+      stamp
+    }
     // optional comma-separated subset for local A/B timing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // min-of-2 by default: single samples swing ±10% run-to-run (GC/JIT
@@ -140,6 +157,7 @@ object Bench {
     def sweep(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     sweep()
+    val (load0, rss0) = waitQuiet()
     // A rep that throws records NO time (timing the exception path would
     // report a plausible-looking duration for a broken query); the failure
     // is carried explicitly instead — names on the metric line, messages in
@@ -184,10 +202,17 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       w.println(detailJson); w.close()
       if (only.isEmpty) {
+        // stamped copies live under bench-artifacts/ (r10 advice: the repo
+        // root was accumulating them unboundedly), pruned to the newest 12
+        val dir = new java.io.File("bench-artifacts")
+        dir.mkdirs()
         val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
           .format(new java.util.Date())
-        val w2 = new java.io.PrintWriter(s"BENCH_DETAIL_$ts.json")
+        val w2 = new java.io.PrintWriter(new java.io.File(dir, s"BENCH_DETAIL_$ts.json"))
         w2.println(detailJson); w2.close()
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_DETAIL_\\d{8}_\\d{6}(_.*)?\\.json"))
+          .sortBy(_.getName).dropRight(12).foreach(_.delete())
       }
     } catch { case _: Throwable => () }
     println(renderLine(total, reps, picked.size, sfDir, results.toSeq,

@@ -531,7 +531,13 @@ object KVQueries {
         .filter(F.col("k") >= F.lit(beLong(0L)) &&
           F.col("k") <= F.lit(beLong(kHi)) &&
           F.col("c") >= F.lit(cLo) && F.col("c") < F.lit(cHi)))
-      .withColumn("ok", F.lit(if (nZo < nLin) 1L else 0L))
+      // strict win demanded only when linear schedules enough segments
+      // for a win to be possible (r10 advice: at tiny SFs with few
+      // distinct keys or near-empty segments the two 16-segment layouts
+      // can tie at 1-2 scheduled segments — a tie there is not a
+      // regression, it is the probe rectangle fitting one curve run)
+      .withColumn("ok",
+        F.lit(if (nZo < nLin || (nZo <= nLin && nLin <= 2)) 1L else 0L))
       .localCheckpoint(true)
   }
 

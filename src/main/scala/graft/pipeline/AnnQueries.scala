@@ -1029,8 +1029,16 @@ object AnnQueries {
   /** Per-query hit floors: measured minima across sf0.001/0.01/0.1
     * (graft.RecallProbe prints live per-query values: lsh ≥ 4, ivf ≥ 1,
     * pq ≥ 4), set one hit under the observed minimum where the minimum
-    * allows (ivf's worst query sits at 1 — deterministic for fixed
-    * data, so the floor holds exactly there). */
+    * allows. IVF's floor sits AT its measured minimum with zero slack
+    * because 1 is the smallest meaningful floor — it deliberately gates
+    * "every query returns at least one true neighbor", the weakest
+    * per-query contract that is still a contract (n_hit ≥ 0 gates
+    * nothing). The sketches are deterministic for fixed data so the
+    * floor holds exactly; if the corpus is ever regenerated and a query
+    * drops to 0, that IS the signal we want (global recall alone can
+    * hide a fully-missed query). Raising nprobe to buy slack would tax
+    * every s_ann_ivf run to soften a gate meant to be hard (r10 advice,
+    * option (a)). */
   val LshPerQueryMinHits = 3L
   val IvfPerQueryMinHits = 1L
   val PqPerQueryMinHits = 3L

@@ -129,6 +129,14 @@ class KVBatchWrite(path: String, truncate: Boolean, layout: String,
     // old manifest intact and a concurrent reader sees either the old or
     // the new list, never a prefix (same discipline as KVDeltaStore.compact)
     GraftFs.writeTextAtomic(conf, manifest, lines.mkString("\n"))
+    // SINGLE-WRITER assumption (matches the reference's lease semantics,
+    // ClickhouseStoreManager's store-level locking): two concurrent
+    // TRUNCATING writers racing here can interleave so a linear writer's
+    // marker delete lands after a zorder writer's marker write, leaving a
+    // live Morton manifest without its marker. Concurrent writers already
+    // corrupt each other's truncate sweep below (each deletes the other's
+    // fresh segments), so the marker adds no NEW hazard — but the ordering
+    // guarantee documented above holds for one committing writer at a time.
     if (layout != "zorder" && truncate)
       GraftFs.delete(conf, layoutFile)
     if (truncate) {

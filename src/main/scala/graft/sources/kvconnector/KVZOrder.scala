@@ -38,18 +38,22 @@ object KVZOrder {
     * write through the DSv2 path. */
   def write(df: DataFrame, ka: Column, ca: Column, path: String,
             segments: Int, bits: Int = 16): Unit = {
-    val b = df.agg(
+    val row = df.agg(
       F.min(ka).cast("double").as("kl"), F.max(ka).cast("double").as("kh"),
       F.min(ca).cast("double").as("cl"), F.max(ca).cast("double").as("ch"))
       .collect()(0)
+    // empty input (or all-null coordinates) leaves the min/max row null —
+    // degrade to lo=hi=0 so the write produces a valid empty z-store the
+    // same way a linear write of empty input does (r10 advice)
+    def bound(i: Int): Double = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    val b = Array(bound(0), bound(1), bound(2), bound(3))
     def bucket(c: Column, lo: Double, hi: Double): Column =
       if (!(hi > lo)) F.lit(0L) // degenerate/empty dimension: one cell
       else F.least(F.lit((1L << bits) - 1L),
         F.floor((c.cast("double") - F.lit(lo)) / F.lit(hi - lo)
           * F.lit((1L << bits).toDouble)).cast("long"))
     val z = graft.sources.ZOrder.zValue(
-      bucket(ka, b.getDouble(0), b.getDouble(1)),
-      bucket(ca, b.getDouble(2), b.getDouble(3)), bits)
+      bucket(ka, b(0), b(1)), bucket(ca, b(2), b(3)), bits)
     df.withColumn("__z", z)
       .repartitionByRange(segments, F.col("__z"))
       .sortWithinPartitions(F.col("__z"), F.col("k"), F.col("c"))
