@@ -387,6 +387,91 @@ case class TrigramLmScore(str: Expression, keys: Array[Int], vals: Array[Long])
     copy(str = newChild)
 }
 
+/** Per-document byte-trigram HISTOGRAM in one pass: packed
+  * (key << 32 | count) longs, one entry per distinct trigram of the
+  * document. This is per-document partial aggregation for the corpus
+  * trigram-count shuffle: the explode formulation ships one row (and
+  * allocates one UTF8String) per CHARACTER POSITION, this ships one
+  * packed long per DISTINCT per-doc trigram (≤ min(positions, charset³);
+  * ~3× fewer rows and zero allocation per position on this corpus).
+  * Keys are the 24-bit byte triples of [[TrigramLmOps.score]] — exact
+  * character trigrams for ASCII text (rollingMinHash's caveat) and, for
+  * ASCII, packed-int order ≡ lexical trigram order, so downstream
+  * `ORDER BY count DESC, key` matches the oracle's `ORDER BY c3 DESC,
+  * tri`. Open addressing at load ≤ 0.5, same discipline as
+  * [[NgramSetOps]]. */
+object TrigramCountOps {
+  def counts(s: UTF8String): ArrayData = {
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val windows = math.max(0, n - 2)
+    if (windows == 0) return new GenericArrayData(Array.empty[Long])
+    var cap = 16
+    while (cap < windows * 2) cap <<= 1
+    val keyTab = new Array[Int](cap)   // key+1; 0 = empty
+    val cntTab = new Array[Int](cap)
+    val mask = cap - 1
+    var distinct = 0
+    var j = 0
+    while (j + 3 <= n) {
+      val k =
+        ((org.apache.spark.unsafe.Platform.getByte(base, off + j) & 0xFF) << 16) |
+        ((org.apache.spark.unsafe.Platform.getByte(base, off + j + 1) & 0xFF) << 8) |
+        (org.apache.spark.unsafe.Platform.getByte(base, off + j + 2) & 0xFF)
+      var slot = (k * -1640531527) >>> (32 - Integer.numberOfTrailingZeros(cap))
+      slot &= mask
+      var probing = true
+      while (probing) {
+        val v = keyTab(slot)
+        if (v == 0) {
+          keyTab(slot) = k + 1; cntTab(slot) = 1; distinct += 1; probing = false
+        } else if (v == k + 1) { cntTab(slot) += 1; probing = false }
+        else slot = (slot + 1) & mask
+      }
+      j += 1
+    }
+    val out = new Array[Long](distinct)
+    var i = 0
+    var w = 0
+    while (i < cap) {
+      if (keyTab(i) != 0) {
+        out(w) = ((keyTab(i) - 1).toLong << 32) | cntTab(i).toLong
+        w += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** The per-doc trigram histogram as a codegen'd expression — see
+  * [[TrigramCountOps]]. */
+case class TrigramCounts(str: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = str
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (str.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"trigram_counts needs string, got ${str.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_counts"
+
+  override def nullSafeEval(s: Any): Any =
+    TrigramCountOps.counts(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TrigramCountOps.counts($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(str = newChild)
+}
+
 object TextFunctions {
   /** One-pass rolling-window MinHash sketch (codegen'd).
     *
@@ -418,6 +503,13 @@ object TextFunctions {
   def ngramJaccardHits(str: Column, qKeys: Seq[Int]): Column =
     GraftSqlBridge.column(NgramJaccardHits(GraftSqlBridge.expression(str),
       qKeys.sorted.toArray))
+
+  /** One-pass per-doc trigram histogram (codegen'd): array of packed
+    * (24-bit byte-trigram key << 32 | count) longs, one per distinct
+    * per-doc trigram — per-document partial aggregation for corpus
+    * trigram counting. */
+  def trigramCounts(str: Column): Column =
+    GraftSqlBridge.column(TrigramCounts(GraftSqlBridge.expression(str)))
 
   /** One-pass trigram-LM scorer over a driver-trained model (codegen'd):
     * returns array(n_model_trigrams, sum_r6). `model` maps the 24-bit

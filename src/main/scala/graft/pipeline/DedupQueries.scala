@@ -543,13 +543,15 @@ object DedupQueries {
   val dSimhashCheckedSql: String =
     "SELECT doc_id, CAST(1 AS BIGINT) AS ok FROM documents"
 
-  /** d_embed_dup: exact embedding-cosine near-dup pairs (cos ≥ 0.4).
-    * Dot/norm are ordered left folds over the vector (Spark `aggregate`
-    * ≡ DuckDB `list_reduce` after the same float→double casts) so the
-    * doubles are bit-identical; cosine is emitted floor-scaled to 1e-6
-    * as a belt-and-suspenders integer. Exact all-pairs is the baseline
-    * the banded scale tier ([[dEmbedDupLsh]], driver-gated as
-    * d_embed_dup_lsh) replaces at 100 TB. */
+  /** d_embed_dup (exact tier): embedding-cosine near-dup pairs
+    * (cos ≥ 0.4). Dot/norm are ordered left folds over the vector
+    * (Spark `aggregate` ≡ DuckDB `list_reduce` after the same
+    * float→double casts) so the doubles are bit-identical; cosine is
+    * emitted floor-scaled to 1e-6 as a belt-and-suspenders integer.
+    * Exact all-pairs runs inside the exactness envelope
+    * ([[AnnQueries.ExactPairTierMaxN]]); beyond it the ENTRY swaps to
+    * the banded scale tier ([[dEmbedDupLsh]]) whose output is a
+    * precision-1 subset of this one — see [[dEmbedDupAuto]]. */
   def dEmbedDup(s: SparkSession, dir: String): DataFrame = {
     val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
     val a = e.select(F.col("vec_id").as("a_id"), F.col("embedding").as("ea"), F.col("nrm").as("na"))
@@ -571,6 +573,17 @@ object DedupQueries {
        |SELECT a_id, b_id, CAST(floor(cs * 1e6) AS BIGINT) AS cs6
        |FROM p WHERE cs >= 0.4""".stripMargin
 
+  /** The d_embed_dup DRIVER ENTRY: exact all-pairs inside the exactness
+    * envelope (every driver-verified SF — the n² oracle hash checks it
+    * there), hyperplane-LSH candidates + identical exact verification
+    * beyond it (same schema; every emitted pair is still a true
+    * near-dup — precision 1 by construction — and recall stays pinned
+    * by the d_embed_dup_lsh sampled gate, which survives sf1+). */
+  def dEmbedDupAuto(s: SparkSession, dir: String): DataFrame =
+    if (Tables(s, dir, "embeddings").count() <= AnnQueries.ExactPairTierMaxN)
+      dEmbedDup(s, dir)
+    else dEmbedDupLsh(s, dir)
+
   /** SCALE TIER for d_embed_dup: candidate pairs from the hyperplane-LSH
     * bucket equality join (s_ann_lsh's signatures, both sides the full
     * corpus — a shuffle join on (table, bucket), never n²), then the
@@ -579,24 +592,33 @@ object DedupQueries {
     * tier's); only recall is approximate. */
   def dEmbedDupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
-    val buckets = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
-        F.posexplode(AnnQueries.signatures(F.col("embedding")))
+    // adaptive geometry (AnnQueries.adaptiveBits/adaptiveTables): ≡ the
+    // historical 8×4 grid at every driver-verified SF. Bucket rows stay
+    // NARROW (no embedding payload — the T-fold explode would carry it
+    // T times); candidate pairs dedup before the embeddings re-attach.
+    val bits = AnnQueries.adaptiveBits(e.count())
+    val buckets = e.select(F.col("vec_id"),
+        F.posexplode(AnnQueries.signaturesN(F.col("embedding"), bits,
+          AnnQueries.adaptiveTables(bits)))
           .as(Seq("t", "bucket")))
       .localCheckpoint()
-    val a = buckets.select(F.col("t"), F.col("bucket"),
-      F.col("vec_id").as("a_id"), F.col("embedding").as("ea"),
-      F.col("nrm").as("na"))
-    val b = buckets.select(F.col("t"), F.col("bucket"),
-      F.col("vec_id").as("b_id"), F.col("embedding").as("eb"),
-      F.col("nrm").as("nb"))
-    a.join(b, Seq("t", "bucket")).filter(F.col("a_id") < F.col("b_id"))
+    val cand = buckets.select(F.col("t"), F.col("bucket"), F.col("vec_id").as("a_id"))
+      .join(buckets.select(F.col("t"), F.col("bucket"), F.col("vec_id").as("b_id")),
+        Seq("t", "bucket"))
+      .filter(F.col("a_id") < F.col("b_id"))
+      .select(F.col("a_id"), F.col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(e.select(F.col("vec_id").as("a_id"), F.col("embedding").as("ea"),
+        F.col("nrm").as("na")), Seq("a_id"))
+      .join(e.select(F.col("vec_id").as("b_id"), F.col("embedding").as("eb"),
+        F.col("nrm").as("nb")), Seq("b_id"))
       .select(F.col("a_id"), F.col("b_id"),
         (AnnQueries.dot(F.col("ea"), F.col("eb"))
           / (F.col("na") * F.col("nb"))).as("cs"))
       .filter(F.col("cs") >= 0.4)
       .select(F.col("a_id"), F.col("b_id"),
         F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
-      .dropDuplicates("a_id", "b_id")
   }
 
   /** The exact cos ≥ 0.4 near-dup pairs with ≥ 1 endpoint in the
@@ -1248,7 +1270,7 @@ object DedupQueries {
     ("d_fuzzy_e2e", dFuzzyE2e _, Some(dFuzzyE2eSql)),
     ("d_simhash", dSimhashChecked _, Some(dSimhashCheckedSql)),
     ("d_semdedup", dSemDedupChecked _, Some(dSemDedupCheckedSql)),
-    ("d_embed_dup", dEmbedDup _, Some(dEmbedDupSql)),
+    ("d_embed_dup", dEmbedDupAuto _, Some(dEmbedDupSql)),
     ("d_embed_dup_lsh", dEmbedDupLshGate _, Some(dEmbedDupLshGateSql)),
     ("d_semdedup_gate", dSemDedupGate _, Some(dSemDedupGateSql)),
     ("d_simhash_gate", dSimhashGate _, Some(dSimhashGateSql)))

@@ -208,27 +208,40 @@ object TextQueries {
     * formulation BIT-FOR-BIT per document — 8-byte window substrings →
     * xxhash64 → four seeded re-hash minima — with the per-doc window
     * count (octet_length − 7; the corpus is ASCII so DuckDB's strlen
-    * agrees) riding the oracle hash. The production sketch runs AND its
-    * independent reconstruction must agree on every doc, which is the
-    * strongest engine-checkable contract for an engine-specific hash. */
+    * agrees) riding the oracle hash for EVERY doc. The explode twin
+    * itself runs on the md5-least-256 doc slice only (r10 verdict #7:
+    * it was the one fold whose verification side — O(total corpus
+    * bytes) through a shuffle — was asymptotically heavier than its
+    * map-only production side); unsampled docs carry ok = 1 from the
+    * totality contract alone, sampled docs only if the reconstruction
+    * matches bit-for-bit. The sample is engine-shared but the oracle
+    * needs no sample subquery: ok = 1 everywhere either way. */
   def tFingerprintChecked(s: SparkSession, dir: String): DataFrame = {
-    val ex = Tables(s, dir, "documents")
+    val docs = Tables(s, dir, "documents")
+    val samp = AnnQueries.md5LeastN(docs, "doc_id", AnnQueries.GateSampleN)
+      .withColumnRenamed("doc_id", "sid")
+    val ex = docs
+      .join(F.broadcast(samp), F.col("doc_id") === F.col("sid"), "left_semi")
       .filter(F.octet_length(F.col("text")) >= 8)
       .select(F.col("doc_id"),
-        (F.octet_length(F.col("text")) - 7).cast("long").as("n_win"),
         F.explode(F.expr(
           "transform(sequence(1, length(text)-7), i -> substring(text, i, 8))"))
           .as("g"))
-      .select(F.col("doc_id"), F.col("n_win"), F.xxhash64(F.col("g")).as("h"))
-      .groupBy("doc_id", "n_win")
+      .select(F.col("doc_id"), F.xxhash64(F.col("g")).as("h"))
+      .groupBy("doc_id")
       .agg(F.min(F.xxhash64(F.lit(0), F.col("h"))).as("e0"),
         F.min(F.xxhash64(F.lit(1), F.col("h"))).as("e1"),
         F.min(F.xxhash64(F.lit(2), F.col("h"))).as("e2"),
         F.min(F.xxhash64(F.lit(3), F.col("h"))).as("e3"))
-    tFingerprint(s, dir).join(ex, "doc_id")
+    val nWin = docs.filter(F.octet_length(F.col("text")) >= 8)
+      .select(F.col("doc_id"),
+        (F.octet_length(F.col("text")) - 7).cast("long").as("n_win"))
+    tFingerprint(s, dir).join(nWin, "doc_id")
+      .join(F.broadcast(ex), Seq("doc_id"), "left")
       .select(F.col("doc_id"), F.col("n_win"),
-        F.when(F.col("fp0") === F.col("e0") && F.col("fp1") === F.col("e1") &&
-          F.col("fp2") === F.col("e2") && F.col("fp3") === F.col("e3"), 1L)
+        F.when(F.col("e0").isNull ||
+          (F.col("fp0") === F.col("e0") && F.col("fp1") === F.col("e1") &&
+           F.col("fp2") === F.col("e2") && F.col("fp3") === F.col("e3")), 1L)
           .otherwise(0L).as("ok"))
   }
 
@@ -401,31 +414,42 @@ object TextQueries {
     * a production run would raise it to taste (the bound is the knob). */
   val TrigramModelTopK = 256
 
+  // Both model builders count through TextFunctions.trigramCounts — the
+  // per-DOC histogram expression — so the explode ships one packed long
+  // per distinct per-doc trigram instead of one UTF8String row per
+  // character position (r10 verdict #5: the position-explode was the
+  // super-linear term — 15.4× time for 13.3× text — through allocation
+  // and shuffle-row pressure; the histogram is the same map-side
+  // partial-aggregation discipline as q_topk_heap, one level earlier).
+  // Keys are the scorer's own 24-bit byte triples: for this ASCII corpus
+  // packed-int order ≡ lexical order, so `ORDER BY c3 DESC, k` is the
+  // oracle's `ORDER BY c3 DESC, tri` exactly (TextSpec asserts the
+  // packed path ≡ the explode path end-to-end).
+
   private[pipeline] def trigramModels2(docs: DataFrame,
       flag: Column): (Seq[(Int, Long)], Seq[(Int, Long)]) = {
     val c3 = docs
       .select(flag.as("f"), F.explode(
-        F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
-          i => F.col("text").substr(i, F.lit(3)))).as("tri"))
-      .groupBy("tri").agg(F.count(F.lit(1)).as("c3"),
-        F.sum(F.when(F.col("f"), 1L).otherwise(0L)).as("c3t"))
+        graft.functions.TextFunctions.trigramCounts(F.col("text"))).as("pk"))
+      .select(F.col("f"), F.expr("pk >> 32").cast("int").as("k"),
+        F.expr("pk & 4294967295").as("c"))
+      .groupBy("k").agg(F.sum("c").as("c3"),
+        F.sum(F.when(F.col("f"), F.col("c")).otherwise(0L)).as("c3t"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("bi")
-    val rows = c3.withColumn("bi", F.col("tri").substr(1, 2))
+    val rows = c3.withColumn("bi", F.expr("k >> 8"))
       .withColumn("c2", F.sum("c3").over(w))
       .withColumn("c2t", F.sum("c3t").over(w))
-      .select(F.col("tri"), F.col("c3"),
+      .select(F.col("k"), F.col("c3"),
         F.expr("(1000000 * c3) div c2").as("r6"),
         F.expr("CASE WHEN c3t > 0 THEN (1000000 * c3t) div c2t END").as("r6t"))
       // bounded-heap top-K (TakeOrderedAndProject): the ONLY driver
       // collect is the pruned model, at any vocabulary size
-      .orderBy(F.col("c3").desc, F.col("tri")).limit(TrigramModelTopK)
+      .orderBy(F.col("c3").desc, F.col("k")).limit(TrigramModelTopK)
       .drop("c3")
       .collect()
-    def key(t: String) =
-      (t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt
-    val corpus = rows.map(r => (key(r.getString(0)), r.getLong(1))).toSeq
+    val corpus = rows.map(r => (r.getInt(0), r.getLong(1))).toSeq
     val target = rows.filter(!_.isNullAt(2))
-      .map(r => (key(r.getString(0)), r.getLong(2))).toSeq
+      .map(r => (r.getInt(0), r.getLong(2))).toSeq
     (corpus, target)
   }
 
@@ -433,21 +457,18 @@ object TextQueries {
       topK: Int = TrigramModelTopK): Seq[(Int, Long)] = {
     val c3 = docs
       .select(F.explode(
-        F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
-          i => F.col("text").substr(i, F.lit(3)))).as("tri"))
-      .groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
-    c3.withColumn("bi", F.col("tri").substr(1, 2))
+        graft.functions.TextFunctions.trigramCounts(F.col("text"))).as("pk"))
+      .select(F.expr("pk >> 32").cast("int").as("k"),
+        F.expr("pk & 4294967295").as("c"))
+      .groupBy("k").agg(F.sum("c").as("c3"))
+    c3.withColumn("bi", F.expr("k >> 8"))
       .withColumn("c2", F.sum("c3").over(
         org.apache.spark.sql.expressions.Window.partitionBy("bi")))
-      .select(F.col("tri"), F.col("c3"), F.expr("(1000000 * c3) div c2").as("r6"))
+      .select(F.col("k"), F.col("c3"), F.expr("(1000000 * c3) div c2").as("r6"))
       // corpus-independent driver bound (see TrigramModelTopK)
-      .orderBy(F.col("c3").desc, F.col("tri")).limit(topK)
-      .select("tri", "r6")
-      .collect().map { r =>
-        val t = r.getString(0)
-        ((t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt,
-          r.getLong(1))
-      }.toSeq
+      .orderBy(F.col("c3").desc, F.col("k")).limit(topK)
+      .select("k", "r6")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
   }
 
   def tTrigramLm(s: SparkSession, dir: String): DataFrame = {

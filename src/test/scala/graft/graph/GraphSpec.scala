@@ -373,9 +373,13 @@ class GraphSpec extends SparkSpec {
       val m2 = und.count()
       val part = GraphQueries.gLouvain(spark, sf).localCheckpoint()
       assert(part.count() == g.vertices.count())
-      // c3 refines c2 through the quotient: equal c2 ⇒ equal c3
-      assert(part.select("c2", "c3").distinct().groupBy("c2")
-        .agg(F.countDistinct("c3").as("n")).filter(F.col("n") > 1).count() == 0)
+      val last = 2 + GraphQueries.LouvainMergeLevels
+      // every level refines its predecessor through the quotient:
+      // equal c(k−1) ⇒ equal ck
+      for (k <- 3 to last)
+        assert(part.select(s"c${k - 1}", s"c$k").distinct().groupBy(s"c${k - 1}")
+          .agg(F.countDistinct(s"c$k").as("n")).filter(F.col("n") > 1).count() == 0,
+          s"$sf level $k does not refine level ${k - 1}")
       // modularity ×(2m)² of a partition column: Σ_c (2m·within_c − degsum_c²)
       def q(col: String): Long = {
         val labels = part.select(F.col("vid"), F.col(col).as("lbl"))
@@ -390,9 +394,14 @@ class GraphSpec extends SparkSpec {
           .agg(F.sum(F.col("ds") * F.col("ds"))).collect()(0).getLong(0)
         m2 * within - degsum2
       }
-      val (q2, q3) = (q("c2"), q("c3"))
-      info(s"$sf modularity x(2m)^2: c2=$q2 c3=$q3")
-      assert(q3 >= q2, s"$sf contraction round decreased modularity: $q2 -> $q3")
+      val qs = (2 to last).map(k => q(s"c$k"))
+      info(s"$sf modularity x(2m)^2 by level: ${qs.mkString(" -> ")}")
+      for (i <- 1 until qs.size)
+        assert(qs(i) >= qs(i - 1),
+          s"$sf merge level ${i + 2} decreased modularity: ${qs(i - 1)} -> ${qs(i)}")
+      // fixpoint within the budget: the LAST level is the identity map
+      assert(part.filter(F.col(s"c$last") =!= F.col(s"c${last - 1}")).count() == 0,
+        s"$sf still merging at level $last — raise LouvainMergeLevels")
     }
   }
 }

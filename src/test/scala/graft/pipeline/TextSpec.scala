@@ -27,6 +27,34 @@ class TextSpec extends SparkSpec {
     assert(sep.size > target.size)
   }
 
+  test("packed per-doc trigram histogram equals the position-explode counts") {
+    val docs = graft.Tables(spark, SF, "documents")
+      .filter(F.length(F.col("text")) >= 3)
+    val packed = docs
+      .select(F.explode(
+        graft.functions.TextFunctions.trigramCounts(F.col("text"))).as("pk"))
+      .select(F.expr("pk >> 32").cast("int").as("k"),
+        F.expr("pk & 4294967295").as("c"))
+      .groupBy("k").agg(F.sum("c").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exploded = docs
+      .select(F.explode(
+        F.transform(F.sequence(F.lit(1), F.length(F.col("text")) - 2),
+          i => F.col("text").substr(i, F.lit(3)))).as("tri"))
+      .groupBy("tri").agg(F.count(F.lit(1)).as("n"))
+      .collect().map { r =>
+        val t = r.getString(0)
+        ((t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | t.charAt(2).toInt,
+          r.getLong(1))
+      }.toMap
+    assert(packed === exploded)
+    // short/empty strings yield the empty histogram, not junk windows
+    val edge = spark.sql("SELECT a FROM VALUES (''), ('ab'), ('abc') t(a)")
+      .select(graft.functions.TextFunctions.trigramCounts(F.col("a")).as("h"))
+      .collect().map(_.getSeq[Long](0).length)
+    assert(edge.toSeq == Seq(0, 0, 1))
+  }
+
   test("fingerprint eligibility is byte-based: short-char multi-byte text keeps its windows") {
     import spark.implicits._
     // 6 chars / 12 UTF-8 bytes: has byte windows, must NOT be skipped;
