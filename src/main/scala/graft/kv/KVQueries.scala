@@ -426,6 +426,37 @@ object KVQueries {
       |ORDER BY user_id ASC, epoch_us(ts) ASC, event_id ASC
       |LIMIT 100""".stripMargin
 
+  // previous kv_topn_zorder store dir (same sweep lifecycle)
+  private var lastTopnZoDir: Option[java.nio.file.Path] = None
+
+  /** kv_topn_zorder: kv_topn's ordered read OVER THE Z-ORDER LAYOUT
+    * (r10 verdict #6) — `ORDER BY k, c LIMIT 100` against a store whose
+    * segments are Morton curve runs. Segment membership follows the
+    * curve (that is the pruning win kv_zorder gates); rows INSIDE each
+    * segment are (k, c)-sorted by the write contract, so the TopN push
+    * is accepted and each reader stops at 100 decoded rows — the
+    * optimize_read_in_order analog now composes with the layout that
+    * prunes best. Shares kv_topn's oracle: same rows, different layout,
+    * pushed read-in-order on both (KVZOrderSpec asserts the push and
+    * the per-segment decode bound). */
+  def kvTopnZorder(s: SparkSession, dir: String): DataFrame = synchronized {
+    val zo = graft.ScenarioDirs.fresh("graft_kvsegtz", lastTopnZoDir)
+    lastTopnZoDir = Some(zo)
+    val ev = Tables(s, dir, "events")
+    graft.sources.kvconnector.KVZOrder.write(
+      ev.select(
+        encLong(F.col("user_id")).as("k"),
+        F.concat(encLong(F.unix_micros(F.col("ts"))),
+          encLong(F.col("event_id"))).as("c"),
+        dec2(F.col("value")).cast("string").cast("binary").as("v"),
+        F.col("user_id").as("zka"),
+        F.unix_micros(F.col("ts")).as("zca")),
+      F.col("zka"), F.col("zca"), zo.toString, 16)
+    decoded(s.read.format("graft-kv").load(zo.toString)
+        .orderBy(F.col("k").asc, F.col("c").asc).limit(100))
+      .localCheckpoint(true)
+  }
+
   // previous kv_dsv2_write segment dir (same sweep lifecycle)
   private var lastWriteSegDir: Option[java.nio.file.Path] = None
 
@@ -561,6 +592,7 @@ object KVQueries {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("kv_zorder", kvZorder _, Some(kvZorderSql)),
+    ("kv_topn_zorder", kvTopnZorder _, Some(kvTopnSql)),
     ("kv_bloom_skip", kvBloomSkip _, Some(kvBloomSkipSql)),
     ("kv_dsv2", kvDsv2 _, Some(kvSliceSql)),
     ("kv_dsv2_write", kvDsv2Write _, Some(kvSliceSql)),

@@ -163,15 +163,16 @@ class KVScanBuilder(path: String)
   // default; Scala demands an explicit tiebreak — partial push always
   override def isPartiallyPushed(): Boolean = true
 
-  // TOP-N on the segment order: LINEAR-layout segments are (k, c)-sorted
-  // by the write contract, so ORDER BY k [, c] LIMIT n is served by each
-  // reader's FIRST n rows (its n smallest) — the ClickHouse
-  // optimize_read_in_order analog. Partial push: Spark still merges and
-  // applies the final sort+limit; each partition just stops early.
-  // ZORDER stores decline the push (rows follow the Morton curve, not
-  // (k, c) order — Spark then plans the full sort, correctness intact).
+  // TOP-N on the segment order: segments of BOTH layouts are
+  // (k, c)-sorted inside by the write contract (zorder since r11 —
+  // membership follows the curve, order inside follows the key), so
+  // ORDER BY k [, c] LIMIT n is served by each reader's FIRST n rows
+  // (its n smallest) — the ClickHouse optimize_read_in_order analog.
+  // Partial push: Spark still merges and applies the final sort+limit;
+  // each partition just stops early. Unknown future layouts decline.
   override def pushTopN(orders: Array[VSortOrder], n: Int): Boolean = {
-    if (KVSegmentStore.readLayout(path) != "linear") return false
+    if (!Set("linear", "zorder").contains(KVSegmentStore.readLayout(path)))
+      return false
     val fields = orders.map { o =>
       o.expression() match {
         case f: org.apache.spark.sql.connector.expressions.NamedReference

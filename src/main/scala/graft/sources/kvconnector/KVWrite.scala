@@ -64,18 +64,24 @@ class KVWrite(path: String, truncate: Boolean, segments: Int, layout: String,
     override def describe(): String = s"$col ASC"
   }
 
-  // linear: range-distributed by k, (k, c)-sorted within — every task
-  // emits one key-range segment. zorder: the DSv2 contract cannot spell
-  // a Morton expression over two binary columns (no function catalog on
-  // a path-based table), so the write ACCEPTS the caller's arrangement
-  // (KVZOrder.write pre-partitions by z) and declares no requirement —
-  // segment bounds recorded at write time make pruning correct for ANY
-  // arrangement; layout only changes how TIGHT the rectangles are.
+  // linear: range-distributed by k — every task emits one key-range
+  // segment. zorder: the DSv2 contract cannot spell a Morton expression
+  // over two binary columns (no function catalog on a path-based
+  // table), so the write ACCEPTS the caller's DISTRIBUTION (KVZOrder
+  // .write pre-partitions by z) — segment bounds recorded at write time
+  // make pruning correct for ANY arrangement; layout only changes how
+  // TIGHT the rectangles are. The intra-segment ORDERING is (k, c) for
+  // BOTH layouts (r10 verdict #6): which rows share a segment is the
+  // curve's business, the order inside is the reader's — (k, c)-sorted
+  // runs let every layout serve the TopN read-in-order push, so the
+  // layout that prunes best no longer pays a full sort for ordered
+  // reads (the ClickHouse optimize_read_in_order analog on MergeTree
+  // parts, whose rows are likewise ORDER BY-sorted per part regardless
+  // of the partition expression).
   override def requiredDistribution(): Distribution =
     if (layout == "zorder") Distributions.unspecified()
     else Distributions.ordered(Array(asc("k")))
-  override def requiredOrdering(): Array[VSortOrder] =
-    if (layout == "zorder") Array.empty else Array(asc("k"), asc("c"))
+  override def requiredOrdering(): Array[VSortOrder] = Array(asc("k"), asc("c"))
   override def requiredNumPartitions(): Int =
     if (layout == "zorder") 0 else segments
 
@@ -111,16 +117,13 @@ class KVBatchWrite(path: String, truncate: Boolean, layout: String,
     val freshLines =
       fresh.map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}\t${m.cLoHex}\t${m.cHiHex}")
     val lines = (if (truncate) freshLines.toSeq else previous ++ freshLines).sorted
-    // layout marker BEFORE the manifest: zorder segments are NOT
-    // (k, c)-sorted inside, so the read side must decline the TopN
-    // read-in-order pushdown for them — and a missing marker means
-    // "linear", so the marker must be LIVE before any Morton-ordered
-    // segment becomes readable (a crash or a concurrent planner between
-    // the two writes would otherwise serve wrong TopN rows under the
-    // linear assumption; degrading EARLY merely declines a pushdown).
-    // The linear-truncate delete stays AFTER the manifest for the same
-    // reason, mirrored: keep declining until the linear segments are
-    // the live ones.
+    // layout marker BEFORE the manifest. Since r11 both layouts write
+    // (k, c)-sorted segments, so every reader behavior is CORRECT under
+    // either marker state (the marker records which layout placed the
+    // rows — introspection + the kv_zorder pruning probes — not a
+    // sortedness contract anymore); the write order is kept anyway so
+    // the marker can never describe segments that aren't live yet, and
+    // the linear-truncate delete stays AFTER the manifest, mirrored.
     val layoutFile = GraftFs.child(path, KVSegmentStore.LayoutFile)
     if (layout == "zorder")
       GraftFs.writeTextAtomic(conf, layoutFile, "zorder")

@@ -27,8 +27,12 @@ import org.apache.spark.sql.{functions => F}
   * the pre-arranged partitioning (the DSv2 contract cannot spell a
   * Morton expression over binary columns on a path-based table), tasks
   * record exact (k, c) bounds + Bloom sidecars as always, and the commit
-  * drops a `_graft_layout` marker so the read side declines the
-  * (k, c)-read-in-order TopN push that only the linear layout honors.
+  * drops a `_graft_layout` marker recording which layout placed the
+  * rows. Ordered reads need no concession (r10 verdict #6): the curve
+  * decides segment MEMBERSHIP only, rows inside every segment are
+  * (k, c)-sorted by the write contract, so the TopN read-in-order push
+  * serves from per-segment prefixes on this layout too — pruning of the
+  * z-rectangles and ordered reads compose.
   */
 object KVZOrder {
 
@@ -54,9 +58,12 @@ object KVZOrder {
           * F.lit((1L << bits).toDouble)).cast("long"))
     val z = graft.sources.ZOrder.zValue(
       bucket(ka, b(0), b(1)), bucket(ca, b(2), b(3)), bits)
+    // distribution = curve runs (ours); intra-segment order = (k, c),
+    // imposed by the write contract's requiredOrdering — NOT the curve:
+    // segment membership carries the rectangle pruning, the sort inside
+    // carries the TopN read-in-order push (r10 verdict #6)
     df.withColumn("__z", z)
       .repartitionByRange(segments, F.col("__z"))
-      .sortWithinPartitions(F.col("__z"), F.col("k"), F.col("c"))
       .select("k", "c", "v")
       .write.format("graft-kv")
       .option("layout", "zorder").option("segments", segments)

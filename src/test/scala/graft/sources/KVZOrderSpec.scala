@@ -9,8 +9,9 @@ import graft.kv.KVStore
 
 /** The z-order segment layout: same rows as the linear layout (placement
   * never changes content), a rectangle probe schedules strictly fewer
-  * segments, the layout marker declines the (k, c) TopN push so ordered
-  * reads stay correct, and linear stores keep the marker-less default. */
+  * segments, ordered reads ride the TopN push on (k, c)-sorted curve
+  * runs (r10 verdict #6), and linear stores keep the marker-less
+  * default. */
 class KVZOrderSpec extends SparkSpec {
 
   // 64 keys × 32 qualifiers, both uniform — a clean 2-D grid
@@ -57,7 +58,7 @@ class KVZOrderSpec extends SparkSpec {
     assert(rows(zo).size == 32 * 4)
   }
 
-  test("layout marker declines TopN push; ordered reads stay correct") {
+  test("zorder serves the TopN push from (k,c)-sorted curve runs") {
     val (lin, zo) = writeBoth()
     assert(KVSegmentStore.readLayout(lin) == "linear")
     assert(KVSegmentStore.readLayout(zo) == "zorder")
@@ -66,17 +67,25 @@ class KVZOrderSpec extends SparkSpec {
         .orderBy(F.col("k").asc, F.col("c").asc).limit(20)
         .collect().map(r => (r.getAs[Array[Byte]](0).toSeq,
           r.getAs[Array[Byte]](1).toSeq)).toSeq
-    // the zorder store must return the true (k, c)-smallest rows even
-    // though its segments are curve runs (pushTopN declined → full sort)
+    // the zorder store must return the true (k, c)-smallest rows:
+    // segment MEMBERSHIP follows the curve, but rows inside every
+    // segment are (k, c)-sorted by the write contract, so per-segment
+    // prefixes + Spark's merge serve the order (r10 verdict #6)
     assert(top(zo) == top(lin))
-    // and the zorder scan must NOT carry a pushed limit (the decline)
-    val scan = spark.read.format("graft-kv").load(zo)
+    // the push is ACCEPTED and each reader stops at the limit: the scan
+    // decodes at most limit rows per scheduled segment, never the store
+    val q = spark.read.format("graft-kv").load(zo)
       .orderBy(F.col("k").asc, F.col("c").asc).limit(20)
-      .queryExecution.executedPlan.collectFirst {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-            if b.scan.isInstanceOf[KVScan] => b.scan.asInstanceOf[KVScan]
-      }
-    assert(scan.forall(_.description().contains("limit=-1")))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[KVScan] => b
+    }.get
+    assert(scan.scan.description().contains("limit=20"),
+      scan.scan.description())
+    val decoded = scan.metrics("numOutputRows").value
+    assert(decoded <= 16L * 20, s"decoded $decoded rows — limit not pushed")
+    assert(decoded < 2048, "scan decoded the whole store")
   }
 
   test("truncating a zorder store with a linear write clears the marker") {
