@@ -407,8 +407,13 @@ object TrigramCountOps {
     val off = s.getBaseOffset
     val windows = math.max(0, n - 2)
     if (windows == 0) return new GenericArrayData(Array.empty[Long])
+    // distinct keys are bounded by the 24-bit key space, so the table
+    // never needs more than 2^25 slots (load ≤ 0.5) — the cap also
+    // keeps Int arithmetic safe for pathological multi-hundred-MB rows
+    // (2*windows would overflow) and bounds per-row allocation
+    val want = math.min(2L * windows, 1L << 25)
     var cap = 16
-    while (cap < windows * 2) cap <<= 1
+    while (cap < want) cap <<= 1
     val keyTab = new Array[Int](cap)   // key+1; 0 = empty
     val cntTab = new Array[Int](cap)
     val mask = cap - 1
@@ -436,7 +441,11 @@ object TrigramCountOps {
     var w = 0
     while (i < cap) {
       if (keyTab(i) != 0) {
-        out(w) = ((keyTab(i) - 1).toLong << 32) | cntTab(i).toLong
+        // mask the count: an Int count can in principle wrap negative
+        // on a pathological row, and sign extension would corrupt the
+        // key bits (counts stay exact for any row under 2 GiB, the
+        // UTF8String bound, because each window counts once)
+        out(w) = ((keyTab(i) - 1).toLong << 32) | (cntTab(i).toLong & 0xFFFFFFFFL)
         w += 1
       }
       i += 1

@@ -82,6 +82,20 @@ final class Traversal private (
                    originName: String = originName): Traversal =
     new Traversal(g, frame, depth, onVertices, vals, marks, originName)
 
+  /** User-supplied names (as() marks, value() taps) must not collide
+    * with the traversal's own column machinery: the internal hop chain
+    * (v0, v1, …), the edge-frame join keys (src/dst/elabel), the vertex
+    * frame's columns, or a name already taken in this traversal — a
+    * collision would make a hop join ambiguous or silently shadow a
+    * tapped column (r11 review finding). */
+  private def checkName(name: String): Unit = {
+    require(!name.matches("v\\d+"), s"'$name' is a reserved hop-chain name")
+    require(!Set("src", "dst", "elabel", "vid", "vlabel").contains(name),
+      s"'$name' collides with a graph-frame column")
+    require(!vals.contains(name) && !marks.contains(name) && name != originName,
+      s"'$name' is already bound in this traversal")
+  }
+
   /** hasLabel: filter in place on the vertex frame, one vertex join
     * after the first hop. */
   def hasLabel(l: String): Traversal =
@@ -104,7 +118,8 @@ final class Traversal private (
     * Gremlin's values()/valueMap() projected to one column. On the
     * vertex frame it is a free projection; after a hop it is the same
     * name-resolution join the named entries write by hand. */
-  def value(key: String, as: String): Traversal =
+  def value(key: String, as: String): Traversal = {
+    checkName(as)
     if (onVertices) step(
       frame = frame.withColumn(as, F.col(key)), vals = vals :+ as)
     else step(
@@ -112,15 +127,18 @@ final class Traversal private (
         .join(g.vertices.select(F.col("vid").as(curCol), F.col(key).as(as)), Seq(curCol))
         .select((keepCols :+ F.col(as)): _*),
       vals = vals :+ as)
+  }
 
   /** Mark the current vertex column for the terminal select. On the
     * vertex frame the mark NAMES the origin column itself (the column
     * the origin projects to when the traversal leaves the frame), so a
     * marked origin reaches the terminal select as a bare attribute —
     * the same canonical shape the hand-written entries produce. */
-  def as(label: String): Traversal =
+  def as(label: String): Traversal = {
+    checkName(label)
     if (onVertices) step(marks = marks + (label -> label), originName = label)
     else step(marks = marks + (label -> curCol))
+  }
 
   private def hop(reverse: Boolean, labels: Seq[String]): Traversal = {
     val e0 = if (labels.isEmpty) g.edges

@@ -269,11 +269,13 @@ object AnnQueries {
   // quadratic through the ~10⁵-vector envelope this library targets per
   // partition-group; past MaxTables the recall target degrades
   // gracefully and an IVF-style tier (the d_semdedup shape, n^1.5)
-  // is the documented next step. Every driver-verified SF (n ≤ 2000)
-  // still lands at the historical 8 × 4 geometry — bucket assignments,
-  // recall floors and oracle hashes are bit-identical there — and the
-  // extension planes leave the historical planes untouched (separate
-  // seed), so `signatures` ≡ `signaturesN(·, 4, 8)` exactly.
+  // is the documented next step. Every driver-verified SF keeps the
+  // historical 8 × 4 geometry EXACTLY — pinned by
+  // HistoricalGeometryMaxN, not by rounding luck (2000/16 already
+  // rounds to 7 bits) — so bucket assignments, recall floors and
+  // oracle hashes are bit-identical there, and the extension planes
+  // leave the historical planes untouched (separate seed), so
+  // `signatures` ≡ `signaturesN(·, 4, 8)` exactly.
   val MaxBits = 16
   val MaxTables = 256
   val BucketTarget = 16L
@@ -290,12 +292,21 @@ object AnnQueries {
   private def planeFor(t: Int, b: Int): Array[Float] =
     if (t < Tables_ && b < BitsPerTable) planes(t)(b) else planesExtra(t)(b)
 
+  /** Corpora at or under this size keep the HISTORICAL 8×4 geometry
+    * exactly — the envelope every recall floor was measured under
+    * (sf0.1 = 2000 vectors; without this pin, 2000/16 already rounds
+    * to 7 bits and the driver SFs would silently run an unmeasured
+    * geometry — r11 review finding). */
+  val HistoricalGeometryMaxN = 2048L
+
   /** Per-corpus-size signature bits for the pair tiers. */
-  def adaptiveBits(n: Long): Int = {
-    val want = math.ceil(math.log(math.max(1L, n / BucketTarget).toDouble)
-      / math.log(2.0)).toInt
-    math.min(MaxBits, math.max(BitsPerTable, want))
-  }
+  def adaptiveBits(n: Long): Int =
+    if (n <= HistoricalGeometryMaxN) BitsPerTable
+    else {
+      val want = math.ceil(math.log(math.max(1L, n / BucketTarget).toDouble)
+        / math.log(2.0)).toInt
+      math.min(MaxBits, math.max(BitsPerTable, want))
+    }
 
   /** Tables needed to hold the union-recall target at `bits`. */
   def adaptiveTables(bits: Int): Int =
@@ -598,7 +609,9 @@ object AnnQueries {
     * embeddings); anything larger runs the LSH production plan under
     * the SAME entry name and output schema (r10 verdict #1 — the last
     * quadratics were 21% of the 10× suite). The switch costs one
-    * metadata-only count. Recall of the scale tier stays pinned by the
+    * count job (parquet footer metadata — cheap, not free), threaded
+    * through to the tier so it runs once. Recall of the scale tier
+    * stays pinned by the
     * sampled gates (s_knn_graph_lsh / d_embed_dup_lsh), which survive
     * sf1+ by construction. */
   val ExactPairTierMaxN = 3000L
@@ -977,11 +990,14 @@ object AnnQueries {
     * tables) are deduped AFTER scoring so only ids+score shuffle, not
     * vectors. This is the candidate-quality surface the gate measures;
     * the mutuality join downstream is deterministic given these lists. */
-  private[pipeline] def knnLshDirected(e: DataFrame): DataFrame = {
-    // adaptive geometry: one metadata-cheap count picks (bits, tables)
-    // — ≡ the historical 8×4 grid at every driver-verified SF (see
-    // adaptiveBits/adaptiveTables)
-    val bits = adaptiveBits(e.count())
+  private[pipeline] def knnLshDirected(e: DataFrame,
+      knownN: Option[Long] = None): DataFrame = {
+    // adaptive geometry: the corpus size picks (bits, tables) — ≡ the
+    // historical 8×4 grid at every driver-verified SF (see
+    // adaptiveBits/adaptiveTables). Callers that already counted pass
+    // the size through; the fallback count is one footer-metadata scan
+    // job, not free (r11 review finding).
+    val bits = adaptiveBits(knownN.getOrElse(e.count()))
     // NARROW bucket rows (24 B, not the 300 B embedding payload): at the
     // scaled geometries the explode is T-fold, so candidate (q_id, n_id)
     // pairs dedup BEFORE the embeddings re-attach for scoring — the
@@ -1013,16 +1029,18 @@ object AnnQueries {
     * checks it there), LSH production tier beyond it (same schema;
     * edge recall pinned by the s_knn_graph_lsh sampled gate, precision
     * of the mutuality join unchanged — identical downstream code). */
-  def sKnnGraphAuto(s: SparkSession, dir: String): DataFrame =
-    if (Tables(s, dir, "embeddings").count() <= ExactPairTierMaxN)
-      sKnnGraph(s, dir)
-    else sKnnGraphLsh(s, dir)
+  def sKnnGraphAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "embeddings").count()
+    if (n <= ExactPairTierMaxN) sKnnGraph(s, dir)
+    else sKnnGraphLsh(s, dir, Some(n))
+  }
 
   /** SCALE TIER for s_knn_graph (the plan that survives 100 TB): the
     * LSH directed lists + the identical mutuality downstream as the
     * exact tier (v ∈ topk(u) ∧ u ∈ topk(v), emitted once src < dst). */
-  def sKnnGraphLsh(s: SparkSession, dir: String): DataFrame = {
-    val top = knnLshDirected(withNorm(Tables(s, dir, "embeddings")))
+  def sKnnGraphLsh(s: SparkSession, dir: String,
+                   knownN: Option[Long] = None): DataFrame = {
+    val top = knnLshDirected(withNorm(Tables(s, dir, "embeddings")), knownN)
     val rev = top.select(F.col("n_id").as("q_id"), F.col("q_id").as("n_id"),
       F.col("rnk").as("rnk_rev"))
     top.join(rev, Seq("q_id", "n_id"))

@@ -579,10 +579,11 @@ object DedupQueries {
     * beyond it (same schema; every emitted pair is still a true
     * near-dup — precision 1 by construction — and recall stays pinned
     * by the d_embed_dup_lsh sampled gate, which survives sf1+). */
-  def dEmbedDupAuto(s: SparkSession, dir: String): DataFrame =
-    if (Tables(s, dir, "embeddings").count() <= AnnQueries.ExactPairTierMaxN)
-      dEmbedDup(s, dir)
-    else dEmbedDupLsh(s, dir)
+  def dEmbedDupAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "embeddings").count()
+    if (n <= AnnQueries.ExactPairTierMaxN) dEmbedDup(s, dir)
+    else dEmbedDupLsh(s, dir, Some(n))
+  }
 
   /** SCALE TIER for d_embed_dup: candidate pairs from the hyperplane-LSH
     * bucket equality join (s_ann_lsh's signatures, both sides the full
@@ -590,13 +591,14 @@ object DedupQueries {
     * SAME exact-cosine ≥ 0.4 verification, so every emitted pair is a
     * true near-dup (precision 1 by construction — output ⊆ the exact
     * tier's); only recall is approximate. */
-  def dEmbedDupLsh(s: SparkSession, dir: String): DataFrame = {
+  def dEmbedDupLsh(s: SparkSession, dir: String,
+                   knownN: Option[Long] = None): DataFrame = {
     val e = AnnQueries.withNorm(Tables(s, dir, "embeddings"))
     // adaptive geometry (AnnQueries.adaptiveBits/adaptiveTables): ≡ the
     // historical 8×4 grid at every driver-verified SF. Bucket rows stay
     // NARROW (no embedding payload — the T-fold explode would carry it
     // T times); candidate pairs dedup before the embeddings re-attach.
-    val bits = AnnQueries.adaptiveBits(e.count())
+    val bits = AnnQueries.adaptiveBits(knownN.getOrElse(e.count()))
     val buckets = e.select(F.col("vec_id"),
         F.posexplode(AnnQueries.signaturesN(F.col("embedding"), bits,
           AnnQueries.adaptiveTables(bits)))

@@ -169,10 +169,13 @@ class KVScanBuilder(path: String)
   // ORDER BY k [, c] LIMIT n is served by each reader's FIRST n rows
   // (its n smallest) — the ClickHouse optimize_read_in_order analog.
   // Partial push: Spark still merges and applies the final sort+limit;
-  // each partition just stops early. Unknown future layouts decline.
+  // each partition just stops early. The sortedness is checked from the
+  // marker's own `order=kc` attribute, NOT inferred from the layout
+  // name: a zorder store persisted by the pre-r11 writer has
+  // Morton-ordered rows inside its segments and must decline (serving
+  // its first n rows as "(k, c)-smallest" would drop true minima).
   override def pushTopN(orders: Array[VSortOrder], n: Int): Boolean = {
-    if (!Set("linear", "zorder").contains(KVSegmentStore.readLayout(path)))
-      return false
+    if (!KVSegmentStore.readSortedKC(path)) return false
     val fields = orders.map { o =>
       o.expression() match {
         case f: org.apache.spark.sql.connector.expressions.NamedReference

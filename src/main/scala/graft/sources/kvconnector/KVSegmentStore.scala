@@ -86,10 +86,24 @@ object KVSegmentStore {
 
   /** The store's declared layout: "zorder" when the marker exists,
     * "linear" otherwise (legacy stores have no marker — linear was the
-    * only layout before it existed). */
+    * only layout before it existed). Only the FIRST marker line is the
+    * layout name; later lines carry layout attributes (see
+    * [[readSortedKC]]). */
   def readLayout(path: String): String =
     GraftFs.readText(activeConf, GraftFs.child(path, LayoutFile))
-      .map(_.trim).filter(_.nonEmpty).getOrElse("linear")
+      .map(_.linesIterator.next().trim).filter(_.nonEmpty).getOrElse("linear")
+
+  /** Whether rows inside every segment are (k, c)-sorted — the TopN
+    * read-in-order prerequisite. Linear stores always are (the original
+    * write contract); zorder stores only since the marker carries
+    * `order=kc` (earlier zorder writers sorted segments along the
+    * Morton curve, so a store persisted across that version boundary
+    * must DECLINE the push rather than serve wrong prefixes). */
+  def readSortedKC(path: String): Boolean =
+    GraftFs.readText(activeConf, GraftFs.child(path, LayoutFile)) match {
+      case None => true // no marker = linear = (k, c)-sorted
+      case Some(txt) => txt.linesIterator.map(_.trim).contains("order=kc")
+    }
 
   def readManifest(path: String): Seq[Segment] = {
     val raw = GraftFs.readText(activeConf, GraftFs.child(path, ManifestFile))

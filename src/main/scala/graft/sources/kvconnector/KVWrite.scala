@@ -118,15 +118,21 @@ class KVBatchWrite(path: String, truncate: Boolean, layout: String,
       fresh.map(m => s"${m.file}\t${m.loHex}\t${m.hiHex}\t${m.rows}\t${m.cLoHex}\t${m.cHiHex}")
     val lines = (if (truncate) freshLines.toSeq else previous ++ freshLines).sorted
     // layout marker BEFORE the manifest. Since r11 both layouts write
-    // (k, c)-sorted segments, so every reader behavior is CORRECT under
-    // either marker state (the marker records which layout placed the
-    // rows — introspection + the kv_zorder pruning probes — not a
-    // sortedness contract anymore); the write order is kept anyway so
+    // (k, c)-sorted segments and declare it via the marker's own
+    // `order=kc` attribute (readSortedKC), so every reader behavior is
+    // CORRECT under either marker state of THIS writer — and a store
+    // persisted by the pre-r11 zorder writer (marker without the
+    // attribute, Morton-ordered rows inside) declines the TopN push
+    // instead of serving wrong prefixes. The write order is kept so
     // the marker can never describe segments that aren't live yet, and
     // the linear-truncate delete stays AFTER the manifest, mirrored.
     val layoutFile = GraftFs.child(path, KVSegmentStore.LayoutFile)
     if (layout == "zorder")
-      GraftFs.writeTextAtomic(conf, layoutFile, "zorder")
+      // `order=kc` declares the intra-segment (k, c) sort this writer
+      // guarantees; a marker WITHOUT it (a store persisted by the
+      // pre-r11 writer, whose segments followed the Morton curve
+      // inside) makes the read side decline the TopN push
+      GraftFs.writeTextAtomic(conf, layoutFile, "zorder\norder=kc")
     // atomic replacement: stage the full manifest next to the live one,
     // then overwrite-rename it into place — a crash mid-write leaves the
     // old manifest intact and a concurrent reader sees either the old or
