@@ -110,6 +110,35 @@ object GraphQueries {
       .dedup()
       .df
 
+  /** g_dsl_onehop: g_onehop through the DSL (shares its oracle). The
+    * hand plan broadcasts a label-restricted name side; the DSL's
+    * generic value() tap leaves that to AQE — rows identical, plan
+    * hints deliberately not replicated (TraversalSpec). */
+  def gDslOneHop(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("customer").has("mktsegment", "BUILDING")
+      .as("c_vid")
+      .out("in_nation")
+      .value("name", "n_name")
+      .select("c_vid", "n_name")
+      .df
+
+  /** g_dsl_motif: g_motif through the DSL — the as()/where() shape
+    * (tap both endpoints' balances, filter across steps); shares
+    * g_motif's oracle. */
+  def gDslMotif(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("supplier").value("acctbal", "a_bal")
+      .as("a_vid")
+      .out("peer")
+      .value("acctbal", "b_bal")
+      .as("b_vid")
+      .where(F.col("a_bal") > F.col("b_bal"))
+      .out("in_nation")
+      .value("name", "n_name")
+      .select("a_vid", "b_vid", "n_name")
+      .df
+
   /** g_motif: (a:supplier)-[peer]->(b:supplier)-[in_nation]->(n) with
     * predicate a.acctbal > b.acctbal. */
   def gMotif(s: SparkSession, dir: String): DataFrame = {
@@ -1771,6 +1800,8 @@ object GraphQueries {
     ("g_onehop", gOneHop _, Some(gOneHopSql)),
     ("g_twohop", gTwoHop _, Some(gTwoHopSql)),
     ("g_dsl_twohop", gDslTwoHop _, Some(gTwoHopSql)),
+    ("g_dsl_onehop", gDslOneHop _, Some(gOneHopSql)),
+    ("g_dsl_motif", gDslMotif _, Some(gMotifSql)),
     ("g_motif", gMotif _, Some(gMotifSql)),
     ("g_triangles", gTriangles _, Some(gTrianglesSql)),
     ("g_squares", gSquares _, Some(gSquaresSql)),

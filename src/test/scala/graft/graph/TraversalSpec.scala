@@ -25,13 +25,7 @@ class TraversalSpec extends SparkSpec {
   }
 
   test("DSL onehop matches g_onehop row-for-row") {
-    val dsl = Traversal.V(spark, SF)
-      .hasLabel("customer").has("mktsegment", "BUILDING")
-      .as("c_vid")
-      .out("in_nation")
-      .value("name", "n_name")
-      .select("c_vid", "n_name")
-      .df
+    val dsl = GraphQueries.gDslOneHop(spark, SF)
     val named = GraphQueries.gOneHop(spark, SF)
     assert(dsl.columns.toSeq == named.columns.toSeq)
     assert(dsl.collect().groupBy(identity).view.mapValues(_.length).toMap ==
@@ -39,17 +33,7 @@ class TraversalSpec extends SparkSpec {
   }
 
   test("DSL motif (as/where over tapped values) matches g_motif") {
-    val dsl = Traversal.V(spark, SF)
-      .hasLabel("supplier").value("acctbal", "a_bal")
-      .as("a_vid")
-      .out("peer")
-      .value("acctbal", "b_bal")
-      .as("b_vid")
-      .where(F.col("a_bal") > F.col("b_bal"))
-      .out("in_nation")
-      .value("name", "n_name")
-      .select("a_vid", "b_vid", "n_name")
-      .df
+    val dsl = GraphQueries.gDslMotif(spark, SF)
     val named = GraphQueries.gMotif(spark, SF)
     assert(dsl.columns.toSeq == named.columns.toSeq)
     assert(dsl.collect().groupBy(identity).view.mapValues(_.length).toMap ==
