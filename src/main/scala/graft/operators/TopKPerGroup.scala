@@ -31,6 +31,7 @@ case class TopKPairs(
     score: Expression,
     id: Expression,
     k: Int,
+    distinct: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
@@ -50,8 +51,18 @@ case class TopKPairs(
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(weakest)
 
+  /** distinct = top-k over the DISTINCT (score, id) multiset — for
+    * streams whose duplicates are identical tuples (an LSH candidate
+    * pair co-bucketed in several tables scores the same cs every
+    * time), so the dedup happens INSIDE the bounded heap instead of a
+    * full dropDuplicates shuffle ahead of it. Exactness: a tuple in
+    * the heap blocks its copies; a tuple that never entered (or was
+    * evicted) is weaker than every kept entry, so its copies lose the
+    * same comparison. O(k) membership scan per offer — k is small by
+    * contract. */
   private def offer(buf: mutable.PriorityQueue[(Double, Long)], e: (Double, Long)): Unit =
-    if (buf.size < k) buf.enqueue(e)
+    if (distinct && buf.exists(_ == e)) ()
+    else if (buf.size < k) buf.enqueue(e)
     else if (weakest.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
 
   override def update(buf: mutable.PriorityQueue[(Double, Long)],
@@ -105,10 +116,12 @@ object TopK {
   /** Top-k rows per group by (score DESC, id ASC), returned exploded as
     * (groupCols..., rnk, score, id). Shuffle volume is O(groups × k). */
   def perGroup(df: DataFrame, groupCols: Seq[String],
-               score: Column, id: Column, k: Int): DataFrame = {
+               score: Column, id: Column, k: Int,
+               distinct: Boolean = false): DataFrame = {
     val agg = GraftSqlBridge.column(
       TopKPairs(GraftSqlBridge.expression(score.cast("double")),
-        GraftSqlBridge.expression(id.cast("long")), k).toAggregateExpression())
+        GraftSqlBridge.expression(id.cast("long")), k,
+        distinct).toAggregateExpression())
     df.groupBy(groupCols.map(F.col): _*)
       .agg(agg.as("topk"))
       .select(groupCols.map(F.col) :+ F.posexplode(F.col("topk")).as(Seq("i", "p")): _*)

@@ -999,19 +999,24 @@ object AnnQueries {
     // job, not free (r11 review finding).
     val bits = adaptiveBits(knownN.getOrElse(e.count()))
     // NARROW bucket rows (24 B, not the 300 B embedding payload): at the
-    // scaled geometries the explode is T-fold, so candidate (q_id, n_id)
-    // pairs dedup BEFORE the embeddings re-attach for scoring — the
-    // wide-row variant OOMed the 10× driver at T = 203
+    // scaled geometries the explode is T-fold, so the embeddings only
+    // re-attach per candidate pair for scoring — the wide-row variant
+    // OOMed the 10× driver at T = 203
     val buckets = e.select(F.col("vec_id"),
         F.posexplode(signaturesN(F.col("embedding"), bits, adaptiveTables(bits)))
           .as(Seq("t", "bucket")))
       .localCheckpoint()
-    // the bucket join yields BOTH orientations of every co-bucketed pair
+    // the bucket join yields BOTH orientations of every co-bucketed
+    // pair, REPEATED once per shared table. No dropDuplicates anywhere:
+    // a duplicate candidate scores the identical cs, so the dedup
+    // happens inside the bounded heap (TopKPairs distinct mode) and the
+    // candidate stream never hits a shuffle — the embedding joins are
+    // statistics-broadcast, so everything between the bucket join and
+    // the 20k-group partial aggregate is map-side
     val cand = buckets.select(F.col("t"), F.col("bucket"), F.col("vec_id").as("q_id"))
       .join(buckets, Seq("t", "bucket"))
       .filter(F.col("q_id") =!= F.col("vec_id"))
       .select(F.col("q_id"), F.col("vec_id").as("n_id"))
-      .dropDuplicates("q_id", "n_id")
     val scored = cand
       .join(e.select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
         F.col("nrm").as("nq")), Seq("q_id"))
@@ -1020,7 +1025,7 @@ object AnnQueries {
       .select(F.col("q_id"), F.col("n_id"),
         (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
     graft.operators.TopK.perGroup(scored, Seq("q_id"), F.col("cs"),
-        F.col("n_id"), KnnK)
+        F.col("n_id"), KnnK, distinct = true)
       .select(F.col("q_id"), F.col("id").as("n_id"), F.col("rnk"), F.col("score"))
   }
 

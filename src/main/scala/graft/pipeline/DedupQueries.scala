@@ -597,7 +597,12 @@ object DedupQueries {
     // adaptive geometry (AnnQueries.adaptiveBits/adaptiveTables): ≡ the
     // historical 8×4 grid at every driver-verified SF. Bucket rows stay
     // NARROW (no embedding payload — the T-fold explode would carry it
-    // T times); candidate pairs dedup before the embeddings re-attach.
+    // T times), and the dedup runs AFTER the cs ≥ 0.4 cut: duplicates
+    // score identically, near-dup survivors are a tiny fraction of the
+    // candidate stream, so the only shuffle-dedup in the plan touches
+    // the survivor set, not the T-fold candidates (the embedding joins
+    // are statistics-broadcast — everything between the bucket join
+    // and the survivor dedup is map-side).
     val bits = AnnQueries.adaptiveBits(knownN.getOrElse(e.count()))
     val buckets = e.select(F.col("vec_id"),
         F.posexplode(AnnQueries.signaturesN(F.col("embedding"), bits,
@@ -609,7 +614,6 @@ object DedupQueries {
         Seq("t", "bucket"))
       .filter(F.col("a_id") < F.col("b_id"))
       .select(F.col("a_id"), F.col("b_id"))
-      .dropDuplicates("a_id", "b_id")
     cand
       .join(e.select(F.col("vec_id").as("a_id"), F.col("embedding").as("ea"),
         F.col("nrm").as("na")), Seq("a_id"))
@@ -621,6 +625,7 @@ object DedupQueries {
       .filter(F.col("cs") >= 0.4)
       .select(F.col("a_id"), F.col("b_id"),
         F.floor(F.col("cs") * 1e6).cast("long").as("cs6"))
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** The exact cos ≥ 0.4 near-dup pairs with ≥ 1 endpoint in the

@@ -25,6 +25,32 @@ class TopKSpec extends SparkSpec {
     assert(viaHeap == viaWindow)
   }
 
+  test("distinct mode equals dropDuplicates-then-heap on a duplicated stream") {
+    val orders = graft.Tables(spark, SF, "orders")
+      .select("o_orderpriority", "o_totalprice", "o_orderkey")
+    // triple every row (the LSH candidate shape: identical (score, id)
+    // tuples repeated once per shared bucket), at mixed partitionings
+    val tripled = orders.unionByName(orders).unionByName(orders.repartition(7))
+    val viaDistinctHeap = TopK.perGroup(tripled, Seq("o_orderpriority"),
+        F.col("o_totalprice"), F.col("o_orderkey"), k = 5, distinct = true)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaDedupFirst = TopK.perGroup(
+        tripled.dropDuplicates("o_orderpriority", "o_totalprice", "o_orderkey"),
+        Seq("o_orderpriority"),
+        F.col("o_totalprice"), F.col("o_orderkey"), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaDistinctHeap == viaDedupFirst)
+    // and WITHOUT distinct the duplicates occupy heap slots (sanity
+    // that the flag changes behavior on this stream)
+    val plain = TopK.perGroup(tripled, Seq("o_orderpriority"),
+        F.col("o_totalprice"), F.col("o_orderkey"), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(plain != viaDistinctHeap)
+  }
+
   test("topk_pairs works from SQL via GraftExtensions registration") {
     graft.GraftExtensions.register(spark)
     graft.Tables(spark, SF, "orders").createOrReplaceTempView("topk_orders")
