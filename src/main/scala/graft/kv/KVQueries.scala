@@ -566,9 +566,18 @@ object KVQueries {
       // for a win to be possible (r10 advice: at tiny SFs with few
       // distinct keys or near-empty segments the two 16-segment layouts
       // can tie at 1-2 scheduled segments — a tie there is not a
-      // regression, it is the probe rectangle fitting one curve run)
-      .withColumn("ok",
-        F.lit(if (nZo < nLin || (nZo <= nLin && nLin <= 2)) 1L else 0L))
+      // regression, it is the probe rectangle fitting one curve run).
+      // The tie is accepted only when z-order actually pruned SOMETHING
+      // (nZo < committed segments) or the store is too small to prune
+      // (≤ 2 committed segments) — a tie where z-order scheduled every
+      // segment of a prunable store is a pruning regression to parity
+      // and must fail the gate (r11 advice #5)
+      .withColumn("ok", F.lit {
+        val zoTotal =
+          graft.sources.kvconnector.KVSegmentStore.readManifest(zo.toString).size
+        val tieOk = nZo <= nLin && nLin <= 2 && (nZo < zoTotal || zoTotal <= 2)
+        if (nZo < nLin || tieOk) 1L else 0L
+      })
       .localCheckpoint(true)
   }
 

@@ -114,7 +114,15 @@ case class TopKPairs(
 
 object TopK {
   /** Top-k rows per group by (score DESC, id ASC), returned exploded as
-    * (groupCols..., rnk, score, id). Shuffle volume is O(groups × k). */
+    * (groupCols..., rnk, score, id). Shuffle volume is O(groups × k).
+    *
+    * `distinct` dedups the (score, id) TUPLE inside the bounded heap,
+    * not the id: it replaces a dropDuplicates(group, id) ONLY when
+    * duplicate candidates score bit-identically (true for LSH
+    * candidates — the same pair co-bucketed in several tables computes
+    * the same cs). A caller whose duplicates carry per-copy score
+    * jitter would keep one id in two heap slots — dedup upstream
+    * instead (r11 advice #4). */
   def perGroup(df: DataFrame, groupCols: Seq[String],
                score: Column, id: Column, k: Int,
                distinct: Boolean = false): DataFrame = {

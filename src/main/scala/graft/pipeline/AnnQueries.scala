@@ -360,6 +360,30 @@ object AnnQueries {
   val NCentroids = 16
   val NProbe = 4
 
+  /** SemDeDup cluster count scales WITH the corpus: k ≈ n / target is
+    * the SemDeDup design point (Abbas et al. 2023 — bounded EXPECTED
+    * cluster size, so the top-2-probe within-cluster pairwise stage is
+    * ~4·n·target dots, linear in n, instead of the Θ(n²) a FIXED k
+    * degenerates to; r11 verdict #2 — d_semdedup_gate measured 19.9×
+    * wall for 10× rows under fixed k = 16). Corpora inside the
+    * historical envelope keep k = 16 EXACTLY, so every driver-SF hash
+    * stands. Past [[MaxSemCentroids]] the expected cluster size grows
+    * linearly again — a documented ceiling in the spirit of MaxTables
+    * (at 4096 centroids × 128 target the envelope is ~half a million
+    * vectors per partition-group; beyond it, shard the corpus or raise
+    * the ceiling with the trainer's sample). */
+  val SemTargetClusterSize = 128L
+  val MaxSemCentroids = 4096
+  def semCentroids(n: Long): Int =
+    if (n <= HistoricalGeometryMaxN) NCentroids
+    else math.min(MaxSemCentroids.toLong,
+      math.max(NCentroids.toLong, n / SemTargetClusterSize)).toInt
+
+  /** The trainer sample grows with k (8 points per centroid, floor at
+    * the historical TrainSampleN) — still corpus-independent and
+    * driver-bounded: ≤ 8·MaxSemCentroids = 32k vectors ever collected. */
+  def semTrainSampleN(k: Int): Int = math.max(TrainSampleN, 8 * k)
+
   /** The centroid matrix as ONE typed literal (a single constant object in
     * the plan — unrolling per-centroid literal arrays made generated code
     * size proportional to the matrix and recompiled per trained matrix). */
@@ -1037,7 +1061,17 @@ object AnnQueries {
   def sKnnGraphAuto(s: SparkSession, dir: String): DataFrame = {
     val n = Tables(s, dir, "embeddings").count()
     if (n <= ExactPairTierMaxN) sKnnGraph(s, dir)
-    else sKnnGraphLsh(s, dir, Some(n))
+    else {
+      // the registered oracle is the exact-n² SQL, valid only inside the
+      // exactness envelope — past it the tier swap makes that comparison
+      // inapplicable BY DESIGN (the LSH tier's semantics are pinned by
+      // the sampled s_knn_graph_lsh gate instead). Say so out loud
+      // rather than letting a larger-SF driver run read the guaranteed
+      // hash mismatch as a regression (r11 advice #3).
+      println(s"[s_knn_graph] n=$n > ExactPairTierMaxN=$ExactPairTierMaxN: " +
+        "tier=lsh, exact oracle inapplicable (see s_knn_graph_lsh gate)")
+      sKnnGraphLsh(s, dir, Some(n))
+    }
   }
 
   /** SCALE TIER for s_knn_graph (the plan that survives 100 TB): the

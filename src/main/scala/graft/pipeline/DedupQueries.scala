@@ -582,7 +582,15 @@ object DedupQueries {
   def dEmbedDupAuto(s: SparkSession, dir: String): DataFrame = {
     val n = Tables(s, dir, "embeddings").count()
     if (n <= AnnQueries.ExactPairTierMaxN) dEmbedDup(s, dir)
-    else dEmbedDupLsh(s, dir, Some(n))
+    else {
+      // past the envelope the registered n² oracle is inapplicable by
+      // design (semantics pinned by the d_embed_dup_lsh sampled gate) —
+      // announce the tier swap instead of presenting as a hash mismatch
+      println(s"[d_embed_dup] n=$n > ExactPairTierMaxN=" +
+        s"${AnnQueries.ExactPairTierMaxN}: tier=lsh, exact oracle " +
+        "inapplicable (see d_embed_dup_lsh gate)")
+      dEmbedDupLsh(s, dir, Some(n))
+    }
   }
 
   /** SCALE TIER for d_embed_dup: candidate pairs from the hyperplane-LSH
@@ -694,16 +702,22 @@ object DedupQueries {
     * semantic graph). Each vector joins the pairwise stage under its
     * TOP-2 clusters (soft assignment — a near-dup pair straddling one
     * Voronoi boundary still meets in the runner-up cluster), so the
-    * pairwise work is 4·Σ|cluster|² ≈ 4n²/k instead of n² — the SemDeDup
-    * design point — and only pairs split across BOTH probes are missed
-    * (rows-only; DedupSpec proves precision = 1 against the exact
-    * baseline and measures recall). Output: (vec_id, cid, keep) with cid
-    * = the primary cluster. */
-  def dSemDedup(s: SparkSession, dir: String): DataFrame = {
+    * pairwise work is 4·Σ|cluster|² ≈ 4n²/k instead of n². k scales
+    * with the corpus (AnnQueries.semCentroids: k ≈ n/128, pinned at the
+    * historical 16 inside the driver-SF envelope) — THAT is the SemDeDup
+    * design point: bounded expected cluster size keeps the pairwise
+    * stage ~4·n·128 dots, linear in n (r11 verdict #2). Only pairs
+    * split across BOTH probes are missed (rows-only; DedupSpec proves
+    * precision = 1 against the exact baseline and measures recall).
+    * Output: (vec_id, cid, keep) with cid = the primary cluster. */
+  def dSemDedup(s: SparkSession, dir: String,
+                knownN: Option[Long] = None): DataFrame = {
     val e = AnnQueries.withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+    val n = knownN.getOrElse(e.count()) // checkpointed — metadata-cheap
+    val k = AnnQueries.semCentroids(n)
     val cents = KMeansTrainer.kmeansParallel(
-      AnnQueries.trainSample(e, AnnQueries.TrainSampleN),
-      AnnQueries.NCentroids, cosine = true)
+      AnnQueries.trainSample(e, AnnQueries.semTrainSampleN(k)),
+      k, cosine = true)
     // both self-join sides read the assignment — materialize it once
     val assigned = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
       graft.functions.VectorFunctions.floatMatTopCentroids(
@@ -783,11 +797,14 @@ object DedupQueries {
     * kept (no smaller id exists to drop it). Precision-1 / recall-floor
     * semantics stay pinned by d_semdedup_gate's sampled baselines. */
   def dSemDedupChecked(s: SparkSession, dir: String): DataFrame = {
-    val mn = Tables(s, dir, "embeddings").agg(F.min("vec_id").as("mnv"))
-    dSemDedup(s, dir).crossJoin(F.broadcast(mn))
+    val emb = Tables(s, dir, "embeddings")
+    val n = emb.count()
+    val k = AnnQueries.semCentroids(n) // the adaptive cid bound
+    val mn = emb.agg(F.min("vec_id").as("mnv"))
+    dSemDedup(s, dir, Some(n)).crossJoin(F.broadcast(mn))
       .select(F.col("vec_id"),
         F.when((F.col("keep") === 0L || F.col("keep") === 1L) &&
-          F.col("cid") >= 0L && F.col("cid") < AnnQueries.NCentroids.toLong &&
+          F.col("cid") >= 0L && F.col("cid") < k.toLong &&
           (F.col("vec_id") =!= F.col("mnv") || F.col("keep") === 1L), 1L)
           .otherwise(0L).as("ok"))
   }

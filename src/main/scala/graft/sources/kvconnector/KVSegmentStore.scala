@@ -91,7 +91,10 @@ object KVSegmentStore {
     * [[readSortedKC]]). */
   def readLayout(path: String): String =
     GraftFs.readText(activeConf, GraftFs.child(path, LayoutFile))
-      .map(_.linesIterator.next().trim).filter(_.nonEmpty).getOrElse("linear")
+      // an empty-but-present marker degrades to linear, like no marker
+      // (r11 advice #2: linesIterator on "" is empty — next() would throw)
+      .flatMap(_.linesIterator.nextOption()).map(_.trim)
+      .filter(_.nonEmpty).getOrElse("linear")
 
   /** Whether rows inside every segment are (k, c)-sorted — the TopN
     * read-in-order prerequisite. Linear stores always are (the original
