@@ -42,10 +42,23 @@ object Bench {
     (load, rssMb)
   }
 
+  /** The environmental control (r11 verdict #8 — two straight rounds
+    * needed an ad-hoc adjudication): six long-untouched entries spanning
+    * the bench families, with their committed r11 isolated-window sf0.1
+    * times. A full run re-times them at min-of-3 AFTER the timed pass
+    * and carries the MEDIAN ratio on the metric line, so a
+    * round-over-round total delta self-normalizes (ratio ≈ the
+    * machine-window speed shift; per-plan regressions show up as
+    * entries moving AGAINST the control). */
+  private[graft] val ControlRef: Seq[(String, Double)] = Seq(
+    "q5_join5" -> 0.714, "g_pagerank" -> 3.319, "t_cooc" -> 1.102,
+    "d_minhash_lsh" -> 2.030, "d_containment" -> 3.333, "kv_slice" -> 0.443)
+
   private def renderLine(total: Double, reps: Int, nq: Int, sfDir: String,
                          entries: Seq[(String, Double)],
                          errors: Seq[String], warmErrs: Seq[String],
-                         load: String, rssMb: Long): String = {
+                         load: String, rssMb: Long,
+                         control: Option[Double]): String = {
     val budget = 1800
     val fams = entries.groupBy { case (k, _) => family(k) }
       .map { case (f, es) => f -> es.map(_._2).sum }.toSeq.sortBy(-_._2)
@@ -57,6 +70,7 @@ object Bench {
     // a loaded box says so on the metric line instead of costing a re-run
     val contended =
       if (load.toDoubleOption.exists(_ > 4.0)) ""","contended":true""" else ""
+    val ctrl = control.map(r => s""","control_ratio":${fmt(r, 2)}""").getOrElse("")
     // warmup failures are LOUD (r9 verdict #4): a query that silently
     // stopped warming would otherwise just look slow. Cap at 8 names so
     // a systemic failure can't blow the line budget.
@@ -68,7 +82,7 @@ object Bench {
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val omitted = if (kept.size < nq) s""","omitted":${nq - kept.size}""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq,"load":"$load"$contended,"rss_mb":$rssMb$errs$wErrs,"families":$fams$omitted,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","reps":$reps,"nq":$nq,"load":"$load"$contended$ctrl,"rss_mb":$rssMb$errs$wErrs,"families":$fams$omitted,"queries":$qs,"sf":"$sfDir"}"""
     }
     val bySlowest = entries.sortBy(-_._2)
     var dec = 3
@@ -186,6 +200,27 @@ object Bench {
       if (times.isEmpty) None else Some(name -> times.min)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // systematic environmental control (see ControlRef): full sf0.1 runs
+    // only — the reference times are sf0.1 times, and a subset A/B run
+    // should stay as cheap as its subset
+    val controlRatio: Option[Double] =
+      if (only.isEmpty && sfDir.stripSuffix("/").endsWith("sf0.1")) {
+        val ratios = ControlRef.flatMap { case (name, ref) =>
+          SparkEntry.queries.get(name).flatMap { fn =>
+            val times = (1 to 3).flatMap { _ =>
+              val t0 = System.nanoTime()
+              val dt =
+                try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+                catch { case _: Throwable => None }
+              sweep()
+              dt
+            }
+            System.gc()
+            if (times.isEmpty) None else Some(times.min / ref)
+          }
+        }.sorted
+        if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+      } else None
     // Full-precision per-query detail (the printed line is budget-trimmed).
     val detail = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}")
@@ -193,8 +228,9 @@ object Bench {
       .map { case (k, v) => s"""  "$k": "${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
       .mkString("{\n", ",\n", "\n}")
     val (load1, rss1) = loadStamp()
+    val ctrlDetail = controlRatio.map(r => s""""control_ratio": $r, """).getOrElse("")
     val detailJson =
-      s"""{"total": $total, "reps": $reps, "sf": "$sfDir", "load_start": "$load0", "load_end": "$load1", "rss_mb_start": $rss0, "rss_mb_end": $rss1, "warm_errors": ${errJson(warmErrs)}, "errors": ${errJson(errors)}, "queries": $detail}"""
+      s"""{"total": $total, "reps": $reps, "sf": "$sfDir", "load_start": "$load0", "load_end": "$load1", ${ctrlDetail}"rss_mb_start": $rss0, "rss_mb_end": $rss1, "warm_errors": ${errJson(warmErrs)}, "errors": ${errJson(errors)}, "queries": $detail}"""
     try {
       // latest-run pointer + a stamped copy for FULL runs, so a later
       // (possibly contended) driver run can't overwrite a committed
@@ -216,7 +252,7 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     println(renderLine(total, reps, picked.size, sfDir, results.toSeq,
-      errors.keys.toSeq, warmErrs.keys.toSeq, load0, rss0))
+      errors.keys.toSeq, warmErrs.keys.toSeq, load0, rss0, controlRatio))
     spark.stop()
   }
 }

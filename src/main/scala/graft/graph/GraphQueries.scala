@@ -139,6 +139,84 @@ object GraphQueries {
       .select("a_vid", "b_vid", "n_name")
       .df
 
+  /** g_dsl_paths: g.V().has(...).repeat(both()).emit().path() — the
+    * unbounded-repeat Gremlin shape (r11 verdict #3) compiling onto
+    * g_paths' frontier-Pregel shortest-path tree: the DSL resolves the
+    * single source vertex and hands the SAME (vertices, undirected
+    * edges, src) to GraphAlgs.shortestPathTree, so the plan is
+    * g_paths' plan (TraversalSpec asserts sameResult) and the entry
+    * shares g_paths' recursive-CTE oracle hash-for-hash. */
+  def gDslPaths(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("region").has("name", "ASIA")
+      .repeat(Traversal.both()).path()
+
+  /** g_dsl_order: order().by(acctbal desc).range(0, 10) — the ordered
+    * Gremlin shape (r11 verdict #3). The global ordering + bound plan
+    * as ONE TakeOrderedAndProject (bounded per-partition heaps, single
+    * driver merge — never a full sort), asserted by TraversalSpec. Ties
+    * broken by vid for cross-engine determinism. */
+  def gDslOrder(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("supplier").value("acctbal", "bal")
+      .as("s_vid")
+      .out("in_nation")
+      .value("name", "n_name")
+      .order(F.col("bal").desc, F.col("s_vid").asc)
+      .range(0, 10)
+      .select("s_vid", "bal", "n_name")
+      .df
+
+  val gDslOrderSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT s.vid AS s_vid, s.acctbal AS bal, nv.name AS n_name
+       |FROM verts s
+       |JOIN edges e ON e.src = s.vid AND e.elabel = 'in_nation'
+       |JOIN verts nv ON nv.vid = e.dst
+       |WHERE s.vlabel = 'supplier'
+       |ORDER BY bal DESC, s_vid ASC
+       |LIMIT 10""".stripMargin
+
+  /** g_dsl_groupcount: groupCount() — Gremlin's aggregating terminal
+    * (r11 verdict #3): customers per nation endpoint, one hash
+    * aggregate over the hop join (map-side partials for free). */
+  def gDslGroupCount(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("customer")
+      .out("in_nation").as("n_vid")
+      .groupCount("n_vid")
+      .df
+
+  val gDslGroupCountSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT e.dst AS n_vid, COUNT(*) AS cnt
+       |FROM verts c
+       |JOIN edges e ON e.src = c.vid AND e.elabel = 'in_nation'
+       |WHERE c.vlabel = 'customer'
+       |GROUP BY 1""".stripMargin
+
+  /** g_dsl_edge_w: outE().has("w", lte(2)).inV() — the edge-property
+    * shape (r11 verdict #7): light peer edges between suppliers, weight
+    * read from the edge frame's first-class w property (no per-query
+    * arithmetic) and FILTERED ON THE EDGE before the hop completes —
+    * the predicate prunes inside the single edge join, no extra join
+    * for the property. The oracle derives w identically in the shared
+    * prelude (the same derivation g_wsssp's weighted oracle rides). */
+  def gDslEdgeW(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("supplier").as("a_vid")
+      .outE("peer").has("w", Traversal.P.lte(2L)).value("w", "w_e")
+      .inV().as("b_vid")
+      .select("a_vid", "b_vid", "w_e")
+      .df
+
+  val gDslEdgeWSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT e.src AS a_vid, e.dst AS b_vid, e.w AS w_e
+       |FROM verts a
+       |JOIN edges e ON e.src = a.vid
+       |WHERE a.vlabel = 'supplier' AND e.elabel = 'peer' AND e.w <= 2""".stripMargin
+
   /** g_motif: (a:supplier)-[peer]->(b:supplier)-[in_nation]->(n) with
     * predicate a.acctbal > b.acctbal. */
   def gMotif(s: SparkSession, dir: String): DataFrame = {
@@ -371,18 +449,17 @@ object GraphQueries {
        |SELECT vid, d, path FROM tree""".stripMargin
 
   /** g_wsssp: weighted shortest paths from the 'ASIA' region vertex over
-    * the undirected graph with deterministic derived weights
-    * w = 1 + (src+dst) mod 5 — same derivation in the oracle's recursive
-    * CTE (path-cost capped there only to bound the recursion; the cap is
-    * far above the true eccentricity×max-weight). */
+    * the undirected graph, weights read from the EDGE PROPERTY w (the
+    * frame carries w = 1 + (src+dst) mod 5 since r12 — same values the
+    * entry always used, now a first-class property instead of per-query
+    * arithmetic; the oracle derives it identically in its recursive CTE,
+    * path-cost capped there only to bound the recursion). */
   def gWsssp(s: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph(s, dir)
     val src = g.vertices
       .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
       .select("vid").head().getLong(0)
-    val weighted = g.undirected
-      .withColumn("w", (F.col("src") + F.col("dst")) % 5 + 1)
-    GraphAlgs.weightedSssp(g.vertices, weighted, src)
+    GraphAlgs.weightedSssp(g.vertices, g.weightedUndirected, src)
   }
 
   val gWsssspSql: String =
@@ -1802,6 +1879,10 @@ object GraphQueries {
     ("g_dsl_twohop", gDslTwoHop _, Some(gTwoHopSql)),
     ("g_dsl_onehop", gDslOneHop _, Some(gOneHopSql)),
     ("g_dsl_motif", gDslMotif _, Some(gMotifSql)),
+    ("g_dsl_paths", gDslPaths _, Some(gPathsSql)),
+    ("g_dsl_order", gDslOrder _, Some(gDslOrderSql)),
+    ("g_dsl_groupcount", gDslGroupCount _, Some(gDslGroupCountSql)),
+    ("g_dsl_edge_w", gDslEdgeW _, Some(gDslEdgeWSql)),
     ("g_motif", gMotif _, Some(gMotifSql)),
     ("g_triangles", gTriangles _, Some(gTrianglesSql)),
     ("g_squares", gSquares _, Some(gSquaresSql)),

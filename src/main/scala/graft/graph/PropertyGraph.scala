@@ -25,6 +25,15 @@ object PropertyGraph {
       val e = edges.select("src", "dst")
       e.unionByName(e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
     }
+
+    /** Symmetrized edges KEEPING the weight property (w is symmetric in
+      * (src, dst) by construction, so the distinct collapses mirror
+      * pairs to one weight exactly as `undirected` collapses them). */
+    def weightedUndirected: DataFrame = {
+      val e = edges.select("src", "dst", "w")
+      e.unionByName(e.select(F.col("dst").as("src"), F.col("src").as("dst"),
+        F.col("w"))).distinct()
+    }
   }
 
   def apply(s: SparkSession, dir: String): G = {
@@ -74,7 +83,14 @@ object PropertyGraph {
     val ePeer = sa.join(sb, F.col("na") === F.col("nb") && F.col("ka") =!= F.col("kb"))
       .select((F.col("ka") * 4 + 1).as("src"), (F.col("kb") * 4 + 1).as("dst"),
         F.lit("peer").as("elabel"))
+    // edge PROPERTY: a deterministic weight w = 1 + (src+dst) mod 5 —
+    // the derivation g_wsssp always used, now carried ON the edge frame
+    // (r11 verdict #7: a property-graph user expects outE().has("w", …)
+    // and edge value() taps, not per-query arithmetic). Arithmetic
+    // derivation keeps the DuckDB oracles able to rebuild the identical
+    // weighted graph in the shared prelude.
     val edges = eCust.unionByName(eSupp).unionByName(eNat).unionByName(ePeer)
+      .withColumn("w", (F.col("src") + F.col("dst")) % 5 + 1)
     G(vertices, edges)
   }
 
@@ -85,12 +101,14 @@ object PropertyGraph {
       |  UNION ALL SELECT CAST(s_suppkey*4+1 AS BIGINT), 'supplier', s_name, s_acctbal, NULL FROM supplier
       |  UNION ALL SELECT CAST(n_nationkey*4+2 AS BIGINT), 'nation', n_name, NULL, NULL FROM nation
       |  UNION ALL SELECT CAST(r_regionkey*4+3 AS BIGINT), 'region', r_name, NULL, NULL FROM region
-      |), edges(src, dst, elabel) AS (
+      |), edges0(src, dst, elabel) AS (
       |  SELECT CAST(c_custkey*4 AS BIGINT), CAST(c_nationkey*4+2 AS BIGINT), 'in_nation' FROM customer
       |  UNION ALL SELECT CAST(s_suppkey*4+1 AS BIGINT), CAST(s_nationkey*4+2 AS BIGINT), 'in_nation' FROM supplier
       |  UNION ALL SELECT CAST(n_nationkey*4+2 AS BIGINT), CAST(n_regionkey*4+3 AS BIGINT), 'in_region' FROM nation
       |  UNION ALL SELECT CAST(a.s_suppkey*4+1 AS BIGINT), CAST(b.s_suppkey*4+1 AS BIGINT), 'peer'
       |    FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey
+      |), edges(src, dst, elabel, w) AS (
+      |  SELECT src, dst, elabel, (src + dst) % 5 + 1 FROM edges0
       |), uedges(src, dst) AS (
       |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
       |)""".stripMargin

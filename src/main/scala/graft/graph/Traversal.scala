@@ -11,12 +11,30 @@ import org.apache.spark.sql.{functions => F}
   * graph entries cover the SEMANTICS but not that shape (r10 verdict
   * #2). This is the shape: a thin immutable builder whose steps compose
   * the SAME DataFrame plans as the named entries — `V()` starts from
-  * the vertex frame, each `out()`/`in()` is one edge join keyed on the
-  * current vertex column, property taps are vertex joins, and `dedup`/
-  * `limit` map to `distinct`/`limit` — so Catalyst sees exactly the
-  * join tree g_onehop/g_twohop/g_motif build by hand (TraversalSpec
+  * the vertex frame, each `out()`/`in()`/`both()` is one edge join keyed
+  * on the current vertex column, property taps are vertex joins, and
+  * `dedup`/`limit` map to `distinct`/`limit` — so Catalyst sees exactly
+  * the join tree g_onehop/g_twohop/g_motif build by hand (TraversalSpec
   * asserts optimized-plan equality against g_twohop; the driver entry
   * g_dsl_twohop shares g_twohop's oracle hash-for-hash).
+  *
+  * Step vocabulary (r11 verdict #3 widened it past two hops):
+  * `repeat(out()).times(k)` unrolls k hops into the SAME join chain at
+  * plan-build time; `repeat(both()).path()` is the unbounded form and
+  * compiles onto g_paths' frontier-Pregel shortest-path tree; `order()
+  * .by(...)` + `range(lo, hi)`/`limit(n)` plan as a global TopN
+  * (TakeOrderedAndProject — never a full sort at any corpus size when a
+  * bound follows); `groupCount(col)` is one hash aggregate. Edge
+  * properties (r11 verdict #7): `outE(label)`/`inE(label)` step onto
+  * the edge, `has`/`value` there read edge columns directly (zero extra
+  * joins — the edge row is already in hand), `inV()`/`outV()` complete
+  * the hop.
+  *
+  * Property-step fusion (r11 verdict #6): consecutive hasLabel/has/
+  * value on the SAME vertex buffer as pending taps and flush as ONE
+  * vertex join when the traversal moves on — a user chaining three
+  * predicates after a hop pays one shuffle join, not three (Catalyst
+  * does not merge self-joins on its own).
   *
   * Scale notes: a traversal is a declarative plan, never an iterator —
   * every hop is a shuffle join on vid (co-located under a vid-bucketed
@@ -45,6 +63,35 @@ object Traversal {
     def within(vs: Any*): P = Within(vs)
   }
 
+  /** Gremlin's anonymous hop steps (`__.out()` …) for `repeat`. */
+  sealed trait HopStep { def labels: Seq[String] }
+  final case class OutStep(labels: Seq[String]) extends HopStep
+  final case class InStep(labels: Seq[String]) extends HopStep
+  final case class BothStep(labels: Seq[String]) extends HopStep
+  def out(labels: String*): HopStep = OutStep(labels)
+  def in(labels: String*): HopStep = InStep(labels)
+  def both(labels: String*): HopStep = BothStep(labels)
+
+  /** `repeat(step)` pending its modulator: `times(k)` unrolls k hops
+    * into the declarative join chain (bounded repeat is just k hops —
+    * same plan the user would write by hand); `path()` is the
+    * repeat-until-exhaustion form. */
+  final class Repeat private[graph] (t: Traversal, h: HopStep) {
+    def times(k: Int): Traversal = {
+      require(k >= 1, s"times($k): k must be >= 1")
+      (1 to k).foldLeft(t)((acc, _) => acc.hopStep(h))
+    }
+
+    /** Gremlin `repeat(step).emit().path()`: BFS to exhaustion from the
+      * SINGLE current vertex, one canonical shortest path per reached
+      * vertex — compiles onto g_paths' frontier-Pregel shortest-path
+      * tree (GraphAlgs.shortestPathTree: frontier-delta iteration with
+      * localCheckpoint, min-vid predecessor determinism). Output
+      * (vid, d, path). Directed steps walk their edge orientation;
+      * both() walks the symmetrized graph — g_paths' exact plan. */
+    def path(): DataFrame = t.pathTree(h)
+  }
+
   /** g.V() — every vertex, properties still in reach for has/hasLabel. */
   def V(g: PropertyGraph.G): Traversal =
     new Traversal(g, g.vertices, 0, onVertices = true, Vector.empty, Map.empty)
@@ -55,17 +102,23 @@ object Traversal {
 /** One traversal state: `frame` holds the origin column v0, the current
   * vertex column (vid while still on the vertex frame, v<depth> after
   * the first hop), and every tapped value column; `marks` maps `as()`
-  * labels to internal columns for the terminal `select`. */
+  * labels to internal columns for the terminal `select`; `pend*` buffer
+  * property steps on the current vertex until one join can serve them
+  * all. `edge` is Some(otherEndColumn) while stepped onto an edge via
+  * outE/inE. */
 final class Traversal private (
-    g: PropertyGraph.G,
-    frame: DataFrame,
-    depth: Int,
-    onVertices: Boolean,
-    vals: Vector[String],
-    marks: Map[String, String],
-    originName: String = "v0") {
+    private val g: PropertyGraph.G,
+    private val frame: DataFrame,
+    private val depth: Int,
+    private val onVertices: Boolean,
+    private val vals: Vector[String],
+    private val marks: Map[String, String],
+    private val originName: String = "v0",
+    private val pendFilters: Vector[(String, Traversal.P)] = Vector.empty,
+    private val pendTaps: Vector[(String, String)] = Vector.empty,
+    private val edge: Option[String] = None) {
 
-  import Traversal.P
+  import Traversal.{P, HopStep, OutStep, InStep, BothStep}
 
   private def curCol: String =
     if (onVertices) "vid" else if (depth == 0) originName else s"v$depth"
@@ -79,54 +132,101 @@ final class Traversal private (
                    onVertices: Boolean = onVertices,
                    vals: Vector[String] = vals,
                    marks: Map[String, String] = marks,
-                   originName: String = originName): Traversal =
-    new Traversal(g, frame, depth, onVertices, vals, marks, originName)
+                   originName: String = originName,
+                   pendFilters: Vector[(String, P)] = pendFilters,
+                   pendTaps: Vector[(String, String)] = pendTaps,
+                   edge: Option[String] = edge): Traversal =
+    new Traversal(g, frame, depth, onVertices, vals, marks, originName,
+      pendFilters, pendTaps, edge)
 
   /** User-supplied names (as() marks, value() taps) must not collide
     * with the traversal's own column machinery: the internal hop chain
-    * (v0, v1, …), the edge-frame join keys (src/dst/elabel), the vertex
-    * frame's columns, or a name already taken in this traversal — a
-    * collision would make a hop join ambiguous or silently shadow a
-    * tapped column (r11 review finding). */
+    * (v0, v1, …), the edge-frame columns, the vertex frame's columns
+    * (vid, vlabel AND every user property — a tap named after a
+    * property would silently shadow it for later has()/value(); r11
+    * advice #1), or a name already taken in this traversal. */
   private def checkName(name: String): Unit = {
     require(!name.matches("v\\d+"), s"'$name' is a reserved hop-chain name")
-    require(!Set("src", "dst", "elabel", "vid", "vlabel").contains(name),
-      s"'$name' collides with a graph-frame column")
+    require(!name.matches("__has\\d*") && name != "__edst",
+      s"'$name' is a reserved internal name")
+    require(!g.edges.columns.contains(name),
+      s"'$name' collides with an edge-frame column")
+    require(!g.vertices.columns.contains(name),
+      s"'$name' collides with a vertex property column")
     require(!vals.contains(name) && !marks.contains(name) && name != originName,
       s"'$name' is already bound in this traversal")
   }
 
-  /** hasLabel: filter in place on the vertex frame, one vertex join
-    * after the first hop. */
-  def hasLabel(l: String): Traversal =
+  /** Apply every pending hasLabel/has/value of the current hop through
+    * ONE vertex join (r11 verdict #6: Catalyst will not merge the three
+    * separate self-joins the unfused steps would build). No-op when
+    * nothing is pending — single-step traversals keep the exact
+    * historical plan shape (TraversalSpec's sameResult assertions). */
+  private def flushed: Traversal =
+    if (pendFilters.isEmpty && pendTaps.isEmpty) this
+    else {
+      // single-filter keeps the historical shape (bare vlabel column for
+      // hasLabel, "__has" alias for has()) — canonically equal either
+      // way, readable plans for free; multi-filter indexes __has0, __has1…
+      val single = pendFilters.size == 1
+      val named: Vector[(String, P, String)] =
+        pendFilters.zipWithIndex.map { case ((key, p), i) =>
+          val nm = if (single && key == "vlabel") "vlabel"
+                   else if (single) "__has"
+                   else s"__has$i"
+          (key, p, nm)
+        }
+      val filterCols = named.map { case (key, _, nm) =>
+        if (nm == key) F.col(key) else F.col(key).as(nm) }
+      val tapCols = pendTaps.map { case (key, as) => F.col(key).as(as) }
+      val side = g.vertices.select(
+        (F.col("vid").as(curCol) +: (filterCols ++ tapCols)): _*)
+      val filtered = named.foldLeft(frame.join(side, Seq(curCol))) {
+        case (fr, (_, p, nm)) => fr.filter(p(F.col(nm)))
+      }
+      step(frame = filtered.select(
+          (keepCols ++ pendTaps.map(t => F.col(t._2))): _*),
+        vals = vals ++ pendTaps.map(_._2),
+        pendFilters = Vector.empty, pendTaps = Vector.empty)
+    }
+
+  /** hasLabel: filter in place on the vertex frame; after a hop it
+    * buffers into the fused vertex join of this hop. On an edge step it
+    * is not defined (labels live on vertices; use has("elabel", …) for
+    * edge labels beyond what outE(label) already filtered). */
+  def hasLabel(l: String): Traversal = {
+    require(edge.isEmpty, "hasLabel on an edge step: complete it with inV()/outV() first")
     if (onVertices) step(frame = frame.filter(F.col("vlabel") === l))
-    else step(frame = frame
-      .join(g.vertices.select(F.col("vid").as(curCol), F.col("vlabel")), Seq(curCol))
-      .filter(F.col("vlabel") === l)
-      .select(keepCols: _*))
+    else step(pendFilters = pendFilters :+ ("vlabel", (P.Is(l): P)))
+  }
 
   def has(key: String, p: P): Traversal =
-    if (onVertices) step(frame = frame.filter(p(F.col(key))))
-    else step(frame = frame
-      .join(g.vertices.select(F.col("vid").as(curCol), F.col(key).as("__has")), Seq(curCol))
-      .filter(p(F.col("__has")))
-      .select(keepCols: _*))
+    if (edge.isDefined) {
+      // edge property predicate: the edge row is already in the frame —
+      // a plain filter, no join (outE(…).has("w", …) is free)
+      require(g.edges.columns.contains(key),
+        s"'$key' is not an edge property (edge columns: ${g.edges.columns.mkString(", ")})")
+      step(frame = frame.filter(p(F.col(key))))
+    }
+    else if (onVertices) step(frame = frame.filter(p(F.col(key))))
+    else step(pendFilters = pendFilters :+ (key, p))
 
   def has(key: String, value: Any): Traversal = has(key, P.Is(value))
 
-  /** Tap a property of the CURRENT vertex into the frame under `as` —
-    * Gremlin's values()/valueMap() projected to one column. On the
-    * vertex frame it is a free projection; after a hop it is the same
-    * name-resolution join the named entries write by hand. */
+  /** Tap a property of the CURRENT element (vertex — or edge, between
+    * outE/inE and inV/outV) into the frame under `as`. On the vertex
+    * frame and on edges it is a free projection; after a hop it joins
+    * the fused vertex tap of this hop. */
   def value(key: String, as: String): Traversal = {
     checkName(as)
-    if (onVertices) step(
+    if (edge.isDefined) {
+      require(g.edges.columns.contains(key),
+        s"'$key' is not an edge property (edge columns: ${g.edges.columns.mkString(", ")})")
+      step(frame = frame.withColumn(as, F.col(key)), vals = vals :+ as)
+    }
+    else if (onVertices) step(
       frame = frame.withColumn(as, F.col(key)), vals = vals :+ as)
-    else step(
-      frame = frame
-        .join(g.vertices.select(F.col("vid").as(curCol), F.col(key).as(as)), Seq(curCol))
-        .select((keepCols :+ F.col(as)): _*),
-      vals = vals :+ as)
+    else step(pendTaps = pendTaps :+ (key, as))
   }
 
   /** Mark the current vertex column for the terminal select. On the
@@ -135,28 +235,44 @@ final class Traversal private (
     * marked origin reaches the terminal select as a bare attribute —
     * the same canonical shape the hand-written entries produce. */
   def as(label: String): Traversal = {
+    require(edge.isEmpty, "as() on an edge step: complete it with inV()/outV() first")
     checkName(label)
     if (onVertices) step(marks = marks + (label -> label), originName = label)
     else step(marks = marks + (label -> curCol))
   }
 
+  /** The labeled edge frame a hop walks. */
+  private def edgeFrame(labels: Seq[String]): DataFrame =
+    if (labels.isEmpty) g.edges
+    else g.edges.filter(F.col("elabel").isin(labels: _*))
+
   private def hop(reverse: Boolean, labels: Seq[String]): Traversal = {
-    val e0 = if (labels.isEmpty) g.edges
-             else g.edges.filter(F.col("elabel").isin(labels: _*))
+    val e0 = edgeFrame(labels)
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-    val nxt = s"v${depth + 1}"
+    hopOn(e0.select(F.col(from).as("__from"), F.col(to).as("__to")))
+  }
+
+  /** One hop over a (pre-oriented) __from/__to edge frame. Flushes the
+    * pending vertex taps of the hop we are leaving first. */
+  private def hopOn(e0: DataFrame): Traversal = {
+    require(edge.isEmpty, "hop on an edge step: complete it with inV()/outV() first")
+    val t = flushed
+    val nxt = s"v${t.depth + 1}"
     val joined =
-      if (onVertices) {
+      if (t.onVertices) {
         // leave the vertex frame: origin projects to its mark (or v0),
         // tapped values ride along
-        val start = frame.select((F.col("vid").as(originName) +: vals.map(F.col)): _*)
-        start.join(e0.select(F.col(from), F.col(to).as(nxt)),
-            F.col(originName) === F.col(from))
-          .select(((chain :+ nxt).map(F.col) ++ vals.map(F.col)): _*)
+        val start = t.frame.select(
+          (F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)
+        start.join(e0.select(F.col("__from"), F.col("__to").as(nxt)),
+            F.col(t.originName) === F.col("__from"))
+          .select(((t.chain :+ nxt).map(F.col) ++ t.vals.map(F.col)): _*)
       } else
-        frame.join(e0.select(F.col(from).as(curCol), F.col(to).as(nxt)), Seq(curCol))
-          .select(((chain :+ nxt).map(F.col) ++ vals.map(F.col)): _*)
-    step(frame = joined, depth = depth + 1, onVertices = false)
+        t.frame.join(
+            e0.select(F.col("__from").as(t.curCol), F.col("__to").as(nxt)),
+            Seq(t.curCol))
+          .select(((t.chain :+ nxt).map(F.col) ++ t.vals.map(F.col)): _*)
+    t.step(frame = joined, depth = t.depth + 1, onVertices = false)
   }
 
   /** out()/out(label…): one hop along out-edges. */
@@ -165,29 +281,179 @@ final class Traversal private (
   /** in()/in(label…): one hop along in-edges. */
   def in(labels: String*): Traversal = hop(reverse = true, labels)
 
+  /** both()/both(label…): one hop ignoring edge direction — the
+    * symmetrized distinct edge set (label-free form ≡ g.undirected's
+    * frame, the plan every undirected named entry starts from). */
+  def both(labels: String*): Traversal = {
+    val e = edgeFrame(labels).select("src", "dst")
+    val sym = e.unionByName(e.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .distinct()
+    hopOn(sym.select(F.col("src").as("__from"), F.col("dst").as("__to")))
+  }
+
+  private[graph] def hopStep(h: HopStep): Traversal = h match {
+    case OutStep(ls) => out(ls: _*)
+    case InStep(ls) => in(ls: _*)
+    case BothStep(ls) => both(ls: _*)
+  }
+
+  /** Gremlin repeat(step): `.times(k)` unrolls; `.path()` runs to
+    * exhaustion as a frontier BFS (see [[Traversal.Repeat]]). */
+  def repeat(h: HopStep): Traversal.Repeat = new Traversal.Repeat(this, h)
+
+  /** The unbounded-repeat path tree: resolve the single source vertex
+    * the traversal currently holds, then g_paths' exact frontier plan.
+    * The `.head()` source resolution is the same single-row driver
+    * lookup the named entry performs — a repeat-to-exhaustion from a
+    * multi-vertex frontier would need per-source trees (g_bfs_multi's
+    * shape); this surface keeps Gremlin's common V(x).repeat().path(). */
+  private[graph] def pathTree(h: HopStep): DataFrame = {
+    val t = flushed
+    val srcName = if (t.onVertices) "vid" else t.curCol
+    val srcRows = t.frame.select(F.col(srcName)).limit(2).collect()
+    require(srcRows.length == 1,
+      s"repeat(...).path() needs exactly ONE current vertex, got ${srcRows.length}" +
+        " (narrow with hasLabel/has first)")
+    val src = srcRows(0).getLong(0)
+    val edges = h match {
+      case OutStep(ls) => edgeFrame(ls).select("src", "dst")
+      case InStep(ls) =>
+        edgeFrame(ls).select(F.col("dst").as("src"), F.col("src").as("dst"))
+      case BothStep(ls) if ls.isEmpty => g.undirected
+      case BothStep(ls) =>
+        val e = edgeFrame(ls).select("src", "dst")
+        e.unionByName(e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
+    }
+    GraphAlgs.shortestPathTree(g.vertices, edges, src)
+  }
+
+  /** Bounded-path projection: the hop chain walked so far as one string
+    * column (Gremlin path() after fixed steps). v0->v5->v9 shape —
+    * deterministic, oracle-friendly. */
+  def path(as: String): Traversal = {
+    checkName(as)
+    val t = flushed
+    t.step(frame = t.frame.withColumn(as,
+        F.concat_ws("->", t.chain.map(c => F.col(c).cast("string")): _*)),
+      vals = t.vals :+ as)
+  }
+
   /** Cross-step predicate over tapped value columns (Gremlin where). */
-  def where(pred: Column): Traversal = step(frame = frame.filter(pred))
+  def where(pred: Column): Traversal = {
+    val t = flushed
+    t.step(frame = t.frame.filter(pred))
+  }
+
+  /** Gremlin order().by(…): a declared global ordering. Follow with
+    * range()/limit() — Catalyst folds sort+bound into one
+    * TakeOrderedAndProject (bounded heaps per partition, single driver
+    * merge), so an ordered traversal never materializes a full sort
+    * unless the user really asked for all rows ordered. */
+  def order(by: Column*): Traversal = {
+    val t = flushed
+    t.step(frame = t.frame.orderBy(by: _*))
+  }
+
+  /** Gremlin range(lo, hi): rows [lo, hi) of the (ordered) traversal —
+    * offset + limit, planned with the sort as one bounded TopN. */
+  def range(lo: Int, hi: Int): Traversal = {
+    require(0 <= lo && lo < hi, s"range($lo, $hi): need 0 <= lo < hi")
+    val t = flushed
+    t.step(frame = t.frame.offset(lo).limit(hi - lo))
+  }
+
+  /** Gremlin groupCount(): rows per value of `col` (an as() mark, a
+    * tapped value, or a chain column) — one hash aggregate, map-side
+    * partials free. Output (col, cnt). */
+  def groupCount(col: String): Traversal = {
+    val t = flushed
+    val base = t.df // projects the origin under its mark on the vertex frame
+    val internal = t.marks.getOrElse(col, col)
+    val keyed =
+      if (internal != col) base.select(F.col(internal).as(col))
+      else base.select(F.col(col))
+    t.step(frame = keyed.groupBy(col).agg(F.count(F.lit(1)).as("cnt")),
+      onVertices = false)
+  }
+
+  /** outE(label…): step onto the out-edges of the current vertices.
+    * has()/value() now read EDGE columns directly (the reference's user
+    * writes outE().has("weight", gt(...)) — r11 verdict #7); complete
+    * the hop with inV(). The edge join happens HERE; inV() is a free
+    * projection. */
+  def outE(labels: String*): Traversal = edgeStep(labels, reverse = false)
+
+  /** inE(label…): step onto the in-edges; complete with outV(). */
+  def inE(labels: String*): Traversal = edgeStep(labels, reverse = true)
+
+  private def edgeStep(labels: Seq[String], reverse: Boolean): Traversal = {
+    require(edge.isEmpty, "already on an edge step: complete it with inV()/outV() first")
+    val t = flushed
+    val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+    // the key column must carry the name the (possibly still vertex-
+    // frame) left side exposes: originName before the first hop, v<d>
+    // after
+    val keyName = if (t.onVertices) t.originName else t.curCol
+    val e0 = edgeFrame(labels)
+    val props = e0.columns.filterNot(c => c == "src" || c == "dst").map(F.col)
+    val side = e0.select(
+      (F.col(from).as(keyName) +: F.col(to).as("__edst") +: props.toSeq): _*)
+    val joined =
+      if (t.onVertices) {
+        val start = t.frame.select(
+          (F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)
+        start.join(side, Seq(t.originName))
+      } else t.frame.join(side, Seq(t.curCol))
+    t.step(frame = joined, onVertices = false, edge = Some("__edst"))
+  }
+
+  /** inV(): land on the head vertex of the outE step (Gremlin inV). */
+  def inV(): Traversal = completeEdge("inV() without a preceding outE()")
+
+  /** outV(): land on the tail vertex of the inE step. The edge frame
+    * was already oriented current->other by inE, so both completions
+    * project the same pending column. */
+  def outV(): Traversal = completeEdge("outV() without a preceding inE()")
+
+  private def completeEdge(err: String): Traversal = {
+    val other = edge.getOrElse(throw new IllegalArgumentException(err))
+    val nxt = s"v${depth + 1}"
+    step(frame = frame.withColumn(nxt, F.col(other))
+        .select(((chain :+ nxt) ++ vals).map(F.col): _*),
+      depth = depth + 1, onVertices = false, edge = None)
+  }
 
   /** Terminal projection: `as()` marks resolve to their vertex columns,
     * tapped values by their own names — then dedup/limit apply to
     * exactly these columns, matching the named entries' select-then-
     * distinct shape. */
   def select(names: String*): Traversal = {
+    val t = flushed
     val cols = names.map { n =>
-      marks.get(n) match {
+      t.marks.get(n) match {
         case Some(internal) if internal != n => F.col(internal).as(n)
         case _ => F.col(n)
       }
     }
-    step(frame = df.select(cols: _*), onVertices = false)
+    t.step(frame = t.df.select(cols: _*), onVertices = false)
   }
 
-  def dedup(): Traversal = step(frame = frame.distinct())
+  def dedup(): Traversal = {
+    val t = flushed
+    t.step(frame = t.frame.distinct())
+  }
 
-  def limit(n: Int): Traversal = step(frame = frame.limit(n))
+  def limit(n: Int): Traversal = {
+    val t = flushed
+    t.step(frame = t.frame.limit(n))
+  }
 
   /** The composed plan. */
-  def df: DataFrame =
-    if (onVertices) frame.select((F.col("vid").as(originName) +: vals.map(F.col)): _*)
-    else frame
+  def df: DataFrame = {
+    require(edge.isEmpty, "traversal ends on an edge step: complete it with inV()/outV()")
+    val t = flushed
+    if (t.onVertices)
+      t.frame.select((F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)
+    else t.frame
+  }
 }

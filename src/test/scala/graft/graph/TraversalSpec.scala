@@ -40,6 +40,134 @@ class TraversalSpec extends SparkSpec {
       named.collect().groupBy(identity).view.mapValues(_.length).toMap)
   }
 
+  test("repeat(out()).times(2) compiles to the same plan as out().out()") {
+    val unrolled = Traversal.V(spark, SF)
+      .hasLabel("customer").has("acctbal", P.gt(1000.0))
+      .as("src_vid")
+      .repeat(Traversal.out()).times(2).as("dst_vid")
+      .value("name", "dst_name")
+      .select("src_vid", "dst_vid", "dst_name")
+      .dedup()
+      .df
+    val named = GraphQueries.gTwoHop(spark, SF)
+    assert(unrolled.queryExecution.optimizedPlan
+      .sameResult(named.queryExecution.optimizedPlan),
+      "repeat/times(2) diverged from the hand-chained two-hop plan")
+  }
+
+  test("repeat(both()).path() compiles onto g_paths' frontier plan") {
+    // plan identity cannot be asserted structurally here: the frontier
+    // iteration localCheckpoints each level, so two CALLS materialize
+    // distinct LogicalRDDs. Row equality + the shared driver oracle
+    // (g_dsl_paths rides gPathsSql's hash) carry the equivalence.
+    val dsl = GraphQueries.gDslPaths(spark, SF)
+    val named = GraphQueries.gPaths(spark, SF)
+    assert(dsl.columns.toSeq == named.columns.toSeq)
+    assert(dsl.collect().toSet == named.collect().toSet)
+    // multi-vertex frontier must refuse (per-source trees are
+    // g_bfs_multi's surface)
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("customer")
+        .repeat(Traversal.both()).path()
+    }
+  }
+
+  test("adjacent property steps fuse into ONE vertex join per hop") {
+    // hasLabel + has + value after a hop: unfused this plans three
+    // vertex self-joins; fused it must be exactly two joins total
+    // (start⋈edges, then ONE property join) — r11 verdict #6
+    val t = Traversal.V(spark, SF)
+      .hasLabel("customer").as("c")
+      .out("in_nation")
+      .hasLabel("nation").has("name", P.neq("ZZZ")).value("name", "nm")
+      .select("c", "nm")
+      .df
+    val joins = t.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 2,
+      s"expected 2 joins (hop + one fused property join), got ${joins.size}:\n" +
+        t.queryExecution.optimizedPlan)
+    // and the fused rows match the unfused semantics
+    val rows = t.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 4 == 0)) // customers
+  }
+
+  test("order().by + range plans one bounded TopN, rows deterministic") {
+    val df = GraphQueries.gDslOrder(spark, SF)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"ordered+bounded traversal should plan TakeOrderedAndProject:\n$phys")
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val bals = rows.map(_.getDouble(1))
+    assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("groupCount matches a manual aggregate") {
+    val dsl = GraphQueries.gDslGroupCount(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val g = PropertyGraph(spark, SF)
+    val manual = g.edges.filter(F.col("elabel") === "in_nation")
+      .join(g.vertices.filter(F.col("vlabel") === "customer")
+        .select(F.col("vid").as("src")), "src")
+      .groupBy("dst").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dsl == manual)
+  }
+
+  test("outE/has(w)/value/inV: edge-property filter inside the hop join") {
+    val df = GraphQueries.gDslEdgeW(spark, SF)
+    // edge has()/value() must be FREE: exactly ONE join beyond what the
+    // edge frame itself costs (peer edges are derived via a supplier
+    // self-join inside PropertyGraph) — the hop join; none for the
+    // property predicate or tap
+    def joinCount(p: org.apache.spark.sql.DataFrame): Int =
+      p.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    val baseJoins = joinCount(PropertyGraph(spark, SF).edges
+      .filter(F.col("elabel") === "peer"))
+    assert(joinCount(df) == baseJoins + 1,
+      s"edge property steps must not add joins: base=$baseJoins got ${joinCount(df)}:\n" +
+        df.queryExecution.optimizedPlan)
+    // sf0.001 has zero peer edges (one supplier per nation there, like
+    // g_motif's empty frame); row content is asserted at sf0.01
+    val SF01 = "/root/testdata/sf0.01"
+    val rows = GraphQueries.gDslEdgeW(spark, SF01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(w == (a + b) % 5 + 1, s"w mismatch for ($a,$b): $w")
+      assert(w <= 2L)
+      assert(a % 4 == 1 && b % 4 == 1) // suppliers on both ends
+    }
+    // inE().outV() walks the same edges backwards
+    val back = Traversal.V(spark, SF01)
+      .hasLabel("supplier").as("b_vid")
+      .inE("peer").has("w", P.lte(2L)).value("w", "w_e")
+      .outV().as("a_vid")
+      .select("a_vid", "b_vid", "w_e")
+      .df.collect()
+    assert(back.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("name collisions with vertex/edge properties are rejected") {
+    // r11 advice #1: a tap named after an existing vertex property
+    // would silently shadow it — must throw instead
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("customer").value("acctbal", "name")
+    }
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("supplier").value("acctbal", "w")
+    }
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("supplier").as("__has0")
+    }
+  }
+
   test("hasLabel mid-traversal, in(), within, dedup, limit") {
     // customers -in_nation-> nation, then BACKWARDS along in_nation picks
     // up customers AND suppliers of that nation; hasLabel narrows.
