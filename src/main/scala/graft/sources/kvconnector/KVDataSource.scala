@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => VSortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -132,6 +132,14 @@ class KVTable(path: String)
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-kv `$path`"
   override def schema(): StructType = KVDataSource.Schema
+  // a writeBucketed store declares its hash layout (the reported scan
+  // partitioning is what carries the storage-partitioned join; this is
+  // the table-level statement of the same fact)
+  override def partitioning(): Array[Transform] =
+    KVSegmentStore.readBuckets(path)
+      .map(n => Array[Transform](
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, "k")))
+      .getOrElse(Array.empty)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -233,7 +241,14 @@ class KVScanBuilder(path: String)
 
   override def build(): Scan =
     if (aggToks.nonEmpty) new KVAggScan(path, aggToks)
-    else new KVScan(path, required, pushed, limit)
+    else KVSegmentStore.readBuckets(path) match {
+      // report the hash layout only while k is still in the projection:
+      // a reported bucket(n, k) over a scan that pruned k away would
+      // fail transform resolution against the relation output
+      case Some(n) if required.fieldNames.contains("k") =>
+        new KVBucketScan(path, required, pushed, limit, n)
+      case _ => new KVScan(path, required, pushed, limit)
+    }
 }
 
 /** COUNT(*) / MIN(k) / MAX(k) served from the manifest: ONE row, zero
@@ -277,55 +292,132 @@ object KVAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
-class KVScan(path: String, required: StructType, pushed: Array[Filter],
-             limit: Int = -1)
-  extends Scan with Batch {
+class KVScan(path: String, protected val required: StructType,
+             protected val pushed: Array[Filter],
+             protected val limit: Int = -1)
+  extends Scan with Batch with SupportsRuntimeFiltering {
 
   private val all = KVSegmentStore.readManifest(path)
-  private[kvconnector] val kept = {
-    // range/zone-map pruning first (manifest-only); Bloom sidecars are
-    // read ONLY for point/IN key probes and only for range survivors
-    val ranged = all.filter(seg => pushed.forall(KVDataSource.mayMatch(seg, _)))
-    if (pushed.exists(KVDataSource.hasKeyProbe))
+
+  /** Manifest pruning under a filter set: range/zone-map first
+    * (manifest-only); Bloom sidecars are read ONLY for point/IN key
+    * probes and only for range survivors. */
+  private def prune(filters: Array[Filter]): Seq[KVSegmentStore.Segment] = {
+    val ranged = all.filter(seg => filters.forall(KVDataSource.mayMatch(seg, _)))
+    if (filters.exists(KVDataSource.hasKeyProbe))
       ranged.filter { seg =>
         val bloom = KVSegmentStore.readBloom(seg.file)
-        pushed.forall(KVDataSource.mayMatchBloom(seg, bloom, _))
+        filters.forall(KVDataSource.mayMatchBloom(seg, bloom, _))
       }
     else ranged
   }
 
+  /** Plan-time survivors of the statically pushed filters. */
+  private[kvconnector] val kept = prune(pushed)
+
+  // RUNTIME (join-key) pruning (r11 verdict #4): a selective dim⋈store
+  // equi-join on k hands the build side's key set here as In("k", ...)
+  // at EXECUTION time (Spark's DPP subquery over the reused broadcast),
+  // and segments + blooms prune again before any task is scheduled —
+  // the DSv2 analogue of the reference's getSlice key-list pruning, and
+  // what keeps a 100 TB star join from scanning every surviving segment.
+  // Correctness never depends on it: all filters stay residual, Spark
+  // re-applies the join itself on the rows the readers emit.
+  private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+  override def filter(filters: Array[Filter]): Unit = runtime = filters
+
+  /** Scheduled-segment count of the LAST planInputPartitions call —
+    * runtime pruning happens at execution, after explain formatting, so
+    * specs (and curious users) read the effect here. */
+  @volatile private[kvconnector] var lastPlanned: Int = -1
+
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-kv $path segments=${kept.size}/${all.size} " +
-      s"pushed=[${pushed.mkString(", ")}] limit=$limit"
+      s"pushed=[${pushed.mkString(", ")}] limit=$limit " +
+      s"runtimeFilterable=[k]"
+
+  /** The post-pruning segment list of this planning pass (static +
+    * runtime filters), recorded into [[lastPlanned]]. */
+  protected def plannedSegments(): Seq[KVSegmentStore.Segment] = {
+    val segs = if (runtime.isEmpty) kept else prune(pushed ++ runtime)
+    lastPlanned = segs.size
+    segs
+  }
 
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(seg =>
+    plannedSegments().map(seg =>
       KVSegmentPartition(seg.file, required.fieldNames, limit)).toArray
   override def createReaderFactory(): PartitionReaderFactory = KVReaderFactory
+}
+
+/** The scan of a [[KVSegmentStore.writeBucketed]] store: identical
+  * pruning and readers, plus the REPORTED hash layout (r11 verdict #5)
+  * — KeyGroupedPartitioning over the catalog-resolved `bucket(n, k)`
+  * with each segment carrying its bucket id as the partition key, so
+  * two same-bucketed stores equi-join on k with zero Exchange
+  * (storage-partitioned join; needs the graftkv catalog and
+  * spark.sql.sources.v2.bucketing.enabled — see [[KVCatalog]]). */
+class KVBucketScan(path: String, required0: StructType, pushed0: Array[Filter],
+                   limit0: Int, buckets: Int)
+  extends KVScan(path, required0, pushed0, limit0)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(buckets, "k")),
+      buckets)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedSegments().map(seg =>
+      KVBucketSegmentPartition(seg.file, required.fieldNames, limit,
+        KVSegmentStore.bucketId(seg.file))).toArray
+
+  override def description(): String =
+    super.description() + s" layout=bucket:$buckets"
 }
 
 case class KVSegmentPartition(file: String, columns: Array[String],
                               limit: Int = -1) extends InputPartition
 
+/** A bucketed segment: same reader, plus the bucket id as the
+  * partition key Spark groups and aligns storage-partitioned joins on. */
+case class KVBucketSegmentPartition(file: String, columns: Array[String],
+                                    limit: Int, bucketId: Int)
+  extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
 object KVReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KVSegmentReader(partition.asInstanceOf[KVSegmentPartition])
+    partition match {
+      case p: KVSegmentPartition => new KVSegmentReader(p.file, p.columns, p.limit)
+      case p: KVBucketSegmentPartition => new KVSegmentReader(p.file, p.columns, p.limit)
+      case other => throw new IllegalArgumentException(
+        s"not a graft-kv partition: ${other.getClass.getName}")
+    }
 }
 
 /** Row reader over one parquet segment via the parquet-mr Group API,
   * projecting only the pruned columns (the projection reaches the
   * parquet column reader — unread columns are never decoded). */
-class KVSegmentReader(p: KVSegmentPartition) extends PartitionReader[InternalRow] {
+class KVSegmentReader(file: String, columns: Array[String], limit: Int)
+  extends PartitionReader[InternalRow] {
   // empty projection (e.g. a bare count) still needs a column to drive
   // row iteration; read the narrow key column and emit empty rows
-  private val cols = if (p.columns.isEmpty) Array("k") else p.columns
+  private val cols = if (columns.isEmpty) Array("k") else columns
   private val conf = new Configuration()
   // projection fields must carry the file's own repetition (required vs
   // optional varies with writer nullability), so project the footer schema
   private val fileSchema = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p.file), conf)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
@@ -333,20 +425,20 @@ class KVSegmentReader(p: KVSegmentPartition) extends PartitionReader[InternalRow
     new org.apache.parquet.schema.MessageType("graft_kv",
       cols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*).toString)
   private val reader =
-    ParquetReader.builder(new GroupReadSupport(), new Path(p.file)).withConf(conf).build()
+    ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(conf).build()
 
   private var current: org.apache.parquet.example.data.Group = _
   private var emitted = 0
 
   override def next(): Boolean = {
-    if (p.limit >= 0 && emitted >= p.limit) return false // pushed limit
+    if (limit >= 0 && emitted >= limit) return false // pushed limit
     current = reader.read()
     if (current != null) emitted += 1
     current != null
   }
 
   override def get(): InternalRow =
-    new GenericInternalRow(p.columns.map { c =>
+    new GenericInternalRow(columns.map { c =>
       if (current.getFieldRepetitionCount(c) == 0) null
       else current.getBinary(c, 0).getBytes
     }.toArray[Any])

@@ -47,23 +47,100 @@ object KVSegmentStore {
     store.repartitionByRange(numSegments, F.col("k"))
       .sortWithinPartitions("k", "c")
       .write.mode("overwrite").parquet(path)
-    val bounds = store.sparkSession.read.parquet(path)
+    manifestFromReadback(store.sparkSession, path)
+  }
+
+  /** The hash-bucket directory prefix of [[writeBucketed]] stores. */
+  val BucketDirPrefix = "__b="
+
+  /** HASH-bucket `store` into `numBuckets` parquet segment directories —
+    * `__b=<i>/` holds exactly the rows with pmod(murmur3_42(k), n) = i,
+    * (k, c)-sorted inside each file — and declare the layout in the
+    * marker (`bucket\nbuckets=n\norder=kc`), so the read side can REPORT
+    * KeyGroupedPartitioning(bucket(n, k)) and a store-to-store equi-join
+    * on k plans with zero Exchange through the DSv2 path (r11 verdict
+    * #5; the storage-partitioned-join analogue of KVStore.writeBucketed,
+    * native to the connector).
+    *
+    * The bucket id is carried by the row's own COLUMN VALUE through
+    * `partitionBy` — never by the writing task's partition id: Spark is
+    * free to elide a repartition whose child is already hash-partitioned
+    * and AQE is free to coalesce the surviving shuffle (both observed on
+    * an aggregated input — all rows in one task), and a value-derived
+    * directory stays correct under ANY task arrangement. The repartition
+    * below only shapes file counts (all rows of a bucket in one task =
+    * one file per bucket); the leading sort key __b satisfies the
+    * partitioned-write's required ordering, so no writer-inserted
+    * (order-destroying) sort lands between it and the (k, c) run order.
+    * Pruning metadata (manifest bounds, zone maps, blooms) is written
+    * exactly as for range segments — hash-bucket key bounds overlap,
+    * which prunes less per range predicate but stays CORRECT (bounds
+    * are still true per segment). */
+  def writeBucketed(store: DataFrame, path: String, numBuckets: Int): Unit = {
+    val b = F.pmod(F.hash(F.col("k")), F.lit(numBuckets))
+    store.withColumn("__b", b)
+      .repartition(numBuckets, F.col("__b"))
+      .sortWithinPartitions("__b", "k", "c")
+      .write.mode("overwrite").partitionBy("__b").parquet(path)
+    // marker before manifest: a reader that sees the manifest must
+    // already see the layout that describes it (KVBatchWrite discipline)
+    GraftFs.writeTextAtomic(store.sparkSession.sparkContext.hadoopConfiguration,
+      GraftFs.child(path, LayoutFile), s"bucket\nbuckets=$numBuckets\norder=kc")
+    manifestFromReadback(store.sparkSession, path)
+  }
+
+  /** The shared manifest+sidecar read-back pass: bounds, counts, zone
+    * maps AND blooms from ONE aggregate over the written files. Manifest
+    * names are store-relative (`__b=3/part-…` under the bucketed
+    * layout); each sidecar lands in a `_graft_bloom/` BESIDE its file,
+    * which is where readBloom reconstructs it from the file path. */
+  private def manifestFromReadback(
+      s: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val bounds = s.read.parquet(path)
       .groupBy(F.input_file_name().as("f"))
       .agg(F.min("k").as("lo"), F.max("k").as("hi"), F.count(F.lit(1)).as("n"),
         F.min("c").as("clo"), F.max("c").as("chi"),
         graft.operators.KeyBloom.agg(F.col("k")).as("bloom"))
       .collect()
-    val conf = store.sparkSession.sparkContext.hadoopConfiguration
+    val conf = s.sparkContext.hadoopConfiguration
     val lines = bounds.map { r =>
-      val name = r.getString(0).split('/').last
+      val comps = r.getString(0).split('/')
+      val name =
+        if (comps.length >= 2 && comps(comps.length - 2).startsWith(BucketDirPrefix))
+          comps.takeRight(2).mkString("/")
+        else comps.last
+      val rel = name.split('/')
       GraftFs.writeTextAtomic(conf,
-        GraftFs.child(GraftFs.child(path, BloomDir), name),
+        GraftFs.child(path, (rel.init :+ BloomDir :+ rel.last).mkString("/")),
         hex(r.getAs[Array[Byte]](6)))
       s"$name\t${hex(r.getAs[Array[Byte]](1))}\t${hex(r.getAs[Array[Byte]](2))}\t${r.getLong(3)}" +
         s"\t${hex(r.getAs[Array[Byte]](4))}\t${hex(r.getAs[Array[Byte]](5))}"
     }.sorted
     GraftFs.writeTextAtomic(conf,
       GraftFs.child(path, ManifestFile), lines.mkString("\n"))
+  }
+
+  /** The bucket count of a [[writeBucketed]] store, None for every
+    * other layout (range/zorder/legacy) — the gate for reporting
+    * KeyGroupedPartitioning from the scan. */
+  def readBuckets(path: String): Option[Int] =
+    GraftFs.readText(activeConf, GraftFs.child(path, LayoutFile)).flatMap { txt =>
+      val lines = txt.linesIterator.map(_.trim).toList
+      if (lines.headOption.contains("bucket"))
+        lines.collectFirst {
+          case a if a.startsWith("buckets=") => a.stripPrefix("buckets=").toInt
+        }
+      else None
+    }
+
+  /** The bucket id of a bucketed segment file — its `__b=<i>` directory
+    * component, i.e. the rows' own pmod(murmur3_42(k), n), independent
+    * of which task happened to write the file. */
+  def bucketId(file: String): Int = {
+    val comp = file.split('/').reverseIterator
+      .find(_.startsWith(BucketDirPrefix))
+    require(comp.isDefined, s"no $BucketDirPrefix directory in: $file")
+    comp.get.stripPrefix(BucketDirPrefix).toInt
   }
 
   /** The segment's key Bloom, if its sidecar exists (absent on stores
