@@ -145,14 +145,18 @@ object GraphQueries {
     * the single source vertex and hands the SAME (vertices, undirected
     * edges, src) to GraphAlgs.shortestPathTree, so the plan is
     * g_paths' plan (TraversalSpec asserts sameResult) and the entry
-    * shares g_paths' recursive-CTE oracle hash-for-hash. The limit(1)
-    * narrows to one source on scaled corpora where the name predicate
-    * matches one region PER key-shifted copy (path() requires exactly
-    * one current vertex; multi-source trees are g_bfs_multi's surface)
-    * — at every driver SF exactly one ASIA exists, so the hash stands. */
+    * shares g_paths' recursive-CTE oracle hash-for-hash. The
+    * order-by-vid range(0, 1) narrows to the MIN-vid source on scaled
+    * corpora where the name predicate matches one region PER
+    * key-shifted copy (path() requires exactly one current vertex;
+    * multi-source trees are g_bfs_multi's surface) — deterministic at
+    * any scale (an unordered limit(1) picks whatever a partition
+    * serves first; round-12 review), and at every driver SF exactly
+    * one ASIA exists, so the hash stands. */
   def gDslPaths(s: SparkSession, dir: String): DataFrame =
     Traversal.V(s, dir)
-      .hasLabel("region").has("name", "ASIA").limit(1)
+      .hasLabel("region").has("name", "ASIA")
+      .order(F.col("vid").asc).range(0, 1)
       .repeat(Traversal.both()).path()
 
   /** g_dsl_order: order().by(acctbal desc).range(0, 10) — the ordered

@@ -147,13 +147,18 @@ final class Traversal private (
     * advice #1), or a name already taken in this traversal. */
   private def checkName(name: String): Unit = {
     require(!name.matches("v\\d+"), s"'$name' is a reserved hop-chain name")
-    require(!name.matches("__has\\d*") && name != "__edst",
+    require(!name.matches("__has\\d*") &&
+        !Set("__edst", "__from", "__to").contains(name),
       s"'$name' is a reserved internal name")
     require(!g.edges.columns.contains(name),
       s"'$name' collides with an edge-frame column")
     require(!g.vertices.columns.contains(name),
       s"'$name' collides with a vertex property column")
-    require(!vals.contains(name) && !marks.contains(name) && name != originName,
+    // pendTaps counts too: a buffered value() has claimed its name even
+    // though the fused join (and vals) land only at the next flush —
+    // without this the fusion change would regress the r11 guard
+    require(!vals.contains(name) && !marks.contains(name) &&
+        !pendTaps.exists(_._2 == name) && name != originName,
       s"'$name' is already bound in this traversal")
   }
 
@@ -200,12 +205,19 @@ final class Traversal private (
     else step(pendFilters = pendFilters :+ ("vlabel", (P.Is(l): P)))
   }
 
+  /** Edge property keys reachable from an edge step: src/dst are the
+    * hop endpoints (already renamed to the key column / __edst by the
+    * edge join) — naming them here would die unresolved, so they are
+    * excluded from the valid set up front. */
+  private def edgePropKeys: Seq[String] =
+    g.edges.columns.toSeq.filterNot(c => c == "src" || c == "dst")
+
   def has(key: String, p: P): Traversal =
     if (edge.isDefined) {
       // edge property predicate: the edge row is already in the frame —
       // a plain filter, no join (outE(…).has("w", …) is free)
-      require(g.edges.columns.contains(key),
-        s"'$key' is not an edge property (edge columns: ${g.edges.columns.mkString(", ")})")
+      require(edgePropKeys.contains(key),
+        s"'$key' is not an edge property (edge properties: ${edgePropKeys.mkString(", ")})")
       step(frame = frame.filter(p(F.col(key))))
     }
     else if (onVertices) step(frame = frame.filter(p(F.col(key))))
@@ -220,8 +232,8 @@ final class Traversal private (
   def value(key: String, as: String): Traversal = {
     checkName(as)
     if (edge.isDefined) {
-      require(g.edges.columns.contains(key),
-        s"'$key' is not an edge property (edge columns: ${g.edges.columns.mkString(", ")})")
+      require(edgePropKeys.contains(key),
+        s"'$key' is not an edge property (edge properties: ${edgePropKeys.mkString(", ")})")
       step(frame = frame.withColumn(as, F.col(key)), vals = vals :+ as)
     }
     else if (onVertices) step(
@@ -285,11 +297,20 @@ final class Traversal private (
     * symmetrized distinct edge set (label-free form ≡ g.undirected's
     * frame, the plan every undirected named entry starts from). */
   def both(labels: String*): Traversal = {
-    val e = edgeFrame(labels).select("src", "dst")
-    val sym = e.unionByName(e.select(F.col("dst").as("src"), F.col("src").as("dst")))
-      .distinct()
+    val sym = symmetrized(labels)
     hopOn(sym.select(F.col("src").as("__from"), F.col("dst").as("__to")))
   }
+
+  /** The symmetrized distinct edge set a direction-blind step walks —
+    * the label-free form IS g.undirected's frame (one canonical plan,
+    * one place to fix). */
+  private def symmetrized(labels: Seq[String]): DataFrame =
+    if (labels.isEmpty) g.undirected
+    else {
+      val e = edgeFrame(labels).select("src", "dst")
+      e.unionByName(e.select(F.col("dst").as("src"), F.col("src").as("dst")))
+        .distinct()
+    }
 
   private[graph] def hopStep(h: HopStep): Traversal = h match {
     case OutStep(ls) => out(ls: _*)
@@ -310,19 +331,19 @@ final class Traversal private (
   private[graph] def pathTree(h: HopStep): DataFrame = {
     val t = flushed
     val srcName = if (t.onVertices) "vid" else t.curCol
-    val srcRows = t.frame.select(F.col(srcName)).limit(2).collect()
+    // DISTINCT current vertices: converging hops legitimately hold one
+    // vertex on several rows (round-12 review finding)
+    val srcRows = t.frame.select(F.col(srcName)).distinct().limit(2).collect()
     require(srcRows.length == 1,
-      s"repeat(...).path() needs exactly ONE current vertex, got ${srcRows.length}" +
+      "repeat(...).path() needs exactly ONE current vertex, got " +
+        (if (srcRows.isEmpty) "none" else "several") +
         " (narrow with hasLabel/has first)")
     val src = srcRows(0).getLong(0)
     val edges = h match {
       case OutStep(ls) => edgeFrame(ls).select("src", "dst")
       case InStep(ls) =>
         edgeFrame(ls).select(F.col("dst").as("src"), F.col("src").as("dst"))
-      case BothStep(ls) if ls.isEmpty => g.undirected
-      case BothStep(ls) =>
-        val e = edgeFrame(ls).select("src", "dst")
-        e.unionByName(e.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
+      case BothStep(ls) => symmetrized(ls)
     }
     GraphAlgs.shortestPathTree(g.vertices, edges, src)
   }

@@ -647,14 +647,16 @@ object KVQueries {
       // can tie at 1-2 scheduled segments — a tie there is not a
       // regression, it is the probe rectangle fitting one curve run).
       // The tie is accepted only when z-order actually pruned SOMETHING
-      // (nZo < committed segments) or the store is too small to prune
-      // (≤ 2 committed segments) — a tie where z-order scheduled every
+      // (nZo < committed segments) or the store is a single segment
+      // (nothing to prune) — a tie where z-order scheduled every
       // segment of a prunable store is a pruning regression to parity
-      // and must fail the gate (r11 advice #5)
+      // and must fail the gate (r11 advice #5; the first cut wrote
+      // `|| zoTotal <= 2`, which under nZo <= nLin <= 2 can never
+      // reject anything — r12 review caught the vacuity)
       .withColumn("ok", F.lit {
         val zoTotal =
           graft.sources.kvconnector.KVSegmentStore.readManifest(zo.toString).size
-        val tieOk = nZo <= nLin && nLin <= 2 && (nZo < zoTotal || zoTotal <= 2)
+        val tieOk = nZo <= nLin && nLin <= 2 && (nZo < zoTotal || zoTotal <= 1)
         if (nZo < nLin || tieOk) 1L else 0L
       })
       .localCheckpoint(true)

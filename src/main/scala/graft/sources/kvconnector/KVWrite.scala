@@ -133,6 +133,21 @@ class KVBatchWrite(path: String, truncate: Boolean, layout: String,
       // pre-r11 writer, whose segments followed the Morton curve
       // inside) makes the read side decline the TopN push
       GraftFs.writeTextAtomic(conf, layoutFile, "zorder\norder=kc")
+    else if (GraftFs.readText(conf, layoutFile)
+        .exists(_.linesIterator.nextOption().exists(_.trim == "bucket")))
+      // a LINEAR commit into a hash-bucketed store breaks the bucket
+      // invariant (an appended file has no __b= directory, and its rows
+      // follow no bucket function): DEMOTE the marker before the
+      // manifest changes, so no reader ever plans bucket partitions
+      // over a non-bucket segment — the store degrades to linear
+      // pruning, which every segment satisfies, and stays (k, c)-sorted
+      // inside (no marker = linear = order-kc), so the TopN push
+      // survives. SPJ reporting is lost by design: the layout no
+      // longer holds. (Unlike the zorder marker — which only claims
+      // pruning tightness and is safe to reconcile after the manifest —
+      // the bucket marker is load-bearing for partition planning, so
+      // it must fall FIRST in both append and truncate.)
+      GraftFs.delete(conf, layoutFile)
     // atomic replacement: stage the full manifest next to the live one,
     // then overwrite-rename it into place — a crash mid-write leaves the
     // old manifest intact and a concurrent reader sees either the old or

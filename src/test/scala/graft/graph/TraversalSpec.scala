@@ -166,6 +166,44 @@ class TraversalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Traversal.V(spark, SF).hasLabel("supplier").as("__has0")
     }
+    // hop-join internals are reserved too (r12 review)
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("supplier").value("acctbal", "__from")
+    }
+    // a PENDING (buffered, unflushed) tap claims its name immediately:
+    // as()/a second value() on the same name must throw, not silently
+    // rebind at flush time (r12 review — fusion must not regress the
+    // r11 collision guard)
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("customer").out("in_nation")
+        .value("name", "x").as("x")
+    }
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("customer").out("in_nation")
+        .value("name", "x").value("acctbal", "x")
+    }
+    // edge steps: src/dst are hop endpoints, not reachable properties
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("supplier").outE("peer")
+        .has("src", P.gt(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("supplier").outE("peer")
+        .value("dst", "d")
+    }
+  }
+
+  test("pathTree accepts a converging frontier with ONE distinct vertex") {
+    // ASIA's nations hop BACK to ASIA: several rows, one distinct
+    // current vertex — must not refuse (r12 review: the single-source
+    // check counts DISTINCT vertices, not frame rows)
+    val df = Traversal.V(spark, SF)
+      .hasLabel("region").has("name", "ASIA")
+      .in("in_region")
+      .out("in_region")
+      .repeat(Traversal.both()).path()
+    assert(df.columns.toSeq == Seq("vid", "d", "path"))
+    assert(df.count() > 0)
   }
 
   test("hasLabel mid-traversal, in(), within, dedup, limit") {

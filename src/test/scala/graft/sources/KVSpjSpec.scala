@@ -113,6 +113,32 @@ class KVSpjSpec extends SparkSpec {
     }
   }
 
+  test("a linear append DEMOTES the bucket marker instead of breaking reads") {
+    withSpjConf {
+      val dir = Files.createTempDirectory("graft_spja").toString
+      KVSegmentStore.writeBucketed(cellsDf, dir, numBuckets = 8)
+      assert(KVSegmentStore.readBuckets(dir).contains(8))
+      // an ordinary connector append has no __b= directory — the bucket
+      // invariant no longer holds, so the marker must fall (r12 review:
+      // a stale marker made every subsequent scan throw on bucketId)
+      val extra = spark.range(2000, 2100)
+        .select(
+          KVStore.encLong(F.col("id") % 100).as("k"),
+          KVStore.encLong(F.col("id")).as("c"),
+          F.lit("x").cast("binary").as("v"))
+      extra.write.format("graft-kv").option("segments", 2)
+        .mode("append").save(dir)
+      assert(KVSegmentStore.readBuckets(dir).isEmpty,
+        "bucket marker must be demoted by a linear append")
+      // reads keep working over the mixed store, TopN push included
+      assert(spark.read.format("graft-kv").load(dir).count() == 2100)
+      assert(KVSegmentStore.readSortedKC(dir))
+      val top = spark.read.format("graft-kv").load(dir)
+        .orderBy(F.col("k").asc, F.col("c").asc).limit(5).collect()
+      assert(top.length == 5)
+    }
+  }
+
   test("static key pruning composes with the bucket layout") {
     withSpjConf {
       val dir = Files.createTempDirectory("graft_spjp").toString
