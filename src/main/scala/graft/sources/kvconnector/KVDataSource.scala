@@ -365,13 +365,43 @@ class KVScan(path: String, protected val required: StructType,
 class KVBucketScan(path: String, required0: StructType, pushed0: Array[Filter],
                    limit0: Int, buckets: Int)
   extends KVScan(path, required0, pushed0, limit0)
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
       Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(buckets, "k")),
       buckets)
+
+  /** Per-partition ordering: every segment is (k, c)-sorted by the
+    * write contract, so while each bucket holds EXACTLY ONE segment
+    * (writeBucketed's one-file-per-bucket shape) the partition read
+    * order IS (k, c) — reported so a storage-partitioned merge join
+    * skips its per-partition SortExec on both sides. A bucket with
+    * several files would concatenate sorted runs (not sorted), so the
+    * claim is withdrawn entirely in that case; pruning only removes
+    * whole segments and cannot break the one-file property. */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val oneFilePerBucket =
+      kept.map(s => KVSegmentStore.bucketId(s.file)).distinct.size == kept.size
+    val fields = required.fieldNames.toSeq
+    if (!oneFilePerBucket || !fields.contains("k")) Array.empty
+    else {
+      def asc(col: String): org.apache.spark.sql.connector.expressions.SortOrder =
+        new org.apache.spark.sql.connector.expressions.SortOrder {
+          override def expression(): org.apache.spark.sql.connector.expressions.Expression =
+            org.apache.spark.sql.connector.expressions.Expressions.column(col)
+          override def direction(): org.apache.spark.sql.connector.expressions.SortDirection =
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+          override def nullOrdering(): org.apache.spark.sql.connector.expressions.NullOrdering =
+            org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+          override def describe(): String = s"$col ASC"
+        }
+      if (fields.contains("c")) Array(asc("k"), asc("c")) else Array(asc("k"))
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     plannedSegments().map(seg =>

@@ -64,6 +64,22 @@ class KVSpjSpec extends SparkSpec {
       assert(shuffles(joined).isEmpty,
         "expected a storage-partitioned (zero-Exchange) join, got:\n" +
           joined.queryExecution.executedPlan)
+      // the scans REPORT the (k, c) per-partition write order
+      // (one segment per bucket), so the merge join needs no SortExec
+      // on either side — co-located AND pre-sorted
+      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Seq[Any] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.SortExec => Seq(s)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => sorts(q.plan)
+          case a: AdaptiveSparkPlanExec => sorts(a.executedPlan)
+        }.flatten
+      val found = sorts(joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      })
+      assert(found.isEmpty,
+        "expected sort-free SPJ (reported ordering), got:\n" +
+          joined.queryExecution.executedPlan)
     }
   }
 
