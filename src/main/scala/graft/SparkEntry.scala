@@ -17,6 +17,7 @@ object SparkEntry {
       graft.olap.OlapGeoQueries.entries ++
       graft.kv.KVQueries.entries ++
       graft.graph.GraphQueries.entries ++
+      graft.graph.KVGraphQueries.entries ++
       graft.pipeline.DedupQueries.entries ++
       graft.pipeline.AnnQueries.entries ++
       graft.pipeline.TextQueries.entries ++

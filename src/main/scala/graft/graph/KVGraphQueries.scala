@@ -1,0 +1,113 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.kv.KVStore.{decLong, encLong}
+import graft.sources.kvconnector.KVSegmentStore
+
+/** The reference's ACTUAL data path, composed end-to-end: JanusGraph
+  * keeps the graph as ADJACENCY LISTS IN THE KEY-COLUMN-VALUE STORE
+  * (vertex id = key, one column per incident edge, edge property bytes
+  * as the value — the layout ClickhouseKeyColumnValueStore.java:78
+  * serves getSlice against), and a traversal is a sequence of key-list
+  * slice reads. graft has carried both halves since round 2 — the kv
+  * store with its pruning stack (A-section) and the graph operators on
+  * relational frames (B-section) — and these entries CLOSE THE LOOP: a
+  * hop driven through the KCV layout itself, so a reference user's
+  * storage model ports 1:1.
+  *
+  * Layout: k = big-endian(src vid) — adjacency locality, the MergeTree
+  * ORDER BY (k, c) story; c = big-endian(edge-label id) ++
+  * big-endian(dst vid) — label-range slices are qualifier ranges the
+  * segment zone maps prune; v = big-endian(w) — the edge property
+  * rides the cell value.
+  *
+  * Scale shape: the start set arrives as a JOIN against the store (the
+  * SPI's multi-key getSlice), so the connector's runtime key filtering
+  * (kv_runtime_prune) prunes adjacency segments to the start set's key
+  * range at execution, the label slice prunes on the c zone map, and a
+  * second hop is just the same join again off the first hop's
+  * endpoints — at 100 TB each hop moves only the frontier's adjacency,
+  * never the store. */
+object KVGraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic edge-label ids (the reference stores label ids from
+    * its schema registry the same way). */
+  private val LabelIds = Seq("in_nation" -> 1L, "in_region" -> 2L, "peer" -> 3L)
+
+  private def labelId = LabelIds.foldLeft(F.lit(0L)) { case (acc, (name, id)) =>
+    F.when(F.col("elabel") === name, F.lit(id)).otherwise(acc)
+  }
+
+  /** The adjacency store frame: one KCV cell per directed edge. */
+  private def adjacency(s: SparkSession, dir: String): DataFrame =
+    PropertyGraph(s, dir).edges.select(
+      encLong(F.col("src")).as("k"),
+      F.concat(encLong(labelId), encLong(F.col("dst"))).as("c"),
+      encLong(F.col("w")).as("v"))
+
+  /** The c-range of one label's slice: [id, id+1) in the 16-byte
+    * (labelId, dst) qualifier order. */
+  private def labelLo(id: Long) = F.concat(encLong(F.lit(id)), encLong(F.lit(0L)))
+  private def labelHi(id: Long) = F.concat(encLong(F.lit(id + 1)), encLong(F.lit(0L)))
+
+  private var lastAdj1: Option[java.nio.file.Path] = None
+  private var lastAdj2: Option[java.nio.file.Path] = None
+
+  /** g_kv_onehop: g_onehop's traversal driven through the KCV
+    * adjacency store — BUILDING customers sliced against the
+    * in_nation label range. The start set joins the connector read on
+    * k (runtime segment pruning), the label slice is a pushed c range
+    * (zone-map pruning), and the nation names resolve exactly as the
+    * frame entry does. Shares g_onehop's oracle hash-for-hash. */
+  def gKvOneHop(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvadj1", lastAdj1)
+    lastAdj1 = Some(seg)
+    KVSegmentStore.write(adjacency(s, dir), seg.toString, 16)
+    val g = PropertyGraph(s, dir)
+    val start = g.vertices
+      .filter(F.col("vlabel") === "customer" && F.col("mktsegment") === "BUILDING")
+      .select(encLong(F.col("vid")).as("k"), F.col("vid").as("c_vid"))
+    val adj = s.read.format("graft-kv").load(seg.toString)
+      .filter(F.col("c") >= labelLo(1L) && F.col("c") < labelHi(1L))
+    val nations = g.vertices.filter(F.col("vlabel") === "nation")
+      .select(F.col("vid").as("dst_vid"), F.col("name"))
+    adj.join(start, Seq("k"))
+      .select(F.col("c_vid"), decLong(F.col("c"), 9).as("dst_vid"))
+      .join(F.broadcast(nations), "dst_vid")
+      .select(F.col("c_vid"), F.col("name").as("n_name"))
+      .localCheckpoint(true)
+  }
+
+  /** g_kv_twohop: TWO successive slice rounds off the same adjacency
+    * store — the JanusGraph multi-hop OLTP pattern (hop 2's key list
+    * is hop 1's endpoint set, exactly the reference's repeated
+    * multi-key getSlice). Shares g_twohop's oracle. */
+  def gKvTwoHop(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvadj2", lastAdj2)
+    lastAdj2 = Some(seg)
+    KVSegmentStore.write(adjacency(s, dir), seg.toString, 16)
+    val g = PropertyGraph(s, dir)
+    val adj = s.read.format("graft-kv").load(seg.toString)
+    val start = g.vertices
+      .filter(F.col("vlabel") === "customer" && F.col("acctbal") > 1000.0)
+      .select(encLong(F.col("vid")).as("k"), F.col("vid").as("src_vid"))
+    val hop1 = adj.join(start, Seq("k"))
+      .select(F.col("src_vid"), decLong(F.col("c"), 9).as("mid"))
+    val hop2 = adj.join(
+        hop1.select(encLong(F.col("mid")).as("k"), F.col("src_vid")), Seq("k"))
+      .select(F.col("src_vid"), decLong(F.col("c"), 9).as("dst_vid"))
+    hop2
+      .join(g.vertices.select(F.col("vid").as("dst_vid"),
+        F.col("name").as("dst_name")), "dst_vid")
+      .select(F.col("src_vid"), F.col("dst_vid"), F.col("dst_name"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("g_kv_onehop", gKvOneHop _, Some(GraphQueries.gOneHopSql)),
+    ("g_kv_twohop", gKvTwoHop _, Some(GraphQueries.gTwoHopSql)))
+}

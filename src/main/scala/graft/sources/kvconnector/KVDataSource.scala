@@ -332,7 +332,7 @@ class KVScan(path: String, protected val required: StructType,
   /** Scheduled-segment count of the LAST planInputPartitions call —
     * runtime pruning happens at execution, after explain formatting, so
     * specs (and curious users) read the effect here. */
-  @volatile private[kvconnector] var lastPlanned: Int = -1
+  @volatile private[graft] var lastPlanned: Int = -1
 
   override def readSchema(): StructType = required
   override def description(): String =
