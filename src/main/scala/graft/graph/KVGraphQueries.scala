@@ -70,8 +70,9 @@ object KVGraphQueries {
     val start = g.vertices
       .filter(F.col("vlabel") === "customer" && F.col("mktsegment") === "BUILDING")
       .select(encLong(F.col("vid")).as("k"), F.col("vid").as("c_vid"))
+    val inNation = LabelIds.toMap.apply("in_nation")
     val adj = s.read.format("graft-kv").load(seg.toString)
-      .filter(F.col("c") >= labelLo(1L) && F.col("c") < labelHi(1L))
+      .filter(F.col("c") >= labelLo(inNation) && F.col("c") < labelHi(inNation))
     val nations = g.vertices.filter(F.col("vlabel") === "nation")
       .select(F.col("vid").as("dst_vid"), F.col("name"))
     adj.join(start, Seq("k"))
@@ -144,11 +145,14 @@ object KVGraphQueries {
     lastAdj3 = Some(seg)
     KVSegmentStore.write(adjacency(s, dir), seg.toString, 16)
     val g = kvBackedGraph(s, dir, seg.toString)
+    // the EXACT chain gDslMotif writes — same DSL shape, different
+    // storage is the whole claim (no extra hasLabel: peer edges only
+    // connect suppliers, and the frame twin omits it too)
     Traversal.V(g)
       .hasLabel("supplier").value("acctbal", "a_bal")
       .as("a_vid")
       .out("peer")
-      .hasLabel("supplier").value("acctbal", "b_bal")
+      .value("acctbal", "b_bal")
       .as("b_vid")
       .where(F.col("a_bal") > F.col("b_bal"))
       .out("in_nation")

@@ -384,8 +384,13 @@ class KVBucketScan(path: String, required0: StructType, pushed0: Array[Filter],
     * whole segments and cannot break the one-file property. */
   override def outputOrdering():
       Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    // every kept segment must sit in a bucket directory (a linear
+    // segment appended under a racing marker demotion has none —
+    // withdraw rather than throw, r12 review #2) AND hold its bucket
+    // alone (two files per bucket concatenate sorted runs — not sorted)
+    val ids = kept.flatMap(s => KVSegmentStore.bucketIdOpt(s.file))
     val oneFilePerBucket =
-      kept.map(s => KVSegmentStore.bucketId(s.file)).distinct.size == kept.size
+      ids.size == kept.size && ids.distinct.size == kept.size
     val fields = required.fieldNames.toSeq
     if (!oneFilePerBucket || !fields.contains("k")) Array.empty
     else {
@@ -403,10 +408,20 @@ class KVBucketScan(path: String, required0: StructType, pushed0: Array[Filter],
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedSegments().map(seg =>
-      KVBucketSegmentPartition(seg.file, required.fieldNames, limit,
-        KVSegmentStore.bucketId(seg.file))).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val segs = plannedSegments()
+    // a segment outside any bucket directory means the store is no
+    // longer purely bucketed (racing append/demotion): emit PLAIN
+    // partitions for the whole scan — Spark sees not-all-HasPartitionKey
+    // and degrades the key-grouped claim instead of mis-grouping
+    if (segs.exists(s => KVSegmentStore.bucketIdOpt(s.file).isEmpty))
+      segs.map(seg =>
+        KVSegmentPartition(seg.file, required.fieldNames, limit)).toArray
+    else
+      segs.map(seg =>
+        KVBucketSegmentPartition(seg.file, required.fieldNames, limit,
+          KVSegmentStore.bucketId(seg.file))).toArray
+  }
 
   override def description(): String =
     super.description() + s" layout=bucket:$buckets"

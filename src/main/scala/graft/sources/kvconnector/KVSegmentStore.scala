@@ -135,13 +135,19 @@ object KVSegmentStore {
 
   /** The bucket id of a bucketed segment file — its `__b=<i>` directory
     * component, i.e. the rows' own pmod(murmur3_42(k), n), independent
-    * of which task happened to write the file. */
-  def bucketId(file: String): Int = {
-    val comp = file.split('/').reverseIterator
+    * of which task happened to write the file. None for a file outside
+    * any bucket directory (e.g. a linear segment appended while the
+    * marker demotion raced a concurrent scan's manifest read): callers
+    * DEGRADE — withdraw the partitioning/ordering claim — rather than
+    * fail the query (r12 review #2). */
+  def bucketIdOpt(file: String): Option[Int] =
+    file.split('/').reverseIterator
       .find(_.startsWith(BucketDirPrefix))
-    require(comp.isDefined, s"no $BucketDirPrefix directory in: $file")
-    comp.get.stripPrefix(BucketDirPrefix).toInt
-  }
+      .flatMap(_.stripPrefix(BucketDirPrefix).toIntOption)
+
+  def bucketId(file: String): Int =
+    bucketIdOpt(file).getOrElse(
+      throw new IllegalArgumentException(s"no $BucketDirPrefix directory in: $file"))
 
   /** The segment's key Bloom, if its sidecar exists (absent on stores
     * written before the index — absent prunes nothing). */

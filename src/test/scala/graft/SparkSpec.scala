@@ -10,6 +10,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Collect matches from an EXECUTED physical plan, recursing through
+    * AQE wrappers and materialized query stages — QueryStageExec is a
+    * LEAF of the plan tree (its subtree hangs off `plan`), so a bare
+    * `executedPlan.collect` silently misses everything inside a stage
+    * (r12 lesson; one walker shared by every plan-shape spec). */
+  def collectExec[T](df: org.apache.spark.sql.DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[T] =
+      p.collect {
+        case n if pf.isDefinedAt(n) => Seq(pf(n))
+        case q: QueryStageExec => walk(q.plan)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      }.flatten
+    walk(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+  }
+
   override def afterAll(): Unit = () // shared session: never stop per-suite
 }
 

@@ -13,18 +13,8 @@ import graft.sources.kvconnector.KVScan
   * pruning from the label slice. */
 class KVGraphSpec extends SparkSpec {
 
-  private def kvScans(df: DataFrame): Seq[BatchScanExec] = {
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
-      p.collect {
-        case b: BatchScanExec if b.scan.isInstanceOf[KVScan] => Seq(b)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      }.flatten
-    walk(df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    })
-  }
+  private def kvScans(df: DataFrame): Seq[BatchScanExec] =
+    collectExec(df) { case b: BatchScanExec if b.scan.isInstanceOf[KVScan] => b }
 
   test("g_kv_onehop equals the frame one-hop and prunes the adjacency store") {
     val kv = KVGraphQueries.gKvOneHop(spark, SF)

@@ -29,21 +29,8 @@ class KVRuntimeFilterSpec extends SparkSpec {
     dir
   }
 
-  /** The executed plan's kv scans — AQE peeled after execution, and
-    * query stages recursed into (QueryStageExec is a LEAF of the plan
-    * tree; its materialized subtree hangs off `plan`). */
-  private def kvScans(df: DataFrame): Seq[BatchScanExec] = {
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
-      p.collect {
-        case b: BatchScanExec if b.scan.isInstanceOf[KVScan] => Seq(b)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      }.flatten
-    walk(df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    })
-  }
+  private def kvScans(df: DataFrame): Seq[BatchScanExec] =
+    collectExec(df) { case b: BatchScanExec if b.scan.isInstanceOf[KVScan] => b }
 
   test("a selective broadcast join prunes segments at execution time") {
     val dir = written

@@ -32,18 +32,8 @@ class KVSpjSpec extends SparkSpec {
         F.concat(F.lit("v"), F.col("id").cast("string")).cast("binary").as("v"))
   }
 
-  private def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] = {
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeLike] =
-      p.collect {
-        case e: ShuffleExchangeLike => Seq(e)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      }.flatten
-    walk(df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    })
-  }
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] =
+    collectExec(df) { case e: ShuffleExchangeLike => e }
 
   test("two same-bucketed stores join on k with zero shuffle Exchange") {
     withSpjConf {
@@ -67,16 +57,8 @@ class KVSpjSpec extends SparkSpec {
       // the scans REPORT the (k, c) per-partition write order
       // (one segment per bucket), so the merge join needs no SortExec
       // on either side — co-located AND pre-sorted
-      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Seq[Any] =
-        p.collect {
-          case s: org.apache.spark.sql.execution.SortExec => Seq(s)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => sorts(q.plan)
-          case a: AdaptiveSparkPlanExec => sorts(a.executedPlan)
-        }.flatten
-      val found = sorts(joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      })
+      val found =
+        collectExec(joined) { case s: org.apache.spark.sql.execution.SortExec => s }
       assert(found.isEmpty,
         "expected sort-free SPJ (reported ordering), got:\n" +
           joined.queryExecution.executedPlan)
@@ -126,6 +108,59 @@ class KVSpjSpec extends SparkSpec {
       // joining two RANGE stores through the connector still shuffles —
       // the property being native-to-bucketed, not universal
       assert(spark.read.format("graft-kv").load(dir).count() == 2000)
+    }
+  }
+
+  test("ordering claim is withdrawn when a bucket holds several files") {
+    withSpjConf {
+      val dir = Files.createTempDirectory("graft_spjm").toString
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "100")
+      try KVSegmentStore.writeBucketed(cellsDf, dir, numBuckets = 8)
+      finally spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+      val segs = KVSegmentStore.readManifest(dir)
+      assert(segs.size > 8, s"expected several files per bucket, got ${segs.size}")
+      val scan = new KVBucketScan(dir, KVDataSource.Schema,
+        Array.empty, -1, 8)
+      // two sorted runs concatenated are not sorted: the claim must go
+      assert(scan.outputOrdering().isEmpty,
+        "ordering must be withdrawn for multi-file buckets")
+      // partitioning stays (each file still knows its bucket) and rows
+      // survive intact
+      assert(spark.read.format("graft-kv").load(dir).count() == 2000)
+    }
+  }
+
+  test("a rogue non-bucket segment degrades the scan instead of failing it") {
+    withSpjConf {
+      val dir = Files.createTempDirectory("graft_spjrg").toString
+      KVSegmentStore.writeBucketed(cellsDf, dir, numBuckets = 8)
+      // simulate the race: a root-level segment lands in the manifest
+      // while the bucket marker is still up (marker demotion and
+      // manifest rewrite are not one atomic step for a concurrent
+      // reader) — copy bucket 0's file to the root and manifest it
+      val seg0 = KVSegmentStore.readManifest(dir).head
+      val src = java.nio.file.Paths.get(seg0.file)
+      val rogue = java.nio.file.Paths.get(dir, "rogue.parquet")
+      java.nio.file.Files.copy(src, rogue)
+      val conf = KVSegmentStore.activeConf
+      val manifest = graft.GraftFs.child(dir, KVSegmentStore.ManifestFile)
+      val text = graft.GraftFs.readText(conf, manifest).get
+      val first = text.linesIterator.next()
+      val firstName = first.split('\t')(0)
+      graft.GraftFs.writeTextAtomic(conf, manifest,
+        text + "\n" + first.replace(firstName, "rogue.parquet"))
+      assert(KVSegmentStore.bucketIdOpt(rogue.toString).isEmpty)
+      val scan = new KVBucketScan(dir, KVDataSource.Schema, Array.empty, -1, 8)
+      // no throw: ordering withdrawn, partitions degrade to plain
+      assert(scan.outputOrdering().isEmpty)
+      val parts = scan.planInputPartitions()
+      assert(parts.length == 9)
+      assert(parts.forall(!_.isInstanceOf[
+        org.apache.spark.sql.connector.read.HasPartitionKey]),
+        "mixed store must emit plain partitions so Spark drops the key-grouped claim")
+      // and the read itself still works (duplicated rows are expected:
+      // the rogue file IS bucket 0's copy)
+      assert(spark.read.format("graft-kv").load(dir).count() == 2000 + seg0.rows)
     }
   }
 
