@@ -225,6 +225,64 @@ object GraphQueries {
        |JOIN edges e ON e.src = a.vid
        |WHERE a.vlabel = 'supplier' AND e.elabel = 'peer' AND e.w <= 2""".stripMargin
 
+  /** g_dsl_until: `V(asia).repeat(in()).until(has('vlabel',
+    * 'customer'))` — Gremlin's CONDITIONAL repeat (the step between
+    * times(k) and repeat-to-exhaustion): walk in-edges hop by hop from
+    * the ASIA region(s), stop each traverser at its FIRST customer,
+    * keep expanding everything else (nations expand to customers AND
+    * suppliers; suppliers keep crawling their peer cliques and never
+    * match — exactly the shape where until() differs from a fixed hop
+    * count). First-hit frontier BFS: one frontier-sized join per level
+    * over a src-partitioned checkpointed edge frame, matched vertices
+    * leave the frontier the round they are reached. Do-while semantics
+    * (sources expand, are never emitted); set semantics match the
+    * recursive-CTE oracle, which expands from every reached
+    * non-customer and selects the reached customers. Multi-source safe
+    * (10× corpora hold one ASIA per key-shifted copy — all of them
+    * seed the same BFS). */
+  def gDslUntil(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("region").has("name", "ASIA")
+      .repeat(Traversal.in()).until("vlabel", Traversal.P.is("customer"))
+
+  val gDslUntilSql: String =
+    s"""WITH RECURSIVE $sqlPrelude,
+       |r(vid) AS (
+       |  SELECT vid FROM verts WHERE vlabel = 'region' AND name = 'ASIA'
+       |  UNION
+       |  SELECT e.src FROM r
+       |  JOIN verts v ON v.vid = r.vid
+       |  JOIN edges e ON e.dst = r.vid
+       |  WHERE v.vlabel <> 'customer'
+       |)
+       |SELECT r.vid AS vid FROM r JOIN verts v ON v.vid = r.vid
+       |WHERE v.vlabel = 'customer'""".stripMargin
+
+  /** g_dsl_simplepath: two peer hops with `simplePath()` — Gremlin's
+    * cycle exclusion (drop traversers that revisit a vertex: here the
+    * immediate a→b→a backtrack and the degenerate b = a), then
+    * groupCount per start: simple 2-paths per supplier. simplePath is
+    * a PLAIN FILTER over the chain columns already in hand — no join,
+    * no shuffle added to the two hop joins (the oracle spells out the
+    * same pairwise ≠ predicate). */
+  def gDslSimplePath(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("supplier").as("a_vid")
+      .out("peer").out("peer")
+      .simplePath()
+      .groupCount("a_vid")
+      .df
+
+  val gDslSimplePathSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT a.vid AS a_vid, COUNT(*) AS cnt
+       |FROM verts a
+       |JOIN edges e1 ON e1.src = a.vid AND e1.elabel = 'peer'
+       |JOIN edges e2 ON e2.src = e1.dst AND e2.elabel = 'peer'
+       |WHERE a.vlabel = 'supplier'
+       |  AND e1.dst <> a.vid AND e2.dst <> a.vid AND e2.dst <> e1.dst
+       |GROUP BY 1""".stripMargin
+
   /** g_motif: (a:supplier)-[peer]->(b:supplier)-[in_nation]->(n) with
     * predicate a.acctbal > b.acctbal. */
   def gMotif(s: SparkSession, dir: String): DataFrame = {
@@ -1891,6 +1949,8 @@ object GraphQueries {
     ("g_dsl_order", gDslOrder _, Some(gDslOrderSql)),
     ("g_dsl_groupcount", gDslGroupCount _, Some(gDslGroupCountSql)),
     ("g_dsl_edge_w", gDslEdgeW _, Some(gDslEdgeWSql)),
+    ("g_dsl_until", gDslUntil _, Some(gDslUntilSql)),
+    ("g_dsl_simplepath", gDslSimplePath _, Some(gDslSimplePathSql)),
     ("g_motif", gMotif _, Some(gMotifSql)),
     ("g_triangles", gTriangles _, Some(gTrianglesSql)),
     ("g_squares", gSquares _, Some(gSquaresSql)),

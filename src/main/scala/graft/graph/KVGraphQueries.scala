@@ -162,8 +162,54 @@ object KVGraphQueries {
       .localCheckpoint(true)
   }
 
+  /** The VERTEX-CENTRIC INDEX layout (JanusGraph's signature edge
+    * index, buildEdgeIndex(...sort keys...): within each (vertex,
+    * label) adjacency list the edges sort BY PROPERTY, so an
+    * edge-property predicate becomes a QUALIFIER RANGE the SPI's
+    * KeySliceQuery serves directly — no per-edge decode-and-filter):
+    * c = big-endian(labelId) ++ big-endian(w) ++ big-endian(dst). The
+    * dst suffix keeps qualifiers unique; encLong is order-preserving
+    * for the non-negative ids and weights here, so byte order ≡
+    * (label, w, dst) order. */
+  private def vciAdjacency(s: SparkSession, dir: String): DataFrame =
+    PropertyGraph(s, dir).edges.select(
+      encLong(F.col("src")).as("k"),
+      F.concat(encLong(labelId), encLong(F.col("w")),
+        encLong(F.col("dst"))).as("c"),
+      encLong(F.col("w")).as("v"))
+
+  private var lastVci: Option[java.nio.file.Path] = None
+
+  /** g_kv_vci: g_dsl_edge_w's query (`outE("peer").has("w", lte(2))`)
+    * served FROM the vertex-centric index — the w ≤ 2 predicate is the
+    * pushed c range [(peer, 1, ·), (peer, 3, ·)), so segment zone maps
+    * prune on the WEIGHT (segments whose keys carry no light peer
+    * edges never schedule — at sf0.01 the customer-majority key ranges
+    * hold only in_nation edges and drop at plan time), and inside a
+    * segment the slice is contiguous in the (k, c) sort. With the
+    * plain layout (c = label ++ dst) the same query decodes v for
+    * every peer edge and filters afterwards. Shares g_dsl_edge_w's
+    * full-SQL oracle hash-for-hash. */
+  def gKvVci(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvvci", lastVci)
+    lastVci = Some(seg)
+    KVSegmentStore.write(vciAdjacency(s, dir), seg.toString, 16)
+    val peer = LabelIds.toMap.apply("peer")
+    // w <= 2 with w >= 1 by derivation: c in [(peer,0,0), (peer,3,0))
+    val lo = F.concat(encLong(F.lit(peer)), encLong(F.lit(0L)), encLong(F.lit(0L)))
+    val hi = F.concat(encLong(F.lit(peer)), encLong(F.lit(3L)), encLong(F.lit(0L)))
+    s.read.format("graft-kv").load(seg.toString)
+      .filter(F.col("c") >= lo && F.col("c") < hi)
+      .select(
+        decLong(F.col("k"), 1).as("a_vid"),
+        decLong(F.col("c"), 17).as("b_vid"),
+        decLong(F.col("c"), 9).as("w_e"))
+      .localCheckpoint(true)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("g_kv_onehop", gKvOneHop _, Some(GraphQueries.gOneHopSql)),
     ("g_kv_twohop", gKvTwoHop _, Some(GraphQueries.gTwoHopSql)),
-    ("g_kv_dsl_motif", gKvDslMotif _, Some(GraphQueries.gMotifSql)))
+    ("g_kv_dsl_motif", gKvDslMotif _, Some(GraphQueries.gMotifSql)),
+    ("g_kv_vci", gKvVci _, Some(GraphQueries.gDslEdgeWSql)))
 }

@@ -90,6 +90,23 @@ object Traversal {
       * (vid, d, path). Directed steps walk their edge orientation;
       * both() walks the symmetrized graph — g_paths' exact plan. */
     def path(): DataFrame = t.pathTree(h)
+
+    /** Gremlin `repeat(step).until(has(key, p))`: FIRST-HIT frontier
+      * BFS — expand hop by hop from the current vertices (any number;
+      * unlike path() this form needs no single source), STOP each
+      * traverser at the first vertex satisfying the predicate, keep
+      * expanding the ones that don't. Output: one row per distinct
+      * matched vertex, `(vid)`. Semantics are Gremlin's do-while
+      * (until AFTER repeat): sources always expand and are never
+      * emitted themselves, a matched non-source vertex is emitted and
+      * NOT expanded — so a vertex "behind" a matched one is reached
+      * only via some predicate-free path. Set semantics (BFS dedups
+      * traversers), matching the recursive-CTE oracle form. Scale: one
+      * frontier-sized join per hop level over a src-partitioned
+      * checkpointed edge frame (the Pregel discipline) — never more
+      * rounds than the first-hit depth of the farthest match. */
+    def until(key: String, p: Traversal.P): DataFrame =
+      t.untilFrontier(h, key, p)
   }
 
   /** g.V() — every vertex, properties still in reach for has/hasLabel. */
@@ -339,13 +356,64 @@ final class Traversal private (
         (if (srcRows.isEmpty) "none" else "several") +
         " (narrow with hasLabel/has first)")
     val src = srcRows(0).getLong(0)
-    val edges = h match {
-      case OutStep(ls) => edgeFrame(ls).select("src", "dst")
-      case InStep(ls) =>
-        edgeFrame(ls).select(F.col("dst").as("src"), F.col("src").as("dst"))
-      case BothStep(ls) => symmetrized(ls)
+    GraphAlgs.shortestPathTree(g.vertices, stepEdges(h), src)
+  }
+
+  /** The oriented (src, dst) edge frame a repeat step walks each round. */
+  private def stepEdges(h: HopStep): DataFrame = h match {
+    case OutStep(ls) => edgeFrame(ls).select("src", "dst")
+    case InStep(ls) =>
+      edgeFrame(ls).select(F.col("dst").as("src"), F.col("src").as("dst"))
+    case BothStep(ls) => symmetrized(ls)
+  }
+
+  /** repeat(h).until(has(key, p)) — see [[Traversal.Repeat.until]].
+    * Frontier loop: `reached` guards against revisits (BFS set
+    * semantics), `frontier` holds the vertices still expanding, matched
+    * vertices leave the frontier the round they are reached. Every
+    * round's new-vertex set is checkpointed so the plan depth stays one
+    * join per level (the GraphAlgs discipline); the edge frame is
+    * src-partitioned once and reused so each round exchanges only the
+    * frontier side. */
+  private[graph] def untilFrontier(h: HopStep, key: String, p: P): DataFrame = {
+    val t = flushed
+    val srcName = if (t.onVertices) "vid" else t.curCol
+    val edges = stepEdges(h).repartition(F.col("src")).localCheckpoint(true)
+    // the stop predicate evaluated ONCE per vertex, joined per round
+    val marked = g.vertices
+      .select(F.col("vid"), p(F.col(key)).as("__m")).localCheckpoint(true)
+    var reached = t.frame.select(F.col(srcName).as("vid")).distinct()
+      .localCheckpoint(true)
+    var frontier = reached // do-while: sources expand even when matched
+    var matched = reached.limit(0)
+    while (!frontier.isEmpty) {
+      val nxt = edges
+        .join(frontier.select(F.col("vid").as("src")), "src")
+        .select(F.col("dst").as("vid")).distinct()
+        .join(reached, Seq("vid"), "left_anti")
+        .join(marked, "vid")
+        .localCheckpoint(true)
+      matched = matched.unionAll(nxt.filter(F.col("__m")).select("vid"))
+      frontier = nxt.filter(!F.col("__m")).select("vid")
+      reached = reached.unionAll(nxt.select("vid")).localCheckpoint(true)
     }
-    GraphAlgs.shortestPathTree(g.vertices, edges, src)
+    matched
+  }
+
+  /** Gremlin simplePath(): keep only traversers whose walked vertex
+    * chain has no repeats — pairwise ≠ over the chain columns, a plain
+    * filter on the rows already in hand (no join, no shuffle; the
+    * canonical cycle-exclusion predicate the hand-written motif entries
+    * spell out). */
+  def simplePath(): Traversal = {
+    require(edge.isEmpty, "simplePath() on an edge step: complete it with inV()/outV() first")
+    val t = flushed
+    val cs = t.chain
+    require(cs.size >= 2, "simplePath() needs at least one completed hop")
+    val pred = cs.combinations(2)
+      .map { case Seq(a, b) => F.col(a) =!= F.col(b) }
+      .reduce(_ && _)
+    t.step(frame = t.frame.filter(pred))
   }
 
   /** Bounded-path projection: the hop chain walked so far as one string

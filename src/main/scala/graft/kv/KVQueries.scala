@@ -231,6 +231,45 @@ object KVQueries {
       .localCheckpoint(true)
   }
 
+  /** kv_stream_source: the delta log read BACK as a Structured
+    * Streaming SOURCE (graft-kv-log — the store's change-data-feed,
+    * completing the connector's streaming story: KVStreamSink writes
+    * the log from a stream, this reads it as one). The kv_mutate
+    * scenario lands as two delta parts; the stream drains them with
+    * Trigger.AvailableNow at maxSeqsPerBatch=1 — so the log replays as
+    * TWO offset-bounded micro-batches through the checkpoint, not one
+    * lump — into a parquet sink; the CDC rows then reconstruct the
+    * final store state with the exact merge-on-read rule (latest
+    * (seq, op) per (k, c)) and the same slice reads back. Shares
+    * kv_mutate's oracle: the feed must carry EVERYTHING the store
+    * knows, cell for cell. */
+  def kvStreamSource(s: SparkSession, dir: String): DataFrame = synchronized {
+    val whPath = graft.ScenarioDirs.fresh("graft_kvdelta", lastDeltaWarehouse)
+    lastDeltaWarehouse = Some(whPath)
+    val wh = whPath.toString
+    val ds = new KVDeltaStore(s, wh)
+    val noDel = eventStore(s, dir).select("k", "c").limit(0)
+    ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel, wts = 1000L)
+    val (additions, deletions) = mutationScenario(s, dir)
+    ds.appendMutationAt("events", 2L, additions, deletions, wts = 2000L)
+    val out = s"$wh/cdc_out"
+    val q = s.readStream.format("graft-kv-log")
+      .option("maxSeqsPerBatch", "1")
+      .load(s"$wh/events")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$wh/cdc_ckpt").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "c").orderBy(F.col("seq").desc, F.col("op").desc)
+    val resolved = s.read.parquet(out)
+      .withColumn("rn", F.rank().over(w))
+      .filter(F.col("rn") === 1 && F.col("op") === 1)
+      .select("k", "c", "v")
+    readBackMutated(s, resolved).localCheckpoint(true)
+  }
+
   /** kv_bucket_join: store-to-store CO-LOCATED join driver-checked — the
     * payoff of writeBucketed's MergeTree ORDER BY (k,c) layout: the event
     * store and a per-key rollup store are both persisted bucketed by k,
@@ -695,6 +734,7 @@ object KVQueries {
     ("kv_mutate", kvMutate _, Some(kvMutateSql)),
     ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)),
     ("kv_streamdelta", kvStreamDelta _, Some(kvMutateSql)),
+    ("kv_stream_source", kvStreamSource _, Some(kvMutateSql)),
     ("kv_timetravel", kvTimetravel _, Some(kvTimetravelSql)),
     ("kv_bucket_join", kvBucketJoin _, Some(kvBucketJoinSql)),
     ("kv_runtime_prune", kvRuntimePrune _, Some(kvBucketJoinSql)),

@@ -1,0 +1,220 @@
+package graft.sources.kvconnector
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `spark.readStream.format("graft-kv-log").load(storeDir)` — the
+  * CHANGE-DATA-FEED of a [[graft.kv.KVDeltaStore]] store as a
+  * Structured Streaming SOURCE.
+  *
+  * The delta store's mutation log (`delta_NNNNN/` parquet parts, one
+  * per mutate batch — the MergeTree part-append model the reference's
+  * backend mutates through, ref ClickhouseKeyColumnValueStore.java:133)
+  * IS already a replayable ordered change feed; this source exposes it
+  * to every Structured Streaming consumer graft has (RollupSink-style
+  * maintained views, DedupStream, the stream-stream joins) without any
+  * extra write path. Rows are the raw mutation cells
+  * `(seq, k, c, v, wts, op)` — op 1 = addition, 0 = deletion — so a
+  * downstream fold can reconstruct any store state with the exact
+  * merge-on-read rule (latest (seq, op) wins per (k, c)).
+  *
+  * Offsets are log sequence numbers: offset N = "everything through
+  * delta_N has been emitted". A micro-batch (start, end] plans one
+  * input partition per parquet data file of each complete delta part
+  * in the range — a mega-batch's files read in parallel, tiny batches
+  * cost one task. Only parts with a `_SUCCESS` marker are admitted
+  * (the sink's crash-replay contract already guarantees a re-written
+  * part lands under the same seq, so a half-written part is simply not
+  * visible yet). `maxSeqsPerBatch` bounds how many log parts one
+  * micro-batch drains (admission control; Trigger.AvailableNow drains
+  * the pinned backlog in such steps).
+  *
+  * Retention: compact() folds deltas into base and deletes them — a
+  * checkpoint pointing below the compaction floor fails LOUDLY with
+  * the missing part named (the Kafka earliest-offset contract), never
+  * silently skips log it cannot replay. Keep compaction thresholds
+  * longer than consumer lag, exactly like Delta CDF vs VACUUM.
+  *
+  * Scale: latestOffset is one directory listing; nothing reads data
+  * until planInputPartitions, and each reader streams one part file —
+  * state on the driver is two longs. */
+class KVLogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-kv-log"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KVLogSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KVLogTable(properties.get("path"),
+      Option(properties.get("maxSeqsPerBatch")).map(_.toLong)
+        .getOrElse(Long.MaxValue))
+}
+
+object KVLogSource {
+  /** The CDC row: the delta part's own columns plus its log sequence. */
+  val Schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("k", BinaryType), StructField("c", BinaryType),
+    StructField("v", BinaryType), StructField("wts", LongType),
+    StructField("op", IntegerType)))
+}
+
+class KVLogTable(path: String, maxSeqsPerBatch: Long) extends Table with SupportsRead {
+  override def name(): String = s"graft-kv-log `$path`"
+  override def schema(): StructType = KVLogSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = KVLogSource.Schema
+        override def description(): String = s"graft-kv-log $path"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new KVLogMicroBatchStream(path, maxSeqsPerBatch)
+      }
+    }
+}
+
+/** Offset = highest log sequence already emitted. */
+case class KVLogOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long)
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  require(maxSeqsPerBatch > 0, "maxSeqsPerBatch must be positive")
+
+  private val conf = new Configuration()
+  private def fs = new Path(storeDir).getFileSystem(conf)
+
+  /** Complete (committed) delta sequences on disk, ascending. */
+  private def completeSeqs(): Seq[Long] = {
+    val dir = new Path(storeDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("delta_") &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("delta_").toLong)
+      .sorted.toSeq
+  }
+
+  // Trigger.AvailableNow pins the backlog at start: the run drains to
+  // exactly this point (in maxSeqsPerBatch steps) and stops, however
+  // much is appended meanwhile.
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(completeSeqs().lastOption.getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset = KVLogOffset(0L)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KVLogOffset].seq
+    val newest = availableNowTarget
+      .getOrElse(completeSeqs().lastOption.getOrElse(0L))
+    KVLogOffset(math.min(newest, s + maxSeqsPerBatch))
+  }
+
+  override def reportLatestOffset(): Offset =
+    KVLogOffset(completeSeqs().lastOption.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    KVLogOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[KVLogOffset].seq
+    val hi = end.asInstanceOf[KVLogOffset].seq
+    (lo + 1 to hi).flatMap { seq =>
+      val part = new Path(storeDir, f"delta_$seq%05d")
+      // a missing part in a committed offset range = compacted-away log
+      // (or an external delete): fail loudly, never silently skip
+      if (!fs.exists(new Path(part, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"graft-kv-log: delta part $part is gone (compacted or deleted) " +
+            s"but offsets ($lo, $hi] still need it — the checkpoint is below " +
+            "the store's retention floor")
+      fs.listStatus(part).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map(p => KVLogFilePartition(p.toString, seq): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = KVLogReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class KVLogFilePartition(file: String, seq: Long) extends InputPartition
+
+object KVLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KVLogFilePartition]
+    new KVLogFileReader(p.file, p.seq)
+  }
+}
+
+/** Row reader over one delta-part parquet file (parquet-mr Group API,
+  * the KVSegmentReader discipline), emitting
+  * (seq, k, c, v, wts, op) — binary cells, nullable v/wts. */
+class KVLogFileReader(file: String, seq: Long) extends PartitionReader[InternalRow] {
+  private val conf = new Configuration()
+  private val fileSchema = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val cols = Seq("k", "c", "v", "wts", "op")
+  conf.set(ReadSupport.PARQUET_READ_SCHEMA,
+    new org.apache.parquet.schema.MessageType("graft_kv_log",
+      cols.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*).toString)
+  private val reader =
+    ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(conf).build()
+
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    def bin(c: String): Any =
+      if (current.getFieldRepetitionCount(c) == 0) null
+      else current.getBinary(c, 0).getBytes
+    val wts: Any =
+      if (current.getFieldRepetitionCount("wts") == 0) null
+      else current.getLong("wts", 0)
+    val op: Any =
+      if (current.getFieldRepetitionCount("op") == 0) null
+      else current.getInteger("op", 0)
+    new GenericInternalRow(Array[Any](seq, bin("k"), bin("c"), bin("v"), wts, op))
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -52,4 +52,47 @@ class KVGraphSpec extends SparkSpec {
     val planned = scans.head.scan.asInstanceOf[KVScan].lastPlanned
     assert(planned >= 1 && planned <= total)
   }
+
+  test("vertex-centric index: a weight range is a c range the zone maps prune") {
+    import org.apache.spark.sql.{functions => F}
+    import graft.kv.KVStore.{decLong, encLong}
+    import graft.sources.kvconnector.KVSegmentStore
+    // 64 vertices × 8 edges each, label = vid/32 (0 for keys 0..31,
+    // 1 for 32..63), weight = edge index 0..7 — the vci layout
+    // c = (label, w, dst). Key-ranged segments are label-homogeneous
+    // by construction, so a label-1 slice must zone-prune the label-0
+    // half of the store.
+    val seg = java.nio.file.Files.createTempDirectory("graft_kvvcispec").toString
+    val cells = spark.range(0, 512).select(
+      encLong(F.col("id") / 8).as("k"),
+      F.concat(
+        encLong((F.col("id") / 8) / 32),      // label
+        encLong(F.col("id") % 8),             // weight (the sort key)
+        encLong(F.col("id") * 31 % 64)).as("c"), // dst
+      encLong(F.col("id") % 8).as("v"))
+    KVSegmentStore.write(cells, seg, 16)
+    val lo = F.concat(encLong(F.lit(1L)), encLong(F.lit(0L)), encLong(F.lit(0L)))
+    val hi = F.concat(encLong(F.lit(1L)), encLong(F.lit(3L)), encLong(F.lit(0L)))
+    val read = spark.read.format("graft-kv").load(seg)
+      .filter(F.col("c") >= lo && F.col("c") < hi)
+      .select(decLong(F.col("k"), 1).as("src"), decLong(F.col("c"), 9).as("w"))
+    val rows = read.collect()
+    // keys 32..63, weights 0..2 → 32 × 3 rows
+    assert(rows.length == 32 * 3, s"rows: ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) >= 32 && r.getLong(1) <= 2))
+    val scans = kvScans(read)
+    val total = KVSegmentStore.readManifest(seg).size
+    val planned = scans.head.scan.asInstanceOf[KVScan].lastPlanned
+    assert(planned < total,
+      s"weight-range slice zone-pruned nothing: $planned/$total segments")
+  }
+
+  test("g_kv_vci equals the DSL edge-property traversal row-for-row") {
+    val kv = KVGraphQueries.gKvVci(spark, SF)
+    val dsl = GraphQueries.gDslEdgeW(spark, SF)
+    assert(kv.columns.sorted.toSeq == dsl.columns.sorted.toSeq)
+    val a = kv.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = dsl.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b, s"vci ${a.size} rows vs dsl ${b.size}")
+  }
 }

@@ -232,4 +232,64 @@ class TraversalSpec extends SparkSpec {
     assert(within.collect().map(_.getString(0)).toSet.subsetOf(
       Set("FRANCE", "GERMANY")))
   }
+
+  test("repeat(in()).until: first-hit BFS stops at matches, expands past non-matches") {
+    // from ASIA: hop 1 = nations (expand), hop 2 = customers (MATCH,
+    // stop) + suppliers (expand through peer cliques, never match)
+    val got = GraphQueries.gDslUntil(spark, SF).collect().map(_.getLong(0)).toSet
+    // expected: exactly the customers of ASIA nations (vid mod 4 == 0),
+    // built by hand from the frames
+    val g = PropertyGraph(spark, SF)
+    val asia = g.vertices
+      .filter(F.col("vlabel") === "region" && F.col("name") === "ASIA")
+      .select(F.col("vid").as("rv"))
+    val nat = g.edges.filter(F.col("elabel") === "in_region")
+      .join(asia, F.col("dst") === F.col("rv")).select(F.col("src").as("nv"))
+    val cust = g.edges.filter(F.col("elabel") === "in_nation")
+      .join(nat, F.col("dst") === F.col("nv"))
+      .filter(F.col("src") % 4 === 0).select("src")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == cust, s"until() diverged: got ${got.size}, want ${cust.size}")
+    assert(got.nonEmpty && got.forall(_ % 4 == 0))
+  }
+
+  test("until is multi-source and emits nothing when no vertex matches") {
+    // every nation expands backwards; predicate never matches
+    val none = Traversal.V(spark, SF)
+      .hasLabel("region")
+      .repeat(Traversal.in()).until("vlabel", P.is("no_such_label"))
+    assert(none.count() == 0)
+    // matched-at-source is NOT emitted (do-while): regions seed the BFS,
+    // predicate matches regions only — nothing else is ever reached that
+    // matches, so the result is empty even though every SOURCE matches
+    val srcOnly = Traversal.V(spark, SF)
+      .hasLabel("region")
+      .repeat(Traversal.in()).until("vlabel", P.is("region"))
+    assert(srcOnly.count() == 0)
+  }
+
+  test("simplePath filters revisits with a plain filter (no extra join)") {
+    // customer -> its nation -> BACK along in_nation: the backtrack
+    // a->n->a exists for every customer (peer cliques may be empty at
+    // sf0.001 where nations hold <= 1 supplier)
+    val base = Traversal.V(spark, SF)
+      .hasLabel("customer").as("a")
+      .out("in_nation").in("in_nation")
+    val all = base.df
+    val simple = base.simplePath().df
+    // a->b->a backtracks exist in every peer clique and are dropped
+    assert(all.filter(F.col("a") === F.col("v2")).count() > 0)
+    assert(simple.filter(F.col("a") === F.col("v2")).count() == 0)
+    assert(simple.filter(F.col("v1") === F.col("v2")).count() == 0)
+    // same join tree: simplePath adds a Filter, never a join
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(joins(simple) == joins(all))
+    // and it refuses before any hop (no chain to deduplicate)
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("supplier").simplePath()
+    }
+  }
 }

@@ -1,0 +1,89 @@
+package graft.sources.kvconnector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+import graft.kv.{KVDeltaStore, KVStore}
+
+/** The graft-kv-log streaming SOURCE: the delta store's mutation log as
+  * a change-data-feed — offset-bounded micro-batches, checkpointed
+  * incremental restarts, loud failure below the retention floor. */
+class KVLogSourceSpec extends SparkSpec {
+
+  private def cells(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(
+      KVStore.encLong(F.col("id")).as("k"),
+      KVStore.encLong(F.col("id") * 10).as("c"),
+      F.concat(F.lit("v"), F.col("id").cast("string")).cast("binary").as("v"))
+
+  private def noDel: DataFrame = cells(0, 0).select("k", "c")
+
+  private def drain(store: String, ckpt: String, out: String): Unit = {
+    val q = spark.readStream.format("graft-kv-log")
+      .option("maxSeqsPerBatch", "1")
+      .load(store)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("drains the log in seq-bounded micro-batches with complete CDC rows") {
+    val wh = Files.createTempDirectory("graft_kvlog1").toString
+    val ds = new KVDeltaStore(spark, wh)
+    ds.appendMutationAt("t", 1L, cells(0, 10), noDel, wts = 111L)
+    ds.appendMutationAt("t", 2L, cells(10, 15), cells(0, 3).select("k", "c"), wts = 222L)
+    drain(s"$wh/t", s"$wh/ckpt", s"$wh/out")
+    val got = spark.read.parquet(s"$wh/out")
+    assert(got.columns.toSeq == Seq("seq", "k", "c", "v", "wts", "op"))
+    // per-seq row counts: delta 1 = 10 adds, delta 2 = 5 adds + 3 dels
+    val bySeq = got.groupBy("seq").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySeq == Map(1L -> 10L, 2L -> 8L), s"per-seq counts: $bySeq")
+    // deletions carry op=0 and null v; wts rides through
+    val dels = got.filter(F.col("op") === 0).collect()
+    assert(dels.length == 3 && dels.forall(r => r.isNullAt(3) && r.getLong(4) == 222L))
+    // maxSeqsPerBatch=1: the checkpoint advanced through BOTH offsets —
+    // the log replayed as two micro-batches, not one lump
+    val commits = new java.io.File(s"$wh/ckpt/commits").list()
+      .filterNot(_.startsWith(".")).map(_.toLong).sorted
+    assert(commits.length >= 2, s"commits: ${commits.mkString(",")}")
+  }
+
+  test("a checkpointed restart reads ONLY the newly appended log") {
+    val wh = Files.createTempDirectory("graft_kvlog2").toString
+    val ds = new KVDeltaStore(spark, wh)
+    ds.appendMutationAt("t", 1L, cells(0, 10), noDel)
+    drain(s"$wh/t", s"$wh/ckpt", s"$wh/out")
+    assert(spark.read.parquet(s"$wh/out").count() == 10)
+    // appended after the first drain: only this part may flow next
+    ds.appendMutationAt("t", 2L, cells(100, 104), noDel)
+    drain(s"$wh/t", s"$wh/ckpt", s"$wh/out")
+    val got = spark.read.parquet(s"$wh/out")
+    assert(got.count() == 14)
+    assert(got.filter(F.col("seq") === 2).count() == 4)
+    // and a third drain with nothing new appends nothing
+    drain(s"$wh/t", s"$wh/ckpt", s"$wh/out")
+    assert(spark.read.parquet(s"$wh/out").count() == 14)
+  }
+
+  test("a checkpoint below the compaction floor fails loudly, never skips") {
+    val wh = Files.createTempDirectory("graft_kvlog3").toString
+    val ds = new KVDeltaStore(spark, wh)
+    ds.appendMutationAt("t", 1L, cells(0, 5), noDel)
+    // checkpoint exists at offset 0 (initial), then the log is folded
+    // away BEFORE anything was drained past it
+    val stream = new KVLogMicroBatchStream(s"$wh/t", Long.MaxValue)
+    val end = stream.latestOffset(KVLogOffset(0L), stream.getDefaultReadLimit)
+    ds.compact("t")
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(KVLogOffset(0L), end)
+    }
+    assert(e.getMessage.contains("retention"), e.getMessage)
+  }
+}
