@@ -270,6 +270,43 @@ object KVQueries {
     readBackMutated(s, resolved).localCheckpoint(true)
   }
 
+  /** kv_cdc_replica: LOG-SHIPPED REPLICATION — the CDC source composed
+    * with the delta-log sink: a second store FOLLOWS the primary's
+    * change feed (readStream graft-kv-log → foreachBatch
+    * applyBatchDelta) and must resolve cell-for-cell identical. This is
+    * the replication story every production KCV deployment runs
+    * (ClickHouse replicas pull each other's part log the same way);
+    * with graft it is ten lines of composition because both halves
+    * already exist. Exactly-once end to end: the source's checkpoint
+    * replays unacknowledged offsets, the sink's high-water mark + part
+    * completeness dedupe them. Shares kv_mutate's oracle (read back off
+    * the REPLICA). */
+  def kvCdcReplica(s: SparkSession, dir: String): DataFrame = synchronized {
+    val whPath = graft.ScenarioDirs.fresh("graft_kvdelta", lastDeltaWarehouse)
+    lastDeltaWarehouse = Some(whPath)
+    val wh = whPath.toString
+    val ds = new KVDeltaStore(s, wh)
+    val noDel = eventStore(s, dir).select("k", "c").limit(0)
+    ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel, wts = 1000L)
+    val (additions, deletions) = mutationScenario(s, dir)
+    ds.appendMutationAt("events", 2L, additions, deletions, wts = 2000L)
+    val q = s.readStream.format("graft-kv-log")
+      .option("maxSeqsPerBatch", "1")
+      .load(s"$wh/events")
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        KVStreamSink.applyBatchDelta(
+          batch.select(F.col("k"), F.col("c"), F.col("v"),
+            (F.col("op") === 0).as("is_delete")),
+          wh, "replica", batchId))
+      .option("checkpointLocation", s"$wh/repl_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readBackMutated(s, KVStreamSink.readDelta(s, wh, "replica"))
+      .localCheckpoint(true)
+  }
+
   /** kv_bucket_join: store-to-store CO-LOCATED join driver-checked — the
     * payoff of writeBucketed's MergeTree ORDER BY (k,c) layout: the event
     * store and a per-key rollup store are both persisted bucketed by k,
@@ -735,6 +772,7 @@ object KVQueries {
     ("kv_deltalog", kvDeltaLog _, Some(kvMutateSql)),
     ("kv_streamdelta", kvStreamDelta _, Some(kvMutateSql)),
     ("kv_stream_source", kvStreamSource _, Some(kvMutateSql)),
+    ("kv_cdc_replica", kvCdcReplica _, Some(kvMutateSql)),
     ("kv_timetravel", kvTimetravel _, Some(kvTimetravelSql)),
     ("kv_bucket_join", kvBucketJoin _, Some(kvBucketJoinSql)),
     ("kv_runtime_prune", kvRuntimePrune _, Some(kvBucketJoinSql)),

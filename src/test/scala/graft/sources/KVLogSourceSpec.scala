@@ -72,6 +72,41 @@ class KVLogSourceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/out").count() == 14)
   }
 
+  test("log-shipped replication: a follower of the CDC feed resolves identically") {
+    import graft.kv.KVStreamSink
+    val wh = Files.createTempDirectory("graft_kvlog4").toString
+    val ds = new KVDeltaStore(spark, wh)
+    ds.appendMutationAt("t", 1L, cells(0, 20), noDel)
+    ds.appendMutationAt("t", 2L, cells(20, 25), cells(0, 7).select("k", "c"))
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-kv-log")
+        .option("maxSeqsPerBatch", "1")
+        .load(s"$wh/t")
+        .writeStream
+        .foreachBatch((batch: DataFrame, batchId: Long) =>
+          KVStreamSink.applyBatchDelta(
+            batch.select(F.col("k"), F.col("c"), F.col("v"),
+              (F.col("op") === 0).as("is_delete")),
+            wh, "r", batchId))
+        .option("checkpointLocation", s"$wh/rckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def be(b: Array[Byte]): Long = java.nio.ByteBuffer.wrap(b).getLong
+    def snap(df: DataFrame): Set[(Long, Long)] = df.collect()
+      .map(r => (be(r.getAs[Array[Byte]]("k")), be(r.getAs[Array[Byte]]("c")))).toSet
+    replicate()
+    val primary = snap(ds.openDatabase("t"))
+    val replica = snap(KVStreamSink.readDelta(spark, wh, "r"))
+    assert(replica == primary && primary.size == 18, s"sizes: ${primary.size}/${replica.size}")
+    // incremental: a later primary mutation flows through the SAME
+    // checkpoint on the next drain
+    ds.appendMutationAt("t", 3L, cells(100, 103), noDel)
+    replicate()
+    assert(snap(KVStreamSink.readDelta(spark, wh, "r")) == snap(ds.openDatabase("t")))
+  }
+
   test("a checkpoint below the compaction floor fails loudly, never skips") {
     val wh = Files.createTempDirectory("graft_kvlog3").toString
     val ds = new KVDeltaStore(spark, wh)
