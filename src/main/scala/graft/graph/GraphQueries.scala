@@ -283,6 +283,52 @@ object GraphQueries {
        |  AND e1.dst <> a.vid AND e2.dst <> a.vid AND e2.dst <> e1.dst
        |GROUP BY 1""".stripMargin
 
+  /** g_dsl_union: `union(out("in_nation"), out("peer"))` — Gremlin's
+    * branch merge (bag semantics): every supplier fans to its nation
+    * AND its peers in one traverser stream; one unionAll over the two
+    * branch hop joins, no extra shuffle. Own full-SQL oracle (UNION
+    * ALL of the two hop joins). */
+  def gDslUnion(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("supplier").as("s_vid")
+      .union(_.out("in_nation"), _.out("peer")).as("end_vid")
+      .select("s_vid", "end_vid")
+      .df
+
+  val gDslUnionSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT s.vid AS s_vid, e.dst AS end_vid
+       |FROM verts s JOIN edges e ON e.src = s.vid AND e.elabel = 'in_nation'
+       |WHERE s.vlabel = 'supplier'
+       |UNION ALL
+       |SELECT s.vid AS s_vid, e.dst AS end_vid
+       |FROM verts s JOIN edges e ON e.src = s.vid AND e.elabel = 'peer'
+       |WHERE s.vlabel = 'supplier'""".stripMargin
+
+  /** g_dsl_optional: `optional(out("peer"))` over rich account holders
+    * (customers AND suppliers) — Gremlin's per-traverser fallback:
+    * suppliers fan to their peers, customers (no peer edges) and
+    * peer-less suppliers carry THEMSELVES forward; the fallback is one
+    * left-anti join on the traverser chain. Own full-SQL oracle
+    * spelling the same first-non-empty rule. */
+  def gDslOptional(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .has("acctbal", Traversal.P.gt(9000.0)).as("a_vid")
+      .optional(_.out("peer")).as("end_vid")
+      .select("a_vid", "end_vid")
+      .df
+
+  val gDslOptionalSql: String =
+    s"""WITH $sqlPrelude,
+       |base AS (SELECT vid FROM verts WHERE acctbal > 9000),
+       |b1 AS (
+       |  SELECT b.vid AS a_vid, e.dst AS end_vid
+       |  FROM base b JOIN edges e ON e.src = b.vid AND e.elabel = 'peer')
+       |SELECT a_vid, end_vid FROM b1
+       |UNION ALL
+       |SELECT vid AS a_vid, vid AS end_vid FROM base
+       |WHERE vid NOT IN (SELECT a_vid FROM b1)""".stripMargin
+
   /** g_motif: (a:supplier)-[peer]->(b:supplier)-[in_nation]->(n) with
     * predicate a.acctbal > b.acctbal. */
   def gMotif(s: SparkSession, dir: String): DataFrame = {
@@ -1951,6 +1997,8 @@ object GraphQueries {
     ("g_dsl_edge_w", gDslEdgeW _, Some(gDslEdgeWSql)),
     ("g_dsl_until", gDslUntil _, Some(gDslUntilSql)),
     ("g_dsl_simplepath", gDslSimplePath _, Some(gDslSimplePathSql)),
+    ("g_dsl_union", gDslUnion _, Some(gDslUnionSql)),
+    ("g_dsl_optional", gDslOptional _, Some(gDslOptionalSql)),
     ("g_motif", gMotif _, Some(gMotifSql)),
     ("g_triangles", gTriangles _, Some(gTrianglesSql)),
     ("g_squares", gSquares _, Some(gSquaresSql)),

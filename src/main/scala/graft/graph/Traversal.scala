@@ -400,6 +400,70 @@ final class Traversal private (
     matched
   }
 
+  /** A branch result projected onto this traversal's chain + ONE new
+    * vertex column `v<depth+1>` (the shared shape union/coalesce merge
+    * on). The branch must have hopped at least once and ended on a
+    * vertex; branch-local taps/marks do not escape the branch (they
+    * would not exist on the other branches' rows). */
+  private def branchFrame(r: Traversal, nxt: String): DataFrame = {
+    require(r.edge.isEmpty, "branch ends on an edge step: complete it with inV()/outV()")
+    require(!r.onVertices && r.depth > depth,
+      "branch must take at least one hop (out/in/both/outE…inV)")
+    r.frame.select(
+      (chain.map(F.col) :+ F.col(r.curCol).as(nxt)) ++ vals.map(F.col): _*)
+  }
+
+  /** Gremlin union(b1, b2, …): run every branch from the current
+    * position and merge the traverser streams (BAG semantics, as
+    * Gremlin's — follow with dedup() for set results). Each branch is
+    * an anonymous traversal (`_.out("x")`-shaped); the merged traversal
+    * continues from the union of the branches' end vertices, one
+    * unionAll — no join, no shuffle beyond what the branches did. */
+  def union(branches: (Traversal => Traversal)*): Traversal = {
+    require(branches.nonEmpty, "union() needs at least one branch")
+    val t = flushed
+    val nxt = s"v${t.depth + 1}"
+    val merged = branches.map(b => t.branchFrame(b(t), nxt)).reduce(_ unionAll _)
+    t.step(frame = merged, depth = t.depth + 1, onVertices = false)
+  }
+
+  /** Gremlin coalesce(b1, b2): b1's traversers where b1 produced any,
+    * b2's for exactly the incoming traversers b1 dropped — the
+    * first-non-empty-branch-per-traverser rule. Traverser identity is
+    * the walked chain (origin + every hop column), so the fallback is
+    * one left-anti join on the chain. */
+  def coalesce(b1: Traversal => Traversal, b2: Traversal => Traversal): Traversal = {
+    val t = flushed
+    val nxt = s"v${t.depth + 1}"
+    val u1 = t.branchFrame(b1(t), nxt)
+    val u2 = t.branchFrame(b2(t), nxt)
+    val keys = t.chain
+    val fallback = u2.join(
+      u1.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
+    t.step(frame = u1.unionAll(fallback), depth = t.depth + 1, onVertices = false)
+  }
+
+  /** Gremlin optional(b): b's traversers where b produced any, the
+    * traverser UNCHANGED (current vertex carried forward) where it
+    * did not — coalesce(b, identity). */
+  def optional(b: Traversal => Traversal): Traversal = {
+    val t = flushed
+    val nxt = s"v${t.depth + 1}"
+    val u1 = t.branchFrame(b(t), nxt)
+    // the identity branch: current vertex re-projected as the new hop
+    val cur = if (t.onVertices)
+      t.frame.select(
+        (F.col("vid").as(t.originName) +: F.col("vid").as(nxt) +:
+          t.vals.map(F.col)): _*)
+    else
+      t.frame.select(
+        (t.chain.map(F.col) :+ F.col(t.curCol).as(nxt)) ++ t.vals.map(F.col): _*)
+    val keys = t.chain
+    val fallback = cur.join(
+      u1.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
+    t.step(frame = u1.unionAll(fallback), depth = t.depth + 1, onVertices = false)
+  }
+
   /** Gremlin simplePath(): keep only traversers whose walked vertex
     * chain has no repeats — pairwise ≠ over the chain columns, a plain
     * filter on the rows already in hand (no join, no shuffle; the

@@ -268,6 +268,46 @@ class TraversalSpec extends SparkSpec {
     assert(srcOnly.count() == 0)
   }
 
+  test("union merges branch traverser streams with bag semantics") {
+    val u = Traversal.V(spark, SF)
+      .hasLabel("supplier").as("s")
+      .union(_.out("in_nation"), _.out("in_nation")).as("e")
+      .select("s", "e").df.collect()
+    // the duplicated branch doubles every traverser (bag, not set)
+    val single = Traversal.V(spark, SF)
+      .hasLabel("supplier").as("s").out("in_nation").as("e")
+      .select("s", "e").df.collect()
+    assert(u.length == 2 * single.length && single.nonEmpty)
+    assert(u.toSet == single.toSet)
+    // a branch that does not hop is refused
+    intercept[IllegalArgumentException] {
+      Traversal.V(spark, SF).hasLabel("supplier")
+        .union(_.out("peer"), identity)
+    }
+  }
+
+  test("coalesce/optional fall back per traverser, not globally") {
+    // acctbal > 9000 holds customers (never peer-linked) and suppliers
+    val base = Traversal.V(spark, SF).has("acctbal", P.gt(9000.0))
+    val opt = base.as("a").optional(_.out("peer")).as("e")
+      .select("a", "e").df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baseVids = base.df.collect().map(_.getLong(0)).toSet
+    assert(opt.nonEmpty)
+    // every incoming traverser survives: the a-side covers base exactly
+    assert(opt.map(_._1).toSet == baseVids)
+    // customers (vid % 4 == 0) have no peers -> identity fallback
+    val custRows = opt.filter(_._1 % 4 == 0)
+    assert(custRows.nonEmpty && custRows.forall(r => r._1 == r._2))
+    // coalesce(to-peers, to-nation): suppliers with peers go to peers,
+    // everyone else lands on their nation (customers have in_nation too)
+    val coal = base.as("a").coalesce(_.out("peer"), _.out("in_nation")).as("e")
+      .select("a", "e").df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(coal.map(_._1).toSet == baseVids)
+    // fallback rows land on nations (vid % 4 == 2)
+    assert(coal.filter(_._1 % 4 == 0).forall(_._2 % 4 == 2))
+  }
+
   test("simplePath filters revisits with a plain filter (no extra join)") {
     // customer -> its nation -> BACK along in_nation: the backtrack
     // a->n->a exists for every customer (peer cliques may be empty at
