@@ -295,9 +295,44 @@ object KVAggReaderFactory extends PartitionReaderFactory {
 class KVScan(path: String, protected val required: StructType,
              protected val pushed: Array[Filter],
              protected val limit: Int = -1)
-  extends Scan with Batch with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private val all = KVSegmentStore.readManifest(path)
+
+  /** POST-PRUNING stats from the manifest (exact per-segment row counts
+    * recorded at commit; bytes = the surviving segments' file lengths).
+    * Without this every DSv2 read reports the session default size
+    * (effectively infinite), so a selective slice of a huge store could
+    * never broadcast in a join — with it, Catalyst sees the PRUNED size
+    * and a point/range slice joins broadcast-side like the dimension it
+    * is. File lengths are stat'ed only while few segments survive
+    * (the case where the decision can flip); a wide scan extrapolates
+    * from one segment — broadcast is off the table there anyway. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rows = kept.map(_.rows).sum
+    val bytes: Long =
+      if (kept.isEmpty) 0L
+      else {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(new Configuration())
+        def len(f: String): Long =
+          try fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+          catch { case _: java.io.IOException => 0L }
+        if (kept.size <= 64) kept.map(s => len(s.file)).sum
+        else {
+          val s0 = kept.head
+          val perRow = math.max(1L, len(s0.file) / math.max(1L, s0.rows))
+          rows * perRow
+        }
+      }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** Manifest pruning under a filter set: range/zone-map first
     * (manifest-only); Bloom sidecars are read ONLY for point/IN key
