@@ -63,7 +63,8 @@ class KVLogSource extends TableProvider
                         properties: util.Map[String, String]): Table =
     new KVLogTable(properties.get("path"),
       Option(properties.get("maxSeqsPerBatch")).map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      Option(properties.get("startingSeq")).map(_.toLong).getOrElse(0L))
 }
 
 object KVLogSource {
@@ -75,7 +76,8 @@ object KVLogSource {
     StructField("op", IntegerType)))
 }
 
-class KVLogTable(path: String, maxSeqsPerBatch: Long) extends Table with SupportsRead {
+class KVLogTable(path: String, maxSeqsPerBatch: Long, startingSeq: Long)
+  extends Table with SupportsRead {
   override def name(): String = s"graft-kv-log `$path`"
   override def schema(): StructType = KVLogSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -87,7 +89,7 @@ class KVLogTable(path: String, maxSeqsPerBatch: Long) extends Table with Support
         override def readSchema(): StructType = KVLogSource.Schema
         override def description(): String = s"graft-kv-log $path"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KVLogMicroBatchStream(path, maxSeqsPerBatch)
+          new KVLogMicroBatchStream(path, maxSeqsPerBatch, startingSeq)
       }
     }
 }
@@ -97,11 +99,13 @@ case class KVLogOffset(seq: Long) extends Offset {
   override def json(): String = seq.toString
 }
 
-class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long)
+class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long,
+                            startingSeq: Long = 0L)
   extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   require(maxSeqsPerBatch > 0, "maxSeqsPerBatch must be positive")
+  require(startingSeq >= 0, "startingSeq must be >= 0")
 
   private val conf = new Configuration()
   private def fs = new Path(storeDir).getFileSystem(conf)
@@ -126,7 +130,12 @@ class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def initialOffset(): Offset = KVLogOffset(0L)
+  // the Kafka startingOffsets analogue: a NEW consumer (no checkpoint
+  // yet) starts after `startingSeq` instead of replaying the whole log
+  // — a follower attaching to a long-lived store skips history it got
+  // some other way (e.g. a snapshot copy). A checkpointed restart never
+  // consults this: the checkpoint's own offset wins.
+  override def initialOffset(): Offset = KVLogOffset(startingSeq)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -136,7 +145,14 @@ class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long)
     val s = start.asInstanceOf[KVLogOffset].seq
     val newest = availableNowTarget
       .getOrElse(completeSeqs().lastOption.getOrElse(0L))
-    KVLogOffset(math.min(newest, s + maxSeqsPerBatch))
+    // saturating add: the unbounded default is Long.MaxValue and would
+    // wrap s + max to Long.MinValue; and never step backwards — a log
+    // whose tail was compacted away below the checkpoint must surface
+    // as the loud planInputPartitions failure, not a negative batch
+    val cap =
+      if (maxSeqsPerBatch > Long.MaxValue - s) Long.MaxValue
+      else s + maxSeqsPerBatch
+    KVLogOffset(math.max(s, math.min(newest, cap)))
   }
 
   override def reportLatestOffset(): Offset =

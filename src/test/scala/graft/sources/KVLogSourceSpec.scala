@@ -107,6 +107,24 @@ class KVLogSourceSpec extends SparkSpec {
     assert(snap(KVStreamSink.readDelta(spark, wh, "r")) == snap(ds.openDatabase("t")))
   }
 
+  test("startingSeq skips history for a NEW consumer; checkpoints still win") {
+    val wh = Files.createTempDirectory("graft_kvlog5").toString
+    val ds = new KVDeltaStore(spark, wh)
+    ds.appendMutationAt("t", 1L, cells(0, 10), noDel)
+    ds.appendMutationAt("t", 2L, cells(10, 14), noDel)
+    val q = spark.readStream.format("graft-kv-log")
+      .option("startingSeq", "1")
+      .load(s"$wh/t")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$wh/ckpt").option("path", s"$wh/out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$wh/out")
+    assert(got.count() == 4 &&
+      got.select("seq").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("a checkpoint below the compaction floor fails loudly, never skips") {
     val wh = Files.createTempDirectory("graft_kvlog3").toString
     val ds = new KVDeltaStore(spark, wh)
