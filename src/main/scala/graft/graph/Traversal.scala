@@ -121,8 +121,9 @@ object Traversal {
   * the first hop), and every tapped value column; `marks` maps `as()`
   * labels to internal columns for the terminal `select`; `pend*` buffer
   * property steps on the current vertex until one join can serve them
-  * all. `edge` is Some(otherEndColumn) while stepped onto an edge via
-  * outE/inE. */
+  * all. `edge` is Some((farEndpointColumn, reverse)) while stepped onto
+  * an edge via outE (reverse=false) / inE (reverse=true) — the
+  * direction decides which endpoint inV()/outV() project. */
 final class Traversal private (
     private val g: PropertyGraph.G,
     private val frame: DataFrame,
@@ -133,7 +134,7 @@ final class Traversal private (
     private val originName: String = "v0",
     private val pendFilters: Vector[(String, Traversal.P)] = Vector.empty,
     private val pendTaps: Vector[(String, String)] = Vector.empty,
-    private val edge: Option[String] = None) {
+    private val edge: Option[(String, Boolean)] = None) {
 
   import Traversal.{P, HopStep, OutStep, InStep, BothStep}
 
@@ -152,7 +153,7 @@ final class Traversal private (
                    originName: String = originName,
                    pendFilters: Vector[(String, P)] = pendFilters,
                    pendTaps: Vector[(String, String)] = pendTaps,
-                   edge: Option[String] = edge): Traversal =
+                   edge: Option[(String, Boolean)] = edge): Traversal =
     new Traversal(g, frame, depth, onVertices, vals, marks, originName,
       pendFilters, pendTaps, edge)
 
@@ -557,21 +558,33 @@ final class Traversal private (
           (F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)
         start.join(side, Seq(t.originName))
       } else t.frame.join(side, Seq(t.curCol))
-    t.step(frame = joined, onVertices = false, edge = Some("__edst"))
+    t.step(frame = joined, onVertices = false, edge = Some(("__edst", reverse)))
   }
 
-  /** inV(): land on the head vertex of the outE step (Gremlin inV). */
-  def inV(): Traversal = completeEdge("inV() without a preceding outE()")
+  /** inV(): the HEAD of the edge — the far endpoint after outE() (the
+    * usual outE().has(…).inV() hop), the CURRENT vertex after inE()
+    * (Gremlin's inE().inV() steps back onto the vertex the in-edge
+    * points at). Both are legal; they land on different columns. */
+  def inV(): Traversal = completeEdge("inV() without a preceding outE()/inE()",
+    wantFarWhenReverse = false)
 
-  /** outV(): land on the tail vertex of the inE step. The edge frame
-    * was already oriented current->other by inE, so both completions
-    * project the same pending column. */
-  def outV(): Traversal = completeEdge("outV() without a preceding inE()")
+  /** outV(): the TAIL of the edge — the far endpoint after inE(), the
+    * current vertex after outE(). */
+  def outV(): Traversal = completeEdge("outV() without a preceding outE()/inE()",
+    wantFarWhenReverse = true)
 
-  private def completeEdge(err: String): Traversal = {
-    val other = edge.getOrElse(throw new IllegalArgumentException(err))
+  /** The hop completion: `edge` carries (farEndpointColumn, reverse).
+    * inV wants the far end of a forward (outE) step and the near end of
+    * a reverse (inE) one; outV the opposite — projecting the wrong side
+    * silently returned the far endpoint for BOTH before r12's second
+    * review. The near completion re-projects the current vertex (the
+    * traverser steps onto the vertex it already stands at — Gremlin's
+    * outE().outV() identity hop). */
+  private def completeEdge(err: String, wantFarWhenReverse: Boolean): Traversal = {
+    val (far, reverse) = edge.getOrElse(throw new IllegalArgumentException(err))
+    val src = if (reverse == wantFarWhenReverse) far else curCol
     val nxt = s"v${depth + 1}"
-    step(frame = frame.withColumn(nxt, F.col(other))
+    step(frame = frame.withColumn(nxt, F.col(src))
         .select(((chain :+ nxt) ++ vals).map(F.col): _*),
       depth = depth + 1, onVertices = false, edge = None)
   }

@@ -128,6 +128,25 @@ object KVStreamSink {
   def readDelta(spark: SparkSession, warehouseDir: String, name: String): DataFrame =
     new KVDeltaStore(spark, warehouseDir).openDatabase(name)
 
+  /** Fold a graft-kv-log CDC micro-batch down to its mutation set: one
+    * batch may span SEVERAL source log parts (admission control permits
+    * it; AvailableNow without maxSeqsPerBatch drains the whole log as
+    * one batch), and applyBatchDelta writes the whole batch under ONE
+    * replica sequence — so cross-part ordering must resolve BEFORE the
+    * fold or a cell added in part N and deleted in part N+1 would
+    * resurrect (the replica's same-seq tie-break prefers additions).
+    * Resolution is the store's own merge-on-read rule: latest
+    * (seq, op) per (k, c), ties all kept. Output (k, c, v, is_delete) —
+    * applyBatchDelta's input shape. */
+  def foldCdc(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "c").orderBy(F.col("seq").desc, F.col("op").desc)
+    batch.withColumn("__rn", F.rank().over(w))
+      .filter(F.col("__rn") === 1)
+      .select(F.col("k"), F.col("c"), F.col("v"),
+        (F.col("op") === 0).as("is_delete"))
+  }
+
   private def hwmFile(warehouseDir: String, name: String): String =
     GraftFs.child(GraftFs.child(warehouseDir, name), "_stream_hwm")
 

@@ -311,18 +311,25 @@ class KVScan(path: String, protected val required: StructType,
     * from one segment — broadcast is off the table there anyway. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val rows = kept.map(_.rows).sum
+    // a failed stat means UNKNOWN, never 0: zero bytes would make a
+    // multi-TB store broadcast-eligible — the exact inverse of the
+    // feature. Unknown files fall back to a conservative per-row width.
+    val FallbackRowBytes = 128L
     val bytes: Long =
       if (kept.isEmpty) 0L
       else {
         val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(new Configuration())
-        def len(f: String): Long =
-          try fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
-          catch { case _: java.io.IOException => 0L }
-        if (kept.size <= 64) kept.map(s => len(s.file)).sum
+          .getFileSystem(KVSegmentStore.activeConf)
+        def len(f: String): Option[Long] =
+          try Some(fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+          catch { case _: java.io.IOException => None }
+        if (kept.size <= 64)
+          kept.map(s => len(s.file).getOrElse(s.rows * FallbackRowBytes)).sum
         else {
           val s0 = kept.head
-          val perRow = math.max(1L, len(s0.file) / math.max(1L, s0.rows))
+          val perRow = len(s0.file)
+            .map(l => math.max(1L, l / math.max(1L, s0.rows)))
+            .getOrElse(FallbackRowBytes)
           rows * perRow
         }
       }

@@ -107,26 +107,37 @@ class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long,
   require(maxSeqsPerBatch > 0, "maxSeqsPerBatch must be positive")
   require(startingSeq >= 0, "startingSeq must be >= 0")
 
-  private val conf = new Configuration()
-  private def fs = new Path(storeDir).getFileSystem(conf)
+  // driver-side listings resolve the warehouse FileSystem through the
+  // active session's Hadoop conf (credentials/impl set via spark.hadoop.*
+  // would be invisible to a bare Configuration() —
+  // KVSegmentStore.activeConf is the connector-wide discipline)
+  private def fs = new Path(storeDir).getFileSystem(KVSegmentStore.activeConf)
 
-  /** Complete (committed) delta sequences on disk, ascending. */
-  private def completeSeqs(): Seq[Long] = {
+  /** Delta sequences on disk with their completeness, ascending. */
+  private def seqStates(): Seq[(Long, Boolean)] = {
     val dir = new Path(storeDir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.startsWith("delta_") &&
-        fs.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.stripPrefix("delta_").toLong)
-      .sorted.toSeq
+    val f = fs
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("delta_"))
+      .map(p => (p.getName.stripPrefix("delta_").toLong,
+        f.exists(new Path(p, "_SUCCESS"))))
+      .sortBy(_._1).toSeq
   }
+
+  /** The newest seq every part UP TO it is complete for — an in-flight
+    * (or crashed) part blocks advancement past itself instead of being
+    * skipped: the sink's replay may still complete it, and a committed
+    * offset range must never cover uncommitted log. */
+  private def newestComplete(): Long =
+    seqStates().takeWhile(_._2).lastOption.map(_._1).getOrElse(0L)
 
   // Trigger.AvailableNow pins the backlog at start: the run drains to
   // exactly this point (in maxSeqsPerBatch steps) and stops, however
   // much is appended meanwhile.
   @volatile private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(completeSeqs().lastOption.getOrElse(0L))
+    availableNowTarget = Some(newestComplete())
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -141,22 +152,41 @@ class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this")
 
+  /** Advance through CONTIGUOUS complete parts only (bounded by
+    * maxSeqsPerBatch as a PART count — no arithmetic on the unbounded
+    * default, which used to overflow): target+1 must be present and
+    * complete to step. An incomplete part stalls the stream (it may yet
+    * complete via the sink's replay) rather than wedging it with a
+    * spurious retention error; parts above a numbering hole wait the
+    * same way (holes only arise from external interference — the store
+    * API appends contiguously). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[KVLogOffset].seq
-    val newest = availableNowTarget
-      .getOrElse(completeSeqs().lastOption.getOrElse(0L))
-    // saturating add: the unbounded default is Long.MaxValue and would
-    // wrap s + max to Long.MinValue; and never step backwards — a log
-    // whose tail was compacted away below the checkpoint must surface
-    // as the loud planInputPartitions failure, not a negative batch
-    val cap =
-      if (maxSeqsPerBatch > Long.MaxValue - s) Long.MaxValue
-      else s + maxSeqsPerBatch
-    KVLogOffset(math.max(s, math.min(newest, cap)))
+    val ceiling = availableNowTarget.getOrElse(Long.MaxValue)
+    val states = seqStates()
+    val complete = states.filter(_._2).map(_._1).toSet
+    var target = s
+    var steps = 0L
+    while (steps < maxSeqsPerBatch && target < ceiling &&
+        complete.contains(target + 1)) {
+      target += 1
+      steps += 1
+    }
+    // an ABSENT next part with higher parts on disk can never appear
+    // (appends only go upward): the checkpoint fell below the
+    // compaction floor, or log was deleted externally — fail loudly
+    // now, a contiguity stall would hide it forever. A PRESENT but
+    // incomplete next part stalls legitimately (replay may finish it).
+    if (target == s && states.exists(_._1 > s) &&
+        !states.exists(_._1 == s + 1))
+      throw new IllegalStateException(
+        s"graft-kv-log: delta part ${s + 1} of $storeDir is gone " +
+          s"(compacted or deleted) but the stream's next offset needs it " +
+          s"— the checkpoint is below the store's retention floor")
+    KVLogOffset(target)
   }
 
-  override def reportLatestOffset(): Offset =
-    KVLogOffset(completeSeqs().lastOption.getOrElse(0L))
+  override def reportLatestOffset(): Offset = KVLogOffset(newestComplete())
 
   override def deserializeOffset(json: String): Offset =
     KVLogOffset(json.trim.toLong)
@@ -166,13 +196,22 @@ class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long,
     val hi = end.asInstanceOf[KVLogOffset].seq
     (lo + 1 to hi).flatMap { seq =>
       val part = new Path(storeDir, f"delta_$seq%05d")
-      // a missing part in a committed offset range = compacted-away log
-      // (or an external delete): fail loudly, never silently skip
-      if (!fs.exists(new Path(part, "_SUCCESS")))
+      // a part a committed offset range covers must be complete on disk:
+      // missing = compacted/deleted log (the checkpoint fell below the
+      // retention floor), present-but-incomplete = demoted between
+      // planning and execution. Both fail loudly, never silently skip —
+      // latestOffset's contiguous advance keeps either from happening in
+      // normal operation.
+      if (!fs.exists(part))
         throw new IllegalStateException(
           s"graft-kv-log: delta part $part is gone (compacted or deleted) " +
             s"but offsets ($lo, $hi] still need it — the checkpoint is below " +
             "the store's retention floor")
+      if (!fs.exists(new Path(part, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"graft-kv-log: delta part $part lost its _SUCCESS marker after " +
+            s"offsets ($lo, $hi] were planned over it — a writer crashed or " +
+            "the part was demoted mid-read")
       fs.listStatus(part).map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet"))
         .sortBy(_.getName)

@@ -170,9 +170,18 @@ class KVBatchWrite(path: String, truncate: Boolean, layout: String,
       val freshNames = fresh.map(_.file).toSet
       previous.map(_.split('\t')(0)).filterNot(freshNames.contains)
         .foreach { f =>
-          GraftFs.delete(conf, GraftFs.child(path, f))
+          val full = GraftFs.child(path, f)
+          GraftFs.delete(conf, full)
+          // the sidecar sits BESIDE its file (readBloom's derivation):
+          // a bucketed manifest name is "__b=N/<file>", whose sidecar
+          // is path/__b=N/_graft_bloom/<file> — deriving from the
+          // manifest name put it under path/_graft_bloom/__b=N/<file>,
+          // a path that never existed, orphaning every bucketed
+          // sidecar on truncate (r12 second review)
+          val base = full.split('/').last
+          val dir = full.stripSuffix("/" + base)
           GraftFs.delete(conf,
-            GraftFs.child(GraftFs.child(path, KVSegmentStore.BloomDir), f))
+            GraftFs.child(GraftFs.child(dir, KVSegmentStore.BloomDir), base))
         }
     }
   }

@@ -268,6 +268,28 @@ class TraversalSpec extends SparkSpec {
     assert(srcOnly.count() == 0)
   }
 
+  test("outE().outV() and inE().inV() land on the NEAR endpoint") {
+    // Gremlin: outV is the tail, inV the head — outE().outV() steps
+    // back onto the current vertex (r12 second review: both completions
+    // used to project the far endpoint)
+    val near = Traversal.V(spark, SF)
+      .hasLabel("customer").as("a")
+      .outE("in_nation").outV().as("b")
+      .select("a", "b").df.collect()
+    assert(near.nonEmpty && near.forall(r => r.getLong(0) == r.getLong(1)))
+    val nearIn = Traversal.V(spark, SF)
+      .hasLabel("nation").as("a")
+      .inE("in_nation").inV().as("b")
+      .select("a", "b").df.collect()
+    assert(nearIn.nonEmpty && nearIn.forall(r => r.getLong(0) == r.getLong(1)))
+    // far completions unchanged
+    val far = Traversal.V(spark, SF)
+      .hasLabel("customer").as("a")
+      .outE("in_nation").inV().as("b")
+      .select("a", "b").df.collect()
+    assert(far.nonEmpty && far.forall(r => r.getLong(1) % 4 == 2))
+  }
+
   test("union merges branch traverser streams with bag semantics") {
     val u = Traversal.V(spark, SF)
       .hasLabel("supplier").as("s")

@@ -85,9 +85,7 @@ class KVLogSourceSpec extends SparkSpec {
         .writeStream
         .foreachBatch((batch: DataFrame, batchId: Long) =>
           KVStreamSink.applyBatchDelta(
-            batch.select(F.col("k"), F.col("c"), F.col("v"),
-              (F.col("op") === 0).as("is_delete")),
-            wh, "r", batchId))
+            KVStreamSink.foldCdc(batch), wh, "r", batchId))
         .option("checkpointLocation", s"$wh/rckpt")
         .trigger(Trigger.AvailableNow())
         .start()
@@ -107,6 +105,36 @@ class KVLogSourceSpec extends SparkSpec {
     assert(snap(KVStreamSink.readDelta(spark, wh, "r")) == snap(ds.openDatabase("t")))
   }
 
+  test("replication survives a micro-batch spanning several log parts") {
+    import graft.kv.KVStreamSink
+    // no maxSeqsPerBatch: AvailableNow drains BOTH parts as one batch.
+    // Key 0 is added in part 1 and deleted in part 2 — without the
+    // cross-part fold the replica's same-seq tie-break would resurrect
+    // it (the r12 second-review finding).
+    val wh = Files.createTempDirectory("graft_kvlog6").toString
+    val ds = new KVDeltaStore(spark, wh)
+    ds.appendMutationAt("t", 1L, cells(0, 5), noDel)
+    ds.appendMutationAt("t", 2L, noDel.withColumn("v", F.lit(null).cast("binary")),
+      cells(0, 1).select("k", "c"))
+    val q = spark.readStream.format("graft-kv-log")
+      .load(s"$wh/t")
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        KVStreamSink.applyBatchDelta(
+          KVStreamSink.foldCdc(batch), wh, "r", batchId))
+      .option("checkpointLocation", s"$wh/rckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def be(b: Array[Byte]): Long = java.nio.ByteBuffer.wrap(b).getLong
+    val replica = KVStreamSink.readDelta(spark, wh, "r").collect()
+      .map(r => be(r.getAs[Array[Byte]]("k"))).toSet
+    val primary = ds.openDatabase("t").collect()
+      .map(r => be(r.getAs[Array[Byte]]("k"))).toSet
+    assert(primary == Set(1L, 2L, 3L, 4L))
+    assert(replica == primary, s"replica $replica != primary $primary")
+  }
+
   test("startingSeq skips history for a NEW consumer; checkpoints still win") {
     val wh = Files.createTempDirectory("graft_kvlog5").toString
     val ds = new KVDeltaStore(spark, wh)
@@ -123,6 +151,33 @@ class KVLogSourceSpec extends SparkSpec {
     val got = spark.read.parquet(s"$wh/out")
     assert(got.count() == 4 &&
       got.select("seq").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("an incomplete part STALLS advancement; an unfillable gap fails loudly") {
+    val wh = Files.createTempDirectory("graft_kvlog7").toString
+    val ds = new KVDeltaStore(spark, wh)
+    ds.appendMutationAt("t", 1L, cells(0, 3), noDel)
+    // simulate a crashed writer: delta_00002 exists without _SUCCESS,
+    // then a COMPLETE part lands above it
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/t/delta_00002"))
+    ds.appendMutationAt("t", 3L, cells(10, 12), noDel)
+    val stream = new KVLogMicroBatchStream(s"$wh/t", Long.MaxValue)
+    val end = stream.latestOffset(KVLogOffset(0L), stream.getDefaultReadLimit)
+    // advancement stops BEFORE the incomplete part — no error, the
+    // sink's replay may still complete it
+    assert(end.asInstanceOf[KVLogOffset].seq == 1L)
+    // an ABSENT next part with higher parts on disk can never appear
+    // (appends only go upward): loud failure instead of an eternal
+    // silent stall — the checkpoint fell below the retention floor
+    val ds2 = new KVDeltaStore(spark, wh)
+    ds2.appendMutationAt("u", 1L, cells(0, 2), noDel)
+    ds2.appendMutationAt("u", 3L, cells(2, 4), noDel)
+    val s2 = new KVLogMicroBatchStream(s"$wh/u", Long.MaxValue)
+    val e = intercept[IllegalStateException] {
+      s2.latestOffset(KVLogOffset(1L), s2.getDefaultReadLimit)
+    }
+    assert(e.getMessage.contains("retention"), e.getMessage)
   }
 
   test("a checkpoint below the compaction floor fails loudly, never skips") {

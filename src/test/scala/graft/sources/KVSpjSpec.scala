@@ -100,6 +100,29 @@ class KVSpjSpec extends SparkSpec {
     }
   }
 
+  test("connector truncate over a bucketed store sweeps bloom sidecars") {
+    withSpjConf {
+      val dir = Files.createTempDirectory("graft_spjt").toString
+      KVSegmentStore.writeBucketed(cellsDf, dir, numBuckets = 4)
+      def sidecars(): Seq[java.io.File] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir))
+          .filter(_.getPath.contains(KVSegmentStore.BloomDir))
+      }
+      val before = sidecars()
+      assert(before.nonEmpty, "bucketed write produced no sidecars")
+      // overwrite through the connector: the old bucketed segments AND
+      // their beside-the-file sidecars must be swept (the r12 review
+      // found the sweep deriving a path that never existed)
+      cellsDf.limit(50).write.format("graft-kv").mode("overwrite").save(dir)
+      val leftover = before.filter(_.exists())
+      assert(leftover.isEmpty,
+        s"orphaned sidecars after truncate: ${leftover.take(3).mkString(", ")}")
+      assert(spark.read.format("graft-kv").load(dir).count() == 50)
+    }
+  }
+
   test("a range/zorder store reports no bucket layout and still reads") {
     withSpjConf {
       val dir = Files.createTempDirectory("graft_spjl").toString
