@@ -410,31 +410,20 @@ object AnnQueries {
 
   val TrainSampleN = 1024
 
-  /** s_ann_ivf: IVF (inverted-file) ANN — the clustered scale path
-    * (rows-only; AnnSpec measures recall). Centroids: deterministic
-    * k-means|| over a bounded hash sample (KMeansTrainer — the 100 TB
-    * trainer: only the sample is ever collected), then one distributed
-    * Lloyd refinement over the full corpus (posexplode → mean per
-    * dimension), collected to the driver (NCentroids×64 floats) and
-    * rebroadcast as literals. Every vector lands in one inverted list;
-    * queries probe the NProbe nearest lists and re-rank exactly — scan
-    * fraction ≈ NProbe/NCentroids of the corpus instead of all of it.
-    */
-  def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    // materialized once: sample, Lloyd step, assignment and probe
-    // would otherwise each re-scan + re-fold the corpus
-    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+  /** The deterministic IVF centroid set shared by s_ann_ivf and the
+    * kv-served sibling: k-means|| seeds over a bounded hash sample
+    * (KMeansTrainer — only the sample is ever collected), then ONE
+    * distributed Lloyd refinement over the full corpus with exact
+    * DECIMAL dimension sums (order-independent — F.avg over doubles
+    * would make the centroids, hence every downstream row, vary with
+    * partition order). Driver state: NCentroids×64 floats. */
+  private def ivfCentroids(e: DataFrame): Array[Array[Float]] = {
     // cosine: the assigner (FloatMatTopCentroids) ranks by cosine.
     // medoid: probe recall needs data-point spread, not converged means
     // (see KMeansTrainer — measured +0.10 recall@10 on this corpus).
     val seeds: Array[Array[Float]] =
       KMeansTrainer.kmeansParallel(trainSample(e, TrainSampleN), NCentroids,
         cosine = true, medoid = true)
-    // one full-corpus Lloyd step: assign to the sample-trained centroids,
-    // mean per (cluster, dimension).
-    // Sum in exact DECIMAL (order-independent), divide once on the driver:
-    // F.avg over doubles would make the centroids — and hence the output —
-    // vary with partition order.
     val means = e.select(nearestCid(F.col("embedding"), seeds).as("cid"),
         F.posexplode(F.col("embedding")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
@@ -442,9 +431,23 @@ object AnnQueries {
         F.count(F.lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) ->
         (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat).toMap
-    val cents = Array.tabulate(NCentroids, 64) { (c, p) =>
+    Array.tabulate(NCentroids, 64) { (c, p) =>
       means.getOrElse((c, p), seeds(c)(p)) // empty cluster keeps its seed
     }
+  }
+
+  /** s_ann_ivf: IVF (inverted-file) ANN — the clustered scale path
+    * (rows-only; AnnSpec measures recall). Centroids: deterministic
+    * k-means|| (see [[ivfCentroids]]), rebroadcast as literals. Every
+    * vector lands in one inverted list; queries probe the NProbe
+    * nearest lists and re-rank exactly — scan fraction ≈
+    * NProbe/NCentroids of the corpus instead of all of it.
+    */
+  def sAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: sample, Lloyd step, assignment and probe
+    // would otherwise each re-scan + re-fold the corpus
+    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+    val cents = ivfCentroids(e)
     val assigned = e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm"),
       nearestCid(F.col("embedding"), cents).as("cid"))
     // queries probe their NProbe closest centroids
@@ -1222,6 +1225,60 @@ object AnnQueries {
   def sAnnPqChecked(s: SparkSession, dir: String): DataFrame =
     annPerQuery(sAnnPq(s, dir), sAnnTopk(s, dir), PqPerQueryMinHits)
 
+  private[pipeline] var lastIvfSeg: Option[java.nio.file.Path] = None
+
+  /** s_ann_ivf_kv: the INVERTED FILE PERSISTED IN THE KV STORE — the
+    * ANN twin of the g_kv_* composition (how a FAISS/DiskANN-style
+    * index lives on a disaggregated KV layer): k = centroid id,
+    * c = vec id, one cell per posting. A query's NProbe probed lists
+    * arrive as a STATIC key IN set, so the connector prunes the store
+    * to the probed lists' segments at PLAN time (kv_dsv2_multi's
+    * machinery — at a trillion vectors the index read touches
+    * NProbe/NCentroids of the segments, never the store), the decoded
+    * posting ids join back to the vector payloads, and the exact
+    * re-rank is plan-identical to s_ann_ivf's from there. Same
+    * deterministic centroids (ivfCentroids) ⇒ same probe set ⇒ the
+    * SAME rows as s_ann_ivf, audited per query under the same oracle
+    * (AnnSpec asserts row equality with s_ann_ivf AND that the probe
+    * scheduled fewer segments than the store holds). */
+  def sAnnIvfKv(s: SparkSession, dir: String): DataFrame = synchronized {
+    import graft.kv.KVStore.{decLong, encLong}
+    val seg = graft.ScenarioDirs.fresh("graft_ivfkv", lastIvfSeg)
+    lastIvfSeg = Some(seg)
+    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+    val cents = ivfCentroids(e)
+    val postings = e.select(
+      encLong(nearestCid(F.col("embedding"), cents).cast("long")).as("k"),
+      encLong(F.col("vec_id")).as("c"),
+      F.lit(Array.emptyByteArray).as("v"))
+    graft.sources.kvconnector.KVSegmentStore.write(postings, seg.toString, 8)
+    val probes = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"))
+      .select(F.col("q_id"), F.col("eq"), F.col("nq"),
+        F.explode(topCids(F.col("eq"), cents, NProbe)).as("cid"))
+      .localCheckpoint()
+    // the probed list ids — NQueries×NProbe ≤ 32, driver-bounded by
+    // construction (the SPI's multi-key getSlice shape)
+    val cidKeys = probes.select("cid").distinct().collect()
+      .map(r => java.nio.ByteBuffer.allocate(8).putLong(r.getInt(0).toLong).array())
+    val lists = s.read.format("graft-kv").load(seg.toString)
+      .filter(F.col("k").isin(cidKeys.toSeq: _*))
+      .select(decLong(F.col("k"), 1).cast("int").as("cid"),
+        decLong(F.col("c"), 1).as("vec_id"))
+    val scored = F.broadcast(probes).join(lists, Seq("cid"))
+      .join(e.select(F.col("vec_id"), F.col("embedding"), F.col("nrm")),
+        Seq("vec_id"))
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs"))
+    rankTopK(scored).localCheckpoint(true)
+  }
+
+  /** s_ann_ivf_kv driver entry: the same per-query audit as s_ann_ivf. */
+  def sAnnIvfKvChecked(s: SparkSession, dir: String): DataFrame =
+    annPerQuery(sAnnIvfKv(s, dir), sAnnTopk(s, dir), IvfPerQueryMinHits)
+
   val annPerQuerySql: String =
     s"""SELECT vec_id AS q_id, CAST($TopK AS BIGINT) AS k,
        | CAST(1 AS BIGINT) AS ok_shape, CAST(1 AS BIGINT) AS ok_hits
@@ -1244,5 +1301,6 @@ object AnnQueries {
     ("s_label_sim", sLabelSim _, Some(sLabelSimSql)),
     ("s_ann_l2", sAnnL2 _, Some(sAnnL2Sql)),
     ("s_ann_lsh", sAnnLshChecked _, Some(annPerQuerySql)),
-    ("s_ann_ivf", sAnnIvfChecked _, Some(annPerQuerySql)))
+    ("s_ann_ivf", sAnnIvfChecked _, Some(annPerQuerySql)),
+    ("s_ann_ivf_kv", sAnnIvfKvChecked _, Some(annPerQuerySql)))
 }

@@ -83,6 +83,34 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
 
+  test("kv-served IVF returns the SAME rows as s_ann_ivf and prunes the store") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.kvconnector.{KVScan, KVSegmentStore}
+    val frame = AnnQueries.sAnnIvf(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val served = AnnQueries.sAnnIvfKv(spark, SF)
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == frame && got.nonEmpty,
+      s"kv-served IVF diverged: ${got.size} vs ${frame.size} rows")
+    // the probe's static IN set pruned inverted-list segments at plan
+    // time (the whole point: the index read never touches the store).
+    // the entry localCheckpoints, so re-run the pruned read directly
+    val store = AnnQueries.lastIvfSeg.get.toString
+    val total = KVSegmentStore.readManifest(store).size
+    val probe = spark.read.format("graft-kv").load(store)
+      .filter(org.apache.spark.sql.functions.col("k") ===
+        org.apache.spark.sql.functions.lit(
+          java.nio.ByteBuffer.allocate(8).putLong(0L).array()))
+    probe.collect()
+    val kv = collectExec(probe) {
+      case b: BatchScanExec if b.scan.isInstanceOf[KVScan] =>
+        b.scan.asInstanceOf[KVScan]
+    }.head
+    assert(kv.lastPlanned < total,
+      s"list probe scheduled $kv.lastPlanned/$total segments — no pruning")
+  }
+
   test("ANN trio recall/scan-fraction table (one place, measured)") {
     import org.apache.spark.sql.{functions => F}
     val exact = pairs(AnnQueries.sAnnTopk(spark, SF))
