@@ -87,10 +87,12 @@ class AnnSpec extends SparkSpec {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import graft.sources.kvconnector.{KVScan, KVSegmentStore}
     val frame = AnnQueries.sAnnIvf(spark, SF).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
     val served = AnnQueries.sAnnIvfKv(spark, SF)
     val got = served.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sorted.toSeq
     assert(got == frame && got.nonEmpty,
       s"kv-served IVF diverged: ${got.size} vs ${frame.size} rows")
     // the probe's static IN set pruned inverted-list segments at plan
@@ -98,17 +100,20 @@ class AnnSpec extends SparkSpec {
     // the entry localCheckpoints, so re-run the pruned read directly
     val store = AnnQueries.lastIvfSeg.get.toString
     val total = KVSegmentStore.readManifest(store).size
+    // the SAME multi-key IN shape the entry issues (not a single ===):
+    // the claim is that the NProbe probed lists prune as an IN set
+    def be(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
     val probe = spark.read.format("graft-kv").load(store)
-      .filter(org.apache.spark.sql.functions.col("k") ===
-        org.apache.spark.sql.functions.lit(
-          java.nio.ByteBuffer.allocate(8).putLong(0L).array()))
+      .filter(org.apache.spark.sql.functions.col("k")
+        .isin(Seq(be(0L), be(1L), be(2L)): _*))
     probe.collect()
     val kv = collectExec(probe) {
       case b: BatchScanExec if b.scan.isInstanceOf[KVScan] =>
         b.scan.asInstanceOf[KVScan]
     }.head
     assert(kv.lastPlanned < total,
-      s"list probe scheduled $kv.lastPlanned/$total segments — no pruning")
+      s"list probe scheduled ${kv.lastPlanned}/$total segments — no pruning")
   }
 
   test("ANN trio recall/scan-fraction table (one place, measured)") {
