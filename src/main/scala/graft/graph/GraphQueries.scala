@@ -235,8 +235,9 @@ object GraphQueries {
     * count). First-hit frontier BFS: one frontier-sized join per level
     * over a src-partitioned checkpointed edge frame, matched vertices
     * leave the frontier the round they are reached. Do-while semantics
-    * (sources expand, are never emitted); set semantics match the
-    * recursive-CTE oracle, which expands from every reached
+    * (sources expand unconditionally; a source is emitted only when
+    * another traverser re-reaches it — r12 advice #1); set semantics
+    * match the recursive-CTE oracle, which expands from every reached
     * non-customer and selects the reached customers. Multi-source safe
     * (10× corpora hold one ASIA per key-shifted copy — all of them
     * seed the same BFS). */

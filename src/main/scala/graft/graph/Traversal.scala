@@ -44,6 +44,16 @@ import org.apache.spark.sql.{functions => F}
   */
 object Traversal {
 
+  /** Reserved edge-frame column carrying a kv-backed graph's RAW store
+    * key (k = be(src)) through the decode projection: when present, hop
+    * joins ALSO key on it, so the join's scan-side key is the scan's own
+    * `k` attribute and Spark's runtime filtering (SupportsRuntimeFiltering
+    * In("k", …)) prunes adjacency segments for ANY DSL traversal over
+    * the adapter — not just the dedicated g_kv_* plans (r12 verdict #3).
+    * encLong is injective over the non-negative vid scheme, so the extra
+    * key never changes the join result. */
+  private[graph] val KvKeyCol = "__kvk"
+
   /** Gremlin's P — tiny predicate vocabulary for `has`. */
   sealed trait P { def apply(c: Column): Column }
   object P {
@@ -166,7 +176,7 @@ final class Traversal private (
   private def checkName(name: String): Unit = {
     require(!name.matches("v\\d+"), s"'$name' is a reserved hop-chain name")
     require(!name.matches("__has\\d*") &&
-        !Set("__edst", "__from", "__to").contains(name),
+        !Set("__edst", "__efrom", "__from", "__to", Traversal.KvKeyCol).contains(name),
       s"'$name' is a reserved internal name")
     require(!g.edges.columns.contains(name),
       s"'$name' collides with an edge-frame column")
@@ -228,7 +238,8 @@ final class Traversal private (
     * edge join) — naming them here would die unresolved, so they are
     * excluded from the valid set up front. */
   private def edgePropKeys: Seq[String] =
-    g.edges.columns.toSeq.filterNot(c => c == "src" || c == "dst")
+    g.edges.columns.toSeq.filterNot(c =>
+      c == "src" || c == "dst" || c == Traversal.KvKeyCol)
 
   def has(key: String, p: P): Traversal =
     if (edge.isDefined) {
@@ -277,27 +288,55 @@ final class Traversal private (
     else g.edges.filter(F.col("elabel").isin(labels: _*))
 
   private def hop(reverse: Boolean, labels: Seq[String]): Traversal = {
-    val e0 = edgeFrame(labels)
+    val e = edgeFrame(labels)
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-    hopOn(e0.select(F.col(from).as("__from"), F.col(to).as("__to")))
+    // a kv-backed adapter frame carries the raw store key (k = be(src));
+    // keep it through a FORWARD hop so the join can key on the scan's own
+    // attribute (reverse hops key on dst, which is not the store key)
+    val e0 =
+      if (!reverse && e.columns.contains(Traversal.KvKeyCol))
+        e.select(F.col(Traversal.KvKeyCol),
+          F.col(from).as("__from"), F.col(to).as("__to"))
+      else e.select(F.col(from).as("__from"), F.col(to).as("__to"))
+    hopOn(e0)
   }
 
   /** One hop over a (pre-oriented) __from/__to edge frame. Flushes the
-    * pending vertex taps of the hop we are leaving first. */
+    * pending vertex taps of the hop we are leaving first. When the edge
+    * frame carries [[Traversal.KvKeyCol]], the join ADDITIONALLY keys on
+    * it (be(vertex) = raw key): the scan-side key is then the kv scan's
+    * `k` attribute itself, so Spark plans a runtime In("k", …) filter
+    * from the frontier side and the connector prunes adjacency segments
+    * at execution (KVGraphSpec asserts the scheduled-segment drop). */
   private def hopOn(e0: DataFrame): Traversal = {
     require(edge.isEmpty, "hop on an edge step: complete it with inV()/outV() first")
     val t = flushed
     val nxt = s"v${t.depth + 1}"
+    val kv = e0.columns.contains(Traversal.KvKeyCol)
+    def kvJoin(left: DataFrame, keyName: String): DataFrame =
+      left.join(
+        e0.select(F.col(Traversal.KvKeyCol), F.col("__from"),
+          F.col("__to").as(nxt)),
+        F.col(keyName) === F.col("__from") &&
+          F.col(Traversal.KvKeyCol) ===
+            graft.kv.KVStore.encLong(F.col(keyName)))
     val joined =
       if (t.onVertices) {
         // leave the vertex frame: origin projects to its mark (or v0),
         // tapped values ride along
         val start = t.frame.select(
           (F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)
-        start.join(e0.select(F.col("__from"), F.col("__to").as(nxt)),
-            F.col(t.originName) === F.col("__from"))
+        if (kv)
+          kvJoin(start, t.originName)
+            .select(((t.chain :+ nxt).map(F.col) ++ t.vals.map(F.col)): _*)
+        else
+          start.join(e0.select(F.col("__from"), F.col("__to").as(nxt)),
+              F.col(t.originName) === F.col("__from"))
+            .select(((t.chain :+ nxt).map(F.col) ++ t.vals.map(F.col)): _*)
+      } else if (kv)
+        kvJoin(t.frame, t.curCol)
           .select(((t.chain :+ nxt).map(F.col) ++ t.vals.map(F.col)): _*)
-      } else
+      else
         t.frame.join(
             e0.select(F.col("__from").as(t.curCol), F.col("__to").as(nxt)),
             Seq(t.curCol))
@@ -383,8 +422,9 @@ final class Traversal private (
     // the stop predicate evaluated ONCE per vertex, joined per round
     val marked = g.vertices
       .select(F.col("vid"), p(F.col(key)).as("__m")).localCheckpoint(true)
-    var reached = t.frame.select(F.col(srcName).as("vid")).distinct()
+    val sources = t.frame.select(F.col(srcName).as("vid")).distinct()
       .localCheckpoint(true)
+    var reached = sources
     var frontier = reached // do-while: sources expand even when matched
     var matched = reached.limit(0)
     while (!frontier.isEmpty) {
@@ -398,7 +438,24 @@ final class Traversal private (
       frontier = nxt.filter(!F.col("__m")).select("vid")
       reached = reached.unionAll(nxt.select("vid")).localCheckpoint(true)
     }
-    matched
+    // Gremlin checks until() ON ARRIVAL, so a traverser stepping onto a
+    // SOURCE emits it like any other vertex — but the pre-seeded `reached`
+    // guard (which correctly stops re-EXPANSION: sources already expanded
+    // in round 1) also kept sources out of `matched` (r12 advice #1).
+    // Recover them here: a source is re-reached iff some expanded
+    // (non-matched) vertex points at it; one edge join at the end, not
+    // per round. Remaining oracle caveat (documented, not semantic): a
+    // recursive-CTE oracle seeding sources into its result set emits a
+    // matching source even when NO traverser re-reaches it — pair such
+    // oracles with predicate-free sources (g_dsl_until's regions can
+    // never be customers) or re-reachable ones.
+    val expanded = reached.join(matched, Seq("vid"), "left_anti")
+    val reMatched = edges
+      .join(expanded.select(F.col("vid").as("src")), "src")
+      .select(F.col("dst").as("vid")).distinct()
+      .join(sources, "vid")
+      .join(marked.filter(F.col("__m")).select("vid"), "vid")
+    matched.unionAll(reMatched)
   }
 
   /** A branch result projected onto this traversal's chain + ONE new
@@ -432,7 +489,13 @@ final class Traversal private (
     * b2's for exactly the incoming traversers b1 dropped — the
     * first-non-empty-branch-per-traverser rule. Traverser identity is
     * the walked chain (origin + every hop column), so the fallback is
-    * one left-anti join on the chain. */
+    * one left-anti join on the chain. Caveat (r12 advice #2): two
+    * bag-semantics DUPLICATE traversers on the same chain (e.g. from a
+    * prior union() with overlapping branches) share one identity here —
+    * they collapse into one fallback decision and one set of branch
+    * rows, where Gremlin evaluates each duplicate independently.
+    * dedup() the incoming traversal first when duplicates can exist and
+    * per-duplicate branching matters. */
   def coalesce(b1: Traversal => Traversal, b2: Traversal => Traversal): Traversal = {
     val t = flushed
     val nxt = s"v${t.depth + 1}"
@@ -446,7 +509,9 @@ final class Traversal private (
 
   /** Gremlin optional(b): b's traversers where b produced any, the
     * traverser UNCHANGED (current vertex carried forward) where it
-    * did not — coalesce(b, identity). */
+    * did not — coalesce(b, identity). Shares coalesce's duplicate-chain
+    * caveat: traverser identity is the walked chain, so duplicate
+    * traversers on one chain take one shared fallback decision. */
   def optional(b: Traversal => Traversal): Traversal = {
     val t = flushed
     val nxt = s"v${t.depth + 1}"
@@ -549,15 +614,31 @@ final class Traversal private (
     // after
     val keyName = if (t.onVertices) t.originName else t.curCol
     val e0 = edgeFrame(labels)
-    val props = e0.columns.filterNot(c => c == "src" || c == "dst").map(F.col)
-    val side = e0.select(
-      (F.col(from).as(keyName) +: F.col(to).as("__edst") +: props.toSeq): _*)
+    val props = e0.columns
+      .filterNot(c => c == "src" || c == "dst" || c == Traversal.KvKeyCol)
+      .map(F.col)
+    // kv-backed adapter, forward step: keep the raw store key and ALSO
+    // key the join on it — same runtime segment pruning as hopOn
+    val kv = !reverse && e0.columns.contains(Traversal.KvKeyCol)
+    val left =
+      if (t.onVertices) t.frame.select(
+        (F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)
+      else t.frame
     val joined =
-      if (t.onVertices) {
-        val start = t.frame.select(
-          (F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)
-        start.join(side, Seq(t.originName))
-      } else t.frame.join(side, Seq(t.curCol))
+      if (kv) {
+        val side = e0.select(
+          (F.col(Traversal.KvKeyCol) +: F.col(from).as("__efrom") +:
+            F.col(to).as("__edst") +: props.toSeq): _*)
+        left.join(side,
+            F.col(keyName) === F.col("__efrom") &&
+              F.col(Traversal.KvKeyCol) ===
+                graft.kv.KVStore.encLong(F.col(keyName)))
+          .drop("__efrom", Traversal.KvKeyCol)
+      } else {
+        val side = e0.select(
+          (F.col(from).as(keyName) +: F.col(to).as("__edst") +: props.toSeq): _*)
+        left.join(side, Seq(keyName))
+      }
     t.step(frame = joined, onVertices = false, edge = Some(("__edst", reverse)))
   }
 

@@ -465,8 +465,7 @@ object KVQueries {
       .filter(F.col("user_id") % 10 === 0)
       .orderBy("user_id").limit(64)
       .collect().map(_.getLong(0))
-    val enc: Array[Array[Byte]] = keyIds.map(v =>
-      java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    val enc: Array[Array[Byte]] = keyIds.map(beLong)
     val store = s.read.format("graft-kv").load(seg.toString)
       .filter(F.col("k").isin(enc.toSeq: _*))
     val keys = s.createDataset(keyIds.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
@@ -670,8 +669,6 @@ object KVQueries {
             encLong(F.col("event_id"))).as("c"),
           dec2(F.col("value")).cast("string").cast("binary").as("v")),
       seg.toString, 8)
-    def beLong(v: Long): Array[Byte] =
-      java.nio.ByteBuffer.allocate(8).putLong(v).array()
     val hit = s.read.format("graft-kv").load(seg.toString)
       .filter(F.col("k").isin((0L until 20L).map(beLong): _*))
       .select(decLong(F.col("k"), 1).as("user_id"))
@@ -714,8 +711,6 @@ object KVQueries {
         F.col("user_id").as("zka"),
         F.unix_micros(F.col("ts")).as("zca")),
       F.col("zka"), F.col("zca"), zo.toString, 16)
-    def beLong(v: Long): Array[Byte] =
-      java.nio.ByteBuffer.allocate(8).putLong(v).array()
     def usOf(t: String): Long =
       java.time.LocalDateTime.parse(t)
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L

@@ -105,6 +105,12 @@ object KVStore {
   /** non-negative long → 8-byte big-endian binary (order-preserving). */
   def encLong(c: Column): Column = F.unhex(F.lpad(F.hex(c), 16, "0"))
 
+  /** driver-side twin of encLong: non-negative long → 8-byte big-endian
+    * key bytes, for literal key/qualifier bounds handed to the connector
+    * (static In-sets, scheduledSegments probes, pushed slice bounds). */
+  def beLong(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+
   /** inverse of encLong on a binary slice [pos, pos+8) (1-based pos). */
   def decLong(c: Column, pos: Int): Column =
     F.conv(F.hex(F.substring(c, pos, 8)), 16, 10).cast("long")

@@ -1261,7 +1261,7 @@ object AnnQueries {
     // the probed list ids — NQueries×NProbe ≤ 32, driver-bounded by
     // construction (the SPI's multi-key getSlice shape)
     val cidKeys = probes.select("cid").distinct().collect()
-      .map(r => java.nio.ByteBuffer.allocate(8).putLong(r.getInt(0).toLong).array())
+      .map(r => graft.kv.KVStore.beLong(r.getInt(0).toLong))
     val lists = s.read.format("graft-kv").load(seg.toString)
       .filter(F.col("k").isin(cidKeys.toSeq: _*))
       .select(decLong(F.col("k"), 1).cast("int").as("cid"),

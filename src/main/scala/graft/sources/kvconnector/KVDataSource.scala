@@ -394,7 +394,13 @@ class KVScan(path: String, protected val required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     plannedSegments().map(seg =>
       KVSegmentPartition(seg.file, required.fieldNames, limit)).toArray
-  override def createReaderFactory(): PartitionReaderFactory = KVReaderFactory
+  // the reader factory ships the DRIVER's Hadoop conf to executors (the
+  // KVWriterFactory confW pattern): a bare executor-side Configuration()
+  // would miss spark.hadoop.* credentials (e.g. s3a keys) the driver-side
+  // listings in this file already resolve via activeConf (r12 advice #3)
+  override def createReaderFactory(): PartitionReaderFactory =
+    KVReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      KVSegmentStore.activeConf))
 }
 
 /** The scan of a [[KVSegmentStore.writeBucketed]] store: identical
@@ -482,11 +488,15 @@ case class KVBucketSegmentPartition(file: String, columns: Array[String],
     new GenericInternalRow(Array[Any](bucketId))
 }
 
-object KVReaderFactory extends PartitionReaderFactory {
+case class KVReaderFactory(
+    confR: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case p: KVSegmentPartition => new KVSegmentReader(p.file, p.columns, p.limit)
-      case p: KVBucketSegmentPartition => new KVSegmentReader(p.file, p.columns, p.limit)
+      case p: KVSegmentPartition =>
+        new KVSegmentReader(p.file, p.columns, p.limit, confR.value)
+      case p: KVBucketSegmentPartition =>
+        new KVSegmentReader(p.file, p.columns, p.limit, confR.value)
       case other => throw new IllegalArgumentException(
         s"not a graft-kv partition: ${other.getClass.getName}")
     }
@@ -494,13 +504,17 @@ object KVReaderFactory extends PartitionReaderFactory {
 
 /** Row reader over one parquet segment via the parquet-mr Group API,
   * projecting only the pruned columns (the projection reaches the
-  * parquet column reader — unread columns are never decoded). */
-class KVSegmentReader(file: String, columns: Array[String], limit: Int)
+  * parquet column reader — unread columns are never decoded). `conf` is
+  * the driver's Hadoop conf shipped through the factory — never a bare
+  * executor-side Configuration(), which would miss spark.hadoop.*
+  * filesystem credentials. */
+class KVSegmentReader(file: String, columns: Array[String], limit: Int,
+                      baseConf: Configuration)
   extends PartitionReader[InternalRow] {
   // empty projection (e.g. a bare count) still needs a column to drive
   // row iteration; read the narrow key column and emit empty rows
   private val cols = if (columns.isEmpty) Array("k") else columns
-  private val conf = new Configuration()
+  private val conf = new Configuration(baseConf)
   // projection fields must carry the file's own repetition (required vs
   // optional varies with writer nullability), so project the footer schema
   private val fileSchema = {

@@ -219,7 +219,13 @@ class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = KVLogReaderFactory
+  // ship the DRIVER's Hadoop conf to the executors (the KVWriterFactory
+  // confW pattern) — a bare executor-side Configuration() would miss
+  // spark.hadoop.* filesystem credentials the driver-side listings above
+  // already resolve via activeConf (r12 advice #3)
+  override def createReaderFactory(): PartitionReaderFactory =
+    KVLogReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      KVSegmentStore.activeConf))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -227,18 +233,22 @@ class KVLogMicroBatchStream(storeDir: String, maxSeqsPerBatch: Long,
 
 case class KVLogFilePartition(file: String, seq: Long) extends InputPartition
 
-object KVLogReaderFactory extends PartitionReaderFactory {
+case class KVLogReaderFactory(
+    confR: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KVLogFilePartition]
-    new KVLogFileReader(p.file, p.seq)
+    new KVLogFileReader(p.file, p.seq, confR.value)
   }
 }
 
 /** Row reader over one delta-part parquet file (parquet-mr Group API,
   * the KVSegmentReader discipline), emitting
-  * (seq, k, c, v, wts, op) — binary cells, nullable v/wts. */
-class KVLogFileReader(file: String, seq: Long) extends PartitionReader[InternalRow] {
-  private val conf = new Configuration()
+  * (seq, k, c, v, wts, op) — binary cells, nullable v/wts. `baseConf`
+  * is the driver's Hadoop conf shipped through the factory. */
+class KVLogFileReader(file: String, seq: Long, baseConf: Configuration)
+  extends PartitionReader[InternalRow] {
+  private val conf = new Configuration(baseConf)
   private val fileSchema = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

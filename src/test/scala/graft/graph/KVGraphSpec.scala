@@ -87,6 +87,45 @@ class KVGraphSpec extends SparkSpec {
       s"weight-range slice zone-pruned nothing: $planned/$total segments")
   }
 
+  test("a DSL hop over kvBackedGraph gets a runtime key filter and prunes segments") {
+    import org.apache.spark.sql.{functions => F}
+    val seg = java.nio.file.Files.createTempDirectory("graft_kvadapspec").toString
+    graft.sources.kvconnector.KVSegmentStore.write(
+      KVGraphQueries.adjacency(spark, SF), seg, 16)
+    val g = KVGraphQueries.kvBackedGraph(spark, SF, seg)
+    val hop = Traversal.V(g)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation")
+      .value("name", "n_name")
+      .select("c_vid", "n_name")
+      .df
+    val rows = hop.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val frame = GraphQueries.gOneHop(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows.nonEmpty && rows == frame)
+    val scans = kvScans(hop)
+    assert(scans.size == 1)
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "adapter hop join handed no runtime key filter to the adjacency scan:\n" +
+        hop.queryExecution.executedPlan)
+    val total = graft.sources.kvconnector.KVSegmentStore.readManifest(seg).size
+    val planned = scans.head.scan.asInstanceOf[KVScan].lastPlanned
+    assert(planned >= 1 && planned < total,
+      s"adapter hop pruned nothing: $planned/$total segments")
+  }
+
+  test("g_kv_dsl_motif (adapter DSL) still equals the frame motif row-for-row") {
+    // sf0.01: the motif walks peer edges, and sf0.001 has no same-nation
+    // supplier pairs at all (empty ≡ empty would assert nothing)
+    val sf01 = "/root/testdata/sf0.01"
+    val kv = KVGraphQueries.gKvDslMotif(spark, sf01)
+    val frame = GraphQueries.gMotif(spark, sf01)
+    assert(kv.columns.toSeq == frame.columns.toSeq)
+    val a = kv.collect().map(_.toString).sorted.toSeq
+    val b = frame.collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("g_kv_vci equals the DSL edge-property traversal row-for-row") {
     val kv = KVGraphQueries.gKvVci(spark, SF)
     val dsl = GraphQueries.gDslEdgeW(spark, SF)

@@ -33,8 +33,7 @@ class KVBloomSpec extends SparkSpec {
         b.scan.asInstanceOf[KVScan]
     }.get
 
-  private def beLong(v: Long): Array[Byte] =
-    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+  private def beLong(v: Long): Array[Byte] = KVStore.beLong(v)
 
   private def probe(dir: String, key: Long) =
     spark.read.format("graft-kv").load(dir)

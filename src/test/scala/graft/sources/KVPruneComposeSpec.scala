@@ -18,8 +18,7 @@ import graft.kv.KVStore
   * final scan still returns exactly the right rows. */
 class KVPruneComposeSpec extends SparkSpec {
 
-  private def beLong(v: Long): Array[Byte] =
-    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+  private def beLong(v: Long): Array[Byte] = KVStore.beLong(v)
 
   // EVEN keys 0..198, 10 cells each with qualifier = k*10+j — qualifiers
   // correlate with keys, so every key-range segment also owns a tight

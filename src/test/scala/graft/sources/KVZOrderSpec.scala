@@ -26,8 +26,7 @@ class KVZOrderSpec extends SparkSpec {
         (F.col("id") / 64).as("zca"))
   }
 
-  private def beLong(v: Long): Array[Byte] =
-    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+  private def beLong(v: Long): Array[Byte] = KVStore.beLong(v)
 
   private def writeBoth(): (String, String) = {
     val lin = Files.createTempDirectory("graft_zspec_lin").toString
