@@ -581,6 +581,39 @@ final class Traversal private (
     t.step(frame = t.frame.offset(lo).limit(hi - lo))
   }
 
+  /** Gremlin group().by(key).by(agg) — the aggregating modulator form
+    * (group().by('nation').by(sum('w'))): ONE hash aggregate over the
+    * walked chain, keyed on an as() mark, a value() tap, or a chain
+    * column, with arbitrary aggregate expressions over the tapped
+    * values. Map-side partials come free; no join is added
+    * (TraversalSpec asserts the plan is the hop chain + one Aggregate). */
+  def group(key: String, aggs: Column*): Traversal = {
+    require(aggs.nonEmpty, "group() needs at least one aggregate")
+    val t = flushed
+    val base = t.df
+    val internal = t.marks.getOrElse(key, key)
+    val keyed =
+      if (internal != key) base.withColumn(key, F.col(internal))
+      else base
+    t.step(frame = keyed.groupBy(key).agg(aggs.head, aggs.tail: _*),
+      onVertices = false)
+  }
+
+  /** Gremlin project(a, b, …).by(expr): ONE projection over the walked
+    * chain — each output column an expression over the as() marks and
+    * value() taps (marks are exposed under their user names first, so
+    * expressions can reference them directly). No join, no shuffle. */
+  def project(cols: (String, Column)*): Traversal = {
+    require(cols.nonEmpty, "project() needs at least one column")
+    require(edge.isEmpty, "project() on an edge step: complete it with inV()/outV() first")
+    val t = flushed
+    val exposed = t.marks.foldLeft(t.df) { case (df, (name, internal)) =>
+      if (internal == name) df else df.withColumn(name, F.col(internal))
+    }
+    t.step(frame = exposed.select(cols.map { case (n, c) => c.as(n) }: _*),
+      onVertices = false)
+  }
+
   /** Gremlin groupCount(): rows per value of `col` (an as() mark, a
     * tapped value, or a chain column) — one hash aggregate, map-side
     * partials free. Output (col, cnt). */

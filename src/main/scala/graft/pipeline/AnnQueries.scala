@@ -392,10 +392,10 @@ object AnnQueries {
 
   /** Top-k nearest centroid ids by cosine desc (ties → smaller cid),
     * via the codegen'd FloatMatTopCentroids expression. */
-  private def topCids(vec: Column, cents: Array[Array[Float]], k: Int): Column =
+  private[pipeline] def topCids(vec: Column, cents: Array[Array[Float]], k: Int): Column =
     graft.functions.VectorFunctions.floatMatTopCentroids(vec, matLit(cents), F.lit(k))
 
-  private def nearestCid(vec: Column, cents: Array[Array[Float]]): Column =
+  private[pipeline] def nearestCid(vec: Column, cents: Array[Array[Float]]): Column =
     F.element_at(topCids(vec, cents, 1), 1)
 
   /** Deterministic bounded training sample: the hash-least `n` vectors
@@ -417,7 +417,7 @@ object AnnQueries {
     * DECIMAL dimension sums (order-independent — F.avg over doubles
     * would make the centroids, hence every downstream row, vary with
     * partition order). Driver state: NCentroids×64 floats. */
-  private def ivfCentroids(e: DataFrame): Array[Array[Float]] = {
+  private[pipeline] def ivfCentroids(e: DataFrame): Array[Array[Float]] = {
     // cosine: the assigner (FloatMatTopCentroids) ranks by cosine.
     // medoid: probe recall needs data-point spread, not converged means
     // (see KMeansTrainer — measured +0.10 recall@10 on this corpus).
@@ -502,6 +502,80 @@ object AnnQueries {
   val PqK = 16      // codebook entries per subspace → 4-bit codes
   val RerankDepth = 8 * TopK // exact-rescored ADC candidates per query
 
+  /** PQ codebooks: per-subspace k-means|| seeds over the bounded hash
+    * sample + ONE exact Lloyd step over the whole corpus (all-subspace
+    * assignment columns, one posexplode keyed (subspace, code, dim),
+    * sums in DECIMAL so centroids are partition-order exact — the IVF
+    * discipline). Deterministic for fixed data, so every PQ surface
+    * (s_ann_pq, the kv-served s_ann_pq_kv, their spec twins) trains the
+    * SAME books. Driver state: M·K·SubDim floats. */
+  private[pipeline] def pqBooks(e: DataFrame): Array[Array[Array[Float]]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val sample = trainSample(e, TrainSampleN)
+    val seedBooks: Array[Array[Array[Float]]] =
+      Array.tabulate(PqM) { m =>
+        KMeansTrainer.kmeansParallel(
+          sample.map { case (id, v) => (id, v.slice(m * PqSubDim, (m + 1) * PqSubDim)) },
+          PqK, cosine = true) // codebook assignment is cosine too
+      }
+    val means = e.select(F.col("embedding") +: pqCodeCols(seedBooks): _*)
+      .select(F.posexplode(F.col("embedding")).as(Seq("pos", "x")),
+        F.array((0 until PqM).map(m => F.col(s"c$m")): _*).as("cs"))
+      .select(F.expr(s"cast(pos div $PqSubDim as int)").as("m"),
+        F.expr(s"cast(pos % $PqSubDim as int)").as("p"),
+        F.element_at(F.col("cs"),
+          F.expr(s"cast(pos div $PqSubDim as int)") + 1).as("cid"),
+        F.col("x"))
+      .groupBy("m", "cid", "p")
+      .agg(F.sum(F.col("x").cast(DecimalType(30, 12))).as("sx"),
+        F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getDecimal(3).doubleValue() / r.getLong(4)).toFloat).toMap
+    Array.tabulate(PqM, PqK, PqSubDim)((m, k, p) =>
+      means.getOrElse((m, k, p), seedBooks(m)(k)(p)))
+  }
+
+  /** The M per-subspace code assignments of `embedding` as columns
+    * c0..c(M-1) (each the nearest codebook entry of its subvector). */
+  private[pipeline] def pqCodeCols(books: Array[Array[Array[Float]]]): Seq[Column] = {
+    def subv(m: Int): Column =
+      F.slice(F.col("embedding"), m * PqSubDim + 1, PqSubDim)
+    (0 until PqM).map(m => F.element_at(
+      graft.functions.VectorFunctions.floatMatTopCentroids(
+        subv(m), matLit(books(m)), F.lit(1)), 1).as(s"c$m"))
+  }
+
+  /** Per-query ADC lookup table, driver-built from the broadcast-sized
+    * query set: pdot(q, m, code) = q_m · books(m)(code). */
+  private[pipeline] def pqLut(s: SparkSession, e: DataFrame,
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val qs = e.filter(F.col("vec_id") < NQueries)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    s.createDataFrame(for {
+      (qid, qv, _) <- qs.toSeq; m <- 0 until PqM; k <- 0 until PqK
+    } yield (qid, m, k,
+      (0 until PqSubDim).foldLeft(0.0)((acc, p) =>
+        acc + qv(m * PqSubDim + p).toDouble * books(m)(k)(p).toDouble)))
+      .toDF("q_id", "m", "code", "pdot")
+  }
+
+  /** ADC candidates → EXACT cosine re-rank (bounded-heap both); the
+    * depth buys recall at RerankDepth exact dots per query — the
+    * re-rank knob from Jégou et al.'s PQ paper, negligible beside the
+    * code scan at any corpus size. `adc` is (q_id, vec_id, adot). */
+  private[pipeline] def pqRerank(e: DataFrame, adc: DataFrame): DataFrame = {
+    val cand = graft.operators.TopK.perGroup(adc,
+      Seq("q_id"), F.col("adot").cast("double"), F.col("vec_id"), RerankDepth)
+      .select(F.col("q_id"), F.col("id").as("vec_id"))
+    val qdf = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
+        F.col("nrm").as("nq"))
+    rankTopK(cand.join(e, "vec_id").join(F.broadcast(qdf), "q_id")
+      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
+        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs")))
+  }
+
   /** s_ann_pq: product-quantization ANN (rows-only; AnnSpec measures
     * recall) — the memory-bound scale path of the ANN trio (LSH buckets,
     * IVF probes, PQ compresses): each vector is stored as M=8 4-bit
@@ -525,70 +599,17 @@ object AnnQueries {
   def sAnnPq(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
-    // each subspace trains its own codebook on the sample's subvectors
-    val sample = trainSample(e, TrainSampleN)
-    val seedBooks: Array[Array[Array[Float]]] =
-      Array.tabulate(PqM) { m =>
-        KMeansTrainer.kmeansParallel(
-          sample.map { case (id, v) => (id, v.slice(m * PqSubDim, (m + 1) * PqSubDim)) },
-          PqK, cosine = true) // codebook assignment is cosine too
-      }
-    def subv(m: Int): Column =
-      F.slice(F.col("embedding"), m * PqSubDim + 1, PqSubDim)
-    def codeCols(books: Array[Array[Array[Float]]]): Seq[Column] =
-      (0 until PqM).map(m => F.element_at(
-        graft.functions.VectorFunctions.floatMatTopCentroids(
-          subv(m), matLit(books(m)), F.lit(1)), 1).as(s"c$m"))
-    // one Lloyd step, one job: assign every subspace, then explode the
-    // full vector once — (m, code, dim) keyed means in exact DECIMAL
-    val means = e.select(F.col("embedding") +: codeCols(seedBooks): _*)
-      .select(F.posexplode(F.col("embedding")).as(Seq("pos", "x")),
-        F.array((0 until PqM).map(m => F.col(s"c$m")): _*).as("cs"))
-      .select(F.expr(s"cast(pos div $PqSubDim as int)").as("m"),
-        F.expr(s"cast(pos % $PqSubDim as int)").as("p"),
-        F.element_at(F.col("cs"),
-          F.expr(s"cast(pos div $PqSubDim as int)") + 1).as("cid"),
-        F.col("x"))
-      .groupBy("m", "cid", "p")
-      .agg(F.sum(F.col("x").cast(DecimalType(30, 12))).as("sx"),
-        F.count(F.lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
-        (r.getDecimal(3).doubleValue() / r.getLong(4)).toFloat).toMap
-    val books = Array.tabulate(PqM, PqK, PqSubDim)((m, k, p) =>
-      means.getOrElse((m, k, p), seedBooks(m)(k)(p)))
+    val books = pqBooks(e)
     // corpus → M small codes (this projection IS the compressed index)
-    val codes = e.select(F.col("vec_id") +: codeCols(books): _*)
+    val codes = e.select(F.col("vec_id") +: pqCodeCols(books): _*)
       .select(F.col("vec_id"),
         F.posexplode(F.array((0 until PqM).map(m => F.col(s"c$m")): _*))
           .as(Seq("m", "code")))
-    // per-query ADC lookup table, driver-built from the broadcast-sized
-    // query set: pdot(q, m, code) = q_m · books(m)(code)
-    val qs = e.filter(F.col("vec_id") < NQueries)
-      .select("vec_id", "embedding", "nrm").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    val lut = s.createDataFrame(for {
-      (qid, qv, _) <- qs.toSeq; m <- 0 until PqM; k <- 0 until PqK
-    } yield (qid, m, k,
-      (0 until PqSubDim).foldLeft(0.0)((acc, p) =>
-        acc + qv(m * PqSubDim + p).toDouble * books(m)(k)(p).toDouble)))
-      .toDF("q_id", "m", "code", "pdot")
-    val adc = codes.join(F.broadcast(lut), Seq("m", "code"))
+    val adc = codes.join(F.broadcast(pqLut(s, e, books)), Seq("m", "code"))
       .filter(F.col("vec_id") =!= F.col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(F.sum(F.col("pdot").cast(DecimalType(30, 12))).as("adot"))
-    // RerankDepth ADC candidates, then EXACT cosine re-rank (bounded-heap
-    // both); the depth buys recall at RerankDepth exact dots per query —
-    // the re-rank knob from Jégou et al.'s PQ paper, negligible beside
-    // the code scan at any corpus size
-    val cand = graft.operators.TopK.perGroup(adc,
-      Seq("q_id"), F.col("adot").cast("double"), F.col("vec_id"), RerankDepth)
-      .select(F.col("q_id"), F.col("id").as("vec_id"))
-    val qdf = e.filter(F.col("vec_id") < NQueries)
-      .select(F.col("vec_id").as("q_id"), F.col("embedding").as("eq"),
-        F.col("nrm").as("nq"))
-    rankTopK(cand.join(e, "vec_id").join(F.broadcast(qdf), "q_id")
-      .select(F.col("q_id"), F.col("vec_id").as("n_id"),
-        (dot(F.col("eq"), F.col("embedding")) / (F.col("nq") * F.col("nrm"))).as("cs")))
+    pqRerank(e, adc)
   }
 
   /** s_ann_filtered: FILTERED vector search — the vector-DB shape where
@@ -1279,6 +1300,73 @@ object AnnQueries {
   def sAnnIvfKvChecked(s: SparkSession, dir: String): DataFrame =
     annPerQuery(sAnnIvfKv(s, dir), sAnnTopk(s, dir), IvfPerQueryMinHits)
 
+  private[pipeline] var lastPqKvSeg: Option[java.nio.file.Path] = None
+
+  /** s_ann_pq_kv: PQ CODES IN THE KV VALUE — the DiskANN/IVFADC shape
+    * on a disaggregated KV layer (r12 verdict #4 closed s_ann_ivf_kv's
+    * one gap: its postings stored EMPTY values and joined back to the
+    * full embedding frame for scoring). Here k = centroid id,
+    * c = vec id, and v IS the vector's M=8 one-byte PQ codes — so ADC
+    * scoring runs OFF THE STORE READ alone: the probed lists arrive as
+    * a static key IN set (plan-time segment pruning, NProbe/NCentroids
+    * of the store at any corpus), each posting's codes decode from v
+    * with codegen'd substring/conv, the broadcast LUT join scores them,
+    * and only the top-RerankDepth candidates per query fetch their
+    * exact vectors for the cosine re-rank. At a trillion vectors the
+    * index read is NProbe lists of 16-byte-keyed 8-byte values and the
+    * raw-vector fetch is RerankDepth·NQueries rows — the store never
+    * scans. Same deterministic centroids + codebooks as s_ann_ivf /
+    * s_ann_pq; AnnPqKvSpec asserts row equality with the frame-computed
+    * IVFADC twin and that only probed-list segments schedule. */
+  def sAnnPqKv(s: SparkSession, dir: String): DataFrame = synchronized {
+    import graft.kv.KVStore.{decLong, encLong}
+    import org.apache.spark.sql.types.DecimalType
+    val seg = graft.ScenarioDirs.fresh("graft_pqkv", lastPqKvSeg)
+    lastPqKvSeg = Some(seg)
+    val e = withNorm(Tables(s, dir, "embeddings")).localCheckpoint()
+    val cents = ivfCentroids(e)
+    val books = pqBooks(e)
+    // one byte per subspace code (PqK = 16 < 256): 16 hex chars → 8 bytes
+    val codeBytes = F.unhex(F.concat(
+      (0 until PqM).map(m => F.lpad(F.hex(F.col(s"c$m")), 2, "0")): _*))
+    val postings = e.select(
+        F.col("vec_id") +: F.col("embedding") +: pqCodeCols(books): _*)
+      .select(
+        encLong(nearestCid(F.col("embedding"), cents).cast("long")).as("k"),
+        encLong(F.col("vec_id")).as("c"),
+        codeBytes.as("v"))
+    graft.sources.kvconnector.KVSegmentStore.write(postings, seg.toString, 8)
+    val probes = e.filter(F.col("vec_id") < NQueries)
+      .select(F.col("vec_id").as("q_id"),
+        F.explode(topCids(F.col("embedding"), cents, NProbe)).as("cid"))
+      .localCheckpoint()
+    val cidKeys = probes.select("cid").distinct().collect()
+      .map(r => graft.kv.KVStore.beLong(r.getInt(0).toLong))
+    // ADC off the store read: (cid, vec_id, code bytes) is ALL the index
+    // ships; the m-th code decodes from byte m of v
+    val codeRows = s.read.format("graft-kv").load(seg.toString)
+      .filter(F.col("k").isin(cidKeys.toSeq: _*))
+      .select(decLong(F.col("k"), 1).cast("int").as("cid"),
+        decLong(F.col("c"), 1).as("vec_id"),
+        F.posexplode(F.array((0 until PqM).map(m =>
+          F.conv(F.hex(F.substring(F.col("v"), m + 1, 1)), 16, 10)
+            .cast("int")): _*)).as(Seq("m", "code")))
+    val adc = F.broadcast(probes).join(codeRows, Seq("cid"))
+      .join(F.broadcast(pqLut(s, e, books)), Seq("q_id", "m", "code"))
+      .filter(F.col("vec_id") =!= F.col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(F.sum(F.col("pdot").cast(DecimalType(30, 12))).as("adot"))
+    pqRerank(e, adc).localCheckpoint(true)
+  }
+
+  /** s_ann_pq_kv driver entry: the same per-query audit as the other
+    * ANN paths. The floor is IVF's (≥ 1 true neighbor per query — the
+    * weakest per-query contract that is still a contract): the
+    * candidate set is the IVF probe intersected with ADC's
+    * top-RerankDepth, so hits can only be ≤ s_ann_ivf's. */
+  def sAnnPqKvChecked(s: SparkSession, dir: String): DataFrame =
+    annPerQuery(sAnnPqKv(s, dir), sAnnTopk(s, dir), IvfPerQueryMinHits)
+
   val annPerQuerySql: String =
     s"""SELECT vec_id AS q_id, CAST($TopK AS BIGINT) AS k,
        | CAST(1 AS BIGINT) AS ok_shape, CAST(1 AS BIGINT) AS ok_hits
@@ -1302,5 +1390,6 @@ object AnnQueries {
     ("s_ann_l2", sAnnL2 _, Some(sAnnL2Sql)),
     ("s_ann_lsh", sAnnLshChecked _, Some(annPerQuerySql)),
     ("s_ann_ivf", sAnnIvfChecked _, Some(annPerQuerySql)),
-    ("s_ann_ivf_kv", sAnnIvfKvChecked _, Some(annPerQuerySql)))
+    ("s_ann_ivf_kv", sAnnIvfKvChecked _, Some(annPerQuerySql)),
+    ("s_ann_pq_kv", sAnnPqKvChecked _, Some(annPerQuerySql)))
 }

@@ -76,11 +76,22 @@ object KVZOrder {
     * The gate that proves the layout pays (kv_zorder) compares this
     * count across layouts of the same rows. */
   def scheduledSegments(path: String, kLo: Array[Byte], kHi: Array[Byte],
-                        cLo: Array[Byte], cHi: Array[Byte]): Int = {
+                        cLo: Array[Byte], cHi: Array[Byte]): Int =
+    scheduledSegmentsOf(KVSegmentStore.readManifest(path), kLo, kHi, cLo, cHi)
+
+  /** [[scheduledSegments]] over an ALREADY-READ manifest — kv_zorder
+    * probes a layout and gates on its committed total in one entry, so
+    * sharing one manifest read per store keeps the whole gate at two
+    * metadata reads (r12 verdict #5). The pruning predicate is exactly
+    * the DSv2 scan's range/zone-map rule (range probes never consult
+    * bloom sidecars). */
+  def scheduledSegmentsOf(segs: Seq[KVSegmentStore.Segment],
+                          kLo: Array[Byte], kHi: Array[Byte],
+                          cLo: Array[Byte], cHi: Array[Byte]): Int = {
     import org.apache.spark.sql.sources._
     val fs: Array[Filter] = Array(
       GreaterThanOrEqual("k", kLo), LessThanOrEqual("k", kHi),
       GreaterThanOrEqual("c", cLo), LessThan("c", cHi))
-    new KVScan(path, KVDataSource.Schema, fs).kept.size
+    segs.count(seg => fs.forall(KVDataSource.mayMatch(seg, _)))
   }
 }

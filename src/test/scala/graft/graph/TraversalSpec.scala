@@ -117,6 +117,55 @@ class TraversalSpec extends SparkSpec {
     assert(dsl == manual)
   }
 
+  test("group().by(key).by(agg) is one aggregate over the chain, no extra join") {
+    // same key and aggregate as groupCount: rows must agree exactly
+    val grp = Traversal.V(spark, SF)
+      .hasLabel("customer").out("in_nation").as("n_vid")
+      .group("n_vid", F.count(F.lit(1)).as("cnt"))
+      .df
+    val gc = GraphQueries.gDslGroupCount(spark, SF)
+    val a = grp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = gc.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b && a.nonEmpty)
+    // plan shape: the hop's one join plus ONE aggregate, nothing else
+    def joinCount(p: org.apache.spark.sql.DataFrame): Int =
+      p.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    def aggCount(p: org.apache.spark.sql.DataFrame): Int =
+      p.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size
+    val bareHop = Traversal.V(spark, SF)
+      .hasLabel("customer").out("in_nation").as("n_vid").df
+    assert(joinCount(grp) == joinCount(bareHop),
+      s"group() must not add joins:\n${grp.queryExecution.optimizedPlan}")
+    assert(aggCount(grp) == 1)
+  }
+
+  test("project() is one projection over marks and taps, no extra join") {
+    val df = GraphQueries.gDslProject(spark, SF)
+    def joinCount(p: org.apache.spark.sql.DataFrame): Int =
+      p.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    // the walk is one hop join + one fused name tap join; project adds none
+    val bare = Traversal.V(spark, SF)
+      .hasLabel("supplier").value("acctbal", "s_bal").as("s_vid")
+      .out("in_nation").value("name", "n_name")
+      .select("s_vid", "n_name").df
+    assert(joinCount(df) == joinCount(bare),
+      s"project() must not add joins:\n${df.queryExecution.optimizedPlan}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the computed band agrees with a manual recomputation
+    val manual = PropertyGraph(spark, SF).vertices
+      .filter(F.col("vlabel") === "supplier")
+      .select(F.col("vid"), F.floor(F.col("acctbal") / 1000.0).cast("long").as("band"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => manual(r.getLong(0)) == r.getLong(2)))
+  }
+
   test("outE/has(w)/value/inV: edge-property filter inside the hop join") {
     val df = GraphQueries.gDslEdgeW(spark, SF)
     // edge has()/value() must be FREE: exactly ONE join beyond what the
