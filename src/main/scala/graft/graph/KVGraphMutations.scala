@@ -49,18 +49,28 @@ object KVGraphMutations {
       F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(0L))).as("c"),
       encLong(F.pmod(F.col("vid"), F.lit(4L))).as("v"))
 
+  // an UNKNOWN edge label resolves to id 0 = the vertex family: writing
+  // such a cell would corrupt the vertex column family silently, so the
+  // label id is guarded inside the load-bearing qualifier expression
+  // (assert_true throws on the first unregistered label at write time)
+  private def checkedLabelId =
+    F.when(F.assert_true(KVGraphQueries.labelId > 0L,
+      F.concat(F.lit("unregistered edge label '"), F.col("elabel"),
+        F.lit("': adjacency labels must be registered in KVGraphQueries.LabelIds"))
+    ).isNull, KVGraphQueries.labelId)
+
   /** addE: edge frames (src, dst, elabel, w) → adjacency cells (k, c, v). */
   def edgeAdditions(edges: DataFrame): DataFrame =
     edges.select(
       encLong(F.col("src")).as("k"),
-      F.concat(encLong(KVGraphQueries.labelId), encLong(F.col("dst"))).as("c"),
+      F.concat(encLong(checkedLabelId), encLong(F.col("dst"))).as("c"),
       encLong(F.col("w")).as("v"))
 
   /** dropE: edge frames (src, dst, elabel) → their tombstone (k, c). */
   def edgeDeletions(edges: DataFrame): DataFrame =
     edges.select(
       encLong(F.col("src")).as("k"),
-      F.concat(encLong(KVGraphQueries.labelId), encLong(F.col("dst"))).as("c"))
+      F.concat(encLong(checkedLabelId), encLong(F.col("dst"))).as("c"))
 
   /** Snapshot-path mutation: one [[KVStore.mutate]] applying addV + addE
     * + dropEdges as ONE batch (deletions strictly before additions, each

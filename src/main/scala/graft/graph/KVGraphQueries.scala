@@ -129,8 +129,11 @@ object KVGraphQueries {
     val elabel = LabelIds.foldLeft(F.lit("?")) { case (acc, (name, id)) =>
       F.when(decLong(F.col("c"), 1) === id, F.lit(name)).otherwise(acc)
     }
+    // adjacency families ONLY: family 0 (vertex-existence cells) below,
+    // the VCI families (VciBase + label, w-sorted — dualAdjacency) above;
+    // a VCI cell leaking through would decode its WEIGHT as the dst vid
     val edges = s.read.format("graft-kv").load(segPath)
-      .filter(F.col("c") >= labelLo(1L)) // adjacency families only
+      .filter(F.col("c") >= labelLo(1L) && F.col("c") < labelLo(VciBase))
       .select(
         F.col("k").as(Traversal.KvKeyCol),
         decLong(F.col("k"), 1).as("src"),
@@ -298,6 +301,7 @@ object KVGraphQueries {
   }
 
   private var lastMutWh: Option[java.nio.file.Path] = None
+  private var lastMutSeg: Option[java.nio.file.Path] = None
 
   /** g_kv_mutate_hop: the GRAPH WRITE LOOP end-to-end (r12 verdict #1 —
     * the last uncomposed reference behavior). JanusGraph commits
@@ -305,8 +309,12 @@ object KVGraphQueries {
     * (ClickhouseKeyColumnValueStore.java:133 delete-before-add;
     * mutateMany ClickhouseStoreManager.java:79); here
     * [[KVGraphMutations]] compiles addV/addE/dropEdges onto
-    * [[graft.kv.KVDeltaStore]] batches and the store is read back
-    * merged. The scenario exercises every mutation kind VISIBLY under
+    * [[graft.kv.KVDeltaStore]] batches and the mutated state is served
+    * BACK THROUGH THE CONNECTOR: the merged view folds into a segment
+    * store (the compaction a long-lived deployment runs anyway) and the
+    * onehop drives the pruned g_kv_onehop path over it — start-set
+    * runtime key pruning + the label slice's c range.
+    * The scenario exercises every mutation kind VISIBLY under
     * the hash gate: the base store lacks the nation vertices and ALL
     * in_nation edges (the onehop would return zero rows), carries the
     * peer edges with a STALE w+1 property, and holds the in_region
@@ -339,23 +347,32 @@ object KVGraphQueries {
       addE = e.filter(F.col("elabel") === "in_nation")
         .unionByName(e.filter(F.col("elabel") === "peer")),
       dropE = e.filter(F.col("elabel").isin("in_region", "peer")))
-    val merged = ds.openDatabase("graph")
+    // the mutated state served BACK THROUGH THE CONNECTOR: fold the
+    // merged view into a segment store (the compaction a long-lived
+    // deployment runs anyway) and drive the onehop through the pruned
+    // g_kv_onehop path — start-set runtime key pruning + the in_nation
+    // label slice as a pushed c range. "Mutate, then re-read by the
+    // existing g_kv_* plans", literally.
+    val seg = graft.ScenarioDirs.fresh("graft_kvgmseg", lastMutSeg)
+    lastMutSeg = Some(seg)
+    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 16)
+    val store = s.read.format("graft-kv").load(seg.toString)
     val lid = decLong(F.col("c"), 1)
-    val scalars = merged.agg(
+    val scalars = store.agg(
       F.sum(F.when(lid === 3L, decLong(F.col("v"), 1))).as("peer_w_sum"),
       F.count(F.when(lid === 2L, F.lit(1))).as("rem_region_edges"),
       F.count(F.when(lid === 0L, F.lit(1))).as("n_vertex_cells"))
-    val adj = merged.filter(F.col("c") >= labelLo(1L))
-      .select(decLong(F.col("k"), 1).as("src"), lid.as("lid"),
-        decLong(F.col("c"), 9).as("dst"))
+    val inNation = LabelIds.toMap.apply("in_nation")
     val start = g.vertices
       .filter(F.col("vlabel") === "customer" && F.col("mktsegment") === "BUILDING")
-      .select(F.col("vid").as("src"), F.col("vid").as("c_vid"))
+      .select(encLong(F.col("vid")).as("k"), F.col("vid").as("c_vid"))
     val nations = g.vertices.filter(F.col("vlabel") === "nation")
-      .select(F.col("vid").as("dst"), F.col("name"))
-    adj.filter(F.col("lid") === 1L)
-      .join(start, "src")
-      .join(F.broadcast(nations), "dst")
+      .select(F.col("vid").as("dst_vid"), F.col("name"))
+    store
+      .filter(F.col("c") >= labelLo(inNation) && F.col("c") < labelHi(inNation))
+      .join(start, Seq("k"))
+      .select(F.col("c_vid"), decLong(F.col("c"), 9).as("dst_vid"))
+      .join(F.broadcast(nations), "dst_vid")
       .select(F.col("c_vid"), F.col("name").as("n_name"))
       .crossJoin(F.broadcast(scalars))
       .localCheckpoint(true)

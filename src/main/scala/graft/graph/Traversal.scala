@@ -443,19 +443,28 @@ final class Traversal private (
     // guard (which correctly stops re-EXPANSION: sources already expanded
     // in round 1) also kept sources out of `matched` (r12 advice #1).
     // Recover them here: a source is re-reached iff some expanded
-    // (non-matched) vertex points at it; one edge join at the end, not
-    // per round. Remaining oracle caveat (documented, not semantic): a
+    // (non-matched) vertex points at it. Gated on the (usually empty)
+    // matching-source set FIRST, so the common case — no source can
+    // match, e.g. g_dsl_until's regions vs a customer predicate — pays
+    // one source-sized join and no edge pass; only when sources CAN
+    // match does the dst-restricted edge semi-join run (r13 review #2).
+    // Remaining oracle caveat (documented, not semantic): a
     // recursive-CTE oracle seeding sources into its result set emits a
     // matching source even when NO traverser re-reaches it — pair such
     // oracles with predicate-free sources (g_dsl_until's regions can
     // never be customers) or re-reachable ones.
-    val expanded = reached.join(matched, Seq("vid"), "left_anti")
-    val reMatched = edges
-      .join(expanded.select(F.col("vid").as("src")), "src")
-      .select(F.col("dst").as("vid")).distinct()
-      .join(sources, "vid")
+    val srcMatched = sources
       .join(marked.filter(F.col("__m")).select("vid"), "vid")
-    matched.unionAll(reMatched)
+      .localCheckpoint(true)
+    if (srcMatched.isEmpty) matched
+    else {
+      val expanded = reached.join(matched, Seq("vid"), "left_anti")
+      val reMatched = edges
+        .join(srcMatched.select(F.col("vid").as("dst")), "dst")
+        .join(expanded.select(F.col("vid").as("src")), "src")
+        .select(F.col("dst").as("vid")).distinct()
+      matched.unionAll(reMatched)
+    }
   }
 
   /** A branch result projected onto this traversal's chain + ONE new
@@ -607,12 +616,33 @@ final class Traversal private (
     require(cols.nonEmpty, "project() needs at least one column")
     require(edge.isEmpty, "project() on an edge step: complete it with inV()/outV() first")
     val t = flushed
-    val exposed = t.marks.foldLeft(t.df) { case (df, (name, internal)) =>
-      if (internal == name) df else df.withColumn(name, F.col(internal))
-    }
-    t.step(frame = exposed.select(cols.map { case (n, c) => c.as(n) }: _*),
+    t.step(frame = exposedMarks.select(cols.map { case (n, c) => c.as(n) }: _*),
       onVertices = false)
   }
+
+  /** The composed plan with every as() mark ALSO exposed under its user
+    * name — what project()/addE() expressions reference (select() keeps
+    * its own rename-on-output shape for historical plan equality). */
+  private def exposedMarks: DataFrame = {
+    val t = flushed
+    t.marks.foldLeft(t.df) { case (df, (name, internal)) =>
+      if (internal == name) df else df.withColumn(name, F.col(internal))
+    }
+  }
+
+  /** Gremlin addE(label).from(a).to(b).property("w", expr): materialize
+    * NEW EDGES from the walked chain — the write half of the traversal
+    * surface. `from`/`to` name as() marks (or chain/tap columns); the
+    * result is an edge frame (src, dst, elabel, w) ready for the KCV
+    * write loop (KVGraphMutations.mutateLog / mutateSnapshot compiles
+    * it onto the store's mutation batches — JanusGraph's addE commits
+    * through the same mutate SPI). One projection, no join, no
+    * shuffle; duplicates follow the traversal's bag semantics (dedup()
+    * first for set semantics, as Gremlin users do). */
+  def addE(label: String, from: String, to: String, w: Column): DataFrame =
+    exposedMarks.select(
+      F.col(from).as("src"), F.col(to).as("dst"),
+      F.lit(label).as("elabel"), w.as("w"))
 
   /** Gremlin groupCount(): rows per value of `col` (an as() mark, a
     * tapped value, or a chain column) — one hash aggregate, map-side

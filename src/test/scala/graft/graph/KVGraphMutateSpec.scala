@@ -81,6 +81,53 @@ class KVGraphMutateSpec extends SparkSpec {
     assert(store.filter(F.col("c") >= KVGraphQueries.labelLo(1L)).count() == nE)
   }
 
+  test("addE on the traversal surface feeds the write loop end to end") {
+    // walk every BUILDING customer to its nation, materialize NEW
+    // customer→nation edges under the (registered) in_nation label with
+    // a constant w = 9, mutate them into an EMPTY store, and verify the
+    // store's decoded cells are exactly the walked (customer, nation)
+    // pairs at w = 9
+    val (g, e, baseV, _, _, _, _) = scenario()
+    val noV = baseV.limit(0)
+    val walked = Traversal.V(g)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation")
+      .df // (c_vid, v1 = nation vid)
+    val newEdges = Traversal.V(g)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation").as("n_vid")
+      .addE("in_nation", "c_vid", "n_vid", F.lit(9L))
+    val wh = java.nio.file.Files.createTempDirectory("graft_kvgmutspec3")
+    val ds = new KVDeltaStore(spark, wh.toString)
+    // empty base, then the traversal-produced edges as one mutation
+    KVGraphMutations.mutateLog(ds, "g", noV, e.limit(0), e.limit(0))
+    KVGraphMutations.mutateLog(ds, "g", noV, newEdges, e.limit(0))
+    val back = ds.openDatabase("g")
+      .select(graft.kv.KVStore.decLong(F.col("k"), 1).as("src"),
+        graft.kv.KVStore.decLong(F.col("c"), 9).as("dst"),
+        graft.kv.KVStore.decLong(F.col("v"), 1).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val expect = walked.collect().map(r => (r.getLong(0), r.getLong(1), 9L))
+      .distinct.sorted.toSeq // upsert collapses duplicate (k, c) cells
+    assert(back.nonEmpty && back == expect)
+  }
+
+  test("an unregistered edge label fails loudly instead of corrupting family 0") {
+    val (_, e, _, _, _, _, _) = scenario()
+    val bogus = e.limit(1).withColumn("elabel", F.lit("no_such_label"))
+    // the guard must fire with ITS OWN message (any other exception —
+    // or none, if an optimizer change folded the assert away — means
+    // the bogus edge would have landed in the vertex family silently)
+    val ex = intercept[Exception] {
+      KVGraphMutations.edgeAdditions(bogus).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("unregistered edge label")),
+      s"guard did not fire: ${messages(ex).mkString(" | ")}")
+  }
+
   test("g_kv_mutate_hop reproduces the frame one-hop over the mutated store") {
     val out = KVGraphQueries.gKvMutateHop(spark, SF)
     val frame = GraphQueries.gOneHop(spark, SF)

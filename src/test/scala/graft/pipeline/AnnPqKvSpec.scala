@@ -15,8 +15,12 @@ import graft.sources.kvconnector.{KVScan, KVSegmentStore}
   * prune the store's segments at plan time. */
 class AnnPqKvSpec extends SparkSpec {
 
+  // one shared run of the entry: both tests force it, so neither depends
+  // on the other's side effects (test-filter safe)
+  private lazy val served = AnnQueries.sAnnPqKv(spark, SF)
+
   test("store-served IVFADC equals the frame-computed twin row-for-row") {
-    val served = AnnQueries.sAnnPqKv(spark, SF)
+    served.count()
     // the frame twin: identical pipeline, codes straight from the frame
     val e = AnnQueries.withNorm(Tables(spark, SF, "embeddings")).localCheckpoint()
     val cents = AnnQueries.ivfCentroids(e)
@@ -48,7 +52,9 @@ class AnnPqKvSpec extends SparkSpec {
   }
 
   test("the probed lists prune the code store's segments at plan time") {
-    // the entry localCheckpoints; re-issue the same IN probe directly
+    // force the shared entry run, then re-issue the same IN probe
+    // directly (the entry itself localCheckpoints)
+    served.count()
     val store = AnnQueries.lastPqKvSeg.get.toString
     val total = KVSegmentStore.readManifest(store).size
     val probe = spark.read.format("graft-kv").load(store)

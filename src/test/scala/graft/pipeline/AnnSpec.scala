@@ -102,8 +102,7 @@ class AnnSpec extends SparkSpec {
     val total = KVSegmentStore.readManifest(store).size
     // the SAME multi-key IN shape the entry issues (not a single ===):
     // the claim is that the NProbe probed lists prune as an IN set
-    def be(v: Long): Array[Byte] =
-      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def be(v: Long): Array[Byte] = graft.kv.KVStore.beLong(v)
     val probe = spark.read.format("graft-kv").load(store)
       .filter(org.apache.spark.sql.functions.col("k")
         .isin(Seq(be(0L), be(1L), be(2L)): _*))

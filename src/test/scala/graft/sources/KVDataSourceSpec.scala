@@ -136,8 +136,7 @@ class KVDataSourceSpec extends SparkSpec {
     val dir = written
     // store keys are 0..99 range-partitioned into 8 segments; an IN set
     // of 3 nearby keys can only touch a couple of them
-    val enc = Array(10L, 11L, 12L).map(v =>
-      java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    val enc = Array(10L, 11L, 12L).map(KVStore.beLong)
     val narrow = spark.read.format("graft-kv").load(dir)
       .filter(F.col("k").isin(enc.toSeq: _*))
     val plan = narrow.queryExecution.executedPlan.toString

@@ -42,7 +42,7 @@ class KVStatsSpec extends SparkSpec {
     assert(fullStats.numRows.getAsLong == 10000)
     assert(fullStats.sizeInBytes.getAsLong > 0)
 
-    val probe = java.nio.ByteBuffer.allocate(8).putLong(7L).array()
+    val probe = KVStore.beLong(7L)
     val slice = spark.read.format("graft-kv").load(dir)
       .filter(F.col("k") === F.lit(probe))
     slice.collect()
@@ -59,7 +59,7 @@ class KVStatsSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val slice = spark.read.format("graft-kv").load(dir)
-        .filter(F.col("k") <= F.lit(java.nio.ByteBuffer.allocate(8).putLong(3L).array()))
+        .filter(F.col("k") <= F.lit(KVStore.beLong(3L)))
       val big = spark.range(0, 200000)
         .select(KVStore.encLong(F.col("id") % 100).as("k"),
           F.col("id").as("payload"))
