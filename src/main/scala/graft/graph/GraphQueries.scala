@@ -203,6 +203,32 @@ object GraphQueries {
        |WHERE c.vlabel = 'customer'
        |GROUP BY 1""".stripMargin
 
+  /** g_dsl_pathe: path() BY ELEMENTS (r12 "missing" #4 — the daily
+    * Gremlin shape `path()` showing the traversed EDGES): two labeled
+    * hops from BUILDING customers through their nation to its region,
+    * projected as `cust -[in_nation]-> nation -[in_region]-> region`.
+    * The arrows are compile-time strings recorded per hop, so the path
+    * column is ONE concat over rows already in hand — no join, no
+    * shuffle added to the two hop joins; own full-SQL oracle spelling
+    * the identical string. */
+  def gDslPathE(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation").out("in_region")
+      .pathE("p")
+      .select("c_vid", "p")
+      .df
+
+  val gDslPathESql: String =
+    s"""WITH $sqlPrelude
+       |SELECT a.vid AS c_vid,
+       | CAST(a.vid AS VARCHAR) || ' -[in_nation]-> ' || CAST(e1.dst AS VARCHAR)
+       |   || ' -[in_region]-> ' || CAST(e2.dst AS VARCHAR) AS p
+       |FROM verts a
+       |JOIN edges e1 ON e1.src = a.vid AND e1.elabel = 'in_nation'
+       |JOIN edges e2 ON e2.src = e1.dst AND e2.elabel = 'in_region'
+       |WHERE a.vlabel = 'customer' AND a.mktsegment = 'BUILDING'""".stripMargin
+
   /** g_dsl_group: group().by(key).by(agg) — Gremlin's aggregating
     * group step (r12 verdict #8; groupCount covers only the counting
     * form): suppliers' peer-edge weights grouped by the peer's nation —
@@ -2052,6 +2078,7 @@ object GraphQueries {
     ("g_dsl_groupcount", gDslGroupCount _, Some(gDslGroupCountSql)),
     ("g_dsl_group", gDslGroup _, Some(gDslGroupSql)),
     ("g_dsl_project", gDslProject _, Some(gDslProjectSql)),
+    ("g_dsl_pathe", gDslPathE _, Some(gDslPathESql)),
     ("g_dsl_edge_w", gDslEdgeW _, Some(gDslEdgeWSql)),
     ("g_dsl_until", gDslUntil _, Some(gDslUntilSql)),
     ("g_dsl_simplepath", gDslSimplePath _, Some(gDslSimplePathSql)),

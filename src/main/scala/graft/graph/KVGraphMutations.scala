@@ -42,12 +42,48 @@ object KVGraphMutations {
   /** The reserved vertex column family id (adjacency labels start at 1). */
   val VertexFamily = 0L
 
+  /** Property-key ids inside the vertex family: the existence cell sits
+    * at qualifier (0, 0), each property at (0, propId) — JanusGraph
+    * stores vertex properties exactly so (one cell per property, the
+    * property-key id from its schema registry as the column), and a
+    * property READ is then getSlice(vertex, [propId, propId+1)). */
+  val VPropIds: Seq[(String, Long)] =
+    Seq("name" -> 1L, "acctbal" -> 2L, "mktsegment" -> 3L)
+
   /** addV: vertex frames (vid, …) → their existence cells (k, c, v). */
   def vertexAdditions(vertices: DataFrame): DataFrame =
     vertices.select(
       encLong(F.col("vid")).as("k"),
       F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(0L))).as("c"),
       encLong(F.pmod(F.col("vid"), F.lit(4L))).as("v"))
+
+  /** addV properties: one cell PER SET PROPERTY per vertex — c = (0,
+    * propId), v = the value's string bytes (decimals via dec2 so the
+    * bytes are oracle-stable; unset/null properties get NO cell, the
+    * JanusGraph contract). The vertex's property read becomes a pushed
+    * qualifier slice over the same store the edges live in. */
+  def vertexPropAdditions(vertices: DataFrame): DataFrame = {
+    val cols = vertices.columns.toSet
+    VPropIds.filter { case (p, _) => cols.contains(p) }.map { case (p, id) =>
+      val raw = vertices.schema(p).dataType match {
+        case org.apache.spark.sql.types.DoubleType =>
+          graft.Tables.dec2(F.col(p)).cast("string")
+        case _ => F.col(p).cast("string")
+      }
+      vertices.filter(F.col(p).isNotNull).select(
+        encLong(F.col("vid")).as("k"),
+        F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(id))).as("c"),
+        raw.cast("binary").as("v"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The qualifier slice of ONE vertex property — [ (0, propId),
+    * (0, propId+1) ): what the SPI's property read pushes. */
+  def vpropSlice(prop: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val id = VPropIds.toMap.apply(prop)
+    (F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(id))),
+      F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(id + 1))))
+  }
 
   // an UNKNOWN edge label resolves to id 0 = the vertex family: writing
   // such a cell would corrupt the vertex column family silently, so the

@@ -300,6 +300,47 @@ object KVGraphQueries {
       .localCheckpoint(true)
   }
 
+  private var lastVpropSeg: Option[java.nio.file.Path] = None
+
+  /** g_kv_vprops: VERTEX PROPERTIES READ FROM THE STORE — JanusGraph
+    * keeps each vertex property as its own cell in the vertex family
+    * (property-key id as the qualifier), so a property read IS a
+    * getSlice(vertex, [propId, propId+1)) against the same store the
+    * adjacency lives in. Two pushed qualifier slices compose the
+    * classic read: the mktsegment slice evaluates the predicate ON THE
+    * STORED BYTES (BUILDING customers — vertices without the property
+    * have no cell and drop out for free, the JanusGraph null contract),
+    * and the acctbal slice joined on k serves the value. Both slices
+    * prune segments via the c zone maps at plan time; at 100 TB a
+    * property read touches the vertex family's slice, never the
+    * adjacency. Own full-SQL oracle (dec2 string bytes keep the value
+    * oracle-stable). */
+  def gKvVprops(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvvprop", lastVpropSeg)
+    lastVpropSeg = Some(seg)
+    val g = PropertyGraph(s, dir)
+    KVSegmentStore.write(
+      KVGraphMutations.vertexAdditions(g.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(g.vertices)),
+      seg.toString, 16)
+    val store = s.read.format("graft-kv").load(seg.toString)
+    val (mLo, mHi) = KVGraphMutations.vpropSlice("mktsegment")
+    val (bLo, bHi) = KVGraphMutations.vpropSlice("acctbal")
+    val building = store.filter(F.col("c") >= mLo && F.col("c") < mHi)
+      .filter(F.col("v").cast("string") === "BUILDING")
+      .select(F.col("k"))
+    val bal = store.filter(F.col("c") >= bLo && F.col("c") < bHi)
+      .select(F.col("k"), F.col("v").cast("string").as("bal_str"))
+    bal.join(building, "k")
+      .select(decLong(F.col("k"), 1).as("c_vid"), F.col("bal_str"))
+      .localCheckpoint(true)
+  }
+
+  val gKvVpropsSql: String =
+    """SELECT CAST(c_custkey * 4 AS BIGINT) AS c_vid,
+      | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str
+      |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
   private var lastMutWh: Option[java.nio.file.Path] = None
   private var lastMutSeg: Option[java.nio.file.Path] = None
 
@@ -395,5 +436,6 @@ object KVGraphQueries {
     ("g_kv_dsl_motif", gKvDslMotif _, Some(GraphQueries.gMotifSql)),
     ("g_kv_vci", gKvVci _, Some(GraphQueries.gDslEdgeWSql)),
     ("g_kv_vci_pick", gKvVciPick _, Some(GraphQueries.gDslEdgeWSql)),
+    ("g_kv_vprops", gKvVprops _, Some(gKvVpropsSql)),
     ("g_kv_mutate_hop", gKvMutateHop _, Some(gKvMutateHopSql)))
 }

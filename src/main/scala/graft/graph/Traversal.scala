@@ -144,7 +144,13 @@ final class Traversal private (
     private val originName: String = "v0",
     private val pendFilters: Vector[(String, Traversal.P)] = Vector.empty,
     private val pendTaps: Vector[(String, String)] = Vector.empty,
-    private val edge: Option[(String, Boolean)] = None) {
+    private val edge: Option[(String, Boolean)] = None,
+    // rendered arrow of each completed hop (" -[label]-> "), for the
+    // by-elements path projection; pure compile-time strings, so
+    // tracking them never touches the plan
+    private val hopEdges: Vector[String] = Vector.empty,
+    // the pending edge step's arrow (outE/inE), consumed by completeEdge
+    private val edgeArrow: String = "") {
 
   import Traversal.{P, HopStep, OutStep, InStep, BothStep}
 
@@ -163,9 +169,11 @@ final class Traversal private (
                    originName: String = originName,
                    pendFilters: Vector[(String, P)] = pendFilters,
                    pendTaps: Vector[(String, String)] = pendTaps,
-                   edge: Option[(String, Boolean)] = edge): Traversal =
+                   edge: Option[(String, Boolean)] = edge,
+                   hopEdges: Vector[String] = hopEdges,
+                   edgeArrow: String = edgeArrow): Traversal =
     new Traversal(g, frame, depth, onVertices, vals, marks, originName,
-      pendFilters, pendTaps, edge)
+      pendFilters, pendTaps, edge, hopEdges, edgeArrow)
 
   /** User-supplied names (as() marks, value() taps) must not collide
     * with the traversal's own column machinery: the internal hop chain
@@ -287,9 +295,18 @@ final class Traversal private (
     if (labels.isEmpty) g.edges
     else g.edges.filter(F.col("elabel").isin(labels: _*))
 
+  /** The rendered label token of a hop — a single static label renders
+    * itself, label-free / multi-label hops render the wildcard (the
+    * label is not a row value there). */
+  private def labelToken(labels: Seq[String]): String =
+    if (labels.size == 1) labels.head else "*"
+
   private def hop(reverse: Boolean, labels: Seq[String]): Traversal = {
     val e = edgeFrame(labels)
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
+    val arrow =
+      if (reverse) s" <-[${labelToken(labels)}]- "
+      else s" -[${labelToken(labels)}]-> "
     // a kv-backed adapter frame carries the raw store key (k = be(src));
     // keep it through a FORWARD hop so the join can key on the scan's own
     // attribute (reverse hops key on dst, which is not the store key)
@@ -298,7 +315,7 @@ final class Traversal private (
         e.select(F.col(Traversal.KvKeyCol),
           F.col(from).as("__from"), F.col(to).as("__to"))
       else e.select(F.col(from).as("__from"), F.col(to).as("__to"))
-    hopOn(e0)
+    hopOn(e0, arrow)
   }
 
   /** One hop over a (pre-oriented) __from/__to edge frame. Flushes the
@@ -308,7 +325,7 @@ final class Traversal private (
     * `k` attribute itself, so Spark plans a runtime In("k", …) filter
     * from the frontier side and the connector prunes adjacency segments
     * at execution (KVGraphSpec asserts the scheduled-segment drop). */
-  private def hopOn(e0: DataFrame): Traversal = {
+  private def hopOn(e0: DataFrame, arrow: String = " -[*]-> "): Traversal = {
     require(edge.isEmpty, "hop on an edge step: complete it with inV()/outV() first")
     val t = flushed
     val nxt = s"v${t.depth + 1}"
@@ -341,7 +358,8 @@ final class Traversal private (
             e0.select(F.col("__from").as(t.curCol), F.col("__to").as(nxt)),
             Seq(t.curCol))
           .select(((t.chain :+ nxt).map(F.col) ++ t.vals.map(F.col)): _*)
-    t.step(frame = joined, depth = t.depth + 1, onVertices = false)
+    t.step(frame = joined, depth = t.depth + 1, onVertices = false,
+      hopEdges = t.hopEdges :+ arrow)
   }
 
   /** out()/out(label…): one hop along out-edges. */
@@ -355,7 +373,8 @@ final class Traversal private (
     * frame, the plan every undirected named entry starts from). */
   def both(labels: String*): Traversal = {
     val sym = symmetrized(labels)
-    hopOn(sym.select(F.col("src").as("__from"), F.col("dst").as("__to")))
+    hopOn(sym.select(F.col("src").as("__from"), F.col("dst").as("__to")),
+      arrow = s" -[${labelToken(labels)}]- ")
   }
 
   /** The symmetrized distinct edge set a direction-blind step walks —
@@ -491,7 +510,8 @@ final class Traversal private (
     val t = flushed
     val nxt = s"v${t.depth + 1}"
     val merged = branches.map(b => t.branchFrame(b(t), nxt)).reduce(_ unionAll _)
-    t.step(frame = merged, depth = t.depth + 1, onVertices = false)
+    t.step(frame = merged, depth = t.depth + 1, onVertices = false,
+      hopEdges = t.hopEdges :+ " -[*]-> ")
   }
 
   /** Gremlin coalesce(b1, b2): b1's traversers where b1 produced any,
@@ -513,7 +533,8 @@ final class Traversal private (
     val keys = t.chain
     val fallback = u2.join(
       u1.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
-    t.step(frame = u1.unionAll(fallback), depth = t.depth + 1, onVertices = false)
+    t.step(frame = u1.unionAll(fallback), depth = t.depth + 1, onVertices = false,
+      hopEdges = t.hopEdges :+ " -[*]-> ")
   }
 
   /** Gremlin optional(b): b's traversers where b produced any, the
@@ -536,7 +557,8 @@ final class Traversal private (
     val keys = t.chain
     val fallback = cur.join(
       u1.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
-    t.step(frame = u1.unionAll(fallback), depth = t.depth + 1, onVertices = false)
+    t.step(frame = u1.unionAll(fallback), depth = t.depth + 1, onVertices = false,
+      hopEdges = t.hopEdges :+ " -[*]-> ")
   }
 
   /** Gremlin simplePath(): keep only traversers whose walked vertex
@@ -563,6 +585,27 @@ final class Traversal private (
     val t = flushed
     t.step(frame = t.frame.withColumn(as,
         F.concat_ws("->", t.chain.map(c => F.col(c).cast("string")): _*)),
+      vals = t.vals :+ as)
+  }
+
+  /** Gremlin path() BY ELEMENTS: the walked chain with each traversed
+    * EDGE's label interleaved — `v0 -[in_nation]-> v1 -[in_region]-> v2`
+    * (r12 verdict "missing" #4: path() with edge elements). The arrows
+    * are compile-time strings recorded per hop (direction + the hop's
+    * single static label; label-free, multi-label, and branch-merged
+    * hops render the wildcard `[*]` — their label is not one literal),
+    * so the projection costs exactly what path() costs: one concat over
+    * the rows already in hand, no join, no shuffle, no plan change to
+    * any hop. */
+  def pathE(as: String): Traversal = {
+    checkName(as)
+    val t = flushed
+    val parts: Seq[Column] = t.chain.zipWithIndex.flatMap { case (c, i) =>
+      val v = F.col(c).cast("string")
+      if (i == 0) Seq(v)
+      else Seq(F.lit(t.hopEdges.lift(i - 1).getOrElse(" -[*]-> ")), v)
+    }
+    t.step(frame = t.frame.withColumn(as, F.concat(parts: _*)),
       vals = t.vals :+ as)
   }
 
@@ -702,7 +745,10 @@ final class Traversal private (
           (F.col(from).as(keyName) +: F.col(to).as("__edst") +: props.toSeq): _*)
         left.join(side, Seq(keyName))
       }
-    t.step(frame = joined, onVertices = false, edge = Some(("__edst", reverse)))
+    t.step(frame = joined, onVertices = false, edge = Some(("__edst", reverse)),
+      edgeArrow =
+        if (reverse) s" <-[${labelToken(labels)}]- "
+        else s" -[${labelToken(labels)}]-> ")
   }
 
   /** inV(): the HEAD of the edge — the far endpoint after outE() (the
@@ -730,7 +776,8 @@ final class Traversal private (
     val nxt = s"v${depth + 1}"
     step(frame = frame.withColumn(nxt, F.col(src))
         .select(((chain :+ nxt) ++ vals).map(F.col): _*),
-      depth = depth + 1, onVertices = false, edge = None)
+      depth = depth + 1, onVertices = false, edge = None,
+      hopEdges = hopEdges :+ edgeArrow, edgeArrow = "")
   }
 
   /** Terminal projection: `as()` marks resolve to their vertex columns,

@@ -166,6 +166,30 @@ class TraversalSpec extends SparkSpec {
     assert(rows.forall(r => manual(r.getLong(0)) == r.getLong(2)))
   }
 
+  test("pathE interleaves hop labels; edge steps and wildcards render correctly") {
+    // labeled out-hops
+    val rows = GraphQueries.gDslPathE(spark, SF).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1).contains(" -[in_nation]-> ")))
+    assert(rows.forall(_.getString(1).contains(" -[in_region]-> ")))
+    // an outE/inV edge step records its label the same way
+    val viaEdgeStep = Traversal.V(spark, SF)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .outE("in_nation").inV()
+      .pathE("p").select("c_vid", "p").df.collect()
+    assert(viaEdgeStep.nonEmpty &&
+      viaEdgeStep.forall(_.getString(1).contains(" -[in_nation]-> ")))
+    // a reverse hop renders the reverse arrow; label-free renders [*]
+    val rev = Traversal.V(spark, SF)
+      .hasLabel("nation").in("in_nation").pathE("p").df
+      .select("p").head().getString(0)
+    assert(rev.contains(" <-[in_nation]- "), rev)
+    val free = Traversal.V(spark, SF)
+      .hasLabel("region").in().pathE("p").df
+      .select("p").head().getString(0)
+    assert(free.contains(" <-[*]- "), free)
+  }
+
   test("outE/has(w)/value/inV: edge-property filter inside the hop join") {
     val df = GraphQueries.gDslEdgeW(spark, SF)
     // edge has()/value() must be FREE: exactly ONE join beyond what the
