@@ -64,7 +64,12 @@ object KVGraphMutations {
     * qualifier slice over the same store the edges live in. */
   def vertexPropAdditions(vertices: DataFrame): DataFrame = {
     val cols = vertices.columns.toSet
-    VPropIds.filter { case (p, _) => cols.contains(p) }.map { case (p, id) =>
+    val present = VPropIds.filter { case (p, _) => cols.contains(p) }
+    require(present.nonEmpty,
+      s"vertexPropAdditions: frame carries none of the registered vertex " +
+        s"properties (${VPropIds.map(_._1).mkString(", ")}) — use " +
+        "vertexAdditions for existence-only cells")
+    present.map { case (p, id) =>
       val raw = vertices.schema(p).dataType match {
         case org.apache.spark.sql.types.DoubleType =>
           graft.Tables.dec2(F.col(p)).cast("string")

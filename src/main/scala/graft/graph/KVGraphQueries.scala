@@ -310,11 +310,18 @@ object KVGraphQueries {
     * classic read: the mktsegment slice evaluates the predicate ON THE
     * STORED BYTES (BUILDING customers — vertices without the property
     * have no cell and drop out for free, the JanusGraph null contract),
-    * and the acctbal slice joined on k serves the value. Both slices
-    * prune segments via the c zone maps at plan time; at 100 TB a
-    * property read touches the vertex family's slice, never the
-    * adjacency. Own full-SQL oracle (dec2 string bytes keep the value
-    * oracle-stable). */
+    * and the acctbal slice joined on k serves the value. Honest scale
+    * note (r13 review #3): under the k-ranged segment layout every
+    * segment's qualifier zone map spans the whole vertex family
+    * ((0,0)..(0,3) — each vertex writes all its cells), so the pushed
+    * c ranges do NOT drop segments here; the wins are the narrow
+    * column projection, the qualifier filter applied at the scan, and
+    * the key-ranged store itself. The layout that WOULD restore
+    * segment pruning for property-majority reads is a per-family
+    * store — which is exactly what JanusGraph does in production (one
+    * backend store per column family, edgestore vs graphindex), and
+    * what graft's named-store KVStoreManager already models. Own
+    * full-SQL oracle (dec2 string bytes keep the value oracle-stable). */
   def gKvVprops(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvvprop", lastVpropSeg)
     lastVpropSeg = Some(seg)

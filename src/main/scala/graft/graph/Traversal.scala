@@ -301,12 +301,16 @@ final class Traversal private (
   private def labelToken(labels: Seq[String]): String =
     if (labels.size == 1) labels.head else "*"
 
+  /** The rendered arrow of a directed hop (ONE place: pathE's output and
+    * its oracles depend on hop() and edgeStep() agreeing byte-for-byte). */
+  private def arrowOf(reverse: Boolean, labels: Seq[String]): String =
+    if (reverse) s" <-[${labelToken(labels)}]- "
+    else s" -[${labelToken(labels)}]-> "
+
   private def hop(reverse: Boolean, labels: Seq[String]): Traversal = {
     val e = edgeFrame(labels)
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-    val arrow =
-      if (reverse) s" <-[${labelToken(labels)}]- "
-      else s" -[${labelToken(labels)}]-> "
+    val arrow = arrowOf(reverse, labels)
     // a kv-backed adapter frame carries the raw store key (k = be(src));
     // keep it through a FORWARD hop so the join can key on the scan's own
     // attribute (reverse hops key on dst, which is not the store key)
@@ -584,9 +588,18 @@ final class Traversal private (
     checkName(as)
     val t = flushed
     t.step(frame = t.frame.withColumn(as,
-        F.concat_ws("->", t.chain.map(c => F.col(c).cast("string")): _*)),
+        F.concat_ws("->", t.chainCols.map(_.cast("string")): _*)),
       vals = t.vals :+ as)
   }
+
+  /** The chain as COLUMNS of the current frame: on the vertex frame the
+    * origin still lives under `vid` (originName applies only once the
+    * traversal projects off the frame), so a zero-hop path()/pathE()
+    * must reference vid — F.col(originName) would die unresolved
+    * (r13 review #2). */
+  private def chainCols: Seq[Column] =
+    if (onVertices) Seq(F.col("vid"))
+    else chain.map(F.col)
 
   /** Gremlin path() BY ELEMENTS: the walked chain with each traversed
     * EDGE's label interleaved — `v0 -[in_nation]-> v1 -[in_region]-> v2`
@@ -600,8 +613,8 @@ final class Traversal private (
   def pathE(as: String): Traversal = {
     checkName(as)
     val t = flushed
-    val parts: Seq[Column] = t.chain.zipWithIndex.flatMap { case (c, i) =>
-      val v = F.col(c).cast("string")
+    val parts: Seq[Column] = t.chainCols.zipWithIndex.flatMap { case (c, i) =>
+      val v = c.cast("string")
       if (i == 0) Seq(v)
       else Seq(F.lit(t.hopEdges.lift(i - 1).getOrElse(" -[*]-> ")), v)
     }
@@ -746,9 +759,7 @@ final class Traversal private (
         left.join(side, Seq(keyName))
       }
     t.step(frame = joined, onVertices = false, edge = Some(("__edst", reverse)),
-      edgeArrow =
-        if (reverse) s" <-[${labelToken(labels)}]- "
-        else s" -[${labelToken(labels)}]-> ")
+      edgeArrow = arrowOf(reverse, labels))
   }
 
   /** inV(): the HEAD of the edge — the far endpoint after outE() (the
@@ -772,12 +783,24 @@ final class Traversal private (
     * outE().outV() identity hop). */
   private def completeEdge(err: String, wantFarWhenReverse: Boolean): Traversal = {
     val (far, reverse) = edge.getOrElse(throw new IllegalArgumentException(err))
-    val src = if (reverse == wantFarWhenReverse) far else curCol
+    val isFar = reverse == wantFarWhenReverse
+    val src = if (isFar) far else curCol
     val nxt = s"v${depth + 1}"
+    // a NEAR completion (outE().outV(), inE().inV()) steps back onto the
+    // vertex it stands at — rendering the directed arrow there would claim
+    // a self-edge between the two (equal) shown vertices (r13 review #1);
+    // =[label]= reads "touched the edge, same endpoint"
+    val arrow =
+      if (isFar) edgeArrow
+      else {
+        val tok = edgeArrow.substring(
+          edgeArrow.indexOf('[') + 1, edgeArrow.indexOf(']'))
+        s" =[$tok]= "
+      }
     step(frame = frame.withColumn(nxt, F.col(src))
         .select(((chain :+ nxt) ++ vals).map(F.col): _*),
       depth = depth + 1, onVertices = false, edge = None,
-      hopEdges = hopEdges :+ edgeArrow, edgeArrow = "")
+      hopEdges = hopEdges :+ arrow, edgeArrow = "")
   }
 
   /** Terminal projection: `as()` marks resolve to their vertex columns,

@@ -188,6 +188,20 @@ class TraversalSpec extends SparkSpec {
       .hasLabel("region").in().pathE("p").df
       .select("p").head().getString(0)
     assert(free.contains(" <-[*]- "), free)
+    // a NEAR completion (outE().outV()) must not render a directed
+    // self-edge — the traverser stepped back onto its own vertex
+    val near = Traversal.V(spark, SF)
+      .hasLabel("customer").has("mktsegment", "BUILDING")
+      .outE("in_nation").outV().pathE("p").df
+      .select("p").head().getString(0)
+    assert(near.contains(" =[in_nation]= ") && !near.contains("->"), near)
+    // zero-hop path()/pathE() on the vertex frame must not crash
+    val zero = Traversal.V(spark, SF).hasLabel("region").pathE("p").df
+      .select("p").head().getString(0)
+    assert(zero.nonEmpty && !zero.contains("["))
+    val zeroP = Traversal.V(spark, SF).hasLabel("region").path("p").df
+      .select("p").head().getString(0)
+    assert(zeroP.nonEmpty)
   }
 
   test("outE/has(w)/value/inV: edge-property filter inside the hop join") {
