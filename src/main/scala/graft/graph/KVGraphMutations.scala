@@ -113,6 +113,28 @@ object KVGraphMutations {
       encLong(F.col("src")).as("k"),
       F.concat(encLong(checkedLabelId), encLong(F.col("dst"))).as("c"))
 
+  /** The REVERSE adjacency family (JanusGraph's dual adjacency: every
+    * edge is written into BOTH endpoints' adjacency lists — the IN
+    * direction rides the destination vertex's list, so incoming hops
+    * are the same pruned key-list slice outgoing ones are): the mirror
+    * cell keys on the DST vertex, c = be(RevBase + labelId) ++ be(src).
+    * Family ids ≥ RevBase partition the qualifier space away from the
+    * primaries (1..) and the VCI families (1000+..). */
+  val RevBase = 2000L
+
+  /** addE's mirror half: edge frames → reverse-family cells (k, c, v). */
+  def edgeRevAdditions(edges: DataFrame): DataFrame =
+    edges.select(
+      encLong(F.col("dst")).as("k"),
+      F.concat(encLong(checkedLabelId + RevBase), encLong(F.col("src"))).as("c"),
+      encLong(F.col("w")).as("v"))
+
+  /** dropE's mirror half: the reverse-family tombstones (k, c). */
+  def edgeRevDeletions(edges: DataFrame): DataFrame =
+    edges.select(
+      encLong(F.col("dst")).as("k"),
+      F.concat(encLong(checkedLabelId + RevBase), encLong(F.col("src"))).as("c"))
+
   /** Snapshot-path mutation: one [[KVStore.mutate]] applying addV + addE
     * + dropEdges as ONE batch (deletions strictly before additions, each
     * addition upserting its own cell — the reference's order). */
@@ -125,10 +147,13 @@ object KVGraphMutations {
   /** Log-path mutation: the same batch appended to a [[KVDeltaStore]]
     * (no snapshot rewrite — the form that keeps graph writes viable at
     * 100 TB; merge-on-read resolves it identically to the snapshot
-    * path, KVGraphMutateSpec asserts the equivalence cell for cell). */
+    * path, KVGraphMutateSpec asserts the equivalence cell for cell).
+    * `wts` is the batch's write timestamp and has NO default on purpose
+    * (r13 advice #4): wall-clock stamps make batch metadata
+    * non-reproducible, and time-travel reads over the log would then
+    * depend on run timing — callers state their own clock. */
   def mutateLog(ds: KVDeltaStore, name: String, addV: DataFrame,
-                addE: DataFrame, dropE: DataFrame,
-                wts: Long = System.currentTimeMillis()): Unit =
+                addE: DataFrame, dropE: DataFrame, wts: Long): Unit =
     ds.appendMutation(name,
       vertexAdditions(addV).unionByName(edgeAdditions(addE)),
       edgeDeletions(dropE), wts)

@@ -284,6 +284,67 @@ object KVGraphQueries {
     }
   }
 
+  /** The dual-layout store decoded to a [[PropertyGraph.G]] WITH the
+    * vertex-centric index attached (r13 verdict #2): edges are the
+    * primary dst-sorted families (exactly [[kvBackedGraph]]'s decode),
+    * and `edgeIndex` serves a (label, "w", upTo) lookup from the
+    * w-sorted VCI family — the pushed qualifier range + the raw store
+    * key, so a routed DSL step keeps BOTH prunings (zone maps on the
+    * weight, runtime key filtering from the frontier). The DSL's
+    * deferred edge step consults this index transparently: a user
+    * writes `outE("peer").has("w", lte(2))` and the planner routes it,
+    * JanusGraph-style — no family named anywhere in the query. */
+  def kvBackedGraphDual(s: SparkSession, dir: String, segPath: String): PropertyGraph.G = {
+    val base = kvBackedGraph(s, dir, segPath)
+    val index = new PropertyGraph.EdgeIndex {
+      override def lookup(label: String, prop: String, upTo: Long)
+          : Option[org.apache.spark.sql.DataFrame] =
+        if (prop != "w" || upTo < 0) None
+        else LabelIds.toMap.get(label).map { id =>
+          val lo = F.concat(encLong(F.lit(VciBase + id)), encLong(F.lit(0L)),
+            encLong(F.lit(0L)))
+          val hi = F.concat(encLong(F.lit(VciBase + id)), encLong(F.lit(upTo + 1)),
+            encLong(F.lit(0L)))
+          s.read.format("graft-kv").load(segPath)
+            .filter(F.col("c") >= lo && F.col("c") < hi)
+            .select(
+              F.col("k").as(Traversal.KvKeyCol),
+              decLong(F.col("k"), 1).as("src"),
+              decLong(F.col("c"), 17).as("dst"),
+              F.lit(label).as("elabel"),
+              decLong(F.col("c"), 9).as("w"))
+        }
+    }
+    base.copy(edgeIndex = Some(index))
+  }
+
+  private var lastDslVci: Option[java.nio.file.Path] = None
+
+  /** g_kv_dsl_vci: VCI INDEX SELECTION INSIDE THE DSL (r13 verdict #2 —
+    * the step past g_kv_vci_pick's hand-called choice rule): the entry
+    * is g_dsl_edge_w's PLAIN traversal, verbatim, over the dual-layout
+    * adapter — `outE("peer").has("w", lte(2))` — and the deferred edge
+    * step routes the join to the w-sorted VCI family by itself (the
+    * predicate becomes the family's pushed qualifier slice; the eager
+    * fallback would decode v for every peer edge and filter after).
+    * Shares g_dsl_edge_w's full-SQL oracle hash-for-hash, so a wrong
+    * routing (missed bound, double-counted family, wrong decode
+    * offsets) breaks the gate; KVDslVciSpec proves the route both ways
+    * (index rows flow through, non-bound predicates fall back). */
+  def gKvDslVci(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvdslvci", lastDslVci)
+    lastDslVci = Some(seg)
+    KVSegmentStore.write(dualAdjacency(s, dir), seg.toString, 16)
+    val g = kvBackedGraphDual(s, dir, seg.toString)
+    Traversal.V(g)
+      .hasLabel("supplier").as("a_vid")
+      .outE("peer").has("w", Traversal.P.lte(2L)).value("w", "w_e")
+      .inV().as("b_vid")
+      .select("a_vid", "b_vid", "w_e")
+      .df
+      .localCheckpoint(true)
+  }
+
   private var lastVciPick: Option[java.nio.file.Path] = None
 
   /** g_kv_vci_pick: g_kv_vci's query answered by the CHOICE RULE over
@@ -299,6 +360,85 @@ object KVGraphQueries {
     edgeSlice(s.read.format("graft-kv").load(seg.toString), "peer", Some(2L))
       .localCheckpoint(true)
   }
+
+  /** Both-direction adjacency decoded to a [[PropertyGraph.G]] (r13
+    * verdict #3 — JanusGraph writes every edge into BOTH endpoints'
+    * adjacency lists, so incoming hops are the same pruned key-list
+    * slice as outgoing ones): `edges` is the primary decode
+    * ([[kvBackedGraph]]); `revEdges` decodes the mirror family
+    * (k = be(dst), c = be(RevBase+label) ++ be(src)) with the raw store
+    * key riding as [[Traversal.KvKeyCol]] = be(dst) — a DSL `in()` /
+    * `inE()` hop keys its join on the scan's own `k` attribute and the
+    * connector prunes mirror-family segments to the frontier at
+    * execution, exactly the forward path's story. */
+  def kvBackedGraphBoth(s: SparkSession, dir: String, segPath: String): PropertyGraph.G = {
+    val base = kvBackedGraph(s, dir, segPath)
+    val rb = KVGraphMutations.RevBase
+    val elabelRev = LabelIds.foldLeft(F.lit("?")) { case (acc, (name, id)) =>
+      F.when(decLong(F.col("c"), 1) === rb + id, F.lit(name)).otherwise(acc)
+    }
+    val rev = s.read.format("graft-kv").load(segPath)
+      .filter(F.col("c") >= labelLo(rb + 1) && F.col("c") < labelLo(rb + VciBase))
+      .select(
+        F.col("k").as(Traversal.KvKeyCol),
+        decLong(F.col("c"), 9).as("src"),
+        decLong(F.col("k"), 1).as("dst"),
+        elabelRev.as("elabel"),
+        decLong(F.col("v"), 1).as("w"))
+    base.copy(revEdges = Some(rev))
+  }
+
+  private var lastDslRev: Option[java.nio.file.Path] = None
+
+  /** The selective nation frontier of the reverse-hop entries. A bare
+    * hasLabel cannot drive runtime pruning: vlabel is a per-branch
+    * LITERAL in the vertex union, so the filter constant-folds away and
+    * Spark's dynamic-pruning heuristic sees no selective predicate on
+    * the build side — a REAL property predicate (In on the name) is
+    * what survives to the optimized plan and licenses the runtime
+    * filter, exactly like the BUILDING predicate in g_kv_onehop. */
+  private val RevNations = Seq("NATION_3", "NATION_7", "NATION_11", "NATION_18", "NATION_21")
+
+  /** g_kv_dsl_rev: a REVERSE DSL hop over the dual-adjacency store —
+    * five nations pulled backwards along in_nation to their suppliers.
+    * The store holds both directions of every edge
+    * (KVGraphMutations.edgeRevAdditions — JanusGraph's dual adjacency),
+    * so the `in()` hop keys on the mirror family's own store key and
+    * the connector prunes segments to the nation frontier at execution;
+    * over a single-direction store the same hop would scan every
+    * adjacency segment (Traversal used to forgo the key entirely —
+    * r13 verdict #3). Own full-SQL oracle; KVGraphRevSpec asserts the
+    * runtime key filter + segment drop on the reverse hop and row
+    * equality with the frame traversal. */
+  def gKvDslRev(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvrev", lastDslRev)
+    lastDslRev = Some(seg)
+    val e = PropertyGraph(s, dir).edges
+    KVSegmentStore.write(
+      KVGraphMutations.edgeAdditions(e)
+        .unionByName(KVGraphMutations.edgeRevAdditions(e)),
+      seg.toString, 16)
+    val g = kvBackedGraphBoth(s, dir, seg.toString)
+    Traversal.V(g)
+      .hasLabel("nation")
+      .has("name", Traversal.P.within(RevNations: _*))
+      .value("name", "n_name").as("n_vid")
+      .in("in_nation")
+      .hasLabel("supplier")
+      .as("s_vid")
+      .select("n_vid", "n_name", "s_vid")
+      .df
+      .localCheckpoint(true)
+  }
+
+  val gKvDslRevSql: String =
+    s"""WITH ${PropertyGraph.sqlPrelude}
+       |SELECT n.vid AS n_vid, n.name AS n_name, s.vid AS s_vid
+       |FROM verts n
+       |JOIN edges e ON e.dst = n.vid AND e.elabel = 'in_nation'
+       |JOIN verts s ON s.vid = e.src
+       |WHERE n.vlabel = 'nation' AND s.vlabel = 'supplier'
+       | AND n.name IN ('NATION_3','NATION_7','NATION_11','NATION_18','NATION_21')""".stripMargin
 
   private var lastVpropSeg: Option[java.nio.file.Path] = None
 
@@ -348,6 +488,51 @@ object KVGraphQueries {
       | CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal_str
       |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
 
+  private var lastSplitWh: Option[java.nio.file.Path] = None
+
+  /** g_kv_vprops_split: the PER-FAMILY NAMED-STORE split (r13 verdict
+    * #1 — the one admitted scale gap): g_kv_vprops' own scale note says
+    * the mixed k-ranged store provably cannot segment-prune a vertex-
+    * property slice (every vertex writes cells in every family, so
+    * every segment's qualifier zone map spans the whole family). The
+    * fix is exactly JanusGraph's production layout — one backend store
+    * per column family, opened BY NAME (edgestore vs graphindex;
+    * ClickhouseStoreManager.java:79): KVStoreManager persists the
+    * adjacency under `edgestore` and the vertex family under
+    * `vertexprops`, and the property store takes the qualifier-major
+    * segment layout (KVSegmentStore.writeFamilyRanged: segments
+    * range-partition on (c, k)), so the same two pushed property
+    * slices gKvVprops runs now DROP the other properties' segments at
+    * plan time — KVFamilySplitSpec asserts the drop on this store and
+    * the provable non-drop on the mixed one. Same read, same oracle
+    * hash as g_kv_vprops; the adjacency store is untouched by the
+    * property read (the split's other half: an edge slice never even
+    * opens the property store's manifest). Scale: a property-majority
+    * read over 10¹² vertices touches ~1/|props| of the property
+    * store's segments and none of the (much larger) edgestore. */
+  def gKvVpropsSplit(s: SparkSession, dir: String): DataFrame = synchronized {
+    val wh = graft.ScenarioDirs.fresh("graft_kvsplit", lastSplitWh)
+    lastSplitWh = Some(wh)
+    val mgr = new graft.kv.KVStoreManager(s, wh.toString)
+    val g = PropertyGraph(s, dir)
+    mgr.writeSegmentStore("edgestore", adjacency(s, dir), 16)
+    mgr.writeSegmentStore("vertexprops",
+      KVGraphMutations.vertexAdditions(g.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(g.vertices)),
+      16, familyRanged = true)
+    val props = mgr.openSegmentStore("vertexprops")
+    val (mLo, mHi) = KVGraphMutations.vpropSlice("mktsegment")
+    val (bLo, bHi) = KVGraphMutations.vpropSlice("acctbal")
+    val building = props.filter(F.col("c") >= mLo && F.col("c") < mHi)
+      .filter(F.col("v").cast("string") === "BUILDING")
+      .select(F.col("k"))
+    val bal = props.filter(F.col("c") >= bLo && F.col("c") < bHi)
+      .select(F.col("k"), F.col("v").cast("string").as("bal_str"))
+    bal.join(building, "k")
+      .select(decLong(F.col("k"), 1).as("c_vid"), F.col("bal_str"))
+      .localCheckpoint(true)
+  }
+
   private var lastMutWh: Option[java.nio.file.Path] = None
   private var lastMutSeg: Option[java.nio.file.Path] = None
 
@@ -388,13 +573,13 @@ object KVGraphQueries {
       addE = e.filter(F.col("elabel") === "peer")
         .withColumn("w", F.col("w") + 1)
         .unionByName(e.filter(F.col("elabel") === "in_region")),
-      dropE = e.limit(0))
+      dropE = e.limit(0), wts = 1000L)
     // THE mutation batch (delta 2): addV + addE + supersede + drop at once
     KVGraphMutations.mutateLog(ds, "graph",
       addV = g.vertices.filter(F.col("vlabel") === "nation"),
       addE = e.filter(F.col("elabel") === "in_nation")
         .unionByName(e.filter(F.col("elabel") === "peer")),
-      dropE = e.filter(F.col("elabel").isin("in_region", "peer")))
+      dropE = e.filter(F.col("elabel").isin("in_region", "peer")), wts = 2000L)
     // the mutated state served BACK THROUGH THE CONNECTOR: fold the
     // merged view into a segment store (the compaction a long-lived
     // deployment runs anyway) and drive the onehop through the pruned
@@ -437,12 +622,245 @@ object KVGraphQueries {
        |JOIN verts nv ON nv.vid = e.dst
        |WHERE a.vlabel = 'customer' AND a.mktsegment = 'BUILDING'""".stripMargin
 
+  private var lastDslMutWh: Option[java.nio.file.Path] = None
+  private var lastDslMutSeg: Option[java.nio.file.Path] = None
+
+  /** g_kv_dsl_mutate: the DSL WRITE VOCABULARY end-to-end (r13 verdict
+    * #6 — Gremlin users mutate IN-TRAVERSAL: addV/property/drop are
+    * read steps' write siblings, not hand-compiled frames). Every
+    * mutation in this scenario is AUTHORED BY A TRAVERSAL and lands as
+    * one KVDeltaStore batch:
+    *   - `addV("nation", …)` re-creates the nation vertices the base
+    *     store lacks (existence + name-property cells);
+    *   - `property("mktsegment", BUILDING)` upserts the AUTOMOBILE
+    *     customers' segment cells — the read-back start set is evaluated
+    *     FROM THE STORED BYTES, so the upsert is visible under the hash;
+    *   - `addE("in_nation", …)` materializes the customer→nation edges
+    *     the base store lacks (the onehop would be empty without them);
+    *   - `outE("in_region").drop()` tombstones every in_region edge
+    *     (rem_region_edges must read 0).
+    * The mutated state folds into a segment store and is re-read by the
+    * pruned connector path (store-evaluated BUILDING slice → in_nation
+    * label slice → broadcast nation names), with the nation-cell count
+    * riding the oracle so addV is visible too. Own full-SQL oracle;
+    * TraversalWriteSpec pins each step's output shape and guards.
+    * Scale: the traversals are projections over frames already in hand
+    * (zero added shuffles) and the mutation is one bounded delta
+    * append — the g_kv_mutate_hop write story, now DSL-authored. */
+  def gKvDslMutate(s: SparkSession, dir: String): DataFrame = synchronized {
+    val wh = graft.ScenarioDirs.fresh("graft_kvdslmut", lastDslMutWh)
+    lastDslMutWh = Some(wh)
+    val ds = new graft.kv.KVDeltaStore(s, wh.toString)
+    val fg = PropertyGraph(s, dir)
+    val e = fg.edges
+    val none = e.limit(0).select(
+      encLong(F.col("src")).as("k"),
+      F.concat(encLong(F.lit(0L)), encLong(F.col("dst"))).as("c"),
+      encLong(F.col("w")).as("v"))
+    // base state (delta 1): all vertices EXCEPT nations, their property
+    // cells, and the peer + in_region adjacency — no in_nation edges
+    val baseVerts = fg.vertices.filter(F.col("vlabel") =!= "nation")
+    ds.appendMutationAt("graph", 1L,
+      KVGraphMutations.vertexAdditions(baseVerts)
+        .unionByName(KVGraphMutations.vertexPropAdditions(baseVerts))
+        .unionByName(KVGraphMutations.edgeAdditions(
+          e.filter(F.col("elabel").isin("peer", "in_region")))),
+      none.select("k", "c"), wts = 1000L)
+    // THE DSL-authored batch (delta 2)
+    val addedNations = Traversal.V(fg)
+      .hasLabel("nation").value("name", "nm").as("n")
+      .addV("nation", F.col("n"), "name" -> F.col("nm"))
+    val reseg = Traversal.V(fg)
+      .hasLabel("customer").has("mktsegment", "AUTOMOBILE")
+      .property("mktsegment", F.lit("BUILDING"))
+    val newEdges = Traversal.V(fg)
+      .hasLabel("customer").as("c")
+      .out("in_nation").as("n")
+      .addE("in_nation", "c", "n", (F.col("c") + F.col("n")) % 5 + 1)
+    val doomed = Traversal.V(fg)
+      .hasLabel("nation").outE("in_region").drop()
+    ds.appendMutationAt("graph", 2L,
+      KVGraphMutations.vertexAdditions(addedNations)
+        .unionByName(KVGraphMutations.vertexPropAdditions(addedNations))
+        .unionByName(KVGraphMutations.vertexPropAdditions(reseg))
+        .unionByName(KVGraphMutations.edgeAdditions(newEdges)),
+      KVGraphMutations.edgeDeletions(doomed), wts = 2000L)
+    // fold + re-read through the pruned connector path
+    val seg = graft.ScenarioDirs.fresh("graft_kvdslmseg", lastDslMutSeg)
+    lastDslMutSeg = Some(seg)
+    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 16)
+    val store = s.read.format("graft-kv").load(seg.toString)
+    val lid = decLong(F.col("c"), 1)
+    val scalars = store.agg(
+      F.count(F.when(lid === 2L, F.lit(1))).as("rem_region_edges"),
+      F.count(F.when(F.col("c") === F.concat(encLong(F.lit(0L)), encLong(F.lit(0L)))
+        && F.pmod(decLong(F.col("k"), 1), F.lit(4L)) === 2L, F.lit(1)))
+        .as("n_nation_cells"))
+    val (mLo, mHi) = KVGraphMutations.vpropSlice("mktsegment")
+    val start = store.filter(F.col("c") >= mLo && F.col("c") < mHi)
+      .filter(F.col("v").cast("string") === "BUILDING")
+      .select(F.col("k"), decLong(F.col("k"), 1).as("c_vid"))
+    val inNation = LabelIds.toMap.apply("in_nation")
+    val nations = fg.vertices.filter(F.col("vlabel") === "nation")
+      .select(F.col("vid").as("dst_vid"), F.col("name"))
+    store
+      .filter(F.col("c") >= labelLo(inNation) && F.col("c") < labelHi(inNation))
+      .join(start, Seq("k"))
+      .select(F.col("c_vid"), decLong(F.col("c"), 9).as("dst_vid"))
+      .join(F.broadcast(nations), "dst_vid")
+      .select(F.col("c_vid"), F.col("name").as("n_name"))
+      .crossJoin(F.broadcast(scalars))
+      .localCheckpoint(true)
+  }
+
+  val gKvDslMutateSql: String =
+    """SELECT CAST(c.c_custkey*4 AS BIGINT) AS c_vid, n.n_name AS n_name,
+      | CAST(0 AS BIGINT) AS rem_region_edges,
+      | (SELECT COUNT(*) FROM nation) AS n_nation_cells
+      |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')""".stripMargin
+
+  private var lastSpjAdj: Option[java.nio.file.Path] = None
+
+  /** g_kv_twohop_spj: the two-hop with a SHUFFLE-FREE STORE SIDE (r13
+    * verdict #4 — kv_spj_join's machinery adopted by the graph
+    * entries). The adjacency persists HASH-BUCKETED
+    * (KVSegmentStore.writeBucketed), its scans report
+    * KeyGroupedPartitioning(bucket(8, k)) through the graftkv catalog,
+    * and with the one-side-shuffle SPJ conf each hop plans as a
+    * storage-partitioned join where ONLY the frontier moves: the
+    * frontier side shuffles BY THE STORE'S OWN BUCKET FUNCTION
+    * (KVBucketFunction.produceResult gives Spark the true bucket id)
+    * while the adjacency reads in place — zero Exchange above either
+    * store scan, both hops (KVSpjHopSpec asserts the plan property).
+    * At 100 TB this is the difference between re-shuffling the whole
+    * adjacency store per hop and moving only the frontier: the store
+    * side is O(probed buckets) reads, the exchange cost is O(frontier).
+    * Shares g_twohop's oracle hash-for-hash. */
+  def gKvTwoHopSpj(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvspjadj", lastSpjAdj)
+    lastSpjAdj = Some(seg)
+    KVSegmentStore.writeBucketed(adjacency(s, dir), seg.toString, 8)
+    val g = PropertyGraph(s, dir)
+    // snapshot-and-restore the SPJ planning confs (kv_spj_join's
+    // discipline: they alter how ANY partition-reporting DSv2 scan joins
+    // for the rest of the session; plans below are checkpointed eagerly)
+    val spjConfs = Seq("spark.sql.catalog.graftkv",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled")
+    val saved = spjConfs.map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.catalog.graftkv",
+      classOf[graft.sources.kvconnector.KVCatalog].getName)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    try {
+      val adj = s.table(s"graftkv.`$seg`")
+      val start = g.vertices
+        .filter(F.col("vlabel") === "customer" && F.col("acctbal") > 1000.0)
+        .select(encLong(F.col("vid")).as("k"), F.col("vid").as("src_vid"))
+      val hop1 = adj.hint("merge").join(start, Seq("k"))
+        .select(F.col("src_vid"), decLong(F.col("c"), 9).as("mid"))
+      val hop2 = adj.hint("merge").join(
+          hop1.select(encLong(F.col("mid")).as("k"), F.col("src_vid")), Seq("k"))
+        .select(F.col("src_vid"), decLong(F.col("c"), 9).as("dst_vid"))
+      hop2
+        .join(F.broadcast(g.vertices.select(F.col("vid").as("dst_vid"),
+          F.col("name").as("dst_name"))), "dst_vid")
+        .select(F.col("src_vid"), F.col("dst_vid"), F.col("dst_name"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private var lastDegMvWh: Option[java.nio.file.Path] = None
+
+  /** g_kv_degree_mv: an INCREMENTAL GRAPH VIEW following the graph
+    * store's CDC feed (r13 verdict #7 — kv_mv_follow composed with the
+    * adjacency layout): per-vertex in/out degree maintained LIVE as
+    * mutation batches land, the ClickHouse MV-over-MergeTree story with
+    * graph semantics. The adjacency store takes two mutation batches
+    * (non-peer edges, then peer edges); the store's change feed
+    * (graft-kv-log) drives TWO RollupSink folds per micro-batch — one
+    * keyed on the cell's own key (out-degree: k = be(src)), one on the
+    * decoded dst qualifier (in-degree) — so the view never recomputes
+    * from store history. Exactly-once is proven in-gate: the peer batch
+    * is RE-APPLIED under its original batchId after the drain and the
+    * sink's completeness gate must skip it — a double fold would double
+    * every peer degree and break g_degree's oracle hash, which this
+    * entry rides verbatim. Scale: each micro-batch folds O(batch) plus
+    * one O(|vertices-with-degree|) snapshot merge, independent of
+    * stream length — the kv_mv_follow cost model on the graph store. */
+  def gKvDegreeMv(s: SparkSession, dir: String): DataFrame = synchronized {
+    val whPath = graft.ScenarioDirs.fresh("graft_kvdegmv", lastDegMvWh)
+    lastDegMvWh = Some(whPath)
+    val wh = whPath.toString
+    val ds = new graft.kv.KVDeltaStore(s, wh)
+    val e = PropertyGraph(s, dir).edges
+    val noDel = adjacency(s, dir).select("k", "c").limit(0)
+    ds.appendMutationAt("graph", 1L,
+      KVGraphMutations.edgeAdditions(e.filter(F.col("elabel") =!= "peer")),
+      noDel, wts = 1000L)
+    val peerCells = KVGraphMutations.edgeAdditions(
+      e.filter(F.col("elabel") === "peer")).localCheckpoint(true)
+    ds.appendMutationAt("graph", 2L, peerCells, noDel, wts = 2000L)
+    val outDir = s"$wh/mv_out"
+    val inDir = s"$wh/mv_in"
+    // CDC rows → the two degree folds: additions in the adjacency
+    // families only (vertex-existence and index families would not be
+    // edges); the value column is a constant — the view consumes n
+    def fold(batch: DataFrame, batchId: Long): Unit = {
+      val lid = decLong(F.col("c"), 1)
+      val edgesOnly = batch.filter(F.col("op") === 1 &&
+        lid >= 1L && lid < VciBase).localCheckpoint(true)
+      graft.streaming.RollupSink.applyBatch(
+        edgesOnly.select(decLong(F.col("k"), 1).cast("string").as("event_type"),
+          F.lit("1.00").as("value")),
+        outDir, batchId)
+      graft.streaming.RollupSink.applyBatch(
+        edgesOnly.select(decLong(F.col("c"), 9).cast("string").as("event_type"),
+          F.lit("1.00").as("value")),
+        inDir, batchId)
+    }
+    val q = s.readStream.format("graft-kv-log")
+      .option("maxSeqsPerBatch", "1")
+      .load(s"$wh/graph")
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) => fold(batch, batchId))
+      .option("checkpointLocation", s"$wh/mv_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // REPLAY the peer batch under its original batchId: both rollups are
+    // complete on disk, so the sink must skip the fold
+    fold(peerCells.withColumn("op", F.lit(1)), 1L)
+    def roll(d: String, as: String) = graft.streaming.RollupSink.read(s, d)
+      .select(F.col("event_type").cast("long").as("vid"), F.col("n").as(as))
+    PropertyGraph(s, dir).vertices.select("vid", "vlabel")
+      .join(roll(outDir, "o"), Seq("vid"), "left")
+      .join(roll(inDir, "i"), Seq("vid"), "left")
+      .select(F.col("vid"), F.col("vlabel"),
+        F.coalesce(F.col("o"), F.lit(0L)).as("out_deg"),
+        F.coalesce(F.col("i"), F.lit(0L)).as("in_deg"))
+      .localCheckpoint(true)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("g_kv_onehop", gKvOneHop _, Some(GraphQueries.gOneHopSql)),
     ("g_kv_twohop", gKvTwoHop _, Some(GraphQueries.gTwoHopSql)),
+    ("g_kv_twohop_spj", gKvTwoHopSpj _, Some(GraphQueries.gTwoHopSql)),
     ("g_kv_dsl_motif", gKvDslMotif _, Some(GraphQueries.gMotifSql)),
     ("g_kv_vci", gKvVci _, Some(GraphQueries.gDslEdgeWSql)),
     ("g_kv_vci_pick", gKvVciPick _, Some(GraphQueries.gDslEdgeWSql)),
+    ("g_kv_dsl_vci", gKvDslVci _, Some(GraphQueries.gDslEdgeWSql)),
+    ("g_kv_dsl_rev", gKvDslRev _, Some(gKvDslRevSql)),
     ("g_kv_vprops", gKvVprops _, Some(gKvVpropsSql)),
-    ("g_kv_mutate_hop", gKvMutateHop _, Some(gKvMutateHopSql)))
+    ("g_kv_vprops_split", gKvVpropsSplit _, Some(gKvVpropsSql)),
+    ("g_kv_mutate_hop", gKvMutateHop _, Some(gKvMutateHopSql)),
+    ("g_kv_dsl_mutate", gKvDslMutate _, Some(gKvDslMutateSql)),
+    ("g_kv_degree_mv", gKvDegreeMv _, Some(GraphQueries.gDegreeSql)))
 }

@@ -19,7 +19,31 @@ import graft.Tables
   */
 object PropertyGraph {
 
-  final case class G(vertices: DataFrame, edges: DataFrame) {
+  /** A vertex-centric edge-index provider — JanusGraph's buildEdgeIndex
+    * surface (a label may carry SEVERAL property-sorted adjacency
+    * layouts; the query planner picks by predicate): given the edge
+    * label, the predicated property, and an INCLUSIVE upper bound,
+    * return the edge frame served from the property-sorted family, or
+    * None when no index covers that (label, property). The frame must
+    * expose the same edge-shaped columns as `G.edges` (src, dst,
+    * elabel, the indexed property; plus [[Traversal.KvKeyCol]] when
+    * kv-backed) with the bound ALREADY applied — the caller treats it
+    * as a pre-sliced replacement for the primary adjacency. */
+  trait EdgeIndex {
+    def lookup(label: String, prop: String, upTo: Long): Option[DataFrame]
+  }
+
+  /** `revEdges`: the REVERSE-oriented edge frame of a dual-adjacency
+    * kv-backed graph (JanusGraph writes every edge into both endpoints'
+    * adjacency lists) — same columns as `edges`, plus
+    * [[Traversal.KvKeyCol]] = be(dst), so an incoming hop keys its join
+    * on the scan's own store key and the connector prunes segments for
+    * `in()` exactly as it does for `out()`. None on frame graphs and
+    * single-direction stores (reverse hops then scan the primary
+    * family, unpruned but correct). */
+  final case class G(vertices: DataFrame, edges: DataFrame,
+                     edgeIndex: Option[EdgeIndex] = None,
+                     revEdges: Option[DataFrame] = None) {
     /** Symmetrized distinct edge list for undirected algorithms. */
     def undirected: DataFrame = {
       val e = edges.select("src", "dst")

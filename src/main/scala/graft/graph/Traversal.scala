@@ -44,6 +44,8 @@ import org.apache.spark.sql.{functions => F}
   */
 object Traversal {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Reserved edge-frame column carrying a kv-backed graph's RAW store
     * key (k = be(src)) through the decode projection: when present, hop
     * joins ALSO key on it, so the join's scan-side key is the scan's own
@@ -150,9 +152,33 @@ final class Traversal private (
     // tracking them never touches the plan
     private val hopEdges: Vector[String] = Vector.empty,
     // the pending edge step's arrow (outE/inE), consumed by completeEdge
-    private val edgeArrow: String = "") {
+    private val edgeArrow: String = "",
+    // a DEFERRED forward edge step (index-capable graphs only): the join
+    // waits until the step's has() predicates are known, so the routing
+    // rule can pick the property-sorted VCI family the way JanusGraph's
+    // planner does — (labels, accumulated predicates); resolved by
+    // [[resolvedEdge]] on the first frame-consuming step
+    private val pendEdge: Option[(Seq[String], Vector[(String, Traversal.P)])] = None,
+    // true once group()/project() replaced the frame: the hop chain and
+    // marks no longer exist as columns, so chain-dependent steps must
+    // fail loudly instead of dying with an unresolved 'v<N>' (r13 advice)
+    private val projected: Boolean = false) {
 
   import Traversal.{P, HopStep, OutStep, InStep, BothStep}
+
+  /** Guard for steps that read the hop chain / marks / current vertex:
+    * after group()/project() the frame holds only the aggregate or
+    * projection output, so only frame-shaped steps (df, where, order,
+    * range, limit, dedup) remain legal. */
+  private def requireChain(stepName: String): Unit =
+    require(!projected,
+      s"$stepName after group()/project(): the aggregated/projected frame " +
+        "no longer carries the hop chain — finish with df (or order/range/" +
+        "limit/where/dedup)")
+
+  /** On an edge step — eager (joined, `edge` set) or deferred
+    * (`pendEdge` buffering predicates before the routed join). */
+  private def onEdgeStep: Boolean = edge.isDefined || pendEdge.isDefined
 
   private def curCol: String =
     if (onVertices) "vid" else if (depth == 0) originName else s"v$depth"
@@ -171,9 +197,11 @@ final class Traversal private (
                    pendTaps: Vector[(String, String)] = pendTaps,
                    edge: Option[(String, Boolean)] = edge,
                    hopEdges: Vector[String] = hopEdges,
-                   edgeArrow: String = edgeArrow): Traversal =
+                   edgeArrow: String = edgeArrow,
+                   pendEdge: Option[(Seq[String], Vector[(String, P)])] = pendEdge,
+                   projected: Boolean = projected): Traversal =
     new Traversal(g, frame, depth, onVertices, vals, marks, originName,
-      pendFilters, pendTaps, edge, hopEdges, edgeArrow)
+      pendFilters, pendTaps, edge, hopEdges, edgeArrow, pendEdge, projected)
 
   /** User-supplied names (as() marks, value() taps) must not collide
     * with the traversal's own column machinery: the internal hop chain
@@ -204,7 +232,8 @@ final class Traversal private (
     * nothing is pending — single-step traversals keep the exact
     * historical plan shape (TraversalSpec's sameResult assertions). */
   private def flushed: Traversal =
-    if (pendFilters.isEmpty && pendTaps.isEmpty) this
+    if (pendEdge.isDefined) resolvedEdge
+    else if (pendFilters.isEmpty && pendTaps.isEmpty) this
     else {
       // single-filter keeps the historical shape (bare vlabel column for
       // hasLabel, "__has" alias for has()) — canonically equal either
@@ -236,7 +265,8 @@ final class Traversal private (
     * is not defined (labels live on vertices; use has("elabel", …) for
     * edge labels beyond what outE(label) already filtered). */
   def hasLabel(l: String): Traversal = {
-    require(edge.isEmpty, "hasLabel on an edge step: complete it with inV()/outV() first")
+    requireChain("hasLabel()")
+    require(!onEdgeStep, "hasLabel on an edge step: complete it with inV()/outV() first")
     if (onVertices) step(frame = frame.filter(F.col("vlabel") === l))
     else step(pendFilters = pendFilters :+ ("vlabel", (P.Is(l): P)))
   }
@@ -249,8 +279,17 @@ final class Traversal private (
     g.edges.columns.toSeq.filterNot(c =>
       c == "src" || c == "dst" || c == Traversal.KvKeyCol)
 
-  def has(key: String, p: P): Traversal =
-    if (edge.isDefined) {
+  def has(key: String, p: P): Traversal = {
+    requireChain("has()")
+    if (pendEdge.isDefined) {
+      // deferred edge step: buffer the predicate — the routing rule sees
+      // the full predicate set before the join materializes
+      require(edgePropKeys.contains(key),
+        s"'$key' is not an edge property (edge properties: ${edgePropKeys.mkString(", ")})")
+      val (ls, preds) = pendEdge.get
+      step(pendEdge = Some((ls, preds :+ (key, p))))
+    }
+    else if (edge.isDefined) {
       // edge property predicate: the edge row is already in the frame —
       // a plain filter, no join (outE(…).has("w", …) is free)
       require(edgePropKeys.contains(key),
@@ -259,6 +298,7 @@ final class Traversal private (
     }
     else if (onVertices) step(frame = frame.filter(p(F.col(key))))
     else step(pendFilters = pendFilters :+ (key, p))
+  }
 
   def has(key: String, value: Any): Traversal = has(key, P.Is(value))
 
@@ -267,8 +307,10 @@ final class Traversal private (
     * frame and on edges it is a free projection; after a hop it joins
     * the fused vertex tap of this hop. */
   def value(key: String, as: String): Traversal = {
+    requireChain("value()")
     checkName(as)
-    if (edge.isDefined) {
+    if (pendEdge.isDefined) resolvedEdge.value(key, as)
+    else if (edge.isDefined) {
       require(edgePropKeys.contains(key),
         s"'$key' is not an edge property (edge properties: ${edgePropKeys.mkString(", ")})")
       step(frame = frame.withColumn(as, F.col(key)), vals = vals :+ as)
@@ -284,7 +326,8 @@ final class Traversal private (
     * marked origin reaches the terminal select as a bare attribute —
     * the same canonical shape the hand-written entries produce. */
   def as(label: String): Traversal = {
-    require(edge.isEmpty, "as() on an edge step: complete it with inV()/outV() first")
+    requireChain("as()")
+    require(!onEdgeStep, "as() on an edge step: complete it with inV()/outV() first")
     checkName(label)
     if (onVertices) step(marks = marks + (label -> label), originName = label)
     else step(marks = marks + (label -> curCol))
@@ -294,6 +337,12 @@ final class Traversal private (
   private def edgeFrame(labels: Seq[String]): DataFrame =
     if (labels.isEmpty) g.edges
     else g.edges.filter(F.col("elabel").isin(labels: _*))
+
+  /** The labeled REVERSE-family frame (callers check g.revEdges first). */
+  private def revEdgeFrame(labels: Seq[String]): DataFrame = {
+    val r = g.revEdges.get
+    if (labels.isEmpty) r else r.filter(F.col("elabel").isin(labels: _*))
+  }
 
   /** The rendered label token of a hop — a single static label renders
     * itself, label-free / multi-label hops render the wildcard (the
@@ -308,12 +357,20 @@ final class Traversal private (
     else s" -[${labelToken(labels)}]-> "
 
   private def hop(reverse: Boolean, labels: Seq[String]): Traversal = {
+    val arrow = arrowOf(reverse, labels)
+    // dual-adjacency adapter: a REVERSE hop walks the mirror family,
+    // whose store key IS the hop's key (k = be(dst)) — incoming hops get
+    // the same runtime segment pruning as outgoing ones (r13 verdict #3,
+    // JanusGraph's both-endpoint adjacency)
+    if (reverse && g.revEdges.isDefined)
+      return hopOn(revEdgeFrame(labels).select(F.col(Traversal.KvKeyCol),
+        F.col("dst").as("__from"), F.col("src").as("__to")), arrow)
     val e = edgeFrame(labels)
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
-    val arrow = arrowOf(reverse, labels)
     // a kv-backed adapter frame carries the raw store key (k = be(src));
     // keep it through a FORWARD hop so the join can key on the scan's own
-    // attribute (reverse hops key on dst, which is not the store key)
+    // attribute (reverse hops over a single-direction store key on dst,
+    // which is not the store key)
     val e0 =
       if (!reverse && e.columns.contains(Traversal.KvKeyCol))
         e.select(F.col(Traversal.KvKeyCol),
@@ -330,7 +387,8 @@ final class Traversal private (
     * from the frontier side and the connector prunes adjacency segments
     * at execution (KVGraphSpec asserts the scheduled-segment drop). */
   private def hopOn(e0: DataFrame, arrow: String = " -[*]-> "): Traversal = {
-    require(edge.isEmpty, "hop on an edge step: complete it with inV()/outV() first")
+    requireChain("hop (out/in/both)")
+    require(!onEdgeStep, "hop on an edge step: complete it with inV()/outV() first")
     val t = flushed
     val nxt = s"v${t.depth + 1}"
     val kv = e0.columns.contains(Traversal.KvKeyCol)
@@ -400,7 +458,10 @@ final class Traversal private (
 
   /** Gremlin repeat(step): `.times(k)` unrolls; `.path()` runs to
     * exhaustion as a frontier BFS (see [[Traversal.Repeat]]). */
-  def repeat(h: HopStep): Traversal.Repeat = new Traversal.Repeat(this, h)
+  def repeat(h: HopStep): Traversal.Repeat = {
+    requireChain("repeat()")
+    new Traversal.Repeat(this, h)
+  }
 
   /** The unbounded-repeat path tree: resolve the single source vertex
     * the traversal currently holds, then g_paths' exact frontier plan.
@@ -481,6 +542,16 @@ final class Traversal private (
       .localCheckpoint(true)
     if (srcMatched.isEmpty) matched
     else {
+      // the re-reach rule below is exact for the traversal itself, but a
+      // recursive-CTE oracle that SEEDS sources into its result set
+      // diverges when a matching source is never re-reached — surface
+      // the risky precondition instead of leaving it a doc-only caveat
+      // (r13 advice #5)
+      Traversal.logger.warn(
+        "repeat().until(): {} source vertex(es) match the stop predicate; " +
+          "sources are emitted only when RE-REACHED — pair any oracle with " +
+          "the re-reach rule, not a source-seeding recursive CTE",
+        srcMatched.count())
       val expanded = reached.join(matched, Seq("vid"), "left_anti")
       val reMatched = edges
         .join(srcMatched.select(F.col("vid").as("dst")), "dst")
@@ -496,7 +567,7 @@ final class Traversal private (
     * vertex; branch-local taps/marks do not escape the branch (they
     * would not exist on the other branches' rows). */
   private def branchFrame(r: Traversal, nxt: String): DataFrame = {
-    require(r.edge.isEmpty, "branch ends on an edge step: complete it with inV()/outV()")
+    require(!r.onEdgeStep, "branch ends on an edge step: complete it with inV()/outV()")
     require(!r.onVertices && r.depth > depth,
       "branch must take at least one hop (out/in/both/outE…inV)")
     r.frame.select(
@@ -510,6 +581,7 @@ final class Traversal private (
     * continues from the union of the branches' end vertices, one
     * unionAll — no join, no shuffle beyond what the branches did. */
   def union(branches: (Traversal => Traversal)*): Traversal = {
+    requireChain("union()")
     require(branches.nonEmpty, "union() needs at least one branch")
     val t = flushed
     val nxt = s"v${t.depth + 1}"
@@ -530,6 +602,7 @@ final class Traversal private (
     * dedup() the incoming traversal first when duplicates can exist and
     * per-duplicate branching matters. */
   def coalesce(b1: Traversal => Traversal, b2: Traversal => Traversal): Traversal = {
+    requireChain("coalesce()")
     val t = flushed
     val nxt = s"v${t.depth + 1}"
     val u1 = t.branchFrame(b1(t), nxt)
@@ -547,6 +620,7 @@ final class Traversal private (
     * caveat: traverser identity is the walked chain, so duplicate
     * traversers on one chain take one shared fallback decision. */
   def optional(b: Traversal => Traversal): Traversal = {
+    requireChain("optional()")
     val t = flushed
     val nxt = s"v${t.depth + 1}"
     val u1 = t.branchFrame(b(t), nxt)
@@ -571,7 +645,8 @@ final class Traversal private (
     * canonical cycle-exclusion predicate the hand-written motif entries
     * spell out). */
   def simplePath(): Traversal = {
-    require(edge.isEmpty, "simplePath() on an edge step: complete it with inV()/outV() first")
+    requireChain("simplePath()")
+    require(!onEdgeStep, "simplePath() on an edge step: complete it with inV()/outV() first")
     val t = flushed
     val cs = t.chain
     require(cs.size >= 2, "simplePath() needs at least one completed hop")
@@ -585,6 +660,7 @@ final class Traversal private (
     * column (Gremlin path() after fixed steps). v0->v5->v9 shape —
     * deterministic, oracle-friendly. */
   def path(as: String): Traversal = {
+    requireChain("path()")
     checkName(as)
     val t = flushed
     t.step(frame = t.frame.withColumn(as,
@@ -611,12 +687,19 @@ final class Traversal private (
     * the rows already in hand, no join, no shuffle, no plan change to
     * any hop. */
   def pathE(as: String): Traversal = {
+    requireChain("pathE()")
     checkName(as)
     val t = flushed
+    // every hop-producing step records exactly one arrow; a drift here
+    // is a bookkeeping bug and must fail loudly, never render as a
+    // plausible-looking wildcard (r13 advice #2)
+    require(t.hopEdges.length == t.chainCols.length - 1,
+      s"pathE: ${t.chainCols.length - 1} hops but ${t.hopEdges.length} " +
+        "recorded arrows — hop/arrow bookkeeping drifted")
     val parts: Seq[Column] = t.chainCols.zipWithIndex.flatMap { case (c, i) =>
       val v = c.cast("string")
       if (i == 0) Seq(v)
-      else Seq(F.lit(t.hopEdges.lift(i - 1).getOrElse(" -[*]-> ")), v)
+      else Seq(F.lit(t.hopEdges(i - 1)), v)
     }
     t.step(frame = t.frame.withColumn(as, F.concat(parts: _*)),
       vals = t.vals :+ as)
@@ -653,15 +736,16 @@ final class Traversal private (
     * values. Map-side partials come free; no join is added
     * (TraversalSpec asserts the plan is the hop chain + one Aggregate). */
   def group(key: String, aggs: Column*): Traversal = {
+    requireChain("group()")
     require(aggs.nonEmpty, "group() needs at least one aggregate")
     val t = flushed
-    val base = t.df
-    val internal = t.marks.getOrElse(key, key)
-    val keyed =
-      if (internal != key) base.withColumn(key, F.col(internal))
-      else base
-    t.step(frame = keyed.groupBy(key).agg(aggs.head, aggs.tail: _*),
-      onVertices = false)
+    // exposedMarks, like project(): every as() mark is reachable under
+    // its user name from BOTH the key and the aggregate expressions (an
+    // aggregate referencing a mark died unresolved before — r13 advice
+    // #1); the duplicate internal column never escapes, the aggregate
+    // output is just key + aggs
+    t.step(frame = t.exposedMarks.groupBy(key).agg(aggs.head, aggs.tail: _*),
+      onVertices = false, projected = true)
   }
 
   /** Gremlin project(a, b, …).by(expr): ONE projection over the walked
@@ -669,11 +753,12 @@ final class Traversal private (
     * value() taps (marks are exposed under their user names first, so
     * expressions can reference them directly). No join, no shuffle. */
   def project(cols: (String, Column)*): Traversal = {
+    requireChain("project()")
     require(cols.nonEmpty, "project() needs at least one column")
-    require(edge.isEmpty, "project() on an edge step: complete it with inV()/outV() first")
+    require(!onEdgeStep, "project() on an edge step: complete it with inV()/outV() first")
     val t = flushed
     t.step(frame = exposedMarks.select(cols.map { case (n, c) => c.as(n) }: _*),
-      onVertices = false)
+      onVertices = false, projected = true)
   }
 
   /** The composed plan with every as() mark ALSO exposed under its user
@@ -695,15 +780,67 @@ final class Traversal private (
     * through the same mutate SPI). One projection, no join, no
     * shuffle; duplicates follow the traversal's bag semantics (dedup()
     * first for set semantics, as Gremlin users do). */
-  def addE(label: String, from: String, to: String, w: Column): DataFrame =
+  def addE(label: String, from: String, to: String, w: Column): DataFrame = {
+    requireChain("addE()")
     exposedMarks.select(
       F.col(from).as("src"), F.col(to).as("dst"),
       F.lit(label).as("elabel"), w.as("w"))
+  }
+
+  /** Gremlin addV(label).property(k, v)…: materialize NEW VERTICES from
+    * the walked chain — one vertex per traverser, vid from an expression
+    * over the as() marks and value() taps, each listed property a
+    * column of the result. Output is a vertex frame (vid, vlabel,
+    * props…) ready for the KCV write loop
+    * (KVGraphMutations.vertexAdditions + vertexPropAdditions compile it
+    * onto existence + property cells — JanusGraph's addV commits through
+    * the same mutate SPI). One projection, no join, no shuffle; bag
+    * semantics like addE (dedup() first for set semantics). */
+  def addV(label: String, vid: Column, props: (String, Column)*): DataFrame = {
+    requireChain("addV()")
+    require(!onEdgeStep, "addV() on an edge step: complete it with inV()/outV() first")
+    exposedMarks.select(
+      (vid.as("vid") +: F.lit(label).as("vlabel") +:
+        props.map { case (n, c) => c.as(n) }): _*)
+  }
+
+  /** Gremlin property(key, value): UPSERT a property on the CURRENT
+    * vertices — one (vid, key) row per traverser, the value an
+    * expression over marks/taps (tap existing properties with value()
+    * first if the new value derives from them). Output feeds
+    * KVGraphMutations.vertexPropAdditions: one property cell per row,
+    * whose (k, c) collides with — and supersedes — the old cell, the
+    * store's delete-before-add upsert. Bag semantics (dedup() first
+    * when a vertex can appear on several traversers). */
+  def property(key: String, value: Column): DataFrame = {
+    requireChain("property()")
+    require(!onEdgeStep, "property() on an edge step: complete it with inV()/outV() first")
+    val t = flushed
+    val curName = if (t.onVertices) t.originName else t.curCol
+    t.exposedMarks.select(F.col(curName).as("vid"), value.as(key))
+  }
+
+  /** Gremlin drop() on an edge step (`g.V()…outE(x).has(…).drop()`):
+    * the traversed edges as a DELETION frame (src, dst, elabel) ready
+    * for KVGraphMutations.edgeDeletions / edgeRevDeletions — the write
+    * loop's tombstone half. Orientation follows the step: outE rows
+    * key src on the near endpoint, inE rows on the far one. */
+  def drop(): DataFrame = {
+    requireChain("drop()")
+    val t = resolvedEdge
+    val (farCol, reverse) = t.edge.getOrElse(throw new IllegalArgumentException(
+      "drop() needs an edge step (outE/inE) — step onto the doomed edges first"))
+    val near = if (t.onVertices) t.originName else t.curCol
+    val (srcCol, dstCol) =
+      if (reverse) (F.col(farCol), F.col(near)) else (F.col(near), F.col(farCol))
+    t.frame.select(srcCol.as("src"), dstCol.as("dst"), F.col("elabel"))
+  }
 
   /** Gremlin groupCount(): rows per value of `col` (an as() mark, a
     * tapped value, or a chain column) — one hash aggregate, map-side
     * partials free. Output (col, cnt). */
   def groupCount(col: String): Traversal = {
+    requireChain("groupCount()")
     val t = flushed
     val base = t.df // projects the origin under its mark on the vertex frame
     val internal = t.marks.getOrElse(col, col)
@@ -725,20 +862,44 @@ final class Traversal private (
   def inE(labels: String*): Traversal = edgeStep(labels, reverse = true)
 
   private def edgeStep(labels: Seq[String], reverse: Boolean): Traversal = {
-    require(edge.isEmpty, "already on an edge step: complete it with inV()/outV() first")
+    requireChain("outE()/inE()")
+    require(!onEdgeStep, "already on an edge step: complete it with inV()/outV() first")
+    val t = flushed
+    val arrow = arrowOf(reverse, labels)
+    // index-capable graph, forward, single-label: DEFER the join until
+    // this edge step's has() predicates are known, so the routing rule
+    // can pick the property-sorted VCI family — JanusGraph's planner
+    // chooses the vertex-centric index transparently, the user never
+    // names a family (r13 verdict #2). Every other shape keeps the
+    // historical eager join (plan-equality specs pin it).
+    if (!reverse && g.edgeIndex.isDefined && labels.size == 1)
+      t.step(pendEdge = Some((labels, Vector.empty)), edgeArrow = arrow)
+    else if (reverse && g.revEdges.isDefined)
+      // dual-adjacency adapter: inE() walks the mirror family, store key
+      // aligned with the hop key (k = be(dst)) — pruned like outE()
+      t.edgeJoin(revEdgeFrame(labels), reverse, arrow, kvAligned = true)
+    else t.edgeJoin(edgeFrame(labels), reverse, arrow)
+  }
+
+  /** The edge join itself, over an explicit (label-filtered or
+    * index-routed) edge frame — the body every edge step funnels
+    * through. */
+  private def edgeJoin(e0: DataFrame, reverse: Boolean, arrow: String,
+                       kvAligned: Boolean = false): Traversal = {
     val t = flushed
     val (from, to) = if (reverse) ("dst", "src") else ("src", "dst")
     // the key column must carry the name the (possibly still vertex-
     // frame) left side exposes: originName before the first hop, v<d>
     // after
     val keyName = if (t.onVertices) t.originName else t.curCol
-    val e0 = edgeFrame(labels)
     val props = e0.columns
       .filterNot(c => c == "src" || c == "dst" || c == Traversal.KvKeyCol)
       .map(F.col)
-    // kv-backed adapter, forward step: keep the raw store key and ALSO
-    // key the join on it — same runtime segment pruning as hopOn
-    val kv = !reverse && e0.columns.contains(Traversal.KvKeyCol)
+    // kv-backed adapter: ALSO key the join on the raw store key when it
+    // aligns with the hop's from-endpoint — be(src) on a forward step,
+    // be(dst) on a mirror-family reverse step (kvAligned) — for the
+    // same runtime segment pruning as hopOn
+    val kv = e0.columns.contains(Traversal.KvKeyCol) && (!reverse || kvAligned)
     val left =
       if (t.onVertices) t.frame.select(
         (F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)
@@ -759,20 +920,53 @@ final class Traversal private (
         left.join(side, Seq(keyName))
       }
     t.step(frame = joined, onVertices = false, edge = Some(("__edst", reverse)),
-      edgeArrow = arrowOf(reverse, labels))
+      edgeArrow = arrow)
+  }
+
+  /** Resolve a deferred edge step: the INDEX CHOICE RULE. The first
+    * buffered predicate stating an upper bound (lte/lt) on a property
+    * the graph's [[PropertyGraph.EdgeIndex]] covers routes the join to
+    * the property-sorted family — the bound is already encoded in that
+    * family's qualifier slice, so the predicate is consumed; every
+    * remaining predicate applies as a plain filter on the joined edge
+    * row, exactly as the eager path would. No index match (or no
+    * predicates at all) falls back to the primary adjacency — the
+    * eager plan, built late. */
+  private def resolvedEdge: Traversal = pendEdge match {
+    case None => this
+    case Some((labels, preds)) =>
+      val idx = g.edgeIndex.get
+      def upTo(p: P): Option[Long] = p match {
+        case P.Lte(v: Long) => Some(v)
+        case P.Lte(v: Int) => Some(v.toLong)
+        case P.Lt(v: Long) => Some(v - 1)
+        case P.Lt(v: Int) => Some(v.toLong - 1)
+        case _ => None
+      }
+      val routed = preds.zipWithIndex.iterator.flatMap { case ((prop, p), i) =>
+        upTo(p).flatMap(b => idx.lookup(labels.head, prop, b)).map(f => (f, i))
+      }.nextOption()
+      val (e0, rest) = routed match {
+        case Some((f, i)) => (f, preds.patch(i, Nil, 1))
+        case None => (edgeFrame(labels), preds)
+      }
+      val joined = step(pendEdge = None).edgeJoin(e0, reverse = false, edgeArrow)
+      rest.foldLeft(joined) { case (tr, (k, p)) =>
+        tr.step(frame = tr.frame.filter(p(F.col(k))))
+      }
   }
 
   /** inV(): the HEAD of the edge — the far endpoint after outE() (the
     * usual outE().has(…).inV() hop), the CURRENT vertex after inE()
     * (Gremlin's inE().inV() steps back onto the vertex the in-edge
     * points at). Both are legal; they land on different columns. */
-  def inV(): Traversal = completeEdge("inV() without a preceding outE()/inE()",
-    wantFarWhenReverse = false)
+  def inV(): Traversal = resolvedEdge.completeEdge(
+    "inV() without a preceding outE()/inE()", wantFarWhenReverse = false)
 
   /** outV(): the TAIL of the edge — the far endpoint after inE(), the
     * current vertex after outE(). */
-  def outV(): Traversal = completeEdge("outV() without a preceding outE()/inE()",
-    wantFarWhenReverse = true)
+  def outV(): Traversal = resolvedEdge.completeEdge(
+    "outV() without a preceding outE()/inE()", wantFarWhenReverse = true)
 
   /** The hop completion: `edge` carries (farEndpointColumn, reverse).
     * inV wants the far end of a forward (outE) step and the near end of
@@ -808,6 +1002,7 @@ final class Traversal private (
     * exactly these columns, matching the named entries' select-then-
     * distinct shape. */
   def select(names: String*): Traversal = {
+    requireChain("select()")
     val t = flushed
     val cols = names.map { n =>
       t.marks.get(n) match {
@@ -830,7 +1025,7 @@ final class Traversal private (
 
   /** The composed plan. */
   def df: DataFrame = {
-    require(edge.isEmpty, "traversal ends on an edge step: complete it with inV()/outV()")
+    require(!onEdgeStep, "traversal ends on an edge step: complete it with inV()/outV()")
     val t = flushed
     if (t.onVertices)
       t.frame.select((F.col("vid").as(t.originName) +: t.vals.map(F.col)): _*)

@@ -54,6 +54,30 @@ final class KVStoreManager(spark: SparkSession, warehouseDir: String,
 
   def exists(name: String): Boolean = fs.exists(path(name))
 
+  // ---- named SEGMENT stores (the connector-backed store-per-family form)
+
+  /** Persist a named store in the graft-kv segment layout — the form
+    * whose reads go through the pruning connector. This is how the
+    * PER-FAMILY store split composes (JanusGraph opens edgestore /
+    * graphindex as SEPARATE named stores, ClickhouseStoreManager.java:79
+    * — one openDatabase per family): each family lands under its own
+    * name, and `familyRanged = true` picks the qualifier-major segment
+    * layout (KVSegmentStore.writeFamilyRanged) so intra-store family/
+    * property slices drop segments too. */
+  def writeSegmentStore(name: String, store: DataFrame, numSegments: Int,
+                        familyRanged: Boolean = false): Unit =
+    if (familyRanged)
+      graft.sources.kvconnector.KVSegmentStore.writeFamilyRanged(
+        store, path(name).toString, numSegments)
+    else
+      graft.sources.kvconnector.KVSegmentStore.write(
+        store, path(name).toString, numSegments)
+
+  /** openDatabase through the connector: the named store read with
+    * manifest/zone-map/bloom segment pruning live. */
+  def openSegmentStore(name: String): DataFrame =
+    spark.read.format("graft-kv").load(path(name).toString)
+
   // ---- warehouse lease (transactional mode) ------------------------------
 
   private val lockFile = new Path(warehouseDir, "__graft_lease")

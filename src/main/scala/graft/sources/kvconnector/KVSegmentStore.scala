@@ -50,6 +50,30 @@ object KVSegmentStore {
     manifestFromReadback(store.sparkSession, path)
   }
 
+  /** QUALIFIER-major segmentation — the layout of a per-family store
+    * (JanusGraph's production split keeps each column family in its own
+    * backend store; ClickhouseStoreManager.java:79 opens stores by
+    * name): segments range-partition on (c, k) instead of k, so the
+    * per-segment qualifier zone maps become NARROW and a family/property
+    * slice `[propId, propId+1)` DROPS whole segments at plan time — the
+    * pruning a k-ranged mixed store provably cannot give that slice
+    * (every vertex writes cells in every family, so every segment's c
+    * zone map spans all families). The trade is stated, not hidden: key
+    * bounds now overlap across segments, so key-point reads prune less —
+    * which is the right trade exactly for the property-majority reads a
+    * family store exists to serve. Rows inside each segment stay
+    * (k, c)-sorted (the read-order contract; `order=kc` in the marker),
+    * and bounds/zone maps/blooms come from the same read-back pass, so
+    * pruning stays correct by construction. */
+  def writeFamilyRanged(store: DataFrame, path: String, numSegments: Int): Unit = {
+    store.repartitionByRange(numSegments, F.col("c"), F.col("k"))
+      .sortWithinPartitions("k", "c")
+      .write.mode("overwrite").parquet(path)
+    GraftFs.writeTextAtomic(store.sparkSession.sparkContext.hadoopConfiguration,
+      GraftFs.child(path, LayoutFile), "familyranged\norder=kc")
+    manifestFromReadback(store.sparkSession, path)
+  }
+
   /** The hash-bucket directory prefix of [[writeBucketed]] stores. */
   val BucketDirPrefix = "__b="
 

@@ -43,8 +43,8 @@ class KVGraphMutateSpec extends SparkSpec {
     // log path: same two batches through a KVDeltaStore
     val wh = java.nio.file.Files.createTempDirectory("graft_kvgmutspec")
     val ds = new KVDeltaStore(spark, wh.toString)
-    KVGraphMutations.mutateLog(ds, "g", baseV, baseE, e.limit(0))
-    KVGraphMutations.mutateLog(ds, "g", addV, addE, dropE)
+    KVGraphMutations.mutateLog(ds, "g", baseV, baseE, e.limit(0), wts = 1000L)
+    KVGraphMutations.mutateLog(ds, "g", addV, addE, dropE, wts = 2000L)
     val log = ds.openDatabase("g")
     val a = cells(snap)
     val b = cells(log)
@@ -56,14 +56,14 @@ class KVGraphMutateSpec extends SparkSpec {
     val (_, e, baseV, baseE, _, _, _) = scenario()
     val wh = java.nio.file.Files.createTempDirectory("graft_kvgmutspec2")
     val ds = new KVDeltaStore(spark, wh.toString)
-    KVGraphMutations.mutateLog(ds, "g", baseV, baseE, e.limit(0))
+    KVGraphMutations.mutateLog(ds, "g", baseV, baseE, e.limit(0), wts = 1000L)
     // one in_region edge (present at every SF — sf0.001 has no peer
     // edges), deleted AND re-added (new w) in the same batch
     val one = e.filter(F.col("elabel") === "in_region")
       .orderBy("src", "dst").limit(1)
       .localCheckpoint(true)
     KVGraphMutations.mutateLog(ds, "g", baseV.limit(0),
-      addE = one.withColumn("w", F.lit(7L)), dropE = one)
+      addE = one.withColumn("w", F.lit(7L)), dropE = one, wts = 2000L)
     val kc = KVGraphMutations.edgeDeletions(one)
     val after = ds.openDatabase("g").join(kc, Seq("k", "c"))
       .select(graft.kv.KVStore.decLong(F.col("v"), 1)).collect()
@@ -100,8 +100,8 @@ class KVGraphMutateSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft_kvgmutspec3")
     val ds = new KVDeltaStore(spark, wh.toString)
     // empty base, then the traversal-produced edges as one mutation
-    KVGraphMutations.mutateLog(ds, "g", noV, e.limit(0), e.limit(0))
-    KVGraphMutations.mutateLog(ds, "g", noV, newEdges, e.limit(0))
+    KVGraphMutations.mutateLog(ds, "g", noV, e.limit(0), e.limit(0), wts = 1000L)
+    KVGraphMutations.mutateLog(ds, "g", noV, newEdges, e.limit(0), wts = 2000L)
     val back = ds.openDatabase("g")
       .select(graft.kv.KVStore.decLong(F.col("k"), 1).as("src"),
         graft.kv.KVStore.decLong(F.col("c"), 9).as("dst"),

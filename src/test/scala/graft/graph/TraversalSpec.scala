@@ -441,4 +441,45 @@ class TraversalSpec extends SparkSpec {
       Traversal.V(spark, SF).hasLabel("supplier").simplePath()
     }
   }
+
+  test("group() aggregates can reference as() marks by their user name") {
+    // sum over a mark used INSIDE the aggregate — died unresolved before
+    // group() built on exposedMarks (r13 advice #1)
+    val grp = Traversal.V(spark, SF)
+      .hasLabel("customer").value("acctbal", "c_bal").as("c_vid")
+      .out("in_nation").as("n_vid")
+      .group("n_vid", F.sum(F.col("c_bal")).as("bal_sum"),
+        F.count(F.col("c_vid")).as("cnt"))
+      .df
+    val g = PropertyGraph(spark, SF)
+    val manual = g.edges.filter(F.col("elabel") === "in_nation")
+      .join(g.vertices.filter(F.col("vlabel") === "customer")
+        .select(F.col("vid").as("src"), F.col("acctbal")), "src")
+      .groupBy("dst").agg(F.sum("acctbal"), F.count(F.lit(1)))
+      .collect().map(r => (r.getLong(0), (math.round(r.getDouble(1) * 100), r.getLong(2)))).toMap
+    val got = grp.collect()
+      .map(r => (r.getLong(0), (math.round(r.getDouble(1) * 100), r.getLong(2)))).toMap
+    assert(got == manual && got.nonEmpty)
+  }
+
+  test("chain-dependent steps after group()/project() fail loudly") {
+    val grp = Traversal.V(spark, SF)
+      .hasLabel("customer").out("in_nation").as("n_vid")
+      .group("n_vid", F.count(F.lit(1)).as("cnt"))
+    val proj = Traversal.V(spark, SF)
+      .hasLabel("supplier").value("acctbal", "s_bal").as("s_vid")
+      .out("in_nation")
+      .project("band" -> F.floor(F.col("s_bal") / 1000.0))
+    for (t <- Seq(grp, proj)) {
+      intercept[IllegalArgumentException](t.out("in_region"))
+      intercept[IllegalArgumentException](t.as("x"))
+      intercept[IllegalArgumentException](t.value("name", "nm"))
+      intercept[IllegalArgumentException](t.select("n_vid"))
+      intercept[IllegalArgumentException](t.outE("peer"))
+      intercept[IllegalArgumentException](t.group("cnt", F.count(F.lit(1)).as("c2")))
+    }
+    // frame-shaped continuations stay legal
+    assert(grp.order(F.col("cnt").desc).limit(3).df.collect().length <= 3)
+    assert(proj.where(F.col("band") >= 0).dedup().df.collect().nonEmpty)
+  }
 }
