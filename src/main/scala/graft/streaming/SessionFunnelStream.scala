@@ -162,7 +162,11 @@ object SessionFunnelStream {
     val open = sess.filter(F.col("end_us") + GapUs >= wm)
     val counts = prevCnt.unionByName(levelCounts(closed))
       .groupBy("level").agg(F.sum("n_sessions").as("n_sessions"))
-    counts.write.mode("overwrite").parquet(GraftFs.child(target, "counts"))
+    // the histogram has at most 4 rows (levels 0..3) at ANY scale: one
+    // output file, not shuffle.partitions near-empty ones — the fold's
+    // snapshot I/O is task-count-bound, not byte-bound (r13 verdict #5)
+    counts.coalesce(1)
+      .write.mode("overwrite").parquet(GraftFs.child(target, "counts"))
     open.select("user_id", "us", "event_id", "st")
       .write.mode("overwrite").parquet(GraftFs.child(target, "buf"))
     GraftFs.writeTextAtomic(conf, GraftFs.child(target, "_SUCCESS"), wm.toString)
