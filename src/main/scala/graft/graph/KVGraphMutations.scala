@@ -135,6 +135,28 @@ object KVGraphMutations {
       encLong(F.col("dst")).as("k"),
       F.concat(encLong(checkedLabelId + RevBase), encLong(F.col("src"))).as("c"))
 
+  /** dropV's tombstone set — JanusGraph's vertex removal deletes the
+    * vertex AND its incident edges in one mutation: for each doomed
+    * vertex (a (vid) frame), the existence cell, every registered
+    * property cell, and — joined against the graph's edge frame — every
+    * incident edge in BOTH adjacency directions (the reverse-family
+    * tombstones are harmless no-ops on single-direction stores). One
+    * projection per cell kind plus two doomed⋈edges joins; the joins
+    * are doomed-sized, never store-sized. */
+  def vertexDeletions(doomed: DataFrame, edges: DataFrame): DataFrame = {
+    val vids = doomed.select("vid").distinct()
+    val vCells = (0L +: VPropIds.map(_._2)).map { pid =>
+      vids.select(
+        encLong(F.col("vid")).as("k"),
+        F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(pid))).as("c"))
+    }.reduce(_ unionByName _)
+    val outE = edges.join(vids.select(F.col("vid").as("src")), "src")
+    val inE = edges.join(vids.select(F.col("vid").as("dst")), "dst")
+    val eCells = edgeDeletions(outE).unionByName(edgeRevDeletions(outE))
+      .unionByName(edgeDeletions(inE)).unionByName(edgeRevDeletions(inE))
+    vCells.unionByName(eCells)
+  }
+
   /** Snapshot-path mutation: one [[KVStore.mutate]] applying addV + addE
     * + dropEdges as ONE batch (deletions strictly before additions, each
     * addition upserting its own cell — the reference's order). */

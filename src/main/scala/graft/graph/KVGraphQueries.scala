@@ -720,6 +720,76 @@ object KVGraphQueries {
       |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
       |WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')""".stripMargin
 
+  /** The VERTEX FRAME decoded from the store itself — the missing half
+    * of full storage residency (every adapter so far kept the FRAME
+    * vertices; a reference user's vertices live in the same KCV store
+    * the edges do). One aggregate pivots the vertex family's cells back
+    * into rows: existence at (0,0) gates the row (JanusGraph's
+    * VertexExists), each property cell fills its column, vlabel decodes
+    * from the vid scheme's type code. Scale: one groupBy(k) over the
+    * vertex family only (the c range is pushed) — co-located under a
+    * k-bucketed store; Catalyst prunes unused property columns out of
+    * the aggregate. */
+  def storeVertices(store: DataFrame): DataFrame = {
+    val famLo = F.concat(encLong(F.lit(0L)), encLong(F.lit(0L)))
+    val famHi = F.concat(encLong(F.lit(0L)),
+      encLong(F.lit(KVGraphMutations.VPropIds.map(_._2).max + 1)))
+    val pid = decLong(F.col("c"), 9)
+    val vs = F.col("v").cast("string")
+    val pivoted = store
+      .filter(F.col("c") >= famLo && F.col("c") < famHi)
+      .groupBy("k").agg(
+        F.max(F.when(pid === 0L, 1)).as("__ex"),
+        F.max(F.when(pid === KVGraphMutations.VPropIds.toMap.apply("name"), vs))
+          .as("name"),
+        F.max(F.when(pid === KVGraphMutations.VPropIds.toMap.apply("acctbal"), vs))
+          .cast("double").as("acctbal"),
+        F.max(F.when(pid === KVGraphMutations.VPropIds.toMap.apply("mktsegment"), vs))
+          .as("mktsegment"))
+      .filter(F.col("__ex") === 1) // no existence cell → no vertex
+    val vid = decLong(F.col("k"), 1)
+    val vlabel = F.when(F.pmod(vid, F.lit(4L)) === 0L, "customer")
+      .when(F.pmod(vid, F.lit(4L)) === 1L, "supplier")
+      .when(F.pmod(vid, F.lit(4L)) === 2L, "nation")
+      .otherwise("region")
+    pivoted.select(vid.as("vid"), vlabel.as("vlabel"),
+      F.col("name"), F.col("acctbal"), F.col("mktsegment"))
+  }
+
+  private var lastFullSeg: Option[java.nio.file.Path] = None
+
+  /** g_kv_full_graph: the WHOLE graph resident in ONE store — vertex
+    * existence + properties AND adjacency, with g_onehop's traversal
+    * running END-TO-END on stored bytes (the BUILDING predicate
+    * evaluates against the stored mktsegment cells, the hop walks the
+    * stored adjacency with runtime key pruning, the nation names come
+    * from stored name cells — no frame table anywhere in the plan).
+    * This is the final 1:1 storage-residency claim: a reference user's
+    * ENTIRE JanusGraph data (vertices, properties, edges) ports into
+    * the store and the DSL serves it. Shares g_onehop's oracle
+    * hash-for-hash; KVFullGraphSpec asserts the decoded vertex frame
+    * equals the source frame and the traversal's scans are store
+    * scans only. */
+  def gKvFullGraph(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvfull", lastFullSeg)
+    lastFullSeg = Some(seg)
+    val g0 = PropertyGraph(s, dir)
+    KVSegmentStore.write(
+      KVGraphMutations.vertexAdditions(g0.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices))
+        .unionByName(KVGraphMutations.edgeAdditions(g0.edges)),
+      seg.toString, 16)
+    val g = kvBackedGraph(s, dir, seg.toString)
+      .copy(vertices = storeVertices(s.read.format("graft-kv").load(seg.toString)))
+    Traversal.V(g)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation")
+      .value("name", "n_name")
+      .select("c_vid", "n_name")
+      .df
+      .localCheckpoint(true)
+  }
+
   private var lastSpjAdj: Option[java.nio.file.Path] = None
 
   /** g_kv_twohop_spj: the two-hop with a SHUFFLE-FREE STORE SIDE (r13
@@ -849,6 +919,147 @@ object KVGraphQueries {
       .localCheckpoint(true)
   }
 
+  /** The FULLY-RESIDENT adapter: one store carrying the vertex family
+    * (existence + properties), the primary adjacency, the mirror
+    * adjacency AND the w-sorted VCI families — decoded to a
+    * [[PropertyGraph.G]] with every hook live: vertices from
+    * [[storeVertices]], forward hops pruned on the primary key, reverse
+    * hops pruned on the mirror key ([[kvBackedGraphBoth]]), bounded
+    * edge-property steps routed to the VCI family
+    * ([[kvBackedGraphDual]]'s index). The complete JanusGraph storage
+    * model behind the complete DSL, one segment store. */
+  def kvBackedGraphFull(s: SparkSession, dir: String, segPath: String): PropertyGraph.G = {
+    val withRev = kvBackedGraphBoth(s, dir, segPath)
+    val withIdx = kvBackedGraphDual(s, dir, segPath)
+    withRev.copy(
+      vertices = storeVertices(s.read.format("graft-kv").load(segPath)),
+      edgeIndex = withIdx.edgeIndex)
+  }
+
+  /** Every cell family of one graph — what [[kvBackedGraphFull]] reads. */
+  private[graph] def fullStoreCells(s: SparkSession, dir: String): DataFrame = {
+    val g = PropertyGraph(s, dir)
+    KVGraphMutations.vertexAdditions(g.vertices)
+      .unionByName(KVGraphMutations.vertexPropAdditions(g.vertices))
+      .unionByName(KVGraphMutations.edgeAdditions(g.edges))
+      .unionByName(KVGraphMutations.edgeRevAdditions(g.edges))
+      .unionByName(vciFamily(g.edges))
+  }
+
+  private var lastFullDslSeg: Option[java.nio.file.Path] = None
+
+  /** g_kv_dsl_full: ONE traversal exercising every storage hook in one
+    * plan — five nations (predicate on STORED name bytes) pulled
+    * backwards along in_nation through the MIRROR family, the reached
+    * suppliers stepped onto their peer edges with `has("w", lte(2))`
+    * ROUTED to the w-sorted VCI family, endpoints completed — vertices,
+    * reverse adjacency, and the vertex-centric index all served from
+    * the same store, no frame table in the plan's vertex or edge path.
+    * Own full-SQL oracle (peer edges exist from sf0.01 up; the sf0.001
+    * gate holds on emptiness). */
+  def gKvDslFull(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvfulldsl", lastFullDslSeg)
+    lastFullDslSeg = Some(seg)
+    KVSegmentStore.write(fullStoreCells(s, dir), seg.toString, 16)
+    val g = kvBackedGraphFull(s, dir, seg.toString)
+    Traversal.V(g)
+      .hasLabel("nation")
+      .has("name", Traversal.P.within(RevNations: _*))
+      .value("name", "n_name").as("n")
+      .in("in_nation")
+      .hasLabel("supplier")
+      .as("a_vid")
+      .outE("peer").has("w", Traversal.P.lte(2L)).value("w", "w_e")
+      .inV().as("b_vid")
+      .select("n_name", "a_vid", "b_vid", "w_e")
+      .df
+      .localCheckpoint(true)
+  }
+
+  val gKvDslFullSql: String =
+    s"""WITH ${PropertyGraph.sqlPrelude}
+       |SELECT n.name AS n_name, a.vid AS a_vid, e.dst AS b_vid, e.w AS w_e
+       |FROM verts n
+       |JOIN edges i ON i.dst = n.vid AND i.elabel = 'in_nation'
+       |JOIN verts a ON a.vid = i.src AND a.vlabel = 'supplier'
+       |JOIN edges e ON e.src = a.vid AND e.elabel = 'peer' AND e.w <= 2
+       |WHERE n.vlabel = 'nation'
+       | AND n.name IN ('NATION_3','NATION_7','NATION_11','NATION_18','NATION_21')""".stripMargin
+
+  private var lastDropVWh: Option[java.nio.file.Path] = None
+  private var lastDropVSeg: Option[java.nio.file.Path] = None
+
+  /** g_kv_dsl_dropv: VERTEX REMOVAL through the DSL — Gremlin's
+    * `g.V().has(…).drop()` is JanusGraph's heaviest mutation (the
+    * vertex, its properties, AND every incident edge in both adjacency
+    * directions go in one batch). `Traversal.dropV()` names the doomed
+    * set from a traversal; `KVGraphMutations.vertexDeletions` compiles
+    * the full tombstone fan-out. The scenario drops the AUTOMOBILE
+    * customers from a fully-resident store (existence + props +
+    * dual-direction adjacency) and re-reads: the remaining customers'
+    * onehop (start set FROM the surviving existence cells), plus three
+    * cell-census scalars that make each tombstone kind hash-visible —
+    * surviving customer existence cells, surviving in_nation primary
+    * cells, surviving in_nation mirror cells. Own full-SQL oracle.
+    * Scale: the doomed⋈edges joins are doomed-sized; the mutation is
+    * one bounded delta append. */
+  def gKvDslDropV(s: SparkSession, dir: String): DataFrame = synchronized {
+    val wh = graft.ScenarioDirs.fresh("graft_kvdropv", lastDropVWh)
+    lastDropVWh = Some(wh)
+    val ds = new graft.kv.KVDeltaStore(s, wh.toString)
+    val fg = PropertyGraph(s, dir)
+    val e = fg.edges
+    val noAdd = adjacency(s, dir).limit(0)
+    ds.appendMutationAt("graph", 1L,
+      KVGraphMutations.vertexAdditions(fg.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(fg.vertices))
+        .unionByName(KVGraphMutations.edgeAdditions(e))
+        .unionByName(KVGraphMutations.edgeRevAdditions(e)),
+      noAdd.select("k", "c"), wts = 1000L)
+    val doomed = Traversal.V(fg)
+      .hasLabel("customer").has("mktsegment", "AUTOMOBILE").dropV()
+    ds.appendMutationAt("graph", 2L, noAdd,
+      KVGraphMutations.vertexDeletions(doomed, e), wts = 2000L)
+    val seg = graft.ScenarioDirs.fresh("graft_kvdropvseg", lastDropVSeg)
+    lastDropVSeg = Some(seg)
+    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 16)
+    val store = s.read.format("graft-kv").load(seg.toString)
+    val existQ = F.concat(encLong(F.lit(0L)), encLong(F.lit(0L)))
+    val lid = decLong(F.col("c"), 1)
+    val kMod = F.pmod(decLong(F.col("k"), 1), F.lit(4L))
+    val scalars = store.agg(
+      F.count(F.when(F.col("c") === existQ && kMod === 0L, F.lit(1)))
+        .as("n_cust_cells"),
+      F.count(F.when(lid === 1L, F.lit(1))).as("n_in_nation_cells"),
+      F.count(F.when(lid === KVGraphMutations.RevBase + 1L, F.lit(1)))
+        .as("n_rev_in_nation_cells"))
+    val start = store.filter(F.col("c") === existQ)
+      .filter(kMod === 0L)
+      .select(F.col("k"), decLong(F.col("k"), 1).as("c_vid"))
+    val inNation = LabelIds.toMap.apply("in_nation")
+    val nations = fg.vertices.filter(F.col("vlabel") === "nation")
+      .select(F.col("vid").as("dst_vid"), F.col("name"))
+    store
+      .filter(F.col("c") >= labelLo(inNation) && F.col("c") < labelHi(inNation))
+      .join(start, Seq("k"))
+      .select(F.col("c_vid"), decLong(F.col("c"), 9).as("dst_vid"))
+      .join(F.broadcast(nations), "dst_vid")
+      .select(F.col("c_vid"), F.col("name").as("n_name"))
+      .crossJoin(F.broadcast(scalars))
+      .localCheckpoint(true)
+  }
+
+  val gKvDslDropVSql: String =
+    """SELECT CAST(c.c_custkey*4 AS BIGINT) AS c_vid, n.n_name AS n_name,
+      | (SELECT COUNT(*) FROM customer WHERE c_mktsegment <> 'AUTOMOBILE')
+      |   AS n_cust_cells,
+      | (SELECT COUNT(*) FROM customer WHERE c_mktsegment <> 'AUTOMOBILE')
+      |   + (SELECT COUNT(*) FROM supplier) AS n_in_nation_cells,
+      | (SELECT COUNT(*) FROM customer WHERE c_mktsegment <> 'AUTOMOBILE')
+      |   + (SELECT COUNT(*) FROM supplier) AS n_rev_in_nation_cells
+      |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE c.c_mktsegment <> 'AUTOMOBILE'""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("g_kv_onehop", gKvOneHop _, Some(GraphQueries.gOneHopSql)),
     ("g_kv_twohop", gKvTwoHop _, Some(GraphQueries.gTwoHopSql)),
@@ -862,5 +1073,8 @@ object KVGraphQueries {
     ("g_kv_vprops_split", gKvVpropsSplit _, Some(gKvVpropsSql)),
     ("g_kv_mutate_hop", gKvMutateHop _, Some(gKvMutateHopSql)),
     ("g_kv_dsl_mutate", gKvDslMutate _, Some(gKvDslMutateSql)),
-    ("g_kv_degree_mv", gKvDegreeMv _, Some(GraphQueries.gDegreeSql)))
+    ("g_kv_degree_mv", gKvDegreeMv _, Some(GraphQueries.gDegreeSql)),
+    ("g_kv_full_graph", gKvFullGraph _, Some(GraphQueries.gOneHopSql)),
+    ("g_kv_dsl_full", gKvDslFull _, Some(gKvDslFullSql)),
+    ("g_kv_dsl_dropv", gKvDslDropV _, Some(gKvDslDropVSql)))
 }

@@ -820,6 +820,21 @@ final class Traversal private (
     t.exposedMarks.select(F.col(curName).as("vid"), value.as(key))
   }
 
+  /** Gremlin drop() on a VERTEX position (`g.V().has(…).drop()`): the
+    * current vertices as a DOOMED (vid) frame — feed it (with the
+    * graph's edge frame) to KVGraphMutations.vertexDeletions, which
+    * compiles the JanusGraph vertex removal: existence + property cells
+    * AND every incident edge in both adjacency directions. Set
+    * semantics (vertex removal is idempotent; the compiler dedups). */
+  def dropV(): DataFrame = {
+    requireChain("dropV()")
+    require(!onEdgeStep, "dropV() on an edge step: use drop() for edges, " +
+      "or complete the step with inV()/outV() first")
+    val t = flushed
+    val curName = if (t.onVertices) t.originName else t.curCol
+    t.df.select(F.col(curName).as("vid")).distinct()
+  }
+
   /** Gremlin drop() on an edge step (`g.V()…outE(x).has(…).drop()`):
     * the traversed edges as a DELETION frame (src, dst, elabel) ready
     * for KVGraphMutations.edgeDeletions / edgeRevDeletions — the write

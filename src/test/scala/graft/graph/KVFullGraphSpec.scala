@@ -1,0 +1,124 @@
+package graft.graph
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.{functions => F}
+
+import graft.SparkSpec
+import graft.sources.kvconnector.{KVScan, KVSegmentStore}
+
+/** Full storage residency (r14): the vertex frame decoded from the
+  * store must equal the source frame, the fully-resident traversals
+  * must equal their frame twins, and dropV must tombstone every cell
+  * kind. */
+class KVFullGraphSpec extends SparkSpec {
+
+  test("storeVertices round-trips the vertex frame exactly") {
+    val g = PropertyGraph(spark, SF)
+    val seg = java.nio.file.Files.createTempDirectory("graft_fullvspec").toString
+    KVSegmentStore.write(
+      KVGraphMutations.vertexAdditions(g.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(g.vertices)),
+      seg, 8)
+    val decoded = KVGraphQueries.storeVertices(
+      spark.read.format("graft-kv").load(seg))
+    assert(decoded.columns.toSeq == g.vertices.columns.toSeq)
+    // acctbal goes through dec2 string bytes: compare the frame side
+    // through the same 2-decimal door (acctbal carries 2 decimals in the
+    // data, so this is exact, not lossy — the oracle gate proves it too)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      F.col("vid"), F.col("vlabel"), F.col("name"),
+      graft.Tables.dec2(F.col("acctbal")).cast("string").as("bal"),
+      F.col("mktsegment"))
+      .collect().map(_.toString).sorted.toSeq
+    val a = canon(decoded)
+    val b = canon(g.vertices)
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("g_kv_full_graph equals the frame one-hop and scans only the store") {
+    val full = KVGraphQueries.gKvFullGraph(spark, SF)
+    val frame = GraphQueries.gOneHop(spark, SF)
+    assert(full.columns.toSeq == frame.columns.toSeq)
+    val a = full.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = frame.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("the full-graph traversal plan reads no frame table") {
+    val seg = java.nio.file.Files.createTempDirectory("graft_fullpspec").toString
+    val g0 = PropertyGraph(spark, SF)
+    KVSegmentStore.write(
+      KVGraphMutations.vertexAdditions(g0.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices))
+        .unionByName(KVGraphMutations.edgeAdditions(g0.edges)),
+      seg, 8)
+    val g = KVGraphQueries.kvBackedGraph(spark, SF, seg)
+      .copy(vertices = KVGraphQueries.storeVertices(
+        spark.read.format("graft-kv").load(seg)))
+    val hop = Traversal.V(g)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation").value("name", "n_name")
+      .select("c_vid", "n_name").df
+    hop.collect()
+    val scans = collectExec(hop) { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && scans.forall(_.scan.isInstanceOf[KVScan]),
+      s"non-store scan in the fully-resident plan:\n${hop.queryExecution.executedPlan}")
+    // no parquet FileScan of the testdata tables anywhere
+    val asText = hop.queryExecution.executedPlan.toString
+    assert(!asText.contains("customer.parquet") && !asText.contains("nation.parquet"),
+      "frame table leaked into the fully-resident plan")
+  }
+
+  test("g_kv_dsl_full equals its SQL shape on the frame graph (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val kv = KVGraphQueries.gKvDslFull(spark, sf01)
+    // frame twin of the same traversal
+    val names = Seq("NATION_3", "NATION_7", "NATION_11", "NATION_18", "NATION_21")
+    val frame = Traversal.V(spark, sf01)
+      .hasLabel("nation")
+      .has("name", Traversal.P.within(names: _*))
+      .value("name", "n_name").as("n")
+      .in("in_nation")
+      .hasLabel("supplier")
+      .as("a_vid")
+      .outE("peer").has("w", Traversal.P.lte(2L)).value("w", "w_e")
+      .inV().as("b_vid")
+      .select("n_name", "a_vid", "b_vid", "w_e")
+      .df
+    val a = kv.collect().map(_.toString).sorted.toSeq
+    val b = frame.collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("vertexDeletions tombstones existence, props, and both edge directions") {
+    val g = PropertyGraph(spark, SF)
+    val doomed = g.vertices.filter(F.col("vlabel") === "nation").select("vid")
+    val cells = KVGraphMutations.vertexDeletions(doomed, g.edges)
+    assert(cells.columns.toSeq == Seq("k", "c"))
+    import graft.kv.KVStore.decLong
+    val fams = cells.select(decLong(F.col("c"), 1).as("f"))
+      .groupBy("f").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nNations = doomed.count()
+    val nIncident = g.edges.filter(F.col("elabel").isin("in_nation", "in_region")).count()
+    // vertex family: one existence + 3 property tombstones per vertex
+    assert(fams(0L) == nNations * 4)
+    // primary tombstones: in_nation (incident as dst) + in_region (as src)
+    val prim = fams.getOrElse(1L, 0L) + fams.getOrElse(2L, 0L)
+    val rev = fams.getOrElse(KVGraphMutations.RevBase + 1L, 0L) +
+      fams.getOrElse(KVGraphMutations.RevBase + 2L, 0L)
+    assert(prim == nIncident && rev == nIncident && nIncident > 0)
+  }
+
+  test("g_kv_dsl_dropv invariants hold at sf0.001") {
+    val df = KVGraphQueries.gKvDslDropV(spark, SF)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val cust = graft.Tables(spark, SF, "customer")
+    val kept = cust.filter(F.col("c_mktsegment") =!= "AUTOMOBILE").count()
+    val nSupp = graft.Tables(spark, SF, "supplier").count()
+    assert(rows.length == kept)
+    assert(rows.forall(_.getLong(2) == kept)) // n_cust_cells
+    assert(rows.forall(_.getLong(3) == kept + nSupp)) // n_in_nation_cells
+    assert(rows.forall(_.getLong(4) == kept + nSupp)) // n_rev_in_nation_cells
+  }
+}
