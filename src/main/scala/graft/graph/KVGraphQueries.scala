@@ -946,6 +946,45 @@ object KVGraphQueries {
       .unionByName(vciFamily(g.edges))
   }
 
+  private var lastSplitGraphWh: Option[java.nio.file.Path] = None
+
+  /** g_kv_split_graph: the PRODUCTION layout end-to-end — JanusGraph's
+    * named-store split (edgestore vs vertexprops,
+    * ClickhouseStoreManager.java:79) carrying a FULLY-RESIDENT graph:
+    * KVStoreManager persists all adjacency families (primary + mirror +
+    * VCI) under `edgestore` and the vertex family under `vertexprops`
+    * in the qualifier-major layout, the adapter decodes vertices from
+    * one named store and edges from the other, and the BUILDING onehop
+    * runs with no frame table in its vertex or edge path. The two
+    * claims this composes: family stores keep property reads out of the
+    * (much larger) edgestore entirely, and the whole graph still lives
+    * in the manager's named stores — the reference's deployment shape,
+    * not a single-file demo. Shares g_onehop's oracle hash-for-hash. */
+  def gKvSplitGraph(s: SparkSession, dir: String): DataFrame = synchronized {
+    val wh = graft.ScenarioDirs.fresh("graft_kvsplitg", lastSplitGraphWh)
+    lastSplitGraphWh = Some(wh)
+    val mgr = new graft.kv.KVStoreManager(s, wh.toString)
+    val g0 = PropertyGraph(s, dir)
+    mgr.writeSegmentStore("edgestore",
+      KVGraphMutations.edgeAdditions(g0.edges)
+        .unionByName(KVGraphMutations.edgeRevAdditions(g0.edges))
+        .unionByName(vciFamily(g0.edges)),
+      16)
+    mgr.writeSegmentStore("vertexprops",
+      KVGraphMutations.vertexAdditions(g0.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
+      16, familyRanged = true)
+    val g = kvBackedGraphFull(s, dir, s"$wh/edgestore")
+      .copy(vertices = storeVertices(mgr.openSegmentStore("vertexprops")))
+    Traversal.V(g)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation")
+      .value("name", "n_name")
+      .select("c_vid", "n_name")
+      .df
+      .localCheckpoint(true)
+  }
+
   private var lastFullDslSeg: Option[java.nio.file.Path] = None
 
   /** g_kv_dsl_full: ONE traversal exercising every storage hook in one
@@ -1076,5 +1115,6 @@ object KVGraphQueries {
     ("g_kv_degree_mv", gKvDegreeMv _, Some(GraphQueries.gDegreeSql)),
     ("g_kv_full_graph", gKvFullGraph _, Some(GraphQueries.gOneHopSql)),
     ("g_kv_dsl_full", gKvDslFull _, Some(gKvDslFullSql)),
+    ("g_kv_split_graph", gKvSplitGraph _, Some(GraphQueries.gOneHopSql)),
     ("g_kv_dsl_dropv", gKvDslDropV _, Some(gKvDslDropVSql)))
 }

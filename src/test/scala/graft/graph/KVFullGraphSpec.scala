@@ -90,6 +90,14 @@ class KVFullGraphSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("g_kv_split_graph equals the frame one-hop over the named-store layout") {
+    val split = KVGraphQueries.gKvSplitGraph(spark, SF)
+    val frame = GraphQueries.gOneHop(spark, SF)
+    val a = split.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = frame.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("vertexDeletions tombstones existence, props, and both edge directions") {
     val g = PropertyGraph(spark, SF)
     val doomed = g.vertices.filter(F.col("vlabel") === "nation").select("vid")
