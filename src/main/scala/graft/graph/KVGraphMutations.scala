@@ -135,6 +135,29 @@ object KVGraphMutations {
       encLong(F.col("dst")).as("k"),
       F.concat(encLong(checkedLabelId + RevBase), encLong(F.col("src"))).as("c"))
 
+  /** addE's VCI half: the w-sorted family's cells (k, c, v) — the ONE
+    * encoder dualAdjacency/fullStoreCells persist per edge. The weight
+    * rides the qualifier, where encLong's byte order is order-preserving
+    * only for w >= 0 — KVGraphQueries.checkedW fails loudly on the
+    * first negative weight (same guard as the label id). */
+  def edgeVciAdditions(edges: DataFrame): DataFrame =
+    edges.select(
+      encLong(F.col("src")).as("k"),
+      F.concat(encLong(checkedLabelId + KVGraphQueries.VciBase),
+        encLong(KVGraphQueries.checkedW), encLong(F.col("dst"))).as("c"),
+      encLong(F.col("w")).as("v"))
+
+  /** dropE's VCI half: the w-sorted family's tombstones (k, c). The
+    * qualifier carries the WEIGHT, so deletions need the edge's current
+    * w — exactly what the edge frame holds. Without these, a store
+    * carrying the index family would keep ghost cells an index-routed
+    * read resurrects after a drop (r14 review #1). */
+  def edgeVciDeletions(edges: DataFrame): DataFrame =
+    edges.select(
+      encLong(F.col("src")).as("k"),
+      F.concat(encLong(checkedLabelId + KVGraphQueries.VciBase),
+        encLong(F.col("w")), encLong(F.col("dst"))).as("c"))
+
   /** dropV's tombstone set — JanusGraph's vertex removal deletes the
     * vertex AND its incident edges in one mutation: for each doomed
     * vertex (a (vid) frame), the existence cell, every registered
@@ -152,19 +175,47 @@ object KVGraphMutations {
     }.reduce(_ unionByName _)
     val outE = edges.join(vids.select(F.col("vid").as("src")), "src")
     val inE = edges.join(vids.select(F.col("vid").as("dst")), "dst")
-    val eCells = edgeDeletions(outE).unionByName(edgeRevDeletions(outE))
-      .unionByName(edgeDeletions(inE)).unionByName(edgeRevDeletions(inE))
+    // all THREE copies of each incident edge go: primary, mirror, AND
+    // the w-sorted VCI family — on stores without a family the extra
+    // tombstones are no-ops, on index-carrying stores skipping them
+    // would leave ghost cells an index-routed read resurrects
+    val eCells = Seq(outE, inE)
+      .flatMap(e => Seq(edgeDeletions(e), edgeRevDeletions(e),
+        edgeVciDeletions(e)))
+      .reduce(_ unionByName _)
     vCells.unionByName(eCells)
+  }
+
+  /** The edge-cell additions for a store's declared family layout:
+    * primary always; mirror and VCI halves when the store carries them.
+    * Mutating a multi-family store through the primary-only batch
+    * silently desynchronizes the families (an in() hop keeps seeing a
+    * dropped edge whose mirror cell survived — r14 review #2), so the
+    * CALLER states the layout once and every batch covers it. */
+  def edgeAdditionsFor(edges: DataFrame, mirror: Boolean, vci: Boolean): DataFrame = {
+    val base = edgeAdditions(edges)
+    val withMirror = if (mirror) base.unionByName(edgeRevAdditions(edges)) else base
+    if (vci) withMirror.unionByName(edgeVciAdditions(edges)) else withMirror
+  }
+
+  /** [[edgeAdditionsFor]]'s tombstone twin. */
+  def edgeDeletionsFor(edges: DataFrame, mirror: Boolean, vci: Boolean): DataFrame = {
+    val base = edgeDeletions(edges)
+    val withMirror = if (mirror) base.unionByName(edgeRevDeletions(edges)) else base
+    if (vci) withMirror.unionByName(edgeVciDeletions(edges)) else withMirror
   }
 
   /** Snapshot-path mutation: one [[KVStore.mutate]] applying addV + addE
     * + dropEdges as ONE batch (deletions strictly before additions, each
-    * addition upserting its own cell — the reference's order). */
+    * addition upserting its own cell — the reference's order). `mirror`/
+    * `vci` must state the store's family layout (see
+    * [[edgeAdditionsFor]]). */
   def mutateSnapshot(store: DataFrame, addV: DataFrame, addE: DataFrame,
-                     dropE: DataFrame): DataFrame =
+                     dropE: DataFrame, mirror: Boolean = false,
+                     vci: Boolean = false): DataFrame =
     KVStore.mutate(store,
-      vertexAdditions(addV).unionByName(edgeAdditions(addE)),
-      edgeDeletions(dropE))
+      vertexAdditions(addV).unionByName(edgeAdditionsFor(addE, mirror, vci)),
+      edgeDeletionsFor(dropE, mirror, vci))
 
   /** Log-path mutation: the same batch appended to a [[KVDeltaStore]]
     * (no snapshot rewrite — the form that keeps graph writes viable at
@@ -175,8 +226,9 @@ object KVGraphMutations {
     * non-reproducible, and time-travel reads over the log would then
     * depend on run timing — callers state their own clock. */
   def mutateLog(ds: KVDeltaStore, name: String, addV: DataFrame,
-                addE: DataFrame, dropE: DataFrame, wts: Long): Unit =
+                addE: DataFrame, dropE: DataFrame, wts: Long,
+                mirror: Boolean = false, vci: Boolean = false): Unit =
     ds.appendMutation(name,
-      vertexAdditions(addV).unionByName(edgeAdditions(addE)),
-      edgeDeletions(dropE), wts)
+      vertexAdditions(addV).unionByName(edgeAdditionsFor(addE, mirror, vci)),
+      edgeDeletionsFor(dropE, mirror, vci), wts)
 }

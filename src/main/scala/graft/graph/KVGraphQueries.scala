@@ -189,7 +189,7 @@ object KVGraphQueries {
   // instead: assert_true throws at scan time on the first negative
   // weight, and it rides inside the load-bearing sort-key expression
   // so the optimizer cannot prune it.
-  private def checkedW = F.when(F.assert_true(F.col("w") >= 0,
+  private[graph] def checkedW = F.when(F.assert_true(F.col("w") >= 0,
     F.lit("vci adjacency requires non-negative w: encLong byte order " +
       "is order-preserving only for w >= 0")).isNull, F.col("w"))
 
@@ -218,14 +218,10 @@ object KVGraphQueries {
     KVSegmentStore.write(vciAdjacency(s, dir), seg.toString, 16)
     val peer = LabelIds.toMap.apply("peer")
     // w <= 2 with w >= 1 by derivation: c in [(peer,0,0), (peer,3,0))
-    val lo = F.concat(encLong(F.lit(peer)), encLong(F.lit(0L)), encLong(F.lit(0L)))
-    val hi = F.concat(encLong(F.lit(peer)), encLong(F.lit(3L)), encLong(F.lit(0L)))
-    s.read.format("graft-kv").load(seg.toString)
-      .filter(F.col("c") >= lo && F.col("c") < hi)
-      .select(
-        decLong(F.col("k"), 1).as("a_vid"),
-        decLong(F.col("c"), 17).as("b_vid"),
-        decLong(F.col("c"), 9).as("w_e"))
+    vciSliceDecoded(s.read.format("graft-kv").load(seg.toString),
+        peer, "peer", upTo = 2L)
+      .select(F.col("src").as("a_vid"), F.col("dst").as("b_vid"),
+        F.col("w").as("w_e"))
       .localCheckpoint(true)
   }
 
@@ -241,13 +237,30 @@ object KVGraphQueries {
   /** Family-id offset of the property-sorted (VCI) layouts. */
   private[graph] val VciBase = 1000L
 
-  /** The w-sorted VCI family's cells: c = (VciBase+label, w, dst). */
+  /** ONE home for the property-sorted family's slice: the c-range
+    * [(famId, 0, 0), (famId, upTo+1, 0)) and the (k=src, c=(fam, w,
+    * dst)) decode — edgeSlice, the DSL's EdgeIndex lookup, and the
+    * single-layout g_kv_vci all read through here, so a layout change
+    * has exactly one place to land (r14 review #6). */
+  private[graph] def vciSliceDecoded(store: DataFrame, famId: Long,
+                                     label: String, upTo: Long): DataFrame = {
+    val lo = F.concat(encLong(F.lit(famId)), encLong(F.lit(0L)),
+      encLong(F.lit(0L)))
+    val hi = F.concat(encLong(F.lit(famId)), encLong(F.lit(upTo + 1)),
+      encLong(F.lit(0L)))
+    store.filter(F.col("c") >= lo && F.col("c") < hi)
+      .select(
+        F.col("k").as(Traversal.KvKeyCol),
+        decLong(F.col("k"), 1).as("src"),
+        decLong(F.col("c"), 17).as("dst"),
+        F.lit(label).as("elabel"),
+        decLong(F.col("c"), 9).as("w"))
+  }
+
+  /** The w-sorted VCI family's cells: c = (VciBase+label, w, dst) —
+    * ONE encoder, shared with the mutation compiler. */
   private[graph] def vciFamily(edges: DataFrame): DataFrame =
-    edges.select(
-      encLong(F.col("src")).as("k"),
-      F.concat(encLong(labelId + VciBase), encLong(checkedW),
-        encLong(F.col("dst"))).as("c"),
-      encLong(F.col("w")).as("v"))
+    KVGraphMutations.edgeVciAdditions(edges)
 
   /** Dual-layout adjacency: primary + VCI families in one store. */
   private[graph] def dualAdjacency(s: SparkSession, dir: String): DataFrame = {
@@ -266,15 +279,9 @@ object KVGraphQueries {
     val id = LabelIds.toMap.apply(label)
     wUpTo match {
       case Some(hi) =>
-        val lo = F.concat(encLong(F.lit(VciBase + id)), encLong(F.lit(0L)),
-          encLong(F.lit(0L)))
-        val hiB = F.concat(encLong(F.lit(VciBase + id)), encLong(F.lit(hi + 1)),
-          encLong(F.lit(0L)))
-        store.filter(F.col("c") >= lo && F.col("c") < hiB)
-          .select(
-            decLong(F.col("k"), 1).as("a_vid"),
-            decLong(F.col("c"), 17).as("b_vid"),
-            decLong(F.col("c"), 9).as("w_e"))
+        vciSliceDecoded(store, VciBase + id, label, hi)
+          .select(F.col("src").as("a_vid"), F.col("dst").as("b_vid"),
+            F.col("w").as("w_e"))
       case None =>
         store.filter(F.col("c") >= labelLo(id) && F.col("c") < labelHi(id))
           .select(
@@ -301,18 +308,8 @@ object KVGraphQueries {
           : Option[org.apache.spark.sql.DataFrame] =
         if (prop != "w" || upTo < 0) None
         else LabelIds.toMap.get(label).map { id =>
-          val lo = F.concat(encLong(F.lit(VciBase + id)), encLong(F.lit(0L)),
-            encLong(F.lit(0L)))
-          val hi = F.concat(encLong(F.lit(VciBase + id)), encLong(F.lit(upTo + 1)),
-            encLong(F.lit(0L)))
-          s.read.format("graft-kv").load(segPath)
-            .filter(F.col("c") >= lo && F.col("c") < hi)
-            .select(
-              F.col("k").as(Traversal.KvKeyCol),
-              decLong(F.col("k"), 1).as("src"),
-              decLong(F.col("c"), 17).as("dst"),
-              F.lit(label).as("elabel"),
-              decLong(F.col("c"), 9).as("w"))
+          vciSliceDecoded(s.read.format("graft-kv").load(segPath),
+            VciBase + id, label, upTo)
         }
     }
     base.copy(edgeIndex = Some(index))
@@ -515,7 +512,11 @@ object KVGraphQueries {
     lastSplitWh = Some(wh)
     val mgr = new graft.kv.KVStoreManager(s, wh.toString)
     val g = PropertyGraph(s, dir)
-    mgr.writeSegmentStore("edgestore", adjacency(s, dir), 16)
+    // only the property store is written here: the entry never reads the
+    // adjacency, and paying a full edgestore write per run would charge a
+    // property-read entry for I/O it does not exercise (r14 review #5);
+    // the edgestore/vertexprops isolation is KVFamilySplitSpec's claim,
+    // and g_kv_split_graph composes the two-store layout for real
     mgr.writeSegmentStore("vertexprops",
       KVGraphMutations.vertexAdditions(g.vertices)
         .unionByName(KVGraphMutations.vertexPropAdditions(g.vertices)),
@@ -653,10 +654,7 @@ object KVGraphQueries {
     val ds = new graft.kv.KVDeltaStore(s, wh.toString)
     val fg = PropertyGraph(s, dir)
     val e = fg.edges
-    val none = e.limit(0).select(
-      encLong(F.col("src")).as("k"),
-      F.concat(encLong(F.lit(0L)), encLong(F.col("dst"))).as("c"),
-      encLong(F.col("w")).as("v"))
+    val none = adjacency(s, dir).limit(0)
     // base state (delta 1): all vertices EXCEPT nations, their property
     // cells, and the peer + in_region adjacency — no in_nation edges
     val baseVerts = fg.vertices.filter(F.col("vlabel") =!= "nation")

@@ -548,10 +548,9 @@ final class Traversal private (
       // the risky precondition instead of leaving it a doc-only caveat
       // (r13 advice #5)
       Traversal.logger.warn(
-        "repeat().until(): {} source vertex(es) match the stop predicate; " +
+        "repeat().until(): source vertices match the stop predicate; " +
           "sources are emitted only when RE-REACHED — pair any oracle with " +
-          "the re-reach rule, not a source-seeding recursive CTE",
-        srcMatched.count())
+          "the re-reach rule, not a source-seeding recursive CTE")
       val expanded = reached.join(matched, Seq("vid"), "left_anti")
       val reMatched = edges
         .join(srcMatched.select(F.col("vid").as("dst")), "dst")
@@ -954,7 +953,9 @@ final class Traversal private (
       def upTo(p: P): Option[Long] = p match {
         case P.Lte(v: Long) => Some(v)
         case P.Lte(v: Int) => Some(v.toLong)
-        case P.Lt(v: Long) => Some(v - 1)
+        // lt(Long.MinValue) must NOT wrap to MaxValue (an all-edges
+        // slice): fall to None → primary frame + residual filter → empty
+        case P.Lt(v: Long) if v != Long.MinValue => Some(v - 1)
         case P.Lt(v: Int) => Some(v.toLong - 1)
         case _ => None
       }

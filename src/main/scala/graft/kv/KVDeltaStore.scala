@@ -69,9 +69,14 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
 
   /** Append one mutate batch as a new delta part — no snapshot rewrite.
     * Within the batch, an addition of (k,c) supersedes its deletion
-    * (delete-before-add upsert, resolved at read time via op ordering). */
+    * (delete-before-add upsert, resolved at read time via op ordering).
+    * `wts` (the batch's write timestamp, the TTL age column) has NO
+    * wall-clock default (r13 advice #4, extended by the r14 review):
+    * batch metadata must be reproducible — callers state their own
+    * clock (a scenario stamps constants; a streaming sink derives it
+    * from the batch id so replays re-stamp identically). */
   def appendMutation(name: String, additions: DataFrame, deletions: DataFrame,
-                     wts: Long = System.currentTimeMillis()): Unit = {
+                     wts: Long): Unit = {
     val next = deltaPaths(name).lastOption
       .map(_.getName.stripPrefix("delta_").toLong + 1).getOrElse(1L)
     appendMutationAt(name, next, additions, deletions, wts)
@@ -83,8 +88,7 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
     * instead of appending a duplicate behind it). Batch callers should
     * use appendMutation, which derives the next free sequence. */
   def appendMutationAt(name: String, seq: Long, additions: DataFrame,
-                       deletions: DataFrame,
-                       wts: Long = System.currentTimeMillis()): Unit = {
+                       deletions: DataFrame, wts: Long): Unit = {
     require(seq > 0, s"delta sequence must be positive (0 is base), got $seq")
     val batch = additions.select(F.col("k"), F.col("c"), F.col("v"),
       F.lit(wts).as("wts"), F.lit(1).as("op"))

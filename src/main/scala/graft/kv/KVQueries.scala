@@ -191,9 +191,9 @@ object KVQueries {
     lastDeltaWarehouse = Some(whPath)
     val ds = new KVDeltaStore(s, whPath.toString)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    ds.appendMutation("events", eventStore(s, dir), noDel)
+    ds.appendMutation("events", eventStore(s, dir), noDel, wts = 1000L)
     val (additions, deletions) = mutationScenario(s, dir)
-    ds.appendMutation("events", additions, deletions)
+    ds.appendMutation("events", additions, deletions, wts = 2000L)
     if (compactFirst) ds.compact("events")
     // eager localCheckpoint: the returned DataFrame must stay re-evaluable
     // AFTER a later call sweeps this warehouse, so cut its lineage to the
@@ -431,9 +431,9 @@ object KVQueries {
     lastTravelWarehouse = Some(whPath)
     val ds = new KVDeltaStore(s, whPath.toString)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    ds.appendMutation("events", eventStore(s, dir), noDel)
+    ds.appendMutation("events", eventStore(s, dir), noDel, wts = 1000L)
     val (additions, deletions) = mutationScenario(s, dir)
-    ds.appendMutation("events", additions, deletions)
+    ds.appendMutation("events", additions, deletions, wts = 2000L)
     readBackMutated(s, ds.openDatabaseAsOf("events", 1L)).localCheckpoint(true)
   }
 

@@ -118,7 +118,9 @@ object KVStreamSink {
     if (!store.deltaCompleteOrClear(name, seq)) {
       val adds = batch.filter(!F.col("is_delete")).select("k", "c", "v")
       val dels = batch.filter(F.col("is_delete")).select("k", "c")
-      store.appendMutationAt(name, seq, adds, dels)
+      // wts derives from the batch id, NOT wall-clock: a replayed batch
+      // re-stamps the SAME age, keeping the delta part byte-reproducible
+      store.appendMutationAt(name, seq, adds, dels, wts = seq)
     }
     writeHwm(conf, warehouseDir, name, batchId)
     store.maybeCompact(name, compactThreshold): Unit

@@ -110,11 +110,73 @@ class KVFullGraphSpec extends SparkSpec {
     val nIncident = g.edges.filter(F.col("elabel").isin("in_nation", "in_region")).count()
     // vertex family: one existence + 3 property tombstones per vertex
     assert(fams(0L) == nNations * 4)
-    // primary tombstones: in_nation (incident as dst) + in_region (as src)
+    // ALL THREE copies of each incident edge: primary, mirror, and the
+    // w-sorted VCI family (in_nation incident as dst, in_region as src)
     val prim = fams.getOrElse(1L, 0L) + fams.getOrElse(2L, 0L)
     val rev = fams.getOrElse(KVGraphMutations.RevBase + 1L, 0L) +
       fams.getOrElse(KVGraphMutations.RevBase + 2L, 0L)
-    assert(prim == nIncident && rev == nIncident && nIncident > 0)
+    val vciBase = 1000L
+    val vci = fams.getOrElse(vciBase + 1L, 0L) + fams.getOrElse(vciBase + 2L, 0L)
+    assert(prim == nIncident && rev == nIncident && vci == nIncident &&
+      nIncident > 0)
+  }
+
+  test("dropV leaves no index-resurrectable ghost edges on a full store") {
+    // the r14 review's failure scenario, as a test: drop a supplier from
+    // a store carrying the VCI family; the index-routed read must agree
+    // with the primary read (both empty for the dropped vertex)
+    val g0 = PropertyGraph(spark, SF)
+    val victim = g0.vertices.filter(F.col("vlabel") === "supplier")
+      .orderBy("vid").limit(1).select("vid")
+    val cells = KVGraphQueries.fullStoreCells(spark, SF)
+    val mutated = graft.kv.KVStore.mutate(cells,
+      cells.limit(0),
+      KVGraphMutations.vertexDeletions(victim, g0.edges))
+    val seg = java.nio.file.Files.createTempDirectory("graft_ghostspec").toString
+    KVSegmentStore.write(mutated, seg, 8)
+    val g = KVGraphQueries.kvBackedGraphFull(spark, SF, seg)
+    val vid = victim.collect()(0).getLong(0)
+    // primary path: no out-edges of the victim
+    val primary = Traversal.V(g).has("vid", Traversal.P.is(vid))
+      .outE("in_nation").inV().as("n").select("n").df.collect()
+    // index-routed path: also none (the VCI tombstones did their job)
+    val routed = Traversal.V(g).has("vid", Traversal.P.is(vid))
+      .outE("in_nation").has("w", Traversal.P.lte(5L)).inV().as("n")
+      .select("n").df.collect()
+    assert(primary.isEmpty && routed.isEmpty)
+    // and the victim's vertex row itself is gone
+    assert(g.vertices.filter(F.col("vid") === vid).count() == 0)
+  }
+
+  test("family-aware mutateLog keeps a dual-adjacency store consistent") {
+    val g0 = PropertyGraph(spark, SF)
+    val e = g0.edges
+    val wh = java.nio.file.Files.createTempDirectory("graft_fammut").toString
+    val ds = new graft.kv.KVDeltaStore(spark, wh)
+    // base: dual store (primary + mirror) of the in_region edges
+    KVGraphMutations.mutateLog(ds, "g", g0.vertices.limit(0),
+      addE = e.filter(F.col("elabel") === "in_region"),
+      dropE = e.limit(0), wts = 1000L, mirror = true)
+    // mutation: drop one edge, add one in_nation edge — BOTH families
+    val doomed = e.filter(F.col("elabel") === "in_region")
+      .orderBy("src", "dst").limit(1).localCheckpoint(true)
+    val added = e.filter(F.col("elabel") === "in_nation")
+      .orderBy("src", "dst").limit(1).localCheckpoint(true)
+    KVGraphMutations.mutateLog(ds, "g", g0.vertices.limit(0),
+      addE = added, dropE = doomed, wts = 2000L, mirror = true)
+    val seg = java.nio.file.Files.createTempDirectory("graft_fammutseg").toString
+    KVSegmentStore.write(ds.openDatabase("g"), seg, 4)
+    val g = KVGraphQueries.kvBackedGraphBoth(spark, SF, seg)
+    // the forward view and the mirror view must agree edge-for-edge
+    val fwd = g.edges.select("src", "dst", "elabel", "w")
+      .collect().map(_.toString).sorted.toSeq
+    val rev = g.revEdges.get.select("src", "dst", "elabel", "w")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fwd == rev && fwd.nonEmpty)
+    // and the mutation is visible in both: doomed gone, added present
+    val doomedRow = doomed.collect()(0)
+    assert(!fwd.exists(_.contains(s"[${doomedRow.getLong(0)},${doomedRow.getLong(1)},in_region")))
+    assert(fwd.exists(_.contains("in_nation")))
   }
 
   test("g_kv_dsl_dropv invariants hold at sf0.001") {

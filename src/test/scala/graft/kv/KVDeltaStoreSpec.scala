@@ -29,15 +29,15 @@ class KVDeltaStoreSpec extends SparkSpec {
 
     // batch 1: plain inserts
     val b1add = kcv(Seq((1, 1, 10), (1, 2, 20), (2, 1, 30), (3, 1, 40)))
-    ds.appendMutation("s", b1add, kcv(Nil).select("k", "c"))
+    ds.appendMutation("s", b1add, kcv(Nil).select("k", "c"), wts = 1000L)
     // batch 2: upsert (1,1)->11, delete (1,2), insert (2,2,50),
     //          and delete-before-add on a NEW cell (3,2): both in one batch
     val b2add = kcv(Seq((1, 1, 11), (2, 2, 50), (3, 2, 60)))
     val b2del = kcv(Seq((1, 2, 0), (3, 2, 0))).select("k", "c")
-    ds.appendMutation("s", b2add, b2del)
+    ds.appendMutation("s", b2add, b2del, wts = 2000L)
     // batch 3: delete the cell upserted in batch 2
     val b3del = kcv(Seq((1, 1, 0))).select("k", "c")
-    ds.appendMutation("s", kcv(Nil), b3del)
+    ds.appendMutation("s", kcv(Nil), b3del, wts = 3000L)
 
     // reference: the same three batches folded through KVStore.mutate
     val empty = kcv(Nil)
@@ -59,7 +59,7 @@ class KVDeltaStoreSpec extends SparkSpec {
     assert(decode(ds.openDatabase("s")) == expected)
 
     // and further mutation on a compacted store still works
-    ds.appendMutation("s", kcv(Seq((9, 9, 99))), kcv(Nil).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((9, 9, 99))), kcv(Nil).select("k", "c"), wts = 4000L)
     assert(decode(ds.openDatabase("s")) == expected + ((9L, 9L, 99L)))
   }
 
@@ -70,9 +70,9 @@ class KVDeltaStoreSpec extends SparkSpec {
     // otherwise be lost if the recovery itself crashed mid-way).
     val wh = java.nio.file.Files.createTempDirectory("kvdelta_crash")
     val ds = new KVDeltaStore(spark, wh.toString)
-    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"), wts = 5000L)
     ds.compact("s") // now base/ holds the two cells, no deltas
-    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"), wts = 6000L)
 
     val basep = wh.resolve("s").resolve("base")
     val oldp = wh.resolve("s").resolve("base__old")
@@ -99,10 +99,10 @@ class KVDeltaStoreSpec extends SparkSpec {
     // cell a newer delta had deleted).
     val wh = java.nio.file.Files.createTempDirectory("kvdelta_midsweep")
     val ds = new KVDeltaStore(spark, wh.toString)
-    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"))
-    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"))
-    ds.appendMutation("s", kcv(Seq((1, 1, 11))), kcv(Nil).select("k", "c")) // resurrect k=1
-    ds.appendMutation("s", kcv(Seq((4, 1, 40))), kcv(Seq((2, 1, 0))).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"), wts = 7000L)
+    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"), wts = 8000L)
+    ds.appendMutation("s", kcv(Seq((1, 1, 11))), kcv(Nil).select("k", "c"), wts = 9000L) // resurrect k=1
+    ds.appendMutation("s", kcv(Seq((4, 1, 40))), kcv(Seq((2, 1, 0))).select("k", "c"), wts = 10000L)
     assert(ds.logDepth("s") == 4)
     val expected = Set((1L, 1L, 11L), (3L, 1L, 30L), (4L, 1L, 40L))
     assert(decode(ds.openDatabase("s")) == expected)
@@ -138,7 +138,7 @@ class KVDeltaStoreSpec extends SparkSpec {
     assert(ds.logDepth("s") == 0)
     assert(decode(ds.openDatabase("s")) == expected)
     // the store stays fully writable after recovery
-    ds.appendMutation("s", kcv(Seq((9, 9, 99))), kcv(Nil).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((9, 9, 99))), kcv(Nil).select("k", "c"), wts = 11000L)
     assert(decode(ds.openDatabase("s")) == expected + ((9L, 9L, 99L)))
   }
 
@@ -149,7 +149,7 @@ class KVDeltaStoreSpec extends SparkSpec {
     // a single key's mega-mutation: 1000 cells of k=7, arriving as ONE
     // upstream partition (the worst-case skew a key-hash layout produces)
     val hot = kcv((1L to 1000L).map(c => (7L, c, c * 2))).coalesce(1)
-    ds.appendMutation("s", hot, kcv(Nil).select("k", "c"))
+    ds.appendMutation("s", hot, kcv(Nil).select("k", "c"), wts = 12000L)
     // each write task emits one file: the bound is visible as per-file rows
     val perFile = spark.read
       .parquet(wh.resolve("s").resolve("delta_00001").toString)
@@ -164,9 +164,9 @@ class KVDeltaStoreSpec extends SparkSpec {
   test("openDatabaseAsOf pins each version; compaction moves the horizon") {
     val wh = java.nio.file.Files.createTempDirectory("kvdelta_tt").toString
     val ds = new KVDeltaStore(spark, wh)
-    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"))
-    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"))
-    ds.appendMutation("s", kcv(Seq((1, 1, 11))), kcv(Nil).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((1, 1, 10), (2, 1, 20))), kcv(Nil).select("k", "c"), wts = 13000L)
+    ds.appendMutation("s", kcv(Seq((3, 1, 30))), kcv(Seq((1, 1, 0))).select("k", "c"), wts = 14000L)
+    ds.appendMutation("s", kcv(Seq((1, 1, 11))), kcv(Nil).select("k", "c"), wts = 15000L)
     // each version is exactly the state its batch produced
     assert(decode(ds.openDatabaseAsOf("s", 1)) == Set((1L, 1L, 10L), (2L, 1L, 20L)))
     assert(decode(ds.openDatabaseAsOf("s", 2)) == Set((2L, 1L, 20L), (3L, 1L, 30L)))
@@ -186,12 +186,12 @@ class KVDeltaStoreSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("kvdelta_auto").toString
     val ds = new KVDeltaStore(spark, wh)
     for (i <- 1L to 3L) {
-      ds.appendMutation("s", kcv(Seq((i, 1, i * 10))), kcv(Nil).select("k", "c"))
+      ds.appendMutation("s", kcv(Seq((i, 1, i * 10))), kcv(Nil).select("k", "c"), wts = 16000L)
       assert(!ds.maybeCompact("s", threshold = 4), s"compacted early at log depth $i")
     }
     assert(ds.logDepth("s") == 3)
     val expected = decode(ds.openDatabase("s"))
-    ds.appendMutation("s", kcv(Seq((4, 1, 40))), kcv(Seq((1, 1, 0))).select("k", "c"))
+    ds.appendMutation("s", kcv(Seq((4, 1, 40))), kcv(Seq((1, 1, 0))).select("k", "c"), wts = 17000L)
     assert(ds.maybeCompact("s", threshold = 4)) // 4th delta trips the policy
     assert(ds.logDepth("s") == 0) // log folded into base
     assert(decode(ds.openDatabase("s")) ==

@@ -49,9 +49,9 @@ class KVLogFanInSpec extends SparkSpec {
     val b = new KVDeltaStore(spark, s"$wh/b")
     // uneven logs: A has two parts, B one — per-source offsets must
     // advance independently
-    a.appendMutationAt("t", 1L, cells(0, 10), noDel)
-    a.appendMutationAt("t", 2L, cells(10, 14), noDel)
-    b.appendMutationAt("t", 1L, cells(100, 105), noDel)
+    a.appendMutationAt("t", 1L, cells(0, 10), noDel, wts = 1000L)
+    a.appendMutationAt("t", 2L, cells(10, 14), noDel, wts = 2000L)
+    b.appendMutationAt("t", 1L, cells(100, 105), noDel, wts = 3000L)
     drainFanIn(s"$wh/a/t", s"$wh/b/t", s"$wh/ckpt", s"$wh/out")
     val first = spark.read.parquet(s"$wh/out")
     val byStore = first.groupBy("src_store").count().collect()
@@ -60,9 +60,9 @@ class KVLogFanInSpec extends SparkSpec {
     // interleaved appends: B gains two parts, A one — a restart off the
     // SAME checkpoint replays NOTHING already committed and drains
     // exactly the new parts of each source
-    b.appendMutationAt("t", 2L, cells(105, 108), noDel)
-    a.appendMutationAt("t", 3L, cells(14, 16), noDel)
-    b.appendMutationAt("t", 3L, cells(108, 109), noDel)
+    b.appendMutationAt("t", 2L, cells(105, 108), noDel, wts = 4000L)
+    a.appendMutationAt("t", 3L, cells(14, 16), noDel, wts = 5000L)
+    b.appendMutationAt("t", 3L, cells(108, 109), noDel, wts = 6000L)
     drainFanIn(s"$wh/a/t", s"$wh/b/t", s"$wh/ckpt", s"$wh/out")
     val second = spark.read.parquet(s"$wh/out")
     assert(second.count() == 14 + 5 + 2 + 3 + 1)

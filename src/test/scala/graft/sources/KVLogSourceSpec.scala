@@ -58,11 +58,11 @@ class KVLogSourceSpec extends SparkSpec {
   test("a checkpointed restart reads ONLY the newly appended log") {
     val wh = Files.createTempDirectory("graft_kvlog2").toString
     val ds = new KVDeltaStore(spark, wh)
-    ds.appendMutationAt("t", 1L, cells(0, 10), noDel)
+    ds.appendMutationAt("t", 1L, cells(0, 10), noDel, wts = 3000L)
     drain(s"$wh/t", s"$wh/ckpt", s"$wh/out")
     assert(spark.read.parquet(s"$wh/out").count() == 10)
     // appended after the first drain: only this part may flow next
-    ds.appendMutationAt("t", 2L, cells(100, 104), noDel)
+    ds.appendMutationAt("t", 2L, cells(100, 104), noDel, wts = 4000L)
     drain(s"$wh/t", s"$wh/ckpt", s"$wh/out")
     val got = spark.read.parquet(s"$wh/out")
     assert(got.count() == 14)
@@ -76,8 +76,8 @@ class KVLogSourceSpec extends SparkSpec {
     import graft.kv.KVStreamSink
     val wh = Files.createTempDirectory("graft_kvlog4").toString
     val ds = new KVDeltaStore(spark, wh)
-    ds.appendMutationAt("t", 1L, cells(0, 20), noDel)
-    ds.appendMutationAt("t", 2L, cells(20, 25), cells(0, 7).select("k", "c"))
+    ds.appendMutationAt("t", 1L, cells(0, 20), noDel, wts = 5000L)
+    ds.appendMutationAt("t", 2L, cells(20, 25), cells(0, 7).select("k", "c"), wts = 6000L)
     def replicate(): Unit = {
       val q = spark.readStream.format("graft-kv-log")
         .option("maxSeqsPerBatch", "1")
@@ -100,7 +100,7 @@ class KVLogSourceSpec extends SparkSpec {
     assert(replica == primary && primary.size == 18, s"sizes: ${primary.size}/${replica.size}")
     // incremental: a later primary mutation flows through the SAME
     // checkpoint on the next drain
-    ds.appendMutationAt("t", 3L, cells(100, 103), noDel)
+    ds.appendMutationAt("t", 3L, cells(100, 103), noDel, wts = 7000L)
     replicate()
     assert(snap(KVStreamSink.readDelta(spark, wh, "r")) == snap(ds.openDatabase("t")))
   }
@@ -113,9 +113,9 @@ class KVLogSourceSpec extends SparkSpec {
     // it (the r12 second-review finding).
     val wh = Files.createTempDirectory("graft_kvlog6").toString
     val ds = new KVDeltaStore(spark, wh)
-    ds.appendMutationAt("t", 1L, cells(0, 5), noDel)
+    ds.appendMutationAt("t", 1L, cells(0, 5), noDel, wts = 8000L)
     ds.appendMutationAt("t", 2L, noDel.withColumn("v", F.lit(null).cast("binary")),
-      cells(0, 1).select("k", "c"))
+      cells(0, 1).select("k", "c"), wts = 9000L)
     val q = spark.readStream.format("graft-kv-log")
       .load(s"$wh/t")
       .writeStream
@@ -138,8 +138,8 @@ class KVLogSourceSpec extends SparkSpec {
   test("startingSeq skips history for a NEW consumer; checkpoints still win") {
     val wh = Files.createTempDirectory("graft_kvlog5").toString
     val ds = new KVDeltaStore(spark, wh)
-    ds.appendMutationAt("t", 1L, cells(0, 10), noDel)
-    ds.appendMutationAt("t", 2L, cells(10, 14), noDel)
+    ds.appendMutationAt("t", 1L, cells(0, 10), noDel, wts = 10000L)
+    ds.appendMutationAt("t", 2L, cells(10, 14), noDel, wts = 11000L)
     val q = spark.readStream.format("graft-kv-log")
       .option("startingSeq", "1")
       .load(s"$wh/t")
@@ -156,12 +156,12 @@ class KVLogSourceSpec extends SparkSpec {
   test("an incomplete part STALLS advancement; an unfillable gap fails loudly") {
     val wh = Files.createTempDirectory("graft_kvlog7").toString
     val ds = new KVDeltaStore(spark, wh)
-    ds.appendMutationAt("t", 1L, cells(0, 3), noDel)
+    ds.appendMutationAt("t", 1L, cells(0, 3), noDel, wts = 12000L)
     // simulate a crashed writer: delta_00002 exists without _SUCCESS,
     // then a COMPLETE part lands above it
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$wh/t/delta_00002"))
-    ds.appendMutationAt("t", 3L, cells(10, 12), noDel)
+    ds.appendMutationAt("t", 3L, cells(10, 12), noDel, wts = 13000L)
     val stream = new KVLogMicroBatchStream(s"$wh/t", Long.MaxValue)
     val end = stream.latestOffset(KVLogOffset(0L), stream.getDefaultReadLimit)
     // advancement stops BEFORE the incomplete part — no error, the
@@ -171,8 +171,8 @@ class KVLogSourceSpec extends SparkSpec {
     // (appends only go upward): loud failure instead of an eternal
     // silent stall — the checkpoint fell below the retention floor
     val ds2 = new KVDeltaStore(spark, wh)
-    ds2.appendMutationAt("u", 1L, cells(0, 2), noDel)
-    ds2.appendMutationAt("u", 3L, cells(2, 4), noDel)
+    ds2.appendMutationAt("u", 1L, cells(0, 2), noDel, wts = 14000L)
+    ds2.appendMutationAt("u", 3L, cells(2, 4), noDel, wts = 15000L)
     val s2 = new KVLogMicroBatchStream(s"$wh/u", Long.MaxValue)
     val e = intercept[IllegalStateException] {
       s2.latestOffset(KVLogOffset(1L), s2.getDefaultReadLimit)
@@ -183,7 +183,7 @@ class KVLogSourceSpec extends SparkSpec {
   test("a checkpoint below the compaction floor fails loudly, never skips") {
     val wh = Files.createTempDirectory("graft_kvlog3").toString
     val ds = new KVDeltaStore(spark, wh)
-    ds.appendMutationAt("t", 1L, cells(0, 5), noDel)
+    ds.appendMutationAt("t", 1L, cells(0, 5), noDel, wts = 16000L)
     // checkpoint exists at offset 0 (initial), then the log is folded
     // away BEFORE anything was drained past it
     val stream = new KVLogMicroBatchStream(s"$wh/t", Long.MaxValue)
