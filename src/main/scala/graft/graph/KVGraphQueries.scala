@@ -243,10 +243,17 @@ object KVGraphQueries {
     * single-layout g_kv_vci all read through here, so a layout change
     * has exactly one place to land (r14 review #6). */
   private[graph] def vciSliceDecoded(store: DataFrame, famId: Long,
-                                     label: String, upTo: Long): DataFrame = {
-    val lo = F.concat(encLong(F.lit(famId)), encLong(F.lit(0L)),
+                                     label: String, upTo: Long,
+                                     loW: Long = 0L): DataFrame = {
+    // encLong is order-preserving for non-negative values only, and the
+    // family holds only w >= 0 cells — clamp the lower bound to 0. The
+    // upper bound upTo+1 may overflow to Long.MinValue (0x80…), which
+    // unsigned-compares ABOVE every non-negative encoding: a correct
+    // all-the-way-up bound, not a bug.
+    val lo = F.concat(encLong(F.lit(famId)), encLong(F.lit(math.max(0L, loW))),
       encLong(F.lit(0L)))
-    val hi = F.concat(encLong(F.lit(famId)), encLong(F.lit(upTo + 1)),
+    val hi = F.concat(encLong(F.lit(famId)),
+      F.unhex(F.lpad(F.hex(F.lit(upTo + 1)), 16, "0")),
       encLong(F.lit(0L)))
     store.filter(F.col("c") >= lo && F.col("c") < hi)
       .select(
@@ -304,12 +311,12 @@ object KVGraphQueries {
   def kvBackedGraphDual(s: SparkSession, dir: String, segPath: String): PropertyGraph.G = {
     val base = kvBackedGraph(s, dir, segPath)
     val index = new PropertyGraph.EdgeIndex {
-      override def lookup(label: String, prop: String, upTo: Long)
+      override def lookup(label: String, prop: String, lo: Long, upTo: Long)
           : Option[org.apache.spark.sql.DataFrame] =
         if (prop != "w" || upTo < 0) None
         else LabelIds.toMap.get(label).map { id =>
           vciSliceDecoded(s.read.format("graft-kv").load(segPath),
-            VciBase + id, label, upTo)
+            VciBase + id, label, upTo, loW = lo)
         }
     }
     base.copy(edgeIndex = Some(index))
@@ -341,6 +348,82 @@ object KVGraphQueries {
       .df
       .localCheckpoint(true)
   }
+
+  private var lastDslVciRng: Option[java.nio.file.Path] = None
+
+  /** g_kv_dsl_vci_rng: RANGE routing through the DSL's index rule —
+    * `outE("peer").has("w", gte(2)).has("w", lte(3))` combines both
+    * bounds into ONE inclusive interval [2, 3] and routes it to the
+    * w-sorted family as a single pushed qualifier slice (JanusGraph's
+    * vertex-centric index serves interval queries exactly so; the
+    * upper-bound-only form was r14's first cut). Own full-SQL oracle
+    * (BETWEEN on the derived weight); KVDslVciSpec proves the
+    * combining rule behaviorally (range, equality, pure lower bound,
+    * contradictory-interval emptiness). */
+  def gKvDslVciRng(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvvcirng", lastDslVciRng)
+    lastDslVciRng = Some(seg)
+    KVSegmentStore.write(dualAdjacency(s, dir), seg.toString, 16)
+    val g = kvBackedGraphDual(s, dir, seg.toString)
+    Traversal.V(g)
+      .hasLabel("supplier").as("a_vid")
+      .outE("peer")
+      .has("w", Traversal.P.gte(2L))
+      .has("w", Traversal.P.lte(3L))
+      .value("w", "w_e")
+      .inV().as("b_vid")
+      .select("a_vid", "b_vid", "w_e")
+      .df
+      .localCheckpoint(true)
+  }
+
+  val gKvDslVciRngSql: String =
+    s"""WITH ${PropertyGraph.sqlPrelude}
+       |SELECT e.src AS a_vid, e.dst AS b_vid, e.w AS w_e
+       |FROM verts a
+       |JOIN edges e ON e.src = a.vid
+       |WHERE a.vlabel = 'supplier' AND e.elabel = 'peer'
+       | AND e.w BETWEEN 2 AND 3""".stripMargin
+
+  private var lastDslBoth: Option[java.nio.file.Path] = None
+
+  /** g_kv_dsl_both: the direction-blind hop PRUNED — `both()` over the
+    * dual-adjacency adapter walks BOTH keyed families (forward keyed on
+    * the primary store key, backward on the mirror key), so even a
+    * both() hop's store reads prune segments to the frontier; before
+    * this, both() fell back to the unkeyed symmetrized frame — correct
+    * but unprunable, the last unpruned hop direction (r14 wave 3).
+    * Entry: three regions pulled over both("in_region") to their
+    * nations (only the incoming orientation has rows — exactly the case
+    * both() exists for). Own full-SQL oracle; KVGraphRevSpec asserts
+    * the runtime key filter + row equality with the frame both(). */
+  def gKvDslBoth(s: SparkSession, dir: String): DataFrame = synchronized {
+    val seg = graft.ScenarioDirs.fresh("graft_kvboth", lastDslBoth)
+    lastDslBoth = Some(seg)
+    val e = PropertyGraph(s, dir).edges
+    KVSegmentStore.write(
+      KVGraphMutations.edgeAdditions(e)
+        .unionByName(KVGraphMutations.edgeRevAdditions(e)),
+      seg.toString, 16)
+    val g = kvBackedGraphBoth(s, dir, seg.toString)
+    Traversal.V(g)
+      .hasLabel("region")
+      .has("name", Traversal.P.within("ASIA", "EUROPE", "AFRICA"))
+      .value("name", "r_name").as("r_vid")
+      .both("in_region")
+      .as("n_vid")
+      .select("r_vid", "r_name", "n_vid")
+      .df
+      .localCheckpoint(true)
+  }
+
+  val gKvDslBothSql: String =
+    s"""WITH ${PropertyGraph.sqlPrelude},
+       |ue AS (SELECT src, dst FROM edges WHERE elabel = 'in_region'
+       |       UNION SELECT dst, src FROM edges WHERE elabel = 'in_region')
+       |SELECT r.vid AS r_vid, r.name AS r_name, ue.dst AS n_vid
+       |FROM verts r JOIN ue ON ue.src = r.vid
+       |WHERE r.vlabel = 'region' AND r.name IN ('ASIA', 'EUROPE', 'AFRICA')""".stripMargin
 
   private var lastVciPick: Option[java.nio.file.Path] = None
 
@@ -1105,6 +1188,8 @@ object KVGraphQueries {
     ("g_kv_vci", gKvVci _, Some(GraphQueries.gDslEdgeWSql)),
     ("g_kv_vci_pick", gKvVciPick _, Some(GraphQueries.gDslEdgeWSql)),
     ("g_kv_dsl_vci", gKvDslVci _, Some(GraphQueries.gDslEdgeWSql)),
+    ("g_kv_dsl_vci_rng", gKvDslVciRng _, Some(gKvDslVciRngSql)),
+    ("g_kv_dsl_both", gKvDslBoth _, Some(gKvDslBothSql)),
     ("g_kv_dsl_rev", gKvDslRev _, Some(gKvDslRevSql)),
     ("g_kv_vprops", gKvVprops _, Some(gKvVpropsSql)),
     ("g_kv_vprops_split", gKvVpropsSplit _, Some(gKvVpropsSql)),

@@ -30,7 +30,12 @@ object PropertyGraph {
     * kv-backed) with the bound ALREADY applied — the caller treats it
     * as a pre-sliced replacement for the primary adjacency. */
   trait EdgeIndex {
-    def lookup(label: String, prop: String, upTo: Long): Option[DataFrame]
+    /** The frame of `label` edges whose indexed `prop` lies in the
+      * INCLUSIVE range [lo, upTo] — None when no index covers
+      * (label, prop). Equality is lo == upTo; a pure upper bound
+      * passes lo = 0 (the index covers non-negative values only), a
+      * pure lower bound passes upTo = Long.MaxValue. */
+    def lookup(label: String, prop: String, lo: Long, upTo: Long): Option[DataFrame]
   }
 
   /** `revEdges`: the REVERSE-oriented edge frame of a dual-adjacency

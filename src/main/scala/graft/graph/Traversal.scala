@@ -434,9 +434,23 @@ final class Traversal private (
     * symmetrized distinct edge set (label-free form ≡ g.undirected's
     * frame, the plan every undirected named entry starts from). */
   def both(labels: String*): Traversal = {
+    val arrow = s" -[${labelToken(labels)}]- "
+    // dual-adjacency adapter: walk BOTH keyed families — the forward
+    // orientation keyed on the primary store key, the reverse on the
+    // mirror key — so even the direction-blind hop prunes segments to
+    // the frontier; distinct over (key, from, to) is the symmetrized
+    // contract (the key is functionally determined by __from)
+    if (g.revEdges.isDefined &&
+        g.edges.columns.contains(Traversal.KvKeyCol)) {
+      val f = edgeFrame(labels).select(F.col(Traversal.KvKeyCol),
+        F.col("src").as("__from"), F.col("dst").as("__to"))
+      val r = revEdgeFrame(labels).select(F.col(Traversal.KvKeyCol),
+        F.col("dst").as("__from"), F.col("src").as("__to"))
+      return hopOn(f.unionByName(r).distinct(), arrow)
+    }
     val sym = symmetrized(labels)
     hopOn(sym.select(F.col("src").as("__from"), F.col("dst").as("__to")),
-      arrow = s" -[${labelToken(labels)}]- ")
+      arrow = arrow)
   }
 
   /** The symmetrized distinct edge set a direction-blind step walks —
@@ -937,35 +951,56 @@ final class Traversal private (
       edgeArrow = arrow)
   }
 
-  /** Resolve a deferred edge step: the INDEX CHOICE RULE. The first
-    * buffered predicate stating an upper bound (lte/lt) on a property
-    * the graph's [[PropertyGraph.EdgeIndex]] covers routes the join to
-    * the property-sorted family — the bound is already encoded in that
-    * family's qualifier slice, so the predicate is consumed; every
-    * remaining predicate applies as a plain filter on the joined edge
-    * row, exactly as the eager path would. No index match (or no
-    * predicates at all) falls back to the primary adjacency — the
-    * eager plan, built late. */
+  /** Resolve a deferred edge step: the INDEX CHOICE RULE. ALL buffered
+    * bound predicates (lte/lt/gte/gt/is) on one property the graph's
+    * [[PropertyGraph.EdgeIndex]] covers COMBINE into one inclusive
+    * interval [lo, hi] and route the join to the property-sorted family
+    * — JanusGraph's vertex-centric index serves exactly such interval
+    * slices; the bounds are encoded in the family's qualifier range, so
+    * those predicates are consumed, and every remaining predicate
+    * (neq/within/other-property) applies as a plain filter on the
+    * joined edge row, exactly as the eager path would. The property
+    * picked is the FIRST one carrying an upper OR lower bound that the
+    * index covers; no index match (or no bound predicates at all) falls
+    * back to the primary adjacency — the eager plan, built late. */
   private def resolvedEdge: Traversal = pendEdge match {
     case None => this
     case Some((labels, preds)) =>
       val idx = g.edgeIndex.get
-      def upTo(p: P): Option[Long] = p match {
+      // (upper, lower) bound a predicate states, if any — inclusive
+      def upper(p: P): Option[Long] = p match {
         case P.Lte(v: Long) => Some(v)
         case P.Lte(v: Int) => Some(v.toLong)
         // lt(Long.MinValue) must NOT wrap to MaxValue (an all-edges
-        // slice): fall to None → primary frame + residual filter → empty
+        // slice): not a usable bound → primary + residual filter → empty
         case P.Lt(v: Long) if v != Long.MinValue => Some(v - 1)
         case P.Lt(v: Int) => Some(v.toLong - 1)
+        case P.Is(v: Long) => Some(v)
+        case P.Is(v: Int) => Some(v.toLong)
         case _ => None
       }
-      val routed = preds.zipWithIndex.iterator.flatMap { case ((prop, p), i) =>
-        upTo(p).flatMap(b => idx.lookup(labels.head, prop, b)).map(f => (f, i))
-      }.nextOption()
-      val (e0, rest) = routed match {
-        case Some((f, i)) => (f, preds.patch(i, Nil, 1))
-        case None => (edgeFrame(labels), preds)
+      def lower(p: P): Option[Long] = p match {
+        case P.Gte(v: Long) => Some(v)
+        case P.Gte(v: Int) => Some(v.toLong)
+        case P.Gt(v: Long) if v != Long.MaxValue => Some(v + 1)
+        case P.Gt(v: Int) => Some(v.toLong + 1)
+        case P.Is(v: Long) => Some(v)
+        case P.Is(v: Int) => Some(v.toLong)
+        case _ => None
       }
+      def bounded(p: P): Boolean = upper(p).isDefined || lower(p).isDefined
+      val prop = preds.collectFirst { case (k, p) if bounded(p) => k }
+      val routed = prop.flatMap { k =>
+        val mine = preds.filter { case (k2, p) => k2 == k && bounded(p) }
+        // intersect every bound: hi = min of uppers (default unbounded),
+        // lo = max of lowers (default 0 — the index holds w >= 0 only)
+        val hi = mine.flatMap(x => upper(x._2))
+          .foldLeft(Long.MaxValue)(math.min)
+        val lo = mine.flatMap(x => lower(x._2)).foldLeft(0L)(math.max)
+        idx.lookup(labels.head, k, lo, hi)
+          .map(f => (f, preds.filterNot(mine.contains)))
+      }
+      val (e0, rest) = routed.getOrElse((edgeFrame(labels), preds))
       val joined = step(pendEdge = None).edgeJoin(e0, reverse = false, edgeArrow)
       rest.foldLeft(joined) { case (tr, (k, p)) =>
         tr.step(frame = tr.frame.filter(p(F.col(k))))

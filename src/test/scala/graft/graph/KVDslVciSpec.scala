@@ -19,9 +19,11 @@ class KVDslVciSpec extends SparkSpec {
   private def sentinelGraph: PropertyGraph.G = {
     val g = PropertyGraph(spark, SF)
     val idx = new PropertyGraph.EdgeIndex {
-      override def lookup(label: String, prop: String, upTo: Long): Option[DataFrame] =
+      override def lookup(label: String, prop: String, lo: Long,
+                          upTo: Long): Option[DataFrame] =
         if (prop != "w") None
-        else Some(g.edges.filter(F.col("elabel") === label && F.col("w") <= upTo)
+        else Some(g.edges.filter(F.col("elabel") === label &&
+            F.col("w") >= lo && F.col("w") <= upTo)
           .withColumn("w", F.col("w") + 1000L))
     }
     g.copy(edgeIndex = Some(idx))
@@ -39,25 +41,64 @@ class KVDslVciSpec extends SparkSpec {
   }
 
   test("a predicate the index cannot serve falls back to the primary frame") {
+    // within() states no contiguous bound — not routable, primary frame
+    // (gte/gt became routable lower bounds with the r14 interval rule)
     val rows = Traversal.V(sentinelGraph)
       .hasLabel("customer").as("a")
-      .outE("in_nation").has("w", Traversal.P.gte(3L)).value("w", "w_e")
+      .outE("in_nation").has("w", Traversal.P.within(3L, 4L)).value("w", "w_e")
       .inV().as("b")
       .select("a", "b", "w_e").df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getLong(2) >= 3L && r.getLong(2) < 1000L))
+    assert(rows.forall(r => r.getLong(2) >= 3L && r.getLong(2) <= 4L))
   }
 
   test("non-routed predicates still filter on the routed frame") {
-    // lte(4) routes; the gte(4) residue must keep filtering → only w=4
-    // survives (as sentinel 1004)
+    // lte(4) routes; the neq(1002) residue is NOT a bound and must keep
+    // filtering the routed (sentinel) rows
     val rows = Traversal.V(sentinelGraph)
       .hasLabel("customer").as("a")
       .outE("in_nation").has("w", Traversal.P.lte(4L))
-      .has("w", Traversal.P.gte(1004L)).value("w", "w_e")
+      .has("w", Traversal.P.neq(1002L)).value("w", "w_e")
       .inV().as("b")
       .select("a", "b", "w_e").df.collect()
-    assert(rows.nonEmpty && rows.forall(_.getLong(2) == 1004L))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= 1000L && r.getLong(2) <= 1004L
+      && r.getLong(2) != 1002L))
+  }
+
+  test("range and equality bounds combine into one routed interval") {
+    // gte(2) + lte(3): both consumed, routed as [2, 3]
+    val rng = Traversal.V(sentinelGraph)
+      .hasLabel("customer").as("a")
+      .outE("in_nation").has("w", Traversal.P.gte(2L))
+        .has("w", Traversal.P.lte(3L)).value("w", "w_e")
+      .inV().as("b")
+      .select("a", "b", "w_e").df.collect()
+    assert(rng.nonEmpty &&
+      rng.forall(r => r.getLong(2) >= 1002L && r.getLong(2) <= 1003L))
+    // is(3): routed as [3, 3]
+    val eq = Traversal.V(sentinelGraph)
+      .hasLabel("customer").as("a")
+      .outE("in_nation").has("w", Traversal.P.is(3L)).value("w", "w_e")
+      .inV().as("b")
+      .select("a", "b", "w_e").df.collect()
+    assert(eq.nonEmpty && eq.forall(_.getLong(2) == 1003L))
+    // a pure LOWER bound routes too ([4, unbounded))
+    val low = Traversal.V(sentinelGraph)
+      .hasLabel("customer").as("a")
+      .outE("in_nation").has("w", Traversal.P.gte(4L)).value("w", "w_e")
+      .inV().as("b")
+      .select("a", "b", "w_e").df.collect()
+    assert(low.nonEmpty && low.forall(_.getLong(2) >= 1004L))
+    // contradictory bounds intersect to an empty interval — same answer
+    // as the eager conjunction
+    val none = Traversal.V(sentinelGraph)
+      .hasLabel("customer").as("a")
+      .outE("in_nation").has("w", Traversal.P.gte(4L))
+        .has("w", Traversal.P.lte(2L)).value("w", "w_e")
+      .inV().as("b")
+      .select("a", "b", "w_e").df.collect()
+    assert(none.isEmpty)
   }
 
   test("a deferred edge step with no predicates equals the eager plan's rows") {

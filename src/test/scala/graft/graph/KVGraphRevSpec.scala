@@ -75,6 +75,28 @@ class KVGraphRevSpec extends SparkSpec {
       s"inE over the dual store got no runtime key filter:\n${kv.queryExecution.executedPlan}")
   }
 
+  test("both() over the dual store prunes and equals the frame both()") {
+    val seg = java.nio.file.Files.createTempDirectory("graft_kvbothspec").toString
+    KVSegmentStore.write(bothStore(SF), seg, 16)
+    val g = KVGraphQueries.kvBackedGraphBoth(spark, SF, seg)
+    def q(t: Traversal) = t
+      .hasLabel("region")
+      .has("name", Traversal.P.within("ASIA", "EUROPE"))
+      .as("r_vid")
+      .both("in_region")
+      .as("n_vid")
+      .select("r_vid", "n_vid").df
+    val kv = q(Traversal.V(g))
+    val a = kv.collect().map(_.toString).sorted.toSeq
+    val b = q(Traversal.V(spark, SF)).collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+    // both families' scans are keyed: the hop join carries the store key
+    val scans = kvScans(kv)
+    assert(scans.size >= 1, s"no kv scan under both():\n${kv.queryExecution.executedPlan}")
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      s"both() handed no runtime key filter:\n${kv.queryExecution.executedPlan}")
+  }
+
   test("mirror family cells mirror the primary family exactly") {
     val e = PropertyGraph(spark, SF).edges
     val fwd = KVGraphMutations.edgeAdditions(e)
