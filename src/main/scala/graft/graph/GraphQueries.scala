@@ -306,6 +306,72 @@ object GraphQueries {
        |JOIN edges e ON e.src = a.vid
        |WHERE a.vlabel = 'supplier' AND e.elabel = 'peer' AND e.w <= 2""".stripMargin
 
+  /** g_dsl_count: Gremlin's hello-world terminal (`g.V().count()` is
+    * the first query every user runs — r14 verdict #5): the BUILDING
+    * one-hop's TRAVERSER count, bag semantics (one per walked edge).
+    * One global aggregate; Spark plans a per-partition partial count
+    * and a one-row merge, so the terminal is O(partitions) at any
+    * scale. */
+  def gDslCount(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("customer").has("mktsegment", "BUILDING")
+      .out("in_nation")
+      .count()
+      .df
+
+  val gDslCountSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT COUNT(*) AS cnt
+       |FROM verts a JOIN edges e ON e.src = a.vid AND e.elabel = 'in_nation'
+       |WHERE a.vlabel = 'customer' AND a.mktsegment = 'BUILDING'""".stripMargin
+
+  /** g_dsl_values: `values("name")` — each traverser's property value
+    * as one column, bag semantics (a nation's name appears once per
+    * supplier that reached it, Gremlin's contract). The multi-key form
+    * and the null-omission rule are TraversalTerminalsSpec's rows. */
+  def gDslValues(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("supplier")
+      .out("in_nation")
+      .values("name")
+
+  val gDslValuesSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT nv.name AS value
+       |FROM verts a
+       |JOIN edges e ON e.src = a.vid AND e.elabel = 'in_nation'
+       |JOIN verts nv ON nv.vid = e.dst
+       |WHERE a.vlabel = 'supplier'""".stripMargin
+
+  /** g_dsl_sum: sum() over a tapped edge property — the total in_nation
+    * weight out of customers. Bag semantics like count(). */
+  def gDslSum(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(s, dir)
+      .hasLabel("customer")
+      .outE("in_nation").value("w", "w_e").inV()
+      .sum("w_e", "w_sum")
+      .df
+
+  val gDslSumSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT CAST(SUM(e.w) AS BIGINT) AS w_sum
+       |FROM verts a JOIN edges e ON e.src = a.vid AND e.elabel = 'in_nation'
+       |WHERE a.vlabel = 'customer'""".stripMargin
+
+  /** g_dsl_vids: `g.V(ids…)` — Gremlin's seeded start. The vid IS the
+    * storage key, so the seed is one isin filter that reaches the scan
+    * (and the store key slice on kv-backed adapters). Customer vids
+    * 4/8/12 (custkeys 1..3) exist at every SF. */
+  def gDslVids(s: SparkSession, dir: String): DataFrame =
+    Traversal.V(PropertyGraph(s, dir), 4L, 8L, 12L)
+      .value("name", "nm").as("c")
+      .select("c", "nm")
+      .df
+
+  val gDslVidsSql: String =
+    s"""WITH $sqlPrelude
+       |SELECT vid AS c, name AS nm FROM verts WHERE vid IN (4, 8, 12)""".stripMargin
+
   /** g_dsl_until: `V(asia).repeat(in()).until(has('vlabel',
     * 'customer'))` — Gremlin's CONDITIONAL repeat (the step between
     * times(k) and repeat-to-exhaustion): walk in-edges hop by hop from
@@ -2080,6 +2146,10 @@ object GraphQueries {
     ("g_dsl_project", gDslProject _, Some(gDslProjectSql)),
     ("g_dsl_pathe", gDslPathE _, Some(gDslPathESql)),
     ("g_dsl_edge_w", gDslEdgeW _, Some(gDslEdgeWSql)),
+    ("g_dsl_count", gDslCount _, Some(gDslCountSql)),
+    ("g_dsl_values", gDslValues _, Some(gDslValuesSql)),
+    ("g_dsl_sum", gDslSum _, Some(gDslSumSql)),
+    ("g_dsl_vids", gDslVids _, Some(gDslVidsSql)),
     ("g_dsl_until", gDslUntil _, Some(gDslUntilSql)),
     ("g_dsl_simplepath", gDslSimplePath _, Some(gDslSimplePathSql)),
     ("g_dsl_union", gDslUnion _, Some(gDslUnionSql)),

@@ -46,48 +46,110 @@ object KVGraphMutations {
     * at qualifier (0, 0), each property at (0, propId) — JanusGraph
     * stores vertex properties exactly so (one cell per property, the
     * property-key id from its schema registry as the column), and a
-    * property READ is then getSlice(vertex, [propId, propId+1)). */
-  val VPropIds: Seq[(String, Long)] =
-    Seq("name" -> 1L, "acctbal" -> 2L, "mktsegment" -> 3L)
+    * property READ is then getSlice(vertex, [propId, propId+1)).
+    * Ids now come from the [[VertexSchema]] descriptor (r14 verdict #4 —
+    * the registry is DATA, so a second corpus passes its own); this
+    * value is the default descriptor's view, kept for the specs and
+    * call sites that predate the descriptor. */
+  val VPropIds: Seq[(String, Long)] = VertexSchema.Default.propIds
 
-  /** addV: vertex frames (vid, …) → their existence cells (k, c, v). */
-  def vertexAdditions(vertices: DataFrame): DataFrame =
+  /** addV: vertex frames (vid, …) → their existence cells (k, c, v).
+    * The value carries the vid scheme's label code (vid % labelMod). */
+  def vertexAdditions(vertices: DataFrame,
+                      schema: VertexSchema = VertexSchema.Default): DataFrame =
     vertices.select(
       encLong(F.col("vid")).as("k"),
       F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(0L))).as("c"),
-      encLong(F.pmod(F.col("vid"), F.lit(4L))).as("v"))
+      encLong(F.pmod(F.col("vid"), F.lit(schema.labelMod))).as("v"))
+
+  /** ONE home for a property's value-byte encoding — the property
+    * cell's v AND the graphindex key must agree byte-for-byte, or an
+    * index probe misses cells the store holds: doubles through dec2
+    * string bytes (oracle-stable), everything else plain string bytes.
+    * Driven by the DESCRIPTOR's type, with a loud failure if the frame
+    * disagrees (a double column registered as string would silently
+    * store full-precision bytes the dec2 oracle can't rebuild). */
+  private def propValueBytes(vertices: DataFrame, p: VertexSchema.Prop)
+      : org.apache.spark.sql.Column = {
+    val isDoubleCol = vertices.schema(p.name).dataType ==
+      org.apache.spark.sql.types.DoubleType
+    require(isDoubleCol == p.isDouble,
+      s"property '${p.name}': frame type and VertexSchema disagree " +
+        s"(frame double=$isDoubleCol, schema double=${p.isDouble})")
+    val raw = if (p.isDouble) graft.Tables.dec2(F.col(p.name)).cast("string")
+              else F.col(p.name).cast("string")
+    raw.cast("binary")
+  }
 
   /** addV properties: one cell PER SET PROPERTY per vertex — c = (0,
     * propId), v = the value's string bytes (decimals via dec2 so the
     * bytes are oracle-stable; unset/null properties get NO cell, the
     * JanusGraph contract). The vertex's property read becomes a pushed
     * qualifier slice over the same store the edges live in. */
-  def vertexPropAdditions(vertices: DataFrame): DataFrame = {
+  def vertexPropAdditions(vertices: DataFrame,
+                          schema: VertexSchema = VertexSchema.Default): DataFrame = {
     val cols = vertices.columns.toSet
-    val present = VPropIds.filter { case (p, _) => cols.contains(p) }
+    val present = schema.props.filter(p => cols.contains(p.name))
     require(present.nonEmpty,
       s"vertexPropAdditions: frame carries none of the registered vertex " +
-        s"properties (${VPropIds.map(_._1).mkString(", ")}) — use " +
+        s"properties (${schema.props.map(_.name).mkString(", ")}) — use " +
         "vertexAdditions for existence-only cells")
-    present.map { case (p, id) =>
-      val raw = vertices.schema(p).dataType match {
-        case org.apache.spark.sql.types.DoubleType =>
-          graft.Tables.dec2(F.col(p)).cast("string")
-        case _ => F.col(p).cast("string")
-      }
-      vertices.filter(F.col(p).isNotNull).select(
+    present.map { p =>
+      vertices.filter(F.col(p.name).isNotNull).select(
         encLong(F.col("vid")).as("k"),
-        F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(id))).as("c"),
-        raw.cast("binary").as("v"))
+        F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(p.id))).as("c"),
+        propValueBytes(vertices, p).as("v"))
     }.reduce(_ unionByName _)
   }
 
   /** The qualifier slice of ONE vertex property — [ (0, propId),
     * (0, propId+1) ): what the SPI's property read pushes. */
-  def vpropSlice(prop: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val id = VPropIds.toMap.apply(prop)
+  def vpropSlice(prop: String, schema: VertexSchema = VertexSchema.Default)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val id = schema.propIds.toMap.apply(prop)
     (F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(id))),
       F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(id + 1))))
+  }
+
+  // ---- the GLOBAL COMPOSITE INDEX (JanusGraph's `graphindex` store) ----
+  // A full-residency start set `V().has(prop, value)` over the vertex
+  // store alone must pivot EVERY vertex and filter after (the r14
+  // verdict's one unpruned scan). JanusGraph answers it with the
+  // composite index: a second named store keyed on the property VALUE —
+  // k = value bytes, c = be(vid) — opened through the same
+  // openDatabase(name) SPI the reference implements
+  // (ClickhouseStoreManager.java:79), so an equality start set becomes a
+  // pushed key slice on the index plus a vid-keyed cell join. The key
+  // bytes ride propValueBytes — byte-identical to the property cell's v,
+  // the invariant that makes index probes exact.
+
+  /** graphindex cells for one indexed property: k = value bytes,
+    * c = be(vid), v = the existence marker. Null values get no cell
+    * (nothing to look up), matching the property-cell contract. */
+  def indexAdditions(vertices: DataFrame, prop: String,
+                     schema: VertexSchema = VertexSchema.Default): DataFrame = {
+    val p = schema.props.find(_.name == prop).getOrElse(
+      throw new IllegalArgumentException(
+        s"indexAdditions: '$prop' is not a registered vertex property"))
+    vertices.filter(F.col(prop).isNotNull).select(
+      propValueBytes(vertices, p).as("k"),
+      encLong(F.col("vid")).as("c"),
+      encLong(F.lit(1L)).as("v"))
+  }
+
+  /** graphindex tombstones — the (k, c) of each vertex's CURRENT value
+    * cell. The caller hands the vertices WITH their old values (exactly
+    * what a re-property mutation holds before the upsert): without
+    * these, a re-valued vertex resurrects under its old value on the
+    * next index probe (r14 verdict #8's failure mode). */
+  def indexDeletions(vertices: DataFrame, prop: String,
+                     schema: VertexSchema = VertexSchema.Default): DataFrame = {
+    val p = schema.props.find(_.name == prop).getOrElse(
+      throw new IllegalArgumentException(
+        s"indexDeletions: '$prop' is not a registered vertex property"))
+    vertices.filter(F.col(prop).isNotNull).select(
+      propValueBytes(vertices, p).as("k"),
+      encLong(F.col("vid")).as("c"))
   }
 
   // an UNKNOWN edge label resolves to id 0 = the vertex family: writing
@@ -166,9 +228,10 @@ object KVGraphMutations {
     * tombstones are harmless no-ops on single-direction stores). One
     * projection per cell kind plus two doomed⋈edges joins; the joins
     * are doomed-sized, never store-sized. */
-  def vertexDeletions(doomed: DataFrame, edges: DataFrame): DataFrame = {
+  def vertexDeletions(doomed: DataFrame, edges: DataFrame,
+                      schema: VertexSchema = VertexSchema.Default): DataFrame = {
     val vids = doomed.select("vid").distinct()
-    val vCells = (0L +: VPropIds.map(_._2)).map { pid =>
+    val vCells = (0L +: schema.props.map(_.id)).map { pid =>
       vids.select(
         encLong(F.col("vid")).as("k"),
         F.concat(encLong(F.lit(VertexFamily)), encLong(F.lit(pid))).as("c"))

@@ -811,30 +811,34 @@ object KVGraphQueries {
     * vertex family only (the c range is pushed) — co-located under a
     * k-bucketed store; Catalyst prunes unused property columns out of
     * the aggregate. */
-  def storeVertices(store: DataFrame): DataFrame = {
+  def storeVertices(store: DataFrame,
+                    schema: VertexSchema = VertexSchema.Default): DataFrame = {
     val famLo = F.concat(encLong(F.lit(0L)), encLong(F.lit(0L)))
     val famHi = F.concat(encLong(F.lit(0L)),
-      encLong(F.lit(KVGraphMutations.VPropIds.map(_._2).max + 1)))
+      encLong(F.lit(schema.maxPropId + 1)))
     val pid = decLong(F.col("c"), 9)
     val vs = F.col("v").cast("string")
+    // the descriptor drives the pivot (r14 verdict #4): one aggregate
+    // column per registered property, doubles cast back through the
+    // dec2 string door they were stored through
+    val aggs = F.max(F.when(pid === 0L, 1)).as("__ex") +:
+      schema.props.map { p =>
+        val c = F.max(F.when(pid === p.id, vs))
+        (if (p.isDouble) c.cast("double") else c).as(p.name)
+      }
     val pivoted = store
       .filter(F.col("c") >= famLo && F.col("c") < famHi)
-      .groupBy("k").agg(
-        F.max(F.when(pid === 0L, 1)).as("__ex"),
-        F.max(F.when(pid === KVGraphMutations.VPropIds.toMap.apply("name"), vs))
-          .as("name"),
-        F.max(F.when(pid === KVGraphMutations.VPropIds.toMap.apply("acctbal"), vs))
-          .cast("double").as("acctbal"),
-        F.max(F.when(pid === KVGraphMutations.VPropIds.toMap.apply("mktsegment"), vs))
-          .as("mktsegment"))
+      .groupBy("k").agg(aggs.head, aggs.tail: _*)
       .filter(F.col("__ex") === 1) // no existence cell → no vertex
     val vid = decLong(F.col("k"), 1)
-    val vlabel = F.when(F.pmod(vid, F.lit(4L)) === 0L, "customer")
-      .when(F.pmod(vid, F.lit(4L)) === 1L, "supplier")
-      .when(F.pmod(vid, F.lit(4L)) === 2L, "nation")
-      .otherwise("region")
-    pivoted.select(vid.as("vid"), vlabel.as("vlabel"),
-      F.col("name"), F.col("acctbal"), F.col("mktsegment"))
+    val code = F.pmod(vid, F.lit(schema.labelMod))
+    val vlabel = schema.labels.init.foldLeft(
+        F.when(code === F.lit(schema.labels.last._2), schema.labels.last._1)) {
+      case (acc, (name, lc)) => acc.when(code === F.lit(lc), name)
+    }
+    pivoted.select(
+      (vid.as("vid") +: vlabel.as("vlabel") +:
+        schema.props.map(p => F.col(p.name))): _*)
   }
 
   private var lastFullSeg: Option[java.nio.file.Path] = None
@@ -1106,6 +1110,224 @@ object KVGraphQueries {
        |WHERE n.vlabel = 'nation'
        | AND n.name IN ('NATION_3','NATION_7','NATION_11','NATION_18','NATION_21')""".stripMargin
 
+  /** The SUPERNODE-SAFE hop join (r14 verdict #3 — skew story for
+    * hub-heavy graphs). A hop is `adjacency ⋈ frontier ON k`; all of a
+    * hub vertex's cells share ONE key, so every key-partitioned
+    * execution puts the whole celebrity adjacency in one task: a
+    * shuffle-hash/SMJ hop hashes the hub's cells to one reducer, and
+    * the SPJ layout is WORSE off — the hub's bucket is one storage
+    * partition, which AQE's skew splitter cannot cut (it only splits
+    * shuffle files under sort-merge joins). JanusGraph's answer is
+    * vertex cuts (hub adjacency partitioned across keys); graft's is
+    * deterministic salting on the CELL qualifier: the adjacency fans
+    * out over (k, salt=xxhash64(c) % buckets) — each cell has a unique
+    * c, so a hub's cells spread EVENLY over `buckets` reducers — and
+    * the (small) frontier replicates `buckets` times. Identical rows
+    * to the plain join (SaltedJoin's contract), O(frontier × buckets)
+    * replication cost. Use when a frontier is too big to broadcast AND
+    * hub degrees dominate a reducer; the plain pruned hop stays the
+    * default (KVSupernodeSpec measures both distributions). */
+  def saltedHop(adj: DataFrame, frontier: DataFrame, buckets: Int): DataFrame =
+    graft.operators.SaltedJoin.inner(adj, frontier, Seq("k"),
+      F.col("c"), buckets)
+
+  // ---- the GLOBAL COMPOSITE INDEX (r14 verdict #1: JanusGraph's
+  // `graphindex` store — the LAST production structure with no graft
+  // twin). A full-residency start set V().has(prop, value) previously
+  // pivoted EVERY vertex through storeVertices' groupBy and filtered
+  // after — correct, but an unpruned O(all vertices) scan standing
+  // where JanusGraph does an index getSlice. The composite index is a
+  // second named store keyed on the property VALUE (k = value bytes,
+  // c = be(vid)), opened through the same openDatabase(name) SPI the
+  // reference implements (ClickhouseStoreManager.java:79); an equality
+  // start set becomes: a pushed key slice on the index store (segment
+  // zone maps drop the other values' segments at plan time) → the
+  // matched vid keys join the vertex store ON ITS OWN k (runtime
+  // segment pruning) → the pivot aggregates only the matched vertices'
+  // cells. O(matches), at any vertex count.
+
+  /** The graphindex naming convention: one named store per indexed
+    * (label, property) — JanusGraph's index stores are separate
+    * openDatabase names exactly so. */
+  def indexStoreName(label: String, prop: String): String =
+    s"graphindex_${label}_${prop}"
+
+  /** Driver-side value→key-bytes encoding — MUST agree byte-for-byte
+    * with the cell encoder (KVGraphMutations.propValueBytes): doubles
+    * through the dec2 (DECIMAL(18,2), HALF_UP) string door, everything
+    * else plain UTF-8 string bytes. */
+  private def indexKeyBytes(v: Any, isDouble: Boolean): Array[Byte] = {
+    val str = v match {
+      case d: Double =>
+        require(isDouble, s"double value for a non-double indexed property")
+        new java.math.BigDecimal(d)
+          .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+      case other => other.toString
+    }
+    str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** A kv-backed [[PropertyGraph.VertexIndex]] over named graphindex
+    * stores: `indexStores` maps each covered (label, prop) to its
+    * segment-store path, `vertexStorePath` is the vertex family's
+    * store. A lookup slices the index store on the VALUE key (pushed
+    * EqualTo/In — plan-time segment drop), joins the matched vid keys
+    * into the vertex store on the scan's own `k` attribute (runtime
+    * segment pruning rides the join), and pivots ONLY the matched
+    * cells through [[storeVertices]] — the O(matches) start set. */
+  def kvVertexIndex(s: SparkSession, vertexStorePath: String,
+                    indexStores: Map[(String, String), String],
+                    schema: VertexSchema = VertexSchema.Default)
+      : PropertyGraph.VertexIndex = new PropertyGraph.VertexIndex {
+    override def lookup(label: String, prop: String, values: Seq[Any])
+        : Option[DataFrame] =
+      indexStores.get((label, prop)).map { idxPath =>
+        val p = schema.props.find(_.name == prop).getOrElse(
+          throw new IllegalStateException(
+            s"graphindex store registered for unregistered property '$prop'"))
+        val keyLits = values.map(v => F.lit(indexKeyBytes(v, p.isDouble)))
+        val keys = s.read.format("graft-kv").load(idxPath)
+          .filter(F.col("k").isin(keyLits: _*))
+          .select(F.col("c").as("__ivk"))
+        val cells = s.read.format("graft-kv").load(vertexStorePath)
+          .join(keys, F.col("k") === F.col("__ivk"))
+          .drop("__ivk")
+        storeVertices(cells, schema)
+      }
+  }
+
+  private var lastIdxWh: Option[java.nio.file.Path] = None
+
+  /** g_kv_index_graph: the BUILDING start set served FROM the
+    * graphindex — g_onehop's traversal, fully store-resident, over the
+    * three-named-store production layout (edgestore + qualifier-major
+    * vertexprops + graphindex_customer_mktsegment). The DSL routes
+    * `hasLabel("customer").has("mktsegment", "BUILDING")` through the
+    * index transparently (Traversal.resolvedStart): the has() becomes
+    * a pushed key slice on the index store, the vertex pivot runs over
+    * the index's vid set only — the r14 verdict's one unpruned O(V)
+    * scan, converted to a slice. Shares g_onehop's oracle
+    * hash-for-hash; KVIndexSpec asserts the index-store segment drop,
+    * the runtime key filter on the vertex store, and row equality with
+    * the eager plan. */
+  def gKvIndexGraph(s: SparkSession, dir: String): DataFrame = synchronized {
+    val wh = graft.ScenarioDirs.fresh("graft_kvidx", lastIdxWh)
+    lastIdxWh = Some(wh)
+    val mgr = new graft.kv.KVStoreManager(s, wh.toString)
+    val g0 = PropertyGraph(s, dir)
+    mgr.writeSegmentStore("edgestore",
+      KVGraphMutations.edgeAdditions(g0.edges), 16)
+    mgr.writeSegmentStore("vertexprops",
+      KVGraphMutations.vertexAdditions(g0.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
+      16, familyRanged = true)
+    mgr.writeSegmentStore(indexStoreName("customer", "mktsegment"),
+      KVGraphMutations.indexAdditions(
+        g0.vertices.filter(F.col("vlabel") === "customer"), "mktsegment"),
+      8)
+    val vpPath = s"$wh/vertexprops"
+    val g = kvBackedGraph(s, dir, s"$wh/edgestore").copy(
+      vertices = storeVertices(mgr.openSegmentStore("vertexprops")),
+      vertexIndex = Some(kvVertexIndex(s, vpPath,
+        Map(("customer", "mktsegment") ->
+          s"$wh/${indexStoreName("customer", "mktsegment")}"))))
+    Traversal.V(g)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation")
+      .value("name", "n_name")
+      .select("c_vid", "n_name")
+      .df
+      .localCheckpoint(true)
+  }
+
+  private var lastIdxMutWh: Option[java.nio.file.Path] = None
+  private var lastIdxMutSeg: Option[java.nio.file.Path] = None
+  private var lastIdxMutIdxSeg: Option[java.nio.file.Path] = None
+
+  /** g_kv_idx_mutate: the graphindex COMPOSED WITH MUTATION (r14
+    * verdict #8) — index cells ride the same delete-before-add batches
+    * the property cells do, or a re-valued vertex resurrects under its
+    * old value on the next index probe. The scenario: a base store +
+    * index over all customers; ONE mutation batch re-segments the
+    * AUTOMOBILE customers to BUILDING — the graph store gets the
+    * property-cell upserts, the index store gets the OLD-value
+    * tombstones (indexDeletions carries the pre-mutation frame's
+    * values) AND the new-value cells, both through the same
+    * KVDeltaStore batch mechanics. The read-back start set comes FROM
+    * the index store (the routed DSL start), and two census scalars
+    * ride the oracle hash: surviving AUTOMOBILE index cells (must be
+    * 0 — the stale-value census) and BUILDING index cells (original
+    * BUILDING + re-segmented AUTOMOBILE). Own full-SQL oracle. Scale:
+    * the mutation is two bounded delta appends; the index store's
+    * delta is O(re-valued vertices). */
+  def gKvIdxMutate(s: SparkSession, dir: String): DataFrame = synchronized {
+    val wh = graft.ScenarioDirs.fresh("graft_kvidxmut", lastIdxMutWh)
+    lastIdxMutWh = Some(wh)
+    val ds = new graft.kv.KVDeltaStore(s, wh.toString)
+    val fg = PropertyGraph(s, dir)
+    val customers = fg.vertices.filter(F.col("vlabel") === "customer")
+    val none = adjacency(s, dir).limit(0)
+    // base state (delta 1): vertices + props + in_nation adjacency in
+    // `graph`; the customer-mktsegment composite index in `gidx`
+    ds.appendMutationAt("graph", 1L,
+      KVGraphMutations.vertexAdditions(fg.vertices)
+        .unionByName(KVGraphMutations.vertexPropAdditions(fg.vertices))
+        .unionByName(KVGraphMutations.edgeAdditions(
+          fg.edges.filter(F.col("elabel") === "in_nation"))),
+      none.select("k", "c"), wts = 1000L)
+    ds.appendMutationAt("gidx", 1L,
+      KVGraphMutations.indexAdditions(customers, "mktsegment"),
+      none.select("k", "c"), wts = 1000L)
+    // THE mutation batch (delta 2): re-segment AUTOMOBILE → BUILDING.
+    // Property cells upsert in place ((k, c) collision); index cells
+    // MOVE — the old-value tombstone comes from the PRE-mutation frame
+    // (the only place the old value still exists), the new-value cell
+    // from the re-segmented frame, one batch, delete-before-add.
+    val auto = customers.filter(F.col("mktsegment") === "AUTOMOBILE")
+    val reseg = Traversal.V(fg)
+      .hasLabel("customer").has("mktsegment", "AUTOMOBILE")
+      .property("mktsegment", F.lit("BUILDING"))
+    ds.appendMutationAt("graph", 2L,
+      KVGraphMutations.vertexPropAdditions(reseg),
+      none.select("k", "c"), wts = 2000L)
+    ds.appendMutationAt("gidx", 2L,
+      KVGraphMutations.indexAdditions(reseg, "mktsegment"),
+      KVGraphMutations.indexDeletions(auto, "mktsegment"), wts = 2000L)
+    // fold both stores and serve the start set FROM the index
+    val seg = graft.ScenarioDirs.fresh("graft_kvidxmseg", lastIdxMutSeg)
+    lastIdxMutSeg = Some(seg)
+    KVSegmentStore.writeFamilyRanged(ds.openDatabase("graph"), seg.toString, 16)
+    val idxSeg = graft.ScenarioDirs.fresh("graft_kvidxmidx", lastIdxMutIdxSeg)
+    lastIdxMutIdxSeg = Some(idxSeg)
+    KVSegmentStore.write(ds.openDatabase("gidx"), idxSeg.toString, 8)
+    val idxStore = s.read.format("graft-kv").load(idxSeg.toString)
+    val scalars = idxStore.agg(
+      F.count(F.when(F.col("k") === F.lit(indexKeyBytes("AUTOMOBILE", false)),
+        F.lit(1))).as("n_stale_idx"),
+      F.count(F.when(F.col("k") === F.lit(indexKeyBytes("BUILDING", false)),
+        F.lit(1))).as("n_building_idx"))
+    val g = kvBackedGraph(s, dir, seg.toString).copy(
+      vertices = storeVertices(s.read.format("graft-kv").load(seg.toString)),
+      vertexIndex = Some(kvVertexIndex(s, seg.toString,
+        Map(("customer", "mktsegment") -> idxSeg.toString))))
+    Traversal.V(g)
+      .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
+      .out("in_nation")
+      .value("name", "n_name")
+      .select("c_vid", "n_name")
+      .df
+      .crossJoin(F.broadcast(scalars))
+      .localCheckpoint(true)
+  }
+
+  val gKvIdxMutateSql: String =
+    """SELECT CAST(c.c_custkey*4 AS BIGINT) AS c_vid, n.n_name AS n_name,
+      | CAST(0 AS BIGINT) AS n_stale_idx,
+      | (SELECT COUNT(*) FROM customer
+      |   WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) AS n_building_idx
+      |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')""".stripMargin
+
   private var lastDropVWh: Option[java.nio.file.Path] = None
   private var lastDropVSeg: Option[java.nio.file.Path] = None
 
@@ -1199,5 +1421,7 @@ object KVGraphQueries {
     ("g_kv_full_graph", gKvFullGraph _, Some(GraphQueries.gOneHopSql)),
     ("g_kv_dsl_full", gKvDslFull _, Some(gKvDslFullSql)),
     ("g_kv_split_graph", gKvSplitGraph _, Some(GraphQueries.gOneHopSql)),
-    ("g_kv_dsl_dropv", gKvDslDropV _, Some(gKvDslDropVSql)))
+    ("g_kv_dsl_dropv", gKvDslDropV _, Some(gKvDslDropVSql)),
+    ("g_kv_index_graph", gKvIndexGraph _, Some(GraphQueries.gOneHopSql)),
+    ("g_kv_idx_mutate", gKvIdxMutate _, Some(gKvIdxMutateSql)))
 }

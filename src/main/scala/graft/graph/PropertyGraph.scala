@@ -38,6 +38,26 @@ object PropertyGraph {
     def lookup(label: String, prop: String, lo: Long, upTo: Long): Option[DataFrame]
   }
 
+  /** A GLOBAL composite-index provider — JanusGraph's `graphindex`
+    * surface (buildIndex(...).addKey(prop).indexOnly(label): an
+    * equality start set `g.V().has(prop, value)` is answered from a
+    * store keyed on the property VALUE, never by scanning the vertex
+    * space): given the label, the predicated property, and the equality
+    * value set, return the START-SET VERTEX FRAME served from the index
+    * — same columns as `G.vertices`, the (label, prop ∈ values)
+    * predicate ALREADY applied — or None when no index covers that
+    * (label, property). Mirrors [[EdgeIndex]]: the caller treats the
+    * frame as a pre-restricted replacement for the vertex frame, so a
+    * kv-backed provider restricts the CELL frame before any pivot (the
+    * index's vid set joins the vertex store on its own key — runtime
+    * segment pruning — and the pivot aggregates only matched cells,
+    * O(matches) instead of O(all vertices)). */
+  trait VertexIndex {
+    /** The vertex frame of `label` vertices whose `prop` equals one of
+      * `values`; None when no index covers (label, prop). */
+    def lookup(label: String, prop: String, values: Seq[Any]): Option[DataFrame]
+  }
+
   /** `revEdges`: the REVERSE-oriented edge frame of a dual-adjacency
     * kv-backed graph (JanusGraph writes every edge into both endpoints'
     * adjacency lists) — same columns as `edges`, plus
@@ -48,7 +68,8 @@ object PropertyGraph {
     * family, unpruned but correct). */
   final case class G(vertices: DataFrame, edges: DataFrame,
                      edgeIndex: Option[EdgeIndex] = None,
-                     revEdges: Option[DataFrame] = None) {
+                     revEdges: Option[DataFrame] = None,
+                     vertexIndex: Option[VertexIndex] = None) {
     /** Symmetrized distinct edge list for undirected algorithms. */
     def undirected: DataFrame = {
       val e = edges.select("src", "dst")

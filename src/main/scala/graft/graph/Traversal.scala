@@ -121,11 +121,26 @@ object Traversal {
       t.untilFrontier(h, key, p)
   }
 
-  /** g.V() — every vertex, properties still in reach for has/hasLabel. */
+  /** g.V() — every vertex, properties still in reach for has/hasLabel.
+    * On an index-capable graph (g.vertexIndex set) the start set DEFERS:
+    * hasLabel/has buffer until the first frame-consuming step, so the
+    * routing rule sees the full predicate set and can serve the start
+    * set from the global composite index (JanusGraph's graphindex) —
+    * see [[Traversal.resolvedStart]]. Non-indexed graphs keep the
+    * historical eager filters byte-for-byte. */
   def V(g: PropertyGraph.G): Traversal =
-    new Traversal(g, g.vertices, 0, onVertices = true, Vector.empty, Map.empty)
+    new Traversal(g, g.vertices, 0, onVertices = true, Vector.empty, Map.empty,
+      pendStart = if (g.vertexIndex.isDefined) Some(Vector.empty) else None)
 
   def V(s: SparkSession, dir: String): Traversal = V(PropertyGraph(s, dir))
+
+  /** g.V(ids…) — Gremlin's seeded start: exactly these vertices. The
+    * vid IS the store key on kv-backed adapters, so the seeded start
+    * needs no index — one isin filter that reaches the scan. */
+  def V(g: PropertyGraph.G, ids: Long*): Traversal = {
+    require(ids.nonEmpty, "V(ids…) needs at least one vertex id")
+    V(g).has("vid", P.Within(ids))
+  }
 }
 
 /** One traversal state: `frame` holds the origin column v0, the current
@@ -162,7 +177,13 @@ final class Traversal private (
     // true once group()/project() replaced the frame: the hop chain and
     // marks no longer exist as columns, so chain-dependent steps must
     // fail loudly instead of dying with an unresolved 'v<N>' (r13 advice)
-    private val projected: Boolean = false) {
+    private val projected: Boolean = false,
+    // a DEFERRED start set (index-capable graphs only): V()'s
+    // hasLabel/has predicates buffer here so the routing rule can serve
+    // the start set from the global composite index (JanusGraph's
+    // graphindex) once all of them are known; resolved by
+    // [[resolvedStart]] on the first frame-consuming step
+    private val pendStart: Option[Vector[(String, Traversal.P)]] = None) {
 
   import Traversal.{P, HopStep, OutStep, InStep, BothStep}
 
@@ -199,9 +220,11 @@ final class Traversal private (
                    hopEdges: Vector[String] = hopEdges,
                    edgeArrow: String = edgeArrow,
                    pendEdge: Option[(Seq[String], Vector[(String, P)])] = pendEdge,
-                   projected: Boolean = projected): Traversal =
+                   projected: Boolean = projected,
+                   pendStart: Option[Vector[(String, P)]] = pendStart): Traversal =
     new Traversal(g, frame, depth, onVertices, vals, marks, originName,
-      pendFilters, pendTaps, edge, hopEdges, edgeArrow, pendEdge, projected)
+      pendFilters, pendTaps, edge, hopEdges, edgeArrow, pendEdge, projected,
+      pendStart)
 
   /** User-supplied names (as() marks, value() taps) must not collide
     * with the traversal's own column machinery: the internal hop chain
@@ -232,7 +255,8 @@ final class Traversal private (
     * nothing is pending — single-step traversals keep the exact
     * historical plan shape (TraversalSpec's sameResult assertions). */
   private def flushed: Traversal =
-    if (pendEdge.isDefined) resolvedEdge
+    if (pendStart.isDefined) resolvedStart.flushed
+    else if (pendEdge.isDefined) resolvedEdge
     else if (pendFilters.isEmpty && pendTaps.isEmpty) this
     else {
       // single-filter keeps the historical shape (bare vlabel column for
@@ -267,7 +291,9 @@ final class Traversal private (
   def hasLabel(l: String): Traversal = {
     requireChain("hasLabel()")
     require(!onEdgeStep, "hasLabel on an edge step: complete it with inV()/outV() first")
-    if (onVertices) step(frame = frame.filter(F.col("vlabel") === l))
+    if (onVertices && pendStart.isDefined)
+      step(pendStart = Some(pendStart.get :+ ("vlabel", (P.Is(l): P))))
+    else if (onVertices) step(frame = frame.filter(F.col("vlabel") === l))
     else step(pendFilters = pendFilters :+ ("vlabel", (P.Is(l): P)))
   }
 
@@ -296,6 +322,8 @@ final class Traversal private (
         s"'$key' is not an edge property (edge properties: ${edgePropKeys.mkString(", ")})")
       step(frame = frame.filter(p(F.col(key))))
     }
+    else if (onVertices && pendStart.isDefined)
+      step(pendStart = Some(pendStart.get :+ (key, p)))
     else if (onVertices) step(frame = frame.filter(p(F.col(key))))
     else step(pendFilters = pendFilters :+ (key, p))
   }
@@ -309,7 +337,8 @@ final class Traversal private (
   def value(key: String, as: String): Traversal = {
     requireChain("value()")
     checkName(as)
-    if (pendEdge.isDefined) resolvedEdge.value(key, as)
+    if (pendStart.isDefined) resolvedStart.value(key, as)
+    else if (pendEdge.isDefined) resolvedEdge.value(key, as)
     else if (edge.isDefined) {
       require(edgePropKeys.contains(key),
         s"'$key' is not an edge property (edge properties: ${edgePropKeys.mkString(", ")})")
@@ -879,6 +908,79 @@ final class Traversal private (
       onVertices = false)
   }
 
+  // ---- READ TERMINALS (r14 verdict #5 — everyday Gremlin vocabulary:
+  // g.V().count() is the hello-world query) -----------------------------
+
+  /** Gremlin count(): the number of TRAVERSERS (bag semantics — dedup()
+    * first for distinct elements, exactly as Gremlin users do). Legal
+    * in every state: on the vertex frame, mid-chain, on an edge step
+    * (outE(…).count() counts edges), and after group()/project()
+    * (counts the aggregate's rows). One global aggregate — Spark plans
+    * a per-partition partial count and a single merge row, so the
+    * terminal moves O(partitions) rows at any corpus size. */
+  def count(as: String = "cnt"): Traversal = {
+    val t = flushed
+    t.step(frame = t.frame.agg(F.count(F.lit(1)).as(as)),
+      onVertices = false, edge = None, projected = true)
+  }
+
+  /** Gremlin sum(): one global sum over a tapped value / as() mark /
+    * chain column — `outE("peer").value("w", "we").inV().sum("we")`.
+    * Bag semantics like count(). */
+  def sum(tap: String, as: String = "sum"): Traversal =
+    aggTerminal("sum()", tap, F.sum(_).as(as))
+
+  /** Gremlin mean(): the global average of a tapped value. */
+  def mean(tap: String, as: String = "mean"): Traversal =
+    aggTerminal("mean()", tap, F.avg(_).as(as))
+
+  private def aggTerminal(stepName: String, tap: String,
+                          agg: Column => Column): Traversal = {
+    val t = flushed
+    val internal = t.marks.getOrElse(tap, tap)
+    require(t.frame.columns.contains(internal),
+      s"$stepName: '$tap' is not a tapped value, as() mark, or chain column")
+    t.step(frame = t.frame.agg(agg(F.col(internal))),
+      onVertices = false, edge = None, projected = true)
+  }
+
+  /** Gremlin values(key…): each named property of the current element,
+    * emitted as ONE `value` column (string-cast — multi-key values()
+    * interleaves heterogeneous types, Gremlin's contract), one row per
+    * (traverser, key) with the property set; vertices without a
+    * property emit no row (the JanusGraph null contract). Terminal:
+    * the chain ends here. Cost: the hop's fused vertex join (all keys
+    * tap through ONE join) plus a zero-shuffle union of projections. */
+  def values(keys: String*): DataFrame = {
+    requireChain("values()")
+    require(keys.nonEmpty, "values() needs at least one key")
+    val taps = keys.zipWithIndex.map { case (k, i) => (k, s"__gval$i") }
+    val t = taps.foldLeft(this) { case (tr, (k, nm)) => tr.value(k, nm) }.flushed
+    taps.map { case (_, nm) =>
+      t.frame.filter(F.col(nm).isNotNull)
+        .select(F.col(nm).cast("string").as("value"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Gremlin valueMap(key…): one row per traverser — (vid, vmap) with
+    * vmap = {key → string value} over the SET properties only (absent
+    * properties are omitted from the map, not null-valued — the
+    * JanusGraph contract values() follows too). Terminal. */
+  def valueMap(keys: String*): DataFrame = {
+    requireChain("valueMap()")
+    require(keys.nonEmpty, "valueMap() needs at least one key")
+    val taps = keys.zipWithIndex.map { case (k, i) => (k, s"__gval$i") }
+    val tapped = taps.foldLeft(this) { case (tr, (k, nm)) => tr.value(k, nm) }
+    val t = tapped.flushed
+    val cur = if (t.onVertices) "vid"
+              else if (t.depth == 0) t.originName else t.curCol
+    val entries = taps.flatMap { case (k, nm) =>
+      Seq(F.lit(k), F.col(nm).cast("string"))
+    }
+    t.frame.select(F.col(cur).as("vid"),
+      F.map_filter(F.map(entries: _*), (_, v) => v.isNotNull).as("vmap"))
+  }
+
   /** outE(label…): step onto the out-edges of the current vertices.
     * has()/value() now read EDGE columns directly (the reference's user
     * writes outE().has("weight", gt(...)) — r11 verdict #7); complete
@@ -951,6 +1053,53 @@ final class Traversal private (
       edgeArrow = arrow)
   }
 
+  /** Resolve a deferred START SET: the GLOBAL-INDEX choice rule (r14
+    * verdict #1 — JanusGraph's graphindex). A (hasLabel(l), has(prop,
+    * is/within)) pair the graph's [[PropertyGraph.VertexIndex]] covers
+    * routes the start set to the index: the vertex frame becomes the
+    * provider's pre-restricted frame (for a kv-backed provider that is
+    * a pushed key slice on the graphindex store, a vid-keyed cell join
+    * into the vertex store — runtime segment pruning — and an
+    * O(matches) pivot instead of the O(all vertices) one), the routed
+    * predicate is consumed by the slice, and every remaining predicate
+    * applies as a plain filter in buffered order (the label filter
+    * stays too: the provider's label scope is checked, not trusted —
+    * it is a cheap vid-derived predicate on the restricted rows). The
+    * FIRST equality predicate with a covering index wins; no label, no
+    * equality predicate, or no covering index falls back to the eager
+    * plan — the buffered filters applied in order, byte-for-byte the
+    * historical frame. */
+  private def resolvedStart: Traversal = pendStart match {
+    case None => this
+    case Some(preds) =>
+      val idx = g.vertexIndex.get
+      val label = preds.collectFirst { case ("vlabel", P.Is(l: String)) => l }
+      def eqVals(p: P): Option[Seq[Any]] = p match {
+        case P.Is(v) => Some(Seq(v))
+        case P.Within(vs) => Some(vs)
+        case _ => None
+      }
+      val routed = label.flatMap { l =>
+        preds.zipWithIndex.collectFirst(Function.unlift {
+          case ((k, p), i) =>
+            if (k == "vlabel") None
+            else eqVals(p).flatMap(vs => idx.lookup(l, k, vs).map(f => (i, f)))
+        })
+      }
+      routed match {
+        case Some((i, routedFrame)) =>
+          val rest = preds.zipWithIndex.filter(_._2 != i).map(_._1)
+          val filtered = rest.foldLeft(routedFrame) {
+            case (f, (k, p)) => f.filter(p(F.col(k)))
+          }
+          step(frame = filtered, pendStart = None)
+        case None =>
+          step(frame = preds.foldLeft(frame) { case (f, (k, p)) =>
+            f.filter(p(F.col(k)))
+          }, pendStart = None)
+      }
+  }
+
   /** Resolve a deferred edge step: the INDEX CHOICE RULE. ALL buffered
     * bound predicates (lte/lt/gte/gt/is) on one property the graph's
     * [[PropertyGraph.EdgeIndex]] covers COMBINE into one inclusive
@@ -989,17 +1138,29 @@ final class Traversal private (
         case _ => None
       }
       def bounded(p: P): Boolean = upper(p).isDefined || lower(p).isDefined
-      val prop = preds.collectFirst { case (k, p) if bounded(p) => k }
-      val routed = prop.flatMap { k =>
+      // INDEX SCORING (r14 verdict #6 — JanusGraph scores candidate
+      // indexes; first-match took whichever bounded property the user
+      // typed first): every bounded property is a candidate, each with
+      // its bounds intersected into one [lo, hi] interval — hi = min of
+      // uppers (default unbounded), lo = max of lowers (default 0, the
+      // index holds w >= 0 only) — and candidates are tried TIGHTEST
+      // INTERVAL FIRST (the slice that reads the fewest qualifier
+      // bytes); the sort is stable, so equal widths keep declaration
+      // order and single-bounded-property traversals keep their
+      // historical route byte-for-byte. The first candidate an index
+      // actually covers wins; its bounds are consumed by the slice.
+      val candidates = preds.collect { case (k, p) if bounded(p) => k }.distinct
+      val scored = candidates.map { k =>
         val mine = preds.filter { case (k2, p) => k2 == k && bounded(p) }
-        // intersect every bound: hi = min of uppers (default unbounded),
-        // lo = max of lowers (default 0 — the index holds w >= 0 only)
         val hi = mine.flatMap(x => upper(x._2))
           .foldLeft(Long.MaxValue)(math.min)
         val lo = mine.flatMap(x => lower(x._2)).foldLeft(0L)(math.max)
+        (k, lo, hi, mine)
+      }.sortBy { case (_, lo, hi, _) => BigInt(hi) - BigInt(lo) }
+      val routed = scored.view.flatMap { case (k, lo, hi, mine) =>
         idx.lookup(labels.head, k, lo, hi)
           .map(f => (f, preds.filterNot(mine.contains)))
-      }
+      }.headOption
       val (e0, rest) = routed.getOrElse((edgeFrame(labels), preds))
       val joined = step(pendEdge = None).edgeJoin(e0, reverse = false, edgeArrow)
       rest.foldLeft(joined) { case (tr, (k, p)) =>
