@@ -831,14 +831,45 @@ object KVGraphQueries {
       .groupBy("k").agg(aggs.head, aggs.tail: _*)
       .filter(F.col("__ex") === 1) // no existence cell → no vertex
     val vid = decLong(F.col("k"), 1)
-    val code = F.pmod(vid, F.lit(schema.labelMod))
-    val vlabel = schema.labels.init.foldLeft(
-        F.when(code === F.lit(schema.labels.last._2), schema.labels.last._1)) {
-      case (acc, (name, lc)) => acc.when(code === F.lit(lc), name)
-    }
     pivoted.select(
-      (vid.as("vid") +: vlabel.as("vlabel") +:
+      (vid.as("vid") +: schema.labelExpr(vid).as("vlabel") +:
         schema.props.map(p => F.col(p.name))): _*)
+  }
+
+  /** The PER-PROPERTY vertex read hook (JanusGraph's property getSlice
+    * — a property read never materializes the vertex row): each
+    * property's (key, vid, value) frame is its own pushed qualifier
+    * slice over the vertex store, value decoded to the frame type
+    * through the dec2 door, the raw store key riding as
+    * [[Traversal.KvKeyCol]] so the DSL's fused property step keys its
+    * join on the scan's own attribute — runtime segment pruning to the
+    * frontier, zero pivot aggregates in the tap path (the r14
+    * full-residency adapters joined the O(all vertices) pivot for
+    * every post-hop has()/value()). */
+  def kvVertexPropSource(s: SparkSession, vertexStorePath: String,
+                         schema: VertexSchema = VertexSchema.Default)
+      : PropertyGraph.VertexPropSource = new PropertyGraph.VertexPropSource {
+    override def slice(prop: String): Option[DataFrame] =
+      schema.props.find(_.name == prop).map { p =>
+        val (lo, hi) = KVGraphMutations.vpropSlice(prop, schema)
+        val vs = F.col("v").cast("string")
+        s.read.format("graft-kv").load(vertexStorePath)
+          .filter(F.col("c") >= lo && F.col("c") < hi)
+          .select(
+            F.col("k").as(Traversal.KvKeyCol),
+            decLong(F.col("k"), 1).as("vid"),
+            (if (p.isDouble) vs.cast("double") else vs).as("value"))
+      }
+    override def existing: DataFrame = {
+      val lo = F.concat(encLong(F.lit(0L)), encLong(F.lit(0L)))
+      val hi = F.concat(encLong(F.lit(0L)), encLong(F.lit(1L)))
+      s.read.format("graft-kv").load(vertexStorePath)
+        .filter(F.col("c") >= lo && F.col("c") < hi)
+        .select(F.col("k").as(Traversal.KvKeyCol),
+          decLong(F.col("k"), 1).as("vid"))
+    }
+    override def labelOf(vid: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = schema.labelExpr(vid)
   }
 
   private var lastFullSeg: Option[java.nio.file.Path] = None
@@ -865,7 +896,8 @@ object KVGraphQueries {
         .unionByName(KVGraphMutations.edgeAdditions(g0.edges)),
       seg.toString, 16)
     val g = kvBackedGraph(s, dir, seg.toString)
-      .copy(vertices = storeVertices(s.read.format("graft-kv").load(seg.toString)))
+      .copy(vertices = storeVertices(s.read.format("graft-kv").load(seg.toString)),
+        vertexProps = Some(kvVertexPropSource(s, seg.toString)))
     Traversal.V(g)
       .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
       .out("in_nation")
@@ -1018,7 +1050,8 @@ object KVGraphQueries {
     val withIdx = kvBackedGraphDual(s, dir, segPath)
     withRev.copy(
       vertices = storeVertices(s.read.format("graft-kv").load(segPath)),
-      edgeIndex = withIdx.edgeIndex)
+      edgeIndex = withIdx.edgeIndex,
+      vertexProps = Some(kvVertexPropSource(s, segPath)))
   }
 
   /** Every cell family of one graph — what [[kvBackedGraphFull]] reads. */
@@ -1060,7 +1093,11 @@ object KVGraphQueries {
         .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
       16, familyRanged = true)
     val g = kvBackedGraphFull(s, dir, s"$wh/edgestore")
-      .copy(vertices = storeVertices(mgr.openSegmentStore("vertexprops")))
+      .copy(vertices = storeVertices(mgr.openSegmentStore("vertexprops")),
+        // the vertex family lives in the OTHER named store — the
+        // edgestore-pointed hook kvBackedGraphFull set would read an
+        // empty slice and silently drop every tap
+        vertexProps = Some(kvVertexPropSource(s, s"$wh/vertexprops")))
     Traversal.V(g)
       .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
       .out("in_nation")
@@ -1230,7 +1267,8 @@ object KVGraphQueries {
       vertices = storeVertices(mgr.openSegmentStore("vertexprops")),
       vertexIndex = Some(kvVertexIndex(s, vpPath,
         Map(("customer", "mktsegment") ->
-          s"$wh/${indexStoreName("customer", "mktsegment")}"))))
+          s"$wh/${indexStoreName("customer", "mktsegment")}"))),
+      vertexProps = Some(kvVertexPropSource(s, vpPath)))
     Traversal.V(g)
       .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
       .out("in_nation")
@@ -1309,7 +1347,8 @@ object KVGraphQueries {
     val g = kvBackedGraph(s, dir, seg.toString).copy(
       vertices = storeVertices(s.read.format("graft-kv").load(seg.toString)),
       vertexIndex = Some(kvVertexIndex(s, seg.toString,
-        Map(("customer", "mktsegment") -> idxSeg.toString))))
+        Map(("customer", "mktsegment") -> idxSeg.toString))),
+      vertexProps = Some(kvVertexPropSource(s, seg.toString)))
     Traversal.V(g)
       .hasLabel("customer").has("mktsegment", "BUILDING").as("c_vid")
       .out("in_nation")

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
 import graft.Tables
@@ -58,6 +58,43 @@ object PropertyGraph {
     def lookup(label: String, prop: String, values: Seq[Any]): Option[DataFrame]
   }
 
+  /** A PER-PROPERTY vertex read — JanusGraph's property getSlice
+    * surface (a vertex property read is getSlice(vertex, [propId,
+    * propId+1)) against the store, never a whole-vertex materialize):
+    * when a graph carries this hook, the DSL's fused property step
+    * serves each pending has()/value() from the property's OWN cell
+    * slice — a (key, vid, value) frame the traversal joins on the
+    * scan's raw key, so the connector prunes segments to the frontier
+    * at execution and NO vertex pivot runs — instead of joining the
+    * O(all vertices) pivoted frame. hasLabel() becomes a pure
+    * expression on the vid scheme (zero joins). Filters use inner
+    * joins (every P predicate is null-rejecting, so inner-join
+    * semantics ≡ the pivot's filter semantics — vertices without the
+    * cell fail the predicate either way); taps use LEFT joins (a
+    * vertex without the property taps null, exactly the pivot's
+    * column). */
+  trait VertexPropSource {
+    /** The (Traversal.KvKeyCol, vid, value) frame of one property —
+      * value already decoded to the property's frame type; None when
+      * the store does not carry `prop` (the step then falls back to
+      * the vertex-frame join). */
+    def slice(prop: String): Option[DataFrame]
+
+    /** The (Traversal.KvKeyCol, vid) frame of LIVE vertices — the
+      * existence-cell slice (JanusGraph's hidden VertexExists
+      * property, one cell per vertex in a folded store), so a start
+      * set that needs no real property — `g.V(ids…)`, a bare
+      * `g.V()`, label-only filters — materializes with ZERO
+      * aggregates: the pivot's groupBy existed only to collapse many
+      * property cells into one row, and the existence family is
+      * single-cell by construction. */
+    def existing: DataFrame
+
+    /** vlabel as a pure expression of a vid column (the vid scheme's
+      * label code — no join, no cell read). */
+    def labelOf(vid: Column): Column
+  }
+
   /** `revEdges`: the REVERSE-oriented edge frame of a dual-adjacency
     * kv-backed graph (JanusGraph writes every edge into both endpoints'
     * adjacency lists) — same columns as `edges`, plus
@@ -69,7 +106,8 @@ object PropertyGraph {
   final case class G(vertices: DataFrame, edges: DataFrame,
                      edgeIndex: Option[EdgeIndex] = None,
                      revEdges: Option[DataFrame] = None,
-                     vertexIndex: Option[VertexIndex] = None) {
+                     vertexIndex: Option[VertexIndex] = None,
+                     vertexProps: Option[VertexPropSource] = None) {
     /** Symmetrized distinct edge list for undirected algorithms. */
     def undirected: DataFrame = {
       val e = edges.select("src", "dst")

@@ -130,7 +130,8 @@ object Traversal {
     * historical eager filters byte-for-byte. */
   def V(g: PropertyGraph.G): Traversal =
     new Traversal(g, g.vertices, 0, onVertices = true, Vector.empty, Map.empty,
-      pendStart = if (g.vertexIndex.isDefined) Some(Vector.empty) else None)
+      pendStart = if (g.vertexIndex.isDefined || g.vertexProps.isDefined)
+        Some(Vector.empty) else None)
 
   def V(s: SparkSession, dir: String): Traversal = V(PropertyGraph(s, dir))
 
@@ -235,7 +236,8 @@ final class Traversal private (
   private def checkName(name: String): Unit = {
     require(!name.matches("v\\d+"), s"'$name' is a reserved hop-chain name")
     require(!name.matches("__has\\d*") &&
-        !Set("__edst", "__efrom", "__from", "__to", Traversal.KvKeyCol).contains(name),
+        !Set("__edst", "__efrom", "__from", "__to", "__pk", "__pk0", "__pvid",
+          Traversal.KvKeyCol).contains(name),
       s"'$name' is a reserved internal name")
     require(!g.edges.columns.contains(name),
       s"'$name' collides with an edge-frame column")
@@ -258,7 +260,54 @@ final class Traversal private (
     if (pendStart.isDefined) resolvedStart.flushed
     else if (pendEdge.isDefined) resolvedEdge
     else if (pendFilters.isEmpty && pendTaps.isEmpty) this
-    else {
+    else g.vertexProps.flatMap(slicedFlush).getOrElse(pivotFlush)
+
+  /** The property-slice flush (store-resident adapters): every pending
+    * has()/value() of this hop is served from its property's OWN cell
+    * slice — JanusGraph's getSlice(vertex, [propId, propId+1)) — keyed
+    * on the slice scan's raw store key, so the connector prunes
+    * segments to the frontier and NO vertex pivot runs. hasLabel()/
+    * has("vid", …) become pure expressions on the hop column (the vid
+    * scheme — zero joins). Filters join INNER (every P predicate is
+    * null-rejecting, so a missing cell fails the predicate on both
+    * paths), taps join LEFT (a missing cell taps null, exactly the
+    * pivoted column). Returns None — fall back to the one-join pivot
+    * flush — when any pending key has no slice. */
+  private def slicedFlush(src: PropertyGraph.VertexPropSource): Option[Traversal] = {
+    val keyOf = curCol
+    val propKeys = (pendFilters.map(_._1) ++ pendTaps.map(_._1))
+      .distinct.filterNot(k => k == "vlabel" || k == "vid")
+    val slices = propKeys.map(k => k -> src.slice(k)).toMap
+    if (slices.values.exists(_.isEmpty)) None
+    else Some {
+      def joined(fr: DataFrame, k: String, alias: String, how: String): DataFrame = {
+        val sl = slices(k).get.select(
+          F.col(Traversal.KvKeyCol).as("__pk"),
+          F.col("vid").as("__pvid"), F.col("value").as(alias))
+        fr.join(sl, F.col(keyOf) === F.col("__pvid") &&
+            F.col("__pk") === graft.kv.KVStore.encLong(F.col(keyOf)), how)
+          .drop("__pvid", "__pk")
+      }
+      // filters first (shrink the frontier before any tap join runs)
+      val afterFilters = pendFilters.zipWithIndex.foldLeft(frame) {
+        case (fr, ((k, p), i)) =>
+          if (k == "vlabel") fr.filter(p(src.labelOf(F.col(keyOf))))
+          else if (k == "vid") fr.filter(p(F.col(keyOf)))
+          else joined(fr, k, s"__has$i", "inner").filter(p(F.col(s"__has$i")))
+      }
+      val afterTaps = pendTaps.foldLeft(afterFilters) {
+        case (fr, (k, as)) => joined(fr, k, as, "left")
+      }
+      step(frame = afterTaps.select(
+          (keepCols ++ pendTaps.map(t => F.col(t._2))): _*),
+        vals = vals ++ pendTaps.map(_._2),
+        pendFilters = Vector.empty, pendTaps = Vector.empty)
+    }
+  }
+
+  /** The historical one-join flush over the (possibly pivoted) vertex
+    * frame — every non-store graph's path, byte-for-byte. */
+  private def pivotFlush: Traversal = {
       // single-filter keeps the historical shape (bare vlabel column for
       // hasLabel, "__has" alias for has()) — canonically equal either
       // way, readable plans for free; multi-filter indexes __has0, __has1…
@@ -1072,19 +1121,20 @@ final class Traversal private (
   private def resolvedStart: Traversal = pendStart match {
     case None => this
     case Some(preds) =>
-      val idx = g.vertexIndex.get
       val label = preds.collectFirst { case ("vlabel", P.Is(l: String)) => l }
       def eqVals(p: P): Option[Seq[Any]] = p match {
         case P.Is(v) => Some(Seq(v))
         case P.Within(vs) => Some(vs)
         case _ => None
       }
-      val routed = label.flatMap { l =>
-        preds.zipWithIndex.collectFirst(Function.unlift {
-          case ((k, p), i) =>
-            if (k == "vlabel") None
-            else eqVals(p).flatMap(vs => idx.lookup(l, k, vs).map(f => (i, f)))
-        })
+      val routed = g.vertexIndex.flatMap { idx =>
+        label.flatMap { l =>
+          preds.zipWithIndex.collectFirst(Function.unlift {
+            case ((k, p), i) =>
+              if (k == "vlabel") None
+              else eqVals(p).flatMap(vs => idx.lookup(l, k, vs).map(f => (i, f)))
+          })
+        }
       }
       routed match {
         case Some((i, routedFrame)) =>
@@ -1094,10 +1144,50 @@ final class Traversal private (
           }
           step(frame = filtered, pendStart = None)
         case None =>
-          step(frame = preds.foldLeft(frame) { case (f, (k, p)) =>
-            f.filter(p(F.col(k)))
-          }, pendStart = None)
+          g.vertexProps.flatMap(slicedStart(preds, _))
+            .getOrElse(step(frame = preds.foldLeft(frame) {
+              case (f, (k, p)) => f.filter(p(F.col(k)))
+            }, pendStart = None))
       }
+  }
+
+  /** The property-slice START (store-resident adapters, no index
+    * route): the start set materializes from the EXISTENCE-cell slice
+    * — one cell per live vertex, so zero aggregates where the pivot
+    * ran a groupBy over every property cell — with vid/vlabel
+    * predicates as pure expressions and each property predicate an
+    * inner key-join against the property's own pushed qualifier slice
+    * (existence and property slices are scans of the same store, so
+    * the join keys on the raw store bytes). The resulting state leaves
+    * the vertex frame (onVertices=false): every later property step
+    * buffers and [[slicedFlush]] serves it the same way. None — fall
+    * back to the eager pivot filters — when any predicated property
+    * has no slice. */
+  private def slicedStart(preds: Vector[(String, P)],
+                          src: PropertyGraph.VertexPropSource): Option[Traversal] = {
+    val propKeys = preds.map(_._1).distinct
+      .filterNot(k => k == "vlabel" || k == "vid")
+    val slices = propKeys.map(k => k -> src.slice(k)).toMap
+    if (slices.values.exists(_.isEmpty)) None
+    else Some {
+      val base = src.existing.select(
+        F.col(Traversal.KvKeyCol).as("__pk0"),
+        F.col("vid").as(originName))
+      val filtered = preds.zipWithIndex.foldLeft(base) {
+        case (fr, (("vlabel", p), _)) =>
+          fr.filter(p(src.labelOf(F.col(originName))))
+        case (fr, (("vid", p), _)) => fr.filter(p(F.col(originName)))
+        case (fr, ((k, p), i)) =>
+          val sl = slices(k).get.select(
+            F.col(Traversal.KvKeyCol).as("__pk"),
+            F.col("value").as(s"__has$i"))
+          fr.join(sl, F.col("__pk0") === F.col("__pk"))
+            .filter(p(F.col(s"__has$i")))
+            .drop("__pk", s"__has$i")
+      }
+      step(frame = filtered.drop("__pk0"), onVertices = false,
+        pendStart = None)
+    }
   }
 
   /** Resolve a deferred edge step: the INDEX CHOICE RULE. ALL buffered

@@ -41,6 +41,20 @@ final case class VertexSchema(
   /** The family's qualifier upper fence: max prop id + 1 (existence-only
     * schemas still span [0, 1)). */
   def maxPropId: Long = if (props.isEmpty) 0L else props.map(_.id).max
+
+  /** vlabel as a PURE EXPRESSION of a vid column (the vid scheme's
+    * label code) — the one home of the decode; the pivot
+    * (KVGraphQueries.storeVertices) and the per-property read path
+    * (VertexPropSource.labelOf) must agree literally. Unregistered
+    * codes decode to null. */
+  def labelExpr(vid: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{functions => F}
+    val code = F.pmod(vid, F.lit(labelMod))
+    labels.init.foldLeft(
+        F.when(code === F.lit(labels.last._2), labels.last._1)) {
+      case (acc, (name, lc)) => acc.when(code === F.lit(lc), name)
+    }
+  }
 }
 
 object VertexSchema {

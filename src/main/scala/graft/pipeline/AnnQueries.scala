@@ -315,6 +315,15 @@ object AnnQueries {
       val perTable = math.pow(PlaneCollisionAtThreshold, bits)
       val want = math.ceil(
         math.log(1.0 - PairRecallTarget) / math.log(1.0 - perTable)).toInt
+      // no silent caps: past MaxTables the union-recall target is NOT
+      // met any more — say so with the degraded number (measured first
+      // at the 30× scale point, where bits=12 wants 319 tables), so a
+      // capped run never reads as "recall target held"
+      if (want > MaxTables)
+        println(s"[ann-lsh] geometry capped: bits=$bits wants $want tables, " +
+          s"MaxTables=$MaxTables gives union recall " +
+          f"${1.0 - math.pow(1.0 - perTable, MaxTables)}%.3f " +
+          f"vs target $PairRecallTarget%.2f — the IVF tier is the next step")
       math.min(MaxTables, math.max(Tables_, want))
     }
 
