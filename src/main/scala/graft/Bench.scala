@@ -99,7 +99,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
+    // diagnostics only: SPARK_GRAFT_EVENTLOG=<dir> records the Spark
+    // event log for per-job attribution of a query's phases (guide §1);
+    // unset (the driver's case) nothing changes
+    sys.env.get("SPARK_GRAFT_EVENTLOG").foreach { d =>
+      new java.io.File(d).mkdirs()
+      builder0.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+    }
+    val spark = builder0
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -134,8 +143,14 @@ object Bench {
     // JVM/codegen setup no long-lived cluster pays per query.
     val warmErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // subset A/B runs (SPARK_GRAFT_ONLY) warm only the picked queries —
+    // warming all 379 made every A/B pay the full ~10 min warmup; a full
+    // run (no ONLY) warms exactly what it always did
+    val onlyWarm = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (n, _) => onlyWarm.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
         try { fn(spark, warmDir).count() }
         catch {
           case e: Throwable =>
@@ -178,7 +193,10 @@ object Bench {
     // BENCH_DETAIL.json — so a query that starts failing is loud, not fast.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = picked.flatMap { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      val times = (1 to reps).zipWithIndex.flatMap { case (_, rep) =>
+        // label the rep's jobs (guide §1.5) so the event log / UI
+        // attributes every job to its query
+        spark.sparkContext.setJobDescription(s"$name rep$rep")
         val t0 = System.nanoTime()
         val dt =
           try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

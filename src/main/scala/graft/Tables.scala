@@ -15,9 +15,29 @@ import org.apache.spark.sql.Column
   * schema is stable too.
   */
 object Tables {
+  /** Per-session memo of the loader PLANS (never data): every
+    * `spark.read.parquet` call builds a fresh file index and runs a
+    * footer/schema job, and the scenario entries call the loaders many
+    * times per query (PropertyGraph alone reads 7 tables) — measured ~20
+    * small "parquet at Tables.scala" setup jobs inside one bench entry.
+    * The testdata dirs are immutable for a JVM's lifetime, so the
+    * DataFrame (a logical plan over a pinned file list) is reusable: the
+    * catalog/file-index caching a real deployment gets from its
+    * metastore (guide §6, file-listing caches). Every execution still
+    * scans the parquet — nothing but metadata is reused. Keyed weakly by
+    * session so test suites' stopped sessions do not pin plans. */
+  private val planMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    planMemo.synchronized {
+      val per = planMemo.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+      per.getOrElseUpdate((dir, name),
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   /** events.parquet has carried ts as TIMESTAMP(NANOS) (readable only as
     * long nanos), as plain TIMESTAMP_NTZ(µs), and as TIMESTAMP(µs) across

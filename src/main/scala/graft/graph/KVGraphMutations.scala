@@ -294,4 +294,14 @@ object KVGraphMutations {
     ds.appendMutation(name,
       vertexAdditions(addV).unionByName(edgeAdditionsFor(addE, mirror, vci)),
       edgeDeletionsFor(dropE, mirror, vci), wts)
+
+  /** [[mutateLog]] at an EXPLICIT log sequence — the form concurrent
+    * appends need (deriving "the next free seq" from a listing is racy
+    * when independent batches overlap; an explicit seq is not). */
+  def mutateLogAt(ds: KVDeltaStore, name: String, seq: Long, addV: DataFrame,
+                  addE: DataFrame, dropE: DataFrame, wts: Long,
+                  mirror: Boolean = false, vci: Boolean = false): Unit =
+    ds.appendMutationAt(name, seq,
+      vertexAdditions(addV).unionByName(edgeAdditionsFor(addE, mirror, vci)),
+      edgeDeletionsFor(dropE, mirror, vci), wts)
 }

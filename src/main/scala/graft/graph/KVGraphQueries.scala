@@ -651,19 +651,23 @@ object KVGraphQueries {
     val ds = new graft.kv.KVDeltaStore(s, wh.toString)
     val g = PropertyGraph(s, dir)
     val e = g.edges
-    // base state (delta 1): vertices minus nations; stale peers; in_region
-    KVGraphMutations.mutateLog(ds, "graph",
-      addV = g.vertices.filter(F.col("vlabel") =!= "nation"),
-      addE = e.filter(F.col("elabel") === "peer")
-        .withColumn("w", F.col("w") + 1)
-        .unionByName(e.filter(F.col("elabel") === "in_region")),
-      dropE = e.limit(0), wts = 1000L)
-    // THE mutation batch (delta 2): addV + addE + supersede + drop at once
-    KVGraphMutations.mutateLog(ds, "graph",
-      addV = g.vertices.filter(F.col("vlabel") === "nation"),
-      addE = e.filter(F.col("elabel") === "in_nation")
-        .unionByName(e.filter(F.col("elabel") === "peer")),
-      dropE = e.filter(F.col("elabel").isin("in_region", "peer")), wts = 2000L)
+    // both batches derive only from the input frames and land in
+    // distinct delta_<seq> dirs — append them concurrently (guide §2.6);
+    // explicit seqs keep the log order the merge-on-read resolves
+    graft.Par.jobs(
+      // base state (delta 1): vertices minus nations; stale peers; in_region
+      () => KVGraphMutations.mutateLogAt(ds, "graph", 1L,
+        addV = g.vertices.filter(F.col("vlabel") =!= "nation"),
+        addE = e.filter(F.col("elabel") === "peer")
+          .withColumn("w", F.col("w") + 1)
+          .unionByName(e.filter(F.col("elabel") === "in_region")),
+        dropE = e.limit(0), wts = 1000L),
+      // THE mutation batch (delta 2): addV + addE + supersede + drop at once
+      () => KVGraphMutations.mutateLogAt(ds, "graph", 2L,
+        addV = g.vertices.filter(F.col("vlabel") === "nation"),
+        addE = e.filter(F.col("elabel") === "in_nation")
+          .unionByName(e.filter(F.col("elabel") === "peer")),
+        dropE = e.filter(F.col("elabel").isin("in_region", "peer")), wts = 2000L))
     // the mutated state served BACK THROUGH THE CONNECTOR: fold the
     // merged view into a segment store (the compaction a long-lived
     // deployment runs anyway) and drive the onehop through the pruned
@@ -741,12 +745,6 @@ object KVGraphQueries {
     // base state (delta 1): all vertices EXCEPT nations, their property
     // cells, and the peer + in_region adjacency — no in_nation edges
     val baseVerts = fg.vertices.filter(F.col("vlabel") =!= "nation")
-    ds.appendMutationAt("graph", 1L,
-      KVGraphMutations.vertexAdditions(baseVerts)
-        .unionByName(KVGraphMutations.vertexPropAdditions(baseVerts))
-        .unionByName(KVGraphMutations.edgeAdditions(
-          e.filter(F.col("elabel").isin("peer", "in_region")))),
-      none.select("k", "c"), wts = 1000L)
     // THE DSL-authored batch (delta 2)
     val addedNations = Traversal.V(fg)
       .hasLabel("nation").value("name", "nm").as("n")
@@ -760,12 +758,22 @@ object KVGraphQueries {
       .addE("in_nation", "c", "n", (F.col("c") + F.col("n")) % 5 + 1)
     val doomed = Traversal.V(fg)
       .hasLabel("nation").outE("in_region").drop()
-    ds.appendMutationAt("graph", 2L,
-      KVGraphMutations.vertexAdditions(addedNations)
-        .unionByName(KVGraphMutations.vertexPropAdditions(addedNations))
-        .unionByName(KVGraphMutations.vertexPropAdditions(reseg))
-        .unionByName(KVGraphMutations.edgeAdditions(newEdges)),
-      KVGraphMutations.edgeDeletions(doomed), wts = 2000L)
+    // both batches derive only from the input frames (the traversal
+    // authors read fg, never the store) — append concurrently (guide
+    // §2.6); explicit seqs keep the log order
+    graft.Par.jobs(
+      () => ds.appendMutationAt("graph", 1L,
+        KVGraphMutations.vertexAdditions(baseVerts)
+          .unionByName(KVGraphMutations.vertexPropAdditions(baseVerts))
+          .unionByName(KVGraphMutations.edgeAdditions(
+            e.filter(F.col("elabel").isin("peer", "in_region")))),
+        none.select("k", "c"), wts = 1000L),
+      () => ds.appendMutationAt("graph", 2L,
+        KVGraphMutations.vertexAdditions(addedNations)
+          .unionByName(KVGraphMutations.vertexPropAdditions(addedNations))
+          .unionByName(KVGraphMutations.vertexPropAdditions(reseg))
+          .unionByName(KVGraphMutations.edgeAdditions(newEdges)),
+        KVGraphMutations.edgeDeletions(doomed), wts = 2000L))
     // fold + re-read through the pruned connector path
     val seg = graft.ScenarioDirs.fresh("graft_kvdslmseg", lastDslMutSeg)
     lastDslMutSeg = Some(seg)
@@ -989,12 +997,15 @@ object KVGraphQueries {
     val ds = new graft.kv.KVDeltaStore(s, wh)
     val e = PropertyGraph(s, dir).edges
     val noDel = adjacency(s, dir).select("k", "c").limit(0)
-    ds.appendMutationAt("graph", 1L,
-      KVGraphMutations.edgeAdditions(e.filter(F.col("elabel") =!= "peer")),
-      noDel, wts = 1000L)
     val peerCells = KVGraphMutations.edgeAdditions(
       e.filter(F.col("elabel") === "peer")).localCheckpoint(true)
-    ds.appendMutationAt("graph", 2L, peerCells, noDel, wts = 2000L)
+    // the two delta batches are frame-derived and land in distinct
+    // delta_<seq> dirs — append concurrently (guide §2.6)
+    graft.Par.jobs(
+      () => ds.appendMutationAt("graph", 1L,
+        KVGraphMutations.edgeAdditions(e.filter(F.col("elabel") =!= "peer")),
+        noDel, wts = 1000L),
+      () => ds.appendMutationAt("graph", 2L, peerCells, noDel, wts = 2000L))
     val outDir = s"$wh/mv_out"
     val inDir = s"$wh/mv_in"
     // CDC rows → the two degree folds: additions in the adjacency
@@ -1083,15 +1094,18 @@ object KVGraphQueries {
     lastSplitGraphWh = Some(wh)
     val mgr = new graft.kv.KVStoreManager(s, wh.toString)
     val g0 = PropertyGraph(s, dir)
-    mgr.writeSegmentStore("edgestore",
-      KVGraphMutations.edgeAdditions(g0.edges)
-        .unionByName(KVGraphMutations.edgeRevAdditions(g0.edges))
-        .unionByName(vciFamily(g0.edges)),
-      16)
-    mgr.writeSegmentStore("vertexprops",
-      KVGraphMutations.vertexAdditions(g0.vertices)
-        .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
-      16, familyRanged = true)
+    // both named stores derive only from the input frames — write them
+    // concurrently (guide §2.6)
+    graft.Par.jobs(
+      () => mgr.writeSegmentStore("edgestore",
+        KVGraphMutations.edgeAdditions(g0.edges)
+          .unionByName(KVGraphMutations.edgeRevAdditions(g0.edges))
+          .unionByName(vciFamily(g0.edges)),
+        16),
+      () => mgr.writeSegmentStore("vertexprops",
+        KVGraphMutations.vertexAdditions(g0.vertices)
+          .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
+        16, familyRanged = true))
     val g = kvBackedGraphFull(s, dir, s"$wh/edgestore")
       .copy(vertices = storeVertices(mgr.openSegmentStore("vertexprops")),
         // the vertex family lives in the OTHER named store — the
@@ -1252,16 +1266,19 @@ object KVGraphQueries {
     lastIdxWh = Some(wh)
     val mgr = new graft.kv.KVStoreManager(s, wh.toString)
     val g0 = PropertyGraph(s, dir)
-    mgr.writeSegmentStore("edgestore",
-      KVGraphMutations.edgeAdditions(g0.edges), 16)
-    mgr.writeSegmentStore("vertexprops",
-      KVGraphMutations.vertexAdditions(g0.vertices)
-        .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
-      16, familyRanged = true)
-    mgr.writeSegmentStore(indexStoreName("customer", "mktsegment"),
-      KVGraphMutations.indexAdditions(
-        g0.vertices.filter(F.col("vlabel") === "customer"), "mktsegment"),
-      8)
+    // the three named stores derive only from the input frames — write
+    // them concurrently (guide §2.6: independent actions overlap)
+    graft.Par.jobs(
+      () => mgr.writeSegmentStore("edgestore",
+        KVGraphMutations.edgeAdditions(g0.edges), 16),
+      () => mgr.writeSegmentStore("vertexprops",
+        KVGraphMutations.vertexAdditions(g0.vertices)
+          .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
+        16, familyRanged = true),
+      () => mgr.writeSegmentStore(indexStoreName("customer", "mktsegment"),
+        KVGraphMutations.indexAdditions(
+          g0.vertices.filter(F.col("vlabel") === "customer"), "mktsegment"),
+        8))
     val vpPath = s"$wh/vertexprops"
     val g = kvBackedGraph(s, dir, s"$wh/edgestore").copy(
       vertices = storeVertices(mgr.openSegmentStore("vertexprops")),
@@ -1307,15 +1324,6 @@ object KVGraphQueries {
     val none = adjacency(s, dir).limit(0)
     // base state (delta 1): vertices + props + in_nation adjacency in
     // `graph`; the customer-mktsegment composite index in `gidx`
-    ds.appendMutationAt("graph", 1L,
-      KVGraphMutations.vertexAdditions(fg.vertices)
-        .unionByName(KVGraphMutations.vertexPropAdditions(fg.vertices))
-        .unionByName(KVGraphMutations.edgeAdditions(
-          fg.edges.filter(F.col("elabel") === "in_nation"))),
-      none.select("k", "c"), wts = 1000L)
-    ds.appendMutationAt("gidx", 1L,
-      KVGraphMutations.indexAdditions(customers, "mktsegment"),
-      none.select("k", "c"), wts = 1000L)
     // THE mutation batch (delta 2): re-segment AUTOMOBILE → BUILDING.
     // Property cells upsert in place ((k, c) collision); index cells
     // MOVE — the old-value tombstone comes from the PRE-mutation frame
@@ -1325,19 +1333,35 @@ object KVGraphQueries {
     val reseg = Traversal.V(fg)
       .hasLabel("customer").has("mktsegment", "AUTOMOBILE")
       .property("mktsegment", F.lit("BUILDING"))
-    ds.appendMutationAt("graph", 2L,
-      KVGraphMutations.vertexPropAdditions(reseg),
-      none.select("k", "c"), wts = 2000L)
-    ds.appendMutationAt("gidx", 2L,
-      KVGraphMutations.indexAdditions(reseg, "mktsegment"),
-      KVGraphMutations.indexDeletions(auto, "mktsegment"), wts = 2000L)
-    // fold both stores and serve the start set FROM the index
+    // all four delta batches derive only from the input frames (never
+    // from store state) and land in distinct delta_<seq> dirs — append
+    // them concurrently (guide §2.6); explicit seqs keep the log order
+    graft.Par.jobs(
+      () => ds.appendMutationAt("graph", 1L,
+        KVGraphMutations.vertexAdditions(fg.vertices)
+          .unionByName(KVGraphMutations.vertexPropAdditions(fg.vertices))
+          .unionByName(KVGraphMutations.edgeAdditions(
+            fg.edges.filter(F.col("elabel") === "in_nation"))),
+        none.select("k", "c"), wts = 1000L),
+      () => ds.appendMutationAt("gidx", 1L,
+        KVGraphMutations.indexAdditions(customers, "mktsegment"),
+        none.select("k", "c"), wts = 1000L),
+      () => ds.appendMutationAt("graph", 2L,
+        KVGraphMutations.vertexPropAdditions(reseg),
+        none.select("k", "c"), wts = 2000L),
+      () => ds.appendMutationAt("gidx", 2L,
+        KVGraphMutations.indexAdditions(reseg, "mktsegment"),
+        KVGraphMutations.indexDeletions(auto, "mktsegment"), wts = 2000L))
+    // fold both stores and serve the start set FROM the index; the two
+    // folds are independent of each other — overlap them too
     val seg = graft.ScenarioDirs.fresh("graft_kvidxmseg", lastIdxMutSeg)
     lastIdxMutSeg = Some(seg)
-    KVSegmentStore.writeFamilyRanged(ds.openDatabase("graph"), seg.toString, 16)
     val idxSeg = graft.ScenarioDirs.fresh("graft_kvidxmidx", lastIdxMutIdxSeg)
     lastIdxMutIdxSeg = Some(idxSeg)
-    KVSegmentStore.write(ds.openDatabase("gidx"), idxSeg.toString, 8)
+    graft.Par.jobs(
+      () => KVSegmentStore.writeFamilyRanged(
+        ds.openDatabase("graph"), seg.toString, 16),
+      () => KVSegmentStore.write(ds.openDatabase("gidx"), idxSeg.toString, 8))
     val idxStore = s.read.format("graft-kv").load(idxSeg.toString)
     val scalars = idxStore.agg(
       F.count(F.when(F.col("k") === F.lit(indexKeyBytes("AUTOMOBILE", false)),
@@ -1391,16 +1415,19 @@ object KVGraphQueries {
     val fg = PropertyGraph(s, dir)
     val e = fg.edges
     val noAdd = adjacency(s, dir).limit(0)
-    ds.appendMutationAt("graph", 1L,
-      KVGraphMutations.vertexAdditions(fg.vertices)
-        .unionByName(KVGraphMutations.vertexPropAdditions(fg.vertices))
-        .unionByName(KVGraphMutations.edgeAdditions(e))
-        .unionByName(KVGraphMutations.edgeRevAdditions(e)),
-      noAdd.select("k", "c"), wts = 1000L)
     val doomed = Traversal.V(fg)
       .hasLabel("customer").has("mktsegment", "AUTOMOBILE").dropV()
-    ds.appendMutationAt("graph", 2L, noAdd,
-      KVGraphMutations.vertexDeletions(doomed, e), wts = 2000L)
+    // both delta batches derive only from the input frames and land in
+    // distinct delta_<seq> dirs — append them concurrently (guide §2.6)
+    graft.Par.jobs(
+      () => ds.appendMutationAt("graph", 1L,
+        KVGraphMutations.vertexAdditions(fg.vertices)
+          .unionByName(KVGraphMutations.vertexPropAdditions(fg.vertices))
+          .unionByName(KVGraphMutations.edgeAdditions(e))
+          .unionByName(KVGraphMutations.edgeRevAdditions(e)),
+        noAdd.select("k", "c"), wts = 1000L),
+      () => ds.appendMutationAt("graph", 2L, noAdd,
+        KVGraphMutations.vertexDeletions(doomed, e), wts = 2000L))
     val seg = graft.ScenarioDirs.fresh("graft_kvdropvseg", lastDropVSeg)
     lastDropVSeg = Some(seg)
     KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 16)

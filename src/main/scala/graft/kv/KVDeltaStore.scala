@@ -99,12 +99,19 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
     // mutation lands as ONE task (full-width writes are all task/commit
     // overhead), and a mega-batch spreads round-robin — key-OBLIVIOUS, so
     // even a single hot key's mutation splits across tasks — at
-    // maxEntriesPerTask per task. The count is one extra pass over the
-    // batch; it is what makes the bound exact rather than heuristic.
-    val n = batch.count()
-    val parts = math.max(1L, (n + maxEntriesPerTask - 1) / maxEntriesPerTask).toInt
-    batch.repartition(parts).write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(dir(name), f"delta_$seq%05d").toString)
+    // maxEntriesPerTask per task. The sizing count used to be a second
+    // full computation of the batch (mutation frames carry joins —
+    // vertexDeletions, traversal-authored property frames); persisting
+    // across count→write computes the batch ONCE and the write drains
+    // the cache (bounded by the batch size, spilling to disk — cheaper
+    // than re-running the upstream joins at any scale).
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = batch.count()
+      val parts = math.max(1L, (n + maxEntriesPerTask - 1) / maxEntriesPerTask).toInt
+      batch.repartition(parts).write.mode(SaveMode.ErrorIfExists)
+        .parquet(new Path(dir(name), f"delta_$seq%05d").toString)
+    } finally batch.unpersist(false)
   }
 
   /** Whether `delta_<seq>` exists as a COMPLETE part (parquet _SUCCESS);

@@ -191,9 +191,14 @@ object KVQueries {
     lastDeltaWarehouse = Some(whPath)
     val ds = new KVDeltaStore(s, whPath.toString)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    ds.appendMutation("events", eventStore(s, dir), noDel, wts = 1000L)
     val (additions, deletions) = mutationScenario(s, dir)
-    ds.appendMutation("events", additions, deletions, wts = 2000L)
+    // both batches derive from the input frames only — append
+    // concurrently at explicit seqs (guide §2.6)
+    graft.Par.jobs(
+      () => ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel,
+        wts = 1000L),
+      () => ds.appendMutationAt("events", 2L, additions, deletions,
+        wts = 2000L))
     if (compactFirst) ds.compact("events")
     // eager localCheckpoint: the returned DataFrame must stay re-evaluable
     // AFTER a later call sweeps this warehouse, so cut its lineage to the
@@ -249,9 +254,13 @@ object KVQueries {
     val wh = whPath.toString
     val ds = new KVDeltaStore(s, wh)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel, wts = 1000L)
     val (additions, deletions) = mutationScenario(s, dir)
-    ds.appendMutationAt("events", 2L, additions, deletions, wts = 2000L)
+    // frame-derived batches at explicit seqs — append concurrently
+    graft.Par.jobs(
+      () => ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel,
+        wts = 1000L),
+      () => ds.appendMutationAt("events", 2L, additions, deletions,
+        wts = 2000L))
     val out = s"$wh/cdc_out"
     val q = s.readStream.format("graft-kv-log")
       .option("maxSeqsPerBatch", "1")
@@ -287,9 +296,13 @@ object KVQueries {
     val wh = whPath.toString
     val ds = new KVDeltaStore(s, wh)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel, wts = 1000L)
     val (additions, deletions) = mutationScenario(s, dir)
-    ds.appendMutationAt("events", 2L, additions, deletions, wts = 2000L)
+    // frame-derived batches at explicit seqs — append concurrently
+    graft.Par.jobs(
+      () => ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel,
+        wts = 1000L),
+      () => ds.appendMutationAt("events", 2L, additions, deletions,
+        wts = 2000L))
     val q = s.readStream.format("graft-kv-log")
       .option("maxSeqsPerBatch", "1")
       .load(s"$wh/events")
@@ -327,7 +340,6 @@ object KVQueries {
     val wh = whPath.toString
     val ds = new KVDeltaStore(s, wh)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel, wts = 1000L)
     // batch 2: pure additions — a 1.00-valued bonus cell per user < 5
     val bonus = Tables(s, dir, "events").select("user_id").distinct()
       .filter(F.col("user_id") < 5)
@@ -336,7 +348,11 @@ object KVQueries {
         F.concat(encLong(F.lit(0L)), encLong(F.lit(888888L))).as("c"),
         F.lit("1.00").cast("binary").as("v"))
       .localCheckpoint(true)
-    ds.appendMutationAt("events", 2L, bonus, noDel, wts = 2000L)
+    // frame-derived batches at explicit seqs — append concurrently
+    graft.Par.jobs(
+      () => ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel,
+        wts = 1000L),
+      () => ds.appendMutationAt("events", 2L, bonus, noDel, wts = 2000L))
     val mvDir = s"$wh/mv"
     // CDC rows → RollupSink's (event_type, value) contract: the user id
     // keys the rollup, the cell value is the summed measure — the sink
@@ -431,9 +447,13 @@ object KVQueries {
     lastTravelWarehouse = Some(whPath)
     val ds = new KVDeltaStore(s, whPath.toString)
     val noDel = eventStore(s, dir).select("k", "c").limit(0)
-    ds.appendMutation("events", eventStore(s, dir), noDel, wts = 1000L)
     val (additions, deletions) = mutationScenario(s, dir)
-    ds.appendMutation("events", additions, deletions, wts = 2000L)
+    // frame-derived batches at explicit seqs — append concurrently
+    graft.Par.jobs(
+      () => ds.appendMutationAt("events", 1L, eventStore(s, dir), noDel,
+        wts = 1000L),
+      () => ds.appendMutationAt("events", 2L, additions, deletions,
+        wts = 2000L))
     readBackMutated(s, ds.openDatabaseAsOf("events", 1L)).localCheckpoint(true)
   }
 
@@ -462,8 +482,12 @@ object KVQueries {
     val es = eventStore(s, dir)
     val cut = colBound("2024-01-15 00:00:00")
     val noDel = es.select("k", "c").limit(0)
-    ds.appendMutation("events", es.filter(F.col("c") < cut), noDel, wts = 1000L)
-    ds.appendMutation("events", es.filter(F.col("c") >= cut), noDel, wts = 2000L)
+    // the two ingestion batches are frame-derived — append concurrently
+    graft.Par.jobs(
+      () => ds.appendMutationAt("events", 1L, es.filter(F.col("c") < cut),
+        noDel, wts = 1000L),
+      () => ds.appendMutationAt("events", 2L, es.filter(F.col("c") >= cut),
+        noDel, wts = 2000L))
     ds.expire("events", olderThan = 1500L, wts = 3000L)
     ds.compact("events")
     val keys = s.range(0, 20).select(encLong(F.col("id")).as("k"))

@@ -44,9 +44,17 @@ object KVSegmentStore {
     * (16 KB each), never manifest lines — a million-segment parts list
     * stays a parts list. */
   def write(store: DataFrame, path: String, numSegments: Int): Unit = {
-    store.repartitionByRange(numSegments, F.col("k"))
-      .sortWithinPartitions("k", "c")
-      .write.mode("overwrite").parquet(path)
+    // repartitionByRange SAMPLES its input to pick boundaries, so the
+    // store plan used to be computed twice (sample pass + shuffle pass)
+    // — for merge-on-read views and multi-family unions that is a whole
+    // second window/join. Persist across the two passes: compute once,
+    // sample and shuffle drain the cache (spills to disk when big).
+    store.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      store.repartitionByRange(numSegments, F.col("k"))
+        .sortWithinPartitions("k", "c")
+        .write.mode("overwrite").parquet(path)
+    } finally store.unpersist(false)
     manifestFromReadback(store.sparkSession, path)
   }
 
@@ -66,9 +74,13 @@ object KVSegmentStore {
     * and bounds/zone maps/blooms come from the same read-back pass, so
     * pruning stays correct by construction. */
   def writeFamilyRanged(store: DataFrame, path: String, numSegments: Int): Unit = {
-    store.repartitionByRange(numSegments, F.col("c"), F.col("k"))
-      .sortWithinPartitions("k", "c")
-      .write.mode("overwrite").parquet(path)
+    // same persist-across-sample-and-shuffle as [[write]]
+    store.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      store.repartitionByRange(numSegments, F.col("c"), F.col("k"))
+        .sortWithinPartitions("k", "c")
+        .write.mode("overwrite").parquet(path)
+    } finally store.unpersist(false)
     GraftFs.writeTextAtomic(store.sparkSession.sparkContext.hadoopConfiguration,
       GraftFs.child(path, LayoutFile), "familyranged\norder=kc")
     manifestFromReadback(store.sparkSession, path)

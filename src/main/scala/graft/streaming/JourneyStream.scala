@@ -166,9 +166,14 @@ object JourneyStream {
     val sess = SessionFold.sessionized(pool).localCheckpoint()
     val closed = sess.filter(F.col("end_us") + GapUs < wm)
     val open = sess.filter(F.col("end_us") + GapUs >= wm)
-    TopKSink.applyBatch(pathsOf(closed), topkDir, batchId, capacity, "path")
-    open.select("user_id", "us", "event_id", "event_type")
-      .write.mode("overwrite").parquet(GraftFs.child(target, "buf"))
+    // the top-k fold and the buffer flush are independent plans over the
+    // checkpointed sessions — overlap them (guide §2.6); the marker
+    // below still gates on both
+    graft.Par.jobs(
+      () => TopKSink.applyBatch(pathsOf(closed), topkDir, batchId, capacity,
+        "path"),
+      () => open.select("user_id", "us", "event_id", "event_type")
+        .write.mode("overwrite").parquet(GraftFs.child(target, "buf")))
     // marker AFTER both folds; carries the watermark
     GraftFs.writeTextAtomic(conf, GraftFs.child(target, "_SUCCESS"), wm.toString)
   }

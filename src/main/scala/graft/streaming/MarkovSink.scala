@@ -128,9 +128,13 @@ object MarkovSink {
     val last = union.withColumn("rn", F.row_number().over(wLast))
       .filter(F.col("rn") === 1)
       .select("user_id", "tu", "event_id", "event_type")
-    pairs.write.mode("overwrite").parquet(GraftFs.child(target, "pairs"))
-    last.write.mode("overwrite").parquet(GraftFs.child(target, "last"))
-    buf.write.mode("overwrite").parquet(GraftFs.child(target, "buf"))
+    // the three state tables are independent plans over the checkpointed
+    // pool — write them concurrently (guide §2.6); the completeness
+    // marker below still gates on ALL three having landed
+    graft.Par.jobs(
+      () => pairs.write.mode("overwrite").parquet(GraftFs.child(target, "pairs")),
+      () => last.write.mode("overwrite").parquet(GraftFs.child(target, "last")),
+      () => buf.write.mode("overwrite").parquet(GraftFs.child(target, "buf")))
     // completeness marker AFTER all three tables: a crash in between
     // leaves an incomplete version invisible to lineage and readers
     GraftFs.writeTextAtomic(conf, GraftFs.child(target, "_SUCCESS"), "")

@@ -165,10 +165,14 @@ object SessionFunnelStream {
     // the histogram has at most 4 rows (levels 0..3) at ANY scale: one
     // output file, not shuffle.partitions near-empty ones — the fold's
     // snapshot I/O is task-count-bound, not byte-bound (r13 verdict #5)
-    counts.coalesce(1)
-      .write.mode("overwrite").parquet(GraftFs.child(target, "counts"))
-    open.select("user_id", "us", "event_id", "st")
-      .write.mode("overwrite").parquet(GraftFs.child(target, "buf"))
+    // the two state tables are independent plans over the checkpointed
+    // sessions — write them concurrently (guide §2.6); the marker below
+    // still gates on both having landed
+    graft.Par.jobs(
+      () => counts.coalesce(1)
+        .write.mode("overwrite").parquet(GraftFs.child(target, "counts")),
+      () => open.select("user_id", "us", "event_id", "st")
+        .write.mode("overwrite").parquet(GraftFs.child(target, "buf")))
     GraftFs.writeTextAtomic(conf, GraftFs.child(target, "_SUCCESS"), wm.toString)
   }
 
