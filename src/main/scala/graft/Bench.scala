@@ -217,6 +217,9 @@ object Bench {
       System.gc()
       if (times.isEmpty) None else Some(name -> times.min)
     }
+    // clear the last query's thread-local label so post-loop jobs
+    // (controls, sweeps, teardown) aren't attributed to it in the event log
+    spark.sparkContext.setJobDescription(null)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // systematic environmental control (see ControlRef): full sf0.1 runs
     // only — the reference times are sf0.1 times, and a subset A/B run

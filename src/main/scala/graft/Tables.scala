@@ -27,17 +27,38 @@ object Tables {
     * scans the parquet — nothing but metadata is reused. Keyed weakly by
     * session so test suites' stopped sessions do not pin plans. */
   private val planMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String), DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    planMemo.synchronized {
-      val per = planMemo.computeIfAbsent(spark,
-        _ => scala.collection.mutable.Map.empty)
-      per.getOrElseUpdate((dir, name),
-        if (name == "events") events(spark, dir)
-        else spark.read.parquet(s"$dir/$name.parquet"))
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The cached DataFrames strongly reference their session, so a plain
+    // WeakHashMap value would pin its own key forever (multi-session test
+    // suites would leak every stopped session). The SoftReference breaks
+    // that cycle under memory pressure: map collected → session weakly
+    // reachable → entry cleared; the memo is rebuilt on demand.
+    val per = planMemo.synchronized {
+      val live = Option(planMemo.get(spark)).flatMap(r => Option(r.get()))
+      live.getOrElse {
+        val m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        planMemo.put(spark, new java.lang.ref.SoftReference(m))
+        m
+      }
     }
+    val key = (dir, name)
+    val hit = per.get(key)
+    if (hit != null) hit
+    else {
+      // build OUTSIDE the lock: spark.read.parquet runs a schema-inference
+      // job, and holding the global memo lock across it serialized the
+      // concurrent Par.jobs thunks on first load. A racing duplicate
+      // build is harmless — putIfAbsent keeps exactly one plan.
+      val df =
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet")
+      val prev = per.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
 
   /** events.parquet has carried ts as TIMESTAMP(NANOS) (readable only as
     * long nanos), as plain TIMESTAMP_NTZ(µs), and as TIMESTAMP(µs) across

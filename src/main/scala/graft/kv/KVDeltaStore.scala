@@ -111,7 +111,10 @@ final class KVDeltaStore(spark: SparkSession, warehouseDir: String,
       val parts = math.max(1L, (n + maxEntriesPerTask - 1) / maxEntriesPerTask).toInt
       batch.repartition(parts).write.mode(SaveMode.ErrorIfExists)
         .parquet(new Path(dir(name), f"delta_$seq%05d").toString)
-    } finally batch.unpersist(false)
+    // blocking: a lingering batch cache raises GC pressure on whatever
+    // runs next (non-blocking unpersists measurably slowed co-resident
+    // queries — r15 regression cluster)
+    } finally batch.unpersist(true)
   }
 
   /** Whether `delta_<seq>` exists as a COMPLETE part (parquet _SUCCESS);

@@ -54,7 +54,9 @@ object KVSegmentStore {
       store.repartitionByRange(numSegments, F.col("k"))
         .sortWithinPartitions("k", "c")
         .write.mode("overwrite").parquet(path)
-    } finally store.unpersist(false)
+    // blocking unpersist: the read-back pass (and the next entry) must
+    // not compete with this cache's lingering blocks (r15 RSS doubling)
+    } finally store.unpersist(true)
     manifestFromReadback(store.sparkSession, path)
   }
 
@@ -80,7 +82,7 @@ object KVSegmentStore {
       store.repartitionByRange(numSegments, F.col("c"), F.col("k"))
         .sortWithinPartitions("k", "c")
         .write.mode("overwrite").parquet(path)
-    } finally store.unpersist(false)
+    } finally store.unpersist(true)
     GraftFs.writeTextAtomic(store.sparkSession.sparkContext.hadoopConfiguration,
       GraftFs.child(path, LayoutFile), "familyranged\norder=kc")
     manifestFromReadback(store.sparkSession, path)
