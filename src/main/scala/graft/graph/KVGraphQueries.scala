@@ -66,7 +66,7 @@ object KVGraphQueries {
   def gKvOneHop(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvadj1", lastAdj1)
     lastAdj1 = Some(seg)
-    KVSegmentStore.write(adjacency(s, dir), seg.toString, 16)
+    KVSegmentStore.write(adjacency(s, dir), seg.toString, 0)
     val g = PropertyGraph(s, dir)
     val start = g.vertices
       .filter(F.col("vlabel") === "customer" && F.col("mktsegment") === "BUILDING")
@@ -90,7 +90,7 @@ object KVGraphQueries {
   def gKvTwoHop(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvadj2", lastAdj2)
     lastAdj2 = Some(seg)
-    KVSegmentStore.write(adjacency(s, dir), seg.toString, 16)
+    KVSegmentStore.write(adjacency(s, dir), seg.toString, 0)
     val g = PropertyGraph(s, dir)
     val adj = s.read.format("graft-kv").load(seg.toString)
     val start = g.vertices
@@ -154,7 +154,7 @@ object KVGraphQueries {
   def gKvDslMotif(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvadj3", lastAdj3)
     lastAdj3 = Some(seg)
-    KVSegmentStore.write(adjacency(s, dir), seg.toString, 16)
+    KVSegmentStore.write(adjacency(s, dir), seg.toString, 0)
     val g = kvBackedGraph(s, dir, seg.toString)
     // the EXACT chain gDslMotif writes — same DSL shape, different
     // storage is the whole claim (no extra hasLabel: peer edges only
@@ -215,7 +215,7 @@ object KVGraphQueries {
   def gKvVci(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvvci", lastVci)
     lastVci = Some(seg)
-    KVSegmentStore.write(vciAdjacency(s, dir), seg.toString, 16)
+    KVSegmentStore.write(vciAdjacency(s, dir), seg.toString, 0)
     val peer = LabelIds.toMap.apply("peer")
     // w <= 2 with w >= 1 by derivation: c in [(peer,0,0), (peer,3,0))
     vciSliceDecoded(s.read.format("graft-kv").load(seg.toString),
@@ -338,7 +338,7 @@ object KVGraphQueries {
   def gKvDslVci(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvdslvci", lastDslVci)
     lastDslVci = Some(seg)
-    KVSegmentStore.write(dualAdjacency(s, dir), seg.toString, 16)
+    KVSegmentStore.write(dualAdjacency(s, dir), seg.toString, 0)
     val g = kvBackedGraphDual(s, dir, seg.toString)
     Traversal.V(g)
       .hasLabel("supplier").as("a_vid")
@@ -363,7 +363,7 @@ object KVGraphQueries {
   def gKvDslVciRng(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvvcirng", lastDslVciRng)
     lastDslVciRng = Some(seg)
-    KVSegmentStore.write(dualAdjacency(s, dir), seg.toString, 16)
+    KVSegmentStore.write(dualAdjacency(s, dir), seg.toString, 0)
     val g = kvBackedGraphDual(s, dir, seg.toString)
     Traversal.V(g)
       .hasLabel("supplier").as("a_vid")
@@ -404,7 +404,7 @@ object KVGraphQueries {
     KVSegmentStore.write(
       KVGraphMutations.edgeAdditions(e)
         .unionByName(KVGraphMutations.edgeRevAdditions(e)),
-      seg.toString, 16)
+      seg.toString, 0)
     val g = kvBackedGraphBoth(s, dir, seg.toString)
     Traversal.V(g)
       .hasLabel("region")
@@ -436,7 +436,7 @@ object KVGraphQueries {
   def gKvVciPick(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvvcipk", lastVciPick)
     lastVciPick = Some(seg)
-    KVSegmentStore.write(dualAdjacency(s, dir), seg.toString, 16)
+    KVSegmentStore.write(dualAdjacency(s, dir), seg.toString, 0)
     edgeSlice(s.read.format("graft-kv").load(seg.toString), "peer", Some(2L))
       .localCheckpoint(true)
   }
@@ -497,7 +497,7 @@ object KVGraphQueries {
     KVSegmentStore.write(
       KVGraphMutations.edgeAdditions(e)
         .unionByName(KVGraphMutations.edgeRevAdditions(e)),
-      seg.toString, 16)
+      seg.toString, 0)
     val g = kvBackedGraphBoth(s, dir, seg.toString)
     Traversal.V(g)
       .hasLabel("nation")
@@ -549,7 +549,7 @@ object KVGraphQueries {
     KVSegmentStore.write(
       KVGraphMutations.vertexAdditions(g.vertices)
         .unionByName(KVGraphMutations.vertexPropAdditions(g.vertices)),
-      seg.toString, 16)
+      seg.toString, 0)
     val store = s.read.format("graft-kv").load(seg.toString)
     val (mLo, mHi) = KVGraphMutations.vpropSlice("mktsegment")
     val (bLo, bHi) = KVGraphMutations.vpropSlice("acctbal")
@@ -603,7 +603,7 @@ object KVGraphQueries {
     mgr.writeSegmentStore("vertexprops",
       KVGraphMutations.vertexAdditions(g.vertices)
         .unionByName(KVGraphMutations.vertexPropAdditions(g.vertices)),
-      16, familyRanged = true)
+      0, familyRanged = true)
     val props = mgr.openSegmentStore("vertexprops")
     val (mLo, mHi) = KVGraphMutations.vpropSlice("mktsegment")
     val (bLo, bHi) = KVGraphMutations.vpropSlice("acctbal")
@@ -676,7 +676,7 @@ object KVGraphQueries {
     // existing g_kv_* plans", literally.
     val seg = graft.ScenarioDirs.fresh("graft_kvgmseg", lastMutSeg)
     lastMutSeg = Some(seg)
-    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 16)
+    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 0)
     val store = s.read.format("graft-kv").load(seg.toString)
     val lid = decLong(F.col("c"), 1)
     val scalars = store.agg(
@@ -777,7 +777,7 @@ object KVGraphQueries {
     // fold + re-read through the pruned connector path
     val seg = graft.ScenarioDirs.fresh("graft_kvdslmseg", lastDslMutSeg)
     lastDslMutSeg = Some(seg)
-    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 16)
+    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 0)
     val store = s.read.format("graft-kv").load(seg.toString)
     val lid = decLong(F.col("c"), 1)
     val scalars = store.agg(
@@ -902,7 +902,7 @@ object KVGraphQueries {
       KVGraphMutations.vertexAdditions(g0.vertices)
         .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices))
         .unionByName(KVGraphMutations.edgeAdditions(g0.edges)),
-      seg.toString, 16)
+      seg.toString, 0)
     val g = kvBackedGraph(s, dir, seg.toString)
       .copy(vertices = storeVertices(s.read.format("graft-kv").load(seg.toString)),
         vertexProps = Some(kvVertexPropSource(s, seg.toString)))
@@ -1101,11 +1101,11 @@ object KVGraphQueries {
         KVGraphMutations.edgeAdditions(g0.edges)
           .unionByName(KVGraphMutations.edgeRevAdditions(g0.edges))
           .unionByName(vciFamily(g0.edges)),
-        16),
+        0),
       () => mgr.writeSegmentStore("vertexprops",
         KVGraphMutations.vertexAdditions(g0.vertices)
           .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
-        16, familyRanged = true))
+        0, familyRanged = true))
     val g = kvBackedGraphFull(s, dir, s"$wh/edgestore")
       .copy(vertices = storeVertices(mgr.openSegmentStore("vertexprops")),
         // the vertex family lives in the OTHER named store — the
@@ -1135,7 +1135,7 @@ object KVGraphQueries {
   def gKvDslFull(s: SparkSession, dir: String): DataFrame = synchronized {
     val seg = graft.ScenarioDirs.fresh("graft_kvfulldsl", lastFullDslSeg)
     lastFullDslSeg = Some(seg)
-    KVSegmentStore.write(fullStoreCells(s, dir), seg.toString, 16)
+    KVSegmentStore.write(fullStoreCells(s, dir), seg.toString, 0)
     val g = kvBackedGraphFull(s, dir, seg.toString)
     Traversal.V(g)
       .hasLabel("nation")
@@ -1270,15 +1270,15 @@ object KVGraphQueries {
     // them concurrently (guide §2.6: independent actions overlap)
     graft.Par.jobs(
       () => mgr.writeSegmentStore("edgestore",
-        KVGraphMutations.edgeAdditions(g0.edges), 16),
+        KVGraphMutations.edgeAdditions(g0.edges), 0),
       () => mgr.writeSegmentStore("vertexprops",
         KVGraphMutations.vertexAdditions(g0.vertices)
           .unionByName(KVGraphMutations.vertexPropAdditions(g0.vertices)),
-        16, familyRanged = true),
+        0, familyRanged = true),
       () => mgr.writeSegmentStore(indexStoreName("customer", "mktsegment"),
         KVGraphMutations.indexAdditions(
           g0.vertices.filter(F.col("vlabel") === "customer"), "mktsegment"),
-        8))
+        0))
     val vpPath = s"$wh/vertexprops"
     val g = kvBackedGraph(s, dir, s"$wh/edgestore").copy(
       vertices = storeVertices(mgr.openSegmentStore("vertexprops")),
@@ -1360,8 +1360,8 @@ object KVGraphQueries {
     lastIdxMutIdxSeg = Some(idxSeg)
     graft.Par.jobs(
       () => KVSegmentStore.writeFamilyRanged(
-        ds.openDatabase("graph"), seg.toString, 16),
-      () => KVSegmentStore.write(ds.openDatabase("gidx"), idxSeg.toString, 8))
+        ds.openDatabase("graph"), seg.toString, 0),
+      () => KVSegmentStore.write(ds.openDatabase("gidx"), idxSeg.toString, 0))
     val idxStore = s.read.format("graft-kv").load(idxSeg.toString)
     val scalars = idxStore.agg(
       F.count(F.when(F.col("k") === F.lit(indexKeyBytes("AUTOMOBILE", false)),
@@ -1430,7 +1430,7 @@ object KVGraphQueries {
         KVGraphMutations.vertexDeletions(doomed, e), wts = 2000L))
     val seg = graft.ScenarioDirs.fresh("graft_kvdropvseg", lastDropVSeg)
     lastDropVSeg = Some(seg)
-    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 16)
+    KVSegmentStore.write(ds.openDatabase("graph"), seg.toString, 0)
     val store = s.read.format("graft-kv").load(seg.toString)
     val existQ = F.concat(encLong(F.lit(0L)), encLong(F.lit(0L)))
     val lid = decLong(F.col("c"), 1)

@@ -43,6 +43,28 @@ object KVSegmentStore {
     * pass over the written files. Sidecars are segment-sized metadata
     * (16 KB each), never manifest lines — a million-segment parts list
     * stays a parts list. */
+  /** Rows per segment when the caller asks for size-derived segmentation
+    * (numSegments = 0): one segment per this many cells — at ~40 B/cell
+    * that is a few-hundred-MB parquet file, the guide §6 target range.
+    * Session-configurable: `spark.graft.kv.segment.rows`. */
+  def targetRowsPerSegment(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("spark.graft.kv.segment.rows", "4000000").toLong
+
+  /** numSegments = 0 derives the segment count from the persisted store's
+    * own row count (ceil(n / targetRowsPerSegment), at least 1) — a fixed
+    * count is wrong at BOTH ends of the scale (16 tiny files + 16 bloom
+    * sidecars + a 16-way range shuffle for a 10^5-row store; 16 monster
+    * segments for a 10^10-row one). The sizing count() doubles as the
+    * cache materialization the sampling pass then reads. Explicit counts
+    * behave exactly as before (specs pin layouts with them). */
+  private def sizedSegments(store: DataFrame, numSegments: Int): Int =
+    if (numSegments > 0) numSegments
+    else {
+      val n = store.count() // store is persisted by the callers below
+      math.max(1L, (n + targetRowsPerSegment(store.sparkSession) - 1) /
+        targetRowsPerSegment(store.sparkSession)).toInt
+    }
+
   def write(store: DataFrame, path: String, numSegments: Int): Unit = {
     // repartitionByRange SAMPLES its input to pick boundaries, so the
     // store plan used to be computed twice (sample pass + shuffle pass)
@@ -51,7 +73,7 @@ object KVSegmentStore {
     // sample and shuffle drain the cache (spills to disk when big).
     store.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      store.repartitionByRange(numSegments, F.col("k"))
+      store.repartitionByRange(sizedSegments(store, numSegments), F.col("k"))
         .sortWithinPartitions("k", "c")
         .write.mode("overwrite").parquet(path)
     // blocking unpersist: the read-back pass (and the next entry) must
@@ -79,7 +101,8 @@ object KVSegmentStore {
     // same persist-across-sample-and-shuffle as [[write]]
     store.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      store.repartitionByRange(numSegments, F.col("c"), F.col("k"))
+      store.repartitionByRange(sizedSegments(store, numSegments),
+          F.col("c"), F.col("k"))
         .sortWithinPartitions("k", "c")
         .write.mode("overwrite").parquet(path)
     } finally store.unpersist(true)

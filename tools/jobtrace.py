@@ -13,11 +13,20 @@ import json, sys, glob, os
 
 path = sys.argv[1]
 want = sys.argv[2] if len(sys.argv) > 2 else None
-if os.path.isdir(path):
-    path = max(glob.glob(os.path.join(path, '*')), key=os.path.getmtime)
+# descend into rolling event-log dirs (eventlog_v2_*/events_*) to a file
+while os.path.isdir(path):
+    entries = [p for p in glob.glob(os.path.join(path, '*'))
+               if not os.path.basename(p).startswith('appstatus_')]
+    path = max(entries, key=os.path.getmtime)
 
 jobs = {}  # id -> dict(desc, site, t0, t1)
-with open(path) as f:
+if path.endswith('.zstd'):
+    import subprocess, io
+    p = subprocess.Popen(['zstd', '-dc', path], stdout=subprocess.PIPE)
+    fh = io.TextIOWrapper(p.stdout)
+else:
+    fh = open(path)
+with fh as f:
     for line in f:
         try:
             ev = json.loads(line)
@@ -25,9 +34,11 @@ with open(path) as f:
             continue
         if ev.get('Event') == 'SparkListenerJobStart':
             props = ev.get('Properties') or {}
+            stages = ev.get('Stage Infos') or []
+            site = stages[-1]['Stage Name'] if stages else '?'
             jobs[ev['Job ID']] = {
                 'desc': props.get('spark.job.description', ''),
-                'site': (props.get('callSite.short') or '?'),
+                'site': f"{site} ({len(stages)} stages)",
                 't0': ev['Submission Time'], 't1': None}
         elif ev.get('Event') == 'SparkListenerJobEnd':
             j = jobs.get(ev['Job ID'])
