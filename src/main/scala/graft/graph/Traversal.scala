@@ -470,13 +470,39 @@ final class Traversal private (
     val t = flushed
     val nxt = s"v${t.depth + 1}"
     val kv = e0.columns.contains(Traversal.KvKeyCol)
-    def kvJoin(left: DataFrame, keyName: String): DataFrame =
-      left.join(
+    // SUPERNODE-SAFE variant (KVGraphQueries.saltedHop's contract, wired
+    // into the DSL): all of a hub vertex's cells share ONE store key, so
+    // a key-partitioned hop puts the whole celebrity adjacency in one
+    // task. With spark.graft.hop.saltBuckets = b > 0, the adjacency side
+    // fans out over (key, salt = xxhash64(dst) % b) — each cell has a
+    // unique dst, so a hub's cells spread EVENLY over b reducers — and
+    // the (small) frontier replicates b times. Identical rows to the
+    // plain join (SaltedJoin's contract; the salt is deterministic, never
+    // rand()). Off by default; a caller whose frontier hits hub-degree
+    // keys turns it on around the hop (g_kv_dsl_rev's nation frontier).
+    def saltBuckets: Int =
+      g.edges.sparkSession.conf.get("spark.graft.hop.saltBuckets", "0").toInt
+    def kvJoin(left: DataFrame, keyName: String): DataFrame = {
+      val b = saltBuckets
+      if (b > 0) {
+        val salted = e0.select(F.col(Traversal.KvKeyCol), F.col("__from"),
+            F.col("__to").as(nxt))
+          .withColumn("__salt", F.pmod(F.xxhash64(F.col(nxt)), F.lit(b.toLong)))
+        val repl = left.withColumn("__salt",
+          F.explode(F.array((0 until b).map(i => F.lit(i.toLong)): _*)))
+        repl.join(salted,
+          F.col(keyName) === F.col("__from") &&
+            F.col(Traversal.KvKeyCol) ===
+              graft.kv.KVStore.encLong(F.col(keyName)) &&
+            repl("__salt") === salted("__salt"))
+          .drop("__salt")
+      } else left.join(
         e0.select(F.col(Traversal.KvKeyCol), F.col("__from"),
           F.col("__to").as(nxt)),
         F.col(keyName) === F.col("__from") &&
           F.col(Traversal.KvKeyCol) ===
             graft.kv.KVStore.encLong(F.col(keyName)))
+    }
     val joined =
       if (t.onVertices) {
         // leave the vertex frame: origin projects to its mark (or v0),

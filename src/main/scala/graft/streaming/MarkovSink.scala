@@ -112,7 +112,9 @@ object MarkovSink {
       .filter(F.col("f_tu").isNull || F.col("tu") > F.col("f_tu") ||
         (F.col("tu") === F.col("f_tu") && F.col("event_id") > F.col("f_id")))
       .drop("f_tu", "f_id")
-    val pool = fresh.unionByName(prevBuf).localCheckpoint()
+    // lazy checkpoint: the max aggregate right below materializes the
+    // cache — one job per micro-batch instead of two
+    val pool = fresh.unionByName(prevBuf).localCheckpoint(false)
     // bounded reduction: one MAX row to the driver
     val maxTu = Option(pool.agg(F.max("tu")).collect()(0).get(0))
       .map(_.asInstanceOf[Long])
@@ -123,11 +125,17 @@ object MarkovSink {
       .unionByName(prevLast.withColumn("is_new", F.lit(false)))
     val pairs = prevPairs.unionByName(foldPairs(union))
       .groupBy("event_type", "next_type").agg(F.sum("n").as("n"))
-    val wLast = Window.partitionBy("user_id")
-      .orderBy(F.col("tu").desc, F.col("event_id").desc)
-    val last = union.withColumn("rn", F.row_number().over(wLast))
-      .filter(F.col("rn") === 1)
-      .select("user_id", "tu", "event_id", "event_type")
+    // per-user newest event via max-over-struct: (tu, event_id) is unique
+    // per user, so max(struct(tu, event_id, event_type)) picks exactly the
+    // row the desc row_number window picked — as a partial-aggregatable
+    // groupBy (map-side combine, no window SORT; guide §2.3)
+    val last = union
+      .groupBy("user_id")
+      .agg(F.max(F.struct(F.col("tu"), F.col("event_id"),
+        F.col("event_type"))).as("m"))
+      .select(F.col("user_id"), F.col("m.tu").as("tu"),
+        F.col("m.event_id").as("event_id"),
+        F.col("m.event_type").as("event_type"))
     // the three state tables are independent plans over the checkpointed
     // pool — write them concurrently (guide §2.6); the completeness
     // marker below still gates on ALL three having landed

@@ -44,8 +44,10 @@ private[streaming] object SessionFold {
     * the driver. */
   def poolAndWatermark(arrivals: DataFrame, prevBuf: DataFrame,
                        prevWm: Long, delayMs: Long): (DataFrame, Long) = {
+    // lazy checkpoint: the max aggregate right below materializes the
+    // cache — one job per micro-batch instead of two
     val pool = arrivals.filter(F.col("us") >= prevWm)
-      .unionByName(prevBuf).localCheckpoint()
+      .unionByName(prevBuf).localCheckpoint(false)
     val maxUsOpt = Option(pool.agg(F.max("us")).collect()(0).get(0))
       .map(_.asInstanceOf[Long])
     val wm = maxUsOpt.map(m => math.max(prevWm, m - delayMs * 1000L))

@@ -101,6 +101,29 @@ class KVSupernodeSpec extends SparkSpec {
     }
   }
 
+  test("the DSL hop under spark.graft.hop.saltBuckets returns identical rows") {
+    // the declared supernode path (g_kv_dsl_rev sets the conf around its
+    // reverse hop): same traversal, salt on vs off, row-identical
+    import graft.kv.KVStore.encLong
+    val e = PropertyGraph(spark, SF).edges
+    val seg = java.nio.file.Files.createTempDirectory("graft_saltdsl").toString
+    KVSegmentStore.write(
+      KVGraphMutations.edgeAdditions(e)
+        .unionByName(KVGraphMutations.edgeRevAdditions(e)),
+      seg, 8)
+    val g = KVGraphQueries.kvBackedGraphBoth(spark, SF, seg)
+    def run(): Seq[String] = Traversal.V(g)
+      .hasLabel("nation").value("name", "n_name").as("n_vid")
+      .in("in_nation").hasLabel("supplier").as("s_vid")
+      .select("n_vid", "n_name", "s_vid")
+      .df.collect().map(_.toString).sorted.toSeq
+    val plain = run()
+    spark.conf.set("spark.graft.hop.saltBuckets", "4")
+    val salted = try run()
+      finally spark.conf.unset("spark.graft.hop.saltBuckets")
+    assert(plain.nonEmpty && salted == plain)
+  }
+
   test("the broadcast frontier hop has no reducer skew to salt away") {
     // the DEFAULT path for dimension-sized frontiers: the store side
     // never shuffles at all — each scan task streams its own segments,
