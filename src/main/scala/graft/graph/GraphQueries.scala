@@ -1725,9 +1725,7 @@ object GraphQueries {
     * Output (vid, c1, c2) gates both rounds. */
   def gLouvain(s: SparkSession, dir: String): DataFrame = {
     val g = PropertyGraph(s, dir)
-    // lazy checkpoint: the m2 count right below materializes it — one job
-    // instead of an eager-checkpoint job followed by a count over cache
-    val ue = g.undirected.localCheckpoint(false)
+    val ue = g.undirected.localCheckpoint()
     val deg = ue.groupBy(F.col("src").as("v")).agg(F.count(F.lit(1)).as("k"))
     val m2 = ue.count() // 2m: one scalar job over the symmetric edge list
     // round 1 (singletons): best target = neighbor with min (k_j, j)
@@ -1740,16 +1738,14 @@ object GraphQueries {
       .select(F.col("v"),
         F.when(F.lit(m2) - F.col("k") * F.col("b.kj") > 0, F.col("b.dst"))
           .otherwise(F.col("v")).as("c"))
-    // all the checkpoints below are LAZY: they still truncate lineage at
-    // plan-build time (each level's Catalyst plan stays shallow), but the
-    // cache materializes inside the terminal action instead of one eager
-    // job per checkpoint — 10 fewer driver job barriers per call, same
-    // total task work (blocks are cached on first compute and reused by
-    // every later level within the action; the bench sweep reclaims them)
+    // checkpoints stay EAGER here on measured evidence (r16 A/B): the lazy
+    // form defers materialization into the terminal action, where AQE's
+    // concurrent stage jobs contend on the unmaterialized shared caches —
+    // same-window min-of-3 read 5.14 s eager vs 6.24 s lazy
     val c1 = g.vertices.select(F.col("vid").as("v"))
       .join(r1, Seq("v"), "left")
       .select(F.col("v"), F.coalesce(F.col("c"), F.col("v")).as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     // round 2: full gain against round-1 community masses
     val sigma = c1.join(deg, Seq("v"), "left")
       .groupBy("c").agg(F.sum(F.coalesce(F.col("k"), F.lit(0L))).as("st"))
@@ -1771,7 +1767,7 @@ object GraphQueries {
     val r2 = scored.groupBy("v")
       .agg(F.min(F.struct((-F.col("score")).as("ns"), F.col("c"))).as("p"))
       .select(F.col("v"), F.col("p.c").as("c2"))
-    val cf = c1.join(r2, Seq("v")).localCheckpoint(false)
+    val cf = c1.join(r2, Seq("v")).localCheckpoint()
     // ── MULTI-LEVEL rounds TO FIXPOINT (r10 verdict #4; single level
     // since r10, r9 verdict #6): contract the current partition into a
     // WEIGHTED quotient graph (node = community, Σtot = its weighted
@@ -1801,7 +1797,7 @@ object GraphQueries {
         .join(cur.select(F.col("v").as("src"), F.col(prev).as("qs")), Seq("src"))
         .join(cur.select(F.col("v").as("dst"), F.col(prev).as("qd")), Seq("dst"))
         .groupBy("qs", "qd").agg(F.count(F.lit(1)).as("w"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val qdeg = qe.groupBy(F.col("qs").as("q")).agg(F.sum("w").as("qk"))
       // merge gain of adjacent communities (self-loops are interiors,
       // not merge candidates); w is the directed-symmetric count so the
@@ -1825,7 +1821,7 @@ object GraphQueries {
         // unmatched (or edgeless) communities keep their label
         .withColumn(next, F.coalesce(F.col("mq"), F.col(prev)))
         .drop("mq")
-        .localCheckpoint(false)
+        .localCheckpoint()
     }
     cur.select((F.col("v").as("vid") +:
       (1 to 2 + LouvainMergeLevels).map(i => F.col(s"c$i"))): _*)
